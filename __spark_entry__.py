@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``temporal_retriever_spark``: each ``queries()`` entry
+exercises one operator family from SURVEY.md §2 through the engine's
+public API, and ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
+(views: region nation customer supplier part orders lineitem events
+documents embeddings).
 """
 
 from __future__ import annotations
@@ -12,27 +12,329 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.aggregate import (
+    bucket_aggregate,
+    bucket_count,
+    date_bounds,
+    floor_ceiling,
+)
+from temporal_retriever_spark.align import (
+    align_series,
+    coalesce_actuals,
+    future_grid,
+    split_forecasts,
+)
+from temporal_retriever_spark.sources import load_tables
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> canonical long format (series_id=event_type, ds, y)."""
+    t = load_tables(spark, sf_dir, ("events",))["events"]
+    return t.select(
+        F.col("event_type"),
+        F.col("ts").alias("ds"),
+        F.col("value").alias("y"),
+        F.col("user_id"),
+        F.col("props"),
+    )
+
+
+def _orders_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return t.select(F.col("o_orderdate").alias("ds"), F.col("o_totalprice").alias("y"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-series daily bucketing + full history∪future grid.
+
+    The reference's prepare→bucket→bounds→future-grid spine
+    (app.py:70-93, 122, 132-134) over every event_type series at once.
+    """
+    events = _events_long(spark, SF_SMOKE)
+    bucketed = bucket_aggregate(
+        events.select("event_type", "ds", "y"),
+        grain="D",
+        agg="sum",
+        series_cols=("event_type",),
+    )
+    bounds = date_bounds(bucketed, series_cols=("event_type",))
+    grid = future_grid(bounds, grain="D", horizon=7, series_cols=("event_type",))
+    history = bucketed.select("event_type", "ds", "y")
+    future = grid.select(
+        "event_type", F.col("ds").cast("date").alias("ds"), F.lit(None).cast("double").alias("y")
+    )
+    return history.unionByName(future).orderBy("event_type", "ds")
+
+
+# --------------------------------------------------------------------------
+# queries / oracles
+# --------------------------------------------------------------------------
+
+def _q_bucket_events(grain: str, agg: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bucket_aggregate(
+            _events_long(spark, sf_dir).select("event_type", "ds", "y"),
+            grain=grain,
+            agg=agg,
+            series_cols=("event_type",),
+        )
+
+    return q
+
+
+def _q_bucket_orders(grain: str, agg: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bucket_aggregate(_orders_long(spark, sf_dir), grain=grain, agg=agg)
+
+    return q
+
+
+def q_bucket_day_all_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bucket_aggregate(
+        _orders_long(spark, sf_dir),
+        grain="D",
+        agg="sum",
+        extra_aggs={
+            "y_min": ("y", "min"),
+            "y_max": ("y", "max"),
+            "y_mean": ("y", "mean"),
+            "y_median": ("y", "meadian"),  # reference's typo alias accepted
+        },
+    )
+
+
+def q_series_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return date_bounds(
+        _events_long(spark, sf_dir).select("event_type", "ds"),
+        series_cols=("event_type",),
+    )
+
+
+def q_floor_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = floor_ceiling(
+        _events_long(spark, sf_dir).select("event_type", "y"),
+        series_cols=("event_type",),
+    )
+    return raw.select(
+        "event_type",
+        F.round("floor", 6).alias("floor"),
+        F.round("cap", 6).alias("cap"),
+        F.round("min_y", 6).alias("min_y"),
+        F.round("max_y", 6).alias("max_y"),
+        F.round("std_y", 6).alias("std_y"),
+    )
+
+
+def q_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _q_bucket_events("D", "sum")(spark, sf_dir)
+    return bucket_count(bucketed, series_cols=("event_type",))
+
+
+def _daily_series(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    return bucket_aggregate(
+        _events_long(spark, sf_dir)
+        .filter(F.col("event_type") == event_type)
+        .select("ds", "y"),
+        grain="D",
+        agg="sum",
+    )
+
+
+def q_align_covariate_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = _daily_series(spark, sf_dir, "click")
+    cov = _daily_series(spark, sf_dir, "view").withColumnRenamed("y", "cov")
+    return align_series(target, cov, cov_cols=("cov",))
+
+
+def q_align_covariate_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = _daily_series(spark, sf_dir, "click")
+    cov = _daily_series(spark, sf_dir, "view").withColumnRenamed("y", "cov")
+    return align_series(target, cov, cov_cols=("cov",), drop_null_cov=True)
+
+
+def q_coalesce_actuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _daily_series(spark, sf_dir, "view")
+    preds = base.select("ds", (F.col("y") * 0.5).alias("yhat"))
+    actuals = base.filter(F.dayofmonth("ds") <= 15)
+    return coalesce_actuals(preds, actuals)
+
+
+def q_future_grid_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _q_bucket_events("D", "sum")(spark, sf_dir)
+    bounds = date_bounds(bucketed, series_cols=("event_type",))
+    return future_grid(bounds, grain="D", horizon=7, series_cols=("event_type",))
+
+
+def q_future_grid_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = bucket_aggregate(_orders_long(spark, sf_dir), grain="M", agg="sum")
+    bounds = date_bounds(bucketed)
+    return future_grid(bounds, grain="M", horizon=3, series_cols=())
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: dot-path extraction from semi-structured payloads
+
+    (reference pydash ``get`` on nested observations, app.py:110-113) —
+    on raw JSON strings this is ``get_json_object``.
+    """
+    events = _events_long(spark, sf_dir)
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count("k").alias("k_count"))
+    )
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    bucketed = _q_bucket_events("D", "sum")(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    cutoff = date_bounds(
+        bucketed.filter(F.dayofmonth("ds") <= 20), series_cols=("series_id",)
+    )
+    return split_forecasts(bucketed, cutoff)
+
+
+def q_split_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _split(spark, sf_dir)[0]
+
+
+def q_split_future(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _split(spark, sf_dir)[1]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bucket_hour_sum": _q_bucket_events("H", "sum"),
+        "bucket_day_mean": _q_bucket_events("D", "mean"),
+        "bucket_minute_sum": _q_bucket_events("min", "sum"),
+        "bucket_week_sum": _q_bucket_orders("W", "sum"),
+        "bucket_month_median": _q_bucket_orders("M", "median"),
+        "bucket_day_all_aggs": q_bucket_day_all_aggs,
+        "series_bounds": q_series_bounds,
+        "floor_cap": q_floor_cap,
+        "bucket_counts": q_bucket_counts,
+        "align_covariate_left": q_align_covariate_left,
+        "align_covariate_inner": q_align_covariate_inner,
+        "coalesce_actuals": q_coalesce_actuals,
+        "future_grid_day": q_future_grid_day,
+        "future_grid_month": q_future_grid_month,
+        "json_extract_props": q_json_extract_props,
+        "split_historical": q_split_historical,
+        "split_future": q_split_future,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EVENTS_DAILY = """
+    SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+_CLICK_DAILY = """
+    SELECT CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events WHERE event_type = 'click' GROUP BY 1
+"""
+
+_VIEW_DAILY = """
+    SELECT CAST(ts AS DATE) AS ds, SUM(value) AS cov
+    FROM events WHERE event_type = 'view' GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bucket_hour_sum": (
+            "SELECT event_type, date_trunc('hour', ts) AS ds, SUM(value) AS y "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "bucket_day_mean": (
+            "SELECT event_type, CAST(ts AS DATE) AS ds, AVG(value) AS y "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "bucket_minute_sum": (
+            "SELECT event_type, date_trunc('minute', ts) AS ds, SUM(value) AS y "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "bucket_week_sum": (
+            "SELECT CAST(date_trunc('week', o_orderdate) AS DATE) + 6 AS ds, "
+            "SUM(o_totalprice) AS y FROM orders GROUP BY 1"
+        ),
+        "bucket_month_median": (
+            "SELECT last_day(CAST(o_orderdate AS DATE)) AS ds, "
+            "MEDIAN(o_totalprice) AS y FROM orders GROUP BY 1"
+        ),
+        "bucket_day_all_aggs": (
+            "SELECT CAST(o_orderdate AS DATE) AS ds, SUM(o_totalprice) AS y, "
+            "MIN(o_totalprice) AS y_min, MAX(o_totalprice) AS y_max, "
+            "AVG(o_totalprice) AS y_mean, MEDIAN(o_totalprice) AS y_median "
+            "FROM orders GROUP BY 1"
+        ),
+        "series_bounds": (
+            "SELECT event_type, MIN(ts) AS min_ds, MAX(ts) AS max_ds "
+            "FROM events GROUP BY 1"
+        ),
+        "floor_cap": (
+            "SELECT event_type, ROUND(LEAST(0.0, MIN(value)), 6) AS floor, "
+            "ROUND(GREATEST(MAX(value) + 3 * COALESCE(STDDEV_SAMP(value), 0), "
+            "MAX(value)), 6) AS cap, ROUND(MIN(value), 6) AS min_y, "
+            "ROUND(MAX(value), 6) AS max_y, ROUND(STDDEV_SAMP(value), 6) AS std_y "
+            "FROM events GROUP BY 1"
+        ),
+        "bucket_counts": (
+            f"SELECT event_type, COUNT(*) AS n_buckets FROM ({_EVENTS_DAILY}) "
+            "GROUP BY 1"
+        ),
+        "align_covariate_left": (
+            f"WITH t AS ({_CLICK_DAILY}), c AS ({_VIEW_DAILY}) "
+            "SELECT t.ds, t.y, c.cov FROM t LEFT JOIN c ON t.ds = c.ds"
+        ),
+        "align_covariate_inner": (
+            f"WITH t AS ({_CLICK_DAILY}), c AS ({_VIEW_DAILY}) "
+            "SELECT t.ds, t.y, c.cov FROM t JOIN c ON t.ds = c.ds"
+        ),
+        "coalesce_actuals": (
+            f"WITH s AS ({_CLICK_DAILY.replace('click', 'view')}), "
+            "p AS (SELECT ds, y * 0.5 AS yhat FROM s), "
+            "a AS (SELECT * FROM s WHERE date_part('day', ds) <= 15) "
+            "SELECT p.ds, COALESCE(a.y, p.yhat) AS y "
+            "FROM p LEFT JOIN a ON p.ds = a.ds"
+        ),
+        "future_grid_day": (
+            f"WITH b AS (SELECT event_type, MAX(ds) AS max_ds FROM ({_EVENTS_DAILY}) "
+            "GROUP BY 1) SELECT event_type, max_ds + CAST(k AS INTEGER) AS ds "
+            "FROM b, generate_series(1, 7) AS g(k)"
+        ),
+        "future_grid_month": (
+            "WITH b AS (SELECT MAX(last_day(CAST(o_orderdate AS DATE))) AS max_ds "
+            "FROM orders) "
+            "SELECT last_day(max_ds + to_months(CAST(k AS INTEGER))) AS ds "
+            "FROM b, generate_series(1, 3) AS g(k)"
+        ),
+        "json_extract_props": (
+            "SELECT event_type, "
+            "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, "
+            "COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_count "
+            "FROM events GROUP BY 1"
+        ),
+        "split_historical": (
+            f"WITH s AS (SELECT event_type AS series_id, ds, y FROM ({_EVENTS_DAILY})), "
+            "b AS (SELECT series_id, MAX(ds) AS max_ds FROM s "
+            "WHERE date_part('day', ds) <= 20 GROUP BY 1) "
+            "SELECT s.series_id, s.ds, s.y FROM s JOIN b ON s.series_id = b.series_id "
+            "WHERE s.ds <= b.max_ds"
+        ),
+        "split_future": (
+            f"WITH s AS (SELECT event_type AS series_id, ds, y FROM ({_EVENTS_DAILY})), "
+            "b AS (SELECT series_id, MAX(ds) AS max_ds FROM s "
+            "WHERE date_part('day', ds) <= 20 GROUP BY 1) "
+            "SELECT s.series_id, s.ds, s.y FROM s JOIN b ON s.series_id = b.series_id "
+            "WHERE s.ds > b.max_ds"
+        ),
+    }

@@ -1,0 +1,68 @@
+"""temporal_retriever_spark — a PySpark-native time-series context engine.
+
+A from-scratch re-expression of the capabilities of
+``hyperprior/temporal-retriever`` (reference at /root/reference, cited by
+file:line in docstrings) as an idiomatic Spark engine:
+
+* canonical long format ``(series_id, ds, y)`` (reference app.py:70-78)
+* grain bucketing T2-T6 (reference core.py:30-59)
+* dedup aggregation A1-A5 (reference app.py:89, 354-370)
+* alignment joins J1-J3 + coalesce P7 (reference app.py:144-169)
+* future grids W6, historical/future splits W7 (app.py:132-134, 201-209)
+* diagnostics W1/W2/W10/W11 (reference core.py:6-27)
+* forecasting W3-W5/W8/W9 (reference app.py:124-199, 442-487)
+* LLM-data-pipeline extensions: dedup, similarity search, text analysis,
+  multimodal column plumbing (north star, no reference analog)
+
+Everything is DataFrame-API first so Catalyst can push filters, prune
+columns, and pick broadcast joins; Python only enters via Arrow-batched
+grouped pandas UDFs where whole-series math demands it.
+"""
+
+from temporal_retriever_spark.session import get_spark, stop_spark
+from temporal_retriever_spark.grains import (
+    GRAINS,
+    bucket_expr,
+    grain_interval,
+    grain_duration,
+    normalize_grain,
+)
+from temporal_retriever_spark.aggregate import (
+    AGGREGATIONS,
+    agg_expr,
+    bucket_aggregate,
+    date_bounds,
+    floor_ceiling,
+    normalize_aggregation,
+)
+from temporal_retriever_spark.timeparse import parse_timestamp, to_long_format
+from temporal_retriever_spark.align import (
+    align_series,
+    coalesce_actuals,
+    future_grid,
+    split_forecasts,
+)
+
+__all__ = [
+    "get_spark",
+    "stop_spark",
+    "GRAINS",
+    "bucket_expr",
+    "grain_interval",
+    "grain_duration",
+    "normalize_grain",
+    "AGGREGATIONS",
+    "agg_expr",
+    "bucket_aggregate",
+    "date_bounds",
+    "floor_ceiling",
+    "normalize_aggregation",
+    "parse_timestamp",
+    "to_long_format",
+    "align_series",
+    "coalesce_actuals",
+    "future_grid",
+    "split_forecasts",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,169 @@
+"""Aggregation operators A1-A5.
+
+Reference: the dedup-agg ``df.groupby(ds).agg({y: agg})`` (app.py:89,
+390-395), date bounds (app.py:122, 366-370), sample std (app.py:362) and
+floor/ceiling scalars (app.py:354-364).
+
+Spark-first notes:
+
+* A1 is a plain ``groupBy().agg()`` — Catalyst gives partial (map-side)
+  + final hash aggregation automatically; one shuffle on the bucket key.
+* ``median`` is Spark's exact ``F.median`` (matches pandas/DuckDB
+  interpolation). At 100 TB, exact median forces a sort per group —
+  ``approx=True`` switches to ``percentile_approx`` which stays in the
+  hash aggregate (documented scale path, SURVEY §2.4 A1).
+* The reference accepts the typo alias ``"meadian"`` (app.py:44-48) as
+  part of its API surface — so do we.
+* std is **sample** std (pandas default ddof=1, app.py:362) →
+  ``F.stddev_samp``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.grains import bucket_expr
+
+AGGREGATIONS = ("sum", "min", "max", "mean", "median")
+
+_AGG_ALIASES = {
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+    "mean": "mean",
+    "avg": "mean",
+    "average": "mean",
+    "median": "median",
+    "meadian": "median",  # accepted typo alias, reference app.py:44-48
+}
+
+
+def normalize_aggregation(agg: str) -> str:
+    try:
+        return _AGG_ALIASES[agg.strip().lower()]
+    except (KeyError, AttributeError):
+        raise ValueError(f"unsupported aggregation: {agg!r}") from None
+
+
+def agg_expr(value: Column | str, agg: str, *, approx_median: bool = False) -> Column:
+    col = F.col(value) if isinstance(value, str) else value
+    agg = normalize_aggregation(agg)
+    if agg == "sum":
+        return F.sum(col)
+    if agg == "min":
+        return F.min(col)
+    if agg == "max":
+        return F.max(col)
+    if agg == "mean":
+        return F.avg(col)
+    if agg == "median":
+        if approx_median:
+            return F.percentile_approx(col, 0.5)
+        return F.median(col)
+    raise ValueError(f"unsupported aggregation: {agg!r}")  # pragma: no cover
+
+
+def bucket_aggregate(
+    df: DataFrame,
+    *,
+    ts_col: str = "ds",
+    value_col: str = "y",
+    grain: str = "D",
+    agg: str = "sum",
+    series_cols: Iterable[str] = (),
+    extra_aggs: dict[str, tuple[str, str]] | None = None,
+    approx_median: bool = False,
+) -> DataFrame:
+    """A1: bucket ``ts_col`` to ``grain`` and collapse duplicate keys.
+
+    Reference ``prepare_dataset`` (app.py:70-93): parse → bucket →
+    ``groupby(ds).agg({y: agg})``. Generalized over many series at once:
+    ``series_cols`` joins the grouping key, so a 100-TB table with
+    millions of series aggregates in ONE shuffle instead of a driver loop
+    (the reference loops correlations in Python, app.py:102).
+
+    ``extra_aggs`` maps output column -> (input column, agg name) for the
+    bundle's two-column aggregation (app.py:390-395).
+    """
+    out_bucket = bucket_expr(ts_col, grain).alias(ts_col)
+    keys = [*series_cols, ts_col]
+    aggs = [agg_expr(value_col, agg, approx_median=approx_median).alias(value_col)]
+    for out_name, (in_col, in_agg) in (extra_aggs or {}).items():
+        aggs.append(agg_expr(in_col, in_agg, approx_median=approx_median).alias(out_name))
+    return (
+        df.withColumn(ts_col, out_bucket)
+        .groupBy(*keys)
+        .agg(*aggs)
+    )
+
+
+def date_bounds(
+    df: DataFrame, *, ts_col: str = "ds", series_cols: Iterable[str] = ()
+) -> DataFrame:
+    """A2: (min ds, max ds) — per series when ``series_cols`` given.
+
+    Reference: ``(df.ds.min(), df.ds.max())`` (app.py:122, 167, 366-370).
+    """
+    aggs = [F.min(ts_col).alias("min_ds"), F.max(ts_col).alias("max_ds")]
+    series_cols = list(series_cols)
+    if series_cols:
+        return df.groupBy(*series_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def floor_ceiling(
+    df: DataFrame,
+    *,
+    value_col: str = "y",
+    series_cols: Iterable[str] = (),
+    user_floor: float | None = 0.0,
+    user_ceiling: float | None = None,
+) -> DataFrame:
+    """A3+A4: saturating-growth floor/cap scalars, per series.
+
+    Reference (app.py:354-364):
+      floor   = min(user_floor, min(y))          [Cap.floor defaults to 0,
+                                                  app.py:253-255]
+      ceiling = max(user_ceiling, max(y)); when user_ceiling is None it
+                defaults to max(y) + 3 * std(y)  [sample std, ddof=1]
+    """
+    series_cols = list(series_cols)
+    mn, mx, sd = F.min(value_col), F.max(value_col), F.stddev_samp(value_col)
+    default_ceiling = mx + F.lit(3.0) * F.coalesce(sd, F.lit(0.0))
+    if user_floor is None:
+        floor = mn
+    else:
+        floor = F.least(F.lit(float(user_floor)), mn)
+    if user_ceiling is None:
+        ceiling = F.greatest(default_ceiling, mx)
+    else:
+        ceiling = F.greatest(F.lit(float(user_ceiling)), mx)
+    aggs = [
+        floor.alias("floor"),
+        ceiling.alias("cap"),
+        mn.alias("min_y"),
+        mx.alias("max_y"),
+        sd.alias("std_y"),
+    ]
+    if series_cols:
+        return df.groupBy(*series_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def bucket_count(
+    df: DataFrame, *, ts_col: str = "ds", series_cols: Iterable[str] = ()
+) -> DataFrame:
+    """A5: post-agg bucket count — the default forecast horizon.
+
+    The reference is inconsistent (post-agg at app.py:91, pre-agg at
+    app.py:333); SURVEY §2.4 standardizes on post-agg bucket count.
+    Callers pass the already-bucketed frame.
+    """
+    series_cols = list(series_cols)
+    agg = F.count(ts_col).alias("n_buckets")
+    if series_cols:
+        return df.groupBy(*series_cols).agg(agg)
+    return df.agg(agg)

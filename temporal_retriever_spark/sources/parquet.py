@@ -1,0 +1,80 @@
+"""Parquet source (S7) with nanosecond-timestamp normalization.
+
+Spark supports only MILLIS/MICROS parquet timestamps; files written with
+nanosecond precision (pandas/pyarrow default) fail with
+PARQUET_TYPE_ILLEGAL. With ``spark.sql.legacy.parquet.nanosAsLong=true``
+(session.py) Spark reads them as epoch-nanos LongType; this module
+detects which columns are nano-timestamps from the parquet footer
+(driver-side metadata read, O(1)) and casts them back to TimestampType
+at microsecond precision — the same truncation DuckDB applies, so
+oracle comparisons agree.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as TIMESTAMP(NANOS) — from one file's footer."""
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        path = files[0]
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` + nano→micro timestamp restoration.
+
+    Sets the required runtime confs defensively: the caller's session may
+    not come from ``session.get_spark`` (e.g. the driver harness builds
+    its own), and both confs are runtime-settable SQLConfs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    nano_cols = _nano_timestamp_columns(path)
+    for name in nano_cols:
+        if dict(df.dtypes).get(name) == "bigint":
+            # integer-divide (DIV, not /: epoch-nanos exceed double's exact
+            # int range) to micros, then micros -> timestamp (UTC session tz)
+            df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's star schema from a scale-factor directory."""
+    out = {}
+    for name in names:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            out[name] = read_table(spark, path)
+    return out

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from temporal_retriever_spark.session import get_spark
+
+    session = get_spark("trs-tests")
+    yield session
+    session.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def tables(spark, sf_dir):
+    from temporal_retriever_spark.sources import load_tables
+
+    return load_tables(spark, sf_dir)
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame, round_floats: int = 6) -> pd.DataFrame:
+    """Canonical form mirroring the driver's compare: columns sorted by
+    name, float columns rounded, rows sorted by all columns."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        if pd.api.types.is_float_dtype(df[col]):
+            df[col] = df[col].round(round_floats)
+        if pd.api.types.is_datetime64_any_dtype(df[col]):
+            df[col] = pd.to_datetime(df[col]).dt.tz_localize(None)
+        if df[col].dtype == object:
+            df[col] = df[col].map(
+                lambda v: str(v) if not isinstance(v, (str, type(None))) else v
+            )
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def assert_matches_oracle(spark_df, duck_con, sql: str, round_floats: int = 6):
+    """Compare a Spark DataFrame against a DuckDB oracle query."""
+    got = _canon(spark_df.toPandas(), round_floats)
+    want = _canon(duck_con.execute(sql).df(), round_floats)
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    for col in got.columns:
+        g, w = got[col], want[col]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            ok = [
+                (a == b)
+                or (pd.isna(a) and pd.isna(b))
+                or (
+                    not pd.isna(a)
+                    and not pd.isna(b)
+                    and math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-6)
+                )
+                for a, b in zip(g, w)
+            ]
+            assert all(ok), f"value mismatch in {col}: {[(a, b) for (a, b), o in zip(zip(g, w), ok) if not o][:5]}"
+        else:
+            pd.testing.assert_series_equal(
+                g.astype(str), w.astype(str), check_names=False, obj=col
+            )
