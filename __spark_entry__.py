@@ -26,6 +26,11 @@ from temporal_retriever_spark.align import (
     future_grid,
     split_forecasts,
 )
+from temporal_retriever_spark.diagnostics import acf, describe, granger_causality, pacf
+from temporal_retriever_spark.forecast import (
+    forecast_linear_seasonal,
+    forecast_with_covariate,
+)
 from temporal_retriever_spark.sources import load_tables
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -210,6 +215,112 @@ def q_split_future(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _split(spark, sf_dir)[1]
 
 
+def _events_daily_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bucket_aggregate(
+        _events_long(spark, sf_dir).select("event_type", "ds", "y"),
+        grain="D",
+        agg="sum",
+        series_cols=("event_type",),
+    )
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return acf(_events_daily_all(spark, sf_dir), lags=5, series_cols=("event_type",))
+
+
+def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = pacf(_events_daily_all(spark, sf_dir), lags=5, series_cols=("event_type",))
+    return got.select("event_type", "lag", F.round("pacf", 6).alias("pacf"))
+
+
+def q_describe_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))["events"]
+    return describe(t.withColumnRenamed("value", "y"), series_cols=("event_type",))
+
+
+def q_granger_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = _daily_series(spark, sf_dir, "click").withColumn(
+        "series_id", F.lit("click~view")
+    )
+    cov = _daily_series(spark, sf_dir, "view").withColumnRenamed("y", "x")
+    pair = target.join(cov, on="ds", how="inner")
+    got = granger_causality(pair, maxlag=5, series_cols=("series_id",))
+    return got.select(
+        "series_id", "lag", F.round("f_stat", 6).alias("f_stat"), "df_num", "df_den", "n_obs"
+    )
+
+
+# Rounding guard for engine-derived floats (quantiles, OLS): the centered
+# fit keeps cross-engine drift ~1e-11, but quantile *midpoints* of
+# 2-decimal data land exactly on round-half boundaries, where Spark and
+# DuckDB round() disagree deterministically. Adding a small fixed offset
+# (identical literal on both sides) pushes structured values off the
+# boundary before rounding; drift then can't flip the rounded digit.
+_ROUND_OFFSET = 1.234567e-07
+_ROUND_DIGITS = 3
+
+
+def _round_stable(df: DataFrame, cols=("yhat", "yhat_lower", "yhat_upper")) -> DataFrame:
+    keep = [c for c in df.columns if c not in cols]
+    return df.select(
+        *keep,
+        *[
+            F.round(F.col(c) + F.lit(_ROUND_OFFSET), _ROUND_DIGITS).alias(c)
+            for c in cols
+            if c in df.columns
+        ],
+    )
+
+
+def _sql_round(expr: str) -> str:
+    return f"ROUND(({expr}) + {_ROUND_OFFSET!r}, {_ROUND_DIGITS})"
+
+
+def q_forecast_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_stable(
+        forecast_linear_seasonal(
+            _events_daily_all(spark, sf_dir),
+            grain="D",
+            horizon=7,
+            series_cols=("event_type",),
+        )
+    )
+
+
+def q_forecast_saturating_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_stable(
+        forecast_linear_seasonal(
+            _events_daily_all(spark, sf_dir),
+            grain="D",
+            horizon=7,
+            series_cols=("event_type",),
+            saturating=True,
+        )
+    )
+
+
+def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = _daily_series(spark, sf_dir, "click").withColumn(
+        "series_id", F.lit("click")
+    )
+    cov_hist = _daily_series(spark, sf_dir, "view").withColumn(
+        "series_id", F.lit("click")
+    )
+    # covariate predictions over history+future (J1-coalesced in the
+    # reference; here the covariate's own native forecast)
+    cov_pred = forecast_linear_seasonal(cov_hist, grain="D", horizon=7).select(
+        "series_id", "ds", F.col("yhat").alias("cov")
+    )
+    cov_full = coalesce_actuals(
+        cov_pred, cov_hist.select("series_id", "ds", "y"),
+        on=("series_id", "ds"), pred_col="cov", out_col="cov",
+    )
+    pred = forecast_with_covariate(target, cov_full, grain="D", horizon=7)
+    return pred.select(
+        "series_id", "ds", F.round("yhat", 4).alias("yhat"), F.round("coef", 6).alias("coef")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bucket_hour_sum": _q_bucket_events("H", "sum"),
@@ -229,7 +340,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": q_json_extract_props,
         "split_historical": q_split_historical,
         "split_future": q_split_future,
+        "acf_daily": q_acf_daily,
+        "pacf_daily": q_pacf_daily,
+        "describe_series": q_describe_series,
+        "granger_click_view": q_granger_click_view,
+        "forecast_linear_daily": q_forecast_linear_daily,
+        "forecast_saturating_daily": q_forecast_saturating_daily,
+        "forecast_covariate": q_forecast_covariate,
     }
+
+
+def _acf_oracle(series_sql: str, lags: int, sid: str = "event_type") -> str:
+    lag_cols = ", ".join(
+        f"LAG(d, {k}) OVER (PARTITION BY {sid} ORDER BY ds) AS d{k}"
+        for k in range(1, lags + 1)
+    )
+    sums = ", ".join(f"SUM(d * d{k}) AS s{k}" for k in range(1, lags + 1))
+    union = " UNION ALL ".join(
+        f"SELECT {sid}, {k} AS lag, s{k} / c0 AS acf FROM a" for k in range(1, lags + 1)
+    )
+    return f"""
+        WITH s AS ({series_sql}),
+        c AS (SELECT {sid}, ds, y - AVG(y) OVER (PARTITION BY {sid}) AS d FROM s),
+        l AS (SELECT {sid}, d, {lag_cols} FROM c),
+        a AS (SELECT {sid}, SUM(d * d) AS c0, {sums} FROM l GROUP BY 1)
+        SELECT {sid}, 0 AS lag, 1.0 AS acf FROM a UNION ALL {union}
+    """
+
+
+def _forecast_oracle(saturating: bool) -> str:
+    if saturating:
+        clamp = lambda c: "LEAST(GREATEST(" + c + ", fl), cp)"
+    else:
+        clamp = lambda c: c
+    # exact mirror of forecast.fit_linear_seasonal's explicit-sum OLS:
+    # identical arithmetic on identical sums -> bit-identical outputs
+    caps_cte = """
+    fc AS (
+        SELECT event_type, LEAST(0.0, MIN(y)) AS floor,
+               GREATEST(MAX(y) + 3 * COALESCE(
+                   CASE WHEN COUNT(y) > 1 THEN SQRT(GREATEST(
+                       (SUM(y * y) - SUM(y) * SUM(y) / CAST(COUNT(y) AS DOUBLE))
+                       / (CAST(COUNT(y) AS DOUBLE) - 1.0), 0.0)) END, 0),
+               MAX(y)) AS cap
+        FROM s GROUP BY 1
+    ),"""
+    caps_join = " JOIN fc ON fc.event_type = grid.event_type" if saturating else ""
+    return f"""
+    WITH s AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+        FROM events GROUP BY 1, 2
+    ),{caps_cte if saturating else ''}
+    st AS (SELECT *, epoch(ds) / 86400.0 AS t FROM s),
+    fit AS (
+        SELECT event_type,
+               CASE WHEN (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE)) = 0
+                    THEN 0.0
+                    ELSE (SUM(t * y) - SUM(t) * SUM(y) / CAST(COUNT(y) AS DOUBLE))
+                       / (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE))
+               END AS b,
+               SUM(y) / CAST(COUNT(y) AS DOUBLE) AS my,
+               SUM(t) / CAST(COUNT(y) AS DOUBLE) AS mt,
+               MAX(ds) AS max_ds
+        FROM st GROUP BY 1
+    ),
+    resid AS (
+        SELECT st.event_type, st.ds, st.t, dayofweek(st.ds) + 1 AS skey,
+               st.y - (my + b * (st.t - mt)) AS r
+        FROM st JOIN fit USING (event_type)
+    ),
+    seas AS (
+        SELECT event_type, skey, SUM(r) / CAST(COUNT(r) AS DOUBLE) AS s_mean
+        FROM resid GROUP BY 1, 2
+    ),
+    r2 AS (
+        SELECT resid.event_type, resid.r - seas.s_mean AS rr
+        FROM resid JOIN seas ON resid.event_type = seas.event_type
+        AND resid.skey = seas.skey
+    ),
+    rq AS (
+        SELECT event_type, quantile_cont(rr, 0.05) AS q05,
+               quantile_cont(rr, 0.95) AS q95
+        FROM r2 GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, ds FROM s
+        UNION ALL
+        SELECT event_type, max_ds + CAST(k AS INTEGER)
+        FROM fit, generate_series(1, 7) AS g(k)
+    ),
+    pred AS (
+        SELECT grid.event_type, grid.ds,
+               my + b * (epoch(grid.ds) / 86400.0 - mt)
+                 + COALESCE(s_mean, 0) AS base,
+               q05, q95{', fc.floor AS fl, fc.cap AS cp' if saturating else ''}
+        FROM grid
+        JOIN fit ON fit.event_type = grid.event_type{caps_join}
+        LEFT JOIN seas ON seas.event_type = grid.event_type
+                      AND seas.skey = dayofweek(grid.ds) + 1
+        LEFT JOIN rq ON rq.event_type = grid.event_type
+    )
+    SELECT event_type, ds, {_sql_round(clamp('base'))} AS yhat,
+           {_sql_round(clamp('base + COALESCE(q05, 0)'))} AS yhat_lower,
+           {_sql_round(clamp('base + COALESCE(q95, 0)'))} AS yhat_upper
+    FROM pred
+    """
 
 
 _EVENTS_DAILY = """
@@ -337,4 +552,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.series_id, s.ds, s.y FROM s JOIN b ON s.series_id = b.series_id "
             "WHERE s.ds > b.max_ds"
         ),
+        "acf_daily": _acf_oracle(_EVENTS_DAILY, lags=5),
+        "describe_series": (
+            "SELECT event_type, COUNT(value) AS n, AVG(value) AS mean, "
+            "STDDEV_SAMP(value) AS std, MIN(value) AS min, "
+            "quantile_cont(value, 0.25) AS q25, quantile_cont(value, 0.5) AS median, "
+            "quantile_cont(value, 0.75) AS q75, MAX(value) AS max "
+            "FROM events GROUP BY 1"
+        ),
+        "forecast_linear_daily": _forecast_oracle(saturating=False),
+        "forecast_saturating_daily": _forecast_oracle(saturating=True),
+        # pacf_daily, granger_click_view, forecast_covariate: linear-algebra
+        # whole-series ops, not SQL-expressible -> rows-only driver check
     }

@@ -131,7 +131,16 @@ def floor_ceiling(
                 defaults to max(y) + 3 * std(y)  [sample std, ddof=1]
     """
     series_cols = list(series_cols)
-    mn, mx, sd = F.min(value_col), F.max(value_col), F.stddev_samp(value_col)
+    mn, mx = F.min(value_col), F.max(value_col)
+    # sample std from explicit sums (≡ stddev_samp): the closed form over
+    # sums is bit-reproducible across engines/re-runs, unlike the
+    # engine-specific incremental stddev update formulas
+    n = F.count(value_col).cast("double")
+    var = (
+        F.sum(F.col(value_col) * F.col(value_col))
+        - F.sum(value_col) * F.sum(value_col) / n
+    ) / (n - F.lit(1.0))
+    sd = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None))
     default_ceiling = mx + F.lit(3.0) * F.coalesce(sd, F.lit(0.0))
     if user_floor is None:
         floor = mn

@@ -100,7 +100,8 @@ def future_grid(
     # sequence over integers then add k*step: INTERVAL MONTH is variable
     # width, so sequence(ts, ts+n*step, step) would mis-step across month
     # ends; integer indexing is exact for every grain.
-    idx = F.explode(F.sequence(start_idx, n)).alias("_k")
+    # cast: count-derived horizons are BIGINT, date_add/add_months need INT
+    idx = F.explode(F.sequence(start_idx, n.cast("int"))).alias("_k")
     grid = bounds.select(*series_cols, maxc.alias("_max"), idx)
     if grain in ("D", "W"):
         days = {"D": 1, "W": 7}[grain]

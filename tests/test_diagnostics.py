@@ -1,0 +1,148 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.aggregate import bucket_aggregate
+from temporal_retriever_spark.diagnostics import (
+    _yule_walker_pacf,
+    acf,
+    default_nlags,
+    describe,
+    granger_causality,
+    pacf,
+)
+from tests.conftest import assert_matches_oracle
+
+
+def _daily(tables):
+    return bucket_aggregate(
+        tables["events"].withColumnRenamed("ts", "ds").withColumnRenamed("value", "y"),
+        grain="D",
+        agg="sum",
+        series_cols=("event_type",),
+    )
+
+
+def acf_oracle_sql(series_sql: str, lags: int, sid: str = "event_type") -> str:
+    lag_cols = ", ".join(
+        f"LAG(d, {k}) OVER (PARTITION BY {sid} ORDER BY ds) AS d{k}"
+        for k in range(1, lags + 1)
+    )
+    sums = ", ".join(f"SUM(d * d{k}) AS s{k}" for k in range(1, lags + 1))
+    union = " UNION ALL ".join(
+        f"SELECT {sid}, {k} AS lag, s{k} / c0 AS acf FROM a"
+        for k in range(1, lags + 1)
+    )
+    return f"""
+        WITH s AS ({series_sql}),
+        c AS (SELECT {sid}, ds, y - AVG(y) OVER (PARTITION BY {sid}) AS d FROM s),
+        l AS (SELECT {sid}, d, {lag_cols} FROM c),
+        a AS (SELECT {sid}, SUM(d * d) AS c0, {sums} FROM l GROUP BY 1)
+        SELECT {sid}, 0 AS lag, 1.0 AS acf FROM a UNION ALL {union}
+    """
+
+
+def test_default_nlags():
+    assert default_nlags(1) == 0
+    assert default_nlags(100) == 20
+    assert default_nlags(5) == 4  # capped at n-1
+
+
+def test_acf_matches_duckdb(tables, duck):
+    got = acf(_daily(tables), lags=5, series_cols=("event_type",))
+    sql = acf_oracle_sql(
+        "SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y "
+        "FROM events GROUP BY 1, 2",
+        lags=5,
+    )
+    assert_matches_oracle(got, duck, sql)
+
+
+def test_acf_statsmodels_formula(spark):
+    # hand-check vs the formula on a known small series
+    y = np.array([1.0, 3.0, 2.0, 5.0, 4.0, 6.0])
+    d = y - y.mean()
+    expected1 = (d[1:] * d[:-1]).sum() / (d * d).sum()
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(y)],
+        "series_id string, ds double, y double",
+    )
+    rows = {r["lag"]: r["acf"] for r in acf(df, lags=2).collect()}
+    assert rows[0] == 1.0
+    assert abs(rows[1] - expected1) < 1e-12
+
+
+def test_pacf_udf_matches_local(spark, tables):
+    daily = _daily(tables)
+    got = {
+        (r["event_type"], r["lag"]): r["pacf"]
+        for r in pacf(daily, lags=5, series_cols=("event_type",)).collect()
+    }
+    local = daily.toPandas()
+    for et, group in local.groupby("event_type"):
+        y = group.sort_values("ds")["y"].to_numpy()
+        want = _yule_walker_pacf(y, 5)
+        for k in range(6):
+            assert abs(got[(et, k)] - want[k]) < 1e-10, (et, k)
+
+
+def test_pacf_ar1_property(spark):
+    # AR(1): pacf(1) ~ phi, pacf(k>1) ~ 0
+    rng = np.random.default_rng(42)
+    y = np.zeros(500)
+    for t in range(1, 500):
+        y[t] = 0.7 * y[t - 1] + rng.normal()
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(y)],
+        "series_id string, ds double, y double",
+    )
+    vals = {r["lag"]: r["pacf"] for r in pacf(df, lags=4).collect()}
+    assert abs(vals[1] - 0.7) < 0.1
+    for k in (2, 3, 4):
+        assert abs(vals[k]) < 0.15
+
+
+def test_describe_matches_duckdb(tables, duck):
+    got = describe(
+        tables["events"].withColumnRenamed("value", "y"), series_cols=("event_type",)
+    )
+    sql = """
+        SELECT event_type, COUNT(value) AS n, AVG(value) AS mean,
+               STDDEV_SAMP(value) AS std, MIN(value) AS min,
+               quantile_cont(value, 0.25) AS q25, quantile_cont(value, 0.5) AS median,
+               quantile_cont(value, 0.75) AS q75, MAX(value) AS max
+        FROM events GROUP BY 1
+    """
+    assert_matches_oracle(got, duck, sql)
+
+
+def test_granger_detects_direction(spark):
+    rng = np.random.default_rng(7)
+    n = 300
+    x = rng.normal(size=n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.8 * x[t - 1] + 0.1 * rng.normal()
+    rows = [("pair", float(i), float(y[i]), float(x[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "series_id string, ds double, y double, x double")
+    fwd = {
+        r["lag"]: r["f_stat"]
+        for r in granger_causality(df, maxlag=3, detrend=False).collect()
+    }
+    # x causes y: huge F at lag 1
+    assert fwd[1] > 100
+    rev_df = df.select("series_id", "ds", F.col("x").alias("y"), F.col("y").alias("x"))
+    rev = {
+        r["lag"]: r["f_stat"]
+        for r in granger_causality(rev_df, maxlag=3, detrend=False).collect()
+    }
+    assert rev[1] < fwd[1] / 10
+
+
+def test_granger_short_series_empty(spark):
+    df = spark.createDataFrame(
+        [("s", 1.0, 2.0, 3.0)], "series_id string, ds double, y double, x double"
+    )
+    assert granger_causality(df, maxlag=14).count() == 0

@@ -1,0 +1,175 @@
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.aggregate import bucket_aggregate
+from temporal_retriever_spark.forecast import (
+    forecast_linear_seasonal,
+    forecast_with_covariate,
+    fit_linear_seasonal,
+    prophet_available,
+)
+from tests.conftest import assert_matches_oracle
+
+
+def _linear_series(spark, n=30, slope=2.0, intercept=10.0):
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        ("s", base + datetime.timedelta(days=i), intercept + slope * i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "series_id string, ds date, y double")
+
+
+def test_fit_recovers_exact_line(spark):
+    df = _linear_series(spark)
+    trend, seasonal, _ = fit_linear_seasonal(df, grain="D")
+    row = trend.collect()[0]
+    # slope per epoch-day = 2.0/day
+    assert abs(row["b"] - 2.0) < 1e-9
+    assert row["n_buckets"] == 30
+    # all seasonal means ~0 on a pure line
+    assert all(abs(r["s_mean"]) < 1e-9 for r in seasonal.collect())
+
+
+def test_forecast_extends_line(spark):
+    df = _linear_series(spark, n=30)
+    pred = forecast_linear_seasonal(df, grain="D", horizon=5)
+    rows = {r["ds"]: r for r in pred.collect()}
+    assert len(rows) == 35
+    last = datetime.date(2024, 1, 1) + datetime.timedelta(days=34)
+    assert abs(rows[last]["yhat"] - (10.0 + 2.0 * 34)) < 1e-6
+    # deterministic quantile band collapses to ~0 width on noise-free data
+    assert abs(rows[last]["yhat_upper"] - rows[last]["yhat_lower"]) < 1e-6
+
+
+def test_default_horizon_doubles_history(spark):
+    df = _linear_series(spark, n=20)
+    pred = forecast_linear_seasonal(df, grain="D")  # horizon=None -> n_buckets
+    assert pred.count() == 40
+
+
+def test_seasonal_component_recovered(spark):
+    # y = 100 + 5*dow_indicator(sunday): day-of-week effect, no trend
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for i in range(28):
+        d = base + datetime.timedelta(days=i)
+        rows.append(("s", d, 100.0 + (5.0 if d.isoweekday() == 7 else 0.0)))
+    df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+    pred = forecast_linear_seasonal(df, grain="D", horizon=7)
+    future = {r["ds"]: r["yhat"] for r in pred.collect() if r["ds"] > rows[-1][1]}
+    for d, yhat in future.items():
+        expected = 100.0 + (5.0 if d.isoweekday() == 7 else 0.0)
+        # the Sunday spike leaks a little into the OLS slope; the shape
+        # (Sunday ~5 above weekdays) is the property that matters
+        assert abs(yhat - expected) < 1.0, (d, yhat)
+    sunday = [y for d, y in future.items() if d.isoweekday() == 7]
+    weekday = [y for d, y in future.items() if d.isoweekday() != 7]
+    assert abs((sunday[0] - sum(weekday) / len(weekday)) - 5.0) < 0.5
+
+
+def test_saturating_clamps(spark):
+    df = _linear_series(spark, n=30, slope=10.0)
+    pred = forecast_linear_seasonal(
+        df, grain="D", horizon=20, saturating=True, user_ceiling=None
+    )
+    caps = [r for r in pred.collect()]
+    max_y = 10.0 + 10.0 * 29
+    # ceiling defaults to max + 3*std, so forecasts stop at that cap
+    assert max(r["yhat"] for r in caps) <= max_y + 3 * 90 + 1
+    assert min(r["yhat"] for r in caps) >= 0.0 or min(r["yhat"] for r in caps) >= 10.0
+
+
+def test_covariate_coefficient_exact(spark):
+    # y = 3 + 2*x with x varying independently of time -> coef == 2
+    base = datetime.date(2024, 1, 1)
+    xs = [5.0, 9.0, 2.0, 7.0, 4.0, 8.0, 1.0, 6.0, 3.0, 10.0] * 3
+    rows = [
+        ("s", base + datetime.timedelta(days=i), 3.0 + 2.0 * x, x)
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ds date, y double, cov double")
+    target = df.select("series_id", "ds", "y")
+    cov = df.select("series_id", "ds", "cov")
+    pred = forecast_with_covariate(target, cov, grain="D", horizon=0)
+    row = pred.collect()[0]
+    assert abs(row["coef"] - 2.0) < 1e-9
+    got = {r["ds"]: r["yhat"] for r in pred.collect()}
+    for sid, d, y, x in rows:
+        assert abs(got[d] - y) < 1e-6
+
+
+FORECAST_ORACLE = """
+WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events GROUP BY 1, 2
+),
+st AS (SELECT *, epoch(ds) / 86400.0 AS t FROM s),
+fit AS (
+    SELECT event_type, COALESCE(regr_slope(y, t), 0) AS b, AVG(y) AS my,
+           AVG(t) AS mt, MAX(ds) AS max_ds, COUNT(*) AS n
+    FROM st GROUP BY 1
+),
+resid AS (
+    SELECT st.event_type, st.ds, st.t, dayofweek(st.ds) + 1 AS skey,
+           st.y - (my + b * (st.t - mt)) AS r
+    FROM st JOIN fit USING (event_type)
+),
+seas AS (SELECT event_type, skey, AVG(r) AS s_mean FROM resid GROUP BY 1, 2),
+r2 AS (
+    SELECT resid.event_type, resid.r - seas.s_mean AS rr
+    FROM resid JOIN seas ON resid.event_type = seas.event_type
+    AND resid.skey = seas.skey
+),
+rq AS (
+    SELECT event_type, quantile_cont(rr, 0.05) AS q05, quantile_cont(rr, 0.95) AS q95
+    FROM r2 GROUP BY 1
+),
+grid AS (
+    SELECT event_type, ds FROM s
+    UNION ALL
+    SELECT event_type, max_ds + CAST(k AS INTEGER)
+    FROM fit, generate_series(1, 7) AS g(k)
+),
+pred AS (
+    SELECT grid.event_type, grid.ds,
+           my + b * (epoch(grid.ds) / 86400.0 - mt)
+             + COALESCE(s_mean, 0) AS base,
+           q05, q95
+    FROM grid
+    JOIN fit USING (event_type)
+    LEFT JOIN seas ON seas.event_type = grid.event_type
+                  AND seas.skey = dayofweek(grid.ds) + 1
+    LEFT JOIN rq ON rq.event_type = grid.event_type
+)
+SELECT event_type, ds, base AS yhat,
+       base + COALESCE(q05, 0) AS yhat_lower,
+       base + COALESCE(q95, 0) AS yhat_upper
+FROM pred
+"""
+
+
+def test_forecast_matches_duckdb_oracle(tables, duck):
+    daily = bucket_aggregate(
+        tables["events"].withColumnRenamed("ts", "ds").withColumnRenamed("value", "y"),
+        grain="D",
+        agg="sum",
+        series_cols=("event_type",),
+    )
+    got = forecast_linear_seasonal(
+        daily, grain="D", horizon=7, series_cols=("event_type",)
+    )
+    assert_matches_oracle(got, duck, FORECAST_ORACLE, round_floats=5)
+
+
+@pytest.mark.skipif(not prophet_available(), reason="prophet not installed")
+def test_prophet_backend(spark):
+    df = _linear_series(spark)
+    from temporal_retriever_spark.forecast import forecast_prophet
+
+    pred = forecast_prophet(df, grain="D", horizon=5)
+    assert pred.count() == 35
