@@ -31,6 +31,20 @@ from temporal_retriever_spark.forecast import (
     forecast_linear_seasonal,
     forecast_with_covariate,
 )
+from temporal_retriever_spark.llm.dedup import (
+    exact_duplicate_groups,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from temporal_retriever_spark.llm.similarity import cosine_topk, lsh_cosine_topk
+from temporal_retriever_spark.llm.text import (
+    _STOPWORDS,
+    language_id,
+    text_fingerprint,
+    text_stats,
+)
 from temporal_retriever_spark.sources import load_tables
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -321,6 +335,95 @@ def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------------------
+# LLM-pipeline extension queries (SURVEY §2.10)
+# -------------------------------------------------------------------------
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_documents(spark, sf_dir)).select(
+        "fingerprint", "n_docs", "keep_id"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_documents(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "digit_ratio", "stopword_ratio"
+    )
+
+
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text_stats(_documents(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    return (
+        stats.join(docs, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fingerprint(_documents(spark, sf_dir), algorithm="md5")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.2)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(
+        _documents(spark, sf_dir), num_hashes=32, num_bands=8, threshold=0.4
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash_signatures(_documents(spark, sf_dir))
+    return simhash_pairs(sigs, max_hamming=7)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = cosine_topk(emb, queries_df, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "rank",
+        F.round(F.col("cosine") + F.lit(_ROUND_OFFSET), 4).alias("cosine"),
+    )
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = lsh_cosine_topk(emb, queries_df, k=5, n_planes=4, n_tables=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "rank",
+        F.round(F.col("cosine") + F.lit(_ROUND_OFFSET), 4).alias("cosine"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bucket_hour_sum": _q_bucket_events("H", "sum"),
@@ -347,6 +450,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_linear_daily": q_forecast_linear_daily,
         "forecast_saturating_daily": q_forecast_saturating_daily,
         "forecast_covariate": q_forecast_covariate,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "text_stats": q_text_stats,
+        "text_quality_by_source": q_text_quality_by_source,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lang_id": q_lang_id,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
     }
 
 
@@ -534,7 +647,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_extract_props": (
             "SELECT event_type, "
-            "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, "
             "COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_count "
             "FROM events GROUP BY 1"
         ),
@@ -562,6 +675,80 @@ def oracle_sql() -> dict[str, str]:
         ),
         "forecast_linear_daily": _forecast_oracle(saturating=False),
         "forecast_saturating_daily": _forecast_oracle(saturating=True),
-        # pacf_daily, granger_click_view, forecast_covariate: linear-algebra
-        # whole-series ops, not SQL-expressible -> rows-only driver check
+        "dedup_exact_groups": (
+            "SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint, "
+            "COUNT(doc_id) AS n_docs, MIN(doc_id) AS keep_id "
+            "FROM documents GROUP BY 1"
+        ),
+        "text_stats": (
+            "SELECT doc_id, LENGTH(text) AS n_chars, "
+            "len(string_split_regex(TRIM(text), '\\s+')) AS n_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens, "
+            "ROUND(CASE WHEN LENGTH(text) > 0 THEN "
+            "  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) "
+            "  ELSE 0 END, 6) AS digit_ratio, "
+            "ROUND(CASE WHEN len(string_split_regex(TRIM(text), '\\s+')) > 0 THEN "
+            f"  CAST(len(regexp_extract_all(text, '(?i)\\b({'|'.join(_STOPWORDS)})\\b')) AS DOUBLE) "
+            "  / len(string_split_regex(TRIM(text), '\\s+')) ELSE 0 END, 6) AS stopword_ratio "
+            "FROM documents"
+        ),
+        "text_quality_by_source": (
+            "SELECT source, COUNT(doc_id) AS n_docs, "
+            "CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT) AS total_tokens, "
+            "ROUND(AVG(LENGTH(text)), 6) AS avg_chars "
+            "FROM documents GROUP BY 1"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, "
+            "md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint "
+            "FROM documents"
+        ),
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS tokens
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, tokens,
+                       unnest(generate_series(1, GREATEST(len(tokens) - 2, 1))) AS i
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(tokens[i : i + 2], ' ') AS shingle
+                FROM idx
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        """,
+        "cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS cosine
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, rank,
+                   ROUND(cosine + {_ROUND_OFFSET!r}, 4) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        # lang_id, minhash_near_dups, simhash_pairs, lsh_cosine_topk:
+        # engine-hash / hyperplane-literal based -> rows-only driver check
     }

@@ -1,0 +1,50 @@
+"""LLM-data-pipeline operators (SURVEY §2.10, BASELINE north star).
+
+No reference analog — these are Spark-native designs for the operations
+a large-scale training-data pipeline needs: deduplication (exact,
+MinHash-LSH, SimHash, n-gram Jaccard), similarity search over embedding
+columns, text analysis (language id, quality scores, token counts,
+fingerprints), and multimodal binary-column plumbing.
+"""
+
+from temporal_retriever_spark.llm.text import (
+    language_id,
+    text_fingerprint,
+    text_stats,
+    token_count_expr,
+)
+from temporal_retriever_spark.llm.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+    word_shingles,
+)
+from temporal_retriever_spark.llm.similarity import (
+    cosine_similarity_expr,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+
+__all__ = [
+    "language_id",
+    "text_fingerprint",
+    "text_stats",
+    "token_count_expr",
+    "exact_dedup",
+    "exact_duplicate_groups",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "simhash_signatures",
+    "word_shingles",
+    "cosine_similarity_expr",
+    "cosine_topk",
+    "lsh_cosine_topk",
+]

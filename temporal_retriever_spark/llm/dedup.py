@@ -1,0 +1,315 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these ops is the 100-TB corpus case):
+
+* **exact**: one hash-groupBy shuffle on a 64/128-bit digest of the
+  normalized text — never on the text itself (shuffling full documents
+  is the classic mistake at scale).
+* **MinHash**: k independent hash functions simulated as
+  ``xxhash64(seed_i, shingle)``; signatures built in ONE aggregation
+  over the exploded distinct shingles (k min-aggs, map-side partial).
+* **LSH banding**: signatures sliced into b bands of r rows; a band
+  hash collision is a candidate pair. Join cost is bounded by bucket
+  sizes, not n² — the standard sub-quadratic near-dup path.
+* **SimHash**: 64-bit signature from per-bit weighted sums of token
+  hashes; pairs compared by hamming distance via ``bit_count(xor)``.
+* **n-gram Jaccard**: exact set overlap via explode + join on shingle —
+  quadratic in colliding docs, used to verify candidates, not to scan
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized text), one row per digest.
+
+    Output: fingerprint, n_docs, keep_id (min id), doc_ids (sorted).
+    """
+    fp = F.md5(_norm_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(id_col).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized text.
+
+    Implemented as a min-id window-free groupBy + semi join so only the
+    digest shuffles, not the documents.
+    """
+    fp = F.md5(_norm_text(F.col(text_col))).alias("_fp")
+    with_fp = df.withColumn("_fp", fp)
+    keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keepers, on=["_fp", id_col], how="left_semi").drop("_fp")
+
+
+def word_shingles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built natively with the ``transform``/``slice`` higher-order
+    functions over the token array — no Python, no UDF.
+    """
+    tokens = F.split(_norm_text(F.col(text_col)), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(_tokens) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(_tokens, i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), tokens.alias("_tokens"))
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per document: (id, sig array<bigint>).
+
+    One explode + one groupBy with ``num_hashes`` min-aggregations —
+    a single shuffle regardless of k.
+    """
+    shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingled.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+) -> DataFrame:
+    """Banding: docs whose signature agrees on any full band.
+
+    Output: (id_a, id_b) distinct with id_a < id_b. The self-join runs
+    on (band index, band hash) — bucket-local, sub-quadratic.
+    """
+    sig_len_rows = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+    sig_len = sig_len_rows[0]["n"] if sig_len_rows else 0
+    if sig_len == 0 or sig_len % num_bands != 0:
+        raise ValueError(f"signature length {sig_len} not divisible into {num_bands} bands")
+    rows_per_band = sig_len // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.lit(j),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[j * rows_per_band + i].cast("string")
+                            for i in range(rows_per_band)
+                        ],
+                    ),
+                ).alias("bhash"),
+            )
+            for j in range(num_bands)
+        ]
+    )
+    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+    )
+    left = exploded.select(
+        F.col("band"), F.col("bhash"), F.col(id_col).alias("id_a")
+    )
+    right = exploded.select(
+        F.col("band"), F.col("bhash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with estimated Jaccard.
+
+    Pipeline: shingle → minhash → band → candidate pairs → estimate
+    Jaccard as the fraction of agreeing signature positions → filter.
+    Output: (id_a, id_b, est_jaccard).
+    """
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
+    )
+    candidates = lsh_candidate_pairs(sigs, id_col=id_col, num_bands=num_bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
+    est = F.expr(
+        "aggregate(zip_with(_sa, _sb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    return (
+        candidates.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for pairs sharing ≥1 shingle.
+
+    |A∩B| from a shingle self-join, |A∪B| = |A|+|B|−|A∩B| — integer
+    arithmetic, so bit-exact against any SQL oracle. Quadratic in
+    per-shingle doc frequency: use as the verifier behind LSH at scale
+    (or on corpora bounded by a prior filter), not as a full-corpus scan.
+    """
+    shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document: (id, simhash bigint).
+
+    Classic Charikar construction: each token votes ±1 on every bit of
+    its 64-bit hash; signature bit j is the sign of the total. Built as
+    ``bits`` conditional sums in one aggregation — native, one shuffle.
+    """
+    tokens = F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("token")
+    hashed = df.select(F.col(id_col), tokens).select(
+        F.col(id_col), F.xxhash64("token").alias("_h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Blocking on ``prefix_bits`` chunks (pigeonhole: two signatures within
+    hamming d must agree on at least one of d+1 chunks) keeps the join
+    sub-quadratic; hamming via ``bit_count(a XOR b)``.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("key"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(
+        F.col(id_col),
+        "simhash",
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.key").alias("key"),
+    )
+    left = exploded.select(
+        "chunk", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha")
+    )
+    right = exploded.select(
+        "chunk", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb")
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        left.join(right, on=["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

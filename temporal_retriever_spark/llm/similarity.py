@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force baseline: broadcast the (small) query
+  set, dot products via native ``zip_with``/``aggregate`` HOFs in
+  double precision, per-query top-k via a rank window. Exact; cost
+  O(|queries|·|corpus|·dim) but fully JVM-side and embarrassingly
+  parallel over the corpus — the right baseline up to ~10⁴ queries.
+* ``lsh_cosine_topk`` — scale path: random-hyperplane LSH. Vectors are
+  bucketed by the sign pattern of ``n_planes`` fixed random projections
+  (seeded, deterministic); a query only scores its own bucket (plus
+  optional multi-probe neighbors). Sub-linear candidate sets at the
+  cost of recall — the standard ANN trade.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_similarity_expr(a: str | Column, b: str | Column) -> Column:
+    """cos(a, b) as a native column expression (double precision)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, vec_id, rank, cosine). Ties broken by vec_id so
+    results are deterministic.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity_expr(vec_col, "_qvec")
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), sim.alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_expr(
+    vec_col: str | Column, planes: list[list[float]]
+) -> Column:
+    """Sign-pattern bucket id from fixed hyperplanes (bigint)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = None
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, arr) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket.
+
+    ``n_tables`` independent hash tables (OR-amplification): a candidate
+    qualifies if it collides with the query in ANY table — single-table
+    sign-LSH recall on weakly-correlated corpora is (1−θ/π)^n_planes,
+    so multiple tables are what makes the recall/cost trade tunable.
+    Expected candidates ≈ n_tables·|corpus|/2^n_planes. Deterministic
+    given the seed. At 100 TB, bucket the corpus ONCE (persist the
+    bucket ids) and reuse across query batches.
+    """
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = first[0]["d"] if first else 0
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+    ]
+    buckets = lambda vc: F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket_expr(vc, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(buckets(vec_col)).alias("_b")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_b.table").alias("_table"),
+        F.col("_b.bucket").alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(buckets(vec_col)).alias("_b"),
+    ).select(
+        F.col(query_id_col),
+        F.col("_qvec"),
+        F.col("_b.table").alias("_table"),
+        F.col("_b.bucket").alias("_bucket"),
+    )
+    joined = (
+        c.join(F.broadcast(q), on=["_table", "_bucket"])
+        .select(id_col, vec_col, query_id_col, "_qvec")
+        .dropDuplicates([id_col, query_id_col])
+    )
+    if not include_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity_expr(vec_col, "_qvec")
+    scored = joined.select(F.col(query_id_col), F.col(id_col), sim.alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )

