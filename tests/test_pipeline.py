@@ -1,0 +1,125 @@
+"""End-to-end pipeline tests on the reference's own request fixtures
+(read-only from /root/reference — de-facto integration fixtures,
+SURVEY §5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from temporal_retriever_spark.api.models import (
+    Correlation,
+    parse_analyze_request,
+)
+from temporal_retriever_spark.pipeline import (
+    analyze,
+    saturating_growth,
+    saturating_growth_single,
+)
+
+EXAMPLE = "/root/reference/example-timestamp.json"
+ELECTRICITY = "/root/reference/electricity_demand.json"
+
+
+@pytest.fixture(scope="module")
+def example_request():
+    return parse_analyze_request(json.load(open(EXAMPLE)))
+
+
+@pytest.fixture(scope="module")
+def electricity_request():
+    return parse_analyze_request(json.load(open(ELECTRICITY)))
+
+
+def test_parse_example_request(example_request):
+    req = example_request
+    assert set(req.documents) == {"sales_order", "purchasing_order"}
+    assert len(req.correlations) == 4
+    c = req.correlations[0]
+    assert c.from_index == "data.summary.totalWithTax"
+    assert c.grain == "D" and c.aggregation == "sum"
+
+
+def test_parse_electricity_request(electricity_request):
+    req = electricity_request
+    assert set(req.documents) == {"electricityDemand", "weatherReport"}
+    assert len(req.correlations) == 3
+
+
+def test_correlation_validation():
+    with pytest.raises(ValueError):
+        Correlation(
+            id="x", from_data="a", from_index="i", to_data="b", to_index="j",
+            type="mystery",
+        )
+    with pytest.raises(ValueError):
+        Correlation(
+            id="x", from_data="a", from_index="i", to_data="b", to_index="j",
+            prediction_horizon=0,
+        )
+    # "min" grain accepted (reference enum said min but bucketer 500'd)
+    Correlation(
+        id="x", from_data="a", from_index="i", to_data="b", to_index="j",
+        grain="min",
+    )
+
+
+def test_analyze_example_all_correlations(spark, example_request):
+    # divergence-by-intent: ALL correlations processed (ref: app.py:250
+    # returns after the first)
+    out = analyze(spark, example_request, lags=5)
+    assert set(out["correlations"]) == {c.id for c in example_request.correlations}
+    first = out["correlations"]["correlation-0"]
+    diag = first["diagnostics"]
+    assert diag["units"] == "D"
+    assert diag["from"]["data"] == "purchasing_order"
+    assert diag["to"]["minDate"] is not None
+    acf_to = first["autocorrelations"]["to"]["lags"]
+    assert acf_to[0] == 1.0
+    assert all(-1.000001 <= v <= 1.000001 for v in acf_to.values())
+    pacf_to = first["partialAutocorrelations"]["to"]["lags"]
+    assert pacf_to[0] == 1.0
+    preds = first["predictions"]
+    assert len(preds["historicalForecasts"]) > 0
+    assert len(preds["futureForecasts"]) > 0
+    rec = preds["futureForecasts"][0]
+    assert {"date", "prediction"} <= set(rec)
+    assert first["regressorCoefficients"][0]["coef"] is not None
+
+
+def test_analyze_electricity_hourly(spark, electricity_request):
+    # 5000 hourly observations x 3 correlations; check one correlation
+    req = electricity_request
+    small = type(req)(documents=req.documents, correlations=req.correlations[:1])
+    out = analyze(spark, small, lags=3)
+    cid = req.correlations[0].id
+    c = out["correlations"][cid]
+    # electricity fixture dates are "03-01-2015 01:00" day-first strings:
+    # mixed-format fallback must parse them (T1)
+    assert c["diagnostics"]["to"]["minDate"] is not None
+    assert len(c["predictions"]["historicalForecasts"]) > 0
+
+
+def test_saturating_growth_clamps(spark, example_request):
+    req = example_request
+    small = type(req)(documents=req.documents, correlations=req.correlations[:2])
+    out = saturating_growth(spark, small)
+    assert len(out["correlations"]) == 2
+    for cid, c in out["correlations"].items():
+        for rec in c["futureForecasts"]:
+            assert rec["prediction"] >= 0.0  # floor default 0
+
+
+def test_saturating_growth_single(spark, example_request):
+    out = saturating_growth_single(
+        spark,
+        example_request.documents,
+        dataset="sales_order",
+        index="data.summary.totalWithTax",
+        grain="D",
+        aggregation="sum",
+        horizon=10,
+    )
+    assert len(out["futureForecasts"]) == 10
+    assert all(r["prediction"] >= 0 for r in out["futureForecasts"])
