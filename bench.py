@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Benchmark harness — BASELINE.md protocol (B1-B7) at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"B1_bucket_hour": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop sink (full execution, no
+driver collect cost); per-query time is the median of 3 runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def build_queries(spark):
+    from pyspark.sql import functions as F
+
+    from temporal_retriever_spark.aggregate import bucket_aggregate
+    from temporal_retriever_spark.align import align_series, coalesce_actuals
+    from temporal_retriever_spark.diagnostics import acf, pacf
+    from temporal_retriever_spark.forecast import (
+        forecast_linear_seasonal,
+        forecast_with_covariate,
+    )
+    from temporal_retriever_spark.llm.dedup import near_dup_pairs
+    from temporal_retriever_spark.llm.similarity import cosine_topk
+    from temporal_retriever_spark.llm.text import text_stats
+    from temporal_retriever_spark.sources import load_tables
+
+    tables = load_tables(spark, SF_DIR, ("events", "orders", "documents", "embeddings"))
+    events = tables["events"].select(
+        "event_type", F.col("ts").alias("ds"), F.col("value").alias("y")
+    )
+    orders = tables["orders"].select(
+        F.col("o_orderdate").alias("ds"), F.col("o_totalprice").alias("y")
+    )
+
+    def b1():
+        return bucket_aggregate(
+            events, grain="H", agg="sum", series_cols=("event_type",)
+        )
+
+    def b2():
+        out = None
+        for grain in ("D", "W", "M"):
+            for agg in ("sum", "min", "max", "mean", "median"):
+                df = bucket_aggregate(orders, grain=grain, agg=agg).select(
+                    F.lit(f"{grain}-{agg}").alias("case"), "ds", "y"
+                )
+                out = df if out is None else out.unionByName(df)
+        return out
+
+    def b3():
+        daily = bucket_aggregate(
+            events, grain="D", agg="sum", series_cols=("event_type",)
+        )
+        target = daily.filter(F.col("event_type") == "click").drop("event_type")
+        cov = (
+            daily.filter(F.col("event_type") == "view")
+            .drop("event_type")
+            .withColumnRenamed("y", "cov")
+        )
+        aligned = align_series(target, cov, cov_cols=("cov",))
+        preds = aligned.select("ds", (F.col("y") * 0.5).alias("yhat"))
+        return coalesce_actuals(preds, target)
+
+    def b4():
+        daily = bucket_aggregate(
+            events, grain="D", agg="sum", series_cols=("event_type",)
+        )
+        return acf(daily, lags=10, series_cols=("event_type",)).unionByName(
+            pacf(daily, lags=10, series_cols=("event_type",)).withColumnsRenamed(
+                {"pacf": "acf"}
+            )
+        )
+
+    def b5():
+        daily = bucket_aggregate(
+            events, grain="D", agg="sum", series_cols=("event_type",)
+        )
+        return forecast_linear_seasonal(
+            daily, grain="D", horizon=None, series_cols=("event_type",)
+        )
+
+    def b6():
+        daily = bucket_aggregate(
+            events, grain="D", agg="sum", series_cols=("event_type",)
+        )
+        target = daily.filter(F.col("event_type") == "click").select(
+            F.lit("t").alias("series_id"), "ds", "y"
+        )
+        cov_hist = daily.filter(F.col("event_type") == "view").select(
+            F.lit("t").alias("series_id"), "ds", "y"
+        )
+        cov_pred = forecast_linear_seasonal(cov_hist, grain="D", horizon=30).select(
+            "series_id", "ds", F.col("yhat").alias("cov")
+        )
+        cov_full = coalesce_actuals(
+            cov_pred, cov_hist, on=("series_id", "ds"), pred_col="cov", out_col="cov"
+        )
+        return forecast_with_covariate(target, cov_full, grain="D", horizon=30)
+
+    def b8():
+        return text_stats(tables["documents"])
+
+    def b9():
+        return near_dup_pairs(
+            tables["documents"], num_hashes=32, num_bands=8, threshold=0.4
+        )
+
+    def b10():
+        emb = tables["embeddings"]
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return cosine_topk(emb, queries, k=10)
+
+    return {
+        "B1_bucket_hour": b1,
+        "B2_grains_aggs": b2,
+        "B3_align_coalesce": b3,
+        "B4_acf_pacf": b4,
+        "B5_forecast_univariate": b5,
+        "B6_forecast_covariate": b6,
+        "B8_text_stats": b8,
+        "B9_minhash_neardup": b9,
+        "B10_cosine_topk": b10,
+    }
+
+
+def run_analyze_bench(spark):
+    """B7: end-to-end /analyze semantics on electricity_demand.json."""
+    import json as _json
+
+    from temporal_retriever_spark.api.models import parse_analyze_request
+    from temporal_retriever_spark.pipeline import analyze
+
+    fixture = "/root/reference/electricity_demand.json"
+    if not os.path.exists(fixture):
+        return None
+    body = _json.load(open(fixture))
+    req = parse_analyze_request(body)
+    t0 = time.time()
+    analyze(spark, req, lags=10)
+    return time.time() - t0
+
+
+def materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
+    from temporal_retriever_spark.session import get_spark
+
+    spark = get_spark("trs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_queries(spark)
+    times: dict[str, float] = {}
+    for name, build in queries.items():
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            materialize(build())
+            samples.append(time.time() - t0)
+        times[name] = round(statistics.median(samples), 3)
+        print(f"# {name}: {times[name]}s (runs: {[round(s,2) for s in samples]})",
+              file=sys.stderr)
+    b7 = run_analyze_bench(spark)
+    if b7 is not None:
+        times["B7_analyze_e2e"] = round(b7, 3)
+        print(f"# B7_analyze_e2e: {times['B7_analyze_e2e']}s", file=sys.stderr)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = SF_DIR
+    result = {
+        "metric": "bench_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

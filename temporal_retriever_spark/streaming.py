@@ -1,0 +1,140 @@
+"""Structured Streaming surface (SURVEY §2.8).
+
+The reference is strictly request/response batch; the north star
+mandates a streaming variant of the same semantics. Mapping:
+
+* grain bucketing T2-T6 → tumbling ``F.window(ts, duration)`` for the
+  fixed-width grains (D/W/H/min, durations from ``grain_duration``);
+  window *end* labels W buckets (the batch canonical week-end label)
+  and window *start* labels D/H/min (the batch floor labels).
+* dedup-agg A1 → watermarked ``groupBy(window, series).agg(...)``.
+* late data → rows older than the watermark are dropped by Spark;
+  ``observe`` metrics count arriving rows per micro-batch.
+* month grain has no fixed window width: aggregate daily in the stream,
+  roll up to months in ``foreachBatch`` (or downstream batch) — state
+  cleanup needs a fixed-width event-time window.
+* forecasts stay micro-batch: ``forecast_refresh`` runs the batch
+  forecaster over the accumulated bucket table inside ``foreachBatch``
+  (the reference recomputes per request; we recompute per trigger).
+
+Batch and streaming share one grain→duration mapping, so a query
+verified against the DuckDB oracle in batch has the same bucket labels
+in the stream (asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.aggregate import agg_expr
+from temporal_retriever_spark.grains import grain_duration, normalize_grain
+
+
+def streaming_bucket_aggregate(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ds",
+    value_col: str = "y",
+    grain: str = "H",
+    agg: str = "sum",
+    series_cols: Iterable[str] = (),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """A1 as a watermarked tumbling-window aggregation.
+
+    Output matches the batch ``bucket_aggregate`` schema: bucket label
+    in ``ts_col`` (DateType for D/W, TimestampType for H/min) plus the
+    aggregated ``value_col``. Median is not supported in streaming
+    (no exact percentile state) — use the batch rollup for that.
+    """
+    grain = normalize_grain(grain)
+    if normalize_grain(grain) == "M":
+        raise ValueError(
+            "month grain has no fixed window width; aggregate at 'D' in the "
+            "stream and roll up months in foreachBatch/batch"
+        )
+    agg_name = agg.strip().lower()
+    if agg_name in ("median", "meadian"):
+        raise ValueError("median is not streamable; use the batch path")
+    series_cols = list(series_cols)
+    duration = grain_duration(grain)
+    watermarked = stream.withWatermark(ts_col, watermark)
+    if grain == "W":
+        # tumbling windows align to the Unix epoch (a Thursday); shift
+        # start by 4 days so weeks run Monday..Sunday like the batch T3
+        win = F.window(ts_col, duration, duration, "4 days")
+    else:
+        win = F.window(ts_col, duration)
+    grouped = watermarked.groupBy(win.alias("_w"), *series_cols).agg(
+        agg_expr(value_col, agg).alias(value_col)
+    )
+    if grain == "W":
+        # batch canonical week label = Sunday (week END date): window
+        # [Mon, next Mon) -> end - 1 day
+        label = F.date_sub(F.col("_w.end").cast("date"), 1)
+    elif grain == "D":
+        label = F.col("_w.start").cast("date")
+    else:
+        label = F.col("_w.start")
+    return grouped.select(label.alias(ts_col), *series_cols, F.col(value_col))
+
+
+def with_arrival_metrics(stream: DataFrame, *, ts_col: str = "ds") -> DataFrame:
+    """Attach ``observe`` counters: rows and max event time per batch.
+
+    Late-data drop counts are derivable per micro-batch by comparing
+    arriving rows against the post-watermark aggregation (Spark drops
+    silently; observe gives the arrival side of the ledger).
+    """
+    return stream.observe(
+        "arrivals",
+        F.count(F.lit(1)).alias("rows"),
+        F.max(ts_col).alias("max_event_time"),
+    )
+
+
+def forecast_refresh(
+    bucketed_stream: DataFrame,
+    *,
+    state_view: str,
+    refresh: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Micro-batch forecast refresh: accumulate buckets, re-forecast.
+
+    ``foreachBatch`` receives each micro-batch of new/updated buckets;
+    it unions them into ``state_view`` (a session temp view acting as
+    the bucket store — swap for Delta/Iceberg MERGE in production) and
+    calls ``refresh(full_table, batch_id)`` — typically
+    ``forecast_linear_seasonal`` over the accumulated series.
+    """
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        key_cols = batch.columns[:-1]  # value column is last by contract
+        if spark.catalog.tableExists(state_view):
+            existing = spark.table(state_view)
+            # upsert: new bucket values replace old ones (anti-join keeps
+            # untouched keys, union brings the updates)
+            merged = existing.join(
+                batch.select(*key_cols), on=key_cols, how="left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        merged = merged.localCheckpoint(eager=True)
+        merged.createOrReplaceTempView(state_view)
+        refresh(merged, batch_id)
+
+    writer = (
+        bucketed_stream.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
