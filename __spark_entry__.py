@@ -29,6 +29,7 @@ from temporal_retriever_spark.align import (
 from temporal_retriever_spark.diagnostics import acf, describe, granger_causality, pacf
 from temporal_retriever_spark.forecast import (
     forecast_linear_seasonal,
+    forecast_quantiles,
     forecast_with_covariate,
 )
 from temporal_retriever_spark.llm.dedup import (
@@ -260,7 +261,13 @@ def q_granger_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = target.join(cov, on="ds", how="inner")
     got = granger_causality(pair, maxlag=5, series_cols=("series_id",))
     return got.select(
-        "series_id", "lag", F.round("f_stat", 6).alias("f_stat"), "df_num", "df_den", "n_obs"
+        "series_id",
+        "lag",
+        F.round("f_stat", 6).alias("f_stat"),
+        F.round("p_value", 6).alias("p_value"),
+        "df_num",
+        "df_den",
+        "n_obs",
     )
 
 
@@ -310,6 +317,25 @@ def q_forecast_saturating_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             series_cols=("event_type",),
             saturating=True,
         )
+    )
+
+
+def q_forecast_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = forecast_quantiles(
+        _events_daily_all(spark, sf_dir),
+        grain="D",
+        horizon=5,
+        quantiles=(0.25, 0.5, 0.75),
+        series_cols=("event_type",),
+    )
+    offset = F.lit(_ROUND_OFFSET)
+    return out.select(
+        "event_type",
+        "ds",
+        *[
+            F.round(F.col(c) + offset, _ROUND_DIGITS).alias(c)
+            for c in ("yhat", "q25", "q50", "q75")
+        ],
     )
 
 
@@ -449,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_click_view": q_granger_click_view,
         "forecast_linear_daily": q_forecast_linear_daily,
         "forecast_saturating_daily": q_forecast_saturating_daily,
+        "forecast_quantiles": q_forecast_quantiles,
         "forecast_covariate": q_forecast_covariate,
         "dedup_exact_groups": q_dedup_exact_groups,
         "text_stats": q_text_stats,
@@ -461,6 +488,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
     }
+
+
+_QUANTILE_FORECAST_ORACLE = f"""
+WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events GROUP BY 1, 2
+),
+st AS (SELECT *, epoch(ds) / 86400.0 AS t FROM s),
+fit AS (
+    SELECT event_type,
+           CASE WHEN (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE)) = 0
+                THEN 0.0
+                ELSE (SUM(t * y) - SUM(t) * SUM(y) / CAST(COUNT(y) AS DOUBLE))
+                   / (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE))
+           END AS b,
+           SUM(y) / CAST(COUNT(y) AS DOUBLE) AS my,
+           SUM(t) / CAST(COUNT(y) AS DOUBLE) AS mt,
+           MAX(ds) AS max_ds
+    FROM st GROUP BY 1
+),
+resid AS (
+    SELECT st.event_type, dayofweek(st.ds) + 1 AS skey,
+           st.y - (my + b * (st.t - mt)) AS r
+    FROM st JOIN fit USING (event_type)
+),
+seas AS (SELECT event_type, skey, SUM(r) / CAST(COUNT(r) AS DOUBLE) AS s_mean
+         FROM resid GROUP BY 1, 2),
+r2 AS (
+    SELECT resid.event_type, resid.r - seas.s_mean AS rr
+    FROM resid JOIN seas ON resid.event_type = seas.event_type
+    AND resid.skey = seas.skey
+),
+rq AS (
+    SELECT event_type,
+           quantile_cont(rr, 0.25) AS rq25, quantile_cont(rr, 0.5) AS rq50,
+           quantile_cont(rr, 0.75) AS rq75
+    FROM r2 GROUP BY 1
+),
+grid AS (
+    SELECT event_type, ds FROM s
+    UNION ALL
+    SELECT event_type, max_ds + CAST(k AS INTEGER)
+    FROM fit, generate_series(1, 5) AS g(k)
+)
+SELECT grid.event_type, grid.ds,
+       ROUND(my + b * (epoch(grid.ds) / 86400.0 - mt) + COALESCE(s_mean, 0)
+             + {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS yhat,
+       ROUND(my + b * (epoch(grid.ds) / 86400.0 - mt) + COALESCE(s_mean, 0)
+             + COALESCE(rq25, 0) + {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS q25,
+       ROUND(my + b * (epoch(grid.ds) / 86400.0 - mt) + COALESCE(s_mean, 0)
+             + COALESCE(rq50, 0) + {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS q50,
+       ROUND(my + b * (epoch(grid.ds) / 86400.0 - mt) + COALESCE(s_mean, 0)
+             + COALESCE(rq75, 0) + {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS q75
+FROM grid
+JOIN fit ON fit.event_type = grid.event_type
+LEFT JOIN seas ON seas.event_type = grid.event_type
+              AND seas.skey = dayofweek(grid.ds) + 1
+LEFT JOIN rq ON rq.event_type = grid.event_type
+"""
 
 
 def _acf_oracle(series_sql: str, lags: int, sid: str = "event_type") -> str:
@@ -675,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "forecast_linear_daily": _forecast_oracle(saturating=False),
         "forecast_saturating_daily": _forecast_oracle(saturating=True),
+        "forecast_quantiles": _QUANTILE_FORECAST_ORACLE,
         "dedup_exact_groups": (
             "SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint, "
             "COUNT(doc_id) AS n_docs, MIN(doc_id) AS keep_id "

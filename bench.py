@@ -108,7 +108,9 @@ def build_queries(spark):
         cov_full = coalesce_actuals(
             cov_pred, cov_hist, on=("series_id", "ds"), pred_col="cov", out_col="cov"
         )
-        return forecast_with_covariate(target, cov_full, grain="D", horizon=30)
+        return forecast_with_covariate(
+            target, cov_full, grain="D", horizon=30, materialize_covariate=True
+        )
 
     def b8():
         return text_stats(tables["documents"])

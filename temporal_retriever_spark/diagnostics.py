@@ -232,12 +232,15 @@ def granger_causality(
     The notebook prototype removes a linear trend first and gates on
     len ≥ maxlag (Untitled.ipynb cell 12) — both reproduced here.
     """
+    from temporal_retriever_spark.stats import f_sf
+
     series_cols = list(series_cols)
     schema = StructType(
         [StructField(c, df.schema[c].dataType) for c in series_cols]
         + [
             StructField("lag", IntegerType()),
             StructField("f_stat", DoubleType()),
+            StructField("p_value", DoubleType()),
             StructField("df_num", IntegerType()),
             StructField("df_den", LongType()),
             StructField("n_obs", LongType()),
@@ -256,12 +259,12 @@ def granger_causality(
                 x = x - np.polyval(np.polyfit(t, x, 1), t)
             for lag in range(1, maxlag + 1):
                 fstat, dfn, dfd = _granger_f(y, x, lag)
-                records.append((lag, fstat, dfn, dfd, y.size))
-        out = pd.DataFrame(
-            records, columns=["lag", "f_stat", "df_num", "df_den", "n_obs"]
-        )
+                pval = f_sf(fstat, dfn, dfd) if dfd > 0 else float("nan")
+                records.append((lag, fstat, pval, dfn, dfd, y.size))
+        cols = ["lag", "f_stat", "p_value", "df_num", "df_den", "n_obs"]
+        out = pd.DataFrame(records, columns=cols)
         for c in series_cols:
             out[c] = pdf[c].iloc[0] if len(pdf) else None
-        return out[series_cols + ["lag", "f_stat", "df_num", "df_den", "n_obs"]]
+        return out[series_cols + cols]
 
     return df.groupBy(*series_cols).applyInPandas(compute, schema)

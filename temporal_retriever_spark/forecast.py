@@ -63,6 +63,14 @@ def seasonal_key_expr(col: Column | str, grain: str) -> Column:
     return _SEASONAL_KEYS[normalize_grain(grain)](col)
 
 
+def quantile_col_name(q: float) -> str:
+    """0.05 -> 'q05', 0.5 -> 'q50', 0.975 -> 'q97_5'."""
+    pct = q * 100
+    if abs(pct - round(pct)) < 1e-9:
+        return f"q{int(round(pct)):02d}"
+    return ("q%g" % pct).replace(".", "_")
+
+
 def fit_linear_seasonal(
     df: DataFrame,
     *,
@@ -70,6 +78,7 @@ def fit_linear_seasonal(
     series_cols: Iterable[str] = ("series_id",),
     ts_col: str = "ds",
     value_col: str = "y",
+    quantiles: tuple[float, ...] = (0.05, 0.5, 0.95),
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fit the native model; returns (trend, seasonal, residual_q) frames.
 
@@ -125,9 +134,11 @@ def fit_linear_seasonal(
     deseason = with_resid.join(
         F.broadcast(seasonal), on=[*series_cols, "_skey"]
     ).withColumn("_resid2", F.col("_resid") - F.col("s_mean"))
-    qarr = F.percentile("_resid2", F.array(F.lit(0.05), F.lit(0.5), F.lit(0.95)))
+    qarr = F.percentile(
+        "_resid2", F.array(*[F.lit(float(q)) for q in quantiles])
+    )
     residual_q = deseason.groupBy(*series_cols).agg(
-        qarr[0].alias("q05"), qarr[1].alias("q50"), qarr[2].alias("q95")
+        *[qarr[i].alias(quantile_col_name(q)) for i, q in enumerate(quantiles)]
     )
     return trend, seasonal, residual_q
 
@@ -136,7 +147,7 @@ def forecast_linear_seasonal(
     df: DataFrame,
     *,
     grain: str,
-    horizon: int | None = None,
+    horizon: int | None | Column = None,
     series_cols: Iterable[str] = ("series_id",),
     ts_col: str = "ds",
     value_col: str = "y",
@@ -150,14 +161,22 @@ def forecast_linear_seasonal(
     Output: series, ds, yhat, yhat_lower, yhat_upper.
 
     ``horizon=None`` applies the reference default: horizon = number of
-    history buckets (app.py:91), per series via the A5 count.
-    ``saturating=True`` clamps into the A4 floor/cap envelope (W5).
+    history buckets (app.py:91), per series via the A5 count. A Column
+    horizon is evaluated against the per-series trend frame (columns:
+    series cols, ``n_buckets``) — lets callers give each series its own
+    horizon in one plan. ``saturating=True`` clamps into the A4
+    floor/cap envelope (W5).
     """
     series_cols = list(series_cols)
     trend, seasonal, residual_q = fit_linear_seasonal(
         df, grain=grain, series_cols=series_cols, ts_col=ts_col, value_col=value_col
     )
-    horizon_col = F.lit(int(horizon)) if horizon is not None else F.col("n_buckets")
+    if isinstance(horizon, Column):
+        horizon_col = horizon
+    elif horizon is not None:
+        horizon_col = F.lit(int(horizon))
+    else:
+        horizon_col = F.col("n_buckets")
     grid = future_grid(
         trend,
         grain=grain,
@@ -209,11 +228,12 @@ def forecast_with_covariate(
     covariate_pred: DataFrame,
     *,
     grain: str,
-    horizon: int | None = None,
+    horizon: int | None | Column = None,
     series_cols: Iterable[str] = ("series_id",),
     ts_col: str = "ds",
     value_col: str = "y",
     cov_col: str = "cov",
+    materialize_covariate: bool = False,
 ) -> DataFrame:
     """W4: forecast the target with an extra regressor.
 
@@ -229,8 +249,15 @@ def forecast_with_covariate(
 
     Output: series, ds, yhat, plus ``coef`` the regressor coefficient
     (W8, reference regressor_coefficients app.py:241-243).
+
+    ``materialize_covariate=True`` localCheckpoints the covariate frame
+    first: it is referenced twice in the plan (history join + future
+    grid join), and when it is itself a forecast sub-plan, truncating
+    the lineage roughly halves execution.
     """
     series_cols = list(series_cols)
+    if materialize_covariate:
+        covariate_pred = covariate_pred.localCheckpoint(eager=True)
     joined = target.join(
         covariate_pred.select(*series_cols, ts_col, cov_col),
         on=[*series_cols, ts_col],
@@ -279,7 +306,12 @@ def forecast_with_covariate(
     seasonal = full_resid.groupBy(*series_cols, "_skey").agg(
         F.avg("_r").alias("s_mean")
     )
-    horizon_col = F.lit(int(horizon)) if horizon is not None else F.col("n_buckets")
+    if isinstance(horizon, Column):
+        horizon_col = horizon
+    elif horizon is not None:
+        horizon_col = F.lit(int(horizon))
+    else:
+        horizon_col = F.col("n_buckets")
     grid = future_grid(
         params,
         grain=grain,
@@ -311,6 +343,65 @@ def forecast_with_covariate(
     return pred.select(
         *series_cols, ts_col, yhat.alias("yhat"), F.col("coef").alias("coef")
     )
+
+
+def forecast_quantiles(
+    df: DataFrame,
+    *,
+    grain: str,
+    horizon: int | None = None,
+    quantiles: tuple[float, ...] = (0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95),
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    include_history: bool = True,
+) -> DataFrame:
+    """W9: full quantile forecast — the reference's declared-but-unused
+    ``predictionQuantiles`` surface (app.py:54-58; implemented in
+    Untitled.ipynb cell 13 as np.quantile over sample paths).
+
+    Deterministic analog: quantile q of the forecast distribution =
+    yhat + (exact empirical quantile q of the de-seasonalized
+    residuals). Output: series, ds, yhat, plus one column per quantile
+    (``q05``...``q95``).
+    """
+    series_cols = list(series_cols)
+    trend, seasonal, residual_q = fit_linear_seasonal(
+        df,
+        grain=grain,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        quantiles=quantiles,
+    )
+    horizon_col = F.lit(int(horizon)) if horizon is not None else F.col("n_buckets")
+    grid = future_grid(
+        trend, grain=grain, horizon=horizon_col, series_cols=series_cols,
+        max_col="max_ds",
+    )
+    ds_type = dict(df.dtypes)[ts_col]
+    grid = grid.select(*series_cols, F.col(ts_col).cast(ds_type).alias(ts_col))
+    if include_history:
+        grid = df.select(*series_cols, ts_col).unionByName(grid)
+    pred = (
+        grid.withColumn("_t", _time_index(F.col(ts_col)))
+        .withColumn("_skey", seasonal_key_expr(ts_col, grain))
+        .join(F.broadcast(trend.drop("max_ds", "n_buckets")), on=series_cols)
+        .join(F.broadcast(seasonal), on=[*series_cols, "_skey"], how="left")
+        .join(F.broadcast(residual_q), on=series_cols, how="left")
+    )
+    base = (
+        F.col("my")
+        + F.col("b") * (F.col("_t") - F.col("mt"))
+        + F.coalesce(F.col("s_mean"), F.lit(0.0))
+    )
+    qcols = [
+        (base + F.coalesce(F.col(quantile_col_name(q)), F.lit(0.0))).alias(
+            quantile_col_name(q)
+        )
+        for q in quantiles
+    ]
+    return pred.select(*series_cols, ts_col, base.alias("yhat"), *qcols)
 
 
 # ---------------------------------------------------------------------------

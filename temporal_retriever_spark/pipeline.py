@@ -115,78 +115,169 @@ def analyze(
     partialAutocorrelations, regressorCoefficients, predictions}}} —
     the reference's response shape (app.py:211-248, responses.py).
     """
+    from temporal_retriever_spark.aggregate import normalize_aggregation
+    from temporal_retriever_spark.grains import normalize_grain
+
     raw = documents_df(spark, request.documents)
     raw.cache()
     output: dict[str, Any] = {"correlations": {}}
     try:
+        # ---- stage 1: ONE plan for every distinct prepared series -------
+        # distinct (dataset, index, grain, agg) legs share a series id, so
+        # e.g. three correlations against the same target prepare it once.
+        leg_sids: dict[tuple, str] = {}
         for corr in request.correlations:
-            cov = _prepare(raw, corr, dataset=corr.from_data, index=corr.from_index)
-            target = _prepare(raw, corr, dataset=corr.to_data, index=corr.to_index)
-            cov.cache()
-            target.cache()
+            g = normalize_grain(corr.grain)
+            a = normalize_aggregation(corr.aggregation)
+            for ds_name, idx in (
+                (corr.from_data, corr.from_index),
+                (corr.to_data, corr.to_index),
+            ):
+                key = (ds_name, idx, g, a)
+                leg_sids.setdefault(key, f"{ds_name}.{idx}|{g}|{a}")
+        prepared = None
+        for (ds_name, idx, g, a), sid in leg_sids.items():
+            series = extract_series(
+                raw, dataset=ds_name, index_path=idx, series_id=sid
+            )
+            bucketed = bucket_aggregate(
+                series.filter(F.col("ds").isNotNull()),
+                grain=g,
+                agg=a,
+                series_cols=("series_id",),
+            )
+            prepared = (
+                bucketed if prepared is None else prepared.unionByName(bucketed)
+            )
+        prepared = prepared.coalesce(1).cache()
 
-            cov_stats = _leg_stats(cov, dataset=corr.from_data, index=corr.from_index)
-            tgt_stats = _leg_stats(target, dataset=corr.to_data, index=corr.to_index)
-            n_cov, n_tgt = cov_stats["n"], tgt_stats["n"]
-            cov_horizon = corr.prediction_horizon or n_cov
-            tgt_horizon = corr.prediction_horizon or n_tgt
+        # ---- stage 2: one stats action over all series -------------------
+        stats = {
+            r["series_id"]: r
+            for r in prepared.groupBy("series_id")
+            .agg(
+                F.min("ds").alias("min_ds"),
+                F.max("ds").alias("max_ds"),
+                F.count("y").alias("n"),
+            )
+            .collect()
+        }
+        for (ds_name, idx, g, a), sid in leg_sids.items():
+            if sid not in stats:
+                raise ValueError(
+                    f"dataset {ds_name!r} / index {idx!r} produced no observations"
+                )
 
-            # covariate leg: forecast, then actuals override predictions
+        def leg_sid(corr: Correlation, *, cov: bool) -> str:
+            ds_name, idx = (
+                (corr.from_data, corr.from_index)
+                if cov
+                else (corr.to_data, corr.to_index)
+            )
+            return leg_sids[
+                (
+                    ds_name,
+                    idx,
+                    normalize_grain(corr.grain),
+                    normalize_aggregation(corr.aggregation),
+                )
+            ]
+
+        # ---- stage 3: one ACF plan + one PACF plan over all series -------
+        if lags is not None:
+            k_by_sid = {sid: lags for sid in stats}
+        else:
+            k_by_sid = {sid: default_nlags(stats[sid]["n"]) for sid in stats}
+        k_max = max(max(k_by_sid.values()), 1)
+        acf_rows = acf(prepared, lags=k_max, series_cols=("series_id",)).collect()
+        pacf_rows = pacf(prepared, lags=k_max, series_cols=("series_id",)).collect()
+
+        # ---- stage 4+5: all forecasts in one plan per grain --------------
+        # both legs are rekeyed to the correlation id (shared PREP is one
+        # plan, but each correlation keeps its own horizons — the
+        # reference forecasts each correlation's covariate with that
+        # correlation's horizon, app.py:122-134); one
+        # forecast_with_covariate call per grain regresses every pairing
+        def case_over_ids(values: dict[str, int]):
+            expr = None
+            for cid, h in values.items():
+                clause = (F.col("series_id") == cid, F.lit(int(h)))
+                expr = F.when(*clause) if expr is None else expr.when(*clause)
+            return expr.otherwise(F.col("n_buckets"))
+
+        grains = {normalize_grain(c.grain) for c in request.correlations}
+        pred_rows: list = []
+        for g in grains:
+            corrs_g = [
+                c for c in request.correlations if normalize_grain(c.grain) == g
+            ]
+            cov_hist = None
+            targets = None
+            for corr in corrs_g:
+                ch = prepared.filter(
+                    F.col("series_id") == leg_sid(corr, cov=True)
+                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
+                t = prepared.filter(
+                    F.col("series_id") == leg_sid(corr, cov=False)
+                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
+                cov_hist = ch if cov_hist is None else cov_hist.unionByName(ch)
+                targets = t if targets is None else targets.unionByName(t)
+            cov_horizons = {
+                c.id: c.prediction_horizon or stats[leg_sid(c, cov=True)]["n"]
+                for c in corrs_g
+            }
+            tgt_horizons = {
+                c.id: c.prediction_horizon or stats[leg_sid(c, cov=False)]["n"]
+                for c in corrs_g
+            }
             cov_pred = forecast_linear_seasonal(
-                cov, grain=corr.grain, horizon=cov_horizon
+                cov_hist, grain=g, horizon=case_over_ids(cov_horizons)
             ).select("series_id", "ds", F.col("yhat").alias("cov"))
             cov_full = coalesce_actuals(
                 cov_pred,
-                cov.select("series_id", "ds", "y"),
+                cov_hist.select("series_id", "ds", "y"),
                 on=("series_id", "ds"),
                 pred_col="cov",
                 out_col="cov",
             )
-            # rekey the covariate grid onto the target's series id so the
-            # alignment join (J2/J3) is a plain equi-join on (series, ds);
-            # series ids are deterministic "<dataset>.<index>" strings
-            tgt_sid = f"{corr.to_data}.{corr.to_index}"
-            cov_for_target = cov_full.withColumn("series_id", F.lit(tgt_sid))
-
             pred = forecast_with_covariate(
-                target.select("series_id", "ds", "y"),
-                cov_for_target,
-                grain=corr.grain,
-                horizon=tgt_horizon,
+                targets,
+                cov_full,
+                grain=g,
+                horizon=case_over_ids(tgt_horizons),
+                # the covariate grid is referenced twice in the plan;
+                # truncating its (forecast sub-plan) lineage ~halves cost
+                materialize_covariate=True,
             )
-            # single collect: segment flag instead of two split frames
-            max_hist = tgt_stats["max_ds"]
-            pred_rows = pred.orderBy("ds").collect()
-            coef = pred_rows[0]["coef"] if pred_rows else None
+            pred_rows.extend(pred.orderBy("series_id", "ds").collect())
 
-            k = lags if lags is not None else default_nlags(n_tgt)
-            k_cov = lags if lags is not None else default_nlags(n_cov)
-            # union both legs -> ONE acf plan and ONE pacf plan per
-            # correlation (halves the applyInPandas worker round-trips)
-            both = cov.unionByName(target)
-            k_max = max(k, k_cov, 1)
-            acf_both = acf(both, lags=k_max, series_cols=("series_id",)).collect()
-            pacf_both = pacf(both, lags=k_max, series_cols=("series_id",)).collect()
-            cov_sid = f"{corr.from_data}.{corr.from_index}"
-
-            def lags_for(rows, sid, col, kk):
-                return {
-                    "lags": {
-                        int(r["lag"]): float(r[col])
-                        for r in sorted(rows, key=lambda r: r["lag"])
-                        if r["series_id"] == sid and r["lag"] <= kk
-                    }
+        # ---- assembly (driver-side, no further actions) ------------------
+        def lags_for(rows, sid, col, kk):
+            return {
+                "lags": {
+                    int(r["lag"]): float(r[col])
+                    for r in sorted(rows, key=lambda r: r["lag"])
+                    if r["series_id"] == sid and r["lag"] <= kk
                 }
+            }
 
-            def to_record(row):
-                d = row.asDict()
-                d.pop("series_id", None)
-                d.pop("coef", None)
-                return {_RENAMES.get(k, k): v for k, v in d.items()}
+        def to_record(row):
+            d = row.asDict()
+            d.pop("series_id", None)
+            d.pop("coef", None)
+            return {_RENAMES.get(k, k): v for k, v in d.items()}
 
-            hist_records = [to_record(r) for r in pred_rows if r["ds"] <= max_hist]
-            future_records = [to_record(r) for r in pred_rows if r["ds"] > max_hist]
-
+        for corr in request.correlations:
+            cov_sid = leg_sid(corr, cov=True)
+            tgt_sid = leg_sid(corr, cov=False)
+            cov_stats, tgt_stats = stats[cov_sid], stats[tgt_sid]
+            cov_horizon = corr.prediction_horizon or cov_stats["n"]
+            tgt_horizon = corr.prediction_horizon or tgt_stats["n"]
+            k = k_by_sid[tgt_sid]
+            k_cov = k_by_sid[cov_sid]
+            rows_c = [r for r in pred_rows if r["series_id"] == corr.id]
+            coef = rows_c[0]["coef"] if rows_c else None
+            max_hist = tgt_stats["max_ds"]
             output["correlations"][corr.id] = {
                 "diagnostics": {
                     "units": corr.grain,
@@ -207,24 +298,27 @@ def analyze(
                 },
                 "autocorrelations": {
                     "description": ACF_DESCRIPTION,
-                    "from": lags_for(acf_both, cov_sid, "acf", k_cov),
-                    "to": lags_for(acf_both, tgt_sid, "acf", k),
+                    "from": lags_for(acf_rows, cov_sid, "acf", k_cov),
+                    "to": lags_for(acf_rows, tgt_sid, "acf", k),
                 },
                 "partialAutocorrelations": {
                     "description": PACF_DESCRIPTION,
-                    "from": lags_for(pacf_both, cov_sid, "pacf", k_cov),
-                    "to": lags_for(pacf_both, tgt_sid, "pacf", k),
+                    "from": lags_for(pacf_rows, cov_sid, "pacf", k_cov),
+                    "to": lags_for(pacf_rows, tgt_sid, "pacf", k),
                 },
                 "regressorCoefficients": [
-                    {"regressor": cov_sid, "coef": coef}
+                    {"regressor": f"{corr.from_data}.{corr.from_index}", "coef": coef}
                 ],
                 "predictions": {
-                    "historicalForecasts": hist_records,
-                    "futureForecasts": future_records,
+                    "historicalForecasts": [
+                        to_record(r) for r in rows_c if r["ds"] <= max_hist
+                    ],
+                    "futureForecasts": [
+                        to_record(r) for r in rows_c if r["ds"] > max_hist
+                    ],
                 },
             }
-            cov.unpersist()
-            target.unpersist()
+        prepared.unpersist()
     finally:
         raw.unpersist()
     return output
