@@ -100,6 +100,51 @@ def bucket_aggregate(
     )
 
 
+def salted_aggregate(
+    df: DataFrame,
+    *,
+    keys: Iterable[str],
+    value_col: str = "y",
+    agg: str = "sum",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """A1 for pathologically skewed keys: two-phase salted aggregation.
+
+    Phase 1 groups by (keys, random salt) — the hot key's rows spread
+    over ``salt_buckets`` reducers; phase 2 combines the partials. Only
+    algebraic aggregations decompose (sum/min/max/mean-as-sum÷count);
+    median must go through ``bucket_aggregate`` (AQE skew hints) instead.
+
+    Note: AQE's skew-join/partition splitting usually makes manual
+    salting unnecessary for *joins*; this helper is for single-key
+    aggregation skew (e.g. one series holding 30% of a 100 TB table),
+    where AQE cannot split a single hash-aggregation key.
+    """
+    keys = list(keys)
+    agg = normalize_aggregation(agg)
+    if agg == "median":
+        raise ValueError("median does not decompose; use bucket_aggregate")
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
+    phase1_aggs = {
+        "sum": [F.sum(value_col).alias("_p")],
+        "min": [F.min(value_col).alias("_p")],
+        "max": [F.max(value_col).alias("_p")],
+        "mean": [F.sum(value_col).alias("_p"), F.count(value_col).alias("_pc")],
+    }[agg]
+    partial = df.select(*keys, value_col, salt).groupBy(*keys, "_salt").agg(
+        *phase1_aggs
+    )
+    if agg == "sum":
+        final = F.sum("_p")
+    elif agg == "min":
+        final = F.min("_p")
+    elif agg == "max":
+        final = F.max("_p")
+    else:  # mean
+        final = F.sum("_p") / F.sum("_pc")
+    return partial.groupBy(*keys).agg(final.alias(value_col))
+
+
 def date_bounds(
     df: DataFrame, *, ts_col: str = "ds", series_cols: Iterable[str] = ()
 ) -> DataFrame:

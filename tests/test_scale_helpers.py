@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.aggregate import bucket_aggregate, salted_aggregate
+from temporal_retriever_spark.sources.writers import write_partitioned
+
+
+def test_salted_aggregate_matches_plain(tables):
+    events = tables["events"].select("event_type", F.col("value").alias("y"))
+    for agg in ("sum", "min", "max", "mean"):
+        plain = {
+            r["event_type"]: r["y"]
+            for r in events.groupBy("event_type")
+            .agg(
+                {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg}[agg]("y").alias("y")
+            )
+            .collect()
+        }
+        salted = {
+            r["event_type"]: r["y"]
+            for r in salted_aggregate(
+                events, keys=("event_type",), agg=agg, salt_buckets=8
+            ).collect()
+        }
+        assert set(plain) == set(salted)
+        for k in plain:
+            assert abs(plain[k] - salted[k]) < 1e-6, (agg, k)
+
+
+def test_salted_aggregate_rejects_median(tables):
+    with pytest.raises(ValueError, match="median"):
+        salted_aggregate(
+            tables["events"].select("event_type", F.col("value").alias("y")),
+            keys=("event_type",),
+            agg="median",
+        )
+
+
+def test_partitioned_write_prunes(spark, tables):
+    d = tempfile.mkdtemp(prefix="trs-part-")
+    try:
+        daily = bucket_aggregate(
+            tables["events"]
+            .withColumnRenamed("ts", "ds")
+            .withColumnRenamed("value", "y"),
+            grain="D",
+            agg="sum",
+            series_cols=("event_type",),
+        ).withColumn("day", F.col("ds").cast("string"))
+        write_partitioned(daily, f"{d}/out", partition_cols=("day",))
+        back = spark.read.parquet(f"{d}/out")
+        one_day = back.filter(F.col("day") == "2024-01-05")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # pruned scan reads exactly that day's rows
+        want = daily.filter(F.col("day") == "2024-01-05").count()
+        assert one_day.count() == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
