@@ -33,13 +33,18 @@ from temporal_retriever_spark.forecast import (
     forecast_with_covariate,
 )
 from temporal_retriever_spark.llm.dedup import (
+    duplicate_clusters,
     exact_duplicate_groups,
     near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signatures,
 )
-from temporal_retriever_spark.llm.similarity import cosine_topk, lsh_cosine_topk
+from temporal_retriever_spark.llm.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from temporal_retriever_spark.llm.text import (
     _STOPWORDS,
     language_id,
@@ -417,6 +422,11 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.2)
+    return duplicate_clusters(pairs)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(_documents(spark, sf_dir))
     return simhash_pairs(sigs, max_hamming=7)
@@ -442,6 +452,22 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     out = lsh_cosine_topk(emb, queries_df, k=5, n_planes=4, n_tables=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "rank",
+        F.round(F.col("cosine") + F.lit(_ROUND_OFFSET), 4).alias("cosine"),
+    )
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_cosine_topk(
+        emb, queries_df, k=5, n_clusters=8, nprobe=4, max_iter=3
+    )
     return out.select(
         "query_id",
         "vec_id",
@@ -483,10 +509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
     }
 
 
@@ -817,6 +845,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       string_split_regex(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS tokens
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, tokens,
+                       unnest(generate_series(1, GREATEST(len(tokens) - 2, 1))) AS i
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(tokens[i : i + 2], ' ') AS shingle
+                FROM idx
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, root) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
         """,
         "cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

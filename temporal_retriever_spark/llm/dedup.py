@@ -231,6 +231,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → dup clusters.
+
+    Output: (doc_id, cluster_id) where cluster_id = min doc id in the
+    component — the canonical "keeper" per cluster.
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow —
+    usually ≤3). Each round is one join + one aggregation; lineage is
+    truncated per round with localCheckpoint so the plan stays flat.
+    This is the standard scalable CC formulation (a full 100-TB run
+    would use the large-star/small-star optimization; the propagation
+    loop here is its simple core).
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, on=edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=labels["id"] == neighbor_min["src"], how="left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(
     df: DataFrame,
     *,

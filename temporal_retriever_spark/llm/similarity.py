@@ -99,6 +99,152 @@ def lsh_bucket_expr(
     return bucket
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    *,
+    k: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Native Lloyd k-means over an embedding column; returns centroids.
+
+    Fully relational per iteration: assignment is a broadcast crossJoin
+    against the (tiny) centroid table + ``min_by`` argmin; the update
+    step is a posexplode → per-(cluster, dim) mean — both single-shuffle
+    and size-independent of the corpus beyond one pass each. Centroids
+    (k × dim doubles) live on the driver between iterations.
+
+    Init: the k vectors with the smallest ``xxhash64(seed, id)`` — a
+    deterministic pseudo-random sample.
+    """
+    init = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(max_iter):
+        assigned = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        new_rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        updated = []
+        for c in range(len(centroids)):
+            dims = by_cluster.get(c)
+            if dims:
+                updated.append([dims[d] for d in sorted(dims)])
+            else:
+                updated.append(centroids[c])  # empty cluster keeps its centroid
+        if updated == centroids:
+            break
+        centroids = updated
+    return centroids
+
+
+def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_nearest: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment (or top-``n_nearest`` for multi-probe).
+
+    One broadcast crossJoin against k rows + a rank window — no shuffle
+    of the corpus itself when n_nearest == 1 (min_by aggregation).
+    """
+    spark = corpus.sparkSession
+    cf = _centroid_frame(spark, centroids)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.crossJoin(F.broadcast(cf)).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster"), dist.alias("_d")
+    )
+    if n_nearest == 1:
+        return scored.groupBy(id_col).agg(
+            F.min_by("cluster", "_d").alias("cluster"),
+            F.first(vec_col).alias(vec_col),
+        )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d"), F.col("cluster"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_nearest)
+        .select(id_col, vec_col, "cluster")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: k-means-partition the corpus, probe the
+    query's ``nprobe`` nearest cells.
+
+    Expected candidates ≈ nprobe/n_clusters of the corpus. On clustered
+    data this beats hyperplane LSH at equal cost; pass precomputed
+    ``centroids`` (and persist the assigned corpus) to amortize the fit
+    across query batches — at 100 TB the fit runs once on a sample.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus, k=n_clusters, max_iter=max_iter,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+    assigned = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    q_assigned = assign_clusters(
+        queries, centroids, id_col=query_id_col, vec_col=vec_col,
+        n_nearest=nprobe,
+    ).select(F.col(query_id_col), F.col(vec_col).alias("_qvec"), "cluster")
+    joined = assigned.join(F.broadcast(q_assigned), on="cluster")
+    if not include_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity_expr(vec_col, "_qvec")
+    scored = joined.select(F.col(query_id_col), F.col(id_col), sim.alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
