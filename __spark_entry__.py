@@ -367,6 +367,68 @@ def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------------------------------
+# Star-schema series derivation (FIXTURES §2.3: dimensions give
+# segment-level series; broadcast-join correctness on J1-J3 shapes)
+# -------------------------------------------------------------------------
+
+def q_revenue_by_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation, bucketed monthly — dims broadcast."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            on=F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("series_id"),
+            F.col("o_orderdate").alias("ds"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    return bucket_aggregate(joined, grain="M", agg="sum", series_cols=("series_id",))
+
+
+def q_segment_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-mktsegment daily order series — series_id derived from a dim."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    joined = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("series_id"),
+            F.col("o_orderdate").alias("ds"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    return bucket_aggregate(
+        joined,
+        grain="D",
+        agg="sum",
+        series_cols=("series_id",),
+        extra_aggs={"n_orders": ("y", "max")},
+    ).withColumnRenamed("n_orders", "max_order")
+
+
+def q_lineitem_returnflag_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem weekly revenue per returnflag — the largest fact table."""
+    t = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    series = t.select(
+        F.col("l_returnflag").alias("series_id"),
+        F.col("l_shipdate").alias("ds"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("y"),
+    )
+    return bucket_aggregate(series, grain="W", agg="sum", series_cols=("series_id",))
+
+
+# -------------------------------------------------------------------------
 # LLM-pipeline extension queries (SURVEY §2.10)
 # -------------------------------------------------------------------------
 
@@ -495,6 +557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": q_json_extract_props,
         "split_historical": q_split_historical,
         "split_future": q_split_future,
+        "revenue_by_nation_month": q_revenue_by_nation_month,
+        "segment_daily_series": q_segment_daily_series,
+        "lineitem_returnflag_week": q_lineitem_returnflag_week,
         "acf_daily": q_acf_daily,
         "pacf_daily": q_pacf_daily,
         "describe_series": q_describe_series,
@@ -778,6 +843,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE date_part('day', ds) <= 20 GROUP BY 1) "
             "SELECT s.series_id, s.ds, s.y FROM s JOIN b ON s.series_id = b.series_id "
             "WHERE s.ds > b.max_ds"
+        ),
+        "revenue_by_nation_month": (
+            "SELECT n_name AS series_id, last_day(CAST(o_orderdate AS DATE)) AS ds, "
+            "SUM(o_totalprice) AS y "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2"
+        ),
+        "segment_daily_series": (
+            "SELECT c_mktsegment AS series_id, CAST(o_orderdate AS DATE) AS ds, "
+            "SUM(o_totalprice) AS y, MAX(o_totalprice) AS max_order "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"
+        ),
+        "lineitem_returnflag_week": (
+            "SELECT l_returnflag AS series_id, "
+            "CAST(date_trunc('week', l_shipdate) AS DATE) + 6 AS ds, "
+            "SUM(l_extendedprice * (1.0 - l_discount)) AS y "
+            "FROM lineitem GROUP BY 1, 2"
         ),
         "acf_daily": _acf_oracle(_EVENTS_DAILY, lags=5),
         "describe_series": (

@@ -83,6 +83,27 @@ def streaming_bucket_aggregate(
     return grouped.select(label.alias(ts_col), *series_cols, F.col(value_col))
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ds",
+    key_cols: Iterable[str] = ("fingerprint",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by the
+    watermark — the streaming analog of the batch ``exact_dedup``
+    (llm.dedup): at 100 TB/day the state holds only the horizon's keys,
+    not history. Callers fingerprint the payload first (e.g.
+    ``llm.text.text_fingerprint`` expressions) so state stores digests,
+    not documents.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def with_arrival_metrics(stream: DataFrame, *, ts_col: str = "ds") -> DataFrame:
     """Attach ``observe`` counters: rows and max event time per batch.
 
