@@ -127,8 +127,14 @@ def build_queries(spark):
         )
         return cosine_topk(emb, queries, k=10)
 
+    def b11():
+        import __spark_entry__ as entrymod
+
+        return entrymod.q_revenue_by_nation_month(spark, SF_DIR)
+
     return {
         "B1_bucket_hour": b1,
+        "B11_star_join_month": b11,
         "B2_grains_aggs": b2,
         "B3_align_coalesce": b3,
         "B4_acf_pacf": b4,
