@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.aggregate import bucket_aggregate, date_bounds
@@ -329,69 +329,185 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
 
     Covariate and target both forecast with floor/cap clamping (W5);
     the covariate's actuals override its predictions before the target
-    leg consumes it (app.py:478-483).
+    leg consumes it (app.py:478-483). Folded like ``analyze``: shared
+    series prep, ONE stats action (which also carries the min/max/sum
+    scalars the A4 caps need — floor/cap per correlation become plain
+    CASE literals), one forecast plan per grain, one collect.
     """
+    import math
+
+    from temporal_retriever_spark.aggregate import normalize_aggregation
+    from temporal_retriever_spark.grains import normalize_grain
+
     raw = documents_df(spark, request.documents)
     raw.cache()
     output: dict[str, Any] = {"correlations": {}}
     try:
+        leg_sids: dict[tuple, str] = {}
         for corr in request.correlations:
-            opts = corr.forecast_options
-            from_cap = opts.from_cap if opts else None
-            to_cap = opts.to_cap if opts else None
-            cov = _prepare(raw, corr, dataset=corr.from_data, index=corr.from_index)
-            target = _prepare(raw, corr, dataset=corr.to_data, index=corr.to_index)
-            horizon = corr.prediction_horizon
+            g = normalize_grain(corr.grain)
+            a = normalize_aggregation(corr.aggregation)
+            for ds_name, idx in (
+                (corr.from_data, corr.from_index),
+                (corr.to_data, corr.to_index),
+            ):
+                leg_sids.setdefault((ds_name, idx, g, a), f"{ds_name}.{idx}|{g}|{a}")
+        prepared = None
+        for (ds_name, idx, g, a), sid in leg_sids.items():
+            series = extract_series(raw, dataset=ds_name, index_path=idx, series_id=sid)
+            bucketed = bucket_aggregate(
+                series.filter(F.col("ds").isNotNull()),
+                grain=g,
+                agg=a,
+                series_cols=("series_id",),
+            )
+            prepared = bucketed if prepared is None else prepared.unionByName(bucketed)
+        prepared = prepared.coalesce(1).cache()
 
+        stats = {
+            r["series_id"]: r
+            for r in prepared.groupBy("series_id")
+            .agg(
+                F.min("ds").alias("min_ds"),
+                F.max("ds").alias("max_ds"),
+                F.count("y").alias("n"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+                F.sum("y").alias("sum_y"),
+                F.sum(F.col("y") * F.col("y")).alias("sumsq_y"),
+            )
+            .collect()
+        }
+        for (ds_name, idx, g, a), sid in leg_sids.items():
+            if sid not in stats:
+                raise ValueError(
+                    f"dataset {ds_name!r} / index {idx!r} produced no observations"
+                )
+
+        def leg_sid(corr: Correlation, *, cov: bool) -> str:
+            ds_name, idx = (
+                (corr.from_data, corr.from_index)
+                if cov
+                else (corr.to_data, corr.to_index)
+            )
+            return leg_sids[
+                (ds_name, idx, normalize_grain(corr.grain),
+                 normalize_aggregation(corr.aggregation))
+            ]
+
+        def caps_for(sid: str, user_floor, user_ceiling) -> tuple[float, float]:
+            """A4 scalars from the stats pass (app.py:354-364)."""
+            s = stats[sid]
+            n = s["n"]
+            std = 0.0
+            if n > 1:
+                var = (s["sumsq_y"] - s["sum_y"] * s["sum_y"] / float(n)) / (n - 1.0)
+                std = math.sqrt(max(var, 0.0))
+            floor = s["min_y"] if user_floor is None else min(user_floor, s["min_y"])
+            default_ceiling = s["max_y"] + 3.0 * std
+            ceiling = (
+                max(default_ceiling, s["max_y"])
+                if user_ceiling is None
+                else max(user_ceiling, s["max_y"])
+            )
+            return float(floor), float(ceiling)
+
+        def clamp_case(values: dict[str, tuple[float, float]], col: Column) -> Column:
+            expr = None
+            for cid, (lo, hi) in values.items():
+                clamped = F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
+                cond = F.col("series_id") == cid
+                expr = F.when(cond, clamped) if expr is None else expr.when(cond, clamped)
+            return expr.otherwise(col)
+
+        def case_over_ids(values: dict[str, int]) -> Column:
+            expr = None
+            for cid, h in values.items():
+                clause = (F.col("series_id") == cid, F.lit(int(h)))
+                expr = F.when(*clause) if expr is None else expr.when(*clause)
+            return expr.otherwise(F.col("n_buckets"))
+
+        grains = {normalize_grain(c.grain) for c in request.correlations}
+        pred_rows: list = []
+        for g in grains:
+            corrs_g = [c for c in request.correlations if normalize_grain(c.grain) == g]
+            cov_hist = None
+            targets = None
+            cov_caps: dict[str, tuple[float, float]] = {}
+            tgt_caps: dict[str, tuple[float, float]] = {}
+            for corr in corrs_g:
+                opts = corr.forecast_options
+                from_cap = opts.from_cap if opts else None
+                to_cap = opts.to_cap if opts else None
+                cov_caps[corr.id] = caps_for(
+                    leg_sid(corr, cov=True),
+                    from_cap.floor if from_cap else 0.0,
+                    from_cap.ceiling if from_cap else None,
+                )
+                tgt_caps[corr.id] = caps_for(
+                    leg_sid(corr, cov=False),
+                    to_cap.floor if to_cap else 0.0,
+                    to_cap.ceiling if to_cap else None,
+                )
+                ch = prepared.filter(
+                    F.col("series_id") == leg_sid(corr, cov=True)
+                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
+                t = prepared.filter(
+                    F.col("series_id") == leg_sid(corr, cov=False)
+                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
+                cov_hist = ch if cov_hist is None else cov_hist.unionByName(ch)
+                targets = t if targets is None else targets.unionByName(t)
+            cov_horizons = {
+                c.id: c.prediction_horizon or stats[leg_sid(c, cov=True)]["n"]
+                for c in corrs_g
+            }
+            tgt_horizons = {
+                c.id: c.prediction_horizon or stats[leg_sid(c, cov=False)]["n"]
+                for c in corrs_g
+            }
             cov_pred = forecast_linear_seasonal(
-                cov,
-                grain=corr.grain,
-                horizon=horizon,
-                saturating=True,
-                user_floor=from_cap.floor if from_cap else 0.0,
-                user_ceiling=from_cap.ceiling if from_cap else None,
+                cov_hist, grain=g, horizon=case_over_ids(cov_horizons)
+            ).select(
+                "series_id", "ds",
+                clamp_case(cov_caps, F.col("yhat")).alias("cov"),
             )
             cov_full = coalesce_actuals(
-                cov_pred.select("series_id", "ds", "yhat"),
-                cov.select("series_id", "ds", "y"),
+                cov_pred,
+                cov_hist.select("series_id", "ds", "y"),
                 on=("series_id", "ds"),
-                pred_col="yhat",
+                pred_col="cov",
                 out_col="cov",
             )
-            tgt_sid = f"{corr.to_data}.{corr.to_index}"
-            cov_for_target = cov_full.withColumn("series_id", F.lit(tgt_sid))
             pred = forecast_with_covariate(
-                target.select("series_id", "ds", "y"),
-                cov_for_target,
-                grain=corr.grain,
-                horizon=horizon,
+                targets,
+                cov_full,
+                grain=g,
+                horizon=case_over_ids(tgt_horizons),
+                materialize_covariate=True,
+            ).select(
+                "series_id", "ds",
+                clamp_case(tgt_caps, F.col("yhat")).alias("yhat"),
             )
-            # clamp the target leg into its caps (W5)
-            from temporal_retriever_spark.aggregate import floor_ceiling
+            pred_rows.extend(pred.orderBy("series_id", "ds").collect())
 
-            caps = floor_ceiling(
-                target,
-                series_cols=("series_id",),
-                user_floor=to_cap.floor if to_cap else 0.0,
-                user_ceiling=to_cap.ceiling if to_cap else None,
-            ).select("series_id", "floor", "cap")
-            clamped = (
-                pred.join(F.broadcast(caps), on="series_id")
-                .withColumn(
-                    "yhat",
-                    F.least(F.greatest(F.col("yhat"), F.col("floor")), F.col("cap")),
-                )
-                .drop("floor", "cap")
-            )
-            hist, future = split_forecasts(
-                clamped.drop("coef"),
-                date_bounds(target, series_cols=("series_id",)),
-                series_cols=("series_id",),
-            )
+        for corr in request.correlations:
+            max_hist = stats[leg_sid(corr, cov=False)]["max_ds"]
+            rows_c = [r for r in pred_rows if r["series_id"] == corr.id]
+
+            def to_record(row):
+                d = row.asDict()
+                d.pop("series_id", None)
+                return {_RENAMES.get(k, k): v for k, v in d.items()}
+
             output["correlations"][corr.id] = {
-                "historicalForecasts": _records(_rename_predictions(hist.orderBy("ds"))),
-                "futureForecasts": _records(_rename_predictions(future.orderBy("ds"))),
+                "historicalForecasts": [
+                    to_record(r) for r in rows_c if r["ds"] <= max_hist
+                ],
+                "futureForecasts": [
+                    to_record(r) for r in rows_c if r["ds"] > max_hist
+                ],
             }
+        prepared.unpersist()
     finally:
         raw.unpersist()
     return output

@@ -104,6 +104,104 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_series_state(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ds",
+    value_col: str = "y",
+    series_col: str = "series_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator: incremental per-series running stats.
+
+    The reference's A2/A3 bounds/std are whole-series scans per request;
+    the streaming analog keeps (count, sum, sumsq, min_ds, max_ds,
+    min_y, max_y) per series in state and emits the updated row each
+    micro-batch — ``applyInPandasWithState`` (SURVEY §2.8 "stateful
+    ops"). Sample std derives from the explicit sums exactly like the
+    batch ``floor_ceiling``, so batch and stream agree.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField(series_col, StringType()),
+            StructField("n", LongType()),
+            StructField("min_ds", TimestampType()),
+            StructField("max_ds", TimestampType()),
+            StructField("min_y", DoubleType()),
+            StructField("max_y", DoubleType()),
+            StructField("mean_y", DoubleType()),
+            StructField("std_y", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("sum_y", DoubleType()),
+            StructField("sumsq_y", DoubleType()),
+            StructField("min_ds", LongType()),   # epoch micros
+            StructField("max_ds", LongType()),
+            StructField("min_y", DoubleType()),
+            StructField("max_y", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, sum_y, sumsq_y = 0, 0.0, 0.0
+        min_ds = max_ds = None
+        min_y = max_y = None
+        if state.exists:
+            n, sum_y, sumsq_y, min_ds, max_ds, min_y, max_y = state.get
+        for pdf in pdfs:
+            vals = pdf[value_col].astype("float64")
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000  # micros
+            n += len(pdf)
+            sum_y += float(vals.sum())
+            sumsq_y += float((vals * vals).sum())
+            lo_ts, hi_ts = int(ts.min()), int(ts.max())
+            min_ds = lo_ts if min_ds is None else min(min_ds, lo_ts)
+            max_ds = hi_ts if max_ds is None else max(max_ds, hi_ts)
+            lo, hi = float(vals.min()), float(vals.max())
+            min_y = lo if min_y is None else min(min_y, lo)
+            max_y = hi if max_y is None else max(max_y, hi)
+        state.update((n, sum_y, sumsq_y, min_ds, max_ds, min_y, max_y))
+        mean = sum_y / n if n else None
+        std = None
+        if n and n > 1:
+            var = (sumsq_y - sum_y * sum_y / n) / (n - 1)
+            std = max(var, 0.0) ** 0.5
+        yield pd.DataFrame(
+            {
+                series_col: [key[0]],
+                "n": [n],
+                "min_ds": [pd.Timestamp(min_ds, unit="us")],
+                "max_ds": [pd.Timestamp(max_ds, unit="us")],
+                "min_y": [min_y],
+                "max_y": [max_y],
+                "mean_y": [mean],
+                "std_y": [std],
+            }
+        )
+
+    return stream.groupBy(series_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
 def with_arrival_metrics(stream: DataFrame, *, ts_col: str = "ds") -> DataFrame:
     """Attach ``observe`` counters: rows and max event time per batch.
 
