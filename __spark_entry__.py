@@ -361,8 +361,12 @@ def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=("series_id", "ds"), pred_col="cov", out_col="cov",
     )
     pred = forecast_with_covariate(target, cov_full, grain="D", horizon=7)
+    offset = F.lit(_ROUND_OFFSET)
     return pred.select(
-        "series_id", "ds", F.round("yhat", 4).alias("yhat"), F.round("coef", 6).alias("coef")
+        "series_id",
+        "ds",
+        F.round(F.col("yhat") + offset, _ROUND_DIGITS).alias("yhat"),
+        F.round(F.col("coef") + offset, 6).alias("coef"),
     )
 
 
@@ -642,6 +646,110 @@ LEFT JOIN rq ON rq.event_type = grid.event_type
 """
 
 
+_COVARIATE_FORECAST_ORACLE = f"""
+WITH tgt AS (
+    SELECT CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+cvh AS (
+    SELECT CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events WHERE event_type = 'view' GROUP BY 1
+),
+-- covariate leg: linear+seasonal forecast over history + 7 future days
+cst AS (SELECT *, epoch(ds) / 86400.0 AS t FROM cvh),
+cfit AS (
+    SELECT
+        CASE WHEN (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(y) AS DOUBLE)) = 0 THEN 0.0
+             ELSE (SUM(t*y) - SUM(t)*SUM(y)/CAST(COUNT(y) AS DOUBLE))
+                / (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(y) AS DOUBLE)) END AS b,
+        SUM(y)/CAST(COUNT(y) AS DOUBLE) AS my,
+        SUM(t)/CAST(COUNT(y) AS DOUBLE) AS mt,
+        MAX(ds) AS max_ds
+    FROM cst
+),
+cresid AS (
+    SELECT cst.ds, dayofweek(cst.ds) + 1 AS skey,
+           cst.y - (my + b * (cst.t - mt)) AS r
+    FROM cst, cfit
+),
+cseas AS (SELECT skey, SUM(r)/CAST(COUNT(r) AS DOUBLE) AS s_mean
+          FROM cresid GROUP BY 1),
+cgrid AS (
+    SELECT ds FROM cvh
+    UNION ALL
+    SELECT max_ds + CAST(k AS INTEGER) FROM cfit, generate_series(1, 7) AS g(k)
+),
+cpred AS (
+    SELECT cgrid.ds,
+           my + b * (epoch(cgrid.ds)/86400.0 - mt) + COALESCE(s_mean, 0) AS cyhat
+    FROM cgrid
+    CROSS JOIN cfit
+    LEFT JOIN cseas ON cseas.skey = dayofweek(cgrid.ds) + 1
+),
+cov_full AS (
+    SELECT p.ds, COALESCE(a.y, p.cyhat) AS cov
+    FROM cpred p LEFT JOIN cvh a ON p.ds = a.ds
+),
+-- target leg: Frisch-Waugh partial regression on the joined frame
+j AS (
+    SELECT tgt.ds, tgt.y, cov_full.cov, epoch(tgt.ds)/86400.0 AS t
+    FROM tgt JOIN cov_full ON tgt.ds = cov_full.ds
+),
+fit2 AS (
+    SELECT
+        CASE WHEN (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(y) AS DOUBLE)) = 0 THEN 0.0
+             ELSE (SUM(t*y) - SUM(t)*SUM(y)/CAST(COUNT(y) AS DOUBLE))
+                / (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(y) AS DOUBLE)) END AS by,
+        CASE WHEN (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(cov) AS DOUBLE)) = 0 THEN 0.0
+             ELSE (SUM(t*cov) - SUM(t)*SUM(cov)/CAST(COUNT(cov) AS DOUBLE))
+                / (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(cov) AS DOUBLE)) END AS bx,
+        SUM(y)/CAST(COUNT(y) AS DOUBLE) AS my2,
+        SUM(cov)/CAST(COUNT(cov) AS DOUBLE) AS mx2,
+        SUM(t)/CAST(COUNT(t) AS DOUBLE) AS mt2,
+        MAX(ds) AS max_ds2
+    FROM j
+),
+r2 AS (
+    SELECT j.ds, j.t,
+           j.y   - (my2 + by * (j.t - mt2)) AS ry,
+           j.cov - (mx2 + bx * (j.t - mt2)) AS rx
+    FROM j, fit2
+),
+cf AS (
+    SELECT CASE WHEN (SUM(rx*rx) - SUM(rx)*SUM(rx)/CAST(COUNT(ry) AS DOUBLE)) = 0
+                THEN 0.0
+                ELSE (SUM(rx*ry) - SUM(rx)*SUM(ry)/CAST(COUNT(ry) AS DOUBLE))
+                   / (SUM(rx*rx) - SUM(rx)*SUM(rx)/CAST(COUNT(ry) AS DOUBLE)) END AS coef
+    FROM r2
+),
+fullresid AS (
+    SELECT j.ds, dayofweek(j.ds) + 1 AS skey,
+           j.y - (my2 + by * (j.t - mt2)
+                  + coef * (j.cov - (mx2 + bx * (j.t - mt2)))) AS r
+    FROM j, fit2, cf
+),
+seas2 AS (SELECT skey, SUM(r)/CAST(COUNT(r) AS DOUBLE) AS s_mean
+          FROM fullresid GROUP BY 1),
+grid2 AS (
+    SELECT ds FROM tgt
+    UNION ALL
+    SELECT max_ds2 + CAST(k AS INTEGER) FROM fit2, generate_series(1, 7) AS g(k)
+),
+withcov AS (
+    SELECT grid2.ds, cov_full.cov, epoch(grid2.ds)/86400.0 AS t
+    FROM grid2 JOIN cov_full ON grid2.ds = cov_full.ds
+)
+SELECT 'click' AS series_id, w.ds,
+       ROUND(my2 + by * (w.t - mt2)
+             + coef * (w.cov - (mx2 + bx * (w.t - mt2)))
+             + COALESCE(s_mean, 0) + {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS yhat,
+       ROUND(coef + {_ROUND_OFFSET!r}, 6) AS coef
+FROM withcov w
+CROSS JOIN fit2 CROSS JOIN cf
+LEFT JOIN seas2 ON seas2.skey = dayofweek(w.ds) + 1
+"""
+
+
 def _acf_oracle(series_sql: str, lags: int, sid: str = "event_type") -> str:
     lag_cols = ", ".join(
         f"LAG(d, {k}) OVER (PARTITION BY {sid} ORDER BY ds) AS d{k}"
@@ -872,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_linear_daily": _forecast_oracle(saturating=False),
         "forecast_saturating_daily": _forecast_oracle(saturating=True),
         "forecast_quantiles": _QUANTILE_FORECAST_ORACLE,
+        "forecast_covariate": _COVARIATE_FORECAST_ORACLE,
         "dedup_exact_groups": (
             "SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint, "
             "COUNT(doc_id) AS n_docs, MIN(doc_id) AS keep_id "

@@ -265,14 +265,23 @@ def forecast_with_covariate(
     )
     t = _time_index(F.col(ts_col))
     hist = joined.withColumn("_t", t)
+
     # detrend both y and x against time, then regress residuals:
-    # Frisch-Waugh partial regression gives the exact multi-OLS coef
+    # Frisch-Waugh partial regression gives the exact multi-OLS coef.
+    # Slopes from explicit sums (same cross-engine-reproducible closed
+    # form as fit_linear_seasonal) rather than regr_slope.
+    def slope(yc: str, xc: str) -> Column:
+        n = F.count(yc).cast("double")
+        den = F.sum(F.col(xc) * F.col(xc)) - F.sum(xc) * F.sum(xc) / n
+        num = F.sum(F.col(xc) * F.col(yc)) - F.sum(xc) * F.sum(yc) / n
+        return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+
     fit_parts = hist.groupBy(*series_cols).agg(
-        F.coalesce(F.regr_slope(value_col, "_t"), F.lit(0.0)).alias("by"),
-        F.coalesce(F.regr_slope(cov_col, "_t"), F.lit(0.0)).alias("bx"),
-        F.avg(value_col).alias("my"),
-        F.avg(cov_col).alias("mx"),
-        F.avg("_t").alias("mt"),
+        slope(value_col, "_t").alias("by"),
+        slope(cov_col, "_t").alias("bx"),
+        (F.sum(value_col) / F.count(value_col).cast("double")).alias("my"),
+        (F.sum(cov_col) / F.count(cov_col).cast("double")).alias("mx"),
+        (F.sum("_t") / F.count("_t").cast("double")).alias("mt"),
         F.max(ts_col).alias("max_ds"),
         F.count(value_col).alias("n_buckets"),
     )
@@ -285,9 +294,7 @@ def forecast_with_covariate(
         (F.col(cov_col) - (F.col("mx") + F.col("bx") * (F.col("_t") - F.col("mt"))))
         .alias("_rx"),
     )
-    coef = resid.groupBy(*series_cols).agg(
-        F.coalesce(F.regr_slope("_ry", "_rx"), F.lit(0.0)).alias("coef")
-    )
+    coef = resid.groupBy(*series_cols).agg(slope("_ry", "_rx").alias("coef"))
     params = fit_parts.join(coef, on=series_cols)
     # seasonal on the residual after trend + covariate effect
     grain_key = lambda df_: df_.withColumn("_skey", seasonal_key_expr(ts_col, grain))
@@ -304,7 +311,7 @@ def forecast_with_covariate(
         )
     )
     seasonal = full_resid.groupBy(*series_cols, "_skey").agg(
-        F.avg("_r").alias("s_mean")
+        (F.sum("_r") / F.count("_r").cast("double")).alias("s_mean")
     )
     if isinstance(horizon, Column):
         horizon_col = horizon
