@@ -46,6 +46,7 @@ from temporal_retriever_spark.llm.similarity import (
     lsh_cosine_topk,
 )
 from temporal_retriever_spark.llm.text import (
+    _LANG_MARKERS,
     _STOPWORDS,
     language_id,
     text_fingerprint,
@@ -750,6 +751,42 @@ LEFT JOIN seas2 ON seas2.skey = dayofweek(w.ds) + 1
 """
 
 
+def _lang_id_oracle() -> str:
+    """SQL mirror of llm.text.language_id, generated from the same
+    marker table so the two can't drift."""
+    score_exprs = []
+    langs = list(_LANG_MARKERS)
+    for lang, markers in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(LENGTH(t) - LENGTH(REPLACE(t, '{m}', ''))) / {len(m)}"
+            for m in markers
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # same precedence as the engine's when-chain: en, de, es, else fr
+    pick = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{l} = {best} THEN '{l}'" for l in langs[:-1]
+        )
+        + f" ELSE '{langs[-1]}' END"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   ' ' || LOWER(text) || ' ' AS t,
+                   len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+            FROM documents
+        ),
+        s AS (SELECT doc_id, text, cjk, {', '.join(score_exprs)} FROM scored)
+        SELECT doc_id,
+               CASE WHEN cjk * 4 > LENGTH(text) THEN 'zh'
+                    WHEN {best} <= 0 THEN 'unknown'
+                    ELSE {pick} END AS lang_pred
+        FROM s
+    """
+
+
 def _acf_oracle(series_sql: str, lags: int, sid: str = "event_type") -> str:
     lag_cols = ", ".join(
         f"LAG(d, {k}) OVER (PARTITION BY {sid} ORDER BY ds) AS d{k}"
@@ -1094,6 +1131,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cosine + {_ROUND_OFFSET!r}, 4) AS cosine
             FROM ranked WHERE rank <= 5
         """,
-        # lang_id, minhash_near_dups, simhash_pairs, lsh_cosine_topk:
-        # engine-hash / hyperplane-literal based -> rows-only driver check
+        "lang_id": _lang_id_oracle(),
+        # minhash_near_dups, simhash_pairs, lsh_cosine_topk, ivf_cosine_topk,
+        # pacf_daily, granger_click_view: engine-hash / hyperplane-literal /
+        # linear-algebra ops -> rows-only driver check
     }
