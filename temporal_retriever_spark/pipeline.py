@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 from temporal_retriever_spark.aggregate import bucket_aggregate, date_bounds
 from temporal_retriever_spark.align import coalesce_actuals, split_forecasts
 from temporal_retriever_spark.api.models import AnalyzeRequest, Correlation
-from temporal_retriever_spark.diagnostics import acf, default_nlags, pacf
+from temporal_retriever_spark.diagnostics import (
+    acf,
+    default_nlags,
+    describe,
+    granger_causality,
+    pacf,
+)
 from temporal_retriever_spark.forecast import (
     forecast_linear_seasonal,
     forecast_with_covariate,
@@ -205,12 +211,13 @@ def analyze(
                 expr = F.when(*clause) if expr is None else expr.when(*clause)
             return expr.otherwise(F.col("n_buckets"))
 
-        grains = {normalize_grain(c.grain) for c in request.correlations}
+        prophet_corrs = [c for c in request.correlations if c.type == "prophet"]
+        granger_corrs = [c for c in request.correlations if c.type == "granger"]
+
+        grains = {normalize_grain(c.grain) for c in prophet_corrs}
         pred_rows: list = []
         for g in grains:
-            corrs_g = [
-                c for c in request.correlations if normalize_grain(c.grain) == g
-            ]
+            corrs_g = [c for c in prophet_corrs if normalize_grain(c.grain) == g]
             cov_hist = None
             targets = None
             for corr in corrs_g:
@@ -251,6 +258,26 @@ def analyze(
             )
             pred_rows.extend(pred.orderBy("series_id", "ds").collect())
 
+        # ---- granger correlations: aligned pairs, ONE grouped-UDF plan ---
+        # type="granger" is declared in the reference enum (app.py:33) but
+        # never implemented there; semantics follow the notebook prototype
+        # (Untitled.ipynb cell 12): detrended ssr F-tests per lag.
+        granger_rows: list = []
+        if granger_corrs:
+            pair = None
+            for corr in granger_corrs:
+                tgt = prepared.filter(
+                    F.col("series_id") == leg_sid(corr, cov=False)
+                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
+                cov_leg = prepared.filter(
+                    F.col("series_id") == leg_sid(corr, cov=True)
+                ).select(F.lit(corr.id).alias("series_id"), "ds", F.col("y").alias("x"))
+                joined = tgt.join(cov_leg, on=["series_id", "ds"], how="inner")
+                pair = joined if pair is None else pair.unionByName(joined)
+            granger_rows = granger_causality(
+                pair, maxlag=14, series_cols=("series_id",)
+            ).collect()
+
         # ---- assembly (driver-side, no further actions) ------------------
         def lags_for(rows, sid, col, kk):
             return {
@@ -267,6 +294,24 @@ def analyze(
             d.pop("coef", None)
             return {_RENAMES.get(k, k): v for k, v in d.items()}
 
+        # univariateStatistics correlations need quantile describes — one
+        # extra plan only when such correlations exist
+        stats_corrs = [
+            c for c in request.correlations if c.type == "univariateStatistics"
+        ]
+        describe_by_sid: dict[str, Any] = {}
+        if stats_corrs:
+            wanted = {
+                leg_sid(c, cov=cov) for c in stats_corrs for cov in (True, False)
+            }
+            describe_by_sid = {
+                r["series_id"]: r
+                for r in describe(
+                    prepared.filter(F.col("series_id").isin(list(wanted))),
+                    series_cols=("series_id",),
+                ).collect()
+            }
+
         for corr in request.correlations:
             cov_sid = leg_sid(corr, cov=True)
             tgt_sid = leg_sid(corr, cov=False)
@@ -275,10 +320,7 @@ def analyze(
             tgt_horizon = corr.prediction_horizon or tgt_stats["n"]
             k = k_by_sid[tgt_sid]
             k_cov = k_by_sid[cov_sid]
-            rows_c = [r for r in pred_rows if r["series_id"] == corr.id]
-            coef = rows_c[0]["coef"] if rows_c else None
-            max_hist = tgt_stats["max_ds"]
-            output["correlations"][corr.id] = {
+            entry: dict[str, Any] = {
                 "diagnostics": {
                     "units": corr.grain,
                     "from": {
@@ -306,18 +348,50 @@ def analyze(
                     "from": lags_for(pacf_rows, cov_sid, "pacf", k_cov),
                     "to": lags_for(pacf_rows, tgt_sid, "pacf", k),
                 },
-                "regressorCoefficients": [
+            }
+            if corr.type == "prophet":
+                rows_c = [r for r in pred_rows if r["series_id"] == corr.id]
+                coef = rows_c[0]["coef"] if rows_c else None
+                max_hist = tgt_stats["max_ds"]
+                entry["regressorCoefficients"] = [
                     {"regressor": f"{corr.from_data}.{corr.from_index}", "coef": coef}
-                ],
-                "predictions": {
+                ]
+                entry["predictions"] = {
                     "historicalForecasts": [
                         to_record(r) for r in rows_c if r["ds"] <= max_hist
                     ],
                     "futureForecasts": [
                         to_record(r) for r in rows_c if r["ds"] > max_hist
                     ],
-                },
-            }
+                }
+            elif corr.type == "granger":
+                rows_c = [r for r in granger_rows if r["series_id"] == corr.id]
+                entry["grangerCausality"] = [
+                    {
+                        "lag": r["lag"],
+                        "fStat": r["f_stat"],
+                        "pValue": r["p_value"],
+                        "dfNum": r["df_num"],
+                        "dfDen": r["df_den"],
+                        "nObs": r["n_obs"],
+                    }
+                    for r in sorted(rows_c, key=lambda r: r["lag"])
+                ]
+            else:  # univariateStatistics
+                def describe_dict(sid: str) -> dict:
+                    r = describe_by_sid.get(sid)
+                    if r is None:
+                        return {}
+                    return {
+                        key: r[key]
+                        for key in ("n", "mean", "std", "min", "q25", "median", "q75", "max")
+                    }
+
+                entry["univariateStatistics"] = {
+                    "from": describe_dict(cov_sid),
+                    "to": describe_dict(tgt_sid),
+                }
+            output["correlations"][corr.id] = entry
         prepared.unpersist()
     finally:
         raw.unpersist()
