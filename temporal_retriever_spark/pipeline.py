@@ -214,21 +214,26 @@ def analyze(
         prophet_corrs = [c for c in request.correlations if c.type == "prophet"]
         granger_corrs = [c for c in request.correlations if c.type == "granger"]
 
+        def rekey(corrs, *, cov: bool) -> DataFrame:
+            """prepared-series -> correlation-keyed frame via ONE broadcast
+            mapping join (a union per correlation would grow the plan
+            linearly with the correlation count)."""
+            mapping = spark.createDataFrame(
+                [(leg_sid(c, cov=cov), c.id) for c in corrs],
+                "sid string, series_id string",
+            )
+            return (
+                prepared.withColumnRenamed("series_id", "sid")
+                .join(F.broadcast(mapping), on="sid")
+                .select("series_id", "ds", "y")
+            )
+
         grains = {normalize_grain(c.grain) for c in prophet_corrs}
         pred_rows: list = []
         for g in grains:
             corrs_g = [c for c in prophet_corrs if normalize_grain(c.grain) == g]
-            cov_hist = None
-            targets = None
-            for corr in corrs_g:
-                ch = prepared.filter(
-                    F.col("series_id") == leg_sid(corr, cov=True)
-                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
-                t = prepared.filter(
-                    F.col("series_id") == leg_sid(corr, cov=False)
-                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
-                cov_hist = ch if cov_hist is None else cov_hist.unionByName(ch)
-                targets = t if targets is None else targets.unionByName(t)
+            cov_hist = rekey(corrs_g, cov=True)
+            targets = rekey(corrs_g, cov=False)
             cov_horizons = {
                 c.id: c.prediction_horizon or stats[leg_sid(c, cov=True)]["n"]
                 for c in corrs_g
@@ -264,16 +269,9 @@ def analyze(
         # (Untitled.ipynb cell 12): detrended ssr F-tests per lag.
         granger_rows: list = []
         if granger_corrs:
-            pair = None
-            for corr in granger_corrs:
-                tgt = prepared.filter(
-                    F.col("series_id") == leg_sid(corr, cov=False)
-                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
-                cov_leg = prepared.filter(
-                    F.col("series_id") == leg_sid(corr, cov=True)
-                ).select(F.lit(corr.id).alias("series_id"), "ds", F.col("y").alias("x"))
-                joined = tgt.join(cov_leg, on=["series_id", "ds"], how="inner")
-                pair = joined if pair is None else pair.unionByName(joined)
+            tgt = rekey(granger_corrs, cov=False)
+            cov_leg = rekey(granger_corrs, cov=True).withColumnRenamed("y", "x")
+            pair = tgt.join(cov_leg, on=["series_id", "ds"], how="inner")
             granger_rows = granger_causality(
                 pair, maxlag=14, series_cols=("series_id",)
             ).collect()
@@ -501,12 +499,23 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 expr = F.when(*clause) if expr is None else expr.when(*clause)
             return expr.otherwise(F.col("n_buckets"))
 
+        def rekey(corrs, *, cov: bool) -> DataFrame:
+            mapping = spark.createDataFrame(
+                [(leg_sid(c, cov=cov), c.id) for c in corrs],
+                "sid string, series_id string",
+            )
+            return (
+                prepared.withColumnRenamed("series_id", "sid")
+                .join(F.broadcast(mapping), on="sid")
+                .select("series_id", "ds", "y")
+            )
+
         grains = {normalize_grain(c.grain) for c in request.correlations}
         pred_rows: list = []
         for g in grains:
             corrs_g = [c for c in request.correlations if normalize_grain(c.grain) == g]
-            cov_hist = None
-            targets = None
+            cov_hist = rekey(corrs_g, cov=True)
+            targets = rekey(corrs_g, cov=False)
             cov_caps: dict[str, tuple[float, float]] = {}
             tgt_caps: dict[str, tuple[float, float]] = {}
             for corr in corrs_g:
@@ -523,14 +532,6 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                     to_cap.floor if to_cap else 0.0,
                     to_cap.ceiling if to_cap else None,
                 )
-                ch = prepared.filter(
-                    F.col("series_id") == leg_sid(corr, cov=True)
-                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
-                t = prepared.filter(
-                    F.col("series_id") == leg_sid(corr, cov=False)
-                ).select(F.lit(corr.id).alias("series_id"), "ds", "y")
-                cov_hist = ch if cov_hist is None else cov_hist.unionByName(ch)
-                targets = t if targets is None else targets.unionByName(t)
             cov_horizons = {
                 c.id: c.prediction_horizon or stats[leg_sid(c, cov=True)]["n"]
                 for c in corrs_g
