@@ -100,8 +100,14 @@ def future_grid(
     # sequence over integers then add k*step: INTERVAL MONTH is variable
     # width, so sequence(ts, ts+n*step, step) would mis-step across month
     # ends; integer indexing is exact for every grain.
-    # cast: count-derived horizons are BIGINT, date_add/add_months need INT
-    idx = F.explode(F.sequence(start_idx, n.cast("int"))).alias("_k")
+    # cast: count-derived horizons are BIGINT, date_add/add_months need INT.
+    # Guard horizon < start: sequence(1, 0) would step DOWN to [1, 0];
+    # an empty array explodes to zero rows instead.
+    n_int = n.cast("int")
+    seq = F.when(n_int >= start_idx, F.sequence(start_idx, n_int)).otherwise(
+        F.array().cast("array<int>")
+    )
+    idx = F.explode(seq).alias("_k")
     grid = bounds.select(*series_cols, maxc.alias("_max"), idx)
     if grain in ("D", "W"):
         days = {"D": 1, "W": 7}[grain]

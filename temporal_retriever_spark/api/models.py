@@ -101,7 +101,10 @@ def parse_correlation(raw: dict) -> Correlation:
     """camelCase wire names -> Correlation (aliases from app.py:34-58)."""
     fopts = raw.get("ForecastingOptions") or raw.get("forecastingOptions")
     # the saturating endpoint nests per-leg options; flatten the to-leg
-    # scale/growth onto the correlation, keep both caps
+    # scale/growth onto the correlation. Cap selection mirrors the
+    # reference exactly (app.py:513-517, 533-537): the covariate leg is
+    # clamped by fromIndex-options' caps.fromIndex and the target leg by
+    # toIndex-options' caps.toIndex.
     parsed_fopts = None
     if fopts is not None:
         to_leg = _parse_forecast_options(fopts.get("toIndex"))
@@ -110,7 +113,7 @@ def parse_correlation(raw: dict) -> Correlation:
             uncertainty_samples=to_leg.uncertainty_samples,
             changepoint_prior_scale=to_leg.changepoint_prior_scale,
             growth=to_leg.growth,
-            from_cap=from_leg.to_cap if from_leg.to_cap != Cap() else from_leg.from_cap,
+            from_cap=from_leg.from_cap,
             to_cap=to_leg.to_cap,
         )
     return Correlation(

@@ -77,12 +77,14 @@ def acf(
         F.sum(F.col("_d") * F.col("_d")).alias("_c0"),
         *[F.sum(f"_p{k}").alias(f"_s{k}") for k in range(1, lags + 1)],
     )
+    # try_divide: a constant series has zero variance (_c0 = 0) — ANSI
+    # mode would throw; NULL acf (surfaced as NaN) matches statsmodels
     pairs = F.array(
         F.struct(F.lit(0).alias("lag"), F.lit(1.0).alias("acf")),
         *[
             F.struct(
                 F.lit(k).alias("lag"),
-                (F.col(f"_s{k}") / F.col("_c0")).alias("acf"),
+                F.try_divide(F.col(f"_s{k}"), F.col("_c0")).alias("acf"),
             )
             for k in range(1, lags + 1)
         ],

@@ -74,8 +74,16 @@ def extract_series(
 
 
 def read_documents_json(
-    spark: SparkSession, path: str, *, name_field: str = "collectionName"
+    spark: SparkSession, path: str, *, name_field: str | None = "collectionName"
 ) -> DataFrame:
     """File-scale variant: newline-delimited document JSON via
-    ``spark.read.json`` (distributed scan, schema inference)."""
-    return spark.read.json(path)
+    ``spark.read.json`` (distributed scan, schema inference).
+
+    When ``name_field`` names an existing column it is surfaced as
+    ``series_id`` so downstream ops see the canonical key; pass None to
+    keep the inferred schema untouched.
+    """
+    df = spark.read.json(path)
+    if name_field and name_field in df.columns:
+        df = df.withColumn("series_id", F.col(name_field))
+    return df

@@ -114,14 +114,20 @@ def lsh_candidate_pairs(
     *,
     id_col: str = "doc_id",
     num_bands: int = 8,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Banding: docs whose signature agrees on any full band.
 
     Output: (id_a, id_b) distinct with id_a < id_b. The self-join runs
     on (band index, band hash) — bucket-local, sub-quadratic.
+
+    Pass ``sig_len`` (= the num_hashes used to build the signatures)
+    when known: probing it from the data costs an extra action that
+    re-executes the uncached signature plan.
     """
-    sig_len_rows = signatures.select(F.size("sig").alias("n")).limit(1).collect()
-    sig_len = sig_len_rows[0]["n"] if sig_len_rows else 0
+    if sig_len is None:
+        sig_len_rows = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+        sig_len = sig_len_rows[0]["n"] if sig_len_rows else 0
     if sig_len == 0 or sig_len % num_bands != 0:
         raise ValueError(f"signature length {sig_len} not divisible into {num_bands} bands")
     rows_per_band = sig_len // num_bands
@@ -179,7 +185,9 @@ def near_dup_pairs(
     sigs = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
     )
-    candidates = lsh_candidate_pairs(sigs, id_col=id_col, num_bands=num_bands)
+    candidates = lsh_candidate_pairs(
+        sigs, id_col=id_col, num_bands=num_bands, sig_len=num_hashes
+    )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
     est = F.expr(

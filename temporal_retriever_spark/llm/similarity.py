@@ -39,8 +39,11 @@ def _norm(a: str | Column) -> Column:
 
 
 def cosine_similarity_expr(a: str | Column, b: str | Column) -> Column:
-    """cos(a, b) as a native column expression (double precision)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """cos(a, b) as a native column expression (double precision).
+
+    NULL for zero vectors (undefined cosine) — try_divide keeps ANSI
+    mode from throwing on a zero norm."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(

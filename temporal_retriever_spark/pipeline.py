@@ -60,39 +60,6 @@ PACF_DESCRIPTION = (
 )
 
 
-def _prepare(
-    raw: DataFrame, correlation: Correlation, *, dataset: str, index: str
-) -> DataFrame:
-    """prepare_dataset (app.py:70-93): extract → parse → bucket-agg.
-
-    Request-embedded documents are driver-scale (10²-10⁴ rows), so the
-    bucketed series is squeezed to one partition — per-request latency
-    is dominated by task scheduling, not data. The batch engine path
-    (bucket_aggregate on big tables) never does this.
-    """
-    series = extract_series(raw, dataset=dataset, index_path=index)
-    return bucket_aggregate(
-        series.filter(F.col("ds").isNotNull()),
-        grain=correlation.grain,
-        agg=correlation.aggregation,
-        series_cols=("series_id",),
-    ).coalesce(1)
-
-
-def _leg_stats(bucketed: DataFrame, *, dataset: str, index: str):
-    """One action: (min_ds, max_ds, n_buckets); clear error when empty."""
-    row = bucketed.agg(
-        F.min("ds").alias("min_ds"),
-        F.max("ds").alias("max_ds"),
-        F.count("y").alias("n"),
-    ).collect()[0]
-    if row["n"] == 0:
-        raise ValueError(
-            f"dataset {dataset!r} / index {index!r} produced no observations"
-        )
-    return row
-
-
 def _records(df: DataFrame) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
@@ -127,6 +94,7 @@ def analyze(
     raw = documents_df(spark, request.documents)
     raw.cache()
     output: dict[str, Any] = {"correlations": {}}
+    prepared = None
     try:
         # ---- stage 1: ONE plan for every distinct prepared series -------
         # distinct (dataset, index, grain, agg) legs share a series id, so
@@ -278,9 +246,13 @@ def analyze(
 
         # ---- assembly (driver-side, no further actions) ------------------
         def lags_for(rows, sid, col, kk):
+            # constant series => zero variance => NULL acf; surface NaN
+            # like statsmodels rather than crashing on float(None)
             return {
                 "lags": {
-                    int(r["lag"]): float(r[col])
+                    int(r["lag"]): (
+                        float(r[col]) if r[col] is not None else float("nan")
+                    )
                     for r in sorted(rows, key=lambda r: r["lag"])
                     if r["series_id"] == sid and r["lag"] <= kk
                 }
@@ -390,8 +362,9 @@ def analyze(
                     "to": describe_dict(tgt_sid),
                 }
             output["correlations"][corr.id] = entry
-        prepared.unpersist()
     finally:
+        if prepared is not None:
+            prepared.unpersist()
         raw.unpersist()
     return output
 
@@ -414,6 +387,7 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
     raw = documents_df(spark, request.documents)
     raw.cache()
     output: dict[str, Any] = {"correlations": {}}
+    prepared = None
     try:
         leg_sids: dict[tuple, str] = {}
         for corr in request.correlations:
@@ -582,8 +556,9 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                     to_record(r) for r in rows_c if r["ds"] > max_hist
                 ],
             }
-        prepared.unpersist()
     finally:
+        if prepared is not None:
+            prepared.unpersist()
         raw.unpersist()
     return output
 
