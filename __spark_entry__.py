@@ -246,7 +246,9 @@ def _events_daily_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return acf(_events_daily_all(spark, sf_dir), lags=5, series_cols=("event_type",))
+    got = acf(_events_daily_all(spark, sf_dir), lags=5, series_cols=("event_type",))
+    # round: summation-order differences leave ~1-ulp drift vs the oracle
+    return got.select("event_type", "lag", F.round("acf", 6).alias("acf"))
 
 
 def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,7 +510,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "vec_id",
-        "rank",
+        F.col("rank").cast("long").alias("rank"),  # DuckDB ROW_NUMBER is BIGINT
         F.round(F.col("cosine") + F.lit(_ROUND_OFFSET), 4).alias("cosine"),
     )
 
@@ -522,7 +524,7 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "vec_id",
-        "rank",
+        F.col("rank").cast("long").alias("rank"),  # DuckDB ROW_NUMBER is BIGINT
         F.round(F.col("cosine") + F.lit(_ROUND_OFFSET), 4).alias("cosine"),
     )
 
@@ -538,7 +540,7 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "vec_id",
-        "rank",
+        F.col("rank").cast("long").alias("rank"),  # DuckDB ROW_NUMBER is BIGINT
         F.round(F.col("cosine") + F.lit(_ROUND_OFFSET), 4).alias("cosine"),
     )
 
@@ -794,7 +796,8 @@ def _acf_oracle(series_sql: str, lags: int, sid: str = "event_type") -> str:
     )
     sums = ", ".join(f"SUM(d * d{k}) AS s{k}" for k in range(1, lags + 1))
     union = " UNION ALL ".join(
-        f"SELECT {sid}, {k} AS lag, s{k} / c0 AS acf FROM a" for k in range(1, lags + 1)
+        f"SELECT {sid}, {k} AS lag, ROUND(s{k} / c0, 6) AS acf FROM a"
+        for k in range(1, lags + 1)
     )
     return f"""
         WITH s AS ({series_sql}),
@@ -929,8 +932,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1"
         ),
         "series_bounds": (
-            "SELECT event_type, MIN(ts) AS min_ds, MAX(ts) AS max_ds "
-            "FROM events GROUP BY 1"
+            # CAST: DuckDB >= 1.1 reads parquet timestamp[ns] natively;
+            # the engine truncates to micros (sources/parquet.py)
+            "SELECT event_type, MIN(CAST(ts AS TIMESTAMP)) AS min_ds, "
+            "MAX(CAST(ts AS TIMESTAMP)) AS max_ds FROM events GROUP BY 1"
         ),
         "floor_cap": (
             "SELECT event_type, ROUND(LEAST(0.0, MIN(value)), 6) AS floor, "
@@ -940,7 +945,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1"
         ),
         "bucket_counts": (
-            f"SELECT event_type, COUNT(*) AS n_buckets FROM ({_EVENTS_DAILY}) "
+            f"SELECT event_type, COUNT(ds) AS n_buckets FROM ({_EVENTS_DAILY}) "
             "GROUP BY 1"
         ),
         "align_covariate_left": (
@@ -1118,7 +1123,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE vec_id < 10),
             scored AS (
                 SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(e.embedding, q.qe) AS cosine
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS cosine
                 FROM embeddings e, q WHERE e.vec_id <> q.query_id
             ),
             ranked AS (

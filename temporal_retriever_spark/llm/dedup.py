@@ -244,7 +244,7 @@ def duplicate_clusters(
     *,
     left_col: str = "id_a",
     right_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → dup clusters.
 
