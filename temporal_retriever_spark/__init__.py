@@ -42,6 +42,25 @@ from temporal_retriever_spark.align import (
     future_grid,
     split_forecasts,
 )
+from temporal_retriever_spark.diagnostics import (
+    acf,
+    describe,
+    granger_causality,
+    pacf,
+)
+from temporal_retriever_spark.forecast import (
+    forecast_linear_seasonal,
+    forecast_prophet,
+    forecast_quantiles,
+    forecast_with_covariate,
+)
+from temporal_retriever_spark.pipeline import (
+    analyze,
+    saturating_growth,
+    saturating_growth_single,
+)
+from temporal_retriever_spark.api.models import AnalyzeRequest, parse_analyze_request
+from temporal_retriever_spark.sources import load_tables, read_table
 
 __all__ = [
     "get_spark",
@@ -63,6 +82,21 @@ __all__ = [
     "coalesce_actuals",
     "future_grid",
     "split_forecasts",
+    "acf",
+    "describe",
+    "granger_causality",
+    "pacf",
+    "forecast_linear_seasonal",
+    "forecast_prophet",
+    "forecast_quantiles",
+    "forecast_with_covariate",
+    "analyze",
+    "saturating_growth",
+    "saturating_growth_single",
+    "AnalyzeRequest",
+    "parse_analyze_request",
+    "load_tables",
+    "read_table",
 ]
 
 __version__ = "0.1.0"
