@@ -46,6 +46,7 @@ from temporal_retriever_spark.diagnostics import (
     acf,
     describe,
     granger_causality,
+    granger_lag1,
     pacf,
 )
 from temporal_retriever_spark.forecast import (
@@ -85,6 +86,7 @@ __all__ = [
     "acf",
     "describe",
     "granger_causality",
+    "granger_lag1",
     "pacf",
     "forecast_linear_seasonal",
     "forecast_prophet",

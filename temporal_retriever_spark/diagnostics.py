@@ -95,6 +95,47 @@ def acf(
     )
 
 
+def durbin_levinson_stages(lags: int) -> list[tuple[str, str]]:
+    """SQL expression stages computing PACF from lag-product sums.
+
+    Input columns: ``n`` (series length), ``s0`` = Σd², ``s{k}`` =
+    Σ d_t·d_{t−k}. Emits (name, expr) stages: first the *adjusted*
+    autocorrelations rho_k = (s_k/(n−k)) / (s0/n) (statsmodels
+    ``pacf_yw(method='adjusted')`` semantics, reference core.py:24-27),
+    then the Durbin-Levinson recursion whose order-k reflection
+    coefficient phi_k_k IS pacf(k).
+
+    The same strings drive both the Spark plan (``F.expr``) and the
+    DuckDB oracle (chained CTEs), so cross-engine drift is limited to
+    the input sums — identical arithmetic after that.
+    """
+    stages: list[tuple[str, str]] = []
+    for k in range(1, lags + 1):
+        stages.append(
+            (
+                f"rho{k}",
+                f"CASE WHEN n > {k} AND s0 <> 0 THEN "
+                f"(s{k} / CAST(n - {k} AS DOUBLE)) / (s0 / CAST(n AS DOUBLE)) "
+                "ELSE NULL END",
+            )
+        )
+    if lags >= 1:
+        stages.append(("phi_1_1", "rho1"))
+    for k in range(2, lags + 1):
+        num = f"rho{k} - (" + " + ".join(
+            f"phi_{k - 1}_{j} * rho{k - j}" for j in range(1, k)
+        ) + ")"
+        den = "1.0 - (" + " + ".join(
+            f"phi_{k - 1}_{j} * rho{j}" for j in range(1, k)
+        ) + ")"
+        stages.append((f"phi_{k}_{k}", f"({num}) / NULLIF(({den}), 0.0)"))
+        for j in range(1, k):
+            stages.append(
+                (f"phi_{k}_{j}", f"phi_{k - 1}_{j} - phi_{k}_{k} * phi_{k - 1}_{k - j}")
+            )
+    return stages
+
+
 def _yule_walker_pacf(y: np.ndarray, nlags: int) -> np.ndarray:
     """PACF via Yule-Walker with adjusted (n−k) autocovariance divisor.
 
@@ -132,12 +173,30 @@ def pacf(
     series_cols: Iterable[str] = ("series_id",),
     ts_col: str = "ds",
     value_col: str = "y",
+    method: str = "native",
 ) -> DataFrame:
-    """W2: partial autocorrelation per series via grouped pandas UDF.
+    """W2: partial autocorrelation per series.
 
-    One group = one series (the reference's whole-DataFrame statsmodels
-    call, core.py:24-27); Arrow-batched, numpy-only on executors.
+    ``method="native"`` (default): the Yule-Walker solution computed by
+    the Durbin-Levinson recursion entirely in native expressions — the
+    lag-product sums are one window sort + one aggregation (identical
+    shape to ACF), the recursion is per-series scalar arithmetic on the
+    aggregated row. No Python touches the row stream; this is the
+    100-TB path AND it is oracle-checkable (the same expression strings
+    feed the DuckDB oracle).
+
+    ``method="yw_udf"``: the original grouped-pandas formulation
+    (numpy Toeplitz solve per series) — statsmodels
+    ``pacf(method='ywadjusted')`` parity reference (core.py:24-27).
+    Emits only lags feasible for the series length (k ≤ n//2 − 1),
+    where the native path emits NULL for infeasible lags.
     """
+    if method == "native":
+        return _pacf_native(
+            df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
+        )
+    if method != "yw_udf":
+        raise ValueError(f"unknown pacf method: {method!r}")
     series_cols = list(series_cols)
     schema = StructType(
         [StructField(c, df.schema[c].dataType) for c in series_cols]
@@ -155,6 +214,140 @@ def pacf(
         return out[series_cols + ["lag", "pacf"]]
 
     return df.groupBy(*series_cols).applyInPandas(compute, schema)
+
+
+def _pacf_native(
+    df: DataFrame,
+    *,
+    lags: int,
+    series_cols: Iterable[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Levinson PACF on lag-product sums — fully native."""
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
+    for k in range(1, lags + 1):
+        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
+    agg = d.groupBy(*series_cols).agg(
+        F.count("_d").alias("n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("s0"),
+        *[F.sum(f"_p{k}").alias(f"s{k}") for k in range(1, lags + 1)],
+    )
+    cur = agg
+    for name, expr in durbin_levinson_stages(lags):
+        cur = cur.withColumn(name, F.expr(expr))
+    pairs = F.array(
+        F.struct(F.lit(0).alias("lag"), F.lit(1.0).alias("pacf")),
+        *[
+            F.struct(
+                F.lit(k).alias("lag"), F.col(f"phi_{k}_{k}").alias("pacf")
+            )
+            for k in range(1, lags + 1)
+        ],
+    )
+    return cur.select(*series_cols, F.explode(pairs).alias("_e")).select(
+        *series_cols, F.col("_e.lag").alias("lag"), F.col("_e.pacf").alias("pacf")
+    )
+
+
+def granger_lag1(
+    df: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    target_col: str = "y",
+    cov_col: str = "x",
+    detrend: bool = True,
+) -> DataFrame:
+    """W10 fast path: lag-1 Granger F statistic, fully native.
+
+    The lag-1 case of ``granger_causality`` as explicit-sum OLS (the
+    unrestricted 2-regressor system solved by Cramer's rule), so the
+    whole computation stays JVM-side and every output is mirrorable in
+    ANSI SQL. Restricted: yd_t ~ 1 + yd_{t−1}; unrestricted adds
+    xd_{t−1}; F = (RSS_r − RSS_u) / (RSS_u / (m − 3)) with m = n − 1
+    lag rows (statsmodels ssr_ftest semantics). Linear detrend uses the
+    0..n−1 row index like the notebook prototype (Untitled.ipynb cell
+    12). Output: (series, lag=1, f_stat, df_num=1, df_den, n_obs);
+    p-values come from the grouped-UDF path (needs the F CDF).
+    """
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    base = df.select(*series_cols, ts_col, target_col, cov_col).na.drop(
+        subset=[target_col, cov_col]
+    )
+    base = base.withColumn(
+        "_t", (F.row_number().over(ws) - F.lit(1)).cast("double")
+    )
+    if detrend:
+        for col, out in ((target_col, "_yd"), (cov_col, "_xd")):
+            n = F.count(col).over(w).cast("double")
+            st, sv = F.sum("_t").over(w), F.sum(col).over(w)
+            stt = F.sum(F.col("_t") * F.col("_t")).over(w)
+            stv = F.sum(F.col("_t") * F.col(col)).over(w)
+            slope = F.try_divide(stv - st * sv / n, stt - st * st / n)
+            base = base.withColumn(
+                out,
+                F.col(col)
+                - (sv / n + F.coalesce(slope, F.lit(0.0)) * (F.col("_t") - st / n)),
+            )
+    else:
+        base = base.withColumn("_yd", F.col(target_col)).withColumn(
+            "_xd", F.col(cov_col)
+        )
+    lagged = base.select(
+        *series_cols,
+        F.col("_yd").alias("_y"),
+        F.lag("_yd", 1).over(ws).alias("_y1"),
+        F.lag("_xd", 1).over(ws).alias("_x1"),
+    ).filter(F.col("_y1").isNotNull())
+    agg = lagged.groupBy(*series_cols).agg(
+        F.count("_y").cast("double").alias("m"),
+        F.sum("_y").alias("sy"),
+        F.sum("_y1").alias("s1"),
+        F.sum("_x1").alias("sx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_y") * F.col("_y1")).alias("sy1"),
+        F.sum(F.col("_y") * F.col("_x1")).alias("syx"),
+        F.sum(F.col("_y1") * F.col("_y1")).alias("s11"),
+        F.sum(F.col("_y1") * F.col("_x1")).alias("s1x"),
+        F.sum(F.col("_x1") * F.col("_x1")).alias("sxx"),
+    )
+    cur = agg
+    for name, expr in GRANGER_LAG1_STAGES:
+        cur = cur.withColumn(name, F.expr(expr))
+    return cur.select(
+        *series_cols,
+        F.lit(1).alias("lag"),
+        F.col("f_stat"),
+        F.lit(1).alias("df_num"),
+        (F.col("m") - 3).cast("long").alias("df_den"),
+        (F.col("m") + 1).cast("long").alias("n_obs"),
+    )
+
+
+# centered second moments, Cramer's rule, ssr F — the same strings feed
+# the Spark plan above and the DuckDB oracle (chained CTEs), so the two
+# engines perform identical arithmetic downstream of the input sums.
+GRANGER_LAG1_STAGES: list[tuple[str, str]] = [
+        ("cyy", "syy - sy * sy / m"),
+        ("cy1", "sy1 - sy * s1 / m"),
+        ("cyx", "syx - sy * sx / m"),
+        ("c11", "s11 - s1 * s1 / m"),
+        ("c1x", "s1x - s1 * sx / m"),
+        ("cxx", "sxx - sx * sx / m"),
+        ("rss_r", "cyy - cy1 * cy1 / NULLIF(c11, 0.0)"),
+        ("det", "c11 * cxx - c1x * c1x"),
+        ("b1", "(cy1 * cxx - cyx * c1x) / NULLIF(det, 0.0)"),
+        ("bx", "(cyx * c11 - cy1 * c1x) / NULLIF(det, 0.0)"),
+        ("rss_u", "cyy - (b1 * cy1 + bx * cyx)"),
+        ("f_stat", "CASE WHEN m > 3 AND rss_u > 0 THEN "
+                   "(rss_r - rss_u) / (rss_u / (m - 3.0)) ELSE NULL END"),
+]
 
 
 def describe(

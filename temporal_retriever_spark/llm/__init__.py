@@ -14,12 +14,16 @@ from temporal_retriever_spark.llm.text import (
     token_count_expr,
 )
 from temporal_retriever_spark.llm.dedup import (
+    duplicate_clusters,
     exact_dedup,
     exact_duplicate_groups,
+    jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
     near_dup_pairs,
+    near_dup_pairs_verified,
     ngram_jaccard_pairs,
+    simhash_near_dups,
     simhash_pairs,
     simhash_signatures,
     word_shingles,
@@ -35,12 +39,16 @@ __all__ = [
     "text_fingerprint",
     "text_stats",
     "token_count_expr",
+    "duplicate_clusters",
     "exact_dedup",
     "exact_duplicate_groups",
+    "jaccard_verify",
     "lsh_candidate_pairs",
     "minhash_signatures",
     "near_dup_pairs",
+    "near_dup_pairs_verified",
     "ngram_jaccard_pairs",
+    "simhash_near_dups",
     "simhash_pairs",
     "simhash_signatures",
     "word_shingles",

@@ -239,27 +239,132 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs.
+
+    The scale-safe composition: a sub-quadratic candidate generator
+    (MinHash-LSH banding or SimHash blocking) proposes pairs; this
+    verifier joins each candidate's shingle sets and computes the exact
+    Jaccard — cost is bounded by |candidates|·|shingles per doc|, never
+    by the corpus squared. Output: (id_a, id_b, jaccard ≥ threshold),
+    identical to what ``ngram_jaccard_pairs`` would emit for those pairs.
+    """
+    shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    cand = candidates.select("id_a", "id_b")
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, on="id_a")
+        .join(b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_pairs_verified(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact n-gram Jaccard.
+
+    shingle → minhash → band → candidate pairs → exact-Jaccard verify.
+    Unlike ``near_dup_pairs`` (which keeps the signature-estimated
+    Jaccard), the output here carries the exact similarity, so given
+    full candidate recall it equals the quadratic
+    ``ngram_jaccard_pairs`` output at the same threshold — the property
+    the driver oracle checks. Sub-quadratic end to end.
+    """
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
+    )
+    candidates = lsh_candidate_pairs(
+        sigs, id_col=id_col, num_bands=num_bands, sig_len=num_hashes
+    )
+    return jaccard_verify(
+        df, candidates, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """SimHash-blocked candidates verified with exact n-gram Jaccard.
+
+    The pigeonhole blocking in ``simhash_pairs`` GUARANTEES every pair
+    within ``max_hamming`` is a candidate (not probabilistic), so the
+    output equals the exact pairs whose signatures are ≤ max_hamming
+    apart and whose Jaccard ≥ threshold.
+    """
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    candidates = simhash_pairs(sigs, id_col=id_col, max_hamming=max_hamming)
+    return jaccard_verify(
+        df, candidates, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     *,
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iter: int = 50,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → dup clusters.
 
     Output: (doc_id, cluster_id) where cluster_id = min doc id in the
     component — the canonical "keeper" per cluster.
 
-    Iterative min-label propagation: each round every vertex takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup clusters are shallow —
-    usually ≤3). Each round is one join + one aggregation; lineage is
-    truncated per round with localCheckpoint so the plan stays flat.
-    This is the standard scalable CC formulation (a full 100-TB run
-    would use the large-star/small-star optimization; the propagation
-    loop here is its simple core).
+    ``method="label"`` (default): iterative min-label propagation: each
+    round every vertex takes the minimum label among itself and its
+    neighbors; converges in O(component diameter) rounds (near-dup
+    clusters are shallow — usually ≤3). Each round is one join + one
+    aggregation; lineage is truncated per round with localCheckpoint so
+    the plan stays flat.
+
+    ``method="star"``: the large-star/small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — converges in
+    O(log n) rounds regardless of diameter, the right choice when a
+    100-TB corpus may contain deep duplicate chains.
     """
+    if method == "star":
+        return _star_components(
+            pairs, left_col=left_col, right_col=right_col, max_iter=max_iter
+        )
+    if method != "label":
+        raise ValueError(f"unknown connected-components method: {method!r}")
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .unionByName(
@@ -302,6 +407,88 @@ def duplicate_clusters(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def _canon_edges(pairs: DataFrame, left_col: str, right_col: str) -> DataFrame:
+    """Distinct canonical (big, small) edges, self-loops dropped."""
+    return (
+        pairs.select(
+            F.greatest(F.col(left_col), F.col(right_col)).alias("u"),
+            F.least(F.col(left_col), F.col(right_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_components(
+    pairs: DataFrame,
+    *,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (O(log n) rounds).
+
+    Each round:
+
+    * **large-star** — for every node u, connect each strictly larger
+      neighbor v to m(u) = min(Γ(u) ∪ {u});
+    * **small-star** — on canonical (big→small) edges, connect every
+      smaller neighbor (and u itself) to the minimum neighbor.
+
+    Both steps are one groupBy + one join; lineage is truncated per
+    round. Converges when the canonical edge set is stable — checked
+    here with an exact subtract (at 100 TB you'd compare a count +
+    xor-checksum instead of materializing the difference).
+    """
+    nodes = (
+        pairs.select(F.col(left_col).alias("id"))
+        .unionByName(pairs.select(F.col(right_col).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = _canon_edges(pairs, left_col, right_col).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # large-star over the undirected view
+        undirected = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_u = (
+            undirected.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        ls = (
+            undirected.join(m_u, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over canonical (big → small) edges
+        m_s = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(m_s, on="u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_s.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = ss.subtract(edges).count() + edges.subtract(ss).count()
+        edges = ss
+        if changed == 0:
+            break
+    membership = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        nodes.join(membership, on=nodes["id"] == membership["u"], how="left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     *,
@@ -341,12 +528,12 @@ def simhash_pairs(
     *,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
-    Blocking on ``prefix_bits`` chunks (pigeonhole: two signatures within
-    hamming d must agree on at least one of d+1 chunks) keeps the join
+    Blocking on ``max_hamming + 1`` signature chunks (pigeonhole: two
+    signatures within hamming d must agree on at least one of d+1
+    chunks — a guarantee, not a probabilistic recall) keeps the join
     sub-quadratic; hamming via ``bit_count(a XOR b)``.
     """
     n_chunks = max_hamming + 1
