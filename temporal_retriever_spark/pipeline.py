@@ -291,6 +291,8 @@ def analyze(
             k = k_by_sid[tgt_sid]
             k_cov = k_by_sid[cov_sid]
             entry: dict[str, Any] = {
+                # reference seeds each correlation with its type (app.py:100)
+                "type": corr.type,
                 "diagnostics": {
                     "units": corr.grain,
                     "from": {
@@ -548,13 +550,27 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 d.pop("series_id", None)
                 return {_RENAMES.get(k, k): v for k, v in d.items()}
 
+            # response wrapper per app.py:594-607: model/growth/observed
+            # bounds alongside the forecast records
+            opts = corr.forecast_options
+            tgt_stats = stats[leg_sid(corr, cov=False)]
             output["correlations"][corr.id] = {
-                "historicalForecasts": [
-                    to_record(r) for r in rows_c if r["ds"] <= max_hist
-                ],
-                "futureForecasts": [
-                    to_record(r) for r in rows_c if r["ds"] > max_hist
-                ],
+                "type": {
+                    "model": corr.type,
+                    "growth": opts.growth if opts is not None else "logistic",
+                    "bounds": {
+                        "min": tgt_stats["min_ds"],
+                        "max": tgt_stats["max_ds"],
+                    },
+                },
+                "predictions": {
+                    "historicalForecasts": [
+                        to_record(r) for r in rows_c if r["ds"] <= max_hist
+                    ],
+                    "futureForecasts": [
+                        to_record(r) for r in rows_c if r["ds"] > max_hist
+                    ],
+                },
             }
     finally:
         if prepared is not None:

@@ -107,7 +107,9 @@ def test_saturating_growth_clamps(spark, example_request):
     out = saturating_growth(spark, small)
     assert len(out["correlations"]) == 2
     for cid, c in out["correlations"].items():
-        for rec in c["futureForecasts"]:
+        assert c["type"]["growth"] == "logistic"
+        assert c["type"]["bounds"]["min"] <= c["type"]["bounds"]["max"]
+        for rec in c["predictions"]["futureForecasts"]:
             assert rec["prediction"] >= 0.0  # floor default 0
 
 
