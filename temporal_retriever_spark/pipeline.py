@@ -60,6 +60,32 @@ PACF_DESCRIPTION = (
 )
 
 
+# Request-latency vs throughput seam: a typical API request carries a
+# few thousand observations, where 32-partition scheduling overhead
+# dominates every stage — collapsing the prepared series to ONE
+# partition is the fast path. But a request carrying millions of
+# observations must NOT serialize stats/ACF/forecast onto one core, so
+# past this threshold we keep the aggregation's natural partitioning
+# and let AQE coalesce small shuffles. The gate is free: request
+# documents are an in-memory dict, so the row count is known
+# driver-side without a Spark action.
+SMALL_REQUEST_ROWS = 100_000
+
+
+def _request_rows(documents: dict) -> int:
+    return sum(
+        len(doc.get("data", []))
+        for doc in documents.values()
+        if isinstance(doc, dict)
+    )
+
+
+def _size_gated(prepared: DataFrame, n_input_rows: int) -> DataFrame:
+    if n_input_rows <= SMALL_REQUEST_ROWS:
+        prepared = prepared.coalesce(1)
+    return prepared.cache()
+
+
 def _records(df: DataFrame) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
@@ -123,7 +149,7 @@ def analyze(
             prepared = (
                 bucketed if prepared is None else prepared.unionByName(bucketed)
             )
-        prepared = prepared.coalesce(1).cache()
+        prepared = _size_gated(prepared, _request_rows(request.documents))
 
         # ---- stage 2: one stats action over all series -------------------
         stats = {
@@ -410,7 +436,7 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 series_cols=("series_id",),
             )
             prepared = bucketed if prepared is None else prepared.unionByName(bucketed)
-        prepared = prepared.coalesce(1).cache()
+        prepared = _size_gated(prepared, _request_rows(request.documents))
 
         stats = {
             r["series_id"]: r
