@@ -62,6 +62,15 @@ from temporal_retriever_spark.pipeline import (
 )
 from temporal_retriever_spark.api.models import AnalyzeRequest, parse_analyze_request
 from temporal_retriever_spark.sources import load_tables, read_table
+from temporal_retriever_spark.server import make_server, serve_background
+from temporal_retriever_spark.streaming import (
+    forecast_refresh,
+    streaming_bucket_aggregate,
+    streaming_exact_dedup,
+    streaming_month_rollup,
+    streaming_series_state,
+    with_arrival_metrics,
+)
 
 __all__ = [
     "get_spark",
@@ -99,6 +108,14 @@ __all__ = [
     "parse_analyze_request",
     "load_tables",
     "read_table",
+    "make_server",
+    "serve_background",
+    "forecast_refresh",
+    "streaming_bucket_aggregate",
+    "streaming_exact_dedup",
+    "streaming_month_rollup",
+    "streaming_series_state",
+    "with_arrival_metrics",
 ]
 
 __version__ = "0.1.0"

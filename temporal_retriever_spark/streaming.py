@@ -83,6 +83,105 @@ def streaming_bucket_aggregate(
     return grouped.select(label.alias(ts_col), *series_cols, F.col(value_col))
 
 
+def streaming_month_rollup(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ds",
+    value_col: str = "y",
+    agg: str = "sum",
+    series_cols: Iterable[str] = (),
+    watermark: str = "1 hour",
+    state_view: str = "month_rollup_days",
+    checkpoint: str = "",
+    emit: Callable[[DataFrame, int], None] | None = None,
+    trigger_available_now: bool = True,
+):
+    """§2.8 month grain: daily partials in the stream, months in foreachBatch.
+
+    Calendar months have no fixed window width, so the state-bounded
+    streaming aggregation runs at DAY grain, keeping decomposable
+    partials (sum, count, min, max) per (day, series). ``foreachBatch``
+    upserts each trigger's updated days into ``state_view`` (the
+    compact daily-partial table — swap for Delta/Iceberg MERGE in
+    production) and finalizes the month table by relabeling days with
+    the batch T4 month-end label (``grains.bucket_expr``), so stream
+    and batch produce identical month buckets (reference grain enum M,
+    app.py:39; batch rollup core.py:49-53). ``mean`` finalizes as
+    Σsum/Σcount over the partials — NOT a mean of daily means.
+
+    State stays bounded at scale: the watermark bounds the streaming
+    day-window state, and the rollup input is one row per (day,
+    series) — 100 TB of events compact to thousands of partial rows
+    before the month shuffle. Median is not decomposable; use the
+    batch path (A1 supports it exactly).
+
+    ``emit(months_df, batch_id)`` receives the refreshed month table
+    each trigger. Returns the unstarted ``DataStreamWriter``.
+    """
+    from temporal_retriever_spark.grains import bucket_expr
+
+    agg_name = agg.strip().lower()
+    finalizers = {
+        "sum": F.sum("_sum"),
+        "mean": F.sum("_sum") / F.sum("_cnt"),
+        "min": F.min("_min"),
+        "max": F.max("_max"),
+    }
+    if agg_name not in finalizers:
+        raise ValueError(
+            f"agg {agg!r} is not decomposable for streaming month rollup; "
+            "supported: sum, mean, min, max (median needs the batch path)"
+        )
+    final = finalizers[agg_name]
+    series_cols = list(series_cols)
+
+    daily = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("_w"), *series_cols)
+        .agg(
+            F.sum(value_col).alias("_sum"),
+            F.count(value_col).alias("_cnt"),
+            F.min(value_col).alias("_min"),
+            F.max(value_col).alias("_max"),
+        )
+        .select(
+            F.col("_w.start").cast("date").alias(ts_col),
+            *series_cols,
+            "_sum",
+            "_cnt",
+            "_min",
+            "_max",
+        )
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keys = [ts_col, *series_cols]
+        if spark.catalog.tableExists(state_view):
+            existing = spark.table(state_view)
+            merged = existing.join(
+                batch.select(*keys), on=keys, how="left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        merged = merged.localCheckpoint(eager=True)
+        merged.createOrReplaceTempView(state_view)
+        months = merged.groupBy(
+            bucket_expr(ts_col, "M").alias(ts_col), *series_cols
+        ).agg(final.alias(value_col))
+        if emit is not None:
+            emit(months, batch_id)
+
+    writer = (
+        daily.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     *,

@@ -126,3 +126,46 @@ def test_forecast_refresh_foreachbatch(spark, event_stream):
     assert len(forecasts) >= 1
     # final refresh saw every series with history+future rows
     assert max(forecasts.values()) > 0
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean"])
+def test_streaming_month_rollup_matches_batch(spark, event_stream, agg):
+    from temporal_retriever_spark.streaming import streaming_month_rollup
+
+    stream, events, tmpdir = event_stream
+    emitted = {}
+
+    def capture(months, batch_id):
+        emitted["final"] = {
+            (r["event_type"], str(r["ds"])): r["y"] for r in months.collect()
+        }
+
+    writer = streaming_month_rollup(
+        stream,
+        agg=agg,
+        series_cols=("event_type",),
+        watermark="90 days",
+        state_view=f"month_days_{agg}",
+        checkpoint=f"{tmpdir}/ckpt-month-{agg}",
+        emit=capture,
+    )
+    q = writer.start()
+    q.awaitTermination(120)
+    got = emitted["final"]
+    want = {
+        (r["event_type"], str(r["ds"])): r["y"]
+        for r in bucket_aggregate(
+            events, grain="M", agg=agg, series_cols=("event_type",)
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-6, key
+
+
+def test_streaming_month_rollup_rejects_median(spark, event_stream):
+    from temporal_retriever_spark.streaming import streaming_month_rollup
+
+    stream, _, _ = event_stream
+    with pytest.raises(ValueError, match="median"):
+        streaming_month_rollup(stream, agg="median")
