@@ -396,6 +396,8 @@ def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series_id",
         "ds",
         F.round(F.col("yhat") + offset, _ROUND_DIGITS).alias("yhat"),
+        F.round(F.col("yhat_lower") + offset, _ROUND_DIGITS).alias("yhat_lower"),
+        F.round(F.col("yhat_upper") + offset, _ROUND_DIGITS).alias("yhat_upper"),
         F.round(F.col("coef") + offset, 6).alias("coef"),
     )
 
@@ -820,6 +822,11 @@ fullresid AS (
 ),
 seas2 AS (SELECT skey, SUM(r)/CAST(COUNT(r) AS DOUBLE) AS s_mean
           FROM fullresid GROUP BY 1),
+rq2 AS (
+    SELECT quantile_cont(fr.r - seas2.s_mean, 0.05) AS rq05,
+           quantile_cont(fr.r - seas2.s_mean, 0.95) AS rq95
+    FROM fullresid fr JOIN seas2 ON fr.skey = seas2.skey
+),
 grid2 AS (
     SELECT ds FROM tgt
     UNION ALL
@@ -833,9 +840,17 @@ SELECT 'click' AS series_id, w.ds,
        ROUND(my2 + by * (w.t - mt2)
              + coef * (w.cov - (mx2 + bx * (w.t - mt2)))
              + COALESCE(s_mean, 0) + {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS yhat,
+       ROUND(my2 + by * (w.t - mt2)
+             + coef * (w.cov - (mx2 + bx * (w.t - mt2)))
+             + COALESCE(s_mean, 0) + COALESCE(rq05, 0)
+             + {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS yhat_lower,
+       ROUND(my2 + by * (w.t - mt2)
+             + coef * (w.cov - (mx2 + bx * (w.t - mt2)))
+             + COALESCE(s_mean, 0) + COALESCE(rq95, 0)
+             + {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS yhat_upper,
        ROUND(coef + {_ROUND_OFFSET!r}, 6) AS coef
 FROM withcov w
-CROSS JOIN fit2 CROSS JOIN cf
+CROSS JOIN fit2 CROSS JOIN cf CROSS JOIN rq2
 LEFT JOIN seas2 ON seas2.skey = dayofweek(w.ds) + 1
 """
 

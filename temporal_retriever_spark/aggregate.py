@@ -172,8 +172,10 @@ def floor_ceiling(
     Reference (app.py:354-364):
       floor   = min(user_floor, min(y))          [Cap.floor defaults to 0,
                                                   app.py:253-255]
-      ceiling = max(user_ceiling, max(y)); when user_ceiling is None it
-                defaults to max(y) + 3 * std(y)  [sample std, ddof=1]
+      ceiling = max(user_ceiling, max(y)); when user_ceiling is falsy
+                (None or 0 — the reference's `ceiling or ...` check,
+                app.py:359-364) it defaults to max(y) + 3 * std(y)
+                [sample std, ddof=1]
     """
     series_cols = list(series_cols)
     mn, mx = F.min(value_col), F.max(value_col)
@@ -191,7 +193,7 @@ def floor_ceiling(
         floor = mn
     else:
         floor = F.least(F.lit(float(user_floor)), mn)
-    if user_ceiling is None:
+    if not user_ceiling:
         ceiling = F.greatest(default_ceiling, mx)
     else:
         ceiling = F.greatest(F.lit(float(user_ceiling)), mx)

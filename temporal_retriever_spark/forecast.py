@@ -234,6 +234,8 @@ def forecast_with_covariate(
     value_col: str = "y",
     cov_col: str = "cov",
     materialize_covariate: bool = False,
+    include_bounds: bool = True,
+    quantiles: tuple[float, float] = (0.05, 0.95),
 ) -> DataFrame:
     """W4: forecast the target with an extra regressor.
 
@@ -247,8 +249,15 @@ def forecast_with_covariate(
     future grid (J3: the reference inner-joins future × covariate
     predictions, app.py:180-188) with column ``cov_col``.
 
-    Output: series, ds, yhat, plus ``coef`` the regressor coefficient
-    (W8, reference regressor_coefficients app.py:241-243).
+    Output: series, ds, yhat, yhat_lower, yhat_upper, plus ``coef``
+    the regressor coefficient (W8, reference regressor_coefficients
+    app.py:241-243). The bounds are empirical residual quantiles of
+    the *full* model residual (trend + covariate effect + seasonal),
+    the same uncertainty analog ``fit_linear_seasonal`` uses — the
+    reference's Prophet path emits sampled ``yhat_lower/upper``
+    (app.py:190-199); ours are the deterministic quantile-band analog.
+    ``include_bounds=False`` restores the bare yhat frame (Prophet
+    ``uncertainty_samples=0`` semantics: no interval columns).
 
     ``materialize_covariate=True`` localCheckpoints the covariate frame
     first: it is referenced twice in the plan (history join + future
@@ -313,6 +322,18 @@ def forecast_with_covariate(
     seasonal = full_resid.groupBy(*series_cols, "_skey").agg(
         (F.sum("_r") / F.count("_r").cast("double")).alias("s_mean")
     )
+    residual_q = None
+    if include_bounds:
+        lo_q, hi_q = quantiles
+        deseason = full_resid.join(
+            F.broadcast(seasonal), on=[*series_cols, "_skey"]
+        ).withColumn("_r2", F.col("_r") - F.col("s_mean"))
+        qarr = F.percentile(
+            "_r2", F.array(F.lit(float(lo_q)), F.lit(float(hi_q)))
+        )
+        residual_q = deseason.groupBy(*series_cols).agg(
+            qarr[0].alias("_qlo"), qarr[1].alias("_qhi")
+        )
     if isinstance(horizon, Column):
         horizon_col = horizon
     elif horizon is not None:
@@ -347,8 +368,18 @@ def forecast_with_covariate(
         * (F.col(cov_col) - (F.col("mx") + F.col("bx") * (F.col("_t") - F.col("mt"))))
         + F.coalesce(F.col("s_mean"), F.lit(0.0))
     )
+    if not include_bounds:
+        return pred.select(
+            *series_cols, ts_col, yhat.alias("yhat"), F.col("coef").alias("coef")
+        )
+    pred = pred.join(F.broadcast(residual_q), on=series_cols, how="left")
     return pred.select(
-        *series_cols, ts_col, yhat.alias("yhat"), F.col("coef").alias("coef")
+        *series_cols,
+        ts_col,
+        yhat.alias("yhat"),
+        (yhat + F.coalesce(F.col("_qlo"), F.lit(0.0))).alias("yhat_lower"),
+        (yhat + F.coalesce(F.col("_qhi"), F.lit(0.0))).alias("yhat_upper"),
+        F.col("coef").alias("coef"),
     )
 
 

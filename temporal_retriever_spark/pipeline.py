@@ -479,9 +479,11 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 std = math.sqrt(max(var, 0.0))
             floor = s["min_y"] if user_floor is None else min(user_floor, s["min_y"])
             default_ceiling = s["max_y"] + 3.0 * std
+            # falsy check matches the reference's `ceiling or (max + 3*std)`
+            # (app.py:359-364): an explicit 0 ceiling auto-derives the cap
             ceiling = (
                 max(default_ceiling, s["max_y"])
-                if user_ceiling is None
+                if not user_ceiling
                 else max(user_ceiling, s["max_y"])
             )
             return float(floor), float(ceiling)
@@ -564,6 +566,11 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
             ).select(
                 "series_id", "ds",
                 clamp_case(tgt_caps, F.col("yhat")).alias("yhat"),
+                # the reference's saturating response carries Prophet's
+                # interval columns clamped into the same envelope
+                # (app.py:336-352)
+                clamp_case(tgt_caps, F.col("yhat_lower")).alias("yhat_lower"),
+                clamp_case(tgt_caps, F.col("yhat_upper")).alias("yhat_upper"),
             )
             pred_rows.extend(pred.orderBy("series_id", "ds").collect())
 

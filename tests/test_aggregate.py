@@ -104,6 +104,16 @@ def test_floor_ceiling_user_values(spark):
     assert row["cap"] == 10.0  # max(user_ceiling=8, max=10)
 
 
+def test_floor_ceiling_zero_ceiling_auto_derives(spark):
+    # the reference's `ceiling or (max + 3*std)` treats an explicit 0 as
+    # unset (app.py:359-364) — cap must be the derived max+3*std, not max
+    df = spark.createDataFrame([(5.0,), (10.0,)], "y double")
+    row = floor_ceiling(df, user_ceiling=0.0).collect()[0]
+    derived = floor_ceiling(df, user_ceiling=None).collect()[0]
+    assert row["cap"] == derived["cap"]
+    assert row["cap"] > 10.0
+
+
 def test_bucket_count(tables, duck):
     bucketed = bucket_aggregate(
         tables["events"].withColumnRenamed("ts", "ds").withColumnRenamed("value", "y"),

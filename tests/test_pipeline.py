@@ -84,7 +84,13 @@ def test_analyze_example_all_correlations(spark, example_request):
     assert len(preds["historicalForecasts"]) > 0
     assert len(preds["futureForecasts"]) > 0
     rec = preds["futureForecasts"][0]
-    assert {"date", "prediction"} <= set(rec)
+    # interval columns: the reference's Prophet response carries
+    # prediction_lower_bound/prediction_upper_bound (app.py:190-199)
+    assert {
+        "date", "prediction", "prediction_lower_bound", "prediction_upper_bound"
+    } <= set(rec)
+    assert rec["prediction_lower_bound"] <= rec["prediction"]
+    assert rec["prediction"] <= rec["prediction_upper_bound"]
     assert first["regressorCoefficients"][0]["coef"] is not None
 
 
@@ -111,6 +117,9 @@ def test_saturating_growth_clamps(spark, example_request):
         assert c["type"]["bounds"]["min"] <= c["type"]["bounds"]["max"]
         for rec in c["predictions"]["futureForecasts"]:
             assert rec["prediction"] >= 0.0  # floor default 0
+            # clamped interval columns (app.py:336-352)
+            assert rec["prediction_lower_bound"] >= 0.0
+            assert rec["prediction_lower_bound"] <= rec["prediction_upper_bound"]
 
 
 def test_saturating_growth_single(spark, example_request):
