@@ -36,6 +36,8 @@ from temporal_retriever_spark.diagnostics import (
     pacf,
 )
 from temporal_retriever_spark.forecast import (
+    changepoint1_stages,
+    forecast_changepoint,
     forecast_linear_seasonal,
     forecast_quantiles,
     forecast_with_covariate,
@@ -374,6 +376,27 @@ def q_forecast_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 changepoint variant: piecewise ridge trend (solver='stages' —
+    the same Cramer expression strings the DuckDB oracle chains, so the
+    two engines do identical arithmetic downstream of the Gram sums)."""
+    out = forecast_changepoint(
+        _events_daily_all(spark, sf_dir),
+        grain="D",
+        horizon=7,
+        n_changepoints=1,
+        changepoint_prior_scale=0.5,
+        series_cols=("event_type",),
+        include_bounds=False,
+        solver="stages",
+    )
+    return out.select(
+        "event_type",
+        "ds",
+        F.round(F.col("yhat") + F.lit(_ROUND_OFFSET), _ROUND_DIGITS).alias("yhat"),
+    )
+
+
 def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _daily_series(spark, sf_dir, "click").withColumn(
         "series_id", F.lit("click")
@@ -662,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_linear_daily": q_forecast_linear_daily,
         "forecast_saturating_daily": q_forecast_saturating_daily,
         "forecast_quantiles": q_forecast_quantiles,
+        "forecast_changepoint": q_forecast_changepoint,
         "forecast_covariate": q_forecast_covariate,
         "dedup_exact_groups": q_dedup_exact_groups,
         "text_stats": q_text_stats,
@@ -1097,6 +1121,55 @@ def _pacf_oracle(series_sql: str, lags: int, sid: str = "event_type") -> str:
     )
 
 
+def _changepoint_oracle() -> str:
+    """DuckDB mirror of q_forecast_changepoint: identical Gram sums over
+    the hinge features, then the SAME ``changepoint1_stages`` Cramer
+    expressions as chained CTEs (λ = 1/0.5)."""
+    ctes = [
+        f"s AS ({_EVENTS_DAILY})",
+        "st AS (SELECT event_type, ds, y, epoch(ds) / 86400.0 AS t FROM s)",
+        "rng AS (SELECT event_type, MIN(t) AS t0, MAX(t) AS t1, "
+        "MAX(ds) AS max_ds FROM st GROUP BY 1)",
+        "ft AS (SELECT st.event_type, st.ds, st.y, st.t - rng.t0 AS u, "
+        "GREATEST(0.0, (st.t - rng.t0) - 0.8 * (rng.t1 - rng.t0)) AS h "
+        "FROM st JOIN rng USING (event_type))",
+        "gram AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS g0_0, "
+        "SUM(u) AS g0_1, SUM(h) AS g0_2, SUM(u*u) AS g1_1, "
+        "SUM(u*h) AS g1_2, SUM(h*h) AS g2_2, "
+        "SUM(y) AS v0, SUM(u*y) AS v1, SUM(h*y) AS v2 FROM ft GROUP BY 1)",
+    ]
+    prev = "gram"
+    for i, (name, expr) in enumerate(changepoint1_stages(1.0 / 0.5)):
+        cur = f"c{i}"
+        ctes.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cur
+    ctes += [
+        f"fit AS (SELECT event_type, beta0, beta1, beta2 FROM {prev})",
+        "resid AS (SELECT ft.event_type, dayofweek(ft.ds) + 1 AS skey, "
+        "ft.y - (beta0 + beta1 * ft.u + beta2 * ft.h) AS r "
+        "FROM ft JOIN fit USING (event_type))",
+        "seas AS (SELECT event_type, skey, "
+        "SUM(r) / CAST(COUNT(r) AS DOUBLE) AS s_mean FROM resid GROUP BY 1, 2)",
+        "grid AS (SELECT event_type, ds FROM s UNION ALL "
+        "SELECT event_type, max_ds + CAST(k AS INTEGER) "
+        "FROM rng, generate_series(1, 7) AS g(k))",
+        "gf AS (SELECT grid.event_type, grid.ds, "
+        "epoch(grid.ds) / 86400.0 - rng.t0 AS u, "
+        "GREATEST(0.0, (epoch(grid.ds) / 86400.0 - rng.t0) "
+        "- 0.8 * (rng.t1 - rng.t0)) AS h "
+        "FROM grid JOIN rng USING (event_type))",
+    ]
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT gf.event_type, gf.ds, "
+        "ROUND(beta0 + beta1 * gf.u + beta2 * gf.h + COALESCE(s_mean, 0) "
+        f"+ {_ROUND_OFFSET!r}, {_ROUND_DIGITS}) AS yhat "
+        "FROM gf JOIN fit ON fit.event_type = gf.event_type "
+        "LEFT JOIN seas ON seas.event_type = gf.event_type "
+        "AND seas.skey = dayofweek(gf.ds) + 1"
+    )
+
+
 def _granger_lag1_oracle() -> str:
     """DuckDB mirror of ``granger_lag1``: same explicit sums, same
     ``GRANGER_LAG1_STAGES`` expressions as chained CTEs."""
@@ -1279,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_linear_daily": _forecast_oracle(saturating=False),
         "forecast_saturating_daily": _forecast_oracle(saturating=True),
         "forecast_quantiles": _QUANTILE_FORECAST_ORACLE,
+        "forecast_changepoint": _changepoint_oracle(),
         "forecast_covariate": _COVARIATE_FORECAST_ORACLE,
         "dedup_exact_groups": (
             "SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint, "

@@ -50,6 +50,9 @@ from temporal_retriever_spark.diagnostics import (
     pacf,
 )
 from temporal_retriever_spark.forecast import (
+    fit_changepoint_trend,
+    forecast_changepoint,
+    forecast_covariate_changepoint,
     forecast_linear_seasonal,
     forecast_prophet,
     forecast_quantiles,
@@ -97,6 +100,9 @@ __all__ = [
     "granger_causality",
     "granger_lag1",
     "pacf",
+    "fit_changepoint_trend",
+    "forecast_changepoint",
+    "forecast_covariate_changepoint",
     "forecast_linear_seasonal",
     "forecast_prophet",
     "forecast_quantiles",

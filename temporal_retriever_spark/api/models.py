@@ -42,12 +42,19 @@ class ForecastOptions:
     growth: str = "logistic"
     from_cap: Cap = field(default_factory=Cap)
     to_cap: Cap = field(default_factory=Cap)
+    #: True when changepointPriorScale appeared in the request body —
+    #: selects the piecewise changepoint trend (README DIVERGENCES #9)
+    changepoint_prior_scale_provided: bool = False
 
     def __post_init__(self):
         if self.growth not in _GROWTH:
             raise ValueError(f"unsupported growth: {self.growth!r}")
-        if self.uncertainty_samples < 1:
-            raise ValueError("uncertaintySamples must be >= 1")
+        # 0 is Prophet's "no uncertainty intervals" setting, honored
+        # (the reference forwards it to Prophet, app.py:124-131)
+        if self.uncertainty_samples < 0:
+            raise ValueError("uncertaintySamples must be >= 0")
+        if self.changepoint_prior_scale <= 0:
+            raise ValueError("changepointPriorScale must be > 0")
 
 
 @dataclass(frozen=True)
@@ -63,11 +70,15 @@ class Correlation:
     prediction_horizon: int | None = None
     quantiles: tuple[float, ...] = DEFAULT_QUANTILES
     changepoint_prior_scale: float = 0.8
+    #: True when ChangePointPriorScale appeared in the request body
+    changepoint_prior_scale_provided: bool = False
     forecast_options: ForecastOptions | None = None
 
     def __post_init__(self):
         if self.type not in _CORRELATION_TYPES:
             raise ValueError(f"unsupported correlation type: {self.type!r}")
+        if self.changepoint_prior_scale <= 0:
+            raise ValueError("ChangePointPriorScale must be > 0")
         normalize_grain(self.grain)  # raises on junk
         normalize_aggregation(self.aggregation)
         if self.prediction_horizon is not None and self.prediction_horizon < 1:
@@ -94,6 +105,7 @@ def _parse_forecast_options(raw: dict | None) -> ForecastOptions:
         growth=raw.get("growth", "logistic"),
         from_cap=_parse_cap(caps.get("fromIndex")),
         to_cap=_parse_cap(caps.get("toIndex")),
+        changepoint_prior_scale_provided="changepointPriorScale" in raw,
     )
 
 
@@ -115,6 +127,9 @@ def parse_correlation(raw: dict) -> Correlation:
             growth=to_leg.growth,
             from_cap=from_leg.from_cap,
             to_cap=to_leg.to_cap,
+            changepoint_prior_scale_provided=(
+                to_leg.changepoint_prior_scale_provided
+            ),
         )
     return Correlation(
         id=raw["id"],
@@ -128,6 +143,7 @@ def parse_correlation(raw: dict) -> Correlation:
         prediction_horizon=raw.get("unitsToForecast"),
         quantiles=tuple(raw.get("predictionQuantiles", DEFAULT_QUANTILES)),
         changepoint_prior_scale=raw.get("ChangePointPriorScale", 0.8),
+        changepoint_prior_scale_provided="ChangePointPriorScale" in raw,
         forecast_options=parsed_fopts,
     )
 

@@ -443,6 +443,368 @@ def forecast_quantiles(
 
 
 # ---------------------------------------------------------------------------
+# W3 changepoint variant: Prophet-style piecewise-linear trend, natively
+# ---------------------------------------------------------------------------
+
+def changepoint_fractions(n_changepoints: int) -> list[float]:
+    """Hinge locations as fractions of the per-series time span.
+
+    Prophet places its changepoints uniformly over the first 80% of
+    history (public prophet ``set_changepoints``); the native analog
+    spaces them uniformly over the first 80% of the *time range*
+    (deterministic, SQL-expressible — row-quantile spacing would need
+    an extra rank pass for no modeling gain on regular grids).
+    """
+    return [0.8 * j / n_changepoints for j in range(1, n_changepoints + 1)]
+
+
+def changepoint1_stages(lam: float) -> list[tuple[str, str]]:
+    """Closed-form 3×3 ridge solve for the single-changepoint trend.
+
+    Inputs: Gram sums ``g0_0 g0_1 g0_2 g1_1 g1_2 g2_2`` and moment
+    vector ``v0 v1 v2`` for features [1, u, max(0, u − 0.8·span)].
+    Ridge adds λ only to the hinge coordinate (Prophet penalizes only
+    the changepoint deltas), then Cramer's rule gives β. The same
+    strings drive the Spark plan and the DuckDB oracle, so the two
+    engines perform identical arithmetic downstream of the sums.
+    """
+    return [
+        ("a22", f"g2_2 + {float(lam)!r}"),
+        ("det", "g0_0*(g1_1*a22 - g1_2*g1_2) - g0_1*(g0_1*a22 - g1_2*g0_2)"
+                " + g0_2*(g0_1*g1_2 - g1_1*g0_2)"),
+        ("det0", "v0*(g1_1*a22 - g1_2*g1_2) - g0_1*(v1*a22 - g1_2*v2)"
+                 " + g0_2*(v1*g1_2 - g1_1*v2)"),
+        ("det1", "g0_0*(v1*a22 - g1_2*v2) - v0*(g0_1*a22 - g1_2*g0_2)"
+                 " + g0_2*(g0_1*v2 - v1*g0_2)"),
+        ("det2", "g0_0*(g1_1*v2 - g1_2*v1) - g0_1*(g0_1*v2 - v1*g0_2)"
+                 " + v0*(g0_1*g1_2 - g1_1*g0_2)"),
+        ("beta0", "det0 / NULLIF(det, 0.0)"),
+        ("beta1", "det1 / NULLIF(det, 0.0)"),
+        ("beta2", "det2 / NULLIF(det, 0.0)"),
+    ]
+
+
+def _changepoint_feature_exprs(
+    n_changepoints: int, cov_col: str | None
+) -> list[Column]:
+    """Feature columns over ``_t``/``t0``/``t1``: [1, u, hinges..., cov?]."""
+    u = F.col("_t") - F.col("t0")
+    span = F.col("t1") - F.col("t0")
+    feats = [F.lit(1.0), u]
+    for frac in changepoint_fractions(n_changepoints):
+        feats.append(F.greatest(F.lit(0.0), u - F.lit(frac) * span))
+    if cov_col is not None:
+        feats.append(F.col(cov_col))
+    return feats
+
+
+def fit_changepoint_trend(
+    df: DataFrame,
+    *,
+    n_changepoints: int = 10,
+    changepoint_prior_scale: float = 0.5,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    cov_col: str | None = None,
+    solver: str = "numpy",
+) -> DataFrame:
+    """Piecewise-linear trend fit — the native Prophet-trend analog.
+
+    Model (reference forwards ``changepoint_prior_scale`` into Prophet's
+    piecewise trend, app.py:124-131):
+
+        y ≈ β0 + β1·u + Σ_j δ_j·max(0, u − c_j)  [+ β_cov·cov]
+
+    with u = t − t0 in epoch days and hinges c_j from
+    ``changepoint_fractions``. Prophet's Laplace(0, τ) prior on δ is an
+    L1 MAP; the closed-form analog ridge-penalizes ‖δ‖² with
+    λ = 1/τ, keeping the knob's direction: larger
+    ``changepoint_prior_scale`` ⇒ weaker penalty ⇒ more flexible trend.
+    β0, β1 and the optional covariate coefficient are unpenalized.
+
+    Distributed shape: ONE aggregation computes the per-series Gram
+    matrix + moment vector (p(p+3)/2 sums, p = n_changepoints + 2
+    [+1 with cov]); the p×p solve then runs on the one-row-per-series
+    aggregate — ``solver="numpy"`` via mapInPandas (Python touches p²
+    numbers per series, never the row stream), ``solver="stages"``
+    (n_changepoints=1, no cov) as native Cramer expressions shared
+    verbatim with the DuckDB oracle (``changepoint1_stages``).
+
+    Output: series_cols, t0, t1, max_ds, n_buckets,
+    beta array<double> (+ ``coef`` alias of the cov coefficient).
+    """
+    series_cols = list(series_cols)
+    if n_changepoints < 1:
+        raise ValueError("n_changepoints must be >= 1")
+    lam = 1.0 / float(changepoint_prior_scale)
+    base = df.withColumn("_t", _time_index(F.col(ts_col)))
+    rng = base.groupBy(*series_cols).agg(
+        F.min("_t").alias("t0"),
+        F.max("_t").alias("t1"),
+        F.max(ts_col).alias("max_ds"),
+        F.count(value_col).alias("n_buckets"),
+    )
+    b2 = base.join(F.broadcast(rng), on=series_cols)
+    feats = _changepoint_feature_exprs(n_changepoints, cov_col)
+    p = len(feats)
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(F.sum(feats[i] * feats[j]).alias(f"g{i}_{j}"))
+        aggs.append(F.sum(feats[i] * F.col(value_col)).alias(f"v{i}"))
+    gram = b2.groupBy(*series_cols, "t0", "t1", "max_ds", "n_buckets").agg(*aggs)
+
+    key_cols = [*series_cols, "t0", "t1", "max_ds", "n_buckets"]
+    if solver == "stages":
+        if n_changepoints != 1 or cov_col is not None:
+            raise ValueError(
+                "solver='stages' supports exactly one changepoint, no covariate"
+            )
+        cur = gram
+        for name, expr in changepoint1_stages(lam):
+            cur = cur.withColumn(name, F.expr(expr))
+        return cur.select(
+            *key_cols,
+            F.array(F.col("beta0"), F.col("beta1"), F.col("beta2")).alias("beta"),
+        )
+    if solver != "numpy":
+        raise ValueError(f"unknown solver: {solver!r}")
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    penalty = np.zeros(p)
+    penalty[2 : 2 + n_changepoints] = lam
+    gram_schema = gram.schema
+    out_schema = StructType(
+        [gram_schema[c] for c in key_cols]
+        + [StructField("beta", ArrayType(DoubleType()))]
+    )
+
+    def solve(batches):
+        for pdf in batches:
+            betas = []
+            for _, row in pdf.iterrows():
+                a = np.empty((p, p))
+                v = np.empty(p)
+                for i in range(p):
+                    v[i] = row[f"v{i}"]
+                    for j in range(i, p):
+                        a[i, j] = a[j, i] = row[f"g{min(i, j)}_{max(i, j)}"]
+                a[np.diag_indices_from(a)] += penalty
+                try:
+                    betas.append(np.linalg.solve(a, v).tolist())
+                except np.linalg.LinAlgError:
+                    betas.append(None)
+            out = pdf[key_cols].copy()
+            out["beta"] = betas
+            yield out
+
+    return gram.mapInPandas(solve, out_schema)
+
+
+def changepoint_trend_expr(n_changepoints: int) -> Column:
+    """Trend value at ``_t`` given joined fit columns t0/t1/beta."""
+    u = F.col("_t") - F.col("t0")
+    span = F.col("t1") - F.col("t0")
+    trend = F.col("beta")[0] + F.col("beta")[1] * u
+    for j, frac in enumerate(changepoint_fractions(n_changepoints)):
+        trend = trend + F.col("beta")[2 + j] * F.greatest(
+            F.lit(0.0), u - F.lit(frac) * span
+        )
+    return trend
+
+
+def forecast_changepoint(
+    df: DataFrame,
+    *,
+    grain: str,
+    horizon: int | None | Column = None,
+    n_changepoints: int = 10,
+    changepoint_prior_scale: float = 0.5,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    include_history: bool = True,
+    include_bounds: bool = True,
+    quantiles: tuple[float, float] = (0.05, 0.95),
+    solver: str = "numpy",
+) -> DataFrame:
+    """W3 with the piecewise changepoint trend + seasonal + bands.
+
+    Same assembly as ``forecast_linear_seasonal`` — seasonal component
+    and residual-quantile bands computed on the changepoint-detrended
+    residual; the future grid extrapolates with the final slope
+    β1 + Σδ (hinge features keep growing past the last changepoint,
+    exactly Prophet's fixed-delta future trend).
+    """
+    series_cols = list(series_cols)
+    params = fit_changepoint_trend(
+        df,
+        n_changepoints=n_changepoints,
+        changepoint_prior_scale=changepoint_prior_scale,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        solver=solver,
+    )
+    trend = changepoint_trend_expr(n_changepoints)
+    hist = (
+        df.withColumn("_t", _time_index(F.col(ts_col)))
+        .withColumn("_skey", seasonal_key_expr(ts_col, grain))
+        .join(F.broadcast(params.drop("max_ds", "n_buckets")), on=series_cols)
+        .withColumn("_r", F.col(value_col) - trend)
+    )
+    seasonal = hist.groupBy(*series_cols, "_skey").agg(
+        (F.sum("_r") / F.count("_r").cast("double")).alias("s_mean")
+    )
+    residual_q = None
+    if include_bounds:
+        lo_q, hi_q = quantiles
+        deseason = hist.join(
+            F.broadcast(seasonal), on=[*series_cols, "_skey"]
+        ).withColumn("_r2", F.col("_r") - F.col("s_mean"))
+        qarr = F.percentile(
+            "_r2", F.array(F.lit(float(lo_q)), F.lit(float(hi_q)))
+        )
+        residual_q = deseason.groupBy(*series_cols).agg(
+            qarr[0].alias("_qlo"), qarr[1].alias("_qhi")
+        )
+    if isinstance(horizon, Column):
+        horizon_col = horizon
+    elif horizon is not None:
+        horizon_col = F.lit(int(horizon))
+    else:
+        horizon_col = F.col("n_buckets")
+    grid = future_grid(
+        params, grain=grain, horizon=horizon_col, series_cols=series_cols,
+        max_col="max_ds",
+    )
+    ds_type = dict(df.dtypes)[ts_col]
+    grid = grid.select(*series_cols, F.col(ts_col).cast(ds_type).alias(ts_col))
+    if include_history:
+        grid = df.select(*series_cols, ts_col).unionByName(grid)
+    pred = (
+        grid.withColumn("_t", _time_index(F.col(ts_col)))
+        .withColumn("_skey", seasonal_key_expr(ts_col, grain))
+        .join(F.broadcast(params.drop("max_ds", "n_buckets")), on=series_cols)
+        .join(F.broadcast(seasonal), on=[*series_cols, "_skey"], how="left")
+    )
+    yhat = trend + F.coalesce(F.col("s_mean"), F.lit(0.0))
+    if not include_bounds:
+        return pred.select(*series_cols, ts_col, yhat.alias("yhat"))
+    pred = pred.join(F.broadcast(residual_q), on=series_cols, how="left")
+    return pred.select(
+        *series_cols,
+        ts_col,
+        yhat.alias("yhat"),
+        (yhat + F.coalesce(F.col("_qlo"), F.lit(0.0))).alias("yhat_lower"),
+        (yhat + F.coalesce(F.col("_qhi"), F.lit(0.0))).alias("yhat_upper"),
+    )
+
+
+def forecast_covariate_changepoint(
+    target: DataFrame,
+    covariate_pred: DataFrame,
+    *,
+    grain: str,
+    horizon: int | None | Column = None,
+    n_changepoints: int = 10,
+    changepoint_prior_scale: float = 0.5,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    cov_col: str = "cov",
+    materialize_covariate: bool = False,
+    include_bounds: bool = True,
+    quantiles: tuple[float, float] = (0.05, 0.95),
+) -> DataFrame:
+    """W4 with the changepoint trend: one joint ridge fit of
+    [1, u, hinges..., cov] — the covariate coefficient is the exact
+    multi-OLS coefficient of the penalized system (unpenalized itself),
+    so this is the piecewise-trend generalization of the Frisch-Waugh
+    path in ``forecast_with_covariate``. Output matches it:
+    series, ds, yhat[, yhat_lower, yhat_upper], coef.
+    """
+    series_cols = list(series_cols)
+    if materialize_covariate:
+        covariate_pred = covariate_pred.localCheckpoint(eager=True)
+    joined = target.join(
+        covariate_pred.select(*series_cols, ts_col, cov_col),
+        on=[*series_cols, ts_col],
+        how="inner",
+    )
+    params = fit_changepoint_trend(
+        joined,
+        n_changepoints=n_changepoints,
+        changepoint_prior_scale=changepoint_prior_scale,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        cov_col=cov_col,
+    )
+    p = n_changepoints + 3  # [1, u, hinges..., cov]
+    trend = changepoint_trend_expr(n_changepoints)
+    coef = F.col("beta")[p - 1]
+    model = trend + coef * F.col(cov_col)
+    hist = (
+        joined.withColumn("_t", _time_index(F.col(ts_col)))
+        .withColumn("_skey", seasonal_key_expr(ts_col, grain))
+        .join(F.broadcast(params.drop("max_ds", "n_buckets")), on=series_cols)
+        .withColumn("_r", F.col(value_col) - model)
+    )
+    seasonal = hist.groupBy(*series_cols, "_skey").agg(
+        (F.sum("_r") / F.count("_r").cast("double")).alias("s_mean")
+    )
+    residual_q = None
+    if include_bounds:
+        lo_q, hi_q = quantiles
+        deseason = hist.join(
+            F.broadcast(seasonal), on=[*series_cols, "_skey"]
+        ).withColumn("_r2", F.col("_r") - F.col("s_mean"))
+        qarr = F.percentile(
+            "_r2", F.array(F.lit(float(lo_q)), F.lit(float(hi_q)))
+        )
+        residual_q = deseason.groupBy(*series_cols).agg(
+            qarr[0].alias("_qlo"), qarr[1].alias("_qhi")
+        )
+    if isinstance(horizon, Column):
+        horizon_col = horizon
+    elif horizon is not None:
+        horizon_col = F.lit(int(horizon))
+    else:
+        horizon_col = F.col("n_buckets")
+    grid = future_grid(
+        params, grain=grain, horizon=horizon_col, series_cols=series_cols,
+        max_col="max_ds",
+    )
+    ds_type = dict(target.dtypes)[ts_col]
+    grid = grid.select(*series_cols, F.col(ts_col).cast(ds_type).alias(ts_col))
+    all_ds = target.select(*series_cols, ts_col).unionByName(grid)
+    with_cov = all_ds.join(
+        covariate_pred.select(*series_cols, ts_col, cov_col),
+        on=[*series_cols, ts_col],
+        how="inner",
+    )
+    pred = (
+        with_cov.withColumn("_t", _time_index(F.col(ts_col)))
+        .withColumn("_skey", seasonal_key_expr(ts_col, grain))
+        .join(F.broadcast(params.drop("max_ds", "n_buckets")), on=series_cols)
+        .join(F.broadcast(seasonal), on=[*series_cols, "_skey"], how="left")
+    )
+    yhat = model + F.coalesce(F.col("s_mean"), F.lit(0.0))
+    cols = [yhat.alias("yhat")]
+    if include_bounds:
+        pred = pred.join(F.broadcast(residual_q), on=series_cols, how="left")
+        cols += [
+            (yhat + F.coalesce(F.col("_qlo"), F.lit(0.0))).alias("yhat_lower"),
+            (yhat + F.coalesce(F.col("_qhi"), F.lit(0.0))).alias("yhat_upper"),
+        ]
+    return pred.select(*series_cols, ts_col, *cols, coef.alias("coef"))
+
+
+# ---------------------------------------------------------------------------
 # Optional Prophet backend (reference-library parity; gated import)
 # ---------------------------------------------------------------------------
 

@@ -27,6 +27,7 @@ correlation response dicts from already-distributed computations.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -43,10 +44,17 @@ from temporal_retriever_spark.diagnostics import (
     pacf,
 )
 from temporal_retriever_spark.forecast import (
+    forecast_changepoint,
+    forecast_covariate_changepoint,
     forecast_linear_seasonal,
     forecast_with_covariate,
 )
 from temporal_retriever_spark.ingest import documents_df, extract_series
+
+#: hinge count for the piecewise trend when ChangePointPriorScale is
+#: provided (Prophet defaults to 25 over much longer histories; 10 keeps
+#: the Gram aggregation at 90 sum columns)
+N_CHANGEPOINTS = 10
 
 ACF_DESCRIPTION = (
     "Autocorrelation measures the correlation between a time series and "
@@ -222,10 +230,32 @@ def analyze(
                 .select("series_id", "ds", "y")
             )
 
-        grains = {normalize_grain(c.grain) for c in prophet_corrs}
+        # fold key: (grain, changepoint scale or None). Correlations that
+        # provide ChangePointPriorScale get the piecewise changepoint
+        # trend (README DIVERGENCES #9); the rest share the plain linear
+        # plan. Distinct scales fold into distinct plans.
+        fold_keys = {
+            (
+                normalize_grain(c.grain),
+                c.changepoint_prior_scale
+                if c.changepoint_prior_scale_provided
+                else None,
+            )
+            for c in prophet_corrs
+        }
         pred_rows: list = []
-        for g in grains:
-            corrs_g = [c for c in prophet_corrs if normalize_grain(c.grain) == g]
+        for g, cps in fold_keys:
+            corrs_g = [
+                c
+                for c in prophet_corrs
+                if normalize_grain(c.grain) == g
+                and (
+                    c.changepoint_prior_scale
+                    if c.changepoint_prior_scale_provided
+                    else None
+                )
+                == cps
+            ]
             cov_hist = rekey(corrs_g, cov=True)
             targets = rekey(corrs_g, cov=False)
             cov_horizons = {
@@ -236,9 +266,19 @@ def analyze(
                 c.id: c.prediction_horizon or stats[leg_sid(c, cov=False)]["n"]
                 for c in corrs_g
             }
-            cov_pred = forecast_linear_seasonal(
-                cov_hist, grain=g, horizon=case_over_ids(cov_horizons)
-            ).select("series_id", "ds", F.col("yhat").alias("cov"))
+            if cps is None:
+                cov_pred = forecast_linear_seasonal(
+                    cov_hist, grain=g, horizon=case_over_ids(cov_horizons)
+                ).select("series_id", "ds", F.col("yhat").alias("cov"))
+            else:
+                cov_pred = forecast_changepoint(
+                    cov_hist,
+                    grain=g,
+                    horizon=case_over_ids(cov_horizons),
+                    n_changepoints=N_CHANGEPOINTS,
+                    changepoint_prior_scale=cps,
+                    include_bounds=False,
+                ).select("series_id", "ds", F.col("yhat").alias("cov"))
             cov_full = coalesce_actuals(
                 cov_pred,
                 cov_hist.select("series_id", "ds", "y"),
@@ -246,15 +286,26 @@ def analyze(
                 pred_col="cov",
                 out_col="cov",
             )
-            pred = forecast_with_covariate(
-                targets,
-                cov_full,
-                grain=g,
-                horizon=case_over_ids(tgt_horizons),
-                # the covariate grid is referenced twice in the plan;
-                # truncating its (forecast sub-plan) lineage ~halves cost
-                materialize_covariate=True,
-            )
+            if cps is None:
+                pred = forecast_with_covariate(
+                    targets,
+                    cov_full,
+                    grain=g,
+                    horizon=case_over_ids(tgt_horizons),
+                    # the covariate grid is referenced twice in the plan;
+                    # truncating its (forecast sub-plan) lineage ~halves cost
+                    materialize_covariate=True,
+                )
+            else:
+                pred = forecast_covariate_changepoint(
+                    targets,
+                    cov_full,
+                    grain=g,
+                    horizon=case_over_ids(tgt_horizons),
+                    n_changepoints=N_CHANGEPOINTS,
+                    changepoint_prior_scale=cps,
+                    materialize_covariate=True,
+                )
             pred_rows.extend(pred.orderBy("series_id", "ds").collect())
 
         # ---- granger correlations: aligned pairs, ONE grouped-UDF plan ---
@@ -284,10 +335,15 @@ def analyze(
                 }
             }
 
-        def to_record(row):
+        def to_record(row, *, no_bounds=False):
             d = row.asDict()
             d.pop("series_id", None)
             d.pop("coef", None)
+            if no_bounds:
+                # Prophet's uncertainty_samples=0 omits interval columns;
+                # the reference forwards the knob (app.py:124-131)
+                d.pop("yhat_lower", None)
+                d.pop("yhat_upper", None)
             return {_RENAMES.get(k, k): v for k, v in d.items()}
 
         # univariateStatistics correlations need quantile describes — one
@@ -351,15 +407,23 @@ def analyze(
                 rows_c = [r for r in pred_rows if r["series_id"] == corr.id]
                 coef = rows_c[0]["coef"] if rows_c else None
                 max_hist = tgt_stats["max_ds"]
+                no_bounds = (
+                    corr.forecast_options is not None
+                    and corr.forecast_options.uncertainty_samples == 0
+                )
                 entry["regressorCoefficients"] = [
                     {"regressor": f"{corr.from_data}.{corr.from_index}", "coef": coef}
                 ]
                 entry["predictions"] = {
                     "historicalForecasts": [
-                        to_record(r) for r in rows_c if r["ds"] <= max_hist
+                        to_record(r, no_bounds=no_bounds)
+                        for r in rows_c
+                        if r["ds"] <= max_hist
                     ],
                     "futureForecasts": [
-                        to_record(r) for r in rows_c if r["ds"] > max_hist
+                        to_record(r, no_bounds=no_bounds)
+                        for r in rows_c
+                        if r["ds"] > max_hist
                     ],
                 }
             elif corr.type == "granger":
@@ -514,10 +578,22 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 .select("series_id", "ds", "y")
             )
 
-        grains = {normalize_grain(c.grain) for c in request.correlations}
+        def corr_cps(c) -> float | None:
+            o = c.forecast_options
+            if o is not None and o.changepoint_prior_scale_provided:
+                return o.changepoint_prior_scale
+            return None
+
+        fold_keys = {
+            (normalize_grain(c.grain), corr_cps(c)) for c in request.correlations
+        }
         pred_rows: list = []
-        for g in grains:
-            corrs_g = [c for c in request.correlations if normalize_grain(c.grain) == g]
+        for g, cps in fold_keys:
+            corrs_g = [
+                c
+                for c in request.correlations
+                if normalize_grain(c.grain) == g and corr_cps(c) == cps
+            ]
             cov_hist = rekey(corrs_g, cov=True)
             targets = rekey(corrs_g, cov=False)
             cov_caps: dict[str, tuple[float, float]] = {}
@@ -544,9 +620,20 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 c.id: c.prediction_horizon or stats[leg_sid(c, cov=False)]["n"]
                 for c in corrs_g
             }
-            cov_pred = forecast_linear_seasonal(
-                cov_hist, grain=g, horizon=case_over_ids(cov_horizons)
-            ).select(
+            if cps is None:
+                cov_yhat = forecast_linear_seasonal(
+                    cov_hist, grain=g, horizon=case_over_ids(cov_horizons)
+                )
+            else:
+                cov_yhat = forecast_changepoint(
+                    cov_hist,
+                    grain=g,
+                    horizon=case_over_ids(cov_horizons),
+                    n_changepoints=N_CHANGEPOINTS,
+                    changepoint_prior_scale=cps,
+                    include_bounds=False,
+                )
+            cov_pred = cov_yhat.select(
                 "series_id", "ds",
                 clamp_case(cov_caps, F.col("yhat")).alias("cov"),
             )
@@ -557,7 +644,16 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 pred_col="cov",
                 out_col="cov",
             )
-            pred = forecast_with_covariate(
+            forecaster = (
+                forecast_with_covariate
+                if cps is None
+                else partial(
+                    forecast_covariate_changepoint,
+                    n_changepoints=N_CHANGEPOINTS,
+                    changepoint_prior_scale=cps,
+                )
+            )
+            pred = forecaster(
                 targets,
                 cov_full,
                 grain=g,
@@ -577,10 +673,18 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
         for corr in request.correlations:
             max_hist = stats[leg_sid(corr, cov=False)]["max_ds"]
             rows_c = [r for r in pred_rows if r["series_id"] == corr.id]
+            no_bounds = (
+                corr.forecast_options is not None
+                and corr.forecast_options.uncertainty_samples == 0
+            )
 
-            def to_record(row):
+            def to_record(row, *, _drop=no_bounds):
                 d = row.asDict()
                 d.pop("series_id", None)
+                if _drop:
+                    # Prophet uncertainty_samples=0: no interval columns
+                    d.pop("yhat_lower", None)
+                    d.pop("yhat_upper", None)
                 return {_RENAMES.get(k, k): v for k, v in d.items()}
 
             # response wrapper per app.py:594-607: model/growth/observed

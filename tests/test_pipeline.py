@@ -122,6 +122,59 @@ def test_saturating_growth_clamps(spark, example_request):
             assert rec["prediction_lower_bound"] <= rec["prediction_upper_bound"]
 
 
+def test_analyze_changepoint_knob(spark, example_request):
+    # a provided ChangePointPriorScale selects the piecewise trend path
+    # (README DIVERGENCES #9); the run must still produce full responses
+    import json
+
+    raw = json.load(open(EXAMPLE))
+    corr = raw["analyticsOptions"]["correlations"][0]
+    corr["ChangePointPriorScale"] = 5.0
+    raw["analyticsOptions"]["correlations"] = [corr]
+    req = parse_analyze_request(raw)
+    assert req.correlations[0].changepoint_prior_scale_provided
+    out = analyze(spark, req, lags=3)
+    c = out["correlations"][corr["id"]]
+    preds = c["predictions"]
+    assert len(preds["futureForecasts"]) > 0
+    rec = preds["futureForecasts"][0]
+    assert rec["prediction_lower_bound"] <= rec["prediction_upper_bound"]
+    assert c["regressorCoefficients"][0]["coef"] is not None
+    # default-path result for the same correlation differs: the
+    # changepoint trend is a different model family
+    base = analyze(spark, example_request, lags=3)
+    rec0 = base["correlations"][corr["id"]]["predictions"]["futureForecasts"][0]
+    assert rec0["prediction"] != pytest.approx(rec["prediction"], abs=1e-12)
+
+
+def test_saturating_uncertainty_samples_zero_drops_bounds(spark, example_request):
+    import json
+
+    raw = json.load(open(EXAMPLE))
+    corr = raw["analyticsOptions"]["correlations"][0]
+    corr["ForecastingOptions"] = {"toIndex": {"uncertaintySamples": 0}}
+    raw["analyticsOptions"]["correlations"] = [corr]
+    req = parse_analyze_request(raw)
+    assert req.correlations[0].forecast_options.uncertainty_samples == 0
+    out = saturating_growth(spark, req)
+    recs = out["correlations"][corr["id"]]["predictions"]["futureForecasts"]
+    assert len(recs) > 0
+    for rec in recs:
+        assert "prediction_lower_bound" not in rec
+        assert "prediction_upper_bound" not in rec
+        assert "prediction" in rec
+
+
+def test_uncertainty_samples_validation():
+    from temporal_retriever_spark.api.models import ForecastOptions
+
+    ForecastOptions(uncertainty_samples=0)  # Prophet's disable value: OK
+    with pytest.raises(ValueError):
+        ForecastOptions(uncertainty_samples=-1)
+    with pytest.raises(ValueError):
+        ForecastOptions(changepoint_prior_scale=0.0)
+
+
 def test_saturating_growth_single(spark, example_request):
     out = saturating_growth_single(
         spark,
