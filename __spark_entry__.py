@@ -51,6 +51,7 @@ from temporal_retriever_spark.llm.dedup import (
 )
 from temporal_retriever_spark.llm.similarity import (
     cosine_topk,
+    embedding_near_dup_pairs,
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
@@ -578,6 +579,65 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_COS_T = 0.35  # the synthetic embeddings have no true near-dups
+#                        (max cosine ≈ 0.51); 0.35 yields a few hundred
+#                        pairs at both test SFs — enough to exercise the
+#                        pair contract and measure LSH recall honestly
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 embedding-cosine near-dup pairs, exact path (the oracle
+    mirror is a DuckDB list_cosine_similarity self-join)."""
+    out = embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=_NEARDUP_COS_T, method="exact"
+    )
+    return out.select(
+        "left_id",
+        "right_id",
+        F.round(F.col("cosine") + F.lit(_ROUND_OFFSET), 4).alias("cosine"),
+    )
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dups vs exact: aggregate recall gate.
+
+    Precision is 1.0 by construction (every candidate is exact-cosine
+    verified); the contract measures RECALL against the exact pairs and
+    emits one row the oracle can also compute: (threshold, n_exact,
+    recall_pass). At this fixture's weak similarity level (θ ≈ 69°)
+    sign-LSH needs shallow buckets: 2 planes × 12 OR-tables give
+    per-pair collision ≥ 0.997, measured recall 1.0 at sf0.001/0.01.
+    The 0.8 gate leaves margin. True near-dup thresholds (≥0.9) reach
+    the same recall with deep 6-plane buckets and far fewer candidates.
+    """
+    emb = _embeddings(spark, sf_dir)
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    exact = embedding_near_dup_pairs(
+        emb, threshold=_NEARDUP_COS_T, method="exact"
+    ).select("left_id", "right_id")
+    lsh = embedding_near_dup_pairs(
+        emb,
+        threshold=_NEARDUP_COS_T,
+        method="lsh",
+        n_planes=2,
+        n_tables=12,
+        dim=dim,
+    ).select("left_id", "right_id")
+    hits = exact.join(lsh, on=["left_id", "right_id"], how="left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+        .select(
+            F.lit(_NEARDUP_COS_T).alias("threshold"),
+            F.col("n_exact"),
+            (
+                F.col("_n_hit").cast("double")
+                >= F.lit(0.8) * F.col("n_exact").cast("double")
+            ).alias("recall_pass"),
+        )
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
@@ -700,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     }
 
 
@@ -1417,6 +1479,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank,
                    ROUND(cosine + {_ROUND_OFFSET!r}, 4) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "embedding_near_dups": f"""
+            WITH p AS (
+                SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS c
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT left_id, right_id,
+                   ROUND(c + {_ROUND_OFFSET!r}, 4) AS cosine
+            FROM p WHERE c >= {_NEARDUP_COS_T!r}
+        """,
+        "embedding_near_dups_lsh": f"""
+            SELECT CAST({_NEARDUP_COS_T!r} AS DOUBLE) AS threshold,
+                   COUNT(*) AS n_exact,
+                   CAST(TRUE AS BOOLEAN) AS recall_pass
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {_NEARDUP_COS_T!r}
         """,
         "lang_id": _lang_id_oracle(),
         # granger_click_view (maxlag=5): dense lstsq + F CDF, not

@@ -31,6 +31,7 @@ from temporal_retriever_spark.llm.dedup import (
 from temporal_retriever_spark.llm.similarity import (
     cosine_similarity_expr,
     cosine_topk,
+    embedding_near_dup_pairs,
     lsh_cosine_topk,
 )
 
@@ -54,5 +55,6 @@ __all__ = [
     "word_shingles",
     "cosine_similarity_expr",
     "cosine_topk",
+    "embedding_near_dup_pairs",
     "lsh_cosine_topk",
 ]

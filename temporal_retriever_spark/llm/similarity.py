@@ -320,3 +320,105 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "cosine")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """§2.10 embedding-cosine near-duplicate pairs.
+
+    Output: (left_id, right_id, cosine) with left_id < right_id and
+    cosine ≥ threshold — the embedding-space sibling of the MinHash /
+    SimHash text near-dup operators (same pair contract, so
+    ``duplicate_clusters`` consumes either).
+
+    ``method="exact"``: all-pairs comparison — O(n²), the
+    verifier/oracle path (DuckDB mirror: ``list_cosine_similarity``).
+    Only for fixtures and for verifying the blocked path on samples.
+
+    ``method="lsh"``: the 100-TB path. Hyperplane sign-buckets over
+    ``n_tables`` OR-amplified tables block the corpus; candidate pairs
+    come only from shared (table, bucket) cells — expected
+    n_tables·Σ_b |b|²/2, sub-quadratic for spread buckets — then exact
+    cosine verifies every candidate, so precision is 1.0 by
+    construction and only recall is approximate (measured by the
+    ``embedding_near_dups_lsh`` contract query, not assumed). Near-dup
+    pairs have small angle θ, so P[one table misses] =
+    (1−(1−θ/π)^n_planes)^n_tables drops geometrically in n_tables.
+    Pair dedup happens on (left, right) ids BEFORE vectors are
+    re-attached (two id-keyed shuffle joins), keeping the wide rows off
+    the distinct.
+    """
+    if method == "exact":
+        left = df.select(
+            F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")
+        )
+        right = df.select(
+            F.col(id_col).alias("right_id"), F.col(vec_col).alias("_rv")
+        )
+        pairs = left.join(right, on=F.col("left_id") < F.col("right_id"))
+    elif method == "lsh":
+        if dim is None:
+            first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+            dim = first[0]["d"] if first else 0
+        tables = [
+            _hyperplanes(dim, n_planes, seed + 7919 * t)
+            for t in range(n_tables)
+        ]
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket_expr(vec_col, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        cells = df.select(
+            F.col(id_col), F.explode(buckets).alias("_b")
+        ).select(
+            F.col(id_col),
+            F.col("_b.table").alias("_table"),
+            F.col("_b.bucket").alias("_bucket"),
+        )
+        cand = (
+            cells.select(
+                F.col(id_col).alias("left_id"), "_table", "_bucket"
+            )
+            .join(
+                cells.select(
+                    F.col(id_col).alias("right_id"), "_table", "_bucket"
+                ),
+                on=["_table", "_bucket"],
+            )
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id")
+            .distinct()
+        )
+        pairs = cand.join(
+            df.select(
+                F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")
+            ),
+            on="left_id",
+        ).join(
+            df.select(
+                F.col(id_col).alias("right_id"), F.col(vec_col).alias("_rv")
+            ),
+            on="right_id",
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    cos = cosine_similarity_expr("_lv", "_rv")
+    return (
+        pairs.select("left_id", "right_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

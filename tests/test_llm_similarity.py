@@ -109,3 +109,83 @@ def test_lsh_topk_recall(tables):
         for r in lsh_cosine_topk(emb, queries, k=1, n_planes=4, n_tables=8).collect()
     }
     assert a == a2
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (§2.10)
+# ---------------------------------------------------------------------------
+
+def _planted_neardups(spark):
+    """8 base vectors + near-copies (cosine ≈ 0.999) + unrelated noise."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for b in range(8):
+        base = rng.standard_normal(16)
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        # near-duplicate: tiny perturbation
+        rows.append((vid, [float(x) for x in base + 0.01 * rng.standard_normal(16)]))
+        vid += 1
+    for _ in range(30):
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)])); vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dups_exact_finds_planted(spark):
+    from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs
+
+    df = _planted_neardups(spark)
+    pairs = embedding_near_dup_pairs(df, threshold=0.95, method="exact").collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    want = {(2 * b, 2 * b + 1) for b in range(8)}
+    assert got == want
+    assert all(r["cosine"] >= 0.95 for r in pairs)
+
+
+def test_embedding_near_dups_lsh_matches_exact_on_planted(spark):
+    from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs
+
+    df = _planted_neardups(spark)
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, method="lsh", n_planes=6, n_tables=8, dim=16
+        ).collect()
+    }
+    # precision 1.0 by construction (verified), and at cosine≈0.999 the
+    # per-pair collision probability is ~1 − 1e-6 — recall 1.0 here
+    assert lsh == exact
+
+
+def test_embedding_near_dups_feeds_duplicate_clusters(spark):
+    from temporal_retriever_spark.llm.dedup import duplicate_clusters
+    from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs
+    from pyspark.sql import functions as F
+
+    df = _planted_neardups(spark)
+    pairs = embedding_near_dup_pairs(df, threshold=0.95, method="exact").select(
+        F.col("left_id").cast("string").alias("id_a"),
+        F.col("right_id").cast("string").alias("id_b"),
+    )
+    clusters = duplicate_clusters(pairs).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert len(by_cluster) == 8
+    assert all(len(v) == 2 for v in by_cluster.values())
+
+
+def test_embedding_near_dups_bad_method(spark):
+    import pytest
+    from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(_planted_neardups(spark), method="bogus").collect()
