@@ -27,7 +27,7 @@ def build_queries(spark):
 
     from temporal_retriever_spark.aggregate import bucket_aggregate
     from temporal_retriever_spark.align import align_series, coalesce_actuals
-    from temporal_retriever_spark.diagnostics import acf, pacf
+    from temporal_retriever_spark.diagnostics import acf_pacf
     from temporal_retriever_spark.forecast import (
         forecast_linear_seasonal,
         forecast_with_covariate,
@@ -51,13 +51,24 @@ def build_queries(spark):
         )
 
     def b2():
+        # all 5 aggregations per grain in ONE pass (extra_aggs): 3 scans
+        # + 3 shuffles total instead of 15 of each; stack() unpivots to
+        # the long (case, ds, y) shape as a pure projection
+        aggs = ("sum", "min", "max", "mean", "median")
         out = None
         for grain in ("D", "W", "M"):
-            for agg in ("sum", "min", "max", "mean", "median"):
-                df = bucket_aggregate(orders, grain=grain, agg=agg).select(
-                    F.lit(f"{grain}-{agg}").alias("case"), "ds", "y"
-                )
-                out = df if out is None else out.unionByName(df)
+            wide = bucket_aggregate(
+                orders,
+                grain=grain,
+                agg=aggs[0],
+                extra_aggs={f"_{a}": ("y", a) for a in aggs[1:]},
+            ).withColumnRenamed("y", "_sum")
+            stack_args = ", ".join(f"'{grain}-{a}', _{a}" for a in aggs)
+            long = wide.select(
+                "ds",
+                F.expr(f"stack({len(aggs)}, {stack_args}) AS (case, y)"),
+            ).select("case", "ds", "y")
+            out = long if out is None else out.unionByName(long)
         return out
 
     def b3():
@@ -75,14 +86,11 @@ def build_queries(spark):
         return coalesce_actuals(preds, target)
 
     def b4():
+        # fused: both stats from one window+agg pass (diagnostics.acf_pacf)
         daily = bucket_aggregate(
             events, grain="D", agg="sum", series_cols=("event_type",)
         )
-        return acf(daily, lags=10, series_cols=("event_type",)).unionByName(
-            pacf(daily, lags=10, series_cols=("event_type",)).withColumnsRenamed(
-                {"pacf": "acf"}
-            )
-        )
+        return acf_pacf(daily, lags=10, series_cols=("event_type",))
 
     def b5():
         daily = bucket_aggregate(

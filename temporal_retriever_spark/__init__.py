@@ -43,6 +43,7 @@ from temporal_retriever_spark.align import (
     split_forecasts,
 )
 from temporal_retriever_spark.diagnostics import (
+    acf_pacf,
     acf,
     describe,
     granger_causality,
@@ -96,6 +97,7 @@ __all__ = [
     "future_grid",
     "split_forecasts",
     "acf",
+    "acf_pacf",
     "describe",
     "granger_causality",
     "granger_lag1",

@@ -173,26 +173,45 @@ def pacf(
     series_cols: Iterable[str] = ("series_id",),
     ts_col: str = "ds",
     value_col: str = "y",
-    method: str = "native",
+    method: str = "auto",
 ) -> DataFrame:
     """W2: partial autocorrelation per series.
 
-    ``method="native"`` (default): the Yule-Walker solution computed by
-    the Durbin-Levinson recursion entirely in native expressions — the
+    ``method="native"``: the Yule-Walker solution computed by the
+    Durbin-Levinson recursion entirely in native expressions — the
     lag-product sums are one window sort + one aggregation (identical
     shape to ACF), the recursion is per-series scalar arithmetic on the
-    aggregated row. No Python touches the row stream; this is the
-    100-TB path AND it is oracle-checkable (the same expression strings
-    feed the DuckDB oracle).
+    aggregated row. No Python touches the row stream AND it is
+    oracle-checkable (the same expression strings feed the DuckDB
+    oracle). Caveat: Catalyst inlines the recursion's chained
+    projections, so the expression tree grows super-linearly in
+    ``lags`` — past ~6 lags plan compilation dominates runtime.
+
+    ``method="sums_udf"``: IDENTICAL lag-product sums (one window sort
+    + one aggregation — the distributed work is unchanged), but the
+    Durbin-Levinson recursion runs in numpy over the one-row-per-series
+    aggregate via mapInPandas, with the same float64 operations in the
+    same order as the native stage strings. Python touches (lags+1)
+    doubles per series, never the row stream — this stays the 100-TB
+    shape at any lag count.
+
+    ``method="auto"`` (default): native for ``lags`` ≤ 6, sums_udf
+    above.
 
     ``method="yw_udf"``: the original grouped-pandas formulation
     (numpy Toeplitz solve per series) — statsmodels
     ``pacf(method='ywadjusted')`` parity reference (core.py:24-27).
     Emits only lags feasible for the series length (k ≤ n//2 − 1),
-    where the native path emits NULL for infeasible lags.
+    where the other paths emit NULL for infeasible lags.
     """
+    if method == "auto":
+        method = "native" if lags <= 6 else "sums_udf"
     if method == "native":
         return _pacf_native(
+            df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
+        )
+    if method == "sums_udf":
+        return _pacf_from_sums(
             df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
         )
     if method != "yw_udf":
@@ -216,6 +235,29 @@ def pacf(
     return df.groupBy(*series_cols).applyInPandas(compute, schema)
 
 
+def _lag_product_sums(
+    df: DataFrame,
+    *,
+    lags: int,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared distributed stage: (series, n, s0, s1..sk) where
+    s_k = Σ d_t·d_{t−k} with d centered by the full-series mean —
+    one window sort + one aggregation regardless of k."""
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
+    for k in range(1, lags + 1):
+        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
+    return d.groupBy(*series_cols).agg(
+        F.count("_d").alias("n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("s0"),
+        *[F.sum(f"_p{k}").alias(f"s{k}") for k in range(1, lags + 1)],
+    )
+
+
 def _pacf_native(
     df: DataFrame,
     *,
@@ -226,15 +268,8 @@ def _pacf_native(
 ) -> DataFrame:
     """Durbin-Levinson PACF on lag-product sums — fully native."""
     series_cols = list(series_cols)
-    w = Window.partitionBy(*series_cols)
-    ws = w.orderBy(ts_col)
-    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
-    for k in range(1, lags + 1):
-        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
-    agg = d.groupBy(*series_cols).agg(
-        F.count("_d").alias("n"),
-        F.sum(F.col("_d") * F.col("_d")).alias("s0"),
-        *[F.sum(f"_p{k}").alias(f"s{k}") for k in range(1, lags + 1)],
+    agg = _lag_product_sums(
+        df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
     )
     cur = agg
     for name, expr in durbin_levinson_stages(lags):
@@ -251,6 +286,149 @@ def _pacf_native(
     return cur.select(*series_cols, F.explode(pairs).alias("_e")).select(
         *series_cols, F.col("_e.lag").alias("lag"), F.col("_e.pacf").alias("pacf")
     )
+
+
+def _durbin_levinson(n: int, s: "np.ndarray", lags: int) -> "np.ndarray":
+    """Durbin-Levinson over the lag-product sums, float64, with the SAME
+    operations in the SAME order as ``durbin_levinson_stages`` — the
+    sums_udf path must be numerically indistinguishable from the native
+    stage expressions."""
+    out = np.full(lags + 1, np.nan)
+    out[0] = 1.0
+    rho = np.full(lags + 1, np.nan)
+    for k in range(1, lags + 1):
+        if n > k and s[0] != 0.0:
+            rho[k] = (s[k] / float(n - k)) / (s[0] / float(n))
+    phi_prev = np.full(lags + 1, np.nan)
+    if lags >= 1:
+        phi_prev[1] = rho[1]
+        out[1] = rho[1]
+    for k in range(2, lags + 1):
+        num = rho[k]
+        acc = 0.0
+        for j in range(1, k):
+            acc = acc + phi_prev[j] * rho[k - j]
+        num = num - acc
+        den_acc = 0.0
+        for j in range(1, k):
+            den_acc = den_acc + phi_prev[j] * rho[j]
+        den = 1.0 - den_acc
+        phi_kk = num / den if den != 0.0 else np.nan
+        phi_cur = np.full(lags + 1, np.nan)
+        phi_cur[k] = phi_kk
+        for j in range(1, k):
+            phi_cur[j] = phi_prev[j] - phi_kk * phi_prev[k - j]
+        phi_prev = phi_cur
+        out[k] = phi_kk
+    return out
+
+
+def _pacf_from_sums(
+    df: DataFrame,
+    *,
+    lags: int,
+    series_cols: Iterable[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """PACF = Durbin-Levinson in numpy over the per-series sums row.
+
+    Same distributed aggregation as the native path; only the scalar
+    recursion (O(lags²) flops on lags+1 doubles per series) moves to a
+    mapInPandas over the one-row-per-series aggregate — Catalyst never
+    sees the recursion, so plan compilation stays flat in ``lags``.
+    """
+    series_cols = list(series_cols)
+    agg = _lag_product_sums(
+        df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
+    )
+    schema = StructType(
+        [StructField(c, df.schema[c].dataType) for c in series_cols]
+        + [StructField("lag", IntegerType()), StructField("pacf", DoubleType())]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                s = np.array(
+                    [row["s0"]] + [row[f"s{k}"] for k in range(1, lags + 1)],
+                    dtype=np.float64,
+                )
+                vals = _durbin_levinson(int(row["n"]), s, lags)
+                frame = pd.DataFrame(
+                    {"lag": np.arange(lags + 1, dtype=np.int32), "pacf": vals}
+                )
+                for c in series_cols:
+                    frame[c] = row[c]
+                frames.append(frame[series_cols + ["lag", "pacf"]])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return agg.mapInPandas(compute, schema)
+
+
+def acf_pacf(
+    df: DataFrame,
+    *,
+    lags: int = 10,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Fused W1+W2: ACF and PACF from ONE pass over the data.
+
+    Both statistics are functions of the same per-series lag-product
+    sums (acf_k = s_k/s0; pacf = Durbin-Levinson over the adjusted
+    autocorrelations), so the window sort + aggregation runs once and a
+    single mapInPandas over the one-row-per-series aggregate emits both
+    columns — one Spark job where the unfused ``acf``/``pacf`` pair
+    runs the identical distributed work twice. Arithmetic matches the
+    standalone operators (same float64 ops, same order).
+
+    Output: (series, lag, acf, pacf), lag 0 = (1.0, 1.0).
+    """
+    series_cols = list(series_cols)
+    agg = _lag_product_sums(
+        df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
+    )
+    schema = StructType(
+        [StructField(c, df.schema[c].dataType) for c in series_cols]
+        + [
+            StructField("lag", IntegerType()),
+            StructField("acf", DoubleType()),
+            StructField("pacf", DoubleType()),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                s = np.array(
+                    [row["s0"]] + [row[f"s{k}"] for k in range(1, lags + 1)],
+                    dtype=np.float64,
+                )
+                acf_vals = np.full(lags + 1, np.nan)
+                acf_vals[0] = 1.0
+                if s[0] != 0.0:
+                    for k in range(1, lags + 1):
+                        acf_vals[k] = s[k] / s[0]
+                pacf_vals = _durbin_levinson(int(row["n"]), s, lags)
+                frame = pd.DataFrame(
+                    {
+                        "lag": np.arange(lags + 1, dtype=np.int32),
+                        "acf": acf_vals,
+                        "pacf": pacf_vals,
+                    }
+                )
+                for c in series_cols:
+                    frame[c] = row[c]
+                frames.append(frame[series_cols + ["lag", "acf", "pacf"]])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return agg.mapInPandas(compute, schema)
 
 
 def granger_lag1(

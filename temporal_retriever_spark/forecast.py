@@ -234,6 +234,7 @@ def forecast_with_covariate(
     value_col: str = "y",
     cov_col: str = "cov",
     materialize_covariate: bool = False,
+    materialize_history: bool = True,
     include_bounds: bool = True,
     quantiles: tuple[float, float] = (0.05, 0.95),
 ) -> DataFrame:
@@ -262,7 +263,12 @@ def forecast_with_covariate(
     ``materialize_covariate=True`` localCheckpoints the covariate frame
     first: it is referenced twice in the plan (history join + future
     grid join), and when it is itself a forecast sub-plan, truncating
-    the lineage roughly halves execution.
+    the lineage roughly halves execution. ``materialize_history``
+    (default True) does the same for the joined history frame, which
+    the fit/residual/seasonal/quantile stages reference four times —
+    it holds BUCKETED data (series × buckets, already reduced), so at
+    100 TB it is orders of magnitude smaller than the raw scan it
+    truncates.
     """
     series_cols = list(series_cols)
     if materialize_covariate:
@@ -272,6 +278,8 @@ def forecast_with_covariate(
         on=[*series_cols, ts_col],
         how="inner",
     )
+    if materialize_history:
+        joined = joined.localCheckpoint(eager=True)
     t = _time_index(F.col(ts_col))
     hist = joined.withColumn("_t", t)
 
@@ -717,6 +725,7 @@ def forecast_covariate_changepoint(
     value_col: str = "y",
     cov_col: str = "cov",
     materialize_covariate: bool = False,
+    materialize_history: bool = True,
     include_bounds: bool = True,
     quantiles: tuple[float, float] = (0.05, 0.95),
 ) -> DataFrame:
@@ -735,6 +744,8 @@ def forecast_covariate_changepoint(
         on=[*series_cols, ts_col],
         how="inner",
     )
+    if materialize_history:
+        joined = joined.localCheckpoint(eager=True)
     params = fit_changepoint_trend(
         joined,
         n_changepoints=n_changepoints,

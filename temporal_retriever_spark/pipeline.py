@@ -37,11 +37,10 @@ from temporal_retriever_spark.aggregate import bucket_aggregate, date_bounds
 from temporal_retriever_spark.align import coalesce_actuals, split_forecasts
 from temporal_retriever_spark.api.models import AnalyzeRequest, Correlation
 from temporal_retriever_spark.diagnostics import (
-    acf,
+    acf_pacf,
     default_nlags,
     describe,
     granger_causality,
-    pacf,
 )
 from temporal_retriever_spark.forecast import (
     forecast_changepoint,
@@ -191,14 +190,18 @@ def analyze(
                 )
             ]
 
-        # ---- stage 3: one ACF plan + one PACF plan over all series -------
+        # ---- stage 3: ONE fused ACF+PACF job over all series -------------
+        # both derive from the same lag-product sums; acf_pacf runs the
+        # window+agg once and emits both columns in a single action
         if lags is not None:
             k_by_sid = {sid: lags for sid in stats}
         else:
             k_by_sid = {sid: default_nlags(stats[sid]["n"]) for sid in stats}
         k_max = max(max(k_by_sid.values()), 1)
-        acf_rows = acf(prepared, lags=k_max, series_cols=("series_id",)).collect()
-        pacf_rows = pacf(prepared, lags=k_max, series_cols=("series_id",)).collect()
+        diag_rows = acf_pacf(
+            prepared, lags=k_max, series_cols=("series_id",)
+        ).collect()
+        acf_rows = pacf_rows = diag_rows
 
         # ---- stage 4+5: all forecasts in one plan per grain --------------
         # both legs are rekeyed to the correlation id (shared PREP is one
@@ -295,6 +298,10 @@ def analyze(
                     # the covariate grid is referenced twice in the plan;
                     # truncating its (forecast sub-plan) lineage ~halves cost
                     materialize_covariate=True,
+                    # targets derive from the cached `prepared` frame via a
+                    # broadcast mapping join — an extra checkpoint job would
+                    # cost more than the recompute it saves
+                    materialize_history=False,
                 )
             else:
                 pred = forecast_covariate_changepoint(
@@ -305,6 +312,7 @@ def analyze(
                     n_changepoints=N_CHANGEPOINTS,
                     changepoint_prior_scale=cps,
                     materialize_covariate=True,
+                    materialize_history=False,
                 )
             pred_rows.extend(pred.orderBy("series_id", "ds").collect())
 
@@ -659,6 +667,7 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 grain=g,
                 horizon=case_over_ids(tgt_horizons),
                 materialize_covariate=True,
+                materialize_history=False,
             ).select(
                 "series_id", "ds",
                 clamp_case(tgt_caps, F.col("yhat")).alias("yhat"),

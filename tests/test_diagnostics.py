@@ -88,6 +88,74 @@ def test_pacf_udf_matches_local(spark, tables):
             assert abs(got[(et, k)] - want[k]) < 1e-10, (et, k)
 
 
+def test_pacf_sums_udf_matches_native(spark, tables):
+    # the sums_udf path must reproduce the native Durbin-Levinson stage
+    # arithmetic bit-for-bit (same sums, same float64 op order)
+    daily = _daily(tables)
+    native = {
+        (r["event_type"], r["lag"]): r["pacf"]
+        for r in pacf(
+            daily, lags=6, series_cols=("event_type",), method="native"
+        ).collect()
+    }
+    sums = {
+        (r["event_type"], r["lag"]): r["pacf"]
+        for r in pacf(
+            daily, lags=6, series_cols=("event_type",), method="sums_udf"
+        ).collect()
+    }
+    assert set(native) == set(sums)
+    for key, v in native.items():
+        w = sums[key]
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            assert w is None or np.isnan(w), key
+        else:
+            assert v == w, key
+
+
+def test_pacf_auto_dispatch(spark, tables):
+    daily = _daily(tables)
+    # lags>6 routes to sums_udf; values must still match yw_udf closely
+    got = {
+        (r["event_type"], r["lag"]): r["pacf"]
+        for r in pacf(daily, lags=10, series_cols=("event_type",)).collect()
+    }
+    local = daily.toPandas()
+    for et, group in local.groupby("event_type"):
+        y = group.sort_values("ds")["y"].to_numpy()
+        want = _yule_walker_pacf(y, 10)
+        for k in range(11):
+            assert abs(got[(et, k)] - want[k]) < 1e-10, (et, k)
+
+
+def test_acf_pacf_fused_matches_standalone(spark, tables):
+    from temporal_retriever_spark.diagnostics import acf_pacf
+
+    daily = _daily(tables)
+    fused = {
+        (r["event_type"], r["lag"]): (r["acf"], r["pacf"])
+        for r in acf_pacf(daily, lags=8, series_cols=("event_type",)).collect()
+    }
+    acf_alone = {
+        (r["event_type"], r["lag"]): r["acf"]
+        for r in acf(daily, lags=8, series_cols=("event_type",)).collect()
+    }
+    pacf_alone = {
+        (r["event_type"], r["lag"]): r["pacf"]
+        for r in pacf(
+            daily, lags=8, series_cols=("event_type",), method="sums_udf"
+        ).collect()
+    }
+    assert set(fused) == set(acf_alone) == set(pacf_alone)
+    for key, (a, p) in fused.items():
+        assert a == acf_alone[key] or (np.isnan(a) and acf_alone[key] is None)
+        wp = pacf_alone[key]
+        if p is None or (isinstance(p, float) and np.isnan(p)):
+            assert wp is None or np.isnan(wp)
+        else:
+            assert p == wp
+
+
 def test_pacf_ar1_property(spark):
     # AR(1): pacf(1) ~ phi, pacf(k>1) ~ 0
     rng = np.random.default_rng(42)
