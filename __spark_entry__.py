@@ -55,6 +55,11 @@ from temporal_retriever_spark.llm.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
+from temporal_retriever_spark.llm.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+)
 from temporal_retriever_spark.llm.text import (
     _LANG_MARKERS,
     _STOPWORDS,
@@ -715,6 +720,77 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, ann, k=5, min_hits=2)
 
 
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from `documents`: payload =
+    UTF-8 bytes of the text, type cycles by doc_id, duration is a pure
+    function of doc_id — every downstream stub-kernel output is
+    therefore reproducible in ANSI SQL (sha256 over strings), which is
+    what lets the multimodal plumbing be oracle-checked end-to-end."""
+    docs = _documents(spark, sf_dir)
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        ((F.col("doc_id") % 3) + 1).cast("int"),
+    )
+    duration = F.when(
+        F.col("doc_id") % 3 != 0,
+        (F.lit(200) * (F.lit(1) + F.col("doc_id") % 7)).cast("long"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("raw").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            duration.alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal: Arrow-batched feature extraction via
+    mapInPandas. Features are the deterministic sha256 stand-in
+    (digest bytes / 256 — exact dyadics, no rounding needed)."""
+    feats = extract_features(_media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
+    )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal: resize plumbing over image/video payloads.
+    The stub kernel emits the hex sha256 of (payload ‖ '@WxH') so the
+    resized payload is string-reproducible by the oracle."""
+    media = _media_from_documents(spark, sf_dir).filter(
+        F.col("media_type") != "audio"
+    )
+    resized = resize_images(media, width=64, height=48)
+    return resized.select(
+        "media_id",
+        "media_type",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.decode("payload", "UTF-8").alias("resized_digest"),
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal: frame sampling fan-out (one row per
+    ceil(duration/interval) frames, partition-preserving)."""
+    frames = sample_frames(_media_from_documents(spark, sf_dir), interval_ms=300)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ts_ms",
+        F.decode("frame", "UTF-8").alias("frame_digest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bucket_hour_sum": _q_bucket_events("H", "sum"),
@@ -762,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1295,6 +1374,34 @@ _VIEW_DAILY = """
 """
 
 
+def _hexpair_int(expr: str, pos: int) -> str:
+    """SQL for parsing hex digit pair at 1-based `pos` of `expr` to an
+    int (DuckDB has no get_byte; strpos over the hex alphabet is
+    engine-agnostic)."""
+    digit = "strpos('0123456789abcdef', substr({e}, {p}, 1)) - 1"
+    hi = digit.format(e=expr, p=pos)
+    lo = digit.format(e=expr, p=pos + 1)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_MEDIA_FEATURES_ORACLE = (
+    """
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               sha256(text) AS dg,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents)
+    SELECT media_id, media_type, n_bytes, dg AS digest,
+    """
+    + ",\n".join(
+        f"       {_hexpair_int('dg', 2 * i + 1)} / 256.0 AS f{i}" for i in range(8)
+    )
+    + "\n    FROM d"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bucket_hour_sum": (
@@ -1501,6 +1608,37 @@ def oracle_sql() -> dict[str, str]:
                   >= {_NEARDUP_COS_T!r}
         """,
         "lang_id": _lang_id_oracle(),
+        "media_features": _MEDIA_FEATURES_ORACLE,
+        "media_resize": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        ELSE 'video' END AS media_type,
+                   CAST(64 AS INT) AS width,
+                   CAST(48 AS INT) AS height,
+                   sha256(text || '@64x48') AS resized_digest
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INT) <> 1
+        """,
+        "media_frames": """
+            WITH d AS (
+                SELECT doc_id AS media_id, text,
+                       200 * (1 + CAST(doc_id % 7 AS BIGINT)) AS duration_ms
+                FROM documents
+                WHERE CAST(doc_id % 3 AS INT) <> 0
+            ),
+            f AS (
+                SELECT media_id, text,
+                       unnest(generate_series(
+                           0, CAST(CEIL(duration_ms / 300.0) AS BIGINT) - 1
+                       )) AS i
+                FROM d
+            )
+            SELECT media_id,
+                   i AS frame_idx,
+                   i * 300 AS frame_ts_ms,
+                   sha256(text || '#' || CAST(i * 300 AS VARCHAR)) AS frame_digest
+            FROM f
+        """,
         # granger_click_view (maxlag=5): dense lstsq + F CDF, not
         # SQL-expressible -> rows-only driver check (granger_lag1 is
         # the oracle-verified native path)

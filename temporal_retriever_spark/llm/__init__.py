@@ -34,6 +34,17 @@ from temporal_retriever_spark.llm.similarity import (
     embedding_near_dup_pairs,
     lsh_cosine_topk,
 )
+from temporal_retriever_spark.llm.multimodal import (
+    extract_features,
+    media_metadata_stats,
+    repartition_for_payloads,
+    resize_images,
+    sample_frames,
+    set_decoder,
+    set_frame_sampler,
+    set_resizer,
+    synthetic_media,
+)
 
 __all__ = [
     "language_id",
@@ -57,4 +68,13 @@ __all__ = [
     "cosine_topk",
     "embedding_near_dup_pairs",
     "lsh_cosine_topk",
+    "extract_features",
+    "media_metadata_stats",
+    "repartition_for_payloads",
+    "resize_images",
+    "sample_frames",
+    "set_decoder",
+    "set_frame_sampler",
+    "set_resizer",
+    "synthetic_media",
 ]

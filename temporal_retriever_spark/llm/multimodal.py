@@ -58,13 +58,38 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+#: one frame sampled out of a video/audio payload
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
 _DECODER: Callable[[bytes, str], list[float]] | None = None
+_RESIZER: Callable[[bytes, int, int], bytes] | None = None
+_FRAME_SAMPLER: Callable[[bytes, int], bytes] | None = None
 
 
 def set_decoder(fn: Callable[[bytes, str], list[float]] | None) -> None:
     """Install a real decode/feature kernel (payload, media_type) -> vector."""
     global _DECODER
     _DECODER = fn
+
+
+def set_resizer(fn: Callable[[bytes, int, int], bytes] | None) -> None:
+    """Install a real resize kernel (payload, width, height) -> payload."""
+    global _RESIZER
+    _RESIZER = fn
+
+
+def set_frame_sampler(fn: Callable[[bytes, int], bytes] | None) -> None:
+    """Install a real frame-decode kernel (payload, ts_ms) -> frame bytes."""
+    global _FRAME_SAMPLER
+    _FRAME_SAMPLER = fn
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -109,6 +134,134 @@ def extract_features(
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: the hex sha256 of (payload ‖
+    '@WxH'), ASCII-encoded. A real kernel returns re-encoded pixels; the
+    stub returns a 64-byte proxy that is (a) a pure function of the
+    inputs and (b) reproducible by any engine that can hash strings —
+    which is what makes the plumbing oracle-checkable end-to-end."""
+    tag = f"@{width}x{height}".encode()
+    return hashlib.sha256(payload + tag).hexdigest().encode()
+
+
+def resize_images(
+    media: DataFrame, *, width: int, height: int, use_stub: bool = True
+) -> DataFrame:
+    """Resize image/video payloads via ``mapInPandas`` (Arrow batches).
+
+    Audio rows pass through untouched (no spatial dims). The output
+    keeps ``MEDIA_SCHEMA``; ``meta.width``/``meta.height`` are set to
+    the target for resized rows. With ``use_stub=True`` the pixel
+    kernel is the deterministic sha256 stand-in (`_stub_resize`); a
+    real decoder installed via ``set_resizer`` rides the identical
+    plumbing. The batch shape matters at scale: payloads stream
+    through Arrow once, nothing is collected, and the binary column
+    never shuffles (narrow transformation — partitioning preserved).
+    """
+    if not use_stub and _RESIZER is None:
+        raise NotImplementedError(
+            "no resize kernel installed; call set_resizer(fn) or use use_stub=True"
+        )
+    resizer = _RESIZER if not use_stub else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            spatial = out["media_type"].isin(("image", "video"))
+            resized = [
+                (resizer or _stub_resize)(p, width, height) if s else p
+                for p, s in zip(out["payload"], spatial)
+            ]
+            out["payload"] = resized
+            out["meta"] = [
+                {**(m or {}), "width": width, "height": height} if s else m
+                for m, s in zip(out["meta"], spatial)
+            ]
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _stub_frame(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic frame stand-in: hex sha256 of (payload ‖ '#ts'),
+    ASCII-encoded — same oracle-checkable contract as `_stub_resize`."""
+    return hashlib.sha256(payload + b"#" + str(ts_ms).encode()).hexdigest().encode()
+
+
+def sample_frames(
+    media: DataFrame, *, interval_ms: int = 500, use_stub: bool = True
+) -> DataFrame:
+    """Sample frames every ``interval_ms`` from timed payloads.
+
+    One input row fans out to ``ceil(duration_ms / interval_ms)`` frame
+    rows at timestamps 0, interval, 2·interval, …; rows with NULL
+    ``meta.duration_ms`` (e.g. still images) emit nothing. This is the
+    flat-map shape of video decode at scale: the expansion happens
+    inside ``mapInPandas`` so frames inherit the payload's partition —
+    no shuffle — and downstream feature extraction runs where the bytes
+    already live. With ``use_stub=True`` frames are the deterministic
+    sha256 stand-in; ``set_frame_sampler`` installs a real decoder on
+    the identical plumbing.
+    """
+    if interval_ms <= 0:
+        raise ValueError("interval_ms must be positive")
+    if not use_stub and _FRAME_SAMPLER is None:
+        raise NotImplementedError(
+            "no frame kernel installed; call set_frame_sampler(fn) or use use_stub=True"
+        )
+    sampler = _FRAME_SAMPLER if not use_stub else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, idxs, tss, frames = [], [], [], [], []
+            for mid, mtype, payload, meta in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                duration = (meta or {}).get("duration_ms")
+                if duration is None or pd.isna(duration):
+                    continue
+                n_frames = -(-int(duration) // interval_ms)  # ceil
+                for i in range(n_frames):
+                    ts = i * interval_ms
+                    ids.append(mid)
+                    types.append(mtype)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append((sampler or _stub_frame)(payload, ts))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def repartition_for_payloads(
+    media: DataFrame, *, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Right-size partitions for binary-heavy frames.
+
+    Parquet row-group splitting under ``maxPartitionBytes`` uses the
+    *encoded* size; decoded payloads can be far larger, so a partition
+    that scans fine can still blow executor memory once materialized in
+    an Arrow batch. This helper measures the actual payload bytes (one
+    metadata-cheap aggregate — the scan reads only octet lengths) and
+    repartitions so each partition carries ≈``target_partition_bytes``.
+    The repartition IS a payload shuffle — use it once at ingest,
+    before fan-out stages like `sample_frames`, not per-query.
+    """
+    total = media.select(
+        F.sum(F.octet_length("payload")).alias("b")
+    ).first()["b"] or 0
+    n = max(1, -(-int(total) // int(target_partition_bytes)))
+    return media.repartition(n)
 
 
 def media_metadata_stats(media: DataFrame) -> DataFrame:
