@@ -27,6 +27,7 @@ correlation response dicts from already-distributed computations.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Any
 
@@ -198,10 +199,11 @@ def analyze(
         else:
             k_by_sid = {sid: default_nlags(stats[sid]["n"]) for sid in stats}
         k_max = max(max(k_by_sid.values()), 1)
-        diag_rows = acf_pacf(
-            prepared, lags=k_max, series_cols=("series_id",)
-        ).collect()
-        acf_rows = pacf_rows = diag_rows
+
+        def run_diagnostics() -> list:
+            return acf_pacf(
+                prepared, lags=k_max, series_cols=("series_id",)
+            ).collect()
 
         # ---- stage 4+5: all forecasts in one plan per grain --------------
         # both legs are rekeyed to the correlation id (shared PREP is one
@@ -246,8 +248,8 @@ def analyze(
             )
             for c in prophet_corrs
         }
-        pred_rows: list = []
-        for g, cps in fold_keys:
+
+        def run_fold(g, cps) -> list:
             corrs_g = [
                 c
                 for c in prophet_corrs
@@ -314,18 +316,17 @@ def analyze(
                     materialize_covariate=True,
                     materialize_history=False,
                 )
-            pred_rows.extend(pred.orderBy("series_id", "ds").collect())
+            return pred.orderBy("series_id", "ds").collect()
 
         # ---- granger correlations: aligned pairs, ONE grouped-UDF plan ---
         # type="granger" is declared in the reference enum (app.py:33) but
         # never implemented there; semantics follow the notebook prototype
         # (Untitled.ipynb cell 12): detrended ssr F-tests per lag.
-        granger_rows: list = []
-        if granger_corrs:
+        def run_granger() -> list:
             tgt = rekey(granger_corrs, cov=False)
             cov_leg = rekey(granger_corrs, cov=True).withColumnRenamed("y", "x")
             pair = tgt.join(cov_leg, on=["series_id", "ds"], how="inner")
-            granger_rows = granger_causality(
+            return granger_causality(
                 pair, maxlag=14, series_cols=("series_id",)
             ).collect()
 
@@ -359,18 +360,42 @@ def analyze(
         stats_corrs = [
             c for c in request.correlations if c.type == "univariateStatistics"
         ]
-        describe_by_sid: dict[str, Any] = {}
-        if stats_corrs:
+
+        def run_describe() -> dict:
             wanted = {
                 leg_sid(c, cov=cov) for c in stats_corrs for cov in (True, False)
             }
-            describe_by_sid = {
+            return {
                 r["series_id"]: r
                 for r in describe(
                     prepared.filter(F.col("series_id").isin(list(wanted))),
                     series_cols=("series_id",),
                 ).collect()
             }
+
+        # ---- concurrent fan-out: the stage chains above are independent
+        # Spark jobs over the (already materialized by the stats action)
+        # cached `prepared` frame, so they submit from separate driver
+        # threads and the scheduler runs them simultaneously — the wall
+        # clock is the longest chain (the covariate forecast), not the
+        # sum. Plan construction (py4j-bound) overlaps with execution of
+        # the other chains for free.
+        with ThreadPoolExecutor(
+            max_workers=3 + max(len(fold_keys), 1)
+        ) as pool:
+            f_diag = pool.submit(run_diagnostics)
+            f_folds = [pool.submit(run_fold, g, cps) for g, cps in fold_keys]
+            f_granger = pool.submit(run_granger) if granger_corrs else None
+            f_describe = pool.submit(run_describe) if stats_corrs else None
+            diag_rows = f_diag.result()
+            pred_rows: list = []
+            for f in f_folds:
+                pred_rows.extend(f.result())
+            granger_rows: list = f_granger.result() if f_granger else []
+            describe_by_sid: dict[str, Any] = (
+                f_describe.result() if f_describe else {}
+            )
+        acf_rows = pacf_rows = diag_rows
 
         for corr in request.correlations:
             cov_sid = leg_sid(corr, cov=True)
@@ -595,8 +620,8 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
         fold_keys = {
             (normalize_grain(c.grain), corr_cps(c)) for c in request.correlations
         }
-        pred_rows: list = []
-        for g, cps in fold_keys:
+
+        def run_fold(g, cps) -> list:
             corrs_g = [
                 c
                 for c in request.correlations
@@ -677,7 +702,15 @@ def saturating_growth(spark: SparkSession, request: AnalyzeRequest) -> dict:
                 clamp_case(tgt_caps, F.col("yhat_lower")).alias("yhat_lower"),
                 clamp_case(tgt_caps, F.col("yhat_upper")).alias("yhat_upper"),
             )
-            pred_rows.extend(pred.orderBy("series_id", "ds").collect())
+            return pred.orderBy("series_id", "ds").collect()
+
+        # grain folds are independent job chains over the cached
+        # `prepared` frame (materialized by the stats action) — submit
+        # them concurrently, same as `analyze`
+        pred_rows: list = []
+        with ThreadPoolExecutor(max_workers=max(len(fold_keys), 1)) as pool:
+            for f in [pool.submit(run_fold, g, cps) for g, cps in fold_keys]:
+                pred_rows.extend(f.result())
 
         for corr in request.correlations:
             max_hist = stats[leg_sid(corr, cov=False)]["max_ds"]
