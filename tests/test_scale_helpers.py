@@ -62,3 +62,43 @@ def test_partitioned_write_prunes(spark, tables):
         assert one_day.count() == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tables):
+    from temporal_retriever_spark.sources.writers import write_bucketed
+
+    daily = bucket_aggregate(
+        tables["events"]
+        .withColumnRenamed("ts", "ds")
+        .withColumnRenamed("value", "y"),
+        grain="D",
+        agg="sum",
+        series_cols=("event_type",),
+    )
+    cov = daily.withColumnRenamed("y", "cov")
+    try:
+        write_bucketed(daily, "t_target", bucket_cols=("event_type",), num_buckets=4)
+        write_bucketed(cov, "t_cov", bucket_cols=("event_type",), num_buckets=4)
+        a = spark.table("t_target")
+        b = spark.table("t_cov").select("event_type", "ds", "cov")
+        # disable broadcast so the co-located layout (not size) carries it;
+        # allow the bucket key (series) to satisfy the (series, ds) join —
+        # equal series implies same bucket, so no shuffle is needed
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_req = with_conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with_conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        try:
+            joined = a.join(b, on=["event_type", "ds"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # identically-bucketed tables: the join key prefix matches the
+            # bucket spec, so neither side shuffles
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert joined.count() == daily.count()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            with_conf.set("spark.sql.requireAllClusterKeysForCoPartition", old_req)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_target")
+        spark.sql("DROP TABLE IF EXISTS t_cov")
