@@ -720,6 +720,149 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, ann, k=5, min_hits=2)
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 composite: quality gate + language gate + exact dedup in
+    one operator (llm.corpus.prepare_corpus) — the raw-crawl → clean-
+    corpus step of a training-data pipeline. Gates are one narrow pass
+    (no self-joins); dedup shuffles md5 digests only."""
+    from temporal_retriever_spark.llm.corpus import prepare_corpus
+
+    out = prepare_corpus(
+        _documents(spark, sf_dir).select("doc_id", "text"),
+        min_chars=100,
+        max_digit_ratio=0.3,
+        langs=("en", "de", "es", "fr"),
+        dedup="exact",
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("digit_ratio") + F.lit(_ROUND_OFFSET), 6).alias("digit_ratio"),
+        F.round(F.col("quality_score") + F.lit(_ROUND_OFFSET), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gates, near-dedup path: MinHash-LSH candidates → exact
+    Jaccard verify → connected components → keep min-id per cluster.
+    Sub-quadratic end to end; the oracle recomputes the survivors with
+    the exact quadratic pairs + a recursive-CTE component closure."""
+    from temporal_retriever_spark.llm.corpus import prepare_corpus
+
+    out = prepare_corpus(
+        _documents(spark, sf_dir).select("doc_id", "text"),
+        min_chars=100,
+        max_digit_ratio=0.3,
+        langs=("en", "de", "es", "fr"),
+        dedup="near",
+        jaccard_threshold=0.2,
+    )
+    return out.select("doc_id", "lang_pred")
+
+
+_CORPUS_FILTER_CTES = """
+    m AS (
+        SELECT doc_id, text,
+               LENGTH(text) AS n_chars,
+               len(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+               CASE WHEN LENGTH(text) > 0 THEN
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / LENGTH(text) ELSE 0 END AS digit_ratio,
+               CASE WHEN LENGTH(text) > 0 THEN
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text) ELSE 0 END AS punct_ratio,
+               CASE WHEN len(string_split_regex(TRIM(text), '\\s+')) > 0 THEN
+                   CAST(LENGTH(text) AS DOUBLE)
+                   / len(string_split_regex(TRIM(text), '\\s+'))
+                   ELSE 0 END AS avg_tok
+        FROM documents
+    ),
+    q AS (
+        SELECT *,
+               LEAST(n_chars / 200.0, 1.0)
+               * (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 1.0 ELSE 0.5 END)
+               * GREATEST(0.0, 1.0 - punct_ratio * 4)
+               * GREATEST(0.0, 1.0 - digit_ratio * 4) AS quality_score
+        FROM m
+    ),
+    f AS (
+        SELECT q.*, l.lang_pred
+        FROM q JOIN ({lang_sql}) l ON q.doc_id = l.doc_id
+        WHERE q.n_chars >= 100 AND q.digit_ratio <= 0.3
+          AND l.lang_pred IN ('en', 'de', 'es', 'fr')
+    )
+"""
+
+
+def _corpus_prep_oracle() -> str:
+    ctes = _CORPUS_FILTER_CTES.format(lang_sql=_lang_id_oracle())
+    return f"""
+    WITH {ctes},
+    k AS (
+        SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
+               MIN(doc_id) AS keep_id
+        FROM f GROUP BY 1
+    )
+    SELECT f.doc_id, f.lang_pred, f.n_chars, f.n_tokens,
+           ROUND(f.digit_ratio + {_ROUND_OFFSET!r}, 6) AS digit_ratio,
+           ROUND(f.quality_score + {_ROUND_OFFSET!r}, 6) AS quality_score
+    FROM f JOIN k
+      ON md5(TRIM(regexp_replace(LOWER(f.text), '\\s+', ' ', 'g'))) = k.fp
+     AND f.doc_id = k.keep_id
+    """
+
+
+def _corpus_prep_near_oracle() -> str:
+    ctes = _CORPUS_FILTER_CTES.format(lang_sql=_lang_id_oracle())
+    return f"""
+    WITH RECURSIVE {ctes},
+    toks AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS tokens
+        FROM f
+    ),
+    idx AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, GREATEST(len(tokens) - 2, 1))) AS i
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(tokens[i : i + 2], ' ') AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY 1)
+    SELECT f.doc_id, f.lang_pred
+    FROM f LEFT JOIN clusters c ON f.doc_id = c.id
+    WHERE c.id IS NULL OR f.doc_id = c.cluster_id
+    """
+
+
 def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from `documents`: payload =
     UTF-8 bytes of the text, type cycles by doc_id, duration is a pure
@@ -841,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "corpus_prep": q_corpus_prep,
+        "corpus_prep_near": q_corpus_prep_near,
     }
 
 
@@ -1608,6 +1753,8 @@ def oracle_sql() -> dict[str, str]:
                   >= {_NEARDUP_COS_T!r}
         """,
         "lang_id": _lang_id_oracle(),
+        "corpus_prep": _corpus_prep_oracle(),
+        "corpus_prep_near": _corpus_prep_near_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
         "media_resize": """
             SELECT doc_id AS media_id,

@@ -34,6 +34,7 @@ from temporal_retriever_spark.llm.similarity import (
     embedding_near_dup_pairs,
     lsh_cosine_topk,
 )
+from temporal_retriever_spark.llm.corpus import prepare_corpus
 from temporal_retriever_spark.llm.multimodal import (
     extract_features,
     media_metadata_stats,
@@ -68,6 +69,7 @@ __all__ = [
     "cosine_topk",
     "embedding_near_dup_pairs",
     "lsh_cosine_topk",
+    "prepare_corpus",
     "extract_features",
     "media_metadata_stats",
     "repartition_for_payloads",

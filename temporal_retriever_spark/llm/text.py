@@ -33,17 +33,13 @@ def token_count_expr(col: Column | str, *, mode: str = "whitespace") -> Column:
     raise ValueError(f"unsupported token mode: {mode!r}")
 
 
-def text_stats(
-    df: DataFrame, *, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
-) -> DataFrame:
-    """Per-document quality metrics, all native expressions.
+def quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """Name → native expression for the per-document quality metrics.
 
-    n_chars / n_tokens / n_bpe_tokens / avg_token_len / punct_ratio /
-    digit_ratio / upper_ratio / stopword_ratio / quality_score.
-
-    quality_score is a deterministic [0,1] heuristic: long-enough docs
-    with normal word length, low punctuation/digit density, and a sane
-    stopword rate score high — the usual pre-training filter features.
+    Exposed as expressions (not a materialized frame) so composite
+    operators like ``corpus.prepare_corpus`` can gate on them in the
+    SAME narrow pass over the documents — adding a metric never costs a
+    self-join. ``text_stats`` materializes exactly these.
     """
     t = F.col(text_col)
     n_chars = F.length(t)
@@ -67,17 +63,49 @@ def text_stats(
     punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 4)
     digit_score = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio * 4)
     quality = len_score * word_score * punct_score * digit_score
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_bpe_tokens": n_bpe,
+        "avg_token_len": avg_tok,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "upper_ratio": upper_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": quality,
+    }
+
+
+#: metrics text_stats rounds for presentation/oracle stability
+_ROUNDED_METRICS = (
+    "avg_token_len",
+    "punct_ratio",
+    "digit_ratio",
+    "upper_ratio",
+    "stopword_ratio",
+    "quality_score",
+)
+
+
+def text_stats(
+    df: DataFrame, *, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Per-document quality metrics, all native expressions.
+
+    n_chars / n_tokens / n_bpe_tokens / avg_token_len / punct_ratio /
+    digit_ratio / upper_ratio / stopword_ratio / quality_score.
+
+    quality_score is a deterministic [0,1] heuristic: long-enough docs
+    with normal word length, low punctuation/digit density, and a sane
+    stopword rate score high — the usual pre-training filter features.
+    """
+    exprs = quality_exprs(text_col)
     return df.select(
         *id_cols,
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        F.round(avg_tok, 6).alias("avg_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(upper_ratio, 6).alias("upper_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        *[
+            (F.round(e, 6) if name in _ROUNDED_METRICS else e).alias(name)
+            for name, e in exprs.items()
+        ],
     )
 
 
@@ -91,6 +119,39 @@ _LANG_MARKERS = {
 }
 
 
+def language_expr(text_col: str = "text") -> Column:
+    """The language-id decision as ONE native expression (same
+    arithmetic as ``language_id``) — composable into a narrow pass;
+    Catalyst's subexpression elimination dedups the marker counts."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]"))
+    scores: dict[str, Column] = {}
+    for lang, markers in _LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = (
+                F.length(t)
+                - F.length(F.replace(t, F.lit(m), F.lit("")))
+            ) / F.lit(len(m))
+            score = c if score is None else score + c
+        scores[lang] = score
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[scores[l] for l in langs])
+    pick = None
+    for lang in reversed(langs):
+        expr = F.lit(lang)
+        pick = (
+            expr
+            if pick is None
+            else F.when(scores[lang] == best, expr).otherwise(pick)
+        )
+    return (
+        F.when(cjk * 4 > F.length(F.col(text_col)), F.lit("zh"))
+        .when(best <= 0, F.lit("unknown"))
+        .otherwise(pick)
+    )
+
+
 def language_id(
     df: DataFrame, *, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
 ) -> DataFrame:
@@ -102,31 +163,7 @@ def language_id(
     no langid/fasttext; swap in a real classifier via mapInPandas when
     available).
     """
-    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]"))
-    scores = []
-    for lang, markers in _LANG_MARKERS.items():
-        score = None
-        for m in markers:
-            c = (
-                F.length(t)
-                - F.length(F.replace(t, F.lit(m), F.lit("")))
-            ) / F.lit(len(m))
-            score = c if score is None else score + c
-        scores.append(score.alias(f"_s_{lang}"))
-    scored = df.select(*id_cols, F.col(text_col), cjk.alias("_cjk"), *scores)
-    langs = list(_LANG_MARKERS)
-    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
-    pick = None
-    for lang in reversed(langs):
-        expr = F.lit(lang)
-        pick = expr if pick is None else F.when(F.col(f"_s_{lang}") == best, expr).otherwise(pick)
-    lang_col = (
-        F.when(F.col("_cjk") * 4 > F.length(F.col(text_col)), F.lit("zh"))
-        .when(best <= 0, F.lit("unknown"))
-        .otherwise(pick)
-    )
-    return scored.select(*id_cols, lang_col.alias("lang_pred"))
+    return df.select(*id_cols, language_expr(text_col).alias("lang_pred"))
 
 
 def text_fingerprint(
