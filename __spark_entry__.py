@@ -1097,32 +1097,41 @@ j AS (
     SELECT tgt.ds, tgt.y, cov_full.cov, epoch(tgt.ds)/86400.0 AS t
     FROM tgt JOIN cov_full ON tgt.ds = cov_full.ds
 ),
-fit2 AS (
-    SELECT
-        CASE WHEN (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(y) AS DOUBLE)) = 0 THEN 0.0
-             ELSE (SUM(t*y) - SUM(t)*SUM(y)/CAST(COUNT(y) AS DOUBLE))
-                / (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(y) AS DOUBLE)) END AS by,
-        CASE WHEN (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(cov) AS DOUBLE)) = 0 THEN 0.0
-             ELSE (SUM(t*cov) - SUM(t)*SUM(cov)/CAST(COUNT(cov) AS DOUBLE))
-                / (SUM(t*t) - SUM(t)*SUM(t)/CAST(COUNT(cov) AS DOUBLE)) END AS bx,
-        SUM(y)/CAST(COUNT(y) AS DOUBLE) AS my2,
-        SUM(cov)/CAST(COUNT(cov) AS DOUBLE) AS mx2,
-        SUM(t)/CAST(COUNT(t) AS DOUBLE) AS mt2,
-        MAX(ds) AS max_ds2
+-- fused Frisch-Waugh fit: one moments scan of j, coef from centered
+-- raw moments (mirrors forecast_with_covariate's single-aggregation
+-- expression tree exactly)
+mom AS (
+    SELECT COUNT(y) AS nb,
+           SUM(t) AS st, SUM(y) AS sy, SUM(cov) AS sx,
+           SUM(t*t) AS stt, SUM(t*y) AS sty, SUM(t*cov) AS stx,
+           SUM(cov*cov) AS sxx, SUM(cov*y) AS sxy,
+           MAX(ds) AS max_ds2
     FROM j
 ),
-r2 AS (
-    SELECT j.ds, j.t,
-           j.y   - (my2 + by * (j.t - mt2)) AS ry,
-           j.cov - (mx2 + bx * (j.t - mt2)) AS rx
-    FROM j, fit2
+fit2 AS (
+    SELECT
+        CASE WHEN (stt - st*st/CAST(nb AS DOUBLE)) = 0 THEN 0.0
+             ELSE (sty - st*sy/CAST(nb AS DOUBLE))
+                / (stt - st*st/CAST(nb AS DOUBLE)) END AS by,
+        CASE WHEN (stt - st*st/CAST(nb AS DOUBLE)) = 0 THEN 0.0
+             ELSE (stx - st*sx/CAST(nb AS DOUBLE))
+                / (stt - st*st/CAST(nb AS DOUBLE)) END AS bx,
+        sy/CAST(nb AS DOUBLE) AS my2,
+        sx/CAST(nb AS DOUBLE) AS mx2,
+        st/CAST(nb AS DOUBLE) AS mt2,
+        sxy - sx*sy/CAST(nb AS DOUBLE) AS sxy_c,
+        stx - sx*st/CAST(nb AS DOUBLE) AS sxt_c,
+        sty - sy*st/CAST(nb AS DOUBLE) AS syt_c,
+        stt - st*st/CAST(nb AS DOUBLE) AS stt_c,
+        sxx - sx*sx/CAST(nb AS DOUBLE) AS sxx_c,
+        max_ds2
+    FROM mom
 ),
 cf AS (
-    SELECT CASE WHEN (SUM(rx*rx) - SUM(rx)*SUM(rx)/CAST(COUNT(ry) AS DOUBLE)) = 0
-                THEN 0.0
-                ELSE (SUM(rx*ry) - SUM(rx)*SUM(ry)/CAST(COUNT(ry) AS DOUBLE))
-                   / (SUM(rx*rx) - SUM(rx)*SUM(rx)/CAST(COUNT(ry) AS DOUBLE)) END AS coef
-    FROM r2
+    SELECT CASE WHEN (sxx_c - 2*bx*sxt_c + bx*bx*stt_c) = 0 THEN 0.0
+                ELSE (sxy_c - by*sxt_c - bx*syt_c + bx*by*stt_c)
+                   / (sxx_c - 2*bx*sxt_c + bx*bx*stt_c) END AS coef
+    FROM fit2
 ),
 fullresid AS (
     SELECT j.ds, dayofweek(j.ds) + 1 AS skey,

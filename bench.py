@@ -166,9 +166,14 @@ def run_analyze_bench(spark):
         return None
     body = _json.load(open(fixture))
     req = parse_analyze_request(body)
-    t0 = time.time()
-    analyze(spark, req, lags=10)
-    return time.time() - t0
+    # median of RUNS like every other query: a single cold run measures
+    # JVM/JIT warmup and CPU-steal noise, not the engine
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        analyze(spark, req, lags=10)
+        samples.append(time.time() - t0)
+    return statistics.median(samples)
 
 
 def materialize(df):

@@ -36,7 +36,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.aggregate import date_bounds, floor_ceiling
@@ -123,17 +123,33 @@ def fit_linear_seasonal(
         "max_ds",
         "n_buckets",
     )
-    with_resid = hist.join(F.broadcast(trend), on=series_cols).withColumn(
-        "_resid",
-        F.col(value_col)
-        - (F.col("my") + F.col("b") * (F.col("_t") - F.col("mt"))),
+    # ONE traversal for seasonal means AND residual quantiles: the
+    # window shuffle hash-partitions on (series, skey), the seasonal
+    # groupBy reuses that partitioning with no exchange, and the
+    # quantile subplan shares the shuffle via Catalyst ReuseExchange —
+    # versus the former seasonal-agg + broadcast-join-back second pass.
+    # s_mean = sum/count (not F.avg) keeps the arithmetic identical to
+    # the oracle SQL's SUM(r)/COUNT(r).
+    skey_window = Window.partitionBy(*series_cols, "_skey")
+    with_resid = (
+        hist.join(F.broadcast(trend), on=series_cols)
+        .withColumn(
+            "_resid",
+            F.col(value_col)
+            - (F.col("my") + F.col("b") * (F.col("_t") - F.col("mt"))),
+        )
+        .withColumn(
+            "_s_mean",
+            F.sum("_resid").over(skey_window)
+            / F.count("_resid").over(skey_window).cast("double"),
+        )
     )
     seasonal = with_resid.groupBy(*series_cols, "_skey").agg(
-        (F.sum("_resid") / F.count("_resid").cast("double")).alias("s_mean")
+        F.first("_s_mean").alias("s_mean")
     )
-    deseason = with_resid.join(
-        F.broadcast(seasonal), on=[*series_cols, "_skey"]
-    ).withColumn("_resid2", F.col("_resid") - F.col("s_mean"))
+    deseason = with_resid.withColumn(
+        "_resid2", F.col("_resid") - F.col("_s_mean")
+    )
     qarr = F.percentile(
         "_resid2", F.array(*[F.lit(float(q)) for q in quantiles])
     )
@@ -283,38 +299,59 @@ def forecast_with_covariate(
     t = _time_index(F.col(ts_col))
     hist = joined.withColumn("_t", t)
 
-    # detrend both y and x against time, then regress residuals:
-    # Frisch-Waugh partial regression gives the exact multi-OLS coef.
-    # Slopes from explicit sums (same cross-engine-reproducible closed
-    # form as fit_linear_seasonal) rather than regr_slope.
-    def slope(yc: str, xc: str) -> Column:
-        n = F.count(yc).cast("double")
-        den = F.sum(F.col(xc) * F.col(xc)) - F.sum(xc) * F.sum(xc) / n
-        num = F.sum(F.col(xc) * F.col(yc)) - F.sum(xc) * F.sum(yc) / n
-        return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
-
-    fit_parts = hist.groupBy(*series_cols).agg(
-        slope(value_col, "_t").alias("by"),
-        slope(cov_col, "_t").alias("bx"),
-        (F.sum(value_col) / F.count(value_col).cast("double")).alias("my"),
-        (F.sum(cov_col) / F.count(cov_col).cast("double")).alias("mx"),
-        (F.sum("_t") / F.count("_t").cast("double")).alias("mt"),
-        F.max(ts_col).alias("max_ds"),
+    # Frisch-Waugh partial regression from ONE moments aggregation.
+    # The detrended-residual regression coef expands algebraically into
+    # centered raw moments (Σ_rx·ry = Sxy_c − by·Sxt_c − bx·Syt_c +
+    # bx·by·Stt_c, Σ_rx² = Sxx_c − 2bx·Sxt_c + bx²·Stt_c), so the fit
+    # needs a single traversal of history instead of the former
+    # two-pass fit (trend slopes, then a residual re-scan for the
+    # coef). The oracle SQL mirrors this exact expression tree.
+    y, x, tt = F.col(value_col), F.col(cov_col), F.col("_t")
+    moments = hist.groupBy(*series_cols).agg(
         F.count(value_col).alias("n_buckets"),
+        F.sum("_t").alias("_st"),
+        F.sum(value_col).alias("_sy"),
+        F.sum(cov_col).alias("_sx"),
+        F.sum(tt * tt).alias("_stt"),
+        F.sum(tt * y).alias("_sty"),
+        F.sum(tt * x).alias("_stx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.max(ts_col).alias("max_ds"),
     )
-    resid = hist.join(F.broadcast(fit_parts), on=series_cols).select(
+    n = F.col("n_buckets").cast("double")
+    stt_c = F.col("_stt") - F.col("_st") * F.col("_st") / n
+    by = F.when(stt_c == 0, F.lit(0.0)).otherwise(
+        (F.col("_sty") - F.col("_st") * F.col("_sy") / n) / stt_c
+    )
+    bx = F.when(stt_c == 0, F.lit(0.0)).otherwise(
+        (F.col("_stx") - F.col("_st") * F.col("_sx") / n) / stt_c
+    )
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    sxt_c = F.col("_stx") - F.col("_sx") * F.col("_st") / n
+    syt_c = F.col("_sty") - F.col("_sy") * F.col("_st") / n
+    coef_num = sxy_c - by * sxt_c - bx * syt_c + bx * by * stt_c
+    coef_den = sxx_c = (
+        F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    ) - 2 * bx * sxt_c + bx * bx * stt_c
+    params = moments.select(
         *series_cols,
-        ts_col,
-        "_t",
-        (F.col(value_col) - (F.col("my") + F.col("by") * (F.col("_t") - F.col("mt"))))
-        .alias("_ry"),
-        (F.col(cov_col) - (F.col("mx") + F.col("bx") * (F.col("_t") - F.col("mt"))))
-        .alias("_rx"),
+        by.alias("by"),
+        bx.alias("bx"),
+        (F.col("_sy") / n).alias("my"),
+        (F.col("_sx") / n).alias("mx"),
+        (F.col("_st") / n).alias("mt"),
+        F.when(coef_den == 0, F.lit(0.0))
+        .otherwise(coef_num / coef_den)
+        .alias("coef"),
+        "max_ds",
+        "n_buckets",
     )
-    coef = resid.groupBy(*series_cols).agg(slope("_ry", "_rx").alias("coef"))
-    params = fit_parts.join(coef, on=series_cols)
-    # seasonal on the residual after trend + covariate effect
+    # seasonal on the residual after trend + covariate effect; the
+    # (series, skey) window shuffle serves both the seasonal means and
+    # the residual quantiles (ReuseExchange), one traversal not two
     grain_key = lambda df_: df_.withColumn("_skey", seasonal_key_expr(ts_col, grain))
+    skey_window = Window.partitionBy(*series_cols, "_skey")
     full_resid = grain_key(
         hist.join(F.broadcast(params), on=series_cols).withColumn(
             "_r",
@@ -326,16 +363,18 @@ def forecast_with_covariate(
                 * (F.col(cov_col) - (F.col("mx") + F.col("bx") * (F.col("_t") - F.col("mt"))))
             ),
         )
+    ).withColumn(
+        "_s_mean",
+        F.sum("_r").over(skey_window)
+        / F.count("_r").over(skey_window).cast("double"),
     )
     seasonal = full_resid.groupBy(*series_cols, "_skey").agg(
-        (F.sum("_r") / F.count("_r").cast("double")).alias("s_mean")
+        F.first("_s_mean").alias("s_mean")
     )
     residual_q = None
     if include_bounds:
         lo_q, hi_q = quantiles
-        deseason = full_resid.join(
-            F.broadcast(seasonal), on=[*series_cols, "_skey"]
-        ).withColumn("_r2", F.col("_r") - F.col("s_mean"))
+        deseason = full_resid.withColumn("_r2", F.col("_r") - F.col("_s_mean"))
         qarr = F.percentile(
             "_r2", F.array(F.lit(float(lo_q)), F.lit(float(hi_q)))
         )

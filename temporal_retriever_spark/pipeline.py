@@ -51,6 +51,25 @@ from temporal_retriever_spark.forecast import (
 )
 from temporal_retriever_spark.ingest import documents_df, extract_series
 
+import os as _os
+import sys as _sys
+import time as _time
+
+
+def _profiled(fn, label):
+    """Wrap a stage chain with wall-clock logging when TRS_PROFILE is set."""
+    if not _os.environ.get("TRS_PROFILE"):
+        return fn
+
+    def wrapper(*a, **kw):
+        t0 = _time.time()
+        out = fn(*a, **kw)
+        print(f"# chain {label}: {_time.time() - t0:.2f}s", file=_sys.stderr)
+        return out
+
+    return wrapper
+
+
 #: hinge count for the piecewise trend when ChangePointPriorScale is
 #: provided (Prophet defaults to 25 over much longer histories; 10 keeps
 #: the Gram aggregation at 90 sum columns)
@@ -162,13 +181,16 @@ def analyze(
         # ---- stage 2: one stats action over all series -------------------
         stats = {
             r["series_id"]: r
-            for r in prepared.groupBy("series_id")
-            .agg(
-                F.min("ds").alias("min_ds"),
-                F.max("ds").alias("max_ds"),
-                F.count("y").alias("n"),
-            )
-            .collect()
+            for r in _profiled(
+                prepared.groupBy("series_id")
+                .agg(
+                    F.min("ds").alias("min_ds"),
+                    F.max("ds").alias("max_ds"),
+                    F.count("y").alias("n"),
+                )
+                .collect,
+                "prepare+stats",
+            )()
         }
         for (ds_name, idx, g, a), sid in leg_sids.items():
             if sid not in stats:
@@ -383,10 +405,21 @@ def analyze(
         with ThreadPoolExecutor(
             max_workers=3 + max(len(fold_keys), 1)
         ) as pool:
-            f_diag = pool.submit(run_diagnostics)
-            f_folds = [pool.submit(run_fold, g, cps) for g, cps in fold_keys]
-            f_granger = pool.submit(run_granger) if granger_corrs else None
-            f_describe = pool.submit(run_describe) if stats_corrs else None
+            f_diag = pool.submit(_profiled(run_diagnostics, "diagnostics"))
+            f_folds = [
+                pool.submit(_profiled(run_fold, f"fold:{g}:{cps}"), g, cps)
+                for g, cps in fold_keys
+            ]
+            f_granger = (
+                pool.submit(_profiled(run_granger, "granger"))
+                if granger_corrs
+                else None
+            )
+            f_describe = (
+                pool.submit(_profiled(run_describe, "describe"))
+                if stats_corrs
+                else None
+            )
             diag_rows = f_diag.result()
             pred_rows: list = []
             for f in f_folds:
