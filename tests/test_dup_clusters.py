@@ -73,3 +73,47 @@ def test_clusters_match_recursive_cte_oracle(tables, duck):
     pairs = ngram_jaccard_pairs(tables["documents"], n=3, threshold=0.2)
     got = duplicate_clusters(pairs)
     assert_matches_oracle(got, duck, CLUSTER_ORACLE)
+
+
+def test_star_clusters_match_recursive_cte_oracle(tables, duck):
+    # large-star/small-star produces the same clusters as label
+    # propagation on the real fixture pairs
+    pairs = ngram_jaccard_pairs(tables["documents"], n=3, threshold=0.2)
+    got = duplicate_clusters(pairs, method="star")
+    assert_matches_oracle(got, duck, CLUSTER_ORACLE)
+
+
+def test_star_clusters_bounded_rounds_on_deep_chain(spark):
+    # path graph of depth 1000: min-label propagation needs ~1000
+    # rounds (O(diameter)); large-star/small-star must finish within
+    # O(log n) — 16 rounds is ~1.6x the log2(1000) bound
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, method="star", max_iter=16).collect()
+    }
+    assert len(got) == n
+    assert set(got.values()) == {0}
+
+
+def test_star_matches_label_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    label = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, method="star").collect()
+    }
+    assert star == label
