@@ -934,6 +934,85 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal REAL decode: a deterministic 10×6 RGB bitmap is
+    built per document (pixel bytes = md5(text) digest repeated), run
+    through the real pure-numpy BMP codec (llm.codecs encode_bmp →
+    decode_bmp — header parse, bottom-up row order, BGR swap, 4-byte
+    row padding), and reduced to per-channel pixel sums. The oracle
+    recomputes the sums straight from the md5 hex — any codec bug
+    (wrong offset, padding, row or channel order) breaks the match."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    W, H = 10, 6
+    n_raw = W * H * 3
+    out_schema = (
+        "doc_id long, width long, height long, "
+        "sum_r long, sum_g long, sum_b long, n_bytes long"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                raw = (digest * (n_raw // len(digest) + 1))[:n_raw]
+                arr = np.frombuffer(raw, np.uint8).reshape(H, W, 3)
+                payload = codecs.encode_bmp(arr)
+                dec = codecs.decode_bmp(payload)
+                sums = dec.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        dec.shape[1],
+                        dec.shape[0],
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "n_bytes",
+                ],
+            )
+
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(run, out_schema)
+    )
+
+
+_MEDIA_DECODE_ROUNDTRIP_ORACLE = """
+WITH k AS (SELECT unnest(generate_series(0, 179)) AS k),
+b AS (
+    SELECT d.doc_id, k.k,
+           (strpos('0123456789abcdef',
+                   substr(md5(d.text), ((k.k % 16) * 2) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(d.text), ((k.k % 16) * 2) + 2, 1)) - 1) AS v
+    FROM documents d CROSS JOIN k
+)
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(54 + 32 * 6 AS BIGINT) AS n_bytes
+FROM b GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bucket_hour_sum": _q_bucket_events("H", "sum"),
@@ -984,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "media_decode_roundtrip": q_media_decode_roundtrip,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_near": q_corpus_prep_near,
     }
@@ -1795,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text || '#' || CAST(i * 300 AS VARCHAR)) AS frame_digest
             FROM f
         """,
+        "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         # granger_click_view (maxlag=5): dense lstsq + F CDF, not
         # SQL-expressible -> rows-only driver check (granger_lag1 is
         # the oracle-verified native path)

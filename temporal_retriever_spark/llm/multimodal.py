@@ -2,10 +2,16 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extract / resize / frame-sample are
-Arrow-batched ``mapInPandas`` stages. The decode kernels themselves are
-STUBBED (this container ships no image/audio libraries — see
-``set_decoder`` to plug a real one); the Spark-side contract — schema,
-batching, partition sizing — is real and tested.
+Arrow-batched ``mapInPandas`` stages. Two kernel sets exist:
+
+* **real codecs** (``install_default_kernels`` / ``llm.codecs``):
+  pure-numpy BMP / WAV-PCM / AVI-DIB parsers — actual decode, resize,
+  and frame extraction with no third-party libraries;
+* **deterministic stubs** (``use_stub=True``): sha256 stand-ins whose
+  outputs any SQL engine can reproduce, which is what makes the
+  mapInPandas plumbing oracle-checkable end-to-end. Formats the real
+  codecs don't cover (JPEG/MP3/H.264 need libraries this container
+  lacks) still flow through the same stages via ``set_decoder``.
 
 Scale notes: binary payloads dominate partition size, so reads should
 set ``spark.sql.files.maxPartitionBytes`` low enough that a batch of
@@ -90,6 +96,18 @@ def set_frame_sampler(fn: Callable[[bytes, int], bytes] | None) -> None:
     """Install a real frame-decode kernel (payload, ts_ms) -> frame bytes."""
     global _FRAME_SAMPLER
     _FRAME_SAMPLER = fn
+
+
+def install_default_kernels() -> None:
+    """Install the real pure-numpy codecs (``llm.codecs``) as the decode /
+    resize / frame kernels: BMP images, WAV PCM audio, AVI DIB video.
+    After this, ``extract_features(..., use_stub=False)`` etc. run real
+    decoders with no third-party libraries."""
+    from temporal_retriever_spark.llm import codecs
+
+    set_decoder(codecs.decode_features)
+    set_resizer(codecs.resize_payload)
+    set_frame_sampler(codecs.sample_frame)
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -299,4 +317,51 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 },
             )
         )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_media_real(spark, n: int = 30, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL payloads: BMP images, WAV
+    PCM audio, AVI DIB video — decodable by the ``llm.codecs`` kernels
+    (``install_default_kernels``), no external fixtures or libraries."""
+    import numpy as np
+
+    from temporal_retriever_spark.llm import codecs
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        mtype = ["image", "audio", "video"][i % 3]
+        if mtype == "image":
+            w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+            arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            payload, fmt = codecs.encode_bmp(arr), "bmp"
+            meta = {"format": fmt, "width": w, "height": h, "duration_ms": None}
+        elif mtype == "audio":
+            rate, freq = 8000, 200 + 50 * (i % 5)
+            dur_s = 0.25 + 0.05 * (i % 4)
+            t = np.arange(int(rate * dur_s)) / rate
+            samples = (10_000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+            payload, fmt = codecs.encode_wav(samples, rate), "wav"
+            meta = {
+                "format": fmt,
+                "width": None,
+                "height": None,
+                "duration_ms": int(1000 * len(samples) / rate),
+            }
+        else:
+            w, h, fps = 16, 12, 10
+            n_frames = 3 + (i % 3)
+            frames = [
+                rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload, fmt = codecs.encode_avi(frames, fps=fps), "avi"
+            meta = {
+                "format": fmt,
+                "width": w,
+                "height": h,
+                "duration_ms": int(1000 * n_frames / fps),
+            }
+        rows.append((i, mtype, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,141 @@
+"""Real pure-numpy media codecs: round-trips + Spark kernel integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.llm import codecs
+from temporal_retriever_spark.llm.multimodal import (
+    extract_features,
+    install_default_kernels,
+    resize_images,
+    sample_frames,
+    set_decoder,
+    set_frame_sampler,
+    set_resizer,
+    synthetic_media_real,
+)
+
+
+@pytest.fixture()
+def kernels():
+    install_default_kernels()
+    yield
+    set_decoder(None)
+    set_resizer(None)
+    set_frame_sampler(None)
+
+
+def test_bmp_round_trip():
+    rng = np.random.RandomState(0)
+    for w, h in [(1, 1), (3, 5), (16, 12), (31, 7)]:  # odd widths hit padding
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        out = codecs.decode_bmp(codecs.encode_bmp(arr))
+        assert out.shape == (h, w, 3)
+        assert (out == arr).all()
+
+
+def test_bmp_known_pixel():
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    arr[0, 1] = [255, 128, 0]  # top-right orange
+    out = codecs.decode_bmp(codecs.encode_bmp(arr))
+    assert list(out[0, 1]) == [255, 128, 0]
+    assert list(out[1, 0]) == [0, 0, 0]
+
+
+def test_resize_nearest_semantics():
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = codecs.resize_nearest(arr, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert (up[::2, ::2] == arr).all()  # every source pixel survives
+    down = codecs.resize_nearest(arr, 2, 2)
+    assert (down == arr[::2, ::2]).all()
+
+
+def test_wav_round_trip_and_features():
+    rate = 8000
+    t = np.arange(rate // 4) / rate  # 250 ms
+    samples = (10_000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    rate2, out = codecs.decode_wav(codecs.encode_wav(samples, rate))
+    assert rate2 == rate
+    assert (out == samples).all()
+    dur, rms, zcr, dom = codecs.audio_features(rate2, out)
+    assert dur == pytest.approx(250.0)
+    assert rms == pytest.approx(10_000 / np.sqrt(2), rel=0.01)
+    assert dom == pytest.approx(440.0, abs=rate / len(out) + 1)
+
+
+def test_avi_round_trip_and_frame_at():
+    rng = np.random.RandomState(1)
+    frames = [rng.randint(0, 256, (6, 9, 3), dtype=np.uint8) for _ in range(4)]
+    payload = codecs.encode_avi(frames, fps=10)
+    fps, out = codecs.decode_avi(payload)
+    assert fps == 10
+    assert len(out) == 4
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # 10 fps -> frame 1 covers [100, 200) ms
+    assert (codecs.frame_at(payload, 150) == frames[1]).all()
+    assert (codecs.frame_at(payload, 0) == frames[0]).all()
+    assert (codecs.frame_at(payload, 99_999) == frames[3]).all()
+
+
+def test_sniff_format():
+    assert codecs.sniff_format(codecs.encode_bmp(np.zeros((1, 1, 3), np.uint8))) == "bmp"
+    assert codecs.sniff_format(codecs.encode_wav(np.zeros(4, np.int16))) == "wav"
+    assert (
+        codecs.sniff_format(codecs.encode_avi([np.zeros((1, 1, 3), np.uint8)])) == "avi"
+    )
+    assert codecs.sniff_format(b"garbage") is None
+
+
+def test_real_feature_extraction_in_spark(spark, kernels):
+    media = synthetic_media_real(spark, n=9)
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(media, use_stub=False).collect()
+    }
+    assert len(feats) == 9
+    # image rows: features = [h, w, mean_r, mean_g, mean_b, luma_std, 0, 0]
+    img = feats[0]
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert img["features"][0] == meta[0]["height"]
+    assert img["features"][1] == meta[0]["width"]
+    # audio rows: [duration_ms, rms, zcr, dom_freq, 0,0,0,0]
+    aud = feats[1]
+    assert aud["features"][0] == pytest.approx(meta[1]["duration_ms"], abs=1)
+    assert aud["features"][3] == pytest.approx(200 + 50 * (1 % 5), abs=35)
+    # video rows: [...first-frame feats..., n_frames, fps]
+    vid = feats[2]
+    assert vid["features"][7] == 10.0  # fps
+
+
+def test_real_resize_in_spark(spark, kernels):
+    media = synthetic_media_real(spark, n=9).filter(
+        F.col("media_type") == "image"
+    )
+    out = resize_images(media, width=8, height=6, use_stub=False).collect()
+    for r in out:
+        arr = codecs.decode_bmp(bytes(r["payload"]))
+        assert arr.shape == (6, 8, 3)
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+
+
+def test_real_frame_sampling_in_spark(spark, kernels):
+    media = synthetic_media_real(spark, n=9).filter(
+        F.col("media_type") == "video"
+    )
+    frames = sample_frames(media, interval_ms=100, use_stub=False).collect()
+    durations = {
+        r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()
+    }
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_id.items():
+        assert len(rows) == -(-durations[mid] // 100)  # ceil fan-out
+        for r in rows:
+            arr = codecs.decode_bmp(bytes(r["frame"]))  # frames are real BMPs
+            assert arr.shape[2] == 3
