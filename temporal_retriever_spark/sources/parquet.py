@@ -65,6 +65,14 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
             # integer-divide (DIV, not /: epoch-nanos exceed double's exact
             # int range) to micros, then micros -> timestamp (UTC session tz)
             df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000")))
+    # micro-precision tz-naive parquet timestamps infer as TIMESTAMP_NTZ in
+    # Spark 4; normalize to TimestampType (session tz = UTC, so the instant is
+    # unchanged and DuckDB — which reads the same file as naive-UTC — agrees).
+    # NTZ breaks event-time watermarks and differs from the engine's canonical
+    # TimestampType, so the source is the right place to unify.
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 

@@ -34,6 +34,18 @@ from temporal_retriever_spark.aggregate import agg_expr
 from temporal_retriever_spark.grains import grain_duration, normalize_grain
 
 
+def _with_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce ``ts_col`` to TimestampType for event-time semantics.
+
+    Tz-naive micro-precision parquet infers as TIMESTAMP_NTZ (Spark 4),
+    which ``withWatermark`` rejects; session tz is UTC so the cast
+    preserves the instant.
+    """
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def streaming_bucket_aggregate(
     stream: DataFrame,
     *,
@@ -62,7 +74,7 @@ def streaming_bucket_aggregate(
         raise ValueError("median is not streamable; use the batch path")
     series_cols = list(series_cols)
     duration = grain_duration(grain)
-    watermarked = stream.withWatermark(ts_col, watermark)
+    watermarked = _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
     if grain == "W":
         # tumbling windows align to the Unix epoch (a Thursday); shift
         # start by 4 days so weeks run Monday..Sunday like the batch T3
@@ -136,7 +148,7 @@ def streaming_month_rollup(
     series_cols = list(series_cols)
 
     daily = (
-        stream.withWatermark(ts_col, watermark)
+        _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, "1 day").alias("_w"), *series_cols)
         .agg(
             F.sum(value_col).alias("_sum"),
@@ -198,9 +210,9 @@ def streaming_exact_dedup(
     ``llm.text.text_fingerprint`` expressions) so state stores digests,
     not documents.
     """
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(key_cols)
-    )
+    return _with_event_time(stream, ts_col).withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(list(key_cols))
 
 
 def streaming_series_state(
