@@ -67,6 +67,14 @@ from temporal_retriever_spark.llm.text import (
     text_fingerprint,
     text_stats,
 )
+from temporal_retriever_spark.asof import asof_join, session_stats
+from temporal_retriever_spark.rolling import (
+    anomaly_zscore,
+    decompose,
+    ewma,
+    fill_gaps,
+    rolling_aggregate,
+)
 from temporal_retriever_spark.sources import load_tables
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -494,6 +502,112 @@ def q_lineitem_returnflag_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------------------------------
+# Rolling / as-of / session operators (engine extensions beyond the
+# reference's tumbling-bucket surface; see rolling.py / asof.py)
+# -------------------------------------------------------------------------
+
+def _r6(col: str):
+    """6-digit stable rounding (same boundary-guard offset as _round_stable)."""
+    return F.round(F.col(col) + F.lit(_ROUND_OFFSET), 6)
+
+
+def _sql_r6(expr: str) -> str:
+    return f"ROUND(({expr}) + {_ROUND_OFFSET!r}, 6)"
+
+
+def q_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving aggregates per event_type daily series."""
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = rolling_aggregate(
+        daily, window=7, aggs=("mean", "sum", "std", "count"),
+        series_cols=("event_type",),
+    )
+    return out.select(
+        "event_type", "ds",
+        _r6("rolling_mean").alias("rolling_mean"),
+        _r6("rolling_sum").alias("rolling_sum"),
+        _r6("rolling_std").alias("rolling_std"),
+        "rolling_count",
+    )
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (alpha=0.3, window=32) — JVM aggregate-HOF fold."""
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = ewma(daily, alpha=0.3, window=32, series_cols=("event_type",))
+    return out.select("event_type", "ds", _r6("ewma").alias("ewma"))
+
+
+def q_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (trailing-14 baseline excluding self)."""
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = anomaly_zscore(
+        daily, window=14, threshold=2.0, series_cols=("event_type",)
+    )
+    return out.select(
+        "event_type", "ds", _r6("zscore").alias("zscore"), "is_anomaly"
+    )
+
+
+def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify a deterministically sparsified daily series and linearly
+    interpolate the holes (time-weighted)."""
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    sparse = daily.filter(F.dayofmonth("ds") % 3 != 0)
+    out = fill_gaps(sparse, grain="D", method="linear", series_cols=("event_type",))
+    return out.select("event_type", "ds", _r6("y").alias("y"), "was_filled")
+
+
+def q_asof_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach the latest even-day view observation (within 5
+    days) to every click-day row — semantics of DuckDB ASOF LEFT JOIN."""
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    clicks = daily.filter(F.col("event_type") == "click").drop("event_type")
+    views = (
+        daily.filter(F.col("event_type") == "view").drop("event_type")
+        .filter(F.dayofmonth("ds") % 2 == 0)
+        .withColumnRenamed("y", "v")
+    )
+    out = asof_join(
+        clicks, views, ts_col="ds", value_cols=("v",),
+        tolerance="5 days", keep_match_ts=True,
+    )
+    # string-typed match timestamp: a NULLABLE date column renders as
+    # None (Spark) vs NaT (DuckDB) in the driver compare; string is stable
+    return out.select(
+        "ds", _r6("y").alias("y"), _r6("v").alias("v"),
+        F.col("matched_ts").cast("string").alias("matched_ts"),
+    )
+
+
+def q_sessions_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (2h) of the raw event stream with
+    per-session aggregates — one window shuffle + reused exchange."""
+    ev = _events_long(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_type", "ds", "y")
+    out = session_stats(
+        ev, gap="2 hours", series_cols=("event_type",), value_col="y"
+    )
+    return out.select(
+        "event_type", "session_seq", "session_start", "session_end",
+        _r6("duration_sec").alias("duration_sec"), "n_events",
+        _r6("session_value").alias("session_value"),
+    )
+
+
+def q_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition, period 7 (weekly seasonality on
+    a daily grid)."""
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = decompose(daily, period=7, series_cols=("event_type",))
+    return out.select(
+        "event_type", "ds", _r6("y").alias("y"), _r6("trend").alias("trend"),
+        _r6("seasonal").alias("seasonal"), _r6("resid").alias("resid"),
+    )
+
+
+# -------------------------------------------------------------------------
 # LLM-pipeline extension queries (SURVEY §2.10)
 # -------------------------------------------------------------------------
 
@@ -798,6 +912,61 @@ _CORPUS_FILTER_CTES = """
 """
 
 
+def q_corpus_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash uniform sampling (fraction=0.25): the
+    same ids survive on any engine — the reproducible-training-mix
+    property, asserted id-for-id against the DuckDB mirror."""
+    from temporal_retriever_spark.llm.corpus import sample_corpus
+
+    docs = _documents(spark, sf_dir)
+    return sample_corpus(docs, fraction=0.25).select("doc_id", "lang", "source")
+
+
+def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-language keep rates (en 0.5 / de 0.25 / zh 1.0;
+    other strata dropped) — rebalancing a training mix."""
+    from temporal_retriever_spark.llm.corpus import sample_corpus
+
+    docs = _documents(spark, sf_dir)
+    return sample_corpus(
+        docs, fractions={"en": 0.5, "de": 0.25, "zh": 1.0}, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
+def q_corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profile per source with accuracy gates: exact group
+    counts (oracle-matched) plus booleans asserting the HLL distinct
+    and GK quantile sketches land within their documented error bounds
+    of the exact values (computed Spark-side) — the ANN-recall-gate
+    pattern for approximate operators."""
+    from temporal_retriever_spark.llm.corpus import corpus_sketch_stats
+
+    docs = _documents(spark, sf_dir)
+    approx = corpus_sketch_stats(docs, group_col="source")
+    length = F.length("text")
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("_xd"),
+        F.expr(
+            "percentile(length(text), array(0.45, 0.55, 0.85, 0.95, 0.97, 1.0))"
+        ).alias("_xq"),
+    )
+    j = approx.join(exact, on="source")
+    gate = lambda p, lo, hi: (
+        (F.col(p) >= F.col("_xq")[lo]) & (F.col(p) <= F.col("_xq")[hi])
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        (
+            F.abs(F.col("approx_distinct_docs") - F.col("_xd"))
+            <= F.greatest(F.ceil(F.col("_xd") * 0.06), F.lit(2))
+        ).alias("distinct_ok"),
+        gate("len_p50", 0, 1).alias("p50_ok"),
+        gate("len_p90", 2, 3).alias("p90_ok"),
+        gate("len_p99", 4, 5).alias("p99_ok"),
+    )
+
+
 def _corpus_prep_oracle() -> str:
     ctes = _CORPUS_FILTER_CTES.format(lang_sql=_lang_id_oracle())
     return f"""
@@ -1066,6 +1235,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_roundtrip": q_media_decode_roundtrip,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_near": q_corpus_prep_near,
+        "corpus_sample_uniform": q_corpus_sample_uniform,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
+        "corpus_sketch_stats": q_corpus_sketch_stats,
+        "rolling_daily": q_rolling_daily,
+        "ewma_daily": q_ewma_daily,
+        "anomaly_zscore_daily": q_anomaly_zscore_daily,
+        "gap_fill_linear": q_gap_fill_linear,
+        "asof_join_daily": q_asof_join_daily,
+        "sessions_2h": q_sessions_2h,
+        "decompose_weekly": q_decompose_weekly,
     }
 
 
@@ -1876,6 +2055,136 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
+        "corpus_sample_uniform": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0 < 0.25
+        """,
+        "corpus_sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0
+                < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                            WHEN 'zh' THEN 1.0 END
+        """,
+        "corpus_sketch_stats": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(TRUE AS BOOLEAN) AS distinct_ok,
+                   CAST(TRUE AS BOOLEAN) AS p50_ok,
+                   CAST(TRUE AS BOOLEAN) AS p90_ok,
+                   CAST(TRUE AS BOOLEAN) AS p99_ok
+            FROM documents GROUP BY source
+        """,
+        "rolling_daily": f"""
+            SELECT event_type, ds,
+              {_sql_r6('AVG(y) OVER w')} AS rolling_mean,
+              {_sql_r6('SUM(y) OVER w')} AS rolling_sum,
+              {_sql_r6('STDDEV_SAMP(y) OVER w')} AS rolling_std,
+              COUNT(y) OVER w AS rolling_count
+            FROM ({_EVENTS_DAILY})
+            WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "ewma_daily": f"""
+            WITH n AS (
+                SELECT event_type, ds, y,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) AS rn
+                FROM ({_EVENTS_DAILY})
+            )
+            SELECT a.event_type, a.ds,
+              {_sql_r6('SUM(b.y * POWER(0.7, a.rn - b.rn)) / SUM(POWER(0.7, a.rn - b.rn))')} AS ewma
+            FROM n a JOIN n b
+              ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 31 AND a.rn
+            GROUP BY a.event_type, a.ds
+        """,
+        "anomaly_zscore_daily": f"""
+            WITH z AS (
+                SELECT event_type, ds,
+                  CASE WHEN COUNT(y) OVER w >= 5 AND STDDEV_SAMP(y) OVER w <> 0
+                       THEN (y - AVG(y) OVER w) / STDDEV_SAMP(y) OVER w END AS zs
+                FROM ({_EVENTS_DAILY})
+                WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                             ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, ds, {_sql_r6('zs')} AS zscore,
+                   COALESCE(ABS(zs) > 2.0, FALSE) AS is_anomaly
+            FROM z
+        """,
+        "gap_fill_linear": f"""
+            WITH sparse AS (SELECT * FROM ({_EVENTS_DAILY}) WHERE day(ds) % 3 <> 0),
+            bounds AS (SELECT event_type, MIN(ds) lo, MAX(ds) hi
+                       FROM sparse GROUP BY 1),
+            grid AS (SELECT event_type,
+                            CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS ds
+                     FROM bounds),
+            dense AS (SELECT g.event_type, g.ds, s.y
+                      FROM grid g LEFT JOIN sparse s USING (event_type, ds)),
+            nb AS (SELECT event_type, ds, y,
+                last_value((CASE WHEN y IS NOT NULL
+                                 THEN struct_pack(t := ds, v := y) END) IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY ds
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                first_value((CASE WHEN y IS NOT NULL
+                                  THEN struct_pack(t := ds, v := y) END) IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY ds
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+              FROM dense)
+            SELECT event_type, ds,
+              {_sql_r6("COALESCE(y, CASE WHEN p.t IS NOT NULL AND nx.t IS NOT NULL AND nx.t <> p.t THEN p.v + (nx.v - p.v) * (epoch(ds) - epoch(p.t)) / (epoch(nx.t) - epoch(p.t)) END)")} AS y,
+              y IS NULL AS was_filled
+            FROM nb
+        """,
+        "asof_join_daily": f"""
+            WITH clicks AS (SELECT ds, y FROM ({_EVENTS_DAILY})
+                            WHERE event_type = 'click'),
+            views AS (SELECT ds, y AS v FROM ({_EVENTS_DAILY})
+                      WHERE event_type = 'view' AND day(ds) % 2 = 0)
+            SELECT c.ds, {_sql_r6('c.y')} AS y,
+              CASE WHEN v.ds >= c.ds - INTERVAL 5 DAY THEN {_sql_r6('v.v')} END AS v,
+              CAST(CASE WHEN v.ds >= c.ds - INTERVAL 5 DAY THEN v.ds END AS VARCHAR)
+                AS matched_ts
+            FROM clicks c ASOF LEFT JOIN views v ON c.ds >= v.ds
+        """,
+        "sessions_2h": f"""
+            WITH e AS (SELECT event_type, ts AS ds, value AS y FROM events
+                       WHERE event_type IN ('click', 'view')),
+            m AS (SELECT event_type, ds, y,
+                CASE WHEN lag(ds) OVER w IS NULL
+                       OR ds >= lag(ds) OVER w + INTERVAL 2 HOUR
+                     THEN 1 ELSE 0 END AS nw
+              FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+            s AS (SELECT event_type, ds, y,
+                SUM(nw) OVER (PARTITION BY event_type ORDER BY ds
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_seq
+              FROM m)
+            SELECT event_type, CAST(session_seq AS BIGINT) AS session_seq,
+                   MIN(ds) AS session_start,
+                   MAX(ds) AS session_end,
+                   {_sql_r6('epoch(MAX(ds)) - epoch(MIN(ds))')} AS duration_sec,
+                   COUNT(*) AS n_events, {_sql_r6('SUM(y)')} AS session_value
+            FROM s GROUP BY 1, 2
+        """,
+        "decompose_weekly": f"""
+            WITH n AS (SELECT event_type, ds, y,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS rn
+              FROM ({_EVENTS_DAILY})),
+            tr AS (SELECT event_type, ds, y, rn % 7 AS pos,
+                CASE WHEN COUNT(y) OVER w = 7 THEN AVG(y) OVER w END AS trend
+              FROM n
+              WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            sm AS (SELECT event_type, pos, AVG(y - trend) AS smean
+                   FROM tr GROUP BY 1, 2),
+            cs AS (SELECT event_type, pos,
+                          smean - AVG(smean) OVER (PARTITION BY event_type) AS seasonal
+                   FROM sm)
+            SELECT t.event_type, t.ds, {_sql_r6('t.y')} AS y,
+                   {_sql_r6('t.trend')} AS trend,
+                   {_sql_r6('c.seasonal')} AS seasonal,
+                   {_sql_r6('t.y - t.trend - c.seasonal')} AS resid
+            FROM tr t JOIN cs c ON t.event_type = c.event_type AND t.pos = c.pos
+        """,
         # granger_click_view (maxlag=5): dense lstsq + F CDF, not
         # SQL-expressible -> rows-only driver check (granger_lag1 is
         # the oracle-verified native path)

@@ -73,7 +73,16 @@ from temporal_retriever_spark.streaming import (
     streaming_exact_dedup,
     streaming_month_rollup,
     streaming_series_state,
+    streaming_sessionize,
     with_arrival_metrics,
+)
+from temporal_retriever_spark.asof import asof_join, session_stats, sessionize
+from temporal_retriever_spark.rolling import (
+    anomaly_zscore,
+    decompose,
+    ewma,
+    fill_gaps,
+    rolling_aggregate,
 )
 
 __all__ = [
@@ -123,7 +132,16 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_month_rollup",
     "streaming_series_state",
+    "streaming_sessionize",
     "with_arrival_metrics",
+    "asof_join",
+    "sessionize",
+    "session_stats",
+    "rolling_aggregate",
+    "ewma",
+    "anomaly_zscore",
+    "fill_gaps",
+    "decompose",
 ]
 
 __version__ = "0.1.0"

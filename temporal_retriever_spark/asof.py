@@ -1,0 +1,181 @@
+"""As-of joins and sessionization — event-time operators beyond the
+reference's equi-join surface.
+
+The reference aligns series only by exact bucket equality (pandas
+``merge`` on ``ds``, app.py:144-149, 180-188). Real time-series joins
+at ingest grain need *as-of* semantics — "latest covariate observation
+at or before each target timestamp" — which the reference sidesteps by
+forcing both series through the same bucket grid first. We provide the
+general operator.
+
+Scale design:
+
+* ``asof_join`` is NOT implemented as a range join (which Spark plans
+  as a broadcast-nested-loop or a cartesian-with-filter at worst). It
+  is the classic union + partitioned-sort formulation: tag both inputs,
+  union them, and run ONE window pass per key ordered by time, carrying
+  the most recent right-side row forward with
+  ``last_value(..., ignorenulls)``. Cost: a single shuffle on the join
+  keys for rows from both sides, then a per-partition sort — the same
+  shape as a sort-merge join, with no risk of a nested-loop fallback
+  and no row explosion on duplicate timestamps.
+* ``sessionize`` is one window pass per key (lag + running sum), the
+  textbook gaps-and-islands plan; the streaming variant in
+  ``streaming.streaming_sessionize`` uses native ``F.session_window``
+  so batch and stream share gap semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Iterable[str] = (),
+    ts_col: str = "ds",
+    right_ts_col: str | None = None,
+    value_cols: Iterable[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "",
+    keep_match_ts: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right-side
+    values from the latest right row with ``right.ts <= left.ts`` (and
+    the same equi-keys ``on``).
+
+    Semantics match DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``
+    (direction="backward", allow_exact_matches=True): a right row at
+    exactly the left timestamp matches. Left rows with no prior right
+    row get nulls (left join).
+
+    ``tolerance`` (an INTERVAL string like ``"2 days"``) nulls matches
+    older than ``left.ts - tolerance``, mirroring ``merge_asof``'s
+    tolerance.
+
+    ``value_cols`` defaults to every right column that is neither a key
+    nor the right timestamp. ``suffix`` renames attached columns (e.g.
+    ``suffix="_r"``) when they collide with left columns.
+
+    Plan shape: union both sides (right rows carry a struct payload,
+    left rows a null payload), one shuffle+sort on ``on`` ordered by
+    ``(ts, side)`` with right-before-left at timestamp ties, then
+    ``last_value(payload, ignorenulls)`` over the unbounded-preceding
+    frame. Filtering back to left rows yields exactly one output row
+    per left row — duplicate right timestamps resolve to the row that
+    sorts last among them (latest payload), never a fanout.
+    """
+    on = list(on)
+    rts = right_ts_col or ts_col
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*on, rts)]
+    value_cols = list(value_cols)
+
+    payload = F.struct(
+        F.col(rts).alias("_ats"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    right_tagged = right.select(
+        *on,
+        F.col(rts).alias(ts_col).cast(dict(left.dtypes)[ts_col]),
+        F.lit(0).alias("_side"),
+        payload.alias("_pay"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns if c not in (*on, ts_col)],
+    )
+    left_tagged = left.select(
+        *on,
+        ts_col,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right_tagged.schema["_pay"].dataType).alias("_pay"),
+        *[c for c in left.columns if c not in (*on, ts_col)],
+    )
+    unioned = left_tagged.unionByName(right_tagged)
+
+    w = (
+        Window.partitionBy(*on) if on else Window.partitionBy(F.lit(1))
+    ).orderBy(ts_col, "_side").rowsBetween(Window.unboundedPreceding, 0)
+    carried = unioned.withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+
+    match_ok = F.col("_m").isNotNull()
+    if tolerance is not None:
+        match_ok = match_ok & (
+            F.col("_m._ats") >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+        )
+    out_cols = [c for c in left.columns]
+    attached = [
+        F.when(match_ok, F.col(f"_m.{c}")).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    if keep_match_ts:
+        attached.append(F.when(match_ok, F.col("_m._ats")).alias(f"matched{suffix}_ts"))
+    return carried.filter(F.col("_side") == 1).select(*out_cols, *attached)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+) -> DataFrame:
+    """Assign gap-based session numbers to an event stream (batch).
+
+    A new session starts when the time since the previous event of the
+    same key is ``>= gap``. This matches ``F.session_window``'s
+    half-open [first_event, last_event + gap) windows: an event landing
+    exactly at the previous session's end timestamp falls outside that
+    window and opens a new session, so the batch and streaming variants
+    agree on boundaries.
+
+    Output: input rows plus ``session_seq`` (1-based per key, ordered
+    by time). One window shuffle on the key; the running sum is the
+    gaps-and-islands plan every SQL engine uses.
+    """
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) >= prev + gap_expr), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*series_cols).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.withColumn("_new", is_new).withColumn(
+        "session_seq", F.sum("_new").over(run)
+    ).drop("_new")
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates: start, end, duration (sec), event count,
+    and (optionally) the summed value. The sessionize window shuffle is
+    on the same key as this groupBy, so Catalyst reuses the exchange —
+    one shuffle total.
+    """
+    series_cols = list(series_cols)
+    sess = sessionize(events, gap=gap, series_cols=series_cols, ts_col=ts_col)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        # double seconds (exact at micro precision): sub-second-truncating
+        # unix_timestamp would disagree with SQL engines' epoch()
+        (
+            F.max(ts_col).cast("double") - F.min(ts_col).cast("double")
+        ).alias("duration_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("session_value"))
+    return sess.groupBy(*series_cols, "session_seq").agg(*aggs)

@@ -34,7 +34,12 @@ from temporal_retriever_spark.llm.similarity import (
     embedding_near_dup_pairs,
     lsh_cosine_topk,
 )
-from temporal_retriever_spark.llm.corpus import prepare_corpus
+from temporal_retriever_spark.llm.corpus import (
+    corpus_sketch_stats,
+    prepare_corpus,
+    sample_corpus,
+    sample_hash_expr,
+)
 from temporal_retriever_spark.llm.multimodal import (
     extract_features,
     media_metadata_stats,
@@ -70,6 +75,9 @@ __all__ = [
     "embedding_near_dup_pairs",
     "lsh_cosine_topk",
     "prepare_corpus",
+    "sample_corpus",
+    "sample_hash_expr",
+    "corpus_sketch_stats",
     "extract_features",
     "media_metadata_stats",
     "repartition_for_payloads",

@@ -104,3 +104,104 @@ def prepare_corpus(
         F.col("doc_id").alias(id_col)
     )
     return filtered.join(losers, on=id_col, how="left_anti")
+
+
+def sample_hash_expr(id_col: str = "doc_id", *, salt: str = "") -> "F.Column":
+    """Deterministic uniform-[0,1) draw per document id.
+
+    First 8 hex digits of ``md5(salt || id)`` scaled by 2^-32 — the
+    engine-portable "hash the id, not rand()" sampling idiom: the same
+    document always draws the same number on any engine that has md5
+    (Spark, DuckDB, Trino, …), so samples are reproducible, stable
+    under re-partitioning, and disjoint salts give independent draws.
+    ``rand()`` can't provide any of that (per-task seeding ties the
+    draw to the physical partition layout).
+    """
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+    return bucket / F.lit(float(2**32))
+
+
+def sample_corpus(
+    df: DataFrame,
+    *,
+    fraction: float | None = None,
+    fractions: dict[str, float] | None = None,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash-based corpus sampling.
+
+    * ``fraction`` — uniform: keep ids whose draw < fraction.
+    * ``fractions`` + ``strata_col`` — stratified: per-stratum keep
+      rates (strata absent from the dict are dropped), e.g. rebalance
+      languages or sources in a training mix.
+
+    The predicate is a pure native expression on the scan — no
+    shuffle, no state, trivially pushed past column pruning; at 100 TB
+    sampling is free. Reproducible: re-running on a grown corpus keeps
+    every previously kept id (append-only stability), which matters
+    for incremental training-data builds.
+    """
+    u = sample_hash_expr(id_col, salt=salt)
+    if fraction is not None:
+        if not 0.0 <= fraction <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+        return df.filter(u < F.lit(float(fraction)))
+    if fractions is None or strata_col is None:
+        raise ValueError("pass either fraction= or (fractions= and strata_col=)")
+    expr = None
+    for stratum, f_ in fractions.items():
+        cond, val = F.col(strata_col) == stratum, F.lit(float(f_))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    if expr is None:
+        raise ValueError("fractions must be non-empty")
+    # when-chain with no otherwise: unmatched strata get null rate ->
+    # u < null is null -> row filtered out
+    return df.filter(u < expr)
+
+
+def corpus_sketch_stats(
+    df: DataFrame,
+    *,
+    group_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rsd: float = 0.02,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based corpus statistics: the one-pass profile a 100-TB
+    corpus run starts with.
+
+    Per group (or globally): document count, HyperLogLog++ approximate
+    distinct documents (``approx_count_distinct`` at relative sd
+    ``rsd``), and Greenwald-Khanna approximate length quantiles
+    (``percentile_approx`` at ``accuracy``). Exact distinct/quantiles
+    need a full shuffle of ids / a sort per group; the sketches are
+    mergeable map-side partials — constant memory, one shuffle of
+    sketch buffers only, which is the entire point at scale.
+
+    Output schema: group, n_docs, approx_distinct_docs,
+    len_p50/len_p90/len_p99 (per ``quantiles``).
+    """
+    keys = [group_col] if group_col else []
+    length = F.length(F.col(text_col))
+    qarr = F.percentile_approx(
+        length, F.array(*[F.lit(float(q)) for q in quantiles]), F.lit(accuracy)
+    )
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct(id_col, rsd).alias("approx_distinct_docs"),
+        qarr.alias("_q"),
+    )
+    return agg.select(
+        *keys,
+        "n_docs",
+        "approx_distinct_docs",
+        *[
+            F.col("_q")[i].alias(f"len_p{int(q * 100)}")
+            for i, q in enumerate(quantiles)
+        ],
+    )

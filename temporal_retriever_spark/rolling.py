@@ -1,0 +1,343 @@
+"""Rolling / sliding per-series operators: moving aggregates, EWMA,
+rolling z-score anomaly flags, gap filling with interpolation, and
+classical seasonal decomposition.
+
+The reference's only windowed computation is the tumbling-bucket
+aggregate (app.py:89, core.py:30-59) — it has no sliding windows at
+all. These operators extend the engine with the standard time-series
+toolkit, all expressed as native window functions / HOFs so they stay
+inside whole-stage codegen.
+
+Scale design: every operator here is ONE shuffle on the series key
+followed by a per-partition sort — the minimal plan for ordered
+per-series computation. Frames are row- or range-bounded (never
+unbounded-both-sides), so Spark's sliding WindowExec streams each
+partition without materializing it. Nothing collects to the driver;
+a billion series parallelize across executors by key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.grains import grain_interval
+
+
+def _series_window(series_cols: Iterable[str], ts_col: str) -> Window:
+    cols = list(series_cols)
+    w = Window.partitionBy(*cols) if cols else Window.partitionBy(F.lit(1))
+    return w.orderBy(ts_col)
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    *,
+    window: int,
+    aggs: Iterable[str] = ("mean",),
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    min_periods: int = 1,
+) -> DataFrame:
+    """Trailing moving aggregates over the last ``window`` rows
+    (current row inclusive): ``rolling_<agg>`` columns for each of
+    ``mean``, ``sum``, ``min``, ``max``, ``std``, ``count``.
+
+    ``min_periods`` nulls the result until that many rows are in the
+    frame (pandas ``rolling(min_periods=...)`` semantics). ``std`` is
+    sample std (ddof=1), the engine-wide convention (A3).
+    """
+    frame = _series_window(series_cols, ts_col).rowsBetween(-(window - 1), 0)
+    col = F.col(value_col)
+    exprs: dict[str, Column] = {}
+    for agg in aggs:
+        a = agg.strip().lower()
+        if a == "mean":
+            exprs["rolling_mean"] = F.avg(col).over(frame)
+        elif a == "sum":
+            exprs["rolling_sum"] = F.sum(col).over(frame)
+        elif a == "min":
+            exprs["rolling_min"] = F.min(col).over(frame)
+        elif a == "max":
+            exprs["rolling_max"] = F.max(col).over(frame)
+        elif a == "std":
+            exprs["rolling_std"] = F.stddev_samp(col).over(frame)
+        elif a == "count":
+            exprs["rolling_count"] = F.count(col).over(frame)
+        else:
+            raise ValueError(f"unsupported rolling aggregation: {agg!r}")
+    out = df
+    n_in_frame = F.count(col).over(frame)
+    for name, expr in exprs.items():
+        if name != "rolling_count" and min_periods > 1:
+            expr = F.when(n_in_frame >= min_periods, expr)
+        out = out.withColumn(name, expr)
+    return out
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    alpha: float,
+    window: int = 64,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average, truncated to the last
+    ``window`` rows.
+
+    pandas ``ewm(alpha=..., adjust=True)`` semantics on the truncated
+    frame: ewma_t = Σ_{j=0..m-1} (1-α)^j · y_{t-j} / Σ_{j} (1-α)^j
+    where m = min(t+1, window). With the default window=64 and any
+    α ≥ 0.07, the dropped tail weight (1-α)^64 < 1e-2 · α of the mass —
+    and unlike the untruncated recursion this form is a *frame-local*
+    computation: collect the frame into an array (bounded, ≤ window
+    values) and reduce it with the ``aggregate`` HOF, entirely JVM-side.
+    An untruncated EWMA is inherently sequential per series; the
+    truncated form is what scales, and is the standard practice for
+    streaming monitoring.
+
+    The fold walks newest→oldest (``reverse`` of the collected frame),
+    multiplying the running weight by (1-α) each step — numerically
+    stable (weights only shrink).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    frame = _series_window(series_cols, ts_col).rowsBetween(-(window - 1), 0)
+    arr = F.reverse(F.collect_list(value_col).over(frame))
+    acc0 = F.struct(
+        F.lit(0.0).alias("num"), F.lit(0.0).alias("den"), F.lit(1.0).alias("pw")
+    )
+    folded = F.aggregate(
+        arr,
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["num"] + x * acc["pw"]).alias("num"),
+            (acc["den"] + acc["pw"]).alias("den"),
+            (acc["pw"] * F.lit(1.0 - alpha)).alias("pw"),
+        ),
+        # ANSI-safe: an all-null frame collects an empty array -> den=0
+        lambda acc: F.when(acc["den"] > 0, acc["num"] / acc["den"]),
+    )
+    return df.withColumn(out_col, folded)
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    *,
+    window: int = 30,
+    threshold: float = 3.0,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    min_periods: int = 5,
+) -> DataFrame:
+    """Rolling z-score anomaly detection.
+
+    Each point is scored against the trailing ``window`` rows
+    *excluding itself* (frame [-window, -1]) so a spike cannot mask
+    itself by inflating its own baseline. Emits ``zscore`` (null until
+    ``min_periods`` prior points exist or when the baseline std is 0)
+    and ``is_anomaly`` (null-safe boolean: null zscore → false).
+
+    This is the detector a monitoring pipeline runs continuously; the
+    same expressions run under Structured Streaming via the batch
+    ``foreachBatch`` rollup since sliding frames need ordered state.
+    """
+    base = _series_window(series_cols, ts_col).rowsBetween(-window, -1)
+    mean = F.avg(value_col).over(base)
+    std = F.stddev_samp(value_col).over(base)
+    n = F.count(value_col).over(base)
+    z = F.when(
+        (n >= min_periods) & std.isNotNull() & (std != 0),
+        (F.col(value_col) - mean) / std,
+    )
+    return (
+        df.withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
+        )
+    )
+
+
+def fill_gaps(
+    df: DataFrame,
+    *,
+    grain: str,
+    method: str = "linear",
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Densify each series to its full grain grid and fill missing
+    values.
+
+    Missing buckets between each series' min and max timestamp are
+    generated natively (per-series ``sequence`` + ``explode`` — the
+    same distributed grid construction as ``align.future_grid``; the
+    grid never touches the driver). Fill methods:
+
+    * ``"linear"`` — time-weighted linear interpolation between the
+      previous and next observed values (pandas
+      ``interpolate(method="time")`` semantics); endpoints stay null.
+    * ``"ffill"`` — carry the previous observation forward.
+    * ``"zero"`` — fill with 0.0.
+    * ``"null"`` — densify only, keep nulls.
+
+    Output: ``(*series_cols, ts_col, value_col, was_filled)``.
+
+    Plan: one groupBy shuffle for bounds, a broadcast-friendly
+    left join of grid×observations on the series+ts key, then one
+    window pass for the neighbor lookup — the grid join and window
+    shuffle share the series-key partitioning.
+
+    Month grains use month-stepped sequences; fixed grains step by the
+    grain interval. Works on timestamp or date ``ts_col``.
+    """
+    if method not in ("linear", "ffill", "zero", "null"):
+        raise ValueError(f"unsupported fill method: {method!r}")
+    series_cols = list(series_cols)
+    step = grain_interval(grain)
+    ts_type = dict(df.dtypes)[ts_col]
+
+    bounds = df.groupBy(*series_cols).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    grid = bounds.select(
+        *series_cols,
+        F.explode(
+            F.sequence(
+                F.col("_lo").cast("timestamp"),
+                F.col("_hi").cast("timestamp"),
+                F.expr(step),
+            )
+        ).alias(ts_col),
+    ).select(*series_cols, F.col(ts_col).cast(ts_type).alias(ts_col))
+    dense = grid.join(
+        df.select(*series_cols, ts_col, value_col),
+        on=[*series_cols, ts_col],
+        how="left",
+    )
+    was_filled = F.col(value_col).isNull()
+    if method == "null":
+        filled = F.col(value_col)
+    elif method == "zero":
+        filled = F.coalesce(F.col(value_col), F.lit(0.0))
+    else:
+        w = _series_window(series_cols, ts_col)
+        prev_w = w.rowsBetween(Window.unboundedPreceding, 0)
+        next_w = w.rowsBetween(0, Window.unboundedFollowing)
+        obs = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("t"),
+                F.col(value_col).alias("v"),
+            ),
+        )
+        dense = dense.withColumn(
+            "_prev", F.last(obs, ignorenulls=True).over(prev_w)
+        )
+        if method == "ffill":
+            filled = F.coalesce(F.col(value_col), F.col("_prev.v"))
+        else:
+            dense = dense.withColumn(
+                "_next", F.first(obs, ignorenulls=True).over(next_w)
+            )
+            t = F.col(ts_col).cast("timestamp")
+            p_t, p_v = F.col("_prev.t"), F.col("_prev.v")
+            n_t, n_v = F.col("_next.t"), F.col("_next.v")
+            frac = (t.cast("double") - p_t.cast("double")) / (
+                n_t.cast("double") - p_t.cast("double")
+            )
+            # the n_t != p_t guard keeps the ANSI division inside the
+            # conditional branch (observed rows have prev==next==self)
+            interp = F.when(
+                p_t.isNotNull() & n_t.isNotNull() & (n_t != p_t),
+                p_v + (n_v - p_v) * frac,
+            )
+            filled = F.coalesce(F.col(value_col), interp)
+    return dense.select(
+        *series_cols,
+        ts_col,
+        filled.alias(value_col),
+        was_filled.alias("was_filled"),
+    )
+
+
+def decompose(
+    df: DataFrame,
+    *,
+    period: int,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Classical additive seasonal decomposition (moving-average flavor,
+    statsmodels ``seasonal_decompose(model="additive")`` structure):
+
+    * ``trend``     — centered moving average over ``period`` rows.
+      Odd period: plain mean of the symmetric frame. Even period: the
+      standard 2×MA (half-weight endpoints) via two stacked means.
+    * ``seasonal``  — per seasonal-position mean of the detrended
+      series, re-centered to sum to zero over one period.
+    * ``resid``     — y − trend − seasonal (null where trend is null,
+      i.e. the half-period edges, like statsmodels).
+
+    The seasonal position is ``(row_number − 1) mod period`` per
+    series, so the operator works for any grain/period combination
+    without calendar assumptions.
+
+    Plan: one series-key window shuffle serves the row numbering,
+    trend frames, and the final join back; the seasonal means add one
+    aggregate on (series, position) — two shuffles total.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    series_cols = list(series_cols)
+    w = _series_window(series_cols, ts_col)
+    half = period // 2
+    if period % 2 == 1:
+        frame = w.rowsBetween(-half, half)
+        n = F.count(value_col).over(frame)
+        trend = F.when(n == period, F.avg(value_col).over(frame))
+    else:
+        # 2xMA: mean of the two length-`period` frames offset by one,
+        # equivalently half-weighted endpoints over 2*half+1 rows
+        f1 = w.rowsBetween(-half, half - 1)
+        f2 = w.rowsBetween(-half + 1, half)
+        n1 = F.count(value_col).over(f1)
+        n2 = F.count(value_col).over(f2)
+        trend = F.when(
+            (n1 == period) & (n2 == period),
+            (F.avg(value_col).over(f1) + F.avg(value_col).over(f2)) / 2.0,
+        )
+    pos = ((F.row_number().over(w) - 1) % period).alias("_pos")
+    base = df.withColumn("_pos", pos).withColumn("trend", trend)
+    detrended = base.withColumn("_d", F.col(value_col) - F.col("trend"))
+    smeans = detrended.groupBy(*series_cols, "_pos").agg(
+        F.avg("_d").alias("_smean")
+    )
+    centered = smeans.withColumn(
+        "seasonal",
+        F.col("_smean")
+        - F.avg("_smean").over(
+            Window.partitionBy(*series_cols) if series_cols
+            else Window.partitionBy(F.lit(1))
+        ),
+    ).drop("_smean")
+    return (
+        # seasonal frame is series x period rows; small enough that AQE
+        # broadcasts it on fixtures, and a co-partitioned shuffle join
+        # (same series key) when series count is huge -- no hint needed
+        detrended.join(centered, on=[*series_cols, "_pos"])
+        .withColumn("resid", F.col("_d") - F.col("seasonal"))
+        .select(
+            *series_cols, ts_col, value_col, "trend", "seasonal", "resid"
+        )
+    )

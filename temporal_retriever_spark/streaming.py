@@ -368,3 +368,48 @@ def forecast_refresh(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming session aggregation via native ``F.session_window``.
+
+    The streaming analog of the batch ``asof.session_stats``: dynamic
+    event-time windows that extend while events arrive within ``gap``
+    of each other and close once the watermark passes the last event +
+    gap. Emits per-session (start, end, duration_sec, n_events[,
+    session_value]) — the same measures the batch operator computes
+    with its gaps-and-islands window, so stream and batch agree on
+    session boundaries (both treat a gap of exactly ``gap`` as a new
+    session: session windows are half-open ``[first, last+gap)``).
+
+    State is bounded by the watermark; Spark merges adjacent session
+    fragments across micro-batches natively (no custom state code).
+    """
+    series_cols = list(series_cols)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.max(ts_col).cast("double") - F.min(ts_col).cast("double")
+        ).alias("duration_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("session_value"))
+    return (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), *series_cols)
+        .agg(*aggs)
+        .select(*series_cols, "session_start", "session_end",
+                "duration_sec", "n_events",
+                *([ "session_value"] if value_col is not None else []))
+    )

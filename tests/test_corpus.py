@@ -82,3 +82,60 @@ def test_gate_pass_is_narrow(spark, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_uniform_sample_deterministic_and_stable(spark, docs):
+    from temporal_retriever_spark.llm.corpus import sample_corpus
+
+    a = {r["doc_id"] for r in sample_corpus(docs, fraction=0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample_corpus(docs, fraction=0.3).select("doc_id").collect()}
+    assert a == b  # reproducible across runs
+    # append-only stability: growing the fraction only adds ids
+    c = {r["doc_id"] for r in sample_corpus(docs, fraction=0.6).select("doc_id").collect()}
+    assert a <= c
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # roughly the requested rate
+    # disjoint salts draw independently (different samples)
+    d = {r["doc_id"] for r in sample_corpus(docs, fraction=0.3, salt="s2").select("doc_id").collect()}
+    assert a != d
+    with pytest.raises(ValueError):
+        sample_corpus(docs, fraction=1.5)
+    with pytest.raises(ValueError):
+        sample_corpus(docs)
+
+
+def test_stratified_sample_rates_and_drop(spark, tables):
+    from temporal_retriever_spark.llm.corpus import sample_corpus
+
+    docs = tables["documents"]
+    out = sample_corpus(
+        docs, fractions={"en": 1.0, "de": 0.0}, strata_col="lang"
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # de sampled at 0, others dropped entirely
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en
+
+
+def test_sample_predicate_stays_on_scan(spark, docs):
+    from temporal_retriever_spark.llm.corpus import sample_corpus
+
+    plan = sample_corpus(docs, fraction=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_sketch_stats_within_bounds(spark, tables):
+    from temporal_retriever_spark.llm.corpus import corpus_sketch_stats
+
+    docs = tables["documents"]
+    approx = corpus_sketch_stats(docs, group_col="lang")
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("xd"),
+        F.expr("percentile(length(text), array(0.4, 0.6))").alias("xq"),
+    )
+    rows = approx.join(exact, on="lang").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_distinct_docs"] - r["xd"]) <= max(2, 0.06 * r["xd"])
+        assert r["xq"][0] <= r["len_p50"] <= r["xq"][1]
+        assert r["len_p50"] <= r["len_p90"] <= r["len_p99"]

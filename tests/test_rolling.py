@@ -1,0 +1,228 @@
+"""Rolling/sliding operators vs the DuckDB window-SQL oracle, plus
+edge-case unit tests (min_periods, empty frames, ANSI safety)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.rolling import (
+    anomaly_zscore,
+    decompose,
+    ewma,
+    fill_gaps,
+    rolling_aggregate,
+)
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def daily(tables):
+    ev = tables["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    return ev.groupBy("event_type", F.date_trunc("day", "ds").alias("ds")).agg(
+        F.sum("y").alias("y")
+    )
+
+
+DAILY_SQL = """
+    SELECT event_type, date_trunc('day', ts) AS ds, SUM(value) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+def test_rolling_aggregate_matches_oracle(daily, duck):
+    got = rolling_aggregate(
+        daily, window=7, aggs=("mean", "sum", "std", "count"),
+        series_cols=("event_type",),
+    ).select(
+        "event_type", "ds",
+        F.round("rolling_mean", 6).alias("rolling_mean"),
+        F.round("rolling_sum", 6).alias("rolling_sum"),
+        F.round("rolling_std", 6).alias("rolling_std"),
+        "rolling_count",
+    )
+    assert_matches_oracle(got, duck, f"""
+        SELECT event_type, ds,
+          ROUND(AVG(y) OVER w, 6) AS rolling_mean,
+          ROUND(SUM(y) OVER w, 6) AS rolling_sum,
+          ROUND(STDDEV_SAMP(y) OVER w, 6) AS rolling_std,
+          COUNT(y) OVER w AS rolling_count
+        FROM ({DAILY_SQL})
+        WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """)
+
+
+def test_rolling_min_periods(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(5)], "series_id string, t int, y double"
+    ).select("series_id", F.col("t").cast("timestamp").alias("ds"), "y")
+    out = rolling_aggregate(
+        df, window=3, aggs=("mean",), min_periods=3
+    ).orderBy("ds").collect()
+    assert [r["rolling_mean"] for r in out] == [None, None, 1.0, 2.0, 3.0]
+
+
+def test_rolling_rejects_unknown_agg(daily):
+    with pytest.raises(ValueError, match="rolling"):
+        rolling_aggregate(daily, window=3, aggs=("mode",))
+
+
+def test_ewma_matches_selfjoin_oracle(daily, duck):
+    got = ewma(daily, alpha=0.3, window=32, series_cols=("event_type",)).select(
+        "event_type", "ds", F.round("ewma", 6).alias("ewma")
+    )
+    assert_matches_oracle(got, duck, f"""
+        WITH n AS (SELECT event_type, ds, y,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) AS rn
+          FROM ({DAILY_SQL}))
+        SELECT a.event_type, a.ds,
+          ROUND(SUM(b.y * POWER(0.7, a.rn - b.rn))
+                / SUM(POWER(0.7, a.rn - b.rn)), 6) AS ewma
+        FROM n a JOIN n b
+          ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 31 AND a.rn
+        GROUP BY a.event_type, a.ds
+    """)
+
+
+def test_ewma_alpha_one_is_identity(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i * 10)) for i in range(4)],
+        "series_id string, t int, y double",
+    ).select("series_id", F.col("t").cast("timestamp").alias("ds"), "y")
+    out = ewma(df, alpha=1.0).orderBy("ds").collect()
+    assert [r["ewma"] for r in out] == [0.0, 10.0, 20.0, 30.0]
+    with pytest.raises(ValueError):
+        ewma(df, alpha=0.0)
+
+
+def test_anomaly_zscore_matches_oracle(daily, duck):
+    got = anomaly_zscore(
+        daily, window=14, threshold=2.0, series_cols=("event_type",)
+    ).select("event_type", "ds", F.round("zscore", 6).alias("zscore"), "is_anomaly")
+    assert_matches_oracle(got, duck, f"""
+        WITH z AS (
+          SELECT event_type, ds,
+            CASE WHEN COUNT(y) OVER w >= 5 AND STDDEV_SAMP(y) OVER w <> 0
+                 THEN (y - AVG(y) OVER w) / STDDEV_SAMP(y) OVER w END AS zs
+          FROM ({DAILY_SQL})
+          WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                       ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, ds, ROUND(zs, 6) AS zscore,
+               COALESCE(ABS(zs) > 2.0, FALSE) AS is_anomaly
+        FROM z
+    """)
+
+
+def test_anomaly_flags_injected_spike(spark):
+    rows = [("a", i, 10.0 + (i % 3) * 0.1) for i in range(30)]
+    rows[20] = ("a", 20, 500.0)
+    df = spark.createDataFrame(
+        rows, "series_id string, t int, y double"
+    ).select("series_id", F.timestamp_seconds(F.col("t") * 86400).alias("ds"), "y")
+    out = anomaly_zscore(df, window=10, threshold=3.0).orderBy("ds").collect()
+    flags = [r["is_anomaly"] for r in out]
+    assert flags[20] is True
+    assert sum(flags) == 1  # the spike does not poison its neighbors' baseline
+
+
+def test_fill_gaps_linear_matches_oracle(daily, duck):
+    sparse = daily.filter(F.dayofmonth("ds") % 3 != 0)
+    got = fill_gaps(
+        sparse, grain="D", method="linear", series_cols=("event_type",)
+    ).select("event_type", "ds", F.round("y", 6).alias("y"), "was_filled")
+    assert_matches_oracle(got, duck, f"""
+        WITH sparse AS (SELECT * FROM ({DAILY_SQL}) WHERE day(ds) % 3 <> 0),
+        bounds AS (SELECT event_type, MIN(ds) lo, MAX(ds) hi FROM sparse GROUP BY 1),
+        grid AS (SELECT event_type,
+                        UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS ds
+                 FROM bounds),
+        dense AS (SELECT g.event_type, g.ds, s.y
+                  FROM grid g LEFT JOIN sparse s USING (event_type, ds)),
+        nb AS (SELECT event_type, ds, y,
+            last_value((CASE WHEN y IS NOT NULL
+                             THEN struct_pack(t := ds, v := y) END) IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY ds
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+            first_value((CASE WHEN y IS NOT NULL
+                              THEN struct_pack(t := ds, v := y) END) IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY ds
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+          FROM dense)
+        SELECT event_type, ds,
+          ROUND(COALESCE(y,
+            CASE WHEN p.t IS NOT NULL AND nx.t IS NOT NULL AND nx.t <> p.t
+                 THEN p.v + (nx.v - p.v) * (epoch(ds) - epoch(p.t))
+                                          / (epoch(nx.t) - epoch(p.t)) END), 6) AS y,
+          y IS NULL AS was_filled
+        FROM nb
+    """)
+
+
+def test_fill_gaps_modes(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 3, 40.0)], "series_id string, d int, y double"
+    ).select("series_id", F.timestamp_seconds(F.col("d") * 86400).alias("ds"), "y")
+    lin = {r["ds"].day: r["y"] for r in fill_gaps(df, grain="D").collect()}
+    assert lin[2] == pytest.approx(20.0) and lin[3] == pytest.approx(30.0)
+    ff = {r["ds"].day: r["y"] for r in fill_gaps(df, grain="D", method="ffill").collect()}
+    assert ff[2] == 10.0 and ff[3] == 10.0
+    zz = {r["ds"].day: r["y"] for r in fill_gaps(df, grain="D", method="zero").collect()}
+    assert zz[2] == 0.0
+    nn = fill_gaps(df, grain="D", method="null").collect()
+    assert sum(1 for r in nn if r["y"] is None) == 2
+    assert sum(1 for r in nn if r["was_filled"]) == 2
+    with pytest.raises(ValueError):
+        fill_gaps(df, grain="D", method="cubic")
+
+
+@pytest.mark.parametrize("period,frame_sql", [
+    (7, "CASE WHEN COUNT(y) OVER w7 = 7 THEN AVG(y) OVER w7 END"),
+    (6, """CASE WHEN COUNT(y) OVER w6a = 6 AND COUNT(y) OVER w6b = 6
+           THEN (AVG(y) OVER w6a + AVG(y) OVER w6b) / 2 END"""),
+])
+def test_decompose_matches_oracle(daily, duck, period, frame_sql):
+    got = decompose(daily, period=period, series_cols=("event_type",)).select(
+        "event_type", "ds", F.round("y", 6).alias("y"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+    )
+    assert_matches_oracle(got, duck, f"""
+        WITH n AS (SELECT event_type, ds, y,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS rn
+          FROM ({DAILY_SQL})),
+        tr AS (SELECT event_type, ds, y, rn % {period} AS pos,
+            {frame_sql} AS trend
+          FROM n
+          WINDOW w7 AS (PARTITION BY event_type ORDER BY ds
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+                 w6a AS (PARTITION BY event_type ORDER BY ds
+                         ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING),
+                 w6b AS (PARTITION BY event_type ORDER BY ds
+                         ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING)),
+        sm AS (SELECT event_type, pos, AVG(y - trend) AS smean
+               FROM tr GROUP BY 1, 2),
+        cs AS (SELECT event_type, pos,
+                      smean - AVG(smean) OVER (PARTITION BY event_type) AS seasonal
+               FROM sm)
+        SELECT t.event_type, t.ds, ROUND(t.y, 6) AS y, ROUND(t.trend, 6) AS trend,
+               ROUND(c.seasonal, 6) AS seasonal,
+               ROUND(t.y - t.trend - c.seasonal, 6) AS resid
+        FROM tr t JOIN cs c ON t.event_type = c.event_type AND t.pos = c.pos
+    """)
+
+
+def test_decompose_reconstruction(daily):
+    out = decompose(daily, period=7, series_cols=("event_type",))
+    bad = out.filter(
+        F.col("trend").isNotNull()
+        & (F.abs(F.col("trend") + F.col("seasonal") + F.col("resid") - F.col("y")) > 1e-6)
+    ).count()
+    assert bad == 0
+    with pytest.raises(ValueError):
+        decompose(daily, period=1)
