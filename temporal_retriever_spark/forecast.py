@@ -250,7 +250,7 @@ def forecast_with_covariate(
     value_col: str = "y",
     cov_col: str = "cov",
     materialize_covariate: bool = False,
-    materialize_history: bool = True,
+    materialize_history: bool = False,
     include_bounds: bool = True,
     quantiles: tuple[float, float] = (0.05, 0.95),
 ) -> DataFrame:
@@ -280,11 +280,14 @@ def forecast_with_covariate(
     first: it is referenced twice in the plan (history join + future
     grid join), and when it is itself a forecast sub-plan, truncating
     the lineage roughly halves execution. ``materialize_history``
-    (default True) does the same for the joined history frame, which
-    the fit/residual/seasonal/quantile stages reference four times —
-    it holds BUCKETED data (series × buckets, already reduced), so at
-    100 TB it is orders of magnitude smaller than the raw scan it
-    truncates.
+    (default False) does the same for the joined history frame, which
+    the fit/residual/seasonal/quantile stages reference four times.
+    Measured at sf0.1 the eager checkpoint job costs MORE than the
+    recomputation it avoids (~1s vs ~0.2s: the shuffled history
+    exchanges are already reused by AQE), so it is off by default;
+    turn it on only when the history sub-plan is expensive relative to
+    its bucketed output (e.g. a wide raw scan feeding few buckets)
+    and executor memory holds the checkpoint comfortably.
     """
     series_cols = list(series_cols)
     if materialize_covariate:
@@ -764,7 +767,7 @@ def forecast_covariate_changepoint(
     value_col: str = "y",
     cov_col: str = "cov",
     materialize_covariate: bool = False,
-    materialize_history: bool = True,
+    materialize_history: bool = False,
     include_bounds: bool = True,
     quantiles: tuple[float, float] = (0.05, 0.95),
 ) -> DataFrame:
