@@ -316,6 +316,7 @@ def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series_id",
         "lag",
         F.round(F.col("f_stat") + F.lit(_ROUND_OFFSET), 6).alias("f_stat"),
+        F.round(F.col("p_value") + F.lit(_ROUND_OFFSET), 6).alias("p_value"),
         "df_num",
         "df_den",
         "n_obs",
@@ -1762,12 +1763,33 @@ def _granger_lag1_oracle() -> str:
         cur = f"g{i}"
         ctes.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
         prev = cur
+    # exact F(1, d2) p-value: the same finite incomplete-beta series as
+    # diagnostics.f_sf_lag1_expr, coefficients via lgamma (c_j = C(2j,j)/4^j)
+    ctes.append(
+        f"pv0 AS (SELECT *, CAST(m - 3 AS BIGINT) AS d2i, "
+        f"(m - 3.0) / ((m - 3.0) + f_stat) AS px FROM {prev})"
+    )
+    ctes.append(
+        "pvs AS (SELECT SUM(CASE WHEN b.d2i % 2 = 0 "
+        "THEN exp(lgamma(0.5 + r.j) - lgamma(r.j + 1.0) - lgamma(0.5) + r.j * ln(b.px)) "
+        "ELSE exp(r.j * ln(b.px) - (lgamma(0.5 + r.j) - lgamma(r.j + 1.0) - lgamma(0.5))) / (r.j + 0.5) "
+        "END) AS ssum FROM pv0 b, "
+        "LATERAL (SELECT UNNEST(range(0, b.d2i // 2)) AS j) r)"
+    )
+    p_expr = (
+        "CASE WHEN NOT (f_stat > 0) THEN 1.0 "
+        "WHEN d2i % 2 = 0 THEN 1.0 - sqrt(1.0 - px) * ssum "
+        "ELSE (2.0 / pi()) * asin(sqrt(px)) "
+        "- sqrt(px * (1.0 - px)) / pi() * ssum END"
+    )
     return (
         f"WITH {', '.join(ctes)} "
         "SELECT 'click~view' AS series_id, 1 AS lag, "
-        f"ROUND(f_stat + {_ROUND_OFFSET!r}, 6) AS f_stat, 1 AS df_num, "
+        f"ROUND(f_stat + {_ROUND_OFFSET!r}, 6) AS f_stat, "
+        f"ROUND(CAST(({p_expr}) AS DOUBLE) + {_ROUND_OFFSET!r}, 6) AS p_value, "
+        "1 AS df_num, "
         f"CAST(m - 3 AS BIGINT) AS df_den, CAST(m + 1 AS BIGINT) AS n_obs "
-        f"FROM {prev}"
+        "FROM pv0, pvs"
     )
 
 

@@ -431,6 +431,63 @@ def acf_pacf(
     return agg.mapInPandas(compute, schema)
 
 
+def f_sf_lag1_expr(f_stat: Column, df_den: Column) -> Column:
+    """Exact F(1, d2) survival function (p-value) as a native column
+    expression — no UDF, mirrorable in ANSI SQL.
+
+    For df_num=1 the regularized incomplete beta I_x(d2/2, 1/2) at
+    x = d2/(d2 + F) telescopes into a FINITE series of d2//2 terms
+    built on the central-binomial coefficients c_j = C(2j,j)/4^j
+    (recurrence c_{j+1} = c_j·(2j+1)/(2j+2)):
+
+    * d2 even:  p = 1 − √(1−x) · Σ_{j<d2/2} c_j x^j
+    * d2 odd:   p = (2/π)·asin(√x) − √(x(1−x))/π · Σ_{j<⌊d2/2⌋} x^j/((j+½)c_j)
+
+    (standard incomplete-beta integer/half-integer reductions, cf.
+    Abramowitz & Stegun 26.5.6-26.5.9 — public formulas). The fold runs
+    as a JVM ``aggregate`` HOF over ``sequence(0, d2//2−1)``; agrees
+    with the continued-fraction ``stats.f_sf`` to ~1e-13. The DuckDB
+    oracle mirrors the same series with lgamma-based coefficients.
+
+    Only the df_num=1 case reduces this way — multi-lag Granger keeps
+    the grouped-UDF path for its p-values.
+    """
+    f = f_stat.cast("double")
+    d2 = df_den.cast("double")
+    x = d2 / (d2 + f)
+    is_even = (df_den.cast("long") % 2) == 0
+    nt = F.floor(d2 / 2).cast("integer")
+    folded = F.aggregate(
+        F.sequence(F.lit(0), nt - F.lit(1)),
+        F.struct(
+            F.lit(0.0).alias("s"), F.lit(1.0).alias("c"), F.lit(1.0).alias("px")
+        ),
+        lambda acc, j: F.struct(
+            (
+                acc["s"]
+                + F.when(is_even, acc["c"] * acc["px"]).otherwise(
+                    acc["px"] / ((j.cast("double") + 0.5) * acc["c"])
+                )
+            ).alias("s"),
+            (
+                acc["c"]
+                * (2 * j.cast("double") + 1)
+                / (2 * j.cast("double") + 2)
+            ).alias("c"),
+            (acc["px"] * x).alias("px"),
+        ),
+        lambda acc: acc["s"],
+    )
+    p_even = F.lit(1.0) - F.sqrt(F.lit(1.0) - x) * folded
+    p_odd = (
+        F.lit(2.0 / math.pi) * F.asin(F.sqrt(x))
+        - F.sqrt(x * (F.lit(1.0) - x)) / F.lit(math.pi) * folded
+    )
+    return F.when(~(f > 0), F.lit(1.0)).otherwise(
+        F.when(is_even, p_even).otherwise(p_odd)
+    )
+
+
 def granger_lag1(
     df: DataFrame,
     *,
@@ -449,8 +506,10 @@ def granger_lag1(
     xd_{t−1}; F = (RSS_r − RSS_u) / (RSS_u / (m − 3)) with m = n − 1
     lag rows (statsmodels ssr_ftest semantics). Linear detrend uses the
     0..n−1 row index like the notebook prototype (Untitled.ipynb cell
-    12). Output: (series, lag=1, f_stat, df_num=1, df_den, n_obs);
-    p-values come from the grouped-UDF path (needs the F CDF).
+    12). Output: (series, lag=1, f_stat, p_value, df_num=1, df_den,
+    n_obs); the p-value is the exact F(1, d2) survival function via the
+    finite incomplete-beta series (``f_sf_lag1_expr``) — also native,
+    also SQL-mirrorable.
     """
     series_cols = list(series_cols)
     w = Window.partitionBy(*series_cols)
@@ -502,6 +561,9 @@ def granger_lag1(
         *series_cols,
         F.lit(1).alias("lag"),
         F.col("f_stat"),
+        f_sf_lag1_expr(
+            F.col("f_stat"), (F.col("m") - 3).cast("long")
+        ).alias("p_value"),
         F.lit(1).alias("df_num"),
         (F.col("m") - 3).cast("long").alias("df_den"),
         (F.col("m") + 1).cast("long").alias("n_obs"),

@@ -214,3 +214,52 @@ def test_granger_short_series_empty(spark):
         [("s", 1.0, 2.0, 3.0)], "series_id string, ds double, y double, x double"
     )
     assert granger_causality(df, maxlag=14).count() == 0
+
+
+def test_f_sf_lag1_expr_matches_continued_fraction(spark):
+    """The finite incomplete-beta series (native column expr) agrees
+    with stats.f_sf (Lentz continued fraction) across parities/sizes."""
+    from temporal_retriever_spark.diagnostics import f_sf_lag1_expr
+    from temporal_retriever_spark.stats import f_sf
+
+    grid = [
+        (f, d2)
+        for f in (0.001, 0.5, 1.0, 2.5, 3.84, 10.0, 50.0)
+        for d2 in (3, 4, 10, 59, 60, 146, 147)
+    ] + [(0.0, 100)]
+    df = spark.createDataFrame(grid, "f double, d2 long")
+    rows = df.select(
+        "f", "d2", f_sf_lag1_expr(F.col("f"), F.col("d2")).alias("p")
+    ).collect()
+    for r in rows:
+        want = f_sf(r["f"], 1.0, float(r["d2"])) if r["f"] > 0 else 1.0
+        assert abs(r["p"] - want) < 1e-11, (r["f"], r["d2"], r["p"], want)
+
+
+def test_granger_lag1_matches_udf_path(spark, tables):
+    """Native lag-1 (explicit sums + series p-value) == grouped-UDF
+    granger_causality lag-1 row (numpy lstsq + continued fraction)."""
+    from temporal_retriever_spark.diagnostics import granger_causality, granger_lag1
+
+    ev = tables["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ds").alias("ds")).agg(
+        F.sum("y").alias("y")
+    )
+    target = daily.filter(F.col("event_type") == "click").select(
+        F.lit("s").alias("series_id"), "ds", "y"
+    )
+    cov = daily.filter(F.col("event_type") == "view").select(
+        F.lit("s").alias("series_id"), "ds", F.col("y").alias("x")
+    )
+    pair = target.join(cov, on=["series_id", "ds"], how="inner")
+    native = granger_lag1(pair).collect()[0]
+    udf_row = {
+        r["lag"]: r
+        for r in granger_causality(pair, maxlag=1).collect()
+    }[1]
+    assert native["df_den"] == udf_row["df_den"]
+    assert abs(native["f_stat"] - udf_row["f_stat"]) < 1e-8
+    assert abs(native["p_value"] - udf_row["p_value"]) < 1e-10
