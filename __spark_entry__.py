@@ -913,6 +913,15 @@ _CORPUS_FILTER_CTES = """
 """
 
 
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 token heavy hitters (exact counts,
+    deterministic tie-break) — WindowGroupLimit pre-shuffle top-k."""
+    from temporal_retriever_spark.llm.text import token_topk
+
+    docs = _documents(spark, sf_dir)
+    return token_topk(docs, k=10, group_col="lang")
+
+
 def q_corpus_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-hash uniform sampling (fraction=0.25): the
     same ids survive on any engine — the reproducible-training-mix
@@ -1236,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_roundtrip": q_media_decode_roundtrip,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_near": q_corpus_prep_near,
+        "token_topk": q_token_topk,
         "corpus_sample_uniform": q_corpus_sample_uniform,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sketch_stats": q_corpus_sketch_stats,
@@ -2077,6 +2087,19 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
+        "token_topk": r"""
+            WITH toks AS (
+                SELECT lang,
+                       lower(UNNEST(string_split_regex(trim(text), '\s+'))) AS token
+                FROM documents
+            ),
+            c AS (SELECT lang, token, COUNT(*) AS cnt FROM toks
+                  WHERE length(token) >= 1 GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank
+                  FROM c)
+            SELECT lang, token, cnt, rank FROM r WHERE rank <= 10
+        """,
         "corpus_sample_uniform": """
             SELECT doc_id, lang, source FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

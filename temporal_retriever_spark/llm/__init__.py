@@ -12,6 +12,7 @@ from temporal_retriever_spark.llm.text import (
     text_fingerprint,
     text_stats,
     token_count_expr,
+    token_topk,
 )
 from temporal_retriever_spark.llm.dedup import (
     duplicate_clusters,
@@ -56,6 +57,7 @@ __all__ = [
     "language_id",
     "text_fingerprint",
     "text_stats",
+    "token_topk",
     "token_count_expr",
     "duplicate_clusters",
     "exact_dedup",

@@ -7,7 +7,7 @@ whole-stage codegen); nothing here crosses into Python per row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
@@ -187,3 +187,43 @@ def text_fingerprint(
     else:
         raise ValueError(f"unsupported fingerprint algorithm: {algorithm!r}")
     return df.select(*id_cols, fp.alias("fingerprint"))
+
+
+def token_topk(
+    df: DataFrame,
+    *,
+    k: int = 20,
+    group_col: str | None = None,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Top-k most frequent tokens per group (vocabulary heavy hitters).
+
+    Whitespace tokenization (the engine's token-count convention),
+    optional lowercasing, exact counts. Ties broken by token
+    ascending so the result is deterministic across engines.
+
+    Plan shape: explode → partial+final count aggregation (one shuffle
+    on (group, token)) → rank window on group. Spark inserts
+    WindowGroupLimit BELOW the rank exchange, so each map task ships
+    only its local top-k candidates per group — the same distributed
+    top-k plan as ``similarity.cosine_topk``. At 100 TB the shuffle
+    carries per-partition candidate sets, not the full vocabulary.
+    Output: (group?, token, cnt, rank), rank 1..k.
+    """
+    keys = [group_col] if group_col else []
+    tok = F.explode(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    ).alias("token")
+    base = df.select(*keys, tok).filter(F.length("token") >= min_token_len)
+    if lowercase:
+        base = base.withColumn("token", F.lower(F.col("token")))
+    counts = base.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )

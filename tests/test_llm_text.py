@@ -100,3 +100,32 @@ def test_fingerprint_md5_oracle(tables, duck):
         FROM documents
     """
     assert_matches_oracle(got, duck, sql)
+
+
+def test_token_topk_matches_oracle(tables, duck):
+    from temporal_retriever_spark.llm.text import token_topk
+    from tests.conftest import assert_matches_oracle
+
+    got = token_topk(tables["documents"], k=5, group_col="lang")
+    assert_matches_oracle(got, duck, r"""
+        WITH toks AS (
+            SELECT lang,
+                   lower(UNNEST(string_split_regex(trim(text), '\s+'))) AS token
+            FROM documents
+        ),
+        c AS (SELECT lang, token, COUNT(*) AS cnt FROM toks
+              WHERE length(token) >= 1 GROUP BY 1, 2),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank
+              FROM c)
+        SELECT lang, token, cnt, rank FROM r WHERE rank <= 5
+    """)
+
+
+def test_token_topk_pre_shuffle_limit(tables):
+    from temporal_retriever_spark.llm.text import token_topk
+
+    plan = token_topk(tables["documents"], k=3, group_col="lang")._jdf \
+        .queryExecution().executedPlan().toString()
+    # partial top-k must run below the rank exchange (distributed top-k)
+    assert "WindowGroupLimit" in plan
