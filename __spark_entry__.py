@@ -32,7 +32,10 @@ from temporal_retriever_spark.diagnostics import (
     describe,
     durbin_levinson_stages,
     granger_causality,
+    granger_cholesky_rounds,
+    granger_gram_exprs,
     granger_lag1,
+    granger_native,
     pacf,
 )
 from temporal_retriever_spark.forecast import (
@@ -285,17 +288,21 @@ def q_describe_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_granger_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 at maxlag=5, fully native: staged-Cholesky F statistics and
+    finite-series p-values (diagnostics.granger_native) — the whole
+    multi-lag Granger test is oracle-backed; the grouped-UDF
+    granger_causality path is cross-checked against it in tests."""
     target = _daily_series(spark, sf_dir, "click").withColumn(
         "series_id", F.lit("click~view")
     )
     cov = _daily_series(spark, sf_dir, "view").withColumnRenamed("y", "x")
     pair = target.join(cov, on="ds", how="inner")
-    got = granger_causality(pair, maxlag=5, series_cols=("series_id",))
+    got = granger_native(pair, maxlag=5, series_cols=("series_id",))
     return got.select(
         "series_id",
         "lag",
-        F.round("f_stat", 6).alias("f_stat"),
-        F.round("p_value", 6).alias("p_value"),
+        F.round(F.col("f_stat") + F.lit(_ROUND_OFFSET), 6).alias("f_stat"),
+        F.round(F.col("p_value") + F.lit(_ROUND_OFFSET), 6).alias("p_value"),
         "df_num",
         "df_den",
         "n_obs",
@@ -1735,6 +1742,123 @@ def _changepoint_oracle() -> str:
     )
 
 
+def _granger_native_oracle(maxlag: int = 5) -> str:
+    """DuckDB mirror of ``granger_native``: the same detrend CTEs as
+    the lag-1 oracle, the same conditional Gram sums
+    (``granger_gram_exprs``), the same staged Cholesky rounds
+    (``granger_cholesky_rounds``) as chained CTEs, and per-lag exact
+    p-values via the lgamma form of the same finite incomplete-beta
+    series ``f_sf_expr`` evaluates."""
+    import math as _math
+
+    detrend = (
+        "{v} - (f{c}.sv / f{c}.n + COALESCE((f{c}.stv - f{c}.st * f{c}.sv / f{c}.n)"
+        " / NULLIF(f{c}.stt - f{c}.st * f{c}.st / f{c}.n, 0.0), 0.0)"
+        " * (idx.t - f{c}.st / f{c}.n))"
+    )
+    lag_cols = ", ".join(
+        f"LAG(yd, {k}) OVER (ORDER BY ds) AS _y{k}, "
+        f"LAG(xd, {k}) OVER (ORDER BY ds) AS _x{k}"
+        for k in range(1, maxlag + 1)
+    )
+    gram = ", ".join(
+        f"{expr} AS {name}" for name, expr in granger_gram_exprs(maxlag)
+    )
+    ctes = [
+        "tgt AS (SELECT CAST(ts AS DATE) AS ds, SUM(value) AS y "
+        "FROM events WHERE event_type = 'click' GROUP BY 1)",
+        "cv AS (SELECT CAST(ts AS DATE) AS ds, SUM(value) AS x "
+        "FROM events WHERE event_type = 'view' GROUP BY 1)",
+        "j AS (SELECT tgt.ds, tgt.y, cv.x FROM tgt JOIN cv ON tgt.ds = cv.ds)",
+        "idx AS (SELECT ds, y, x, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY ds) - 1 AS DOUBLE) AS t FROM j)",
+        "fy AS (SELECT CAST(COUNT(y) AS DOUBLE) AS n, SUM(t) AS st, SUM(y) AS sv, "
+        "SUM(t * t) AS stt, SUM(t * y) AS stv FROM idx)",
+        "fx AS (SELECT CAST(COUNT(x) AS DOUBLE) AS n, SUM(t) AS st, SUM(x) AS sv, "
+        "SUM(t * t) AS stt, SUM(t * x) AS stv FROM idx)",
+        "dt AS (SELECT idx.ds, idx.t, "
+        + detrend.format(v="idx.y", c="y")
+        + " AS yd, "
+        + detrend.format(v="idx.x", c="x")
+        + " AS xd FROM idx, fy, fx)",
+        f"lg AS (SELECT t AS _t, yd AS _yd, xd AS _xd, {lag_cols} FROM dt)",
+        f"ag AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _n, {gram} FROM lg)",
+    ]
+    prev = "ag"
+    for rnd_i, rnd in enumerate(granger_cholesky_rounds(maxlag)):
+        if not rnd:
+            continue
+        cur = f"r{rnd_i}"
+        cols = ", ".join(f"{expr} AS {name}" for name, expr in rnd)
+        # MATERIALIZED: each round references earlier columns many
+        # times; inlining the chain is exponential in round count
+        ctes.append(f"{cur} AS MATERIALIZED (SELECT *, {cols} FROM {prev})")
+        prev = cur
+    # per-lag rows, then odd-lag series sums via a static 0..4999 index
+    # join (DuckDB range() rejects lateral column bounds)
+    pl_rows = " UNION ALL ".join(
+        f"SELECT {lag} AS lag, g{lag}_f AS f, "
+        f"CAST(g{lag}_m - {2 * lag + 1} AS BIGINT) AS d2, "
+        f"((g{lag}_m - {2 * lag + 1}) / ((g{lag}_m - {2 * lag + 1}) + {lag} * g{lag}_f)) AS x, "
+        f"_n FROM {prev}"
+        for lag in range(1, maxlag + 1)
+    )
+    ctes.append(f"pl AS ({pl_rows})")
+    ctes.append(
+        "tj AS (SELECT pl.lag, pl.x, pl.d2, r.j FROM pl "
+        "JOIN (SELECT UNNEST(range(0, 5000)) AS j) r ON r.j < pl.d2 // 2 "
+        "WHERE pl.lag % 2 = 1 AND pl.f > 0 AND isfinite(pl.f))"
+    )
+    ctes.append(
+        "ps AS (SELECT lag, "
+        "SUM(exp(lgamma(lag/2.0 + j) - lgamma(lag/2.0) - lgamma(j + 1.0) "
+        "+ j * ln(x))) AS sB, "
+        "SUM(power(x, 0.5 + j) * power(1.0 - x, lag/2.0) "
+        "/ ((0.5 + j) * exp(lgamma(0.5 + j) + lgamma(lag/2.0) "
+        "- lgamma(0.5 + j + lag/2.0)))) AS sC "
+        "FROM tj GROUP BY lag)"
+    )
+    # unrolled even-lag series and odd-lag arcsin bases (build-time
+    # constants per lag, the same unrolling f_sf_expr does)
+    even_branches = []
+    for lag in range(2, maxlag + 1, 2):
+        terms, c = [], "1.0"
+        for jj in range(lag // 2):
+            terms.append(f"({c}) * power(1.0 - x, {jj})")
+            c = f"({c}) * (d2 / 2.0 + {jj}) / {jj + 1}.0"
+        even_branches.append(
+            f"WHEN lag = {lag} THEN power(x, d2 / 2.0) * ({' + '.join(terms)})"
+        )
+    odd_base_branches = []
+    for lag in range(1, maxlag + 1, 2):
+        base_c = "(2.0 / pi()) * asin(sqrt(x))"
+        bval, Bval = 0.5, _math.pi
+        for _ in range(lag // 2):
+            base_c += f" + sqrt(x) * power(1.0 - x, {bval!r}) / {bval * Bval!r}"
+            Bval *= bval / (bval + 0.5)
+            bval += 1.0
+        odd_base_branches.append(f"WHEN lag = {lag} THEN {base_c}")
+    p_sql = (
+        "CASE WHEN NOT (f > 0) THEN 1.0 "
+        "WHEN NOT isfinite(f) THEN 0.0 "
+        "WHEN lag % 2 = 0 THEN CASE " + " ".join(even_branches) + " END "
+        "WHEN d2 % 2 = 0 THEN 1.0 - power(1.0 - x, lag/2.0) * sB "
+        "ELSE (CASE " + " ".join(odd_base_branches) + " END) - sC END"
+    )
+    ctes.append(
+        "pp AS (SELECT pl.*, ps.sB, ps.sC FROM pl "
+        "LEFT JOIN ps ON pl.lag = ps.lag)"
+    )
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT 'click~view' AS series_id, lag, "
+        f"ROUND(f + {_ROUND_OFFSET!r}, 6) AS f_stat, "
+        f"ROUND(CAST(({p_sql}) AS DOUBLE) + {_ROUND_OFFSET!r}, 6) AS p_value, "
+        "lag AS df_num, d2 AS df_den, CAST(_n AS BIGINT) AS n_obs "
+        f"FROM pp WHERE _n >= {maxlag}"
+    )
+
+
 def _granger_lag1_oracle() -> str:
     """DuckDB mirror of ``granger_lag1``: same explicit sums, same
     ``GRANGER_LAG1_STAGES`` expressions as chained CTEs."""
@@ -2230,7 +2354,8 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6('t.y - t.trend - c.seasonal')} AS resid
             FROM tr t JOIN cs c ON t.event_type = c.event_type AND t.pos = c.pos
         """,
-        # granger_click_view (maxlag=5): dense lstsq + F CDF, not
-        # SQL-expressible -> rows-only driver check (granger_lag1 is
-        # the oracle-verified native path)
+        # granger_click_view (maxlag=5): staged-Cholesky F statistics +
+        # finite incomplete-beta p-values — the full multi-lag Granger
+        # test expressed in SQL (same stage strings as the Spark plan)
+        "granger_click_view": _granger_native_oracle(maxlag=5),
     }

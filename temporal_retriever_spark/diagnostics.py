@@ -703,3 +703,301 @@ def granger_causality(
         return out[series_cols + cols]
 
     return df.groupBy(*series_cols).applyInPandas(compute, schema)
+
+
+# ---------------------------------------------------------------------------
+# Native multi-lag Granger: staged Cholesky on conditional Gram sums.
+#
+# The ssr F-test needs RSS of the restricted ([1, y-lags]) and
+# unrestricted ([1, y-lags, x-lags]) OLS fits. Ordering the regressors
+# restricted-first makes the restricted model a PREFIX of the
+# unrestricted one, so ONE Cholesky factorization + forward solve
+# yields both: RSS_r = syy − Σ_{k≤lag} w_k², RSS_u = syy − Σ_k w_k².
+# Every stage is a scalar expression over the per-series Gram sums —
+# the same strings feed the Spark plan and the DuckDB oracle CTEs
+# (the GRANGER_LAG1_STAGES / Durbin-Levinson sharing pattern).
+# ---------------------------------------------------------------------------
+
+def _granger_z_sql(i: int, lag: int) -> str:
+    """SQL/Spark expression for regressor z_i of the lag-`lag` model."""
+    if i == 0:
+        return "1.0"
+    if i <= lag:
+        return f"_y{i}"
+    return f"_x{i - lag}"
+
+
+def granger_gram_exprs(maxlag: int) -> list[tuple[str, str]]:
+    """(name, SQL aggregate expr) for every conditional Gram sum.
+
+    For each lag l the valid rows are those with full lag history
+    (`_t >= l`, 0-based index after the na.drop). Names:
+    ``g{l}_m`` row count, ``g{l}_s_{i}_{j}`` = Σ z_i z_j (i ≤ j),
+    ``g{l}_t_{i}`` = Σ z_i·y, ``g{l}_q`` = Σ y².
+    """
+    out: list[tuple[str, str]] = []
+    for lag in range(1, maxlag + 1):
+        p = 2 * lag + 1
+        cond = f"_t >= {lag}"
+        out.append((f"g{lag}_m", f"SUM(CASE WHEN {cond} THEN 1.0 ELSE 0.0 END)"))
+        for i in range(p):
+            for j in range(i, p):
+                zi, zj = _granger_z_sql(i, lag), _granger_z_sql(j, lag)
+                out.append(
+                    (f"g{lag}_s_{i}_{j}",
+                     f"SUM(CASE WHEN {cond} THEN ({zi}) * ({zj}) END)")
+                )
+            out.append(
+                (f"g{lag}_t_{i}",
+                 f"SUM(CASE WHEN {cond} THEN ({_granger_z_sql(i, lag)}) * _yd END)")
+            )
+        out.append((f"g{lag}_q", f"SUM(CASE WHEN {cond} THEN _yd * _yd END)"))
+    return out
+
+
+def granger_cholesky_rounds(maxlag: int) -> list[list[tuple[str, str]]]:
+    """Staged Cholesky + forward solve over the Gram-sum names.
+
+    Returns rounds of (name, scalar SQL expr); each round references
+    only earlier rounds, so both engines apply them as chained
+    projections. Column round k emits, per lag l with k < 2l+1:
+    ``g{l}_d_{k}`` (pivot), then ``g{l}_l_{j}_{k}`` (column k of L)
+    and ``g{l}_w_{k}`` (forward-solve component).
+    """
+    rounds: list[list[tuple[str, str]]] = []
+    pmax = 2 * maxlag + 1
+    for k in range(pmax):
+        round_a: list[tuple[str, str]] = []
+        round_b: list[tuple[str, str]] = []
+        for lag in range(1, maxlag + 1):
+            p = 2 * lag + 1
+            if k >= p:
+                continue
+            sub = " - ".join(
+                [f"g{lag}_s_{k}_{k}"]
+                + [f"g{lag}_l_{k}_{i} * g{lag}_l_{k}_{i}" for i in range(k)]
+            )
+            round_a.append((f"g{lag}_d_{k}", sub))
+            for j in range(k + 1, p):
+                g_jk = f"g{lag}_s_{k}_{j}"  # Gram stored upper-triangular
+                num = " - ".join(
+                    [g_jk]
+                    + [f"g{lag}_l_{j}_{i} * g{lag}_l_{k}_{i}" for i in range(k)]
+                )
+                round_b.append(
+                    (f"g{lag}_l_{j}_{k}", f"({num}) / sqrt(g{lag}_d_{k})")
+                )
+            wnum = " - ".join(
+                [f"g{lag}_t_{k}"]
+                + [f"g{lag}_l_{k}_{i} * g{lag}_w_{i}" for i in range(k)]
+            )
+            round_b.append((f"g{lag}_w_{k}", f"({wnum}) / sqrt(g{lag}_d_{k})"))
+        rounds.append(round_a)
+        rounds.append(round_b)
+    final: list[tuple[str, str]] = []
+    for lag in range(1, maxlag + 1):
+        p = 2 * lag + 1
+        all_w = " + ".join(f"g{lag}_w_{k} * g{lag}_w_{k}" for k in range(p))
+        r_w = " + ".join(f"g{lag}_w_{k} * g{lag}_w_{k}" for k in range(lag + 1))
+        final.append((f"g{lag}_rss_u", f"g{lag}_q - ({all_w})"))
+        final.append((f"g{lag}_rss_r", f"g{lag}_q - ({r_w})"))
+    rounds.append(final)
+    fstats: list[tuple[str, str]] = []
+    for lag in range(1, maxlag + 1):
+        dfd = f"(g{lag}_m - {2 * lag + 1})"
+        fstats.append(
+            (f"g{lag}_f",
+             f"CASE WHEN g{lag}_rss_u <= 0 THEN CAST('Infinity' AS DOUBLE) "
+             f"ELSE ((g{lag}_rss_r - g{lag}_rss_u) / {lag}.0) "
+             f"/ (g{lag}_rss_u / {dfd}) END")
+        )
+    rounds.append(fstats)
+    return rounds
+
+
+def f_sf_expr(f_stat: Column, d1: int, df_den: Column) -> Column:
+    """Exact F(d1, d2) survival function as a native column expression
+    for a *build-time* small integer ``d1`` (the lag order).
+
+    The regularized incomplete beta reduces to finite series in all
+    parity cases (A&S 26.5.6-26.5.9):
+
+    * d1 even:            p = x^{d2/2} Σ_{j<d1/2} c_j (1−x)^j,
+                          c_{j+1} = c_j·(d2/2+j)/(j+1)
+    * d1 odd, d2 even:    p = 1 − (1−x)^{d1/2} Σ_{j<d2/2} c_j x^j,
+                          c_{j+1} = c_j·(d1/2+j)/(j+1)
+    * both odd:           arcsin base + ≤(d1−1)/2 unrolled b-raise
+                          terms − a-raise fold of d2//2 terms with the
+                          beta-function recurrence carried in the
+                          accumulator
+
+    where x = d2/(d2 + d1·F). Agrees with ``stats.f_sf`` to ~1e-13;
+    the DuckDB oracle mirrors each case with lgamma-based terms.
+    """
+    f = f_stat.cast("double")
+    d2 = df_den.cast("double")
+    x = d2 / (d2 + F.lit(float(d1)) * f)
+    if d1 % 2 == 0:
+        # small fold: d1//2 terms, recurrence carries (s, c, pz)
+        folded = F.aggregate(
+            F.sequence(F.lit(0), F.lit(d1 // 2 - 1)),
+            F.struct(
+                F.lit(0.0).alias("s"), F.lit(1.0).alias("c"),
+                F.lit(1.0).alias("pz"),
+            ),
+            lambda acc, j: F.struct(
+                (acc["s"] + acc["c"] * acc["pz"]).alias("s"),
+                (acc["c"] * (d2 / 2 + j.cast("double")) / (j.cast("double") + 1)).alias("c"),
+                (acc["pz"] * (F.lit(1.0) - x)).alias("pz"),
+            ),
+            lambda acc: acc["s"],
+        )
+        p = F.pow(x, d2 / 2) * folded
+    else:
+        # d2-even branch: fold of d2//2 terms
+        even_fold = F.aggregate(
+            F.sequence(F.lit(0), (F.floor(d2 / 2) - 1).cast("integer")),
+            F.struct(
+                F.lit(0.0).alias("s"), F.lit(1.0).alias("c"),
+                F.lit(1.0).alias("px"),
+            ),
+            lambda acc, j: F.struct(
+                (acc["s"] + acc["c"] * acc["px"]).alias("s"),
+                (acc["c"] * (F.lit(d1 / 2.0) + j.cast("double")) / (j.cast("double") + 1)).alias("c"),
+                (acc["px"] * x).alias("px"),
+            ),
+            lambda acc: acc["s"],
+        )
+        p_even = F.lit(1.0) - F.pow(F.lit(1.0) - x, F.lit(d1 / 2.0)) * even_fold
+        # both-odd branch: arcsin base + unrolled b-raise, then a-raise fold
+        base = F.lit(2.0 / math.pi) * F.asin(F.sqrt(x))
+        bval, Bval = 0.5, math.pi  # b, B(1/2, b)
+        for _ in range(d1 // 2):
+            base = base + F.sqrt(x) * F.pow(F.lit(1.0) - x, F.lit(bval)) / F.lit(
+                bval * Bval
+            )
+            Bval *= bval / (bval + 0.5)
+            bval += 1.0
+        bb = d1 / 2.0  # fixed second argument; Bval == B(1/2, d1/2)
+        odd_fold = F.aggregate(
+            F.sequence(F.lit(0), (F.floor(d2 / 2) - 1).cast("integer")),
+            F.struct(
+                F.lit(0.0).alias("s"), F.lit(0.5).alias("a"),
+                F.lit(Bval).alias("B"), F.sqrt(x).alias("pxa"),
+            ),
+            lambda acc, j: F.struct(
+                (
+                    acc["s"]
+                    + acc["pxa"] * F.pow(F.lit(1.0) - x, F.lit(bb))
+                    / (acc["a"] * acc["B"])
+                ).alias("s"),
+                (acc["a"] + 1.0).alias("a"),
+                (acc["B"] * acc["a"] / (acc["a"] + F.lit(bb))).alias("B"),
+                (acc["pxa"] * x).alias("pxa"),
+            ),
+            lambda acc: acc["s"],
+        )
+        p_odd = base - odd_fold
+        is_even_d2 = (df_den.cast("long") % 2) == 0
+        p = F.when(is_even_d2, p_even).otherwise(p_odd)
+    return F.when(~(f > 0), F.lit(1.0)).otherwise(p)
+
+
+def granger_native(
+    df: DataFrame,
+    *,
+    maxlag: int = 5,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    target_col: str = "y",
+    cov_col: str = "x",
+    detrend: bool = True,
+) -> DataFrame:
+    """W10, fully native at ANY lag order: Granger ssr F-tests with
+    exact p-values, no Python anywhere.
+
+    Same semantics as ``granger_causality`` (statsmodels ssr_ftest,
+    notebook detrend, Untitled.ipynb cell 12): one window pass builds
+    the detrended lag columns, ONE aggregation computes every
+    conditional Gram sum for lags 1..maxlag, and the staged Cholesky
+    (``granger_cholesky_rounds``) factors all lag models as scalar
+    column expressions — the restricted model is a prefix of the
+    unrestricted ordering, so each lag costs one factorization.
+    P-values via the finite incomplete-beta series (``f_sf_expr``).
+
+    Output matches granger_causality: (series, lag, f_stat, p_value,
+    df_num, df_den, n_obs), lags 1..maxlag. Plan: one window shuffle +
+    one aggregation per series — at a billion series this is two
+    narrow shuffles of scalar sums, versus the grouped-UDF path that
+    ships whole series through Arrow into Python workers.
+    """
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    base = df.select(*series_cols, ts_col, target_col, cov_col).na.drop(
+        subset=[target_col, cov_col]
+    )
+    base = base.withColumn(
+        "_t", (F.row_number().over(ws) - F.lit(1)).cast("double")
+    )
+    if detrend:
+        for col, out in ((target_col, "_yd"), (cov_col, "_xd")):
+            n = F.count(col).over(w).cast("double")
+            st, sv = F.sum("_t").over(w), F.sum(col).over(w)
+            stt = F.sum(F.col("_t") * F.col("_t")).over(w)
+            stv = F.sum(F.col("_t") * F.col(col)).over(w)
+            slope = F.try_divide(stv - st * sv / n, stt - st * st / n)
+            base = base.withColumn(
+                out,
+                F.col(col)
+                - (sv / n + F.coalesce(slope, F.lit(0.0)) * (F.col("_t") - st / n)),
+            )
+    else:
+        base = base.withColumn("_yd", F.col(target_col)).withColumn(
+            "_xd", F.col(cov_col)
+        )
+    for k in range(1, maxlag + 1):
+        base = base.withColumn(f"_y{k}", F.lag("_yd", k).over(ws)).withColumn(
+            f"_x{k}", F.lag("_xd", k).over(ws)
+        )
+    aggs = [
+        F.expr(expr).alias(name) for name, expr in granger_gram_exprs(maxlag)
+    ]
+    n_total = F.count(F.lit(1)).alias("_n")
+    cur = base.groupBy(*series_cols).agg(n_total, *aggs)
+    for rnd in granger_cholesky_rounds(maxlag):
+        if rnd:
+            cur = cur.withColumns({name: F.expr(expr) for name, expr in rnd})
+    per_lag = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lag).alias("lag"),
+                    F.col(f"g{lag}_f").alias("f_stat"),
+                    f_sf_expr(
+                        F.col(f"g{lag}_f"),
+                        lag,
+                        (F.col(f"g{lag}_m") - (2 * lag + 1)).cast("long"),
+                    ).alias("p_value"),
+                    (F.col(f"g{lag}_m") - (2 * lag + 1))
+                    .cast("long")
+                    .alias("df_den"),
+                )
+                for lag in range(1, maxlag + 1)
+            ]
+        )
+    ).alias("_r")
+    # notebook gate: series shorter than maxlag emit nothing (n >= maxlag)
+    return (
+        cur.filter(F.col("_n") >= maxlag)
+        .select(*series_cols, "_n", per_lag)
+        .select(
+            *series_cols,
+            F.col("_r.lag").alias("lag"),
+            F.col("_r.f_stat").alias("f_stat"),
+            F.col("_r.p_value").alias("p_value"),
+            F.col("_r.lag").alias("df_num"),
+            F.col("_r.df_den").alias("df_den"),
+            F.col("_n").cast("long").alias("n_obs"),
+        )
+    )

@@ -263,3 +263,45 @@ def test_granger_lag1_matches_udf_path(spark, tables):
     assert native["df_den"] == udf_row["df_den"]
     assert abs(native["f_stat"] - udf_row["f_stat"]) < 1e-8
     assert abs(native["p_value"] - udf_row["p_value"]) < 1e-10
+
+
+def test_granger_native_matches_udf_all_lags(spark, tables):
+    """Staged-Cholesky granger_native == numpy-lstsq granger_causality
+    at every lag (f_stat, p_value, dfs) — the multi-lag native path."""
+    from temporal_retriever_spark.diagnostics import granger_causality, granger_native
+
+    ev = tables["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ds").alias("ds")).agg(
+        F.sum("y").alias("y")
+    )
+    target = daily.filter(F.col("event_type") == "click").select(
+        F.lit("s").alias("series_id"), "ds", "y"
+    )
+    cov = daily.filter(F.col("event_type") == "view").select(
+        F.lit("s").alias("series_id"), "ds", F.col("y").alias("x")
+    )
+    pair = target.join(cov, on=["series_id", "ds"], how="inner")
+    native = {r["lag"]: r for r in granger_native(pair, maxlag=4).collect()}
+    udf = {r["lag"]: r for r in granger_causality(pair, maxlag=4).collect()}
+    assert set(native) == set(udf) == {1, 2, 3, 4}
+    for lag in native:
+        a, b = native[lag], udf[lag]
+        assert a["df_den"] == b["df_den"] and a["n_obs"] == b["n_obs"]
+        assert abs(a["f_stat"] - b["f_stat"]) < 1e-9, lag
+        assert abs(a["p_value"] - b["p_value"]) < 1e-10, lag
+
+
+def test_granger_native_no_python_in_plan(spark, tables):
+    from temporal_retriever_spark.diagnostics import granger_native
+
+    ev = tables["events"].select(
+        F.lit("s").alias("series_id"),
+        F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+        (F.col("value") * 2).alias("x"),
+    )
+    plan = granger_native(ev, maxlag=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
