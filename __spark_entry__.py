@@ -539,6 +539,22 @@ def q_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-range rolling (2h trailing) over the IRREGULAR raw
+    event stream — range frames, not row frames."""
+    from temporal_retriever_spark.rolling import rolling_aggregate_time
+
+    ev = _events_long(spark, sf_dir).select("event_type", "ds", "y")
+    out = rolling_aggregate_time(
+        ev, window="2 hours", aggs=("mean", "count"),
+        series_cols=("event_type",),
+    )
+    return out.select(
+        "event_type", "ds",
+        _r6("rolling_mean").alias("rolling_mean"), "rolling_count",
+    )
+
+
 def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated EWMA (alpha=0.3, window=32) — JVM aggregate-HOF fold."""
     daily = _q_bucket_events("D", "sum")(spark, sf_dir)
@@ -1257,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sketch_stats": q_corpus_sketch_stats,
         "rolling_daily": q_rolling_daily,
+        "rolling_time_window": q_rolling_time_window,
         "ewma_daily": q_ewma_daily,
         "anomaly_zscore_daily": q_anomaly_zscore_daily,
         "gap_fill_linear": q_gap_fill_linear,
@@ -2253,6 +2270,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EVENTS_DAILY})
             WINDOW w AS (PARTITION BY event_type ORDER BY ds
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_time_window": f"""
+            SELECT event_type, ts AS ds,
+              {_sql_r6('AVG(value) OVER w')} AS rolling_mean,
+              COUNT(value) OVER w AS rolling_count
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                         RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
         """,
         "ewma_daily": f"""
             WITH n AS (

@@ -46,8 +46,10 @@ from temporal_retriever_spark.diagnostics import (
     acf_pacf,
     acf,
     describe,
+    f_sf_expr,
     granger_causality,
     granger_lag1,
+    granger_native,
     pacf,
 )
 from temporal_retriever_spark.forecast import (
@@ -83,6 +85,7 @@ from temporal_retriever_spark.rolling import (
     ewma,
     fill_gaps,
     rolling_aggregate,
+    rolling_aggregate_time,
 )
 
 __all__ = [
@@ -110,6 +113,8 @@ __all__ = [
     "describe",
     "granger_causality",
     "granger_lag1",
+    "granger_native",
+    "f_sf_expr",
     "pacf",
     "fit_changepoint_trend",
     "forecast_changepoint",
@@ -138,6 +143,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "rolling_aggregate",
+    "rolling_aggregate_time",
     "ewma",
     "anomaly_zscore",
     "fill_gaps",

@@ -78,6 +78,72 @@ def rolling_aggregate(
     return out
 
 
+def rolling_aggregate_time(
+    df: DataFrame,
+    *,
+    window: str,
+    aggs: Iterable[str] = ("mean",),
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Time-interval trailing aggregates: the frame is all rows within
+    ``window`` (e.g. ``"7 days"``, ``"2 hours"``) at or before each
+    row's timestamp — the right rolling semantics for IRREGULAR series,
+    where a row-count frame silently spans wildly different durations.
+
+    Implemented as a range frame over epoch seconds (micro-precision),
+    inclusive on both ends: [ts − window, ts]. Same output columns as
+    ``rolling_aggregate``. One window shuffle; RangeFrame streams each
+    partition like the row-frame variant.
+    """
+    cols = list(series_cols)
+    # order by epoch MICROS (long): rangeBetween requires integral
+    # bounds, and micros is the engine's native timestamp precision
+    w = (
+        (Window.partitionBy(*cols) if cols else Window.partitionBy(F.lit(1)))
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+    )
+    # rangeBetween needs a literal bound: parse the interval to seconds
+    parts = window.split()
+    units = {
+        "day": 86400.0, "days": 86400.0, "hour": 3600.0, "hours": 3600.0,
+        "minute": 60.0, "minutes": 60.0, "second": 1.0, "seconds": 1.0,
+        "week": 604800.0, "weeks": 604800.0,
+    }
+    total = 0.0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        try:
+            total += float(qty) * units[unit.lower()]
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"unsupported interval for time window: {window!r} "
+                "(use N days/hours/minutes/seconds/weeks)"
+            ) from None
+    if total <= 0:
+        raise ValueError(f"window must be positive: {window!r}")
+    frame = w.rangeBetween(-int(total * 1_000_000), 0)
+    col = F.col(value_col)
+    out = df
+    for agg in aggs:
+        a = agg.strip().lower()
+        if a == "mean":
+            out = out.withColumn("rolling_mean", F.avg(col).over(frame))
+        elif a == "sum":
+            out = out.withColumn("rolling_sum", F.sum(col).over(frame))
+        elif a == "min":
+            out = out.withColumn("rolling_min", F.min(col).over(frame))
+        elif a == "max":
+            out = out.withColumn("rolling_max", F.max(col).over(frame))
+        elif a == "std":
+            out = out.withColumn("rolling_std", F.stddev_samp(col).over(frame))
+        elif a == "count":
+            out = out.withColumn("rolling_count", F.count(col).over(frame))
+        else:
+            raise ValueError(f"unsupported rolling aggregation: {agg!r}")
+    return out
+
+
 def ewma(
     df: DataFrame,
     *,

@@ -226,3 +226,41 @@ def test_decompose_reconstruction(daily):
     assert bad == 0
     with pytest.raises(ValueError):
         decompose(daily, period=1)
+
+
+def test_rolling_time_window_matches_oracle(tables, duck):
+    """Range-frame (interval) rolling over the irregular raw events —
+    mirrors DuckDB RANGE BETWEEN INTERVAL semantics."""
+    from temporal_retriever_spark.rolling import rolling_aggregate_time
+
+    ev = tables["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    got = rolling_aggregate_time(
+        ev, window="2 hours", aggs=("mean", "count"), series_cols=("event_type",)
+    ).select(
+        "event_type", "ds",
+        F.round("rolling_mean", 6).alias("rolling_mean"), "rolling_count",
+    )
+    assert_matches_oracle(got, duck, """
+        SELECT event_type, ts AS ds,
+               ROUND(AVG(value) OVER w, 6) AS rolling_mean,
+               COUNT(value) OVER w AS rolling_count
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+    """)
+
+
+def test_rolling_time_window_rejects_bad_interval(tables):
+    from temporal_retriever_spark.rolling import rolling_aggregate_time
+
+    ev = tables["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    with pytest.raises(ValueError):
+        rolling_aggregate_time(ev, window="2 fortnights")
+    with pytest.raises(ValueError):
+        rolling_aggregate_time(ev, window="0 days")
