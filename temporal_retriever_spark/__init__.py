@@ -71,6 +71,7 @@ from temporal_retriever_spark.sources import load_tables, read_table
 from temporal_retriever_spark.server import make_server, serve_background
 from temporal_retriever_spark.streaming import (
     forecast_refresh,
+    streaming_anomaly_zscore,
     streaming_bucket_aggregate,
     streaming_exact_dedup,
     streaming_month_rollup,
@@ -133,6 +134,7 @@ __all__ = [
     "make_server",
     "serve_background",
     "forecast_refresh",
+    "streaming_anomaly_zscore",
     "streaming_bucket_aggregate",
     "streaming_exact_dedup",
     "streaming_month_rollup",

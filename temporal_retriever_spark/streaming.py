@@ -413,3 +413,96 @@ def streaming_sessionize(
                 "duration_sec", "n_events",
                 *([ "session_value"] if value_col is not None else []))
     )
+
+
+def streaming_anomaly_zscore(
+    stream: DataFrame,
+    *,
+    window: int = 30,
+    threshold: float = 3.0,
+    min_periods: int = 5,
+    ts_col: str = "ds",
+    value_col: str = "y",
+    series_col: str = "series_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming rolling z-score anomaly detection.
+
+    The streaming analog of ``rolling.anomaly_zscore``: per-series
+    state holds the trailing ``window`` observations (a bounded deque —
+    state size is O(window) per series regardless of stream length);
+    each arriving row is scored against that buffer *before* being
+    appended, so a spike cannot inflate its own baseline — identical
+    semantics to the batch frame [-window, -1].
+
+    Rows are scored in event-time order within each micro-batch. With
+    in-order arrival (or a source that replays ordered chunks) the
+    stream emits exactly the batch operator's flags — asserted in
+    tests. Out-of-order arrivals are scored against the state as of
+    their arrival; for strict event-time semantics run the batch
+    operator over the bucketed sink instead.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField(series_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("buf", ArrayType(DoubleType()))])
+
+    def update(key, pdfs, state: GroupState):
+        buf: list[float] = []
+        if state.exists:
+            (stored,) = state.get
+            buf = list(stored)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            zs, flags = [], []
+            for v in pdf[value_col].astype("float64"):
+                tail = buf[-window:]
+                if len(tail) >= min_periods:
+                    arr = np.asarray(tail, dtype=np.float64)
+                    std = arr.std(ddof=1)
+                    z = (v - arr.mean()) / std if std > 0 else None
+                else:
+                    z = None
+                zs.append(z)
+                flags.append(bool(z is not None and abs(z) > threshold))
+                buf.append(float(v))
+                if len(buf) > window:
+                    buf = buf[-window:]
+            out = pdf[[ts_col, value_col]].copy()
+            out[series_col] = key[0]
+            out["zscore"] = pd.array(zs, dtype="float64")
+            out["is_anomaly"] = flags
+            frames.append(
+                out[[series_col, ts_col, value_col, "zscore", "is_anomaly"]]
+            )
+        state.update((buf,))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return _with_event_time(stream, ts_col).groupBy(series_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
