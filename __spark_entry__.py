@@ -604,6 +604,26 @@ def q_asof_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (earliest view at-or-after each click day) —
+    DuckDB ASOF LEFT JOIN with the inequality reversed."""
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    clicks = daily.filter(F.col("event_type") == "click").drop("event_type")
+    views = (
+        daily.filter(F.col("event_type") == "view").drop("event_type")
+        .filter(F.dayofmonth("ds") % 2 == 0)
+        .withColumnRenamed("y", "v")
+    )
+    out = asof_join(
+        clicks, views, ts_col="ds", value_cols=("v",),
+        direction="forward", keep_match_ts=True,
+    )
+    return out.select(
+        "ds", _r6("y").alias("y"), _r6("v").alias("v"),
+        F.col("matched_ts").cast("string").alias("matched_ts"),
+    )
+
+
 def q_sessions_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2h) of the raw event stream with
     per-session aggregates — one window shuffle + reused exchange."""
@@ -1278,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore_daily": q_anomaly_zscore_daily,
         "gap_fill_linear": q_gap_fill_linear,
         "asof_join_daily": q_asof_join_daily,
+        "asof_join_forward": q_asof_join_forward,
         "sessions_2h": q_sessions_2h,
         "decompose_weekly": q_decompose_weekly,
     }
@@ -2338,6 +2359,15 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN v.ds >= c.ds - INTERVAL 5 DAY THEN v.ds END AS VARCHAR)
                 AS matched_ts
             FROM clicks c ASOF LEFT JOIN views v ON c.ds >= v.ds
+        """,
+        "asof_join_forward": f"""
+            WITH clicks AS (SELECT ds, y FROM ({_EVENTS_DAILY})
+                            WHERE event_type = 'click'),
+            views AS (SELECT ds, y AS v FROM ({_EVENTS_DAILY})
+                      WHERE event_type = 'view' AND day(ds) % 2 = 0)
+            SELECT c.ds, {_sql_r6('c.y')} AS y, {_sql_r6('v.v')} AS v,
+                   CAST(v.ds AS VARCHAR) AS matched_ts
+            FROM clicks c ASOF LEFT JOIN views v ON c.ds <= v.ds
         """,
         "sessions_2h": f"""
             WITH e AS (SELECT event_type, ts AS ds, value AS y FROM events

@@ -44,19 +44,27 @@ def asof_join(
     tolerance: str | None = None,
     suffix: str = "",
     keep_match_ts: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the right-side
-    values from the latest right row with ``right.ts <= left.ts`` (and
-    the same equi-keys ``on``).
+    """As-of join: for every left row, attach the right-side values
+    from the closest right row (same equi-keys ``on``) in the given
+    ``direction``:
 
-    Semantics match DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``
-    (direction="backward", allow_exact_matches=True): a right row at
-    exactly the left timestamp matches. Left rows with no prior right
-    row get nulls (left join).
+    * ``"backward"`` (default) — latest right row with rts ≤ lts
+      (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``)
+    * ``"forward"`` — earliest right row with rts ≥ lts
+    * ``"nearest"`` — whichever of those two is closer in time; exact
+      matches win, and a distance tie resolves backward (the earlier
+      row), matching a deterministic reading of ``merge_asof``.
+
+    Semantics match pandas ``merge_asof`` with
+    ``allow_exact_matches=True``: a right row at exactly the left
+    timestamp matches in every direction. Left rows with no candidate
+    get nulls (left join).
 
     ``tolerance`` (an INTERVAL string like ``"2 days"``) nulls matches
-    older than ``left.ts - tolerance``, mirroring ``merge_asof``'s
-    tolerance.
+    farther than the interval in the match direction, mirroring
+    ``merge_asof``'s tolerance.
 
     ``value_cols`` defaults to every right column that is neither a key
     nor the right timestamp. ``suffix`` renames attached columns (e.g.
@@ -66,10 +74,14 @@ def asof_join(
     left rows a null payload), one shuffle+sort on ``on`` ordered by
     ``(ts, side)`` with right-before-left at timestamp ties, then
     ``last_value(payload, ignorenulls)`` over the unbounded-preceding
-    frame. Filtering back to left rows yields exactly one output row
-    per left row — duplicate right timestamps resolve to the row that
-    sorts last among them (latest payload), never a fanout.
+    frame (and, for forward/nearest, ``first_value`` over the following
+    frame — the SAME sort serves both directions, still one shuffle).
+    Filtering back to left rows yields exactly one output row per left
+    row — duplicate right timestamps resolve to the row that sorts
+    last among them (latest payload), never a fanout.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction: {direction!r}")
     on = list(on)
     rts = right_ts_col or ts_col
     if value_cols is None:
@@ -96,16 +108,53 @@ def asof_join(
     )
     unioned = left_tagged.unionByName(right_tagged)
 
-    w = (
+    # one sort serves both directions: (ts, side) with right-before-left
+    # at ties, so the backward frame catches exact matches and the
+    # forward frame sees strictly-later rights (exact matches are
+    # recovered from the backward candidate below)
+    wbase = (
         Window.partitionBy(*on) if on else Window.partitionBy(F.lit(1))
-    ).orderBy(ts_col, "_side").rowsBetween(Window.unboundedPreceding, 0)
-    carried = unioned.withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
-
+    ).orderBy(ts_col, "_side")
+    w_bwd = wbase.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = wbase.rowsBetween(0, Window.unboundedFollowing)
+    carried = unioned.withColumn(
+        "_mb", F.last("_pay", ignorenulls=True).over(w_bwd)
+    )
+    if direction != "backward":
+        carried = carried.withColumn(
+            "_mf", F.first("_pay", ignorenulls=True).over(w_fwd)
+        )
+    lts = F.col(ts_col).cast("timestamp")
+    if direction == "backward":
+        carried = carried.withColumn("_m", F.col("_mb"))
+    elif direction == "forward":
+        # exact-ts right sorts before the left row -> surfaces as the
+        # backward candidate with zero distance; prefer it
+        exact = F.col("_mb").isNotNull() & (
+            F.col("_mb._ats").cast("timestamp") == lts
+        )
+        carried = carried.withColumn(
+            "_m", F.when(exact, F.col("_mb")).otherwise(F.col("_mf"))
+        )
+    else:
+        db = F.abs(lts.cast("double") - F.col("_mb._ats").cast("timestamp").cast("double"))
+        df_ = F.abs(F.col("_mf._ats").cast("timestamp").cast("double") - lts.cast("double"))
+        carried = carried.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(db <= df_, F.col("_mb"))  # tie -> backward (earlier)
+            .otherwise(F.col("_mf")),
+        )
     match_ok = F.col("_m").isNotNull()
     if tolerance is not None:
-        match_ok = match_ok & (
-            F.col("_m._ats") >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+        dist = F.abs(
+            F.col("_m._ats").cast("timestamp").cast("double") - lts.cast("double")
         )
+        tol_sec = F.expr(
+            f"CAST(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL {tolerance} AS DOUBLE)"
+        )
+        match_ok = match_ok & (dist <= tol_sec)
     out_cols = [c for c in left.columns]
     attached = [
         F.when(match_ok, F.col(f"_m.{c}")).alias(f"{c}{suffix}")

@@ -147,3 +147,68 @@ def test_session_boundary_matches_session_window_semantics(spark):
     ).select(F.lit("k").alias("series_id"), F.timestamp_seconds("t").alias("ds"))
     out2 = sessionize(df2, gap="30 minutes", ts_col="ds").orderBy("ds").collect()
     assert [r["session_seq"] for r in out2] == [1, 1, 1]
+
+
+def test_asof_forward_matches_duckdb(daily, duck):
+    clicks = daily.filter(F.col("event_type") == "click").drop("event_type")
+    views = (
+        daily.filter(F.col("event_type") == "view").drop("event_type")
+        .filter(F.dayofmonth("ds") % 2 == 0)
+        .withColumnRenamed("y", "v")
+    )
+    got = asof_join(
+        clicks, views, ts_col="ds", value_cols=("v",),
+        direction="forward", keep_match_ts=True,
+    ).select("ds", F.round("v", 6).alias("v"),
+             F.col("matched_ts").cast("string").alias("matched_ts"))
+    # DuckDB ASOF with l.ts <= r.ts == forward (closest later row)
+    assert_matches_oracle(got, duck, f"""
+        WITH clicks AS (SELECT ds, y FROM ({DAILY_SQL}) WHERE event_type = 'click'),
+        views AS (SELECT ds, y AS v FROM ({DAILY_SQL})
+                  WHERE event_type = 'view' AND day(ds) % 2 = 0)
+        SELECT c.ds, ROUND(v.v, 6) AS v,
+               CAST(CAST(v.ds AS TIMESTAMP) AS VARCHAR) AS matched_ts
+        FROM clicks c ASOF LEFT JOIN views v ON c.ds <= v.ds
+    """)
+
+
+def test_asof_nearest_and_directions(spark):
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 13), ("k", 20)], "k string, t int"
+    ).select("k", F.timestamp_seconds("t").alias("ds"))
+    right = spark.createDataFrame(
+        [("k", 8, 1.0), ("k", 14, 2.0), ("k", 30, 3.0)],
+        "k string, t int, v double",
+    ).select("k", F.timestamp_seconds("t").alias("ds"), "v")
+
+    def run(direction, **kw):
+        return {
+            r["ds"].second + 60 * r["ds"].minute: r["v"]
+            for r in asof_join(
+                left, right, on=("k",), value_cols=("v",),
+                direction=direction, **kw,
+            ).collect()
+        }
+
+    assert run("backward") == {10: 1.0, 13: 1.0, 20: 2.0}
+    assert run("forward") == {10: 2.0, 13: 2.0, 20: 3.0}
+    # nearest: 10 -> 8 (d2) vs 14 (d4) = 1.0; 13 -> 14 (d1) = 2.0;
+    # 20 -> 14 (d6) vs 30 (d10) = 2.0
+    assert run("nearest") == {10: 1.0, 13: 2.0, 20: 2.0}
+    # tolerance prunes far matches per direction
+    assert run("nearest", tolerance="5 seconds") == {10: 1.0, 13: 2.0, 20: None}
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=("k",), direction="sideways")
+
+
+def test_asof_forward_exact_match_wins(spark):
+    left = spark.createDataFrame([("k", 5)], "k string, t int").select(
+        "k", F.timestamp_seconds("t").alias("ds")
+    )
+    right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 7, 2.0)], "k string, t int, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ds"), "v")
+    out = asof_join(
+        left, right, on=("k",), value_cols=("v",), direction="forward"
+    ).collect()
+    assert out[0]["v"] == 1.0  # allow_exact_matches
