@@ -155,3 +155,34 @@ def test_concurrent_requests_share_one_session(server):
     for t in threads:
         t.join(timeout=600)
     assert results == [200, 200]
+
+
+def test_analyze_response_conforms_to_typed_models(server):
+    """Both reference fixtures' /analyze responses validate against the
+    typed response surface (reference responses.py:1-58)."""
+    from temporal_retriever_spark.api.responses import (
+        ResponseValidationError,
+        validate_analytics_response,
+    )
+
+    for fixture in (EXAMPLE, ELECTRICITY):
+        body = json.load(open(fixture))
+        status, got = _post(server, "/analyze", body)
+        assert status == 200
+        model = validate_analytics_response(got)
+        assert model.correlations
+        for corr in model.correlations.values():
+            assert corr.diagnostics.from_.unitsForecasted >= 1
+            assert corr.diagnostics.to.unitsForecasted >= 1
+            if corr.type == "prophet":
+                assert corr.predictions is not None
+                assert corr.predictions.futureForecasts
+                assert corr.regressorCoefficients
+    # and the validator actually rejects malformed payloads
+    import pytest as _pytest
+
+    with _pytest.raises(ResponseValidationError, match="units"):
+        validate_analytics_response(
+            {"correlations": {"c": {"type": "prophet", "diagnostics": {
+                "units": "Q", "from": {}, "to": {}}}}}
+        )
