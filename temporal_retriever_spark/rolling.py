@@ -268,23 +268,43 @@ def fill_gaps(
     """
     if method not in ("linear", "ffill", "zero", "null"):
         raise ValueError(f"unsupported fill method: {method!r}")
+    from temporal_retriever_spark.grains import normalize_grain
+
+    grain = normalize_grain(grain)
     series_cols = list(series_cols)
-    step = grain_interval(grain)
     ts_type = dict(df.dtypes)[ts_col]
 
     bounds = df.groupBy(*series_cols).agg(
         F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
     )
+    # integer-indexed stepping (the future_grid approach): INTERVAL
+    # MONTH is variable-width, so sequence(lo, hi, step) drifts off the
+    # month-END labels the M grain buckets to; last_day(add_months(..))
+    # keeps last-day-ness exactly. Input must be bucketed at `grain`
+    # (the bucket_aggregate output shape).
+    lo, hi = F.col("_lo"), F.col("_hi")
+    if grain == "M":
+        n_steps = F.months_between(hi.cast("date"), lo.cast("date")).cast("int")
+    elif grain in ("D", "W"):
+        days = {"D": 1, "W": 7}[grain]
+        n_steps = (F.datediff(hi.cast("date"), lo.cast("date")) / days).cast("int")
+    else:
+        secs = {"H": 3600, "min": 60}[grain]
+        n_steps = (
+            (hi.cast("timestamp").cast("double") - lo.cast("timestamp").cast("double"))
+            / secs
+        ).cast("int")
+    k = F.col("_k")
+    if grain == "M":
+        tick = F.last_day(F.add_months(lo.cast("date"), k))
+    elif grain in ("D", "W"):
+        tick = F.date_add(lo.cast("date"), k * {"D": 1, "W": 7}[grain])
+    else:
+        tick = lo.cast("timestamp") + k * F.expr(grain_interval(grain))
     grid = bounds.select(
-        *series_cols,
-        F.explode(
-            F.sequence(
-                F.col("_lo").cast("timestamp"),
-                F.col("_hi").cast("timestamp"),
-                F.expr(step),
-            )
-        ).alias(ts_col),
-    ).select(*series_cols, F.col(ts_col).cast(ts_type).alias(ts_col))
+        *series_cols, "_lo", "_hi",
+        F.explode(F.sequence(F.lit(0), n_steps)).alias("_k"),
+    ).select(*series_cols, tick.cast(ts_type).alias(ts_col))
     dense = grid.join(
         df.select(*series_cols, ts_col, value_col),
         on=[*series_cols, ts_col],

@@ -264,3 +264,30 @@ def test_rolling_time_window_rejects_bad_interval(tables):
         rolling_aggregate_time(ev, window="2 fortnights")
     with pytest.raises(ValueError):
         rolling_aggregate_time(ev, window="0 days")
+
+
+def test_fill_gaps_month_grain_keeps_month_end_labels(spark):
+    # month buckets are month-END dates; naive +1 MONTH stepping from
+    # Jan 31 lands on Feb 28 then Mar 28 — the grid must stay last-day
+    df = spark.createDataFrame(
+        [("a", "2024-01-31", 1.0), ("a", "2024-05-31", 5.0)],
+        "series_id string, d string, y double",
+    ).select("series_id", F.to_date("d").alias("ds"), "y")
+    out = fill_gaps(df, grain="M", method="linear").orderBy("ds").collect()
+    assert [str(r["ds"]) for r in out] == [
+        "2024-01-31", "2024-02-29", "2024-03-31", "2024-04-30", "2024-05-31",
+    ]
+    assert [r["was_filled"] for r in out] == [False, True, True, True, False]
+    # linear interpolation is time-weighted across the uneven months
+    filled = [r["y"] for r in out]
+    assert filled[0] == 1.0 and filled[-1] == 5.0
+    assert all(filled[i] < filled[i + 1] for i in range(4))
+
+
+def test_fill_gaps_hour_grain(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 3, 30.0)], "series_id string, h int, y double"
+    ).select("series_id", F.timestamp_seconds(F.col("h") * 3600).alias("ds"), "y")
+    out = fill_gaps(df, grain="H").orderBy("ds").collect()
+    assert len(out) == 4
+    assert [r["y"] for r in out] == [0.0, 10.0, 20.0, 30.0]
