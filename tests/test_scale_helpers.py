@@ -102,3 +102,37 @@ def test_bucketed_tables_join_without_shuffle(spark, tables):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_target")
         spark.sql("DROP TABLE IF EXISTS t_cov")
+
+
+def test_new_window_ops_parallelize_across_series(spark):
+    """64 series × 5k rows: the as-of and rolling window stages must
+    split across series keys (>1 task after the key shuffle), proving
+    the operators parallelize by series rather than serializing."""
+    from temporal_retriever_spark.asof import asof_join
+    from temporal_retriever_spark.rolling import rolling_aggregate
+
+    n_series, n_rows = 64, 5000
+    base = (
+        spark.range(n_series * n_rows)
+        .select(
+            (F.col("id") % n_series).cast("string").alias("series_id"),
+            F.timestamp_seconds((F.col("id") / n_series).cast("long") * 60).alias("ds"),
+            (F.col("id") % 997).cast("double").alias("y"),
+        )
+    )
+    rolled = rolling_aggregate(base, window=10, aggs=("mean",))
+    # partitions after the series-key exchange (AQE may coalesce; must
+    # still exceed one — a single task would serialize 64 series)
+    parts = rolled.select("series_id").rdd.getNumPartitions()
+    assert parts > 1
+    assert rolled.count() == n_series * n_rows
+    right = base.filter(F.col("ds").cast("long") % 600 == 0).withColumnRenamed("y", "v")
+    joined = asof_join(
+        base, right, on=("series_id",), value_cols=("v",)
+    )
+    assert joined.count() == n_series * n_rows
+    # spot-check one series: every row has a match (rights every 10 min)
+    row = joined.filter(
+        (F.col("series_id") == "3") & (F.col("ds").cast("long") == 3600)
+    ).first()
+    assert row["v"] is not None
