@@ -31,6 +31,7 @@ from temporal_retriever_spark.diagnostics import (
     acf,
     describe,
     durbin_levinson_stages,
+    ccf,
     granger_causality,
     granger_cholesky_rounds,
     granger_gram_exprs,
@@ -306,6 +307,20 @@ def q_granger_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df_num",
         "df_den",
         "n_obs",
+    )
+
+
+def q_ccf_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the click/view daily pair, lags 0..5 —
+    the lead/lag screening statistic ahead of the Granger test."""
+    target = _daily_series(spark, sf_dir, "click").withColumn(
+        "series_id", F.lit("click~view")
+    )
+    cov = _daily_series(spark, sf_dir, "view").withColumnRenamed("y", "x")
+    pair = target.join(cov, on="ds", how="inner")
+    got = ccf(pair, lags=5, series_cols=("series_id",))
+    return got.select(
+        "series_id", "lag", F.round(F.col("ccf") + F.lit(_ROUND_OFFSET), 6).alias("ccf")
     )
 
 
@@ -1262,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_series": q_describe_series,
         "granger_click_view": q_granger_click_view,
         "granger_lag1": q_granger_lag1,
+        "ccf_click_view": q_ccf_click_view,
         "forecast_linear_daily": q_forecast_linear_daily,
         "forecast_saturating_daily": q_forecast_saturating_daily,
         "forecast_quantiles": q_forecast_quantiles,
@@ -2413,4 +2429,24 @@ def oracle_sql() -> dict[str, str]:
         # finite incomplete-beta p-values — the full multi-lag Granger
         # test expressed in SQL (same stage strings as the Spark plan)
         "granger_click_view": _granger_native_oracle(maxlag=5),
+        "ccf_click_view": f"""
+            WITH p AS (SELECT t.ds, t.y, c.cov AS x
+                       FROM ({_CLICK_DAILY}) t JOIN ({_VIEW_DAILY}) c USING (ds)),
+            cen AS (SELECT ds, y - AVG(y) OVER () AS dy,
+                           x - AVG(x) OVER () AS dx FROM p),
+            l AS (SELECT ds, dy, dx,
+                  {', '.join(f'LAG(dx, {k}) OVER (ORDER BY ds) AS dx{k}' for k in range(1, 6))}
+                  FROM cen),
+            a AS (SELECT SUM(dy * dy) AS syy, SUM(dx * dx) AS sxx,
+                         SUM(dy * dx) AS s0,
+                         {', '.join(f'SUM(dy * dx{k}) AS s{k}' for k in range(1, 6))}
+                  FROM l)
+            SELECT 'click~view' AS series_id, lag,
+                   ROUND(c + {_ROUND_OFFSET!r}, 6) AS ccf
+            FROM (
+                SELECT 0 AS lag, s0 / sqrt(sxx * syy) AS c FROM a
+                UNION ALL
+                {' UNION ALL '.join(f'SELECT {k} AS lag, s{k} / sqrt(sxx * syy) AS c FROM a' for k in range(1, 6))}
+            )
+        """,
     }

@@ -45,6 +45,7 @@ from temporal_retriever_spark.align import (
 from temporal_retriever_spark.diagnostics import (
     acf_pacf,
     acf,
+    ccf,
     describe,
     f_sf_expr,
     granger_causality,
@@ -111,6 +112,7 @@ __all__ = [
     "split_forecasts",
     "acf",
     "acf_pacf",
+    "ccf",
     "describe",
     "granger_causality",
     "granger_lag1",

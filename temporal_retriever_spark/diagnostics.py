@@ -1001,3 +1001,63 @@ def granger_native(
             F.col("_n").cast("long").alias("n_obs"),
         )
     )
+
+
+def ccf(
+    df: DataFrame,
+    *,
+    lags: int = 10,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    target_col: str = "y",
+    cov_col: str = "x",
+) -> DataFrame:
+    """Cross-correlation function: corr(x_{t−k}, y_t) for k in
+    0..lags — the pairwise analog of W1's ACF and the screening
+    statistic ahead of a Granger test (a large ccf at lag k suggests x
+    leads y by k buckets). statsmodels ``ccf(adjusted=False)``
+    convention: both series centered by their full-series means,
+    normalized by n·σ_x·σ_y (the lag-0 value is Pearson r).
+
+    Fully native, same plan shape as ACF: one window sort for the lag
+    products + one aggregation per series — two narrow shuffles
+    regardless of lag count.
+
+    Output: (series, lag, ccf), lag 0..lags.
+    """
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    base = df.na.drop(subset=[target_col, cov_col])
+    d = base.withColumn(
+        "_dy", F.col(target_col) - F.avg(target_col).over(w)
+    ).withColumn("_dx", F.col(cov_col) - F.avg(cov_col).over(w))
+    for k in range(lags + 1):
+        lagged = F.lag("_dx", k).over(ws) if k else F.col("_dx")
+        d = d.withColumn(f"_p{k}", F.col("_dy") * lagged)
+    agg = d.groupBy(*series_cols).agg(
+        F.count("_dy").cast("double").alias("_n"),
+        F.sum(F.col("_dy") * F.col("_dy")).alias("_syy"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("_sxx"),
+        *[F.sum(f"_p{k}").alias(f"_s{k}") for k in range(lags + 1)],
+    )
+    # normalizer n·σ_x·σ_y with population σ = sqrt(S/n): n·√(Sxx/n)·√(Syy/n)
+    # = √(Sxx·Syy); try_divide -> NULL for constant series (ANSI-safe)
+    denom = F.sqrt(F.col("_sxx") * F.col("_syy"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.try_divide(F.col(f"_s{k}"), denom).alias("ccf"),
+            )
+            for k in range(lags + 1)
+        ]
+    )
+    return (
+        agg.select(*series_cols, F.explode(pairs).alias("_e"))
+        .select(
+            *series_cols,
+            F.col("_e.lag").alias("lag"),
+            F.col("_e.ccf").alias("ccf"),
+        )
+    )

@@ -305,3 +305,65 @@ def test_granger_native_no_python_in_plan(spark, tables):
     )
     plan = granger_native(ev, maxlag=2)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_ccf_matches_duckdb(tables, duck):
+    from temporal_retriever_spark.diagnostics import ccf
+
+    ev = tables["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ds").alias("ds")).agg(
+        F.sum("y").alias("y")
+    )
+    t = daily.filter(F.col("event_type") == "click").select(
+        F.lit("p").alias("series_id"), "ds", "y"
+    )
+    c = daily.filter(F.col("event_type") == "view").select(
+        F.lit("p").alias("series_id"), "ds", F.col("y").alias("x")
+    )
+    pair = t.join(c, on=["series_id", "ds"], how="inner")
+    got = ccf(pair, lags=5).select(
+        "series_id", "lag", F.round("ccf", 6).alias("ccf")
+    )
+    lag_cols = ", ".join(
+        f"LAG(dx, {k}) OVER (ORDER BY ds) AS dx{k}" for k in range(1, 6)
+    )
+    sums = ", ".join(f"SUM(dy * dx{k}) AS s{k}" for k in range(1, 6))
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS lag, s{k} / sqrt(sxx * syy) AS c FROM a" for k in range(1, 6)
+    )
+    assert_matches_oracle(got, duck, f"""
+        WITH d AS (SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+                   FROM events GROUP BY 1, 2),
+        p AS (SELECT t.ds, t.y, c.y AS x
+              FROM (SELECT ds, y FROM d WHERE event_type = 'click') t
+              JOIN (SELECT ds, y FROM d WHERE event_type = 'view') c USING (ds)),
+        cen AS (SELECT ds, y - AVG(y) OVER () AS dy, x - AVG(x) OVER () AS dx FROM p),
+        l AS (SELECT ds, dy, dx, {lag_cols} FROM cen),
+        a AS (SELECT SUM(dy * dy) AS syy, SUM(dx * dx) AS sxx,
+                     SUM(dy * dx) AS s0, {sums} FROM l)
+        SELECT 'p' AS series_id, lag, ROUND(c, 6) AS ccf FROM (
+            SELECT 0 AS lag, s0 / sqrt(sxx * syy) AS c FROM a
+            UNION ALL {union}
+        )
+    """)
+
+
+def test_ccf_detects_known_lead(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.normal(size=n)
+    y = np.roll(x, 3) + 0.05 * rng.normal(size=n)  # x leads y by 3
+    from temporal_retriever_spark.diagnostics import ccf
+
+    df = spark.createDataFrame(
+        [("s", float(i), float(y[i]), float(x[i])) for i in range(3, n)],
+        "series_id string, ds double, y double, x double",
+    )
+    vals = {r["lag"]: r["ccf"] for r in ccf(df, lags=5).collect()}
+    assert vals[3] > 0.9
+    assert all(abs(vals[k]) < 0.3 for k in (0, 1, 2, 4, 5))
