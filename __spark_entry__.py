@@ -655,6 +655,19 @@ def q_sessions_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift statistics (Page's test) via the
+    prefix-sum − running-min closed form — window-native, no recursion."""
+    from temporal_retriever_spark.rolling import cusum_drift
+
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = cusum_drift(daily, threshold=4.0, series_cols=("event_type",))
+    return out.select(
+        "event_type", "ds", _r6("cusum_up").alias("cusum_up"),
+        _r6("cusum_down").alias("cusum_down"), "is_shift",
+    )
+
+
 def q_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition, period 7 (weekly seasonality on
     a daily grid)."""
@@ -1317,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "sessions_2h": q_sessions_2h,
         "decompose_weekly": q_decompose_weekly,
+        "cusum_shift": q_cusum_shift,
     }
 
 
@@ -2404,6 +2418,33 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6('epoch(MAX(ds)) - epoch(MIN(ds))')} AS duration_sec,
                    COUNT(*) AS n_events, {_sql_r6('SUM(y)')} AS session_value
             FROM s GROUP BY 1, 2
+        """,
+        "cusum_shift": f"""
+            WITH z AS (
+              SELECT event_type, ds,
+                (y - AVG(y) OVER (PARTITION BY event_type))
+                  / STDDEV_SAMP(y) OVER (PARTITION BY event_type) AS z
+              FROM ({_EVENTS_DAILY})
+            ),
+            p AS (
+              SELECT event_type, ds,
+                SUM(z - 0.5) OVER w AS pu, SUM(z + 0.5) OVER w AS pd
+              FROM z
+              WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            c AS (
+              SELECT event_type, ds,
+                pu - LEAST(MIN(pu) OVER w, 0.0) AS cu,
+                -(pd - GREATEST(MAX(pd) OVER w, 0.0)) AS cd
+              FROM p
+              WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_type, ds, {_sql_r6('cu')} AS cusum_up,
+                   {_sql_r6('cd')} AS cusum_down,
+                   (cu > 4.0 OR cd > 4.0) AS is_shift
+            FROM c
         """,
         "decompose_weekly": f"""
             WITH n AS (SELECT event_type, ds, y,

@@ -83,6 +83,7 @@ from temporal_retriever_spark.streaming import (
 from temporal_retriever_spark.asof import asof_join, session_stats, sessionize
 from temporal_retriever_spark.rolling import (
     anomaly_zscore,
+    cusum_drift,
     decompose,
     ewma,
     fill_gaps,
@@ -150,6 +151,7 @@ __all__ = [
     "rolling_aggregate_time",
     "ewma",
     "anomaly_zscore",
+    "cusum_drift",
     "fill_gaps",
     "decompose",
 ]

@@ -427,3 +427,61 @@ def decompose(
             *series_cols, ts_col, value_col, "trend", "seasonal", "resid"
         )
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    *,
+    threshold: float = 5.0,
+    drift: float = 0.5,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """One-sided CUSUM level-shift detection (Page's test), fully
+    window-native.
+
+    The textbook recursion S_t = max(0, S_{t−1} + z_t − drift) is
+    sequential, but it has a closed prefix form: with
+    P_t = Σ_{i≤t}(z_i − drift),  S_t = P_t − min_{i≤t} P_i — a prefix
+    sum minus a running minimum, both plain window aggregates. The
+    downward statistic uses the mirrored identity. z is the per-series
+    standardized value (full-series mean/std, sample ddof=1), so
+    ``threshold`` and ``drift`` are in sigma units (classic CUSUM
+    h≈4-5σ, k≈0.5σ).
+
+    Output: input rows + ``cusum_up``, ``cusum_down``, ``is_shift``
+    (either statistic above threshold). One window shuffle per series —
+    the same minimal plan as every sliding operator here.
+    """
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    run = ws.rowsBetween(Window.unboundedPreceding, 0)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    z = F.when(std.isNotNull() & (std != 0), (F.col(value_col) - mean) / std)
+    d = df.withColumn("_z", z)
+    p_up = F.sum(F.col("_z") - F.lit(float(drift))).over(run)
+    p_dn = F.sum(F.col("_z") + F.lit(float(drift))).over(run)
+    out = (
+        d.withColumn("_pu", p_up)
+        .withColumn("_pd", p_dn)
+        .withColumn(
+            "cusum_up",
+            F.col("_pu") - F.least(F.min("_pu").over(run), F.lit(0.0)),
+        )
+        .withColumn(
+            "cusum_down",
+            -(F.col("_pd") - F.greatest(F.max("_pd").over(run), F.lit(0.0))),
+        )
+    )
+    return out.select(
+        *df.columns,
+        F.col("cusum_up"),
+        F.col("cusum_down"),
+        (
+            F.coalesce(F.col("cusum_up") > threshold, F.lit(False))
+            | F.coalesce(F.col("cusum_down") > threshold, F.lit(False))
+        ).alias("is_shift"),
+    )

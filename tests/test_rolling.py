@@ -291,3 +291,66 @@ def test_fill_gaps_hour_grain(spark):
     out = fill_gaps(df, grain="H").orderBy("ds").collect()
     assert len(out) == 4
     assert [r["y"] for r in out] == [0.0, 10.0, 20.0, 30.0]
+
+
+def test_cusum_matches_recursion(spark):
+    """Window-native prefix form == Page's textbook recursion."""
+    import numpy as np
+    from temporal_retriever_spark.rolling import cusum_drift
+
+    rng = np.random.default_rng(3)
+    y = np.concatenate([rng.normal(0, 1, 100), rng.normal(3, 1, 50)])
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(y)],
+        "series_id string, ds double, y double",
+    )
+    out = cusum_drift(df, threshold=5.0, drift=0.5).orderBy("ds").collect()
+    z = (y - y.mean()) / y.std(ddof=1)
+    s_up = s_dn = 0.0
+    for i, v in enumerate(z):
+        s_up = max(0.0, s_up + v - 0.5)
+        s_dn = max(0.0, s_dn - v - 0.5)
+        assert abs(out[i]["cusum_up"] - s_up) < 1e-9, i
+        assert abs(out[i]["cusum_down"] - s_dn) < 1e-9, i
+    # the upward statistic crosses the threshold shortly after the
+    # injected t=100 level shift (the down statistic accumulates before
+    # it — full-series standardization centers between the two regimes)
+    first_up = next(i for i, r in enumerate(out) if r["cusum_up"] > 5.0)
+    assert 100 <= first_up <= 115
+    assert not any(r["cusum_up"] > 5.0 for r in out[:100])
+
+
+def test_cusum_matches_oracle(daily, duck):
+    from temporal_retriever_spark.rolling import cusum_drift
+
+    got = cusum_drift(daily, threshold=4.0, series_cols=("event_type",)).select(
+        "event_type", "ds", F.round("cusum_up", 6).alias("cusum_up"),
+        F.round("cusum_down", 6).alias("cusum_down"), "is_shift",
+    )
+    assert_matches_oracle(got, duck, f"""
+        WITH z AS (
+          SELECT event_type, ds,
+            (y - AVG(y) OVER (PARTITION BY event_type))
+              / STDDEV_SAMP(y) OVER (PARTITION BY event_type) AS z
+          FROM ({DAILY_SQL})
+        ),
+        p AS (
+          SELECT event_type, ds,
+            SUM(z - 0.5) OVER w AS pu, SUM(z + 0.5) OVER w AS pd
+          FROM z
+          WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        c AS (
+          SELECT event_type, ds,
+            pu - LEAST(MIN(pu) OVER w, 0.0) AS cu,
+            -(pd - GREATEST(MAX(pd) OVER w, 0.0)) AS cd
+          FROM p
+          WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, ds, ROUND(cu, 6) AS cusum_up,
+               ROUND(cd, 6) AS cusum_down,
+               (cu > 4.0 OR cd > 4.0) AS is_shift
+        FROM c
+    """)
