@@ -767,33 +767,34 @@ def granger_cholesky_rounds(maxlag: int) -> list[list[tuple[str, str]]]:
     rounds: list[list[tuple[str, str]]] = []
     pmax = 2 * maxlag + 1
     for k in range(pmax):
-        round_a: list[tuple[str, str]] = []
-        round_b: list[tuple[str, str]] = []
+        # ONE round per pivot column: the pivot d_k is inlined textually
+        # into this round's divisions (expressions in a round may only
+        # reference earlier rounds), which halves the projection-round
+        # count — the dominant plan-compile cost at high maxlag
+        rnd: list[tuple[str, str]] = []
         for lag in range(1, maxlag + 1):
             p = 2 * lag + 1
             if k >= p:
                 continue
-            sub = " - ".join(
+            d_expr = " - ".join(
                 [f"g{lag}_s_{k}_{k}"]
                 + [f"g{lag}_l_{k}_{i} * g{lag}_l_{k}_{i}" for i in range(k)]
             )
-            round_a.append((f"g{lag}_d_{k}", sub))
+            piv = f"sqrt({d_expr})"
+            rnd.append((f"g{lag}_l_{k}_{k}", piv))
             for j in range(k + 1, p):
                 g_jk = f"g{lag}_s_{k}_{j}"  # Gram stored upper-triangular
                 num = " - ".join(
                     [g_jk]
                     + [f"g{lag}_l_{j}_{i} * g{lag}_l_{k}_{i}" for i in range(k)]
                 )
-                round_b.append(
-                    (f"g{lag}_l_{j}_{k}", f"({num}) / sqrt(g{lag}_d_{k})")
-                )
+                rnd.append((f"g{lag}_l_{j}_{k}", f"({num}) / ({piv})"))
             wnum = " - ".join(
                 [f"g{lag}_t_{k}"]
                 + [f"g{lag}_l_{k}_{i} * g{lag}_w_{i}" for i in range(k)]
             )
-            round_b.append((f"g{lag}_w_{k}", f"({wnum}) / sqrt(g{lag}_d_{k})"))
-        rounds.append(round_a)
-        rounds.append(round_b)
+            rnd.append((f"g{lag}_w_{k}", f"({wnum}) / ({piv})"))
+        rounds.append(rnd)
     final: list[tuple[str, str]] = []
     for lag in range(1, maxlag + 1):
         p = 2 * lag + 1
