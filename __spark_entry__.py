@@ -655,6 +655,21 @@ def q_sessions_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_robust_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified z-score anomalies (outlier-resistant
+    baseline) — frame-local array HOFs, no Python."""
+    from temporal_retriever_spark.rolling import anomaly_robust
+
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = anomaly_robust(
+        daily, window=14, threshold=3.0, series_cols=("event_type",)
+    )
+    return out.select(
+        "event_type", "ds",
+        _r6("robust_zscore").alias("robust_zscore"), "is_anomaly",
+    )
+
+
 def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM level-shift statistics (Page's test) via the
     prefix-sum − running-min closed form — window-native, no recursion."""
@@ -1331,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_2h": q_sessions_2h,
         "decompose_weekly": q_decompose_weekly,
         "cusum_shift": q_cusum_shift,
+        "anomaly_robust_daily": q_anomaly_robust_daily,
     }
 
 
@@ -2418,6 +2434,40 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6('epoch(MAX(ds)) - epoch(MIN(ds))')} AS duration_sec,
                    COUNT(*) AS n_events, {_sql_r6('SUM(y)')} AS session_value
             FROM s GROUP BY 1, 2
+        """,
+        "anomaly_robust_daily": f"""
+            WITH base AS (
+              SELECT event_type, ds, y,
+                     list_sort(list(y) OVER w) AS arr
+              FROM ({_EVENTS_DAILY})
+              WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                           ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+            ),
+            med AS (
+              SELECT *, len(arr) AS n,
+                CASE WHEN len(arr) >= 5 THEN
+                  CASE WHEN len(arr) % 2 = 1 THEN arr[len(arr) // 2 + 1]
+                       ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0 END
+                END AS m
+              FROM base
+            ),
+            madt AS (
+              SELECT *, list_sort(list_transform(arr, v -> abs(v - m))) AS dv
+              FROM med
+            ),
+            sc AS (
+              SELECT event_type, ds, y, n, m,
+                CASE WHEN m IS NOT NULL THEN
+                  CASE WHEN n % 2 = 1 THEN dv[n // 2 + 1]
+                       ELSE (dv[n // 2] + dv[n // 2 + 1]) / 2.0 END
+                END AS mad
+              FROM madt
+            )
+            SELECT event_type, ds,
+              {_sql_r6("CASE WHEN mad IS NOT NULL AND mad <> 0 THEN 0.6745 * (y - m) / mad END")} AS robust_zscore,
+              COALESCE(ABS(CASE WHEN mad IS NOT NULL AND mad <> 0
+                    THEN 0.6745 * (y - m) / mad END) > 3.0, FALSE) AS is_anomaly
+            FROM sc
         """,
         "cusum_shift": f"""
             WITH z AS (

@@ -82,6 +82,7 @@ from temporal_retriever_spark.streaming import (
 )
 from temporal_retriever_spark.asof import asof_join, session_stats, sessionize
 from temporal_retriever_spark.rolling import (
+    anomaly_robust,
     anomaly_zscore,
     cusum_drift,
     decompose,
@@ -151,6 +152,7 @@ __all__ = [
     "rolling_aggregate_time",
     "ewma",
     "anomaly_zscore",
+    "anomaly_robust",
     "cusum_drift",
     "fill_gaps",
     "decompose",

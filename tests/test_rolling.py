@@ -354,3 +354,73 @@ def test_cusum_matches_oracle(daily, duck):
                (cu > 4.0 OR cd > 4.0) AS is_shift
         FROM c
     """)
+
+
+def test_anomaly_robust_matches_oracle(daily, duck):
+    from temporal_retriever_spark.rolling import anomaly_robust
+
+    got = anomaly_robust(
+        daily, window=14, threshold=3.0, series_cols=("event_type",)
+    ).select(
+        "event_type", "ds",
+        F.round("robust_zscore", 6).alias("robust_zscore"), "is_anomaly",
+    )
+    # DuckDB mirror: list() window aggregate + list lambdas
+    assert_matches_oracle(got, duck, f"""
+        WITH base AS (
+          SELECT event_type, ds, y,
+                 list_sort(list(y) OVER w) AS arr
+          FROM ({DAILY_SQL})
+          WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                       ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+        ),
+        med AS (
+          SELECT *, len(arr) AS n,
+            CASE WHEN len(arr) >= 5 THEN
+              CASE WHEN len(arr) % 2 = 1 THEN arr[len(arr) // 2 + 1]
+                   ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0 END
+            END AS m
+          FROM base
+        ),
+        madt AS (
+          SELECT *, list_sort(list_transform(arr, v -> abs(v - m))) AS dv
+          FROM med
+        ),
+        sc AS (
+          SELECT event_type, ds, y, n, m,
+            CASE WHEN m IS NOT NULL THEN
+              CASE WHEN n % 2 = 1 THEN dv[n // 2 + 1]
+                   ELSE (dv[n // 2] + dv[n // 2 + 1]) / 2.0 END
+            END AS mad
+          FROM madt
+        )
+        SELECT event_type, ds,
+          ROUND(CASE WHEN mad IS NOT NULL AND mad <> 0
+                THEN 0.6745 * (y - m) / mad END, 6) AS robust_zscore,
+          COALESCE(ABS(CASE WHEN mad IS NOT NULL AND mad <> 0
+                THEN 0.6745 * (y - m) / mad END) > 3.0, FALSE) AS is_anomaly
+        FROM sc
+    """)
+
+
+def test_anomaly_robust_survives_outlier_in_window(spark):
+    """The property that motivates MAD: a prior spike inside the
+    baseline window must not mask a later genuine anomaly."""
+    from temporal_retriever_spark.rolling import anomaly_robust, anomaly_zscore
+
+    rows = [("a", i, 10.0 + (i % 2) * 0.5) for i in range(40)]
+    rows[20] = ("a", 20, 1000.0)   # first spike
+    rows[26] = ("a", 26, 500.0)    # second spike, 6 rows later
+    df = spark.createDataFrame(
+        rows, "series_id string, t int, y double"
+    ).select("series_id", F.timestamp_seconds(F.col("t") * 86400).alias("ds"), "y")
+    robust = {r["ds"].day if hasattr(r["ds"], "day") else None: r["is_anomaly"]
+              for r in anomaly_robust(df, window=10, threshold=3.5).collect()}
+    classic = anomaly_zscore(df, window=10, threshold=3.0).orderBy("ds").collect()
+    robust_flags = [r["is_anomaly"] for r in
+                    anomaly_robust(df, window=10, threshold=3.5).orderBy("ds").collect()]
+    # robust flags BOTH spikes; the classic z-score misses the second
+    # because the first inflates its window's std
+    assert robust_flags[20] and robust_flags[26]
+    assert classic[20]["is_anomaly"] is True
+    assert classic[26]["is_anomaly"] is False
