@@ -42,6 +42,7 @@ from temporal_retriever_spark.diagnostics import (
 from temporal_retriever_spark.forecast import (
     changepoint1_stages,
     forecast_changepoint,
+    forecast_exponential_smoothing,
     forecast_linear_seasonal,
     forecast_quantiles,
     forecast_with_covariate,
@@ -432,6 +433,17 @@ def q_forecast_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ds",
         F.round(F.col("yhat") + F.lit(_ROUND_OFFSET), _ROUND_DIGITS).alias("yhat"),
     )
+
+
+def q_forecast_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing per event_type (alpha 0.3,
+    window 32, horizon 7) — EWMA-of-EWMA level/trend, fully native."""
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = forecast_exponential_smoothing(
+        daily, grain="D", alpha=0.3, horizon=7, window=32,
+        series_cols=("event_type",),
+    )
+    return out.select("event_type", "ds", _r6("yhat").alias("yhat"))
 
 
 def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_quantiles": q_forecast_quantiles,
         "forecast_changepoint": q_forecast_changepoint,
         "forecast_covariate": q_forecast_covariate,
+        "forecast_exp_smoothing": q_forecast_exp_smoothing,
         "dedup_exact_groups": q_dedup_exact_groups,
         "text_stats": q_text_stats,
         "text_quality_by_source": q_text_quality_by_source,
@@ -2434,6 +2447,50 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6('epoch(MAX(ds)) - epoch(MIN(ds))')} AS duration_sec,
                    COUNT(*) AS n_events, {_sql_r6('SUM(y)')} AS session_value
             FROM s GROUP BY 1, 2
+        """,
+        "forecast_exp_smoothing": f"""
+            WITH n AS (
+                SELECT event_type, ds, y,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) AS rn
+                FROM ({_EVENTS_DAILY})
+            ),
+            e1 AS (
+                SELECT a.event_type, a.ds, a.rn,
+                       SUM(b.y * POWER(0.7, a.rn - b.rn))
+                         / SUM(POWER(0.7, a.rn - b.rn)) AS s1
+                FROM n a JOIN n b
+                  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 31 AND a.rn
+                GROUP BY 1, 2, 3
+            ),
+            e2 AS (
+                SELECT a.event_type, a.ds, a.rn, a.s1,
+                       SUM(b.s1 * POWER(0.7, a.rn - b.rn))
+                         / SUM(POWER(0.7, a.rn - b.rn)) AS s2
+                FROM e1 a JOIN e1 b
+                  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 31 AND a.rn
+                GROUP BY 1, 2, 3, 4
+            ),
+            ab AS (SELECT event_type, ds, rn, 2 * s1 - s2 AS a,
+                          (0.3 / 0.7) * (s1 - s2) AS b FROM e2),
+            hist AS (
+                SELECT event_type, ds,
+                       LAG(a) OVER w + LAG(b) OVER w AS yhat
+                FROM ab WINDOW w AS (PARTITION BY event_type ORDER BY ds)
+            ),
+            lastab AS (
+                SELECT event_type, MAX_BY(a, rn) AS a, MAX_BY(b, rn) AS b,
+                       MAX(ds) AS mx
+                FROM ab GROUP BY 1
+            ),
+            fut AS (
+                SELECT l.event_type,
+                       CAST(l.mx + h.h * INTERVAL 1 DAY AS DATE) AS ds,
+                       l.a + h.h * l.b AS yhat
+                FROM lastab l, (SELECT UNNEST(range(1, 8)) AS h) h
+            )
+            SELECT event_type, ds, {_sql_r6('yhat')} AS yhat
+            FROM (SELECT * FROM hist WHERE yhat IS NOT NULL
+                  UNION ALL SELECT * FROM fut)
         """,
         "anomaly_robust_daily": f"""
             WITH base AS (

@@ -56,6 +56,7 @@ from temporal_retriever_spark.diagnostics import (
 from temporal_retriever_spark.forecast import (
     fit_changepoint_trend,
     forecast_changepoint,
+    forecast_exponential_smoothing,
     forecast_covariate_changepoint,
     forecast_linear_seasonal,
     forecast_prophet,
@@ -123,6 +124,7 @@ __all__ = [
     "pacf",
     "fit_changepoint_trend",
     "forecast_changepoint",
+    "forecast_exponential_smoothing",
     "forecast_covariate_changepoint",
     "forecast_linear_seasonal",
     "forecast_prophet",

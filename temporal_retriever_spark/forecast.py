@@ -925,3 +925,81 @@ def forecast_prophet(
         return out[series_cols + [ts_col, "yhat", "yhat_lower", "yhat_upper"]]
 
     return df.groupBy(*series_cols).applyInPandas(fit_predict, schema)
+
+
+def forecast_exponential_smoothing(
+    df: DataFrame,
+    *,
+    grain: str,
+    alpha: float = 0.3,
+    horizon: int = 14,
+    window: int = 64,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    include_history: bool = True,
+) -> DataFrame:
+    """Brown's double exponential smoothing (linear-trend) forecast,
+    fully native.
+
+    Two stacked truncated EWMAs (``rolling.ewma``) give the smoothed
+    series S' and its smoothing S''; Brown's identities turn them into
+    a local level and trend at every point:
+
+        a_t = 2·S'_t − S''_t        (level)
+        b_t = α/(1−α) · (S'_t − S''_t)   (trend per bucket)
+        ŷ_{t+h} = a_t + h·b_t
+
+    In-sample fit is the one-step-ahead forecast ŷ_t = a_{t−1} +
+    b_{t−1}; the future grid extends from the last (a, b) per series
+    over the W6 grid machinery. An exact Holt recursion is inherently
+    sequential; Brown's form inherits the truncated-EWMA frame-local
+    computation, so the whole forecaster is two window passes + one
+    grid join — no Python, SQL-mirrorable (public method, cf. Brown
+    1963 / any forecasting text).
+
+    Output: series, ds, yhat (history one-step fits where defined,
+    future extrapolation beyond max_ds).
+    """
+    from temporal_retriever_spark.align import future_grid
+    from temporal_retriever_spark.rolling import ewma as _ewma
+
+    series_cols = list(series_cols)
+    s1 = _ewma(
+        df, alpha=alpha, window=window, series_cols=series_cols,
+        ts_col=ts_col, value_col=value_col, out_col="_s1",
+    )
+    s2 = _ewma(
+        s1, alpha=alpha, window=window, series_cols=series_cols,
+        ts_col=ts_col, value_col="_s1", out_col="_s2",
+    )
+    level = 2 * F.col("_s1") - F.col("_s2")
+    trend = F.lit(alpha / (1.0 - alpha)) * (F.col("_s1") - F.col("_s2"))
+    ab = s2.withColumn("_a", level).withColumn("_b", trend)
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    hist = ab.select(
+        *series_cols,
+        F.col(ts_col),
+        (F.lag("_a").over(w) + F.lag("_b").over(w)).alias("yhat"),
+    )
+    last = ab.groupBy(*series_cols).agg(
+        F.max_by("_a", F.col(ts_col)).alias("_a"),
+        F.max_by("_b", F.col(ts_col)).alias("_b"),
+        F.max(ts_col).alias("max_ds"),
+    )
+    grid = future_grid(
+        last, grain=grain, horizon=int(horizon), series_cols=series_cols
+    )
+    ds_type = dict(df.dtypes)[ts_col]
+    steps = Window.partitionBy(*series_cols).orderBy("ds")
+    future = (
+        grid.withColumn("_h", F.row_number().over(steps))
+        .join(last.drop("max_ds"), on=series_cols)
+        .select(
+            *series_cols,
+            F.col("ds").cast(ds_type).alias(ts_col),
+            (F.col("_a") + F.col("_h") * F.col("_b")).alias("yhat"),
+        )
+    )
+    out = future if not include_history else hist.unionByName(future)
+    return out.filter(F.col("yhat").isNotNull())

@@ -173,3 +173,45 @@ def test_prophet_backend(spark):
 
     pred = forecast_prophet(df, grain="D", horizon=5)
     assert pred.count() == 35
+
+
+def test_exponential_smoothing_matches_local_reference(spark):
+    """Brown's DES (EWMA-of-EWMA level/trend) against a direct numpy
+    computation of the same truncated smoothing, history and future."""
+    import numpy as np
+    from temporal_retriever_spark.forecast import forecast_exponential_smoothing
+
+    rng = np.random.default_rng(5)
+    n = 60
+    y = 100 + 2.0 * np.arange(n) + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [("s", i, float(v)) for i, v in enumerate(y)],
+        "series_id string, d int, y double",
+    ).select(
+        "series_id",
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("d")).alias("ds"),
+        "y",
+    )
+    out = forecast_exponential_smoothing(
+        df, grain="D", alpha=0.3, horizon=5, window=64
+    ).orderBy("ds").collect()
+
+    def tewma(x, a, w):
+        res = []
+        for t in range(len(x)):
+            seg = x[max(0, t - w + 1): t + 1][::-1]
+            wts = (1 - a) ** np.arange(len(seg))
+            res.append((seg * wts).sum() / wts.sum())
+        return np.array(res)
+
+    s1 = tewma(y, 0.3, 64)
+    s2 = tewma(s1, 0.3, 64)
+    a = 2 * s1 - s2
+    b = 0.3 / 0.7 * (s1 - s2)
+    assert len(out) == (n - 1) + 5  # one-step fits (lag-defined) + future
+    for i, r in enumerate(out[: n - 1]):
+        assert abs(r["yhat"] - (a[i] + b[i])) < 1e-9, i
+    for h, r in enumerate(out[n - 1:], start=1):
+        assert abs(r["yhat"] - (a[-1] + h * b[-1])) < 1e-9, h
+    # the fitted trend recovers the true slope (2/bucket)
+    assert abs(b[-1] - 2.0) < 0.5
