@@ -651,6 +651,22 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14 rolling Pearson r of the click/view daily pair —
+    the windowed complement of the global CCF."""
+    from temporal_retriever_spark.rolling import rolling_corr
+
+    clicks = _daily_series(spark, sf_dir, "click")
+    views = _daily_series(spark, sf_dir, "view").withColumnRenamed("y", "x")
+    pair = clicks.join(views, on="ds").withColumn(
+        "series_id", F.lit("click~view")
+    )
+    out = rolling_corr(pair, window=14)
+    return out.select(
+        "series_id", "ds", _r6("rolling_corr").alias("rolling_corr")
+    )
+
+
 def q_sessions_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2h) of the raw event stream with
     per-session aggregates — one window shuffle + reused exchange."""
@@ -1360,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose_weekly": q_decompose_weekly,
         "cusum_shift": q_cusum_shift,
         "anomaly_robust_daily": q_anomaly_robust_daily,
+        "rolling_corr_pair": q_rolling_corr_pair,
     }
 
 
@@ -2447,6 +2464,21 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6('epoch(MAX(ds)) - epoch(MIN(ds))')} AS duration_sec,
                    COUNT(*) AS n_events, {_sql_r6('SUM(y)')} AS session_value
             FROM s GROUP BY 1, 2
+        """,
+        "rolling_corr_pair": f"""
+            WITH p AS (SELECT t.ds, t.y, c.cov AS x
+                       FROM ({_CLICK_DAILY}) t JOIN ({_VIEW_DAILY}) c USING (ds)),
+            s AS (SELECT ds,
+                  CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                  SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+                  SUM(x * y) OVER w AS sxy,
+                  SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+              FROM p WINDOW w AS (ORDER BY ds
+                                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT 'click~view' AS series_id, ds,
+              {_sql_r6("CASE WHEN n >= 3 AND (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0 THEN (sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) END")}
+                AS rolling_corr
+            FROM s
         """,
         "forecast_exp_smoothing": f"""
             WITH n AS (

@@ -91,6 +91,7 @@ from temporal_retriever_spark.rolling import (
     fill_gaps,
     rolling_aggregate,
     rolling_aggregate_time,
+    rolling_corr,
 )
 
 __all__ = [
@@ -152,6 +153,7 @@ __all__ = [
     "session_stats",
     "rolling_aggregate",
     "rolling_aggregate_time",
+    "rolling_corr",
     "ewma",
     "anomaly_zscore",
     "anomaly_robust",

@@ -548,3 +548,42 @@ def anomaly_robust(
         )
         .drop("_arr", "_n", "_med", "_mad")
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    *,
+    window: int,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    y_col: str = "y",
+    x_col: str = "x",
+    min_periods: int = 3,
+    out_col: str = "rolling_corr",
+) -> DataFrame:
+    """Trailing rolling Pearson correlation between two aligned columns
+    over the last ``window`` rows — the local (windowed) complement of
+    the global ``diagnostics.ccf``: where a regime change breaks a
+    relationship, the rolling r shows *when*.
+
+    Computed from the five frame sums (Σx, Σy, Σxy, Σx², Σy²) so the
+    arithmetic mirrors in any SQL engine; null until ``min_periods``
+    rows or when either column is constant in the frame. One window
+    shuffle per series.
+    """
+    frame = _series_window(series_cols, ts_col).rowsBetween(-(window - 1), 0)
+    y, x = F.col(y_col), F.col(x_col)
+    n = F.count(F.lit(1)).over(frame).cast("double")
+    sx = F.sum(x).over(frame)
+    sy = F.sum(y).over(frame)
+    sxy = F.sum(x * y).over(frame)
+    sxx = F.sum(x * x).over(frame)
+    syy = F.sum(y * y).over(frame)
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    r = F.when(
+        (n >= min_periods) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx * vy),
+    )
+    return df.withColumn(out_col, r)

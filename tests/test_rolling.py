@@ -424,3 +424,58 @@ def test_anomaly_robust_survives_outlier_in_window(spark):
     assert robust_flags[20] and robust_flags[26]
     assert classic[20]["is_anomaly"] is True
     assert classic[26]["is_anomaly"] is False
+
+
+def test_rolling_corr_matches_oracle(tables, duck):
+    from temporal_retriever_spark.rolling import rolling_corr
+
+    ev = tables["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ds").alias("ds")).agg(
+        F.sum("y").alias("y")
+    )
+    clicks = daily.filter(F.col("event_type") == "click").select("ds", "y")
+    views = daily.filter(F.col("event_type") == "view").select(
+        "ds", F.col("y").alias("x")
+    )
+    pair = clicks.join(views, on="ds").withColumn("series_id", F.lit("p"))
+    got = rolling_corr(pair, window=14).select(
+        "series_id", "ds", F.round("rolling_corr", 6).alias("rolling_corr")
+    )
+    assert_matches_oracle(got, duck, """
+        WITH d AS (SELECT event_type, date_trunc('day', ts) AS ds, SUM(value) AS y
+                   FROM events GROUP BY 1, 2),
+        p AS (SELECT t.ds, t.y, c.y AS x
+              FROM (SELECT ds, y FROM d WHERE event_type = 'click') t
+              JOIN (SELECT ds, y FROM d WHERE event_type = 'view') c USING (ds)),
+        s AS (SELECT ds,
+              CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+              SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+              SUM(x * y) OVER w AS sxy,
+              SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+          FROM p WINDOW w AS (ORDER BY ds ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT 'p' AS series_id, ds,
+          ROUND(CASE WHEN n >= 3 AND (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+                THEN (sxy - sx*sy/n)
+                     / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) END, 6)
+            AS rolling_corr
+        FROM s
+    """)
+
+
+def test_rolling_corr_perfect_and_constant(spark):
+    from temporal_retriever_spark.rolling import rolling_corr
+
+    rows = [("s", i, float(i), float(2 * i + 1)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "series_id string, t int, y double, x double"
+    ).select("series_id", F.timestamp_seconds(F.col("t") * 60).alias("ds"), "y", "x")
+    out = rolling_corr(df, window=5).orderBy("ds").collect()
+    assert out[0]["rolling_corr"] is None and out[1]["rolling_corr"] is None
+    for r in out[2:]:
+        assert abs(r["rolling_corr"] - 1.0) < 1e-9
+    const = df.withColumn("x", F.lit(7.0))
+    out2 = rolling_corr(const, window=5).collect()
+    assert all(r["rolling_corr"] is None for r in out2)
