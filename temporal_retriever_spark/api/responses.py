@@ -105,10 +105,10 @@ class Prediction:
         if lo is not None:
             lo = _number(lo, f"{where}.prediction_lower_bound")
             hi = _number(hi, f"{where}.prediction_upper_bound")
-            if not (lo <= pred <= hi):
-                raise ResponseValidationError(
-                    f"{where}: band does not bracket prediction"
-                )
+            # only lo <= hi: residual-quantile bands legitimately sit
+            # one-sided of yhat when the model's residuals are skewed
+            if lo > hi:
+                raise ResponseValidationError(f"{where}: inverted band")
         return cls(
             date=_require(payload, "date", where),
             prediction=pred,

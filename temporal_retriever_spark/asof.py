@@ -32,6 +32,8 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from temporal_retriever_spark.grains import interval_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -151,10 +153,9 @@ def asof_join(
         dist = F.abs(
             F.col("_m._ats").cast("timestamp").cast("double") - lts.cast("double")
         )
-        tol_sec = F.expr(
-            f"CAST(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL {tolerance} AS DOUBLE)"
-        )
-        match_ok = match_ok & (dist <= tol_sec)
+        # Python-side parse: epoch arithmetic on a timestamp literal is
+        # session-timezone-dependent (shifts by the UTC offset)
+        match_ok = match_ok & (dist <= F.lit(interval_seconds(tolerance)))
     out_cols = [c for c in left.columns]
     attached = [
         F.when(match_ok, F.col(f"_m.{c}")).alias(f"{c}{suffix}")

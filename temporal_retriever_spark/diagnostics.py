@@ -431,6 +431,15 @@ def acf_pacf(
     return agg.mapInPandas(compute, schema)
 
 
+def _safe_seq(upper: Column) -> Column:
+    """sequence(0, upper) that degrades to an EMPTY array when upper < 0
+    (Spark's sequence(0, -1) steps DOWNWARD instead) — keeps the
+    incomplete-beta folds correct for degenerate df_den."""
+    return F.when(upper >= 0, F.sequence(F.lit(0), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def f_sf_lag1_expr(f_stat: Column, df_den: Column) -> Column:
     """Exact F(1, d2) survival function (p-value) as a native column
     expression — no UDF, mirrorable in ANSI SQL.
@@ -458,7 +467,7 @@ def f_sf_lag1_expr(f_stat: Column, df_den: Column) -> Column:
     is_even = (df_den.cast("long") % 2) == 0
     nt = F.floor(d2 / 2).cast("integer")
     folded = F.aggregate(
-        F.sequence(F.lit(0), nt - F.lit(1)),
+        _safe_seq(nt - F.lit(1)),
         F.struct(
             F.lit(0.0).alias("s"), F.lit(1.0).alias("c"), F.lit(1.0).alias("px")
         ),
@@ -567,6 +576,9 @@ def granger_lag1(
         F.lit(1).alias("df_num"),
         (F.col("m") - 3).cast("long").alias("df_den"),
         (F.col("m") + 1).cast("long").alias("n_obs"),
+    ).filter(
+        # series of <= 4 points have df_den <= 0: no valid lag-1 F test
+        F.col("df_den") >= 1
     )
 
 
@@ -857,7 +869,7 @@ def f_sf_expr(f_stat: Column, d1: int, df_den: Column) -> Column:
     else:
         # d2-even branch: fold of d2//2 terms
         even_fold = F.aggregate(
-            F.sequence(F.lit(0), (F.floor(d2 / 2) - 1).cast("integer")),
+            _safe_seq((F.floor(d2 / 2) - 1).cast("integer")),
             F.struct(
                 F.lit(0.0).alias("s"), F.lit(1.0).alias("c"),
                 F.lit(1.0).alias("px"),
@@ -881,7 +893,7 @@ def f_sf_expr(f_stat: Column, d1: int, df_den: Column) -> Column:
             bval += 1.0
         bb = d1 / 2.0  # fixed second argument; Bval == B(1/2, d1/2)
         odd_fold = F.aggregate(
-            F.sequence(F.lit(0), (F.floor(d2 / 2) - 1).cast("integer")),
+            _safe_seq((F.floor(d2 / 2) - 1).cast("integer")),
             F.struct(
                 F.lit(0.0).alias("s"), F.lit(0.5).alias("a"),
                 F.lit(Bval).alias("B"), F.sqrt(x).alias("pxa"),
@@ -1001,6 +1013,10 @@ def granger_native(
             F.col("_r.df_den").alias("df_den"),
             F.col("_n").cast("long").alias("n_obs"),
         )
+        # underdetermined models (more regressors than lag rows) have no
+        # valid F test: the Cholesky pivot goes negative and the UDF path
+        # returns NaN — omit those rows instead of emitting garbage
+        .filter(F.col("df_den") >= 1)
     )
 
 

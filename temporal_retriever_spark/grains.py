@@ -105,3 +105,41 @@ def grain_duration(grain: str) -> str:
     if grain not in durations:
         raise ValueError(f"grain {grain!r} has no fixed window duration (use bucket_expr)")
     return durations[grain]
+
+
+#: interval-unit spellings -> seconds (fixed-width units only)
+_INTERVAL_UNITS = {
+    "day": 86400.0, "days": 86400.0, "hour": 3600.0, "hours": 3600.0,
+    "minute": 60.0, "minutes": 60.0, "second": 1.0, "seconds": 1.0,
+    "week": 604800.0, "weeks": 604800.0,
+}
+
+
+def interval_seconds(interval: str) -> float:
+    """Parse a fixed-width INTERVAL string ("2 hours", "1 day 12 hours")
+    to seconds, engine-side.
+
+    Used wherever a literal bound is needed (range frames, as-of
+    tolerances): parsing in Python keeps the value independent of the
+    session timezone — the epoch-arithmetic alternative
+    (CAST(TIMESTAMP '1970-01-01' + INTERVAL ... AS DOUBLE)) shifts by
+    the UTC offset in non-UTC sessions. Month/year units are variable
+    width and rejected.
+    """
+    parts = interval.split()
+    if not parts or len(parts) % 2 != 0:
+        raise ValueError(
+            f"malformed interval: {interval!r} (use pairs like '2 hours 30 minutes')"
+        )
+    total = 0.0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        try:
+            total += float(qty) * _INTERVAL_UNITS[unit.lower()]
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"unsupported interval {interval!r}: fixed-width units only "
+                "(days/hours/minutes/seconds/weeks)"
+            ) from None
+    if total <= 0:
+        raise ValueError(f"interval must be positive: {interval!r}")
+    return total

@@ -23,13 +23,40 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from temporal_retriever_spark.grains import grain_interval
+from temporal_retriever_spark.grains import grain_interval, interval_seconds
 
 
 def _series_window(series_cols: Iterable[str], ts_col: str) -> Window:
     cols = list(series_cols)
     w = Window.partitionBy(*cols) if cols else Window.partitionBy(F.lit(1))
     return w.orderBy(ts_col)
+
+
+#: rolling aggregation name -> window aggregate builder (shared by the
+#: row-frame and range-frame variants)
+_ROLLING_AGGS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev_samp,
+    "count": F.count,
+}
+
+
+def _apply_rolling_aggs(df, frame, value_col, aggs, min_periods=1):
+    col = F.col(value_col)
+    n_in_frame = F.count(col).over(frame)
+    out = df
+    for agg in aggs:
+        a = agg.strip().lower()
+        if a not in _ROLLING_AGGS:
+            raise ValueError(f"unsupported rolling aggregation: {agg!r}")
+        expr = _ROLLING_AGGS[a](col).over(frame)
+        if a != "count" and min_periods > 1:
+            expr = F.when(n_in_frame >= min_periods, expr)
+        out = out.withColumn(f"rolling_{a}", expr)
+    return out
 
 
 def rolling_aggregate(
@@ -51,31 +78,7 @@ def rolling_aggregate(
     sample std (ddof=1), the engine-wide convention (A3).
     """
     frame = _series_window(series_cols, ts_col).rowsBetween(-(window - 1), 0)
-    col = F.col(value_col)
-    exprs: dict[str, Column] = {}
-    for agg in aggs:
-        a = agg.strip().lower()
-        if a == "mean":
-            exprs["rolling_mean"] = F.avg(col).over(frame)
-        elif a == "sum":
-            exprs["rolling_sum"] = F.sum(col).over(frame)
-        elif a == "min":
-            exprs["rolling_min"] = F.min(col).over(frame)
-        elif a == "max":
-            exprs["rolling_max"] = F.max(col).over(frame)
-        elif a == "std":
-            exprs["rolling_std"] = F.stddev_samp(col).over(frame)
-        elif a == "count":
-            exprs["rolling_count"] = F.count(col).over(frame)
-        else:
-            raise ValueError(f"unsupported rolling aggregation: {agg!r}")
-    out = df
-    n_in_frame = F.count(col).over(frame)
-    for name, expr in exprs.items():
-        if name != "rolling_count" and min_periods > 1:
-            expr = F.when(n_in_frame >= min_periods, expr)
-        out = out.withColumn(name, expr)
-    return out
+    return _apply_rolling_aggs(df, frame, value_col, aggs, min_periods)
 
 
 def rolling_aggregate_time(
@@ -104,44 +107,11 @@ def rolling_aggregate_time(
         (Window.partitionBy(*cols) if cols else Window.partitionBy(F.lit(1)))
         .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
     )
-    # rangeBetween needs a literal bound: parse the interval to seconds
-    parts = window.split()
-    units = {
-        "day": 86400.0, "days": 86400.0, "hour": 3600.0, "hours": 3600.0,
-        "minute": 60.0, "minutes": 60.0, "second": 1.0, "seconds": 1.0,
-        "week": 604800.0, "weeks": 604800.0,
-    }
-    total = 0.0
-    for qty, unit in zip(parts[::2], parts[1::2]):
-        try:
-            total += float(qty) * units[unit.lower()]
-        except (KeyError, ValueError):
-            raise ValueError(
-                f"unsupported interval for time window: {window!r} "
-                "(use N days/hours/minutes/seconds/weeks)"
-            ) from None
-    if total <= 0:
-        raise ValueError(f"window must be positive: {window!r}")
+    # rangeBetween needs a literal bound: Python-side interval parse
+    # (grains.interval_seconds — validated, timezone-independent)
+    total = interval_seconds(window)
     frame = w.rangeBetween(-int(total * 1_000_000), 0)
-    col = F.col(value_col)
-    out = df
-    for agg in aggs:
-        a = agg.strip().lower()
-        if a == "mean":
-            out = out.withColumn("rolling_mean", F.avg(col).over(frame))
-        elif a == "sum":
-            out = out.withColumn("rolling_sum", F.sum(col).over(frame))
-        elif a == "min":
-            out = out.withColumn("rolling_min", F.min(col).over(frame))
-        elif a == "max":
-            out = out.withColumn("rolling_max", F.max(col).over(frame))
-        elif a == "std":
-            out = out.withColumn("rolling_std", F.stddev_samp(col).over(frame))
-        elif a == "count":
-            out = out.withColumn("rolling_count", F.count(col).over(frame))
-        else:
-            raise ValueError(f"unsupported rolling aggregation: {agg!r}")
-    return out
+    return _apply_rolling_aggs(df, frame, value_col, aggs)
 
 
 def ewma(
@@ -157,9 +127,12 @@ def ewma(
     """Exponentially weighted moving average, truncated to the last
     ``window`` rows.
 
-    pandas ``ewm(alpha=..., adjust=True)`` semantics on the truncated
-    frame: ewma_t = Σ_{j=0..m-1} (1-α)^j · y_{t-j} / Σ_{j} (1-α)^j
-    where m = min(t+1, window). With the default window=64 and any
+    pandas ``ewm(alpha=..., adjust=True, ignore_na=True)`` semantics on
+    the truncated frame: ewma_t = Σ_{j=0..m-1} (1-α)^j · y_{t-j} /
+    Σ_{j} (1-α)^j where m = min(t+1, window), with j counting NON-NULL
+    observations (nulls are compressed out of the weight ladder —
+    ``ignore_na=True``, not the pandas default which decays weights
+    across the gap). With the default window=64 and any
     α ≥ 0.07, the dropped tail weight (1-α)^64 < 1e-2 · α of the mass —
     and unlike the untruncated recursion this form is a *frame-local*
     computation: collect the frame into an array (bounded, ≤ window
@@ -572,8 +545,13 @@ def rolling_corr(
     shuffle per series.
     """
     frame = _series_window(series_cols, ts_col).rowsBetween(-(window - 1), 0)
-    y, x = F.col(y_col), F.col(x_col)
-    n = F.count(F.lit(1)).over(frame).cast("double")
+    # pairwise-complete: a row where either side is null contributes to
+    # NO sum (otherwise n and the sums cover different row sets and the
+    # result is not the Pearson r of the valid pairs)
+    valid = F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    y = F.when(valid, F.col(y_col))
+    x = F.when(valid, F.col(x_col))
+    n = F.count(x).over(frame).cast("double")
     sx = F.sum(x).over(frame)
     sy = F.sum(y).over(frame)
     sxy = F.sum(x * y).over(frame)

@@ -471,33 +471,35 @@ def streaming_anomaly_zscore(
         if state.exists:
             (stored,) = state.get
             buf = list(stored)
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            zs, flags = [], []
-            for v in pdf[value_col].astype("float64"):
-                tail = buf[-window:]
-                if len(tail) >= min_periods:
-                    arr = np.asarray(tail, dtype=np.float64)
-                    std = arr.std(ddof=1)
-                    z = (v - arr.mean()) / std if std > 0 else None
-                else:
-                    z = None
-                zs.append(z)
-                flags.append(bool(z is not None and abs(z) > threshold))
-                buf.append(float(v))
-                if len(buf) > window:
-                    buf = buf[-window:]
-            out = pdf[[ts_col, value_col]].copy()
-            out[series_col] = key[0]
-            out["zscore"] = pd.array(zs, dtype="float64")
-            out["is_anomaly"] = flags
-            frames.append(
-                out[[series_col, ts_col, value_col, "zscore", "is_anomaly"]]
-            )
+        # materialize ALL Arrow chunks and sort ONCE: a group larger
+        # than maxRecordsPerBatch arrives as several pdfs, and sorting
+        # each independently would score later-timestamp rows of an
+        # earlier chunk before earlier rows of a later chunk
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((buf,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        zs, flags = [], []
+        for v in pdf[value_col].astype("float64"):
+            tail = buf[-window:]
+            if len(tail) >= min_periods:
+                arr = np.asarray(tail, dtype=np.float64)
+                std = arr.std(ddof=1)
+                z = (v - arr.mean()) / std if std > 0 else None
+            else:
+                z = None
+            zs.append(z)
+            flags.append(bool(z is not None and abs(z) > threshold))
+            buf.append(float(v))
+            if len(buf) > window:
+                buf = buf[-window:]
+        out = pdf[[ts_col, value_col]].copy()
+        out[series_col] = key[0]
+        out["zscore"] = pd.array(zs, dtype="float64")
+        out["is_anomaly"] = flags
         state.update((buf,))
-        if frames:
-            yield pd.concat(frames, ignore_index=True)
+        yield out[[series_col, ts_col, value_col, "zscore", "is_anomaly"]]
 
     return _with_event_time(stream, ts_col).groupBy(series_col).applyInPandasWithState(
         update,

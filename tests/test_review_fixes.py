@@ -5,6 +5,8 @@ from __future__ import annotations
 import datetime
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.align import future_grid
@@ -77,3 +79,71 @@ def test_analyze_constant_series_yields_nan_acf(spark):
     from_lags = out["correlations"]["k"]["autocorrelations"]["from"]["lags"]
     assert from_lags[0] == 1.0
     assert all(math.isnan(v) for k, v in from_lags.items() if k > 0)
+
+
+# ---- round-3 review findings ------------------------------------------------
+
+def test_asof_tolerance_is_timezone_independent(spark):
+    """The tolerance bound is parsed Python-side; epoch arithmetic on a
+    timestamp literal would shift by the session UTC offset."""
+    from temporal_retriever_spark.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10_000)], "k string, t int").select(
+        "k", F.timestamp_seconds("t").alias("ds")
+    )
+    right = spark.createDataFrame(
+        [("k", 10_000 - 7000, 1.0)], "k string, t int, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ds"), "v")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for zone in ("UTC", "Asia/Tokyo", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            out = asof_join(
+                left, right, on=("k",), value_cols=("v",), tolerance="2 hours"
+            ).collect()
+            assert out[0]["v"] == 1.0, zone  # 7000s < 7200s in every zone
+            out2 = asof_join(
+                left, right, on=("k",), value_cols=("v",), tolerance="1 hour"
+            ).collect()
+            assert out2[0]["v"] is None, zone  # 7000s > 3600s in every zone
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_granger_underdetermined_lags_are_omitted(spark):
+    """Lags whose model has more regressors than rows must be omitted,
+    not emitted as NaN/garbage."""
+    from temporal_retriever_spark.diagnostics import granger_lag1, granger_native
+
+    rows = [("s", float(i), float(i % 7), float((i * 3) % 5)) for i in range(12)]
+    df = spark.createDataFrame(rows, "series_id string, ds double, y double, x double")
+    out = granger_native(df, maxlag=5).collect()
+    lags = sorted(r["lag"] for r in out)
+    for r in out:
+        assert r["df_den"] >= 1
+        assert r["f_stat"] == r["f_stat"]  # not NaN
+        assert 0.0 <= r["p_value"] <= 1.0
+    # lag 5 on 12 rows: 7 rows vs 11 regressors -> dropped
+    assert 5 not in lags and 1 in lags
+    tiny = spark.createDataFrame(rows[:4], "series_id string, ds double, y double, x double")
+    assert granger_lag1(tiny).count() == 0  # df_den = m-3 <= 0
+
+
+def test_rolling_corr_pairwise_null_handling(spark):
+    """Null on either side must drop the PAIR from every sum, not just
+    its own column's sums."""
+    from temporal_retriever_spark.rolling import rolling_corr
+
+    rows = [
+        ("s", 0, 1.0, 2.0), ("s", 1, 2.0, None), ("s", 2, 3.0, 6.0),
+        ("s", 3, 4.0, 8.0), ("s", 4, 5.0, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, t int, y double, x double"
+    ).select("series_id", F.timestamp_seconds(F.col("t") * 60).alias("ds"), "y", "x")
+    out = rolling_corr(df, window=5, min_periods=3).orderBy("ds").collect()
+    # valid pairs are exactly collinear (x = 2y): r must be 1.0, and a
+    # mixed-row-set computation would NOT give 1.0 (can even exceed |1|)
+    assert out[-1]["rolling_corr"] == pytest.approx(1.0, abs=1e-9)
+    # 3 valid pairs at t=3 (null row excluded from the count too)
+    assert out[2]["rolling_corr"] is None or abs(out[2]["rolling_corr"] - 1.0) < 1e-9
