@@ -19,7 +19,9 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# median of 5: host CPU-steal noise swings single runs by ±30%; five
+# samples keep the median stable at ~45s total bench wall time
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
 def build_queries(spark):
