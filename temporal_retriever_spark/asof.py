@@ -34,6 +34,14 @@ from pyspark.sql import functions as F
 
 from temporal_retriever_spark.grains import interval_seconds
 
+#: internal column names — prefixed to stay out of user namespaces and
+#: validated against both inputs before use
+_SIDE = "__asof_side"
+_PAY = "__asof_pay"
+_MB = "__asof_mb"
+_MF = "__asof_mf"
+_M = "__asof_m"
+
 
 def asof_join(
     left: DataFrame,
@@ -90,22 +98,51 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in (*on, rts)]
     value_cols = list(value_cols)
 
+    # fail fast on output-name collisions: an attached column landing on
+    # an existing left name would silently produce a duplicate column
+    clashes = sorted(
+        {f"{c}{suffix}" for c in value_cols} & set(left.columns)
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join output column(s) {clashes} already exist on the "
+            f"left side; pass suffix= (e.g. suffix='_r') or value_cols= "
+            f"to disambiguate"
+        )
+    if keep_match_ts and f"matched{suffix}_ts" in left.columns:
+        raise ValueError(
+            f"asof_join match-timestamp column 'matched{suffix}_ts' "
+            f"already exists on the left side; pass a different suffix"
+        )
+    taken = set(left.columns) | set(right.columns)
+    for internal in (_SIDE, _PAY, _MB, _MF, _M):
+        if internal in taken:
+            raise ValueError(
+                f"column name {internal!r} is reserved by asof_join "
+                f"internals; rename it before joining"
+            )
+    if "_ats" in value_cols:
+        raise ValueError(
+            "value column name '_ats' is reserved by asof_join internals; "
+            "rename it before joining"
+        )
+
     payload = F.struct(
         F.col(rts).alias("_ats"), *[F.col(c).alias(c) for c in value_cols]
     )
     right_tagged = right.select(
         *on,
         F.col(rts).alias(ts_col).cast(dict(left.dtypes)[ts_col]),
-        F.lit(0).alias("_side"),
-        payload.alias("_pay"),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAY),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in left.columns if c not in (*on, ts_col)],
     )
     left_tagged = left.select(
         *on,
         ts_col,
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(right_tagged.schema["_pay"].dataType).alias("_pay"),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right_tagged.schema[_PAY].dataType).alias(_PAY),
         *[c for c in left.columns if c not in (*on, ts_col)],
     )
     unioned = left_tagged.unionByName(right_tagged)
@@ -114,56 +151,60 @@ def asof_join(
     # at ties, so the backward frame catches exact matches and the
     # forward frame sees strictly-later rights (exact matches are
     # recovered from the backward candidate below)
+    if not on:
+        from temporal_retriever_spark.rolling import warn_keyless
+
+        warn_keyless("asof_join")
     wbase = (
         Window.partitionBy(*on) if on else Window.partitionBy(F.lit(1))
-    ).orderBy(ts_col, "_side")
+    ).orderBy(ts_col, _SIDE)
     w_bwd = wbase.rowsBetween(Window.unboundedPreceding, 0)
     w_fwd = wbase.rowsBetween(0, Window.unboundedFollowing)
     carried = unioned.withColumn(
-        "_mb", F.last("_pay", ignorenulls=True).over(w_bwd)
+        _MB, F.last(_PAY, ignorenulls=True).over(w_bwd)
     )
     if direction != "backward":
         carried = carried.withColumn(
-            "_mf", F.first("_pay", ignorenulls=True).over(w_fwd)
+            _MF, F.first(_PAY, ignorenulls=True).over(w_fwd)
         )
     lts = F.col(ts_col).cast("timestamp")
     if direction == "backward":
-        carried = carried.withColumn("_m", F.col("_mb"))
+        carried = carried.withColumn(_M, F.col(_MB))
     elif direction == "forward":
         # exact-ts right sorts before the left row -> surfaces as the
         # backward candidate with zero distance; prefer it
-        exact = F.col("_mb").isNotNull() & (
-            F.col("_mb._ats").cast("timestamp") == lts
+        exact = F.col(_MB).isNotNull() & (
+            F.col(f"{_MB}._ats").cast("timestamp") == lts
         )
         carried = carried.withColumn(
-            "_m", F.when(exact, F.col("_mb")).otherwise(F.col("_mf"))
+            _M, F.when(exact, F.col(_MB)).otherwise(F.col(_MF))
         )
     else:
-        db = F.abs(lts.cast("double") - F.col("_mb._ats").cast("timestamp").cast("double"))
-        df_ = F.abs(F.col("_mf._ats").cast("timestamp").cast("double") - lts.cast("double"))
+        db = F.abs(lts.cast("double") - F.col(f"{_MB}._ats").cast("timestamp").cast("double"))
+        df_ = F.abs(F.col(f"{_MF}._ats").cast("timestamp").cast("double") - lts.cast("double"))
         carried = carried.withColumn(
-            "_m",
-            F.when(F.col("_mb").isNull(), F.col("_mf"))
-            .when(F.col("_mf").isNull(), F.col("_mb"))
-            .when(db <= df_, F.col("_mb"))  # tie -> backward (earlier)
-            .otherwise(F.col("_mf")),
+            _M,
+            F.when(F.col(_MB).isNull(), F.col(_MF))
+            .when(F.col(_MF).isNull(), F.col(_MB))
+            .when(db <= df_, F.col(_MB))  # tie -> backward (earlier)
+            .otherwise(F.col(_MF)),
         )
-    match_ok = F.col("_m").isNotNull()
+    match_ok = F.col(_M).isNotNull()
     if tolerance is not None:
         dist = F.abs(
-            F.col("_m._ats").cast("timestamp").cast("double") - lts.cast("double")
+            F.col(f"{_M}._ats").cast("timestamp").cast("double") - lts.cast("double")
         )
         # Python-side parse: epoch arithmetic on a timestamp literal is
         # session-timezone-dependent (shifts by the UTC offset)
         match_ok = match_ok & (dist <= F.lit(interval_seconds(tolerance)))
     out_cols = [c for c in left.columns]
     attached = [
-        F.when(match_ok, F.col(f"_m.{c}")).alias(f"{c}{suffix}")
+        F.when(match_ok, F.col(f"{_M}.{c}")).alias(f"{c}{suffix}")
         for c in value_cols
     ]
     if keep_match_ts:
-        attached.append(F.when(match_ok, F.col("_m._ats")).alias(f"matched{suffix}_ts"))
-    return carried.filter(F.col("_side") == 1).select(*out_cols, *attached)
+        attached.append(F.when(match_ok, F.col(f"{_M}._ats")).alias(f"matched{suffix}_ts"))
+    return carried.filter(F.col(_SIDE) == 1).select(*out_cols, *attached)
 
 
 def sessionize(

@@ -925,9 +925,19 @@ def granger_native(
     target_col: str = "y",
     cov_col: str = "x",
     detrend: bool = True,
+    method: str = "auto",
 ) -> DataFrame:
     """W10, fully native at ANY lag order: Granger ssr F-tests with
     exact p-values, no Python anywhere.
+
+    ``method="auto"`` (default) mirrors ``pacf``'s dispatch: the
+    staged-Cholesky expression tree grows ~maxlag² (plan compile
+    dominates past ~6 lags — ~4s at maxlag=5, minutes at the
+    notebook's maxlag=14), so lags ≤ 6 run the native plan and higher
+    lags dispatch to the grouped-UDF ``granger_causality`` (identical
+    stats — cross-checked to 1e-9 in tests; the Arrow path ships whole
+    series to Python, which is the better trade above the compile
+    knee). ``method="native"`` / ``method="udf"`` force a path.
 
     Same semantics as ``granger_causality`` (statsmodels ssr_ftest,
     notebook detrend, Untitled.ipynb cell 12): one window pass builds
@@ -944,6 +954,20 @@ def granger_native(
     narrow shuffles of scalar sums, versus the grouped-UDF path that
     ships whole series through Arrow into Python workers.
     """
+    if method == "auto":
+        method = "native" if maxlag <= 6 else "udf"
+    if method == "udf":
+        return granger_causality(
+            df,
+            maxlag=maxlag,
+            series_cols=series_cols,
+            ts_col=ts_col,
+            target_col=target_col,
+            cov_col=cov_col,
+            detrend=detrend,
+        )
+    if method != "native":
+        raise ValueError(f"unknown granger method: {method!r}")
     series_cols = list(series_cols)
     w = Window.partitionBy(*series_cols)
     ws = w.orderBy(ts_col)

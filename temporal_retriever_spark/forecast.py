@@ -964,6 +964,12 @@ def forecast_exponential_smoothing(
     from temporal_retriever_spark.align import future_grid
     from temporal_retriever_spark.rolling import ewma as _ewma
 
+    # stricter than ewma's (0, 1]: Brown's trend factor alpha/(1-alpha)
+    # is undefined at alpha=1 (pure last-value smoothing has no trend)
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(
+            f"alpha must be in (0, 1) for double exponential smoothing: {alpha}"
+        )
     series_cols = list(series_cols)
     s1 = _ewma(
         df, alpha=alpha, window=window, series_cols=series_cols,

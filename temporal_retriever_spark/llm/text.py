@@ -216,9 +216,13 @@ def token_topk(
     tok = F.explode(
         F.split(F.trim(F.col(text_col)), r"\s+")
     ).alias("token")
-    base = df.select(*keys, tok).filter(F.length("token") >= min_token_len)
+    base = df.select(*keys, tok)
+    # lowercase BEFORE the length filter: the oracle measures the
+    # lowered token, and Unicode case-folding can change string length
+    # (e.g. 'İ' -> 'i̇'), so filtering on the raw token would diverge
     if lowercase:
         base = base.withColumn("token", F.lower(F.col("token")))
+    base = base.filter(F.length("token") >= min_token_len)
     counts = base.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("cnt"))
     w = (
         Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))

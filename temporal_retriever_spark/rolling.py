@@ -18,6 +18,7 @@ a billion series parallelize across executors by key.
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -26,8 +27,24 @@ from pyspark.sql import functions as F
 from temporal_retriever_spark.grains import grain_interval, interval_seconds
 
 
+def warn_keyless(op: str) -> None:
+    """Keyless ordered windows are correct but single-partition: the
+    whole series sorts on ONE task. Inherent to a global ordered
+    series — the scale path is per-series keys. Warn so a 100-TB
+    caller notices before the plan runs."""
+    warnings.warn(
+        f"{op}: empty series_cols/keys — the ordered window runs in a "
+        f"single partition (correct, but not a scale path); supply "
+        f"per-series key columns to parallelize",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def _series_window(series_cols: Iterable[str], ts_col: str) -> Window:
     cols = list(series_cols)
+    if not cols:
+        warn_keyless("series window")
     w = Window.partitionBy(*cols) if cols else Window.partitionBy(F.lit(1))
     return w.orderBy(ts_col)
 
@@ -101,6 +118,8 @@ def rolling_aggregate_time(
     partition like the row-frame variant.
     """
     cols = list(series_cols)
+    if not cols:
+        warn_keyless("rolling_aggregate_time")
     # order by epoch MICROS (long): rangeBetween requires integral
     # bounds, and micros is the engine's native timestamp precision
     w = (

@@ -425,6 +425,7 @@ def streaming_anomaly_zscore(
     value_col: str = "y",
     series_col: str = "series_id",
     timeout: str = "NoTimeout",
+    state_ttl: str = "1 hour",
 ) -> DataFrame:
     """Streaming rolling z-score anomaly detection.
 
@@ -441,6 +442,16 @@ def streaming_anomaly_zscore(
     tests. Out-of-order arrivals are scored against the state as of
     their arrival; for strict event-time semantics run the batch
     operator over the bucketed sink instead.
+
+    State retention: with the default ``timeout="NoTimeout"`` a
+    series' buffer lives for the stream's lifetime (O(window) doubles
+    per distinct key — fine for bounded key cardinality, unbounded
+    keys will grow the state store forever). Pass
+    ``timeout="ProcessingTimeTimeout"`` to expire idle series: a key
+    that receives no data for ``state_ttl`` of processing time has its
+    state removed, and a later arrival starts a cold buffer.
+    (``EventTimeTimeout`` is not offered: this operator takes no
+    watermark, which that mode requires.)
     """
     import numpy as np
     import pandas as pd
@@ -466,7 +477,19 @@ def streaming_anomaly_zscore(
     )
     state_schema = StructType([StructField("buf", ArrayType(DoubleType()))])
 
+    if timeout not in ("NoTimeout", "ProcessingTimeTimeout"):
+        raise ValueError(
+            f"unsupported timeout conf: {timeout!r} "
+            "(use 'NoTimeout' or 'ProcessingTimeTimeout')"
+        )
+    expire = timeout == "ProcessingTimeTimeout"
+
     def update(key, pdfs, state: GroupState):
+        if expire and state.hasTimedOut:
+            # idle past state_ttl: drop the buffer; a later arrival
+            # starts cold (emit nothing for the timeout invocation)
+            state.remove()
+            return
         buf: list[float] = []
         if state.exists:
             (stored,) = state.get
@@ -478,6 +501,8 @@ def streaming_anomaly_zscore(
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             state.update((buf,))
+            if expire:
+                state.setTimeoutDuration(state_ttl)
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
         zs, flags = [], []
@@ -499,6 +524,8 @@ def streaming_anomaly_zscore(
         out["zscore"] = pd.array(zs, dtype="float64")
         out["is_anomaly"] = flags
         state.update((buf,))
+        if expire:
+            state.setTimeoutDuration(state_ttl)
         yield out[[series_col, ts_col, value_col, "zscore", "is_anomaly"]]
 
     return _with_event_time(stream, ts_col).groupBy(series_col).applyInPandasWithState(

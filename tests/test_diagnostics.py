@@ -294,6 +294,63 @@ def test_granger_native_matches_udf_all_lags(spark, tables):
         assert abs(a["p_value"] - b["p_value"]) < 1e-10, lag
 
 
+def test_granger_auto_dispatch_high_lag(spark, tables):
+    """method="auto" above lag 6 routes granger_native to the
+    grouped-UDF path: the notebook-spec maxlag=14 call completes in
+    seconds (no ~maxlag² staged-Cholesky plan compile) with stats
+    identical to granger_causality."""
+    from temporal_retriever_spark.diagnostics import granger_causality, granger_native
+
+    ev = tables["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ds").alias("ds")).agg(
+        F.sum("y").alias("y")
+    )
+    target = daily.filter(F.col("event_type") == "click").select(
+        F.lit("s").alias("series_id"), "ds", "y"
+    )
+    cov = daily.filter(F.col("event_type") == "view").select(
+        F.lit("s").alias("series_id"), "ds", F.col("y").alias("x")
+    )
+    pair = target.join(cov, on=["series_id", "ds"], how="inner")
+    auto_df = granger_native(pair, maxlag=14)
+    # the dispatched plan is the Arrow grouped-UDF one, not the
+    # expression tree (which would take minutes to compile at lag 14)
+    plan = auto_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan or "Python" in plan
+    auto = {r["lag"]: r for r in auto_df.collect()}
+    udf = {r["lag"]: r for r in granger_causality(pair, maxlag=14).collect()}
+    assert set(auto) == set(udf) == set(range(1, 15))
+
+    def same(x, y, tol):
+        if x is None or y is None or x != x or y != y:
+            return (x is None or x != x) and (y is None or y != y)
+        return abs(x - y) < tol
+
+    for lag in auto:
+        a, b = auto[lag], udf[lag]
+        assert a["df_den"] == b["df_den"] and a["n_obs"] == b["n_obs"]
+        assert same(a["f_stat"], b["f_stat"], 1e-9), lag
+        assert same(a["p_value"], b["p_value"], 1e-10), lag
+
+
+def test_granger_native_bad_method(spark, tables):
+    import pytest as _pytest
+
+    from temporal_retriever_spark.diagnostics import granger_native
+
+    ev = tables["events"].select(
+        F.lit("s").alias("series_id"),
+        F.col("ts").cast("timestamp").alias("ds"),
+        F.col("value").alias("y"),
+        (F.col("value") * 2).alias("x"),
+    )
+    with _pytest.raises(ValueError, match="granger method"):
+        granger_native(ev, maxlag=2, method="bogus")
+
+
 def test_granger_native_no_python_in_plan(spark, tables):
     from temporal_retriever_spark.diagnostics import granger_native
 

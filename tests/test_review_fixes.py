@@ -147,3 +147,89 @@ def test_rolling_corr_pairwise_null_handling(spark):
     assert out[-1]["rolling_corr"] == pytest.approx(1.0, abs=1e-9)
     # 3 valid pairs at t=3 (null row excluded from the count too)
     assert out[2]["rolling_corr"] is None or abs(out[2]["rolling_corr"] - 1.0) < 1e-9
+
+
+def test_des_alpha_boundary_rejected(spark):
+    """alpha=1.0 is valid for ewma but undefined for Brown's DES
+    (trend factor alpha/(1-alpha)): must raise, not ZeroDivisionError."""
+    from temporal_retriever_spark.forecast import forecast_exponential_smoothing
+
+    df = spark.createDataFrame(
+        [("s", datetime.date(2024, 1, 1 + i), float(i)) for i in range(5)],
+        "series_id string, ds date, y double",
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        forecast_exponential_smoothing(df, grain="D", alpha=1.0)
+    with pytest.raises(ValueError, match="alpha"):
+        forecast_exponential_smoothing(df, grain="D", alpha=0.0)
+
+
+def test_asof_join_output_collision_raises(spark):
+    """A value_col landing on an existing left column with suffix=''
+    must raise instead of emitting a duplicate column name."""
+    from temporal_retriever_spark.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("s", datetime.datetime(2024, 1, 2), 1.0)],
+        "series_id string, ds timestamp, x double",
+    )
+    right = spark.createDataFrame(
+        [("s", datetime.datetime(2024, 1, 1), 9.0)],
+        "series_id string, ds timestamp, x double",
+    )
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(left, right, on=["series_id"])
+    # the documented fix works and attaches the suffixed column
+    out = asof_join(left, right, on=["series_id"], suffix="_r")
+    assert out.columns == ["series_id", "ds", "x", "x_r"]
+    assert out.collect()[0]["x_r"] == 9.0
+
+
+def test_asof_join_reserved_internal_names_raise(spark):
+    from temporal_retriever_spark.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("s", datetime.datetime(2024, 1, 2), 1.0)],
+        "series_id string, ds timestamp, __asof_side double",
+    )
+    right = spark.createDataFrame(
+        [("s", datetime.datetime(2024, 1, 1), 9.0)],
+        "series_id string, ds timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on=["series_id"])
+
+
+def test_keyless_window_warns(spark):
+    """Keyless mode single-partitions the series: correct, but callers
+    must be told it is not a scale path."""
+    from temporal_retriever_spark.asof import asof_join
+    from temporal_retriever_spark.rolling import rolling_aggregate
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1 + i), float(i)) for i in range(4)],
+        "ds timestamp, y double",
+    )
+    with pytest.warns(RuntimeWarning, match="single partition"):
+        rolling_aggregate(df, window=2, series_cols=())
+    right = df.select("ds", F.col("y").alias("v"))
+    with pytest.warns(RuntimeWarning, match="single partition"):
+        asof_join(df, right, on=())
+
+
+def test_streaming_anomaly_timeout_validation():
+    from temporal_retriever_spark.streaming import streaming_anomaly_zscore
+
+    with pytest.raises(ValueError, match="timeout"):
+        streaming_anomaly_zscore(None, timeout="EventTimeTimeout")
+
+
+def test_token_topk_unicode_lowercase_order(spark):
+    """min_token_len must be measured on the LOWERED token (the oracle's
+    order of operations): 'İ'.lower() == 'i̇' has length 2, so with
+    min_token_len=2 the token must survive the filter."""
+    from temporal_retriever_spark.llm.text import token_topk
+
+    df = spark.createDataFrame([("İ", "g")], "text string, lang string")
+    out = token_topk(df, k=5, group_col="lang", min_token_len=2).collect()
+    assert len(out) == 1 and out[0]["token"] == "İ".lower()
