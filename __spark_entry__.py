@@ -683,6 +683,65 @@ def q_sessions_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions_2h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming contract row: the events table is REPLAYED
+    through a real Structured Streaming query — file source chunked by
+    ``maxFilesPerTrigger`` so multiple micro-batches exercise Spark's
+    cross-batch session-state merging — into ``streaming_sessionize``'s
+    native ``session_window`` aggregation (complete mode, memory sink,
+    availableNow trigger). The emitted sessions are then hash-matched
+    against the BATCH gaps-and-islands oracle: driver-level evidence
+    that stream and batch agree on session boundaries and aggregates
+    (both treat half-open ``[first, last+gap)`` windows identically).
+    """
+    import tempfile
+    import uuid
+
+    from temporal_retriever_spark.streaming import streaming_sessionize
+
+    ev = (
+        _events_long(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_type"), F.col("ds").cast("timestamp").alias("ds"),
+            F.col("y"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="trs-sessions-stream-")
+    # two explicit chunks -> at least two micro-batches under
+    # maxFilesPerTrigger=1, so sessions spanning the split boundary
+    # must be merged by the state store, not computed batch-locally
+    half_a, half_b = ev.randomSplit([0.5, 0.5], seed=11)
+    half_a.write.parquet(f"{tmp}/in/chunk=0")
+    half_b.write.parquet(f"{tmp}/in/chunk=1")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/chunk=*")
+    )
+    sessions = streaming_sessionize(
+        stream, gap="2 hours", series_cols=("event_type",),
+        value_col="y", watermark="3650 days",
+    )
+    qname = f"trs_sessions_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(qname).select(
+        "event_type", "session_start", "session_end",
+        _r6("duration_sec").alias("duration_sec"), "n_events",
+        _r6("session_value").alias("session_value"),
+    )
+
+
 def q_anomaly_robust_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD modified z-score anomalies (outlier-resistant
     baseline) — frame-local array HOFs, no Python."""
@@ -1284,6 +1343,75 @@ def q_media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal REAL decode, PNG path: the same deterministic
+    10×6 RGB bitmap as ``media_decode_roundtrip`` (pixel bytes =
+    md5(text) digest repeated) is encoded as a real RFC-2083 PNG with
+    the Paeth scanline filter (llm.codecs encode_png filter_type=4 —
+    zlib DEFLATE + the hardest unfilter path) and decoded back; the
+    oracle recomputes the per-channel pixel sums straight from the md5
+    hex, so any defect in the zlib framing, chunk CRC layout, or
+    Sub/Up/Average/Paeth reconstruction breaks the hash match.
+    n_bytes is omitted (DEFLATE output length is a codec detail, not a
+    pixel contract)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    W, H = 10, 6
+    n_raw = W * H * 3
+    out_schema = (
+        "doc_id long, width long, height long, sum_r long, sum_g long, sum_b long"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                raw = (digest * (n_raw // len(digest) + 1))[:n_raw]
+                arr = np.frombuffer(raw, np.uint8).reshape(H, W, 3)
+                dec = codecs.decode_png(codecs.encode_png(arr, filter_type=4))
+                sums = dec.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (int(doc_id), dec.shape[1], dec.shape[0],
+                     int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(run, out_schema)
+    )
+
+
+_MEDIA_DECODE_PNG_ORACLE = """
+WITH k AS (SELECT unnest(generate_series(0, 179)) AS k),
+b AS (
+    SELECT d.doc_id, k.k,
+           (strpos('0123456789abcdef',
+                   substr(md5(d.text), ((k.k % 16) * 2) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(d.text), ((k.k % 16) * 2) + 2, 1)) - 1) AS v
+    FROM documents d CROSS JOIN k
+)
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+FROM b GROUP BY 1
+"""
+
+
 _MEDIA_DECODE_ROUNDTRIP_ORACLE = """
 WITH k AS (SELECT unnest(generate_series(0, 179)) AS k),
 b AS (
@@ -1337,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
+        "media_decode_png": q_media_decode_png,
+        "sessions_2h_streamed": q_sessions_2h_streamed,
         # -- r3 driver-green --
         "granger_click_view": q_granger_click_view,
         "granger_lag1": q_granger_lag1,
@@ -2340,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
+        "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "token_topk": r"""
             WITH toks AS (
                 SELECT lang,
@@ -2479,6 +2610,26 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6('epoch(MAX(ds)) - epoch(MIN(ds))')} AS duration_sec,
                    COUNT(*) AS n_events, {_sql_r6('SUM(y)')} AS session_value
             FROM s GROUP BY 1, 2
+        """,
+        "sessions_2h_streamed": f"""
+            WITH e AS (SELECT event_type, ts AS ds, value AS y FROM events
+                       WHERE event_type IN ('click', 'view')),
+            m AS (SELECT event_type, ds, y,
+                CASE WHEN lag(ds) OVER w IS NULL
+                       OR ds >= lag(ds) OVER w + INTERVAL 2 HOUR
+                     THEN 1 ELSE 0 END AS nw
+              FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+            s AS (SELECT event_type, ds, y,
+                SUM(nw) OVER (PARTITION BY event_type ORDER BY ds
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_seq
+              FROM m)
+            SELECT event_type,
+                   MIN(ds) AS session_start,
+                   MAX(ds) AS session_end,
+                   {_sql_r6('epoch(MAX(ds)) - epoch(MIN(ds))')} AS duration_sec,
+                   COUNT(*) AS n_events, {_sql_r6('SUM(y)')} AS session_value
+            FROM s GROUP BY event_type, session_seq
         """,
         "rolling_corr_pair": f"""
             WITH p AS (SELECT t.ds, t.y, c.cov AS x

@@ -109,8 +109,33 @@ def _parse_forecast_options(raw: dict | None) -> ForecastOptions:
     )
 
 
-def parse_correlation(raw: dict) -> Correlation:
+class RequestValidationError(ValueError):
+    """FastAPI-style validation failure.
+
+    Carries pydantic-v2-shaped error entries (``loc``/``msg``/``type``)
+    so the HTTP façade can emit the same 422 body FastAPI's
+    RequestValidationError handler produces (reference app.py:31-67's
+    pydantic models surface errors this way)."""
+
+    def __init__(self, errors: list[dict]):
+        self.errors = errors
+        super().__init__("; ".join(str(e.get("msg", "")) for e in errors))
+
+
+#: wire fields pydantic marks required on the Correlation model
+_REQUIRED_CORRELATION_FIELDS = ("id", "fromData", "fromIndex", "toData", "toIndex")
+
+
+def parse_correlation(raw: dict, *, loc_prefix: tuple = ("body",)) -> Correlation:
     """camelCase wire names -> Correlation (aliases from app.py:34-58)."""
+    missing = [f for f in _REQUIRED_CORRELATION_FIELDS if f not in raw]
+    if missing:
+        raise RequestValidationError(
+            [
+                {"loc": [*loc_prefix, f], "msg": "Field required", "type": "missing"}
+                for f in missing
+            ]
+        )
     fopts = raw.get("ForecastingOptions") or raw.get("forecastingOptions")
     # the saturating endpoint nests per-leg options; flatten the to-leg
     # scale/growth onto the correlation. Cap selection mirrors the
@@ -157,9 +182,21 @@ def parse_analyze_request(body: dict) -> AnalyzeRequest:
     top level next to ``analyticsOptions`` — accepted too.
     """
     options = body.get("analyticsOptions") or {}
-    correlations = tuple(
-        parse_correlation(c) for c in options.get("correlations", [])
-    )
+    errors: list[dict] = []
+    correlations = []
+    for i, c in enumerate(options.get("correlations", [])):
+        try:
+            correlations.append(
+                parse_correlation(
+                    c,
+                    loc_prefix=("body", "analyticsOptions", "correlations", i),
+                )
+            )
+        except RequestValidationError as exc:
+            # pydantic collects errors across all items before failing
+            errors.extend(exc.errors)
+    if errors:
+        raise RequestValidationError(errors)
     if "documents" in body:
         documents = body["documents"]
     else:
@@ -167,5 +204,13 @@ def parse_analyze_request(body: dict) -> AnalyzeRequest:
             k: v for k, v in body.items() if k != "analyticsOptions"
         }
     if not correlations:
-        raise ValueError("request has no correlations")
-    return AnalyzeRequest(documents=documents, correlations=correlations)
+        raise RequestValidationError(
+            [
+                {
+                    "loc": ["body", "analyticsOptions", "correlations"],
+                    "msg": "request has no correlations",
+                    "type": "value_error",
+                }
+            ]
+        )
+    return AnalyzeRequest(documents=documents, correlations=tuple(correlations))

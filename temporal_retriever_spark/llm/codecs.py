@@ -7,6 +7,9 @@ decoder:
 
 * **BMP** (Windows bitmap, BITMAPINFOHEADER, 24-bit uncompressed) —
   images; encode, decode, nearest-neighbor resize.
+* **PNG** (RFC 2083, 8-bit grey/RGB/RGBA, non-interlaced, all five
+  scanline filters — stdlib zlib for DEFLATE) — the most common
+  corpus image format; encode, decode, resize.
 * **WAV** (RIFF PCM, 16-bit mono) — audio; encode, decode, features.
 * **AVI** (RIFF, uncompressed DIB ``00db`` frames) — video; encode,
   decode, timestamped frame extraction.
@@ -90,6 +93,153 @@ def image_features(arr: np.ndarray) -> list[float]:
     means = arr.reshape(-1, 3).mean(axis=0)
     luma = arr @ np.array([0.299, 0.587, 0.114])
     return [float(h), float(w), *[float(m) for m in means], float(luma.std())]
+
+
+# --------------------------------------------------------------------------
+# PNG (RFC 2083: 8-bit greyscale/RGB/RGBA, non-interlaced, zlib + the
+# five scanline filters). stdlib zlib handles DEFLATE; numpy handles
+# unfiltering — Sub is a per-lane cumsum, Up is vectorized, Average and
+# Paeth walk pixels with bpp-lane vector steps.
+# --------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(h, w[, 3|4]) uint8 array -> PNG bytes (8-bit, non-interlaced).
+
+    ``filter_type`` applies one scanline filter to every row (0=None
+    default; 1..4 exist so the decoder's unfilter paths are testable
+    and for better compression on smooth images)."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"expected 1, 3 or 4 channels, got {ch}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type: {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = arr.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+        up_left = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            p = left + prev - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left))
+            filt = cur - pred
+        out.append(filter_type)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB array.
+
+    Supports 8-bit greyscale (0), RGB (2) and RGBA (6), non-interlaced,
+    all five scanline filters. Greyscale broadcasts to RGB and RGBA
+    drops alpha so every image feeds the same feature/resize kernels."""
+    import zlib
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (bad magic)")
+    pos, w = len(_PNG_MAGIC), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 12 + size  # len + type + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"only 8-bit grey/RGB/RGBA PNG supported (depth={depth}, color={color})"
+                )
+            if interlace or comp or filt:
+                raise ValueError("interlaced/nonzero-method PNG not supported")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    ch = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * ch + 1
+    if raw.size != stride * h:
+        raise ValueError("PNG scanline data size mismatch")
+    lines = raw.reshape(h, stride)
+    out = np.zeros((h, w * ch), dtype=np.int16)
+    zero_px = np.zeros(ch, np.int16)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int16)
+        prev = out[y - 1] if y else np.zeros(w * ch, np.int16)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] -> lane cumsum
+            out[y] = np.cumsum(cur.reshape(w, ch), axis=0, dtype=np.int64).reshape(-1) & 0xFF
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential along the row
+            cur2 = cur.reshape(w, ch)
+            prev2 = prev.reshape(w, ch)
+            rec = np.zeros((w, ch), dtype=np.int16)
+            left = zero_px
+            for x in range(w):
+                up = prev2[x]
+                up_left = prev2[x - 1] if x else zero_px
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - up_left
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, up_left)
+                    )
+                left = (cur2[x] + pred) & 0xFF
+                rec[x] = left
+            out[y] = rec.reshape(-1)
+        else:
+            raise ValueError(f"unknown PNG filter byte: {f}")
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3].copy()
 
 
 # --------------------------------------------------------------------------
@@ -256,9 +406,11 @@ def frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'bmp' | 'wav' | 'avi' | None from the payload magic."""
+    """'bmp' | 'png' | 'wav' | 'avi' | None from the payload magic."""
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -276,6 +428,8 @@ def decode_features(payload: bytes, media_type: str) -> list[float]:
     kind = sniff_format(payload)
     if kind == "bmp":
         return image_features(decode_bmp(payload)) + [0.0, 0.0]
+    if kind == "png":
+        return image_features(decode_png(payload)) + [0.0, 0.0]
     if kind == "wav":
         rate, samples = decode_wav(payload)
         return audio_features(rate, samples) + [0.0, 0.0, 0.0, 0.0]
@@ -290,10 +444,12 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
     kind = sniff_format(payload)
     if kind == "bmp":
         return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
+    if kind == "png":
+        return encode_png(resize_nearest(decode_png(payload), width, height))
     if kind == "avi":
         fps, frames = decode_avi(payload)
         return encode_avi([resize_nearest(f, width, height) for f in frames], fps=fps)
-    raise ValueError("resize supports BMP and AVI payloads")
+    raise ValueError("resize supports BMP, PNG and AVI payloads")
 
 
 def sample_frame(payload: bytes, ts_ms: int) -> bytes:

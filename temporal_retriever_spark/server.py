@@ -7,8 +7,9 @@ The reference is a FastAPI web service (reference app.py:22; GET
 FastAPI/uvicorn, so the façade is a stdlib ``ThreadingHTTPServer``
 speaking the same wire surface: identical routes, camelCase request
 bodies parsed by :mod:`temporal_retriever_spark.api.models`, the same
-response shapes, 422 + ``{"detail": ...}`` on validation errors
-(FastAPI's RequestValidationError status), 404 on unknown routes.
+response shapes, 422 + pydantic-style ``{"detail": [{"loc", "msg",
+"type"}, ...]}`` error arrays on validation errors (FastAPI's
+RequestValidationError body), 404 on unknown routes.
 
 One shared ``SparkSession`` serves every request — requests become
 DataFrame plans, so concurrent POSTs are just concurrent Spark jobs on
@@ -28,6 +29,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from temporal_retriever_spark.api.models import (
+    RequestValidationError,
     parse_analyze_request,
     parse_correlation,
 )
@@ -132,7 +134,20 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             body = json.loads(raw or b"null")
         except json.JSONDecodeError as exc:
-            self._respond(422, {"detail": f"invalid JSON: {exc}"})
+            # FastAPI's shape for an unparseable body: a single
+            # json_invalid entry locating the failure offset
+            self._respond(
+                422,
+                {
+                    "detail": [
+                        {
+                            "loc": ["body", exc.pos],
+                            "msg": f"JSON decode error: {exc.msg}",
+                            "type": "json_invalid",
+                        }
+                    ]
+                },
+            )
             return
         try:
             if self.path == "/analyze":
@@ -144,9 +159,21 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._respond(404, {"detail": "Not Found"})
                 return
+        except RequestValidationError as exc:
+            # pydantic-shaped error array, FastAPI's 422 body
+            self._respond(422, {"detail": exc.errors})
+            return
         except (ValueError, KeyError, TypeError) as exc:
-            # request-shape problems -> FastAPI's validation status
-            self._respond(422, {"detail": str(exc)})
+            # request-shape problems -> FastAPI's validation status,
+            # wrapped in the same pydantic-style array shape
+            self._respond(
+                422,
+                {
+                    "detail": [
+                        {"loc": ["body"], "msg": str(exc), "type": "value_error"}
+                    ]
+                },
+            )
             return
         except Exception as exc:  # engine failure -> 500, never a hang
             self._respond(500, {"detail": f"{type(exc).__name__}: {exc}"})

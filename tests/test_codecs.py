@@ -139,3 +139,45 @@ def test_real_frame_sampling_in_spark(spark, kernels):
         for r in rows:
             arr = codecs.decode_bmp(bytes(r["frame"]))  # frames are real BMPs
             assert arr.shape[2] == 3
+
+
+def test_png_round_trip_all_filters():
+    """encode(filter_type=f) -> decode recovers exact pixels for every
+    scanline filter (None/Sub/Up/Average/Paeth)."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    for f in range(5):
+        payload = codecs.encode_png(arr, filter_type=f)
+        assert codecs.sniff_format(payload) == "png"
+        out = codecs.decode_png(payload)
+        assert out.shape == arr.shape and (out == arr).all(), f
+
+
+def test_png_grey_and_rgba():
+    rng = np.random.default_rng(8)
+    grey = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(grey, filter_type=2))
+    assert out.shape == (5, 7, 3)
+    assert (out[:, :, 0] == grey).all() and (out[:, :, 1] == grey).all()
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(rgba, filter_type=4))
+    assert out.shape == (4, 6, 3) and (out == rgba[:, :, :3]).all()
+
+
+def test_png_features_and_resize_dispatch():
+    arr = np.full((8, 8, 3), 100, dtype=np.uint8)
+    payload = codecs.encode_png(arr)
+    feats = codecs.decode_features(payload, "image")
+    assert feats[:2] == [8.0, 8.0]
+    assert feats[2] == pytest.approx(100.0)
+    resized = codecs.resize_payload(payload, 4, 2)
+    out = codecs.decode_png(resized)
+    assert out.shape == (2, 4, 3) and (out == 100).all()
+
+
+def test_png_rejects_malformed():
+    with pytest.raises(ValueError, match="magic"):
+        codecs.decode_png(b"not a png")
+    arr = np.zeros((2, 2, 3), np.uint8)
+    with pytest.raises(ValueError, match="filter"):
+        codecs.encode_png(arr, filter_type=9)

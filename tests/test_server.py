@@ -69,6 +69,44 @@ def test_unknown_routes(server):
 def test_bad_json_is_422(server):
     status, body = _post(server, "/analyze", b"{not json")
     assert status == 422 and "detail" in body
+    # FastAPI emits a pydantic-style error ARRAY with loc/msg/type
+    (err,) = body["detail"]
+    assert err["type"] == "json_invalid"
+    assert err["loc"][0] == "body" and isinstance(err["loc"][1], int)
+    assert "JSON decode error" in err["msg"]
+
+
+def test_validation_error_body_is_pydantic_shaped(server):
+    """422 bodies mirror FastAPI's RequestValidationError: detail is a
+    list of {loc, msg, type} entries, loc paths the offending field,
+    and all errors are collected across correlations in one response."""
+    status, body = _post(
+        server,
+        "/analyze",
+        {
+            "documents": {},
+            "analyticsOptions": {
+                "correlations": [
+                    {"id": "c0", "fromData": "a", "fromIndex": "i", "toData": "b"},
+                    {"id": "c1", "fromIndex": "i", "toData": "b", "toIndex": "j"},
+                ]
+            },
+        },
+    )
+    assert status == 422
+    errs = body["detail"]
+    assert isinstance(errs, list) and len(errs) == 2
+    locs = [tuple(e["loc"]) for e in errs]
+    assert ("body", "analyticsOptions", "correlations", 0, "toIndex") in locs
+    assert ("body", "analyticsOptions", "correlations", 1, "fromData") in locs
+    for e in errs:
+        assert e["msg"] == "Field required" and e["type"] == "missing"
+    # no-correlations request: single value_error entry at the list loc
+    status, body = _post(server, "/analyze", {"documents": {}})
+    assert status == 422
+    (err,) = body["detail"]
+    assert tuple(err["loc"]) == ("body", "analyticsOptions", "correlations")
+    assert err["type"] == "value_error"
 
 
 def test_invalid_request_is_422(server):
