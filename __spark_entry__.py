@@ -1392,6 +1392,76 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filters: Gopher repetition metrics (Rae et al. 2021 A1.1)
+    — duplicate line/paragraph fractions and the character fraction of
+    the most frequent word 1/2/3-gram, all per-row array HOFs (mode via
+    a sorted-array aggregate fold), zero shuffles, zero Python."""
+    from temporal_retriever_spark.llm.filters import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir)).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_para_frac",
+        "top_1gram_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+    )
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filters: the Gopher quality rules as per-document boolean
+    gates + overall keep — the pre-dedup pipeline stage. Native
+    regexp/array expressions in ONE narrow projection."""
+    from temporal_retriever_spark.llm.filters import gopher_filter
+
+    return gopher_filter(_documents(spark, sf_dir)).select(
+        "doc_id", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_alpha_words", "r_stopwords", "r_top_2gram", "keep",
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filters: PII scrubbing. Deterministic synthetic PII
+    (email/URL/IPv4 derived from doc_id) is appended to each document
+    and redacted by the native regexp chain; the oracle applies the
+    IDENTICAL RE2-safe patterns, so counts and the scrubbed length
+    must agree exactly."""
+    from temporal_retriever_spark.llm.filters import scrub_text
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.lit(" via https://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = scrub_text(docs)
+    return out.select(
+        "doc_id", "n_email", "n_url", "n_ipv4",
+        F.length("scrubbed").alias("scrubbed_len"),
+    )
+
+
+def q_contamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filters: benchmark decontamination — per-document count
+    and fraction of distinct word 5-grams shared with a benchmark set
+    (every 20th document plays the benchmark). Both sides reduce to
+    distinct 64-bit gram hashes before the broadcast join — text never
+    shuffles (the GPT-3/PaLM 13-gram recipe at corpus scale)."""
+    from temporal_retriever_spark.llm.filters import contamination
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    out = contamination(docs, bench, n=5)
+    return out.select(
+        "doc_id", "n_ngrams", "n_contaminated",
+        _r6("contaminated_frac").alias("contaminated_frac"),
+    )
+
+
 _MEDIA_DECODE_PNG_ORACLE = """
 WITH k AS (SELECT unnest(generate_series(0, 179)) AS k),
 b AS (
@@ -1467,6 +1537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
         "sessions_2h_streamed": q_sessions_2h_streamed,
+        "gopher_repetition": q_gopher_repetition,
+        "gopher_filter": q_gopher_filter,
+        "pii_scrub": q_pii_scrub,
+        "contamination_5gram": q_contamination_5gram,
         # -- r3 driver-green --
         "granger_click_view": q_granger_click_view,
         "granger_lag1": q_granger_lag1,
@@ -2471,6 +2545,172 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
+        "gopher_repetition": r"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS nch,
+                     string_split(text, chr(10)) AS lines,
+                     string_split_regex(text, '\n{2,}') AS paras,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, nch, len(lines) AS n_lines,
+                CASE WHEN len(lines) > 0 THEN
+                  (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+                ELSE 0.0 END AS dlf,
+                CASE WHEN len(paras) > 0 THEN
+                  (len(paras) - len(list_distinct(paras))) * 1.0 / len(paras)
+                ELSE 0.0 END AS dpf
+              FROM t
+            ),
+            n1 AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+            n2 AS (SELECT doc_id, unnest(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t),
+            n3 AS (SELECT doc_id, unnest(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                     AS gram FROM t),
+            m1 AS (SELECT doc_id, gram, COUNT(*) AS cnt, ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC) AS rk
+                   FROM n1 GROUP BY 1, 2),
+            m2 AS (SELECT doc_id, gram, COUNT(*) AS cnt, ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC) AS rk
+                   FROM n2 GROUP BY 1, 2),
+            m3 AS (SELECT doc_id, gram, COUNT(*) AS cnt, ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC) AS rk
+                   FROM n3 GROUP BY 1, 2)
+            SELECT g.doc_id, g.n_lines,
+                   ROUND(g.dlf, 6) AS dup_line_frac,
+                   ROUND(g.dpf, 6) AS dup_para_frac,
+                   ROUND(COALESCE(m1.cnt * length(m1.gram) * 1.0
+                                  / NULLIF(g.nch, 0), 0.0), 6)
+                     AS top_1gram_char_frac,
+                   ROUND(COALESCE(m2.cnt * length(m2.gram) * 1.0
+                                  / NULLIF(g.nch, 0), 0.0), 6)
+                     AS top_2gram_char_frac,
+                   ROUND(COALESCE(m3.cnt * length(m3.gram) * 1.0
+                                  / NULLIF(g.nch, 0), 0.0), 6)
+                     AS top_3gram_char_frac
+            FROM g
+            LEFT JOIN (SELECT * FROM m1 WHERE rk = 1) m1 USING (doc_id)
+            LEFT JOIN (SELECT * FROM m2 WHERE rk = 1) m2 USING (doc_id)
+            LEFT JOIN (SELECT * FROM m3 WHERE rk = 1) m3 USING (doc_id)
+        """,
+        "gopher_filter": r"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS nch,
+                     string_split(text, chr(10)) AS lines,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            n2 AS (SELECT doc_id, unnest(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t),
+            m2 AS (SELECT doc_id, gram, COUNT(*) AS cnt, ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC) AS rk
+                   FROM n2 GROUP BY 1, 2),
+            b AS (
+              SELECT doc_id, nch,
+                CAST(len(toks) AS DOUBLE) AS n_words,
+                CASE WHEN len(toks) > 0 THEN
+                  list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                    * 1.0 / len(toks) ELSE 0.0 END AS mwl,
+                CASE WHEN len(toks) > 0 THEN
+                  (len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.')))
+                    * 1.0 / len(toks) ELSE 0.0 END AS symr,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> regexp_matches(
+                    trim(l), '^([-*•]|[0-9]+[.)])\s'))) * 1.0 / len(lines)
+                ELSE 0.0 END AS bulletf,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> regexp_matches(
+                    trim(l), '(\.\.\.|…)$'))) * 1.0 / len(lines)
+                ELSE 0.0 END AS ellipf,
+                CASE WHEN len(toks) > 0 THEN
+                  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    * 1.0 / len(toks) ELSE 0.0 END AS alphaf,
+                len(list_intersect(list_distinct(toks),
+                    ['the','be','to','of','and','that','have','with'])) AS stopn,
+                CASE WHEN len(lines) > 0 THEN
+                  (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+                ELSE 0.0 END AS dlf
+              FROM t
+            ),
+            r AS (
+              SELECT b.doc_id,
+                (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
+                (symr <= 0.1) AS r_symbol_ratio,
+                (bulletf <= 0.9) AS r_bullet_lines,
+                (ellipf <= 0.3) AS r_ellipsis_lines,
+                (alphaf >= 0.8) AS r_alpha_words,
+                (stopn >= 2) AS r_stopwords,
+                (dlf <= 0.3) AS r_dup_lines,
+                (COALESCE(m.cnt * length(m.gram) * 1.0 / NULLIF(b.nch, 0), 0.0)
+                   <= 0.2) AS r_top_2gram
+              FROM b LEFT JOIN (SELECT * FROM m2 WHERE rk = 1) m USING (doc_id)
+            )
+            SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+                   r_alpha_words, r_stopwords, r_top_2gram,
+                   (r_word_count AND r_mean_word_len AND r_symbol_ratio
+                    AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+                    AND r_stopwords AND r_dup_lines AND r_top_2gram) AS keep
+            FROM r
+        """,
+        "pii_scrub": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com via https://ex.com/'
+                          || CAST(doc_id AS VARCHAR)
+                          || ' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       AS text
+              FROM documents
+            ),
+            s1 AS (SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t
+              FROM d),
+            s2 AS (SELECT doc_id, n_email,
+                len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+                regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+              FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_url,
+                len(regexp_extract_all(t,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                regexp_replace(t,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+              FROM s2)
+            SELECT doc_id, n_email, n_url, n_ipv4, length(t) AS scrubbed_len
+            FROM s3
+        """,
+        "contamination_5gram": f"""
+            WITH t AS (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(toks) - 4),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS gs FROM t),
+            dg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+                   WHERE doc_id % 20 = 0),
+            agg AS (SELECT dg.doc_id, COUNT(*) AS n_ngrams,
+                      SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS n_contaminated
+                    FROM dg LEFT JOIN bg USING (gram) GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(COALESCE(agg.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(agg.n_contaminated, 0) AS BIGINT)
+                     AS n_contaminated,
+                   {_sql_r6("CASE WHEN COALESCE(agg.n_ngrams, 0) > 0 THEN agg.n_contaminated * 1.0 / agg.n_ngrams ELSE 0.0 END")}
+                     AS contaminated_frac
+            FROM t LEFT JOIN agg USING (doc_id)
+        """,
         "token_topk": r"""
             WITH toks AS (
                 SELECT lang,

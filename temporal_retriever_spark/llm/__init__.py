@@ -41,6 +41,12 @@ from temporal_retriever_spark.llm.corpus import (
     sample_corpus,
     sample_hash_expr,
 )
+from temporal_retriever_spark.llm.filters import (
+    contamination,
+    gopher_filter,
+    repetition_stats,
+    scrub_text,
+)
 from temporal_retriever_spark.llm.multimodal import (
     extract_features,
     media_metadata_stats,
@@ -80,6 +86,10 @@ __all__ = [
     "sample_corpus",
     "sample_hash_expr",
     "corpus_sketch_stats",
+    "contamination",
+    "gopher_filter",
+    "repetition_stats",
+    "scrub_text",
     "extract_features",
     "media_metadata_stats",
     "repartition_for_payloads",
