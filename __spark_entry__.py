@@ -742,6 +742,45 @@ def q_sessions_2h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed range-join strategy
+    (asof.interval_join): per event_type, 30 daily [08:00, 20:00)
+    "business-hours" windows; events equi-join on (key, day-cell) with
+    a residual range filter — never a nested-loop plan — then roll up
+    per window. The oracle is the plain non-equi SQL join."""
+    from temporal_retriever_spark.asof import interval_join
+
+    ev = _events_long(spark, sf_dir).select("event_type", "ds", "y")
+    day = F.expr("INTERVAL 1 DAY")
+    win = (
+        ev.select("event_type").distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("_k"),
+        )
+        .select(
+            "event_type",
+            (F.to_timestamp(F.lit("2024-01-01 08:00:00")) + F.col("_k") * day)
+            .alias("start"),
+            (F.to_timestamp(F.lit("2024-01-01 20:00:00")) + F.col("_k") * day)
+            .alias("end"),
+        )
+    )
+    joined = interval_join(
+        ev, win, on=["event_type"], closed="left", bucket="1 day"
+    )
+    return (
+        joined.groupBy("event_type", F.col("start").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("y").alias("_s"),
+        )
+        .select(
+            "event_type", "window_start", "n_events", _r6("_s").alias("sum_y")
+        )
+    )
+
+
 def q_anomaly_robust_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD modified z-score anomalies (outlier-resistant
     baseline) — frame-local array HOFs, no Python."""
@@ -1541,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
         "contamination_5gram": q_contamination_5gram,
+        "interval_join_hours": q_interval_join_hours,
         # -- r3 driver-green --
         "granger_click_view": q_granger_click_view,
         "granger_lag1": q_granger_lag1,
@@ -2688,6 +2728,24 @@ def oracle_sql() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, n_email, n_url, n_ipv4, length(t) AS scrubbed_len
             FROM s3
+        """,
+        "interval_join_hours": f"""
+            WITH w AS (
+              SELECT et.event_type,
+                     TIMESTAMP '2024-01-01 08:00:00' + k.k * INTERVAL 1 DAY
+                       AS window_start,
+                     TIMESTAMP '2024-01-01 20:00:00' + k.k * INTERVAL 1 DAY
+                       AS we
+              FROM (SELECT DISTINCT event_type FROM events) et
+              CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS k) k
+            )
+            SELECT w.event_type, w.window_start,
+                   COUNT(*) AS n_events,
+                   {_sql_r6('SUM(e.value)')} AS sum_y
+            FROM w JOIN events e
+              ON e.event_type = w.event_type
+             AND e.ts >= w.window_start AND e.ts < w.we
+            GROUP BY 1, 2
         """,
         "contamination_5gram": f"""
             WITH t AS (SELECT doc_id,

@@ -207,6 +207,91 @@ def asof_join(
     return carried.filter(F.col(_SIDE) == 1).select(*out_cols, *attached)
 
 
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: Iterable[str] = (),
+    ts_col: str = "ds",
+    start_col: str = "start",
+    end_col: str = "end",
+    closed: str = "left",
+    bucket: str = "1 day",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: attach every interval row containing
+    each event's timestamp (same equi-keys ``on``), without ever
+    planning a nested-loop join.
+
+    ``closed`` picks the boundary semantics: ``"left"`` = [start, end)
+    (the streaming/window convention), ``"right"`` = (start, end],
+    ``"both"`` = [start, end], ``"neither"`` = (start, end).
+
+    ``how="inner"`` keeps matched events only; ``how="left"`` also
+    keeps unmatched events with null interval columns.
+
+    Scale design — the published range-join binning strategy: a naive
+    ``events.join(intervals, start <= ts < end)`` has no equi-condition,
+    so Spark plans BroadcastNestedLoopJoin (or a cartesian) — O(n·m)
+    and a driver OOM risk at scale. Instead both sides are binned into
+    fixed-width ``bucket`` cells: each event lands in exactly ONE cell
+    (``floor(epoch/width)``), each interval is exploded to every cell
+    it overlaps (a per-row ``sequence`` — distributed, bounded by
+    span/width), and the join becomes an EQUI-join on
+    ``(*on, cell)`` + a residual range filter. Every (event, interval)
+    pair meets exactly once (in the event's cell), so no dedup pass is
+    needed. Pick ``bucket`` near the typical interval length: the
+    interval side is duplicated ~span/width times while the event side
+    never duplicates. Two shuffles (one per side, co-partitioned on
+    the join key) — the same cost as any distributed equi-join.
+    """
+    if closed not in ("left", "right", "both", "neither"):
+        raise ValueError(f"unsupported closed mode: {closed!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how!r}")
+    on = list(on)
+    reserved = {"__iv_cell", "__iv_c0", "__iv_c1"}
+    if reserved & (set(events.columns) | set(intervals.columns)):
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by interval_join"
+        )
+    overlap = set(intervals.columns) - set(on) & set(events.columns)
+    if overlap:
+        raise ValueError(
+            f"interval column(s) {sorted(overlap)} collide with event "
+            f"columns; rename before joining"
+        )
+    width_us = int(interval_seconds(bucket) * 1_000_000)
+    ev_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lo_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    hi_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    ev = events.withColumn("__iv_cell", F.floor(ev_us / width_us))
+    iv = (
+        intervals.withColumn("__iv_c0", F.floor(lo_us / width_us))
+        .withColumn("__iv_c1", F.floor(hi_us / width_us))
+        .withColumn(
+            "__iv_cell", F.explode(F.sequence(F.col("__iv_c0"), F.col("__iv_c1")))
+        )
+        .drop("__iv_c0", "__iv_c1")
+    )
+    ge = ev_us >= lo_us if closed in ("left", "both") else ev_us > lo_us
+    le = ev_us <= hi_us if closed in ("right", "both") else ev_us < hi_us
+    joined = ev.join(iv, on=[*on, "__iv_cell"], how="inner").filter(ge & le)
+    out_cols = [*events.columns, *[c for c in intervals.columns if c not in on]]
+    matched = joined.select(*out_cols)
+    if how == "inner":
+        return matched
+    missed = events.join(
+        matched.select(*events.columns), on=list(events.columns), how="left_anti"
+    )
+    for c in intervals.columns:
+        if c not in on:
+            missed = missed.withColumn(
+                c, F.lit(None).cast(dict(intervals.dtypes)[c])
+            )
+    return matched.unionByName(missed.select(*out_cols))
+
+
 def sessionize(
     events: DataFrame,
     *,

@@ -3,6 +3,8 @@ gaps-and-islands SQL, plus boundary-semantics unit tests."""
 
 from __future__ import annotations
 
+import datetime
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -212,3 +214,100 @@ def test_asof_forward_exact_match_wins(spark):
         left, right, on=("k",), value_cols=("v",), direction="forward"
     ).collect()
     assert out[0]["v"] == 1.0  # allow_exact_matches
+
+
+def test_interval_join_basic_and_bounds(spark):
+    from temporal_retriever_spark.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [
+            ("k", datetime.datetime(2024, 1, 1, 0, 0)),   # == start
+            ("k", datetime.datetime(2024, 1, 1, 12, 0)),  # inside
+            ("k", datetime.datetime(2024, 1, 2, 0, 0)),   # == end
+            ("k", datetime.datetime(2024, 1, 5, 0, 0)),   # outside
+        ],
+        "key string, ds timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2), "w1")],
+        "key string, start timestamp, end timestamp, win string",
+    )
+    got = interval_join(ev, iv, on=["key"]).orderBy("ds").collect()
+    # [start, end): start matches, end does not
+    assert [str(r["ds"]) for r in got] == [
+        "2024-01-01 00:00:00", "2024-01-01 12:00:00"
+    ]
+    both = interval_join(ev, iv, on=["key"], closed="both").count()
+    assert both == 3
+    neither = interval_join(ev, iv, on=["key"], closed="neither").count()
+    assert neither == 1
+
+
+def test_interval_join_spans_many_buckets(spark):
+    """An interval wider than the bucket must be exploded into every
+    cell it overlaps, and each (event, interval) pair appears ONCE."""
+    from temporal_retriever_spark.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 10, 3, 0))],
+        "key string, ds timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 2, 1), "big")],
+        "key string, start timestamp, end timestamp, win string",
+    )
+    got = interval_join(ev, iv, on=["key"], bucket="1 day").collect()
+    assert len(got) == 1 and got[0]["win"] == "big"
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    from temporal_retriever_spark.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1, 12)), ("k", datetime.datetime(2024, 3, 1))],
+        "key string, ds timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2), "w1")],
+        "key string, start timestamp, end timestamp, win string",
+    )
+    got = {
+        str(r["ds"]): r["win"]
+        for r in interval_join(ev, iv, on=["key"], how="left").collect()
+    }
+    assert got["2024-01-01 12:00:00"] == "w1"
+    assert got["2024-03-01 00:00:00"] is None
+
+
+def test_interval_join_no_nested_loop_in_plan(spark):
+    from temporal_retriever_spark.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1, 12))], "key string, ds timestamp"
+    )
+    iv = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2), "w")],
+        "key string, start timestamp, end timestamp, win string",
+    )
+    plan = (
+        interval_join(ev, iv, on=["key"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_validation(spark):
+    from temporal_retriever_spark.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1), 1.0)],
+        "key string, ds timestamp, win double",
+    )
+    iv = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2), "w")],
+        "key string, start timestamp, end timestamp, win string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(ev, iv, on=["key"])
+    with pytest.raises(ValueError, match="closed"):
+        interval_join(ev.drop("win"), iv, on=["key"], closed="open")
