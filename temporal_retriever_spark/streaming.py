@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.aggregate import agg_expr
-from temporal_retriever_spark.grains import grain_duration, normalize_grain
+from temporal_retriever_spark.grains import (
+    grain_duration,
+    interval_seconds,
+    normalize_grain,
+)
 
 
 def _with_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
@@ -483,6 +487,9 @@ def streaming_anomaly_zscore(
             "(use 'NoTimeout' or 'ProcessingTimeTimeout')"
         )
     expire = timeout == "ProcessingTimeTimeout"
+    # GroupState.setTimeoutDuration takes int MILLISECONDS (the
+    # applyInPandasWithState variant rejects interval strings)
+    ttl_ms = int(interval_seconds(state_ttl) * 1000) if expire else 0
 
     def update(key, pdfs, state: GroupState):
         if expire and state.hasTimedOut:
@@ -502,7 +509,7 @@ def streaming_anomaly_zscore(
         if not chunks:
             state.update((buf,))
             if expire:
-                state.setTimeoutDuration(state_ttl)
+                state.setTimeoutDuration(ttl_ms)
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
         zs, flags = [], []
@@ -525,7 +532,7 @@ def streaming_anomaly_zscore(
         out["is_anomaly"] = flags
         state.update((buf,))
         if expire:
-            state.setTimeoutDuration(state_ttl)
+            state.setTimeoutDuration(ttl_ms)
         yield out[[series_col, ts_col, value_col, "zscore", "is_anomaly"]]
 
     return _with_event_time(stream, ts_col).groupBy(series_col).applyInPandasWithState(
