@@ -742,6 +742,20 @@ def q_sessions_2h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document: one explode feeds both the
+    term-count and document-frequency aggregations, N is a one-row
+    broadcast, and the per-doc rank compiles to the pre-shuffle
+    WindowGroupLimit top-k plan (llm.text.tfidf_topk)."""
+    from temporal_retriever_spark.llm.text import tfidf_topk
+
+    out = tfidf_topk(_documents(spark, sf_dir), k=5)
+    return out.select(
+        "doc_id", "token", "tf", "df_count",
+        _r6("tfidf").alias("tfidf"), "rank",
+    )
+
+
 def q_interval_join_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via the bucketed range-join strategy
     (asof.interval_join): per event_type, 30 daily [08:00, 20:00)
@@ -1581,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination_5gram": q_contamination_5gram,
         "interval_join_hours": q_interval_join_hours,
+        "tfidf_topk": q_tfidf_topk,
         # -- r3 driver-green --
         "granger_click_view": q_granger_click_view,
         "granger_lag1": q_granger_lag1,
@@ -2728,6 +2743,29 @@ def oracle_sql() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, n_email, n_url, n_ipv4, length(t) AS scrubbed_len
             FROM s3
+        """,
+        "tfidf_topk": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     lower(UNNEST(string_split_regex(trim(text), '\\s+')))
+                       AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM f WHERE length(token) >= 1 GROUP BY 1, 2),
+            dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df_count
+                    FROM f WHERE length(token) >= 1 GROUP BY 1),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+            s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df_count,
+                         tf.tf * (ln((nd + 1.0) / (df_count + 1.0)) + 1.0)
+                           AS tfidf
+                  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+                  FROM s)
+            SELECT doc_id, token, tf, df_count,
+                   {_sql_r6('tfidf')} AS tfidf, rank
+            FROM r WHERE rank <= 5
         """,
         "interval_join_hours": f"""
             WITH w AS (

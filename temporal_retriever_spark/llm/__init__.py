@@ -11,6 +11,7 @@ from temporal_retriever_spark.llm.text import (
     language_id,
     text_fingerprint,
     text_stats,
+    tfidf_topk,
     token_count_expr,
     token_topk,
 )
@@ -63,6 +64,7 @@ __all__ = [
     "language_id",
     "text_fingerprint",
     "text_stats",
+    "tfidf_topk",
     "token_topk",
     "token_count_expr",
     "duplicate_clusters",

@@ -189,6 +189,69 @@ def text_fingerprint(
     return df.select(*id_cols, fp.alias("fingerprint"))
 
 
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document.
+
+    tf = in-document token count; idf = ln((N + 1)/(df_t + 1)) + 1
+    (the smoothed sklearn-style variant — never zero, no divide-by-
+    zero on corpus-wide tokens); score = tf · idf. Ties rank by token
+    ascending, so results are deterministic and cross-engine stable.
+
+    Plan shape: ONE explode feeds both aggregations — (doc, token)
+    term counts and (token) document frequencies; the DF side joins
+    back by token (shuffle join — vocabulary can exceed broadcast at
+    corpus scale, and AQE broadcasts it when it doesn't); the corpus
+    size N is a one-row broadcast cross join (never a driver action,
+    so the operator stays composable/lazy). The final per-doc rank
+    compiles to WindowGroupLimit: each map task ships only its local
+    top-k candidates — the same distributed top-k plan as
+    ``token_topk``/``cosine_topk``.
+
+    Output: (id_col, token, tf, df_count, tfidf, rank), rank 1..k.
+    """
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("token")
+    base = (
+        df.select(F.col(id_col), toks)
+        .filter(F.length("token") >= int(min_token_len))
+    )
+    tf = base.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = base.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("df_count")
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("_n_docs")
+    )
+    scored = (
+        tf.join(dfreq, on="token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("_n_docs") + 1) / (F.col("df_count") + 1))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "token", "tf", "df_count", "tfidf", "rank")
+    )
+
+
 def token_topk(
     df: DataFrame,
     *,

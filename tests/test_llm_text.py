@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.llm.text import (
@@ -129,3 +130,38 @@ def test_token_topk_pre_shuffle_limit(tables):
         .queryExecution().executedPlan().toString()
     # partial top-k must run below the rank exchange (distributed top-k)
     assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from temporal_retriever_spark.llm.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry durian")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["token"]): r for r in tfidf_topk(docs, k=3).collect()}
+    # N=3; df: apple 1, banana 2, cherry 2, durian 1
+    idf1 = math.log(4 / 2) + 1.0   # df=1
+    idf2 = math.log(4 / 3) + 1.0   # df=2
+    assert out[(1, "apple")]["tfidf"] == pytest.approx(2 * idf1)
+    assert out[(1, "banana")]["tfidf"] == pytest.approx(1 * idf2)
+    assert out[(3, "cherry")]["tfidf"] == pytest.approx(2 * idf2)
+    # rank 1 per doc is the highest score
+    assert out[(1, "apple")]["rank"] == 1
+    assert out[(3, "cherry")]["rank"] == 1
+    assert out[(2, "banana")]["rank"] == 1  # tie banana/cherry -> token asc
+
+
+def test_tfidf_topk_plan_has_window_group_limit(spark):
+    from temporal_retriever_spark.llm.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        tfidf_topk(docs, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan and "Python" not in plan
