@@ -742,6 +742,24 @@ def q_sessions_2h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_quantile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-row rolling median + p90 per daily series —
+    type-7/quantile_cont interpolation from a bounded sorted frame
+    array (rolling.rolling_quantile), one window shuffle, no Python."""
+    from temporal_retriever_spark.rolling import rolling_quantile
+
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = rolling_quantile(
+        daily, window=14, q=(0.5, 0.9), min_periods=3,
+        series_cols=("event_type",),
+    )
+    return out.select(
+        "event_type", "ds",
+        _r6("rolling_q50").alias("rolling_q50"),
+        _r6("rolling_q90").alias("rolling_q90"),
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF keywords per document: one explode feeds both the
     term-count and document-frequency aggregations, N is a one-row
@@ -1596,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_5gram": q_contamination_5gram,
         "interval_join_hours": q_interval_join_hours,
         "tfidf_topk": q_tfidf_topk,
+        "rolling_quantile_daily": q_rolling_quantile_daily,
         # -- r3 driver-green --
         "granger_click_view": q_granger_click_view,
         "granger_lag1": q_granger_lag1,
@@ -2849,6 +2868,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EVENTS_DAILY})
             WINDOW w AS (PARTITION BY event_type ORDER BY ds
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_quantile_daily": f"""
+            SELECT event_type, ds,
+              {_sql_r6('CASE WHEN COUNT(y) OVER w >= 3 THEN quantile_cont(y, 0.5) OVER w END')} AS rolling_q50,
+              {_sql_r6('CASE WHEN COUNT(y) OVER w >= 3 THEN quantile_cont(y, 0.9) OVER w END')} AS rolling_q90
+            FROM ({_EVENTS_DAILY})
+            WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
         """,
         "rolling_time_window": f"""
             SELECT event_type, ts AS ds,

@@ -185,6 +185,59 @@ def ewma(
     return df.withColumn(out_col, folded)
 
 
+def rolling_quantile(
+    df: DataFrame,
+    *,
+    window: int,
+    q: float | Iterable[float] = 0.5,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    min_periods: int = 1,
+) -> DataFrame:
+    """Trailing rolling quantile(s) over the last ``window`` rows
+    (current row inclusive) — linear interpolation between order
+    statistics (type-7 / ``quantile_cont`` semantics, what pandas,
+    numpy and SQL engines default to), so results mirror across
+    engines exactly.
+
+    For each requested q a ``rolling_q<pct>`` column is added (q=0.5 →
+    ``rolling_q50``, q=0.975 → ``rolling_q97_5`` — dots become
+    underscores for SQL-safe names). Nulls are excluded from the frame
+    (quantile of the observed values); results are null until
+    ``min_periods`` observations.
+
+    The frame is collected into a bounded sorted array once and every
+    quantile reads order statistics from it with ``element_at`` —
+    O(window log window) JVM work per row, one window shuffle per
+    series, no Python. (An exact distributed quantile over sliding
+    frames is inherently per-row; the bounded-frame collect IS the
+    scalable formulation, same as ``anomaly_robust``'s median/MAD.)
+    """
+    qs = [q] if isinstance(q, (int, float)) else list(q)
+    for v in qs:
+        if not 0.0 <= float(v) <= 1.0:
+            raise ValueError(f"quantile out of range [0, 1]: {v}")
+    frame = _series_window(series_cols, ts_col).rowsBetween(-(window - 1), 0)
+    arr = F.array_sort(F.collect_list(value_col).over(frame))
+    out = df.withColumn("_rq_arr", arr).withColumn("_rq_n", F.size(F.col("_rq_arr")))
+    n = F.col("_rq_n")
+    for v in qs:
+        pos = F.lit(float(v)) * (n - 1).cast("double")
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        lo_val = F.element_at(F.col("_rq_arr"), lo + 1)
+        hi_val = F.element_at(
+            F.col("_rq_arr"), F.least(lo + 2, n).cast("int")
+        )
+        interp = lo_val + frac * (hi_val - lo_val)
+        label = "rolling_q" + f"{float(v) * 100:g}".replace(".", "_")
+        out = out.withColumn(
+            label, F.when(n >= min_periods, interp)
+        )
+    return out.drop("_rq_arr", "_rq_n")
+
+
 def anomaly_zscore(
     df: DataFrame,
     *,

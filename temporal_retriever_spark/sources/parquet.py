@@ -86,3 +86,58 @@ def load_tables(
         if os.path.exists(path):
             out[name] = read_table(spark, path)
     return out
+
+
+#: extension -> Spark reader format for read_any
+_FORMAT_BY_EXT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str | None = None,
+    **options,
+) -> DataFrame:
+    """S7 generalized: read parquet/ORC/CSV/JSON by explicit ``format``
+    or file-extension sniffing.
+
+    Parquet routes through :func:`read_table` (nano-timestamp
+    normalization); ORC is Spark-native columnar (same predicate
+    pushdown and column pruning as parquet — ``PushedFilters`` shows in
+    the scan); CSV defaults to header+inferSchema (override via
+    ``options``); JSON reads line-delimited records. All formats apply
+    the NTZ→TimestampType normalization so event-time operators and
+    oracle comparisons behave identically regardless of source format.
+    """
+    if format is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        format = _FORMAT_BY_EXT.get(ext)
+        if format is None:
+            raise ValueError(
+                f"cannot infer source format from {path!r}; pass format="
+            )
+    format = format.lower()
+    if format == "parquet":
+        return read_table(spark, path)
+    if format not in ("orc", "csv", "json"):
+        raise ValueError(f"unsupported source format: {format!r}")
+    reader = spark.read
+    if format == "csv":
+        opts = {"header": "true", "inferSchema": "true", **options}
+    else:
+        opts = dict(options)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    df = reader.format(format).load(path)
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df

@@ -479,3 +479,45 @@ def test_rolling_corr_perfect_and_constant(spark):
     const = df.withColumn("x", F.lit(7.0))
     out2 = rolling_corr(const, window=5).collect()
     assert all(r["rolling_corr"] is None for r in out2)
+
+
+def test_rolling_quantile_matches_pandas(spark):
+    """Type-7 interpolation parity with pandas rolling quantile."""
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.rolling import rolling_quantile
+
+    rng = np.random.default_rng(17)
+    y = rng.normal(50, 10, 40)
+    df = spark.createDataFrame(
+        [("s", i, float(v)) for i, v in enumerate(y)],
+        "series_id string, t int, y double",
+    ).select(
+        "series_id", F.timestamp_seconds(F.col("t") * 3600).alias("ds"), "y"
+    )
+    got = (
+        rolling_quantile(df, window=7, q=(0.5, 0.9), min_periods=3)
+        .orderBy("ds").collect()
+    )
+    ser = pd.Series(y)
+    want50 = ser.rolling(7, min_periods=3).quantile(0.5, interpolation="linear")
+    want90 = ser.rolling(7, min_periods=3).quantile(0.9, interpolation="linear")
+    for i, r in enumerate(got):
+        for col, want in (("rolling_q50", want50), ("rolling_q90", want90)):
+            if pd.isna(want.iloc[i]):
+                assert r[col] is None, (i, col)
+            else:
+                assert r[col] == pytest.approx(want.iloc[i], abs=1e-9), (i, col)
+
+
+def test_rolling_quantile_labels_and_validation(spark):
+    from temporal_retriever_spark.rolling import rolling_quantile
+
+    df = spark.createDataFrame(
+        [("s", 0, 1.0)], "series_id string, ds int, y double"
+    )
+    out = rolling_quantile(df, window=3, q=(0.0, 0.975, 1.0))
+    assert {"rolling_q0", "rolling_q97_5", "rolling_q100"} <= set(out.columns)
+    with pytest.raises(ValueError, match="quantile"):
+        rolling_quantile(df, window=3, q=1.5)

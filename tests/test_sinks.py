@@ -55,3 +55,41 @@ def test_tojson_records(spark, tables):
     records = [json.loads(s) for s in daily.toJSON().collect()]
     assert len(records) == 5
     assert {"event_type", "ds", "y"} <= set(records[0])
+
+
+def test_read_any_orc_round_trip(spark, tables, tmp_path):
+    """S7 ORC: write the events table as ORC, read via read_any, get
+    identical rows; the ORC scan must push filters like parquet."""
+    from temporal_retriever_spark.sources.parquet import read_any
+
+    ev = tables["events"].select("event_type", "ts", "value")
+    path = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = read_any(spark, path, format="orc")
+    assert back.count() == ev.count()
+    a = sorted(map(str, ev.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b
+    plan = (
+        back.filter(F.col("event_type") == "click").select("value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "event_type" in plan
+
+
+def test_read_any_csv_json_and_sniffing(spark, tmp_path):
+    from temporal_retriever_spark.sources.parquet import read_any
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    csv_path = str(tmp_path / "t.csv")
+    json_path = str(tmp_path / "t.json")
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(csv_path)
+    df.coalesce(1).write.mode("overwrite").json(json_path)
+    got_csv = read_any(spark, csv_path)
+    got_json = read_any(spark, json_path)
+    assert sorted((r["id"], r["s"]) for r in got_csv.collect()) == [(1, "a"), (2, "b")]
+    assert sorted((r["id"], r["s"]) for r in got_json.collect()) == [(1, "a"), (2, "b")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="format"):
+        read_any(spark, str(tmp_path / "unknown.xyz"))
