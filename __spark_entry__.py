@@ -1463,6 +1463,86 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal REAL decode, JPEG path: a deterministic 16×12
+    RGB gradient (R/G ramps, B = doc_id % 256) is run through the real
+    pure-numpy baseline JPEG codec (llm.codecs encode_jpeg →
+    decode_jpeg: batched 8×8 DCT, Annex-K quantization + Huffman
+    coding, byte stuffing) at quality 95 in BOTH 4:4:4 and 4:2:0 and
+    decoded back. JPEG is lossy, so the contract is tolerance gates in
+    the recall-gate style (lsh_cosine_topk precedent): dims exact,
+    bounded max/mean reconstruction error per subsampling, the decoded
+    blue-channel mean within ±2 (4:4:4) / ±5 (4:2:0) of doc_id % 256,
+    and byte-deterministic re-encode. A codec defect (wrong zigzag,
+    Huffman table, level shift, chroma upsample) produces errors an
+    order of magnitude past the gates and breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    W, H = 16, 12
+    out_schema = (
+        "doc_id long, width long, height long, "
+        "ok_444 boolean, ok_420 boolean, deterministic boolean"
+    )
+
+    def run(batches):
+        yy, xx = np.mgrid[0:H, 0:W]
+        ramp_r = xx * 255 // (W - 1)
+        ramp_g = yy * 255 // (H - 1)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                b = int(doc_id) % 256
+                img = np.stack(
+                    [ramp_r, ramp_g, np.full((H, W), b)], axis=2
+                ).astype(np.uint8)
+                oks = []
+                for sub, tol_max, tol_mean, tol_b in (
+                    ("4:4:4", 6, 2.0, 2.0),
+                    ("4:2:0", 24, 9.0, 5.0),
+                ):
+                    payload = codecs.encode_jpeg(
+                        img, quality=95, subsampling=sub
+                    )
+                    dec = codecs.decode_jpeg(payload)
+                    err = np.abs(dec.astype(int) - img.astype(int))
+                    oks.append(
+                        dec.shape == (H, W, 3)
+                        and int(err.max()) <= tol_max
+                        and float(err.mean()) <= tol_mean
+                        and abs(float(dec[:, :, 2].mean()) - b) <= tol_b
+                    )
+                det = codecs.encode_jpeg(img, quality=95) == codecs.encode_jpeg(
+                    img, quality=95
+                )
+                rows.append((int(doc_id), W, H, oks[0], oks[1], bool(det)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "ok_444", "ok_420", "deterministic",
+                ],
+            )
+
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(run, out_schema)
+    )
+
+
+_MEDIA_DECODE_JPEG_ORACLE = """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(12 AS BIGINT) AS height,
+       TRUE AS ok_444,
+       TRUE AS ok_420,
+       TRUE AS deterministic
+FROM documents
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus filters: Gopher repetition metrics (Rae et al. 2021 A1.1)
     — duplicate line/paragraph fractions and the character fraction of
@@ -1607,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
+        "media_decode_jpeg": q_media_decode_jpeg,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "gopher_repetition": q_gopher_repetition,
         "gopher_filter": q_gopher_filter,
@@ -2619,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
+        "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
         "gopher_repetition": r"""
             WITH t AS (
               SELECT doc_id, length(text) AS nch,

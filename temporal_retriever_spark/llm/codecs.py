@@ -8,8 +8,10 @@ decoder:
 * **BMP** (Windows bitmap, BITMAPINFOHEADER, 24-bit uncompressed) —
   images; encode, decode, nearest-neighbor resize.
 * **PNG** (RFC 2083, 8-bit grey/RGB/RGBA, non-interlaced, all five
-  scanline filters — stdlib zlib for DEFLATE) — the most common
-  corpus image format; encode, decode, resize.
+  scanline filters — stdlib zlib for DEFLATE); encode, decode, resize.
+* **JPEG** (ITU-T T.81 baseline sequential DCT, JFIF) — the most
+  common corpus image format; encode (4:4:4 / 4:2:0), decode
+  (arbitrary 1-2 sampling factors, DRI restarts), resize.
 * **WAV** (RIFF PCM, 16-bit mono) — audio; encode, decode, features.
 * **AVI** (RIFF, uncompressed DIB ``00db`` frames) — video; encode,
   decode, timestamped frame extraction.
@@ -401,16 +403,612 @@ def frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT, JFIF). Pure numpy + struct:
+# 8x8 type-II DCT as two matmuls batched over every block, Annex-K
+# quantization/Huffman tables, canonical Huffman coding with byte
+# stuffing, 4:4:4 or 4:2:0 chroma subsampling, DRI/RSTn restart
+# markers on decode. The most common corpus image format, so the
+# multimodal decode path is real where it matters most. Baseline only:
+# progressive (SOF2) and 12-bit raise cleanly.
+# --------------------------------------------------------------------------
+
+#: scan position -> row-major index of the 8x8 block (T.81 Figure A.6)
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: T.81 Annex K base quantization tables (row-major 8x8)
+_JPEG_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+_JPEG_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+#: T.81 Annex K typical Huffman tables: (BITS counts for lengths 1..16,
+#: HUFFVAL symbol list) per (class, destination)
+_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 type-II DCT basis: coef = T @ block @ T.T (orthonormal)."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    t = np.cos((2 * n + 1) * k * np.pi / 16) / 2.0
+    t[0] *= 1 / np.sqrt(2)
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+def _jpeg_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by the conventional quality knob (1-100)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_JPEG_Q_LUM, _JPEG_Q_CHROM):
+        out.append(np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment: symbol -> (code, length)."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_coef_block(
+    zz: np.ndarray,
+    dc_pred: int,
+    dc_tbl: dict[int, tuple[int, int]],
+    ac_tbl: dict[int, tuple[int, int]],
+    bw: _JpegBitWriter,
+) -> int:
+    """One zigzagged quantized block through DPCM-DC + RLE-AC coding."""
+    dc = int(zz[0])
+    diff = dc - dc_pred
+    size = _bit_size(diff)
+    bw.write(*dc_tbl[size])
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_tbl[0xF0])  # ZRL: 16 zeros
+            run -= 16
+        size = _bit_size(v)
+        bw.write(*ac_tbl[(run << 4) | size])
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        bw.write(*ac_tbl[0x00])  # EOB
+    return dc
+
+
+def _plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Level-shifted plane -> (by, bx, 64) zigzagged quantized int blocks.
+
+    The DCT over every block is two batched matmuls (no Python loop)."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = _DCT_T @ blocks @ _DCT_T.T
+    q = np.rint(coef.reshape(h // 8, w // 8, 64) / qtab.astype(np.float64))
+    # gather with _ZIGZAG reads a row-major 64-vector in scan order
+    return q.astype(np.int32)[:, :, _ZIGZAG]
+
+
+def _pad_replicate(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, 3]) uint8 array -> baseline JFIF JPEG bytes.
+
+    Grayscale input emits a single-component scan; RGB converts to
+    YCbCr (BT.601 full-range, the JFIF convention). ``subsampling``
+    is ``"4:4:4"`` (every component full-resolution, one block per
+    component per MCU) or ``"4:2:0"`` (chroma averaged 2x2, 16x16
+    MCUs with four luma blocks). ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs (what scanners emit for
+    error resilience — exercises the decoder's restart path).
+    Deterministic: same array + knobs -> identical bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"expected (h, w) or (h, w, 3) array, got {arr.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling: {subsampling!r}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qlum, qchrom = _jpeg_quant_tables(quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+        factors = [(1, 1)] * 3 if subsampling == "4:4:4" else [(2, 2), (1, 1), (1, 1)]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    comp_blocks = []
+    for plane, (fh, fv) in zip(planes, factors):
+        p = _pad_replicate(np.clip(np.rint(plane), 0, 255), mcu_h)
+        if (fh, fv) != (hmax, vmax):  # downsample chroma by box mean
+            sy, sx = vmax // fv, hmax // fh
+            ph, pw = p.shape
+            p = p.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+        # pad the component plane out to the full MCU grid
+        p = np.pad(
+            p,
+            ((0, mcus_y * fv * 8 - p.shape[0]), (0, mcus_x * fh * 8 - p.shape[1])),
+            mode="edge",
+        )
+        comp_blocks.append(_plane_blocks(p, qlum if qsel[len(comp_blocks)] == 0 else qchrom))
+
+    dc_lum = _huff_codes(*_HUFF_DC_LUM)
+    ac_lum = _huff_codes(*_HUFF_AC_LUM)
+    dc_chrom = _huff_codes(*_HUFF_DC_CHROM)
+    ac_chrom = _huff_codes(*_HUFF_AC_CHROM)
+    scan_parts: list[bytes] = []
+    bw = _JpegBitWriter()
+    preds = [0] * len(planes)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(
+                    bytes([0xFF, 0xD0 + ((mcu_i // restart_interval) - 1) % 8])
+                )
+                bw = _JpegBitWriter()
+                preds = [0] * len(planes)
+            mcu_i += 1
+            for ci, (fh, fv) in enumerate(factors):
+                dt = dc_lum if qsel[ci] == 0 else dc_chrom
+                at = ac_lum if qsel[ci] == 0 else ac_chrom
+                for v in range(fv):
+                    for u in range(fh):
+                        zz = comp_blocks[ci][my * fv + v, mx * fh + u]
+                        preds[ci] = _encode_coef_block(zz, preds[ci], dt, at, bw)
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tab[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    ncomp = len(planes)
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    sos_body = bytes([ncomp])
+    for ci, (fh, fv) in enumerate(factors):
+        sof_body += bytes([ci + 1, (fh << 4) | fv, qsel[ci]])
+        tsel = 0 if qsel[ci] == 0 else 1
+        sos_body += bytes([ci + 1, (tsel << 4) | tsel])
+    sos_body += bytes([0, 63, 0])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qlum)
+    if ncomp > 1:
+        out += dqt(1, qchrom)
+    out += seg(0xFFC0, sof_body)
+    out += dht(0, 0, _HUFF_DC_LUM) + dht(1, 0, _HUFF_AC_LUM)
+    if ncomp > 1:
+        out += dht(0, 1, _HUFF_DC_CHROM) + dht(1, 1, _HUFF_AC_CHROM)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += seg(0xFFDA, sos_body)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first reader over entropy-coded data; unstuffs 0xFF00 and
+    stops at any real marker (caller handles RSTn alignment)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _load(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(0xFF00 | nxt, self.pos)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._load()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] != 0xFF or not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            raise ValueError("expected RSTn marker at restart interval")
+        self.pos += 2
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int, pos: int) -> None:
+        self.marker = marker
+        self.pos = pos
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for bit-serial canonical decode."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map the raw ``size``-bit field to a signed value."""
+    if size and v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG bytes -> (h, w, 3) uint8 RGB array.
+
+    Handles 8-bit baseline sequential (SOF0): 1 or 3 components,
+    arbitrary 1-2 sampling factors (4:4:4, 4:2:2, 4:2:0), multiple
+    DQT/DHT segments, DRI restart intervals, APPn/COM skip.
+    Progressive (SOF2) and arithmetic coding raise ValueError.
+    Grayscale broadcasts to RGB so every image feeds the same
+    feature/resize kernels."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_pos = -1
+    scan_comps: list[dict] = []
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT: one or more tables
+            bpos = 0
+            while bpos < len(body):
+                pq_tq = body[bpos]
+                if pq_tq >> 4 != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                zz = np.frombuffer(body, np.uint8, 64, bpos + 1).astype(np.int32)
+                nat = np.empty(64, np.int32)
+                nat[_ZIGZAG] = zz
+                qtabs[pq_tq & 0x0F] = nat
+                bpos += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            bpos = 0
+            while bpos < len(body):
+                tc_th = body[bpos]
+                bits = list(body[bpos + 1 : bpos + 17])
+                nval = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nval])
+                htabs[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_map(bits, vals)
+                bpos += 17 + nval
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported (precision={prec})")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "fh": hv >> 4, "fv": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0/SOF1) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tsel = body[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                comp["dc"] = htabs[(0, tsel >> 4)]
+                comp["ac"] = htabs[(1, tsel & 0x0F)]
+                scan_comps.append(comp)
+            scan_pos = pos
+            break
+        # APPn / COM / others: skipped via seglen
+
+    if scan_pos < 0 or not comps or h == 0:
+        raise ValueError("JPEG missing SOF/SOS segments")
+
+    hmax = max(c["fh"] for c in comps)
+    vmax = max(c["fv"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["zz"] = np.zeros((mcus_y * c["fv"], mcus_x * c["fh"], 64), np.int32)
+
+    br = _JpegBitReader(payload, scan_pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_i = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    br.restart()
+                    preds = {c["id"]: 0 for c in comps}
+                mcu_i += 1
+                for c in scan_comps:
+                    for v in range(c["fv"]):
+                        for u in range(c["fh"]):
+                            zz = c["zz"][my * c["fv"] + v, mx * c["fh"] + u]
+                            size = _huff_read(br, c["dc"])
+                            diff = _extend(br.read_bits(size), size)
+                            preds[c["id"]] += diff
+                            zz[0] = preds[c["id"]]
+                            k = 1
+                            while k <= 63:
+                                sym = _huff_read(br, c["ac"])
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, size = sym >> 4, sym & 0x0F
+                                if size == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run overflow")
+                                zz[k] = _extend(br.read_bits(size), size)
+                                k += 1
+    except _MarkerHit as hit:  # truncated-but-padded tail is tolerable
+        if hit.marker not in (0xFFD9,):
+            raise ValueError(f"unexpected marker 0x{hit.marker:04x} mid-scan")
+
+    out_planes = []
+    for c in comps:
+        zz = c["zz"].reshape(-1, 64)
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[:, _ZIGZAG] = zz.astype(np.float64)
+        nat *= qtabs[c["tq"]].astype(np.float64)[None, :]
+        blocks = nat.reshape(-1, 8, 8)
+        pix = (_DCT_T.T @ blocks @ _DCT_T) + 128.0
+        by, bx = c["zz"].shape[:2]
+        plane = (
+            pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // c["fv"], 0), hmax // c["fh"], 1)
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        y = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
 # sniffing dispatcher — the default kernels installed by multimodal
 # --------------------------------------------------------------------------
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'bmp' | 'png' | 'wav' | 'avi' | None from the payload magic."""
+    """'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | None from the magic."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -430,6 +1028,8 @@ def decode_features(payload: bytes, media_type: str) -> list[float]:
         return image_features(decode_bmp(payload)) + [0.0, 0.0]
     if kind == "png":
         return image_features(decode_png(payload)) + [0.0, 0.0]
+    if kind == "jpeg":
+        return image_features(decode_jpeg(payload)) + [0.0, 0.0]
     if kind == "wav":
         rate, samples = decode_wav(payload)
         return audio_features(rate, samples) + [0.0, 0.0, 0.0, 0.0]
@@ -446,10 +1046,12 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
         return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
     if kind == "png":
         return encode_png(resize_nearest(decode_png(payload), width, height))
+    if kind == "jpeg":
+        return encode_jpeg(resize_nearest(decode_jpeg(payload), width, height))
     if kind == "avi":
         fps, frames = decode_avi(payload)
         return encode_avi([resize_nearest(f, width, height) for f in frames], fps=fps)
-    raise ValueError("resize supports BMP, PNG and AVI payloads")
+    raise ValueError("resize supports BMP, PNG, JPEG and AVI payloads")
 
 
 def sample_frame(payload: bytes, ts_ms: int) -> bytes:

@@ -181,3 +181,102 @@ def test_png_rejects_malformed():
     arr = np.zeros((2, 2, 3), np.uint8)
     with pytest.raises(ValueError, match="filter"):
         codecs.encode_png(arr, filter_type=9)
+
+
+# --------------------------------------------------------------------------
+# JPEG (T.81 baseline sequential)
+# --------------------------------------------------------------------------
+
+
+def _gradient_rgb(h: int, w: int, b: int = 77) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [x * 255 // (w - 1), y * 255 // (h - 1), np.full((h, w), b)], axis=2
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("quality", [70, 90, 95])
+def test_jpeg_round_trip_smooth(subsampling, quality):
+    img = _gradient_rgb(40, 56)
+    payload = codecs.encode_jpeg(img, quality=quality, subsampling=subsampling)
+    dec = codecs.decode_jpeg(payload)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth gradients survive quantization with small bounded error;
+    # 4:2:0 chroma averaging doubles the chroma-plane tolerance
+    tol = 6 if subsampling == "4:4:4" else 12
+    assert err.max() <= tol
+    assert err.mean() <= 3.0
+
+
+def test_jpeg_round_trip_noise_bounded():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(noise, quality=95))
+    err = np.abs(dec.astype(int) - noise.astype(int))
+    assert err.mean() <= 6.0  # high-frequency content, still bounded
+
+
+def test_jpeg_grayscale_single_component():
+    y, x = np.mgrid[0:24, 0:32]
+    g = ((x + y) * 255 // 54).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=90))
+    assert dec.shape == (24, 32, 3)
+    # grayscale broadcasts to identical RGB channels
+    assert (dec[:, :, 0] == dec[:, :, 1]).all() and (dec[:, :, 1] == dec[:, :, 2]).all()
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_non_multiple_of_mcu_dims():
+    # 13x11 with 4:2:0 forces edge-replicated padding to 16x16 MCUs
+    img = _gradient_rgb(13, 11)
+    for sub in ("4:4:4", "4:2:0"):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95, subsampling=sub))
+        assert dec.shape == (13, 11, 3)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_jpeg_restart_markers(subsampling):
+    # DRI + RSTn every N MCUs: decoder must byte-align, consume the
+    # marker, and reset DC predictions — errors here smear DC levels
+    img = _gradient_rgb(48, 64)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, subsampling=subsampling))
+    for interval in (1, 3, 7):
+        p = codecs.encode_jpeg(
+            img, quality=90, subsampling=subsampling, restart_interval=interval
+        )
+        assert (codecs.decode_jpeg(p) == base).all()
+
+
+def test_jpeg_deterministic_bytes():
+    img = _gradient_rgb(16, 16)
+    assert codecs.encode_jpeg(img, quality=85) == codecs.encode_jpeg(img, quality=85)
+
+
+def test_jpeg_sniff_and_dispatch():
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    payload = codecs.encode_jpeg(img, quality=95)
+    assert codecs.sniff_format(payload) == "jpeg"
+    feats = codecs.decode_features(payload, "image")
+    assert feats[:2] == [8.0, 8.0]
+    assert feats[2] == pytest.approx(100.0, abs=3)
+    out = codecs.decode_jpeg(codecs.resize_payload(payload, 4, 2))
+    assert out.shape == (2, 4, 3)
+    assert np.abs(out.astype(int) - 100).max() <= 3
+
+
+def test_jpeg_rejects_malformed():
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError, match="baseline"):
+        # minimal stream with a progressive SOF2 marker
+        import struct as _s
+
+        codecs.decode_jpeg(
+            b"\xff\xd8\xff\xc2" + _s.pack(">H", 11) + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        )
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg(np.zeros((0, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        codecs.encode_jpeg(np.zeros((4, 4, 3), np.uint8), subsampling="4:1:1")
