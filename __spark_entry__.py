@@ -1543,6 +1543,57 @@ FROM documents
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 chunking: overlapping 24-token windows (stride 16) per
+    document — the RAG/embedding-index splitting primitive. Narrow
+    explode, zero shuffles: tokenize → sequence of starts →
+    posexplode → slice, all native expressions (llm.chunking)."""
+    from temporal_retriever_spark.llm.chunking import chunk_documents
+
+    return chunk_documents(
+        _documents(spark, sf_dir),
+        chunk_tokens=24,
+        overlap=8,
+        keep_cols=("source",),
+    )
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 sequence packing, GPT-style concat mode: documents laid
+    end-to-end in 16 hash buckets and cut every 512 tokens; per-doc
+    (start_seq, start_offset, end_seq, is_split). ONE shuffle of two
+    longs per doc + a window cumsum — no Python, no text movement
+    (llm.chunking.pack_sequences)."""
+    from temporal_retriever_spark.llm.chunking import pack_sequences
+
+    return pack_sequences(
+        _documents(spark, sf_dir), capacity=512, buckets=16, mode="concat"
+    )
+
+
+def q_corpus_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 sampling: exactly k=10 docs per source, deterministically
+    ranked by the md5 draw — per-stratum reservoir equivalent,
+    compiled to pre-shuffle WindowGroupLimit top-k
+    (llm.corpus.sample_k_per_group)."""
+    from temporal_retriever_spark.llm.corpus import sample_k_per_group
+
+    return sample_k_per_group(
+        _documents(spark, sf_dir), 10, keep_rank=True
+    ).select("doc_id", "source", "sample_rank")
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 train/val/test assignment by md5 hash ranges (80/10/10)
+    — zero-shuffle scan expression, append-only stable so re-runs
+    never leak docs across splits (llm.corpus.train_test_split)."""
+    from temporal_retriever_spark.llm.corpus import train_test_split
+
+    return train_test_split(
+        _documents(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus filters: Gopher repetition metrics (Rae et al. 2021 A1.1)
     — duplicate line/paragraph fractions and the character fraction of
@@ -1688,6 +1739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "doc_chunks": q_doc_chunks,
+        "packed_sequences": q_packed_sequences,
+        "corpus_sample_k": q_corpus_sample_k,
+        "corpus_split": q_corpus_split,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "gopher_repetition": q_gopher_repetition,
         "gopher_filter": q_gopher_filter,
@@ -2701,6 +2756,79 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
+        "doc_chunks": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS toks
+                FROM documents
+            ),
+            n AS (SELECT doc_id, source, toks, len(toks) AS n FROM t),
+            -- fixed series + filter: DuckDB generate_series can't take a
+            -- lateral column bound (4096 windows * stride 16 = 64k-token cap)
+            k AS (SELECT unnest(generate_series(0, 4095)) AS j),
+            s AS (
+                SELECT doc_id, source, toks,
+                       CAST(k.j * 16 AS BIGINT) AS start,
+                       CAST(k.j AS INTEGER) AS chunk_id
+                FROM n JOIN k ON k.j * 16 <= n - 1
+                WHERE n > 0
+            )
+            SELECT doc_id, source, chunk_id,
+                   CAST(len(list_slice(toks, start + 1, start + 24)) AS INTEGER)
+                       AS n_tokens,
+                   array_to_string(list_slice(toks, start + 1, start + 24), ' ')
+                       AS chunk_text
+            FROM s
+        """,
+        "packed_sequences": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 16 AS bucket,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT *, SUM(n_tokens) OVER (
+                    PARTITION BY bucket ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d
+            )
+            SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS start_seq,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS start_offset,
+                   CAST(FLOOR(GREATEST(cum - 1, cum - n_tokens) / 512.0) AS BIGINT)
+                       AS end_seq,
+                   CAST(FLOOR(GREATEST(cum - 1, cum - n_tokens) / 512.0) AS BIGINT)
+                     > CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS is_split
+            FROM c
+        """,
+        "corpus_sample_k": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                         AS BIGINT) ASC,
+                                    doc_id ASC) AS INTEGER) AS sample_rank
+                FROM documents
+            )
+            SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 10
+        """,
+        "corpus_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
+                        ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
         "gopher_repetition": r"""
             WITH t AS (
               SELECT doc_id, length(text) AS nch,

@@ -36,10 +36,16 @@ from temporal_retriever_spark.llm.similarity import (
     embedding_near_dup_pairs,
     lsh_cosine_topk,
 )
+from temporal_retriever_spark.llm.chunking import (
+    chunk_documents,
+    pack_sequences,
+)
 from temporal_retriever_spark.llm.corpus import (
     corpus_sketch_stats,
     prepare_corpus,
     sample_corpus,
+    sample_k_per_group,
+    train_test_split,
     sample_hash_expr,
 )
 from temporal_retriever_spark.llm.filters import (
@@ -86,6 +92,10 @@ __all__ = [
     "lsh_cosine_topk",
     "prepare_corpus",
     "sample_corpus",
+    "sample_k_per_group",
+    "train_test_split",
+    "chunk_documents",
+    "pack_sequences",
     "sample_hash_expr",
     "corpus_sketch_stats",
     "contamination",

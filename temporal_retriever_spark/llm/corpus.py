@@ -205,3 +205,81 @@ def corpus_sketch_stats(
             for i, q in enumerate(quantiles)
         ],
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Exactly min(k, |group|) documents per group, deterministically.
+
+    The distributed equivalent of per-stratum reservoir sampling:
+    rank documents inside each group by the same md5 draw as
+    ``sample_hash_expr`` (uniform, id-keyed, engine-portable) and keep
+    the top ``k``. Unlike ``sample_corpus(fractions=)`` this yields an
+    exact per-group count — the knob a training-mix builder needs when
+    the recipe says "50k docs per language", not "0.1% of each".
+
+    Scale shape: one hash-partition shuffle on ``group_col``; Spark
+    compiles the rank filter to WindowGroupLimit, so every map task
+    pre-trims to its local top-k before the exchange and the shuffle
+    carries at most k rows per group per partition — the same plan
+    shape as ``cosine_topk``. Deterministic ties (draw, then id) make
+    the result reproducible and append-only stable for ids already in
+    the top k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash_expr(id_col, salt=salt).asc(), F.col(id_col).asc()
+    )
+    out = df.withColumn("_sample_rank", F.row_number().over(w)).filter(
+        F.col("_sample_rank") <= k
+    )
+    if keep_rank:
+        return out.withColumnRenamed("_sample_rank", "sample_rank")
+    return out.drop("_sample_rank")
+
+
+def train_test_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-range train/val/test assignment.
+
+    ``weights`` maps split name -> fraction (must sum to ~1). Each
+    document's uniform md5 draw lands in one cumulative range:
+    ``{"train": .9, "val": .05, "test": .05}`` sends draws in
+    [0, .9) to train, [.9, .95) to val, [.95, 1) to test. Pure
+    native expression on the scan — zero shuffle, reproducible on any
+    engine with md5, stable under corpus growth (a doc never changes
+    split when new docs arrive — the property that prevents silent
+    train/test leakage across pipeline re-runs).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = sample_hash_expr(id_col, salt=salt)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, frac in items[:-1]:
+        acc += float(frac)
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
