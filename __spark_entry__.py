@@ -29,7 +29,10 @@ from temporal_retriever_spark.align import (
 from temporal_retriever_spark.diagnostics import (
     GRANGER_LAG1_STAGES,
     acf,
+    acf_bands,
+    chi2_sf_sql,
     describe,
+    ljung_box,
     durbin_levinson_stages,
     ccf,
     granger_causality,
@@ -277,6 +280,41 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = acf(_events_daily_all(spark, sf_dir), lags=5, series_cols=("event_type",))
     # round: summation-order differences leave ~1-ulp drift vs the oracle
     return got.select("event_type", "lag", F.round("acf", 6).alias("acf"))
+
+
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1c: Ljung-Box + Box-Pierce white-noise test on the daily
+    series, lags 1..8 (mixed even/odd dfs exercise both χ² branches).
+    Native single-aggregation plan; p-values via the shared
+    chi2_sf_sql strings (diagnostics.ljung_box)."""
+    got = ljung_box(
+        _events_daily_all(spark, sf_dir), lags=8, series_cols=("event_type",)
+    )
+    return got.select(
+        "event_type",
+        "lag",
+        _r6("lb_stat").alias("lb_stat"),
+        _r6("lb_pvalue").alias("lb_pvalue"),
+        _r6("bp_stat").alias("bp_stat"),
+        _r6("bp_pvalue").alias("bp_pvalue"),
+    )
+
+
+def q_acf_bartlett_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + Bartlett bands: ACF with standard errors and 95% bands
+    under the MA(k-1) null (diagnostics.acf_bands) — same
+    one-aggregation plan as acf, bands are scalar arithmetic."""
+    got = acf_bands(
+        _events_daily_all(spark, sf_dir), lags=10, series_cols=("event_type",)
+    )
+    return got.select(
+        "event_type",
+        "lag",
+        _r6("acf").alias("acf"),
+        _r6("se").alias("se"),
+        _r6("ci_lower").alias("ci_lower"),
+        _r6("ci_upper").alias("ci_upper"),
+    )
 
 
 def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "corpus_sample_k": q_corpus_sample_k,
         "corpus_split": q_corpus_split,
+        "ljung_box_daily": q_ljung_box_daily,
+        "acf_bartlett_daily": q_acf_bartlett_daily,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "gopher_repetition": q_gopher_repetition,
         "gopher_filter": q_gopher_filter,
@@ -2023,6 +2063,82 @@ def _lang_id_oracle() -> str:
                     WHEN {best} <= 0 THEN 'unknown'
                     ELSE {pick} END AS lang_pred
         FROM s
+    """
+
+
+def _ljung_box_oracle(series_sql: str, lags: int, sid: str = "event_type") -> str:
+    """SQL mirror of diagnostics.ljung_box — same lag-product sums as
+    _acf_oracle, cumulative Q stats in the engine's summation order,
+    p-values from the SAME chi2_sf_sql strings that drive the Spark
+    plan (zero formula drift by construction)."""
+    lag_cols = ", ".join(
+        f"LAG(d, {k}) OVER (PARTITION BY {sid} ORDER BY ds) AS d{k}"
+        for k in range(1, lags + 1)
+    )
+    sums = ", ".join(f"SUM(d * d{k}) AS s{k}" for k in range(1, lags + 1))
+    rhos = ", ".join(f"s{k} / c0 AS r{k}" for k in range(1, lags + 1))
+    q_cols = []
+    for m in range(1, lags + 1):
+        lb_terms = " + ".join(f"(r{k} * r{k}) / (n - {float(k)!r})" for k in range(1, m + 1))
+        bp_terms = " + ".join(f"r{k} * r{k}" for k in range(1, m + 1))
+        q_cols.append(f"n * (n + 2.0) * ({lb_terms}) AS q{m}")
+        q_cols.append(f"n * ({bp_terms}) AS b{m}")
+    union = " UNION ALL ".join(
+        f"SELECT {sid}, {m} AS lag, {_sql_r6(f'q{m}')} AS lb_stat, "
+        f"{_sql_r6(chi2_sf_sql(f'q{m}', m))} AS lb_pvalue, "
+        f"{_sql_r6(f'b{m}')} AS bp_stat, "
+        f"{_sql_r6(chi2_sf_sql(f'b{m}', m))} AS bp_pvalue FROM q"
+        for m in range(1, lags + 1)
+    )
+    return f"""
+        WITH s AS ({series_sql}),
+        c AS (SELECT {sid}, ds, y - AVG(y) OVER (PARTITION BY {sid}) AS d FROM s),
+        l AS (SELECT {sid}, d, {lag_cols} FROM c),
+        a AS (SELECT {sid}, CAST(COUNT(d) AS DOUBLE) AS n, SUM(d * d) AS c0,
+                     {sums} FROM l GROUP BY 1),
+        r AS (SELECT {sid}, n, {rhos} FROM a),
+        q AS (SELECT {sid}, n, {', '.join(q_cols)} FROM r)
+        {union}
+    """
+
+
+def _acf_bands_oracle(series_sql: str, lags: int, sid: str = "event_type") -> str:
+    """SQL mirror of diagnostics.acf_bands (Bartlett MA(k-1) bands);
+    the z constant is the same norm_ppf float embedded on both sides."""
+    from temporal_retriever_spark.stats import norm_ppf
+
+    z = norm_ppf(0.975)
+    lag_cols = ", ".join(
+        f"LAG(d, {k}) OVER (PARTITION BY {sid} ORDER BY ds) AS d{k}"
+        for k in range(1, lags + 1)
+    )
+    sums = ", ".join(f"SUM(d * d{k}) AS s{k}" for k in range(1, lags + 1))
+    rhos = ", ".join(f"s{k} / c0 AS r{k}" for k in range(1, lags + 1))
+    selects = [
+        f"SELECT {sid}, 0 AS lag, {_sql_r6('1.0')} AS acf, {_sql_r6('0.0')} AS se, "
+        f"{_sql_r6('1.0')} AS ci_lower, {_sql_r6('1.0')} AS ci_upper FROM r"
+    ]
+    for m in range(1, lags + 1):
+        if m == 1:
+            var = "1.0 / n"
+        else:
+            bart = " + ".join(f"r{k} * r{k}" for k in range(1, m))
+            var = f"(1.0 + 2.0 * ({bart})) / n"
+        se = f"SQRT({var})"
+        selects.append(
+            f"SELECT {sid}, {m} AS lag, {_sql_r6(f'r{m}')} AS acf, "
+            f"{_sql_r6(se)} AS se, "
+            f"{_sql_r6(f'r{m} - {z!r} * {se}')} AS ci_lower, "
+            f"{_sql_r6(f'r{m} + {z!r} * {se}')} AS ci_upper FROM r"
+        )
+    return f"""
+        WITH s AS ({series_sql}),
+        c AS (SELECT {sid}, ds, y - AVG(y) OVER (PARTITION BY {sid}) AS d FROM s),
+        l AS (SELECT {sid}, d, {lag_cols} FROM c),
+        a AS (SELECT {sid}, CAST(COUNT(d) AS DOUBLE) AS n, SUM(d * d) AS c0,
+                     {sums} FROM l GROUP BY 1),
+        r AS (SELECT {sid}, n, {rhos} FROM a)
+        {' UNION ALL '.join(selects)}
     """
 
 
@@ -2623,6 +2739,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY 1, 2"
         ),
         "acf_daily": _acf_oracle(_EVENTS_DAILY, lags=5),
+        "ljung_box_daily": _ljung_box_oracle(_EVENTS_DAILY, lags=8),
+        "acf_bartlett_daily": _acf_bands_oracle(_EVENTS_DAILY, lags=10),
         "describe_series": (
             "SELECT event_type, COUNT(value) AS n, AVG(value) AS mean, "
             "STDDEV_SAMP(value) AS std, MIN(value) AS min, "

@@ -95,6 +95,202 @@ def acf(
     )
 
 
+#: A&S 7.1.26 erfc rational approximation (|err| <= 1.5e-7); public
+#: classic, expressible in any SQL dialect — Spark has no native erfc
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_ERFC_P = 0.3275911
+
+
+def chi2_sf_sql(x: str, df: int) -> str:
+    """Chi-square survival function as an engine-neutral SQL string
+    (valid Spark SQL *and* DuckDB — only CASE/EXP/SQRT/POWER).
+
+    Integer ``df`` keeps it loop-free: even df is the finite Poisson
+    sum ``exp(-x/2)·Σ (x/2)^j/j!``; odd df is the erfc closed form
+    plus a finite half-integer-gamma sum, with erfc via the A&S 7.1.26
+    polynomial. The SAME string drives the Spark plan (``F.expr``) and
+    the DuckDB oracle, so the ≤1.5e-7 erfc approximation error exists
+    identically on both engines and cannot cause cross-engine drift
+    (``stats.chi2_sf`` is the exact float reference, tested to 1e-6).
+    """
+    if df < 1:
+        raise ValueError(f"df must be >= 1: {df}")
+    h = f"(({x}) / 2.0)"
+    if df % 2 == 0:
+        fact = 1.0
+        terms = []
+        for j in range(df // 2):
+            terms.append(f"POWER({h}, {j}) / {fact!r}" if j else "1.0")
+            fact *= j + 1.0
+        body = f"EXP(-{h}) * ({' + '.join(terms)})"
+    else:
+        z = f"SQRT({h})"
+        t = f"(1.0 / (1.0 + {_ERFC_P!r} * {z}))"
+        poly = f"{_ERFC_A[4]!r}"
+        for a in reversed(_ERFC_A[:4]):
+            poly = f"({a!r} + {t} * {poly})"
+        erfc = f"({t} * {poly} * EXP(-{h}))"
+        terms = [
+            f"POWER({h}, {j - 0.5!r}) / {math.gamma(j + 0.5)!r}"
+            for j in range(1, df // 2 + 1)
+        ]
+        tail = f" + EXP(-{h}) * ({' + '.join(terms)})" if terms else ""
+        body = f"{erfc}{tail}"
+    return f"CASE WHEN NOT (({x}) > 0) THEN 1.0 ELSE {body} END"
+
+
+def ljung_box(
+    df: DataFrame,
+    *,
+    lags: int = 10,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Ljung-Box (and Box-Pierce) white-noise portmanteau test.
+
+    One row per (series, lag m) for m in 1..lags with the cumulative
+    statistics — ``lb_stat = n(n+2)·Σ_{k≤m} ρ_k²/(n−k)``,
+    ``bp_stat = n·Σ_{k≤m} ρ_k²`` — and exact χ²(m) p-values
+    (statsmodels ``acorr_ljungbox`` semantics). The standard "are the
+    residuals white noise?" gate after any forecast fit.
+
+    Plan shape: identical to ``acf`` — one window pass for the lag
+    products, ONE aggregation producing (n, Σd², Σ d·d_{−k}); every
+    ρ, Q and p-value is scalar arithmetic on that single row per
+    series, and the per-lag rows come from an array explode. No
+    second shuffle, no Python; p-values are native expressions
+    (``chi2_sf_sql``). At 100 TB this shuffles one short row per
+    series per partition, same as ``acf``.
+    """
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1: {lags}")
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
+    for k in range(1, lags + 1):
+        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
+    agg = d.groupBy(*series_cols).agg(
+        F.count(value_col).cast("double").alias("_n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_c0"),
+        *[F.sum(f"_p{k}").alias(f"_s{k}") for k in range(1, lags + 1)],
+    )
+    n = F.col("_n")
+    rho2 = [
+        F.pow(F.try_divide(F.col(f"_s{k}"), F.col("_c0")), F.lit(2.0))
+        for k in range(1, lags + 1)
+    ]
+    lb_sum = None
+    bp_sum = None
+    stats_cols = []
+    for m in range(1, lags + 1):
+        term_lb = rho2[m - 1] / (n - F.lit(float(m)))
+        lb_sum = term_lb if lb_sum is None else lb_sum + term_lb
+        bp_sum = rho2[m - 1] if bp_sum is None else bp_sum + rho2[m - 1]
+        stats_cols.append((n * (n + 2.0) * lb_sum).alias(f"_q{m}"))
+        stats_cols.append((n * bp_sum).alias(f"_b{m}"))
+    staged = agg.select(*series_cols, *stats_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("lag"),
+                F.col(f"_q{m}").alias("lb_stat"),
+                F.expr(chi2_sf_sql(f"_q{m}", m)).alias("lb_pvalue"),
+                F.col(f"_b{m}").alias("bp_stat"),
+                F.expr(chi2_sf_sql(f"_b{m}", m)).alias("bp_pvalue"),
+            )
+            for m in range(1, lags + 1)
+        ]
+    )
+    return staged.select(*series_cols, F.explode(pairs).alias("_e")).select(
+        *series_cols,
+        F.col("_e.lag").alias("lag"),
+        F.col("_e.lb_stat").alias("lb_stat"),
+        F.col("_e.lb_pvalue").alias("lb_pvalue"),
+        F.col("_e.bp_stat").alias("bp_stat"),
+        F.col("_e.bp_pvalue").alias("bp_pvalue"),
+    )
+
+
+def acf_bands(
+    df: DataFrame,
+    *,
+    lags: int = 10,
+    alpha: float = 0.05,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """W1 + Bartlett confidence bands: ``acf`` plus the standard error
+    and (1−alpha) interval under the MA(k−1) null —
+    ``se_k = sqrt((1 + 2·Σ_{j<k} ρ_j²)/n)`` (statsmodels
+    ``acf(alpha=...)`` bartlett_confint semantics; lag 0 pins to
+    [1, 1]). The "which lags are significant?" overlay every
+    correlogram needs.
+
+    Same single-aggregation plan as ``acf``; the cumulative Bartlett
+    sums are build-time scalar arithmetic on the one row per series,
+    exploded to per-lag rows — no second window or shuffle.
+    """
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1: {lags}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    from temporal_retriever_spark.stats import norm_ppf
+
+    z = norm_ppf(1.0 - alpha / 2.0)
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
+    for k in range(1, lags + 1):
+        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
+    agg = d.groupBy(*series_cols).agg(
+        F.count(value_col).cast("double").alias("_n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_c0"),
+        *[F.sum(f"_p{k}").alias(f"_s{k}") for k in range(1, lags + 1)],
+    )
+    n = F.col("_n")
+    rho = [
+        F.try_divide(F.col(f"_s{k}"), F.col("_c0")) for k in range(1, lags + 1)
+    ]
+    entries = [
+        F.struct(
+            F.lit(0).alias("lag"),
+            F.lit(1.0).alias("acf"),
+            F.lit(0.0).alias("se"),
+            F.lit(1.0).alias("ci_lower"),
+            F.lit(1.0).alias("ci_upper"),
+        )
+    ]
+    bart = None  # Σ_{j<k} ρ_j², empty for k=1 -> se_1 = sqrt(1/n)
+    for k in range(1, lags + 1):
+        var = (
+            (F.lit(1.0) + F.lit(2.0) * bart) / n if bart is not None else F.lit(1.0) / n
+        )
+        se = F.sqrt(var)
+        entries.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                rho[k - 1].alias("acf"),
+                se.alias("se"),
+                (rho[k - 1] - F.lit(z) * se).alias("ci_lower"),
+                (rho[k - 1] + F.lit(z) * se).alias("ci_upper"),
+            )
+        )
+        r2 = F.pow(rho[k - 1], F.lit(2.0))
+        bart = r2 if bart is None else bart + r2
+    return agg.select(*series_cols, F.explode(F.array(*entries)).alias("_e")).select(
+        *series_cols,
+        F.col("_e.lag").alias("lag"),
+        F.col("_e.acf").alias("acf"),
+        F.col("_e.se").alias("se"),
+        F.col("_e.ci_lower").alias("ci_lower"),
+        F.col("_e.ci_upper").alias("ci_upper"),
+    )
+
+
 def durbin_levinson_stages(lags: int) -> list[tuple[str, str]]:
     """SQL expression stages computing PACF from lag-product sums.
 

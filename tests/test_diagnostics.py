@@ -424,3 +424,133 @@ def test_ccf_detects_known_lead(spark):
     vals = {r["lag"]: r["ccf"] for r in ccf(df, lags=5).collect()}
     assert vals[3] > 0.9
     assert all(abs(vals[k]) < 0.3 for k in (0, 1, 2, 4, 5))
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box / chi-square survival / Bartlett bands
+# --------------------------------------------------------------------------
+
+
+def test_chi2_sf_sql_matches_reference_on_both_engines(spark):
+    import duckdb
+
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+    from temporal_retriever_spark.stats import chi2_sf
+
+    con = duckdb.connect()
+    for df_ in range(1, 13):
+        for x in (0.0, 0.5, 1.0, 3.0, 7.5, 15.0, 30.0, 80.0):
+            sql = chi2_sf_sql(str(x), df_)
+            got_spark = spark.sql(f"SELECT {sql} AS p").first()[0]
+            got_duck = con.execute(f"SELECT {sql} AS p").fetchone()[0]
+            ref = chi2_sf(x, df_)
+            # odd dfs carry the A&S erfc approximation (<= 1.5e-7)
+            assert abs(got_spark - ref) < 5e-7, (df_, x)
+            # identical strings -> engines agree to float noise
+            assert abs(got_spark - got_duck) < 1e-12, (df_, x)
+
+
+def test_chi2_sf_reference_values():
+    from temporal_retriever_spark.stats import chi2_sf
+
+    # 95th percentiles of chi2 (published table values)
+    assert chi2_sf(3.841, 1) == pytest.approx(0.05, abs=1e-4)
+    assert chi2_sf(11.070, 5) == pytest.approx(0.05, abs=1e-4)
+    assert chi2_sf(18.307, 10) == pytest.approx(0.05, abs=1e-4)
+    assert chi2_sf(0.0, 4) == 1.0
+    with pytest.raises(ValueError):
+        chi2_sf(1.0, 0)
+
+
+def test_ljung_box_matches_hand_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import ljung_box
+    from temporal_retriever_spark.stats import chi2_sf
+
+    rng = np.random.default_rng(3)
+    y = np.cumsum(rng.normal(size=60))  # strongly autocorrelated
+    pdf = pd.DataFrame(
+        {"series_id": "a", "ds": pd.date_range("2024-01-01", periods=60), "y": y}
+    )
+    out = ljung_box(spark.createDataFrame(pdf), lags=5).toPandas().sort_values("lag")
+    d = y - y.mean()
+    c0 = float((d * d).sum())
+    n = len(y)
+    rho = [float((d[k:] * d[:-k]).sum()) / c0 for k in range(1, 6)]
+    q = bp = 0.0
+    for m in range(1, 6):
+        q += rho[m - 1] ** 2 / (n - m)
+        bp += rho[m - 1] ** 2
+        row = out[out.lag == m].iloc[0]
+        assert row.lb_stat == pytest.approx(n * (n + 2) * q, abs=1e-9)
+        assert row.bp_stat == pytest.approx(n * bp, abs=1e-9)
+        assert row.lb_pvalue == pytest.approx(chi2_sf(n * (n + 2) * q, m), abs=5e-7)
+    # a random walk is decisively not white noise
+    assert (out.lb_pvalue < 1e-6).all()
+
+
+def test_ljung_box_white_noise_is_insignificant(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import ljung_box
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "w",
+            "ds": pd.date_range("2024-01-01", periods=300),
+            "y": rng.normal(size=300),
+        }
+    )
+    out = ljung_box(spark.createDataFrame(pdf), lags=8).toPandas()
+    # iid noise: Q should be unremarkable at every lag
+    assert (out.lb_pvalue > 0.001).all()
+
+
+def test_acf_bands_bartlett_formula(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import acf_bands
+    from temporal_retriever_spark.stats import norm_ppf
+
+    rng = np.random.default_rng(5)
+    y = np.cumsum(rng.normal(size=80))
+    pdf = pd.DataFrame(
+        {"series_id": "a", "ds": pd.date_range("2024-01-01", periods=80), "y": y}
+    )
+    out = acf_bands(spark.createDataFrame(pdf), lags=4).toPandas().sort_values("lag")
+    n = len(y)
+    d = y - y.mean()
+    c0 = float((d * d).sum())
+    rho = [float((d[k:] * d[:-k]).sum()) / c0 for k in range(1, 5)]
+    z = norm_ppf(0.975)
+    assert out.iloc[0].acf == 1.0 and out.iloc[0].se == 0.0
+    bart = 0.0
+    for k in range(1, 5):
+        se = math.sqrt((1 + 2 * bart) / n) if k > 1 else math.sqrt(1.0 / n)
+        row = out[out.lag == k].iloc[0]
+        assert row.acf == pytest.approx(rho[k - 1], abs=1e-12)
+        assert row.se == pytest.approx(se, abs=1e-12)
+        assert row.ci_lower == pytest.approx(rho[k - 1] - z * se, abs=1e-10)
+        assert row.ci_upper == pytest.approx(rho[k - 1] + z * se, abs=1e-10)
+        bart += rho[k - 1] ** 2
+
+
+def test_ljung_box_and_bands_validation(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import acf_bands, ljung_box
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": ["a"], "ds": [pd.Timestamp("2024-01-01")], "y": [1.0]})
+    )
+    with pytest.raises(ValueError, match="lags"):
+        ljung_box(df, lags=0)
+    with pytest.raises(ValueError, match="alpha"):
+        acf_bands(df, alpha=1.5)
