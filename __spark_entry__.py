@@ -32,6 +32,7 @@ from temporal_retriever_spark.diagnostics import (
     acf_bands,
     chi2_sf_sql,
     describe,
+    kpss,
     ljung_box,
     durbin_levinson_stages,
     ccf,
@@ -314,6 +315,26 @@ def q_acf_bartlett_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6("se").alias("se"),
         _r6("ci_lower").alias("ci_lower"),
         _r6("ci_upper").alias("ci_upper"),
+    )
+
+
+def q_kpss_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1e: KPSS level-stationarity test on the daily series
+    (diagnostics.kpss, Bartlett bandwidth 12). Residual cumsum +
+    lag-product sums in one aggregation; p-value interpolates the
+    published critical table."""
+    got = kpss(
+        _events_daily_all(spark, sf_dir),
+        nlags=12,
+        regression="level",
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        _r6("kpss_stat").alias("kpss_stat"),
+        _r6("kpss_pvalue").alias("kpss_pvalue"),
+        "n",
+        "nlags",
     )
 
 
@@ -950,6 +971,41 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return near_dup_pairs_verified(
         _documents(spark, sf_dir), n=3, num_hashes=32, num_bands=8, threshold=0.2
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 near-dup: exact n-gram containment (Broder) — the
+    asymmetric companion to Jaccard that catches small-doc-inside-
+    big-doc supersets (llm.dedup.ngram_containment_pairs). Integer
+    shingle arithmetic, bit-exact vs the oracle."""
+    from temporal_retriever_spark.llm.dedup import ngram_containment_pairs
+
+    got = ngram_containment_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+    return got.select(
+        "id_a",
+        "id_b",
+        _r6("containment_a").alias("containment_a"),
+        _r6("containment_b").alias("containment_b"),
+        _r6("containment").alias("containment"),
+    )
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 quality screen: per-label spherical-centroid outliers —
+    the 5 vectors farthest from their group centroid
+    (llm.similarity.embedding_group_outliers). One (label, dim-pos)
+    aggregation builds centroids; broadcast back; pre-shuffle
+    WindowGroupLimit bottom-k. Adjacent-rank cosine gaps on this data
+    are >= 5e-4, so ranks are stable across engines."""
+    from temporal_retriever_spark.llm.similarity import embedding_group_outliers
+
+    got = embedding_group_outliers(_embeddings(spark, sf_dir), k=5)
+    return got.select(
+        "vec_id",
+        "label",
+        _r6("centroid_cos").alias("centroid_cos"),
+        "outlier_rank",
     )
 
 
@@ -1783,6 +1839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "ljung_box_daily": q_ljung_box_daily,
         "acf_bartlett_daily": q_acf_bartlett_daily,
+        "kpss_daily": q_kpss_daily,
+        "containment_pairs": q_containment_pairs,
+        "embedding_outliers": q_embedding_outliers,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "gopher_repetition": q_gopher_repetition,
         "gopher_filter": q_gopher_filter,
@@ -2139,6 +2198,49 @@ def _acf_bands_oracle(series_sql: str, lags: int, sid: str = "event_type") -> st
                      {sums} FROM l GROUP BY 1),
         r AS (SELECT {sid}, n, {rhos} FROM a)
         {' UNION ALL '.join(selects)}
+    """
+
+
+def _kpss_oracle(series_sql: str, nlags: int, sid: str = "event_type") -> str:
+    """SQL mirror of diagnostics.kpss (level regression): identical
+    residual/cumsum/lag-sum arithmetic, Bartlett weights and
+    critical-table interpolation constants generated from the same
+    Python table (_KPSS_CRIT), so the two cannot drift."""
+    from temporal_retriever_spark.diagnostics import _KPSS_CRIT
+
+    table = _KPSS_CRIT["level"]
+    lag_cols = ", ".join(
+        f"LAG(e, {j}) OVER (PARTITION BY {sid} ORDER BY ds) AS e{j}"
+        for j in range(1, nlags + 1)
+    )
+    sums = ", ".join(f"SUM(e * e{j}) AS g{j}" for j in range(1, nlags + 1))
+    lrv = "g0 / n"
+    for j in range(1, nlags + 1):
+        wgt = 2.0 * (1.0 - j / (nlags + 1.0))
+        lrv = f"{lrv} + {wgt!r} * (g{j} / n)"
+    # piecewise-linear p interpolation, highest range first (same
+    # disjoint-range semantics as _kpss_p_interp)
+    cases = [f"WHEN stat >= {table[-1][0]!r} THEN {float(table[-1][1])!r}"]
+    for (c0, p0), (c1, p1) in reversed(list(zip(table, table[1:]))):
+        interp = f"{p0!r} + ((stat - {c0!r}) / {c1 - c0!r}) * {p1 - p0!r}"
+        cases.append(f"WHEN stat >= {c0!r} AND stat < {c1!r} THEN {interp}")
+    p_expr = f"CASE {' '.join(cases)} ELSE {float(table[0][1])!r} END"
+    return f"""
+        WITH s AS ({series_sql}),
+        c AS (SELECT {sid}, ds, y - AVG(y) OVER (PARTITION BY {sid}) AS e FROM s),
+        cs AS (SELECT {sid}, e,
+                      SUM(e) OVER (PARTITION BY {sid} ORDER BY ds
+                                   ROWS UNBOUNDED PRECEDING) AS S,
+                      {lag_cols}
+               FROM c),
+        a AS (SELECT {sid}, CAST(COUNT(e) AS DOUBLE) AS n, SUM(S * S) AS ss,
+                     SUM(e * e) AS g0, {sums}
+              FROM cs GROUP BY 1),
+        t AS (SELECT {sid}, n, (ss / (n * n)) / ({lrv}) AS stat FROM a)
+        SELECT {sid}, {_sql_r6('stat')} AS kpss_stat,
+               {_sql_r6(p_expr)} AS kpss_pvalue,
+               CAST(n AS BIGINT) AS n, {nlags} AS nlags
+        FROM t
     """
 
 
@@ -2740,6 +2842,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "acf_daily": _acf_oracle(_EVENTS_DAILY, lags=5),
         "ljung_box_daily": _ljung_box_oracle(_EVENTS_DAILY, lags=8),
+        "kpss_daily": _kpss_oracle(_EVENTS_DAILY, nlags=12),
         "acf_bartlett_daily": _acf_bands_oracle(_EVENTS_DAILY, lags=10),
         "describe_series": (
             "SELECT event_type, COUNT(value) AS n, AVG(value) AS mean, "
@@ -2782,6 +2885,67 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
+        "containment_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS tokens
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, tokens,
+                       unnest(generate_series(1, GREATEST(len(tokens) - 2, 1))) AS i
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(tokens[i : i + 2], ' ') AS shingle
+                FROM idx
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT id_a, id_b,
+                       CAST(n_inter AS DOUBLE) / sa.n_sh AS ca,
+                       CAST(n_inter AS DOUBLE) / sb.n_sh AS cb
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT id_a, id_b, {_sql_r6('ca')} AS containment_a,
+                   {_sql_r6('cb')} AS containment_b,
+                   {_sql_r6('GREATEST(ca, cb)')} AS containment
+            FROM c WHERE GREATEST(ca, cb) >= 0.5
+        """,
+        "embedding_outliers": f"""
+            WITH nv AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                           sqrt(list_sum(list_transform(embedding,
+                                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nvec
+                FROM embeddings
+            ),
+            e AS (SELECT label, unnest(nvec) AS val,
+                         unnest(generate_series(1, len(nvec))) AS pos
+                  FROM nv),
+            c AS (SELECT label, pos, AVG(val) AS v FROM e GROUP BY 1, 2),
+            cl AS (SELECT label, list(v ORDER BY pos) AS cent FROM c GROUP BY 1),
+            s AS (
+                SELECT vec_id, nv.label,
+                       list_cosine_similarity(nvec, cent) AS cos
+                FROM nv JOIN cl ON nv.label = cl.label
+            ),
+            r AS (
+                SELECT vec_id, label, cos,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY cos ASC, vec_id ASC) AS INTEGER) AS outlier_rank
+                FROM s
+            )
+            SELECT vec_id, label, {_sql_r6('cos')} AS centroid_cos, outlier_rank
+            FROM r WHERE outlier_rank <= 5
+        """,
         # verified LSH/SimHash candidate paths converge to the exact
         # pair set on the fixture (full candidate recall, see the query
         # docstrings) — the oracle IS the quadratic exact path.

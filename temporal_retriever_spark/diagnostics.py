@@ -291,6 +291,111 @@ def acf_bands(
     )
 
 
+#: KPSS critical values (Kwiatkowski et al. 1992 Table 1) and their
+#: significance levels, ascending by statistic
+_KPSS_CRIT = {
+    "level": ((0.347, 0.10), (0.463, 0.05), (0.574, 0.025), (0.739, 0.01)),
+    "trend": ((0.119, 0.10), (0.146, 0.05), (0.176, 0.025), (0.216, 0.01)),
+}
+
+
+def kpss_default_nlags(n: int) -> int:
+    """Newey-West "legacy" bandwidth: ceil(12·(n/100)^(1/4))."""
+    return int(math.ceil(12.0 * (n / 100.0) ** 0.25))
+
+
+def _kpss_p_interp(stat: Column, table) -> Column:
+    """Piecewise-linear p-value interpolation over the KPSS critical
+    table, clamped to [0.01, 0.10] outside it (statsmodels
+    semantics)."""
+    expr = F.lit(float(table[0][1]))  # below the smallest critical value
+    for (c0, p0), (c1, p1) in zip(table, table[1:]):
+        frac = (stat - F.lit(c0)) / F.lit(c1 - c0)
+        expr = F.when(
+            (stat >= F.lit(c0)) & (stat < F.lit(c1)),
+            F.lit(p0) + frac * F.lit(p1 - p0),
+        ).otherwise(expr)
+    return F.when(stat >= F.lit(table[-1][0]), F.lit(float(table[-1][1]))).otherwise(
+        expr
+    )
+
+
+def kpss(
+    df: DataFrame,
+    *,
+    nlags: int = 10,
+    regression: str = "level",
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """KPSS stationarity test per series (Kwiatkowski-Phillips-
+    Schmidt-Shin 1992; statsmodels ``kpss`` semantics). Null =
+    stationary around a ``level`` (constant) or ``trend`` (constant +
+    linear trend); small p rejects stationarity.
+
+    ``stat = Σ S_t² / (n²·s²_l)`` with S_t the cumulative residual sum
+    and ``s²_l`` the Bartlett-kernel long-run variance at bandwidth
+    ``nlags`` (``kpss_default_nlags`` gives the legacy Newey-West
+    choice). P-values interpolate the published critical-value table
+    and clamp to [0.01, 0.10] outside it — report alongside the stat,
+    as statsmodels does.
+
+    Plan shape: residuals come from partition-wide window aggregates
+    (level: mean; trend: OLS on the row index, both closed-form — no
+    iteration), S_t from one ordered window cumsum, then ONE
+    aggregation produces Σ S², n, and the ``nlags`` lag-product sums;
+    the statistic and p-value are scalar arithmetic on that row. One
+    hash-partition exchange per series key, same as ``acf``.
+    """
+    if nlags < 0:
+        raise ValueError(f"nlags must be >= 0: {nlags}")
+    if regression not in _KPSS_CRIT:
+        raise ValueError(f"regression must be 'level' or 'trend': {regression!r}")
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    y = F.col(value_col).cast("double")
+    if regression == "level":
+        e = y - F.avg(y).over(w)
+        d = df.withColumn("_e", e)
+    else:
+        # residuals of y ~ a + b·t with t = 1..n (row index): closed
+        # form from the same partition-wide moments
+        t = F.row_number().over(ws).cast("double")
+        d = df.withColumn("_t", t)
+        n_w = F.count(value_col).over(w).cast("double")
+        mt = F.avg("_t").over(w)
+        my = F.avg(y).over(w)
+        sxy = F.sum(F.col("_t") * y).over(w) - n_w * mt * my
+        sxx = F.sum(F.col("_t") * F.col("_t")).over(w) - n_w * mt * mt
+        b = F.try_divide(sxy, sxx)
+        d = d.withColumn("_e", y - (my + b * (F.col("_t") - mt)))
+    d = d.withColumn("_S", F.sum("_e").over(ws.rowsBetween(Window.unboundedPreceding, 0)))
+    for j in range(1, nlags + 1):
+        d = d.withColumn(f"_g{j}", F.col("_e") * F.lag("_e", j).over(ws))
+    agg = d.groupBy(*series_cols).agg(
+        F.count("_e").cast("double").alias("_n"),
+        F.sum(F.col("_S") * F.col("_S")).alias("_ss"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_g0"),
+        *[F.sum(f"_g{j}").alias(f"_sg{j}") for j in range(1, nlags + 1)],
+    )
+    n = F.col("_n")
+    eta = F.col("_ss") / (n * n)
+    lrv = F.col("_g0") / n
+    for j in range(1, nlags + 1):
+        wgt = 1.0 - j / (nlags + 1.0)
+        lrv = lrv + F.lit(2.0 * wgt) * (F.col(f"_sg{j}") / n)
+    stat = F.try_divide(eta, lrv)
+    return agg.select(
+        *series_cols,
+        stat.alias("kpss_stat"),
+        _kpss_p_interp(stat, _KPSS_CRIT[regression]).alias("kpss_pvalue"),
+        n.cast("long").alias("n"),
+        F.lit(nlags).alias("nlags"),
+    )
+
+
 def durbin_levinson_stages(lags: int) -> list[tuple[str, str]]:
     """SQL expression stages computing PACF from lag-product sums.
 

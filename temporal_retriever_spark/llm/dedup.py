@@ -571,3 +571,53 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram containment for pairs sharing ≥1 shingle.
+
+    Containment C(A→B) = |A∩B| / |A| — the asymmetric companion to
+    Jaccard that catches a small document embedded inside a larger one
+    (quotes, boilerplate wrappers, near-supersets), which Jaccard
+    misses because the union is dominated by the big document. Emits
+    (id_a < id_b) with both directions and keeps pairs where the MAX
+    direction clears ``threshold`` (Broder's containment semantics).
+
+    Integer arithmetic on distinct-shingle counts — bit-exact against
+    any SQL oracle. Same cost model as ``ngram_jaccard_pairs``:
+    quadratic in per-shingle doc frequency, so use as the verifier
+    behind LSH blocking at corpus scale.
+    """
+    shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    c_a = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_b = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return (
+        inter.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            F.greatest(c_a, c_b).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -422,3 +422,62 @@ def embedding_near_dup_pairs(
         pairs.select("left_id", "right_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def embedding_group_outliers(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding outliers: the k vectors farthest (lowest
+    cosine) from their group's spherical centroid.
+
+    The corpus-quality screen for embedded data: mislabeled, off-topic
+    or junk documents sit far from their source/cluster centroid. The
+    centroid is the mean of the L2-normalized vectors (direction-only,
+    so document scale doesn't bias it — the standard spherical mean).
+
+    Output: (id, group, centroid_cos, outlier_rank) with rank 1 = most
+    outlying; ties broken by id. Zero vectors rank first (NULL cosine).
+
+    Scale shape: ONE aggregation of (group, dim-position) partial sums
+    builds every centroid (mergeable map-side, ≤ |groups|·dim rows
+    shuffled); centroids broadcast back; scoring is a JVM zip_with
+    fold on the scan; the rank compiles to pre-shuffle WindowGroupLimit
+    top-k, so the final exchange carries at most k rows per group per
+    partition. Embedding payloads shuffle nowhere.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    nvec = F.transform(
+        F.col(vec_col), lambda x: F.try_divide(x.cast("double"), _norm(vec_col))
+    )
+    normed = df.select(F.col(id_col), F.col(group_col), nvec.alias("_nv"))
+    cent = (
+        normed.select(group_col, F.posexplode("_nv").alias("_pos", "_val"))
+        .groupBy(group_col, "_pos")
+        .agg(F.avg("_val").alias("_v"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_v"))),
+                lambda s: s["_v"],
+            ).alias("_cent")
+        )
+    )
+    scored = normed.join(F.broadcast(cent), on=group_col).select(
+        id_col,
+        group_col,
+        cosine_similarity_expr("_nv", "_cent").alias("centroid_cos"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("centroid_cos").asc_nulls_first(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= k)
+        .select(id_col, group_col, "centroid_cos", "outlier_rank")
+    )

@@ -554,3 +554,80 @@ def test_ljung_box_and_bands_validation(spark):
         ljung_box(df, lags=0)
     with pytest.raises(ValueError, match="alpha"):
         acf_bands(df, alpha=1.5)
+
+
+def test_kpss_level_matches_hand_formula(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import kpss
+
+    rng = np.random.default_rng(9)
+    y = rng.normal(size=200)
+    pdf = pd.DataFrame(
+        {"series_id": "a", "ds": pd.date_range("2024-01-01", periods=200), "y": y}
+    )
+    out = kpss(spark.createDataFrame(pdf), nlags=14).toPandas().iloc[0]
+    e = y - y.mean()
+    S = np.cumsum(e)
+    n = len(y)
+    eta = float((S * S).sum()) / n**2
+    lrv = float((e * e).sum()) / n
+    for j in range(1, 15):
+        lrv += 2 * (1 - j / 15.0) * float((e[j:] * e[:-j]).sum()) / n
+    assert out.kpss_stat == pytest.approx(eta / lrv, abs=1e-12)
+    assert out.kpss_pvalue == 0.10  # stationary noise: clamp at the top
+    assert out.n == 200 and out.nlags == 14
+
+
+def test_kpss_rejects_trending_series(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import kpss
+
+    rng = np.random.default_rng(2)
+    t = np.arange(300, dtype=float)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "tr",
+            "ds": pd.date_range("2024-01-01", periods=300),
+            "y": 0.5 * t + rng.normal(size=300),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    level = kpss(sdf, nlags=5, regression="level").toPandas().iloc[0]
+    trend = kpss(sdf, nlags=5, regression="trend").toPandas().iloc[0]
+    # a linear trend decisively violates level-stationarity...
+    assert level.kpss_stat > 0.739 and level.kpss_pvalue == 0.01
+    # ...but is trend-stationary by construction
+    assert trend.kpss_pvalue > 0.025
+
+
+def test_kpss_pvalue_interpolates_between_critical_values(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import _KPSS_CRIT, _kpss_p_interp
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.lit(0.405).alias("s"))
+    p = df.select(_kpss_p_interp(F.col("s"), _KPSS_CRIT["level"]).alias("p")).first().p
+    # midway between 0.347 (p=.10) and 0.463 (p=.05)
+    want = 0.10 + (0.405 - 0.347) / (0.463 - 0.347) * (0.05 - 0.10)
+    assert p == pytest.approx(want, abs=1e-12)
+
+
+def test_kpss_validation(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import kpss, kpss_default_nlags
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": ["a"], "ds": [pd.Timestamp("2024-01-01")], "y": [1.0]})
+    )
+    with pytest.raises(ValueError, match="nlags"):
+        kpss(df, nlags=-1)
+    with pytest.raises(ValueError, match="regression"):
+        kpss(df, regression="quad")
+    assert kpss_default_nlags(100) == 12
+    assert kpss_default_nlags(200) == 15

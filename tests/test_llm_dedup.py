@@ -134,3 +134,41 @@ def test_simhash_near_dups(dup_docs):
     assert pairs[(1, 2)] == 0
     assert (1, 4) in pairs and pairs[(1, 4)] <= 16
     assert (1, 5) not in pairs
+
+
+def test_containment_catches_subset_docs(spark):
+    from temporal_retriever_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    small = "alpha beta gamma delta epsilon zeta eta theta"  # contained
+    other = "completely different words about completely different topics here"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string"
+    )
+    out = ngram_containment_pairs(df, n=3, threshold=0.9).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    # every shingle of the small doc appears in the big doc
+    assert row.containment_b == 1.0
+    assert row.containment == 1.0
+    # Jaccard misses this pair at the same bar — the asymmetric
+    # denominator is the point of the operator
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.9).toPandas()
+    assert len(jac) == 0
+
+
+def test_containment_directions_and_threshold(spark):
+    from temporal_retriever_spark.llm.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y")], "doc_id long, text string"
+    )
+    # shingles(1): {abc bcd cde def}; shingles(2): {abc bcd cdx dxy}
+    out = ngram_containment_pairs(df, n=3, threshold=0.4).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].containment == pytest.approx(0.5)
+    assert ngram_containment_pairs(df, n=3, threshold=0.6).count() == 0

@@ -189,3 +189,39 @@ def test_embedding_near_dups_bad_method(spark):
 
     with pytest.raises(ValueError):
         embedding_near_dup_pairs(_planted_neardups(spark), method="bogus").collect()
+
+
+def test_embedding_group_outliers_finds_planted_outlier(spark):
+    import numpy as np
+
+    from temporal_retriever_spark.llm.similarity import embedding_group_outliers
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for lbl, center in ((0, np.array([1.0, 0.0, 0.0])), (1, np.array([0.0, 1.0, 0.0]))):
+        for i in range(20):
+            v = center + rng.normal(scale=0.05, size=3)
+            rows.append((lbl * 100 + i, [float(x) for x in v], lbl))
+    # planted outliers: opposite direction vectors
+    rows.append((99, [-1.0, 0.05, 0.0], 0))
+    rows.append((199, [0.05, -1.0, 0.0], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_group_outliers(df, k=1).toPandas()
+    assert set(out.vec_id) == {99, 199}
+    assert (out.outlier_rank == 1).all()
+    assert (out.centroid_cos < 0).all()
+
+
+def test_embedding_group_outliers_rank_and_validation(spark):
+    from temporal_retriever_spark.llm.similarity import embedding_group_outliers
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = embedding_group_outliers(df, k=3).toPandas().sort_values("outlier_rank")
+    # farthest-first: the orthogonal vector ranks 1
+    assert list(out.vec_id)[0] == 3
+    assert list(out.outlier_rank) == [1, 2, 3]
+    with pytest.raises(ValueError, match="k"):
+        embedding_group_outliers(df, k=0)
