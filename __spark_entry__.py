@@ -30,6 +30,8 @@ from temporal_retriever_spark.diagnostics import (
     GRANGER_LAG1_STAGES,
     acf,
     acf_bands,
+    adf,
+    adf_stages,
     chi2_sf_sql,
     describe,
     kpss,
@@ -333,6 +335,23 @@ def q_kpss_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         _r6("kpss_stat").alias("kpss_stat"),
         _r6("kpss_pvalue").alias("kpss_pvalue"),
+        "n",
+        "nlags",
+    )
+
+
+def q_adf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1f: Augmented Dickey-Fuller unit-root test (maxlag=2, constant
+    regression) — fully native staged-Cholesky OLS incl. the standard
+    error from the (X'X)^-1 diagonal (diagnostics.adf); the oracle
+    runs the identical adf_stages strings as chained CTEs."""
+    got = adf(
+        _events_daily_all(spark, sf_dir), maxlag=2, series_cols=("event_type",)
+    )
+    return got.select(
+        "event_type",
+        _r6("adf_stat").alias("adf_stat"),
+        _r6("adf_pvalue").alias("adf_pvalue"),
         "n",
         "nlags",
     )
@@ -1840,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_daily": q_ljung_box_daily,
         "acf_bartlett_daily": q_acf_bartlett_daily,
         "kpss_daily": q_kpss_daily,
+        "adf_daily": q_adf_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
         "sessions_2h_streamed": q_sessions_2h_streamed,
@@ -2198,6 +2218,56 @@ def _acf_bands_oracle(series_sql: str, lags: int, sid: str = "event_type") -> st
                      {sums} FROM l GROUP BY 1),
         r AS (SELECT {sid}, n, {rhos} FROM a)
         {' UNION ALL '.join(selects)}
+    """
+
+
+def _adf_oracle(series_sql: str, maxlag: int, sid: str = "event_type") -> str:
+    """SQL mirror of diagnostics.adf: same Gram sums, then the SAME
+    adf_stages strings as chained CTEs (shared-string pattern, zero
+    formula drift), critical-table interpolation from _ADF_CRIT."""
+    from temporal_retriever_spark.diagnostics import _ADF_CRIT
+
+    m = maxlag + 2
+    zs = ["1.0", "ylag"] + [f"dl{j}" for j in range(1, maxlag + 1)]
+    lag_cols = ", ".join(
+        f"LAG(dy, {j}) OVER (PARTITION BY {sid} ORDER BY ds) AS dl{j}"
+        for j in range(1, maxlag + 1)
+    )
+    deepest = f"dl{maxlag}" if maxlag else "dy"
+    gram = []
+    for i in range(m):
+        for j in range(i, m):
+            gram.append(f"SUM({zs[i]} * {zs[j]}) AS g_{i}_{j}")
+        gram.append(f"SUM({zs[i]} * dy) AS gy_{i}")
+    gram.append("SUM(dy * dy) AS gyy")
+    stage_ctes = []
+    prev = "a"
+    for idx, (name, expr) in enumerate(adf_stages(maxlag)):
+        cte = f"st{idx}"
+        stage_ctes.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    table = _ADF_CRIT
+    cases = [f"WHEN adf_t >= {table[-1][0]!r} THEN {float(table[-1][1])!r}"]
+    for (c0, p0), (c1, p1) in reversed(list(zip(table, table[1:]))):
+        interp = f"{p0!r} + ((adf_t - {c0!r}) / {c1 - c0!r}) * {p1 - p0!r}"
+        cases.append(f"WHEN adf_t >= {c0!r} AND adf_t < {c1!r} THEN {interp}")
+    p_expr = f"CASE {' '.join(cases)} ELSE {float(table[0][1])!r} END"
+    dl_select = f"SELECT {sid}, ds, ylag, dy{', ' if maxlag else ''}{lag_cols} FROM d0"
+    return f"""
+        WITH s AS ({series_sql}),
+        w AS (SELECT {sid}, ds, y,
+                     LAG(y) OVER (PARTITION BY {sid} ORDER BY ds) AS ylag
+              FROM s),
+        d0 AS (SELECT {sid}, ds, ylag, y - ylag AS dy FROM w),
+        dl AS ({dl_select}),
+        f AS (SELECT * FROM dl WHERE {deepest} IS NOT NULL),
+        a AS (SELECT {sid}, CAST(COUNT(dy) AS DOUBLE) AS nn, {', '.join(gram)}
+              FROM f GROUP BY 1),
+        {', '.join(stage_ctes)}
+        SELECT {sid}, {_sql_r6('adf_t')} AS adf_stat,
+               {_sql_r6(p_expr)} AS adf_pvalue,
+               CAST(nn AS BIGINT) AS n, {maxlag} AS nlags
+        FROM {prev}
     """
 
 
@@ -2843,6 +2913,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_daily": _acf_oracle(_EVENTS_DAILY, lags=5),
         "ljung_box_daily": _ljung_box_oracle(_EVENTS_DAILY, lags=8),
         "kpss_daily": _kpss_oracle(_EVENTS_DAILY, nlags=12),
+        "adf_daily": _adf_oracle(_EVENTS_DAILY, maxlag=2),
         "acf_bartlett_daily": _acf_bands_oracle(_EVENTS_DAILY, lags=10),
         "describe_series": (
             "SELECT event_type, COUNT(value) AS n, AVG(value) AS mean, "

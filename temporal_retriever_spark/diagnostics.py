@@ -396,6 +396,126 @@ def kpss(
     )
 
 
+#: Dickey-Fuller τ_μ asymptotic critical values (Fuller 1976, constant
+#: case), ascending by statistic; p clamps to [0.01, 0.10] outside —
+#: the reject/fail-to-reject region a stationarity screen decides on
+_ADF_CRIT = ((-3.43, 0.01), (-3.12, 0.025), (-2.86, 0.05), (-2.57, 0.10))
+
+
+def adf_stages(p: int) -> list[tuple[str, str]]:
+    """Shared SQL expression stages for the ADF regression t-statistic.
+
+    Input columns (one row per series from a single aggregation):
+    ``nn`` (usable observations), Gram sums ``g_{i}_{j}`` = Σ zᵢ·zⱼ
+    (i ≤ j) over the regressors z = [1, y_{t−1}, Δy_{t−1..p}],
+    ``gy_{i}`` = Σ zᵢ·Δy, and ``gyy`` = Σ Δy².
+
+    Emits sequential (name, expr) stages — Cholesky X'X = RᵀR, forward
+    solve Rᵀw = X'y, RSS, back-substituted coefficient δ on y_{t−1},
+    the forward solve Rᵀv = e₁ that yields [(X'X)⁻¹]₁₁ = ‖v‖², and
+    finally ``adf_t = δ / sqrt(s²·inv11)``. The SAME strings drive the
+    Spark select chain (``F.expr``) and the DuckDB oracle CTEs, the
+    same sharing pattern as ``durbin_levinson_stages`` and the Granger
+    Cholesky rounds.
+    """
+    m = p + 2  # intercept, y_lag, p delta-lags
+
+    def g(i: int, j: int) -> str:
+        return f"g_{min(i, j)}_{max(i, j)}"
+
+    stages: list[tuple[str, str]] = []
+    # Cholesky, row by row (r_{i}{j} for i <= j, R upper triangular)
+    for i in range(m):
+        acc = " - ".join([g(i, i)] + [f"r_{k}_{i} * r_{k}_{i}" for k in range(i)])
+        stages.append((f"r_{i}_{i}", f"SQRT({acc})"))
+        for j in range(i + 1, m):
+            acc = " - ".join([g(i, j)] + [f"r_{k}_{i} * r_{k}_{j}" for k in range(i)])
+            stages.append((f"r_{i}_{j}", f"({acc}) / r_{i}_{i}"))
+    # forward solve R^T w = X'y
+    for i in range(m):
+        acc = " - ".join([f"gy_{i}"] + [f"r_{k}_{i} * w_{k}" for k in range(i)])
+        stages.append((f"w_{i}", f"({acc}) / r_{i}_{i}"))
+    stages.append(
+        ("rss", "gyy - (" + " + ".join(f"w_{i} * w_{i}" for i in range(m)) + ")")
+    )
+    # back solve R c = w — only c_1 (the y_{t-1} coefficient) is needed,
+    # but back substitution runs bottom-up
+    for i in range(m - 1, 0, -1):
+        acc = " - ".join(
+            [f"w_{i}"] + [f"r_{i}_{k} * c_{k}" for k in range(i + 1, m)]
+        )
+        stages.append((f"c_{i}", f"({acc}) / r_{i}_{i}"))
+    # forward solve R^T v = e_1 -> [(X'X)^-1]_{11} = sum v_i^2 (v_0 = 0)
+    for i in range(1, m):
+        parts = ["1.0"] if i == 1 else ["0.0"]
+        parts += [f"r_{k}_{i} * v_{k}" for k in range(1, i)]
+        stages.append((f"v_{i}", f"({' - '.join(parts)}) / r_{i}_{i}"))
+    inv11 = " + ".join(f"v_{i} * v_{i}" for i in range(1, m))
+    stages.append(("inv11", inv11))
+    stages.append(("s2", f"rss / (nn - {float(m)!r})"))
+    stages.append(("adf_t", "c_1 / SQRT(s2 * inv11)"))
+    return stages
+
+
+def adf(
+    df: DataFrame,
+    *,
+    maxlag: int = 1,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root test per series (constant
+    regression, the common default): Δy_t = β₀ + δ·y_{t−1} +
+    Σ φⱼ·Δy_{t−j} + ε. Large negative t on δ rejects the unit root —
+    the companion to ``kpss`` (opposite null) in the standard
+    stationarity workflow.
+
+    P-values interpolate the Fuller τ_μ asymptotic critical table and
+    clamp to [0.01, 0.10] outside it (same reporting convention as
+    ``kpss``): the clamp region is exactly the fail-to-reject region,
+    so decisions are unaffected.
+
+    Plan shape: one ordered window pass builds y_{t−1} and the Δy
+    lags; ONE aggregation computes every Gram sum; the whole OLS —
+    Cholesky, triangular solves, RSS, the (X'X)⁻¹ diagonal for the
+    standard error — is the ``adf_stages`` scalar expression chain on
+    the one row per series. Fully native at any lag order, the same
+    staged-Cholesky design as ``granger_native``.
+    """
+    if maxlag < 0:
+        raise ValueError(f"maxlag must be >= 0: {maxlag}")
+    series_cols = list(series_cols)
+    m = maxlag + 2
+    ws = Window.partitionBy(*series_cols).orderBy(ts_col)
+    y = F.col(value_col).cast("double")
+    d = df.withColumn("_ylag", F.lag(y, 1).over(ws)).withColumn(
+        "_dy", y - F.col("_ylag")
+    )
+    for j in range(1, maxlag + 1):
+        d = d.withColumn(f"_dl{j}", F.lag("_dy", j).over(ws))
+    deepest = f"_dl{maxlag}" if maxlag else "_dy"
+    d = d.filter(F.col(deepest).isNotNull())
+    zs = [F.lit(1.0), F.col("_ylag")] + [F.col(f"_dl{j}") for j in range(1, maxlag + 1)]
+    aggs = [F.count("_dy").cast("double").alias("nn")]
+    for i in range(m):
+        for j in range(i, m):
+            aggs.append(F.sum(zs[i] * zs[j]).alias(f"g_{i}_{j}"))
+        aggs.append(F.sum(zs[i] * F.col("_dy")).alias(f"gy_{i}"))
+    aggs.append(F.sum(F.col("_dy") * F.col("_dy")).alias("gyy"))
+    out = d.groupBy(*series_cols).agg(*aggs)
+    for name, expr in adf_stages(maxlag):
+        out = out.withColumn(name, F.expr(expr))
+    stat = F.col("adf_t")
+    return out.select(
+        *series_cols,
+        stat.alias("adf_stat"),
+        _kpss_p_interp(stat, _ADF_CRIT).alias("adf_pvalue"),
+        F.col("nn").cast("long").alias("n"),
+        F.lit(maxlag).alias("nlags"),
+    )
+
+
 def durbin_levinson_stages(lags: int) -> list[tuple[str, str]]:
     """SQL expression stages computing PACF from lag-product sums.
 

@@ -631,3 +631,84 @@ def test_kpss_validation(spark):
         kpss(df, regression="quad")
     assert kpss_default_nlags(100) == 12
     assert kpss_default_nlags(200) == 15
+
+
+def test_adf_matches_numpy_ols(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import adf
+
+    rng = np.random.default_rng(7)
+
+    def ref(y, p):
+        dy = np.diff(y)
+        ylag = y[:-1]
+        rows = [
+            [1.0, ylag[t]] + [dy[t - j] for j in range(1, p + 1)] + [dy[t]]
+            for t in range(p, len(dy))
+        ]
+        A = np.array(rows)
+        X, b = A[:, :-1], A[:, -1]
+        coef, *_ = np.linalg.lstsq(X, b, rcond=None)
+        resid = b - X @ coef
+        s2 = float(resid @ resid) / (len(b) - X.shape[1])
+        inv = np.linalg.inv(X.T @ X)
+        return float(coef[1] / np.sqrt(s2 * inv[1, 1])), len(b)
+
+    series = {
+        "noise": rng.normal(size=200),
+        "walk": np.cumsum(rng.normal(size=200)),
+    }
+    pdf = pd.concat(
+        pd.DataFrame(
+            {"series_id": k, "ds": pd.date_range("2024-01-01", periods=200), "y": v}
+        )
+        for k, v in series.items()
+    )
+    sdf = spark.createDataFrame(pdf)
+    for p in (0, 1, 3):
+        out = adf(sdf, maxlag=p).toPandas().set_index("series_id")
+        for sid, y in series.items():
+            t_ref, n_ref = ref(y, p)
+            assert out.loc[sid].adf_stat == pytest.approx(t_ref, abs=1e-8)
+            assert out.loc[sid].n == n_ref
+    # decisions: stationary noise rejects the unit root, the walk can't
+    final = adf(sdf, maxlag=1).toPandas().set_index("series_id")
+    assert final.loc["noise"].adf_pvalue == 0.01
+    assert final.loc["walk"].adf_pvalue == pytest.approx(0.10)
+
+
+def test_adf_kpss_agree_on_stationarity(spark):
+    """The two tests have opposite nulls; on clear-cut series they
+    must agree: noise = stationary, trend = not level-stationary."""
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import adf, kpss
+
+    rng = np.random.default_rng(22)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "n",
+            "ds": pd.date_range("2024-01-01", periods=250),
+            "y": rng.normal(size=250),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    a = adf(sdf, maxlag=2).toPandas().iloc[0]
+    k = kpss(sdf, nlags=10).toPandas().iloc[0]
+    assert a.adf_pvalue <= 0.05  # ADF rejects unit root
+    assert k.kpss_pvalue >= 0.05  # KPSS keeps stationarity
+
+
+def test_adf_validation(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import adf
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": ["a"], "ds": [pd.Timestamp("2024-01-01")], "y": [1.0]})
+    )
+    with pytest.raises(ValueError, match="maxlag"):
+        adf(df, maxlag=-1)
