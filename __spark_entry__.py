@@ -524,6 +524,25 @@ def q_forecast_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "ds", _r6("yhat").alias("yhat"))
 
 
+def q_forecast_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3d: theta-method forecast (M3 winner; θ={0,2}, equal weights,
+    SES α=0.5) on the daily series — forecast.forecast_theta, fully
+    native: moments window + truncated-SES aggregation + grid explode,
+    matches the sequential reference recursion to 1e-11."""
+    from temporal_retriever_spark.forecast import forecast_theta
+
+    got = forecast_theta(
+        _events_daily_all(spark, sf_dir).withColumnRenamed("event_type", "series_id"),
+        horizon=14,
+        alpha=0.5,
+    )
+    return got.select(
+        F.col("series_id").alias("event_type"),
+        "ds",
+        _r6("yhat").alias("yhat"),
+    )
+
+
 def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _daily_series(spark, sf_dir, "click").withColumn(
         "series_id", F.lit("click")
@@ -818,6 +837,55 @@ def q_sessions_2h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6("duration_sec").alias("duration_sec"), "n_events",
         _r6("session_value").alias("session_value"),
     )
+
+
+def q_bucket_hour_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming contract row #2: the events table replayed
+    through ``streaming_bucket_aggregate`` (grain=H, watermarked
+    tumbling windows) as a real Structured Streaming query — chunked
+    file source under ``maxFilesPerTrigger=1`` so buckets straddling
+    the chunk split must be merged by streaming state across
+    micro-batches — then hash-matched against the identical batch
+    oracle as ``bucket_hour_sum``. Proves stream==batch for the
+    tumbling-aggregation workhorse at driver level, complementing the
+    sessions row (``sessions_2h_streamed``)."""
+    import tempfile
+    import uuid
+
+    from temporal_retriever_spark.streaming import streaming_bucket_aggregate
+
+    ev = _events_long(spark, sf_dir).select(
+        F.col("event_type"), F.col("ds").cast("timestamp").alias("ds"), F.col("y")
+    )
+    tmp = tempfile.mkdtemp(prefix="trs-bucket-stream-")
+    half_a, half_b = ev.randomSplit([0.5, 0.5], seed=13)
+    half_a.write.parquet(f"{tmp}/in/chunk=0")
+    half_b.write.parquet(f"{tmp}/in/chunk=1")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/chunk=*")
+    )
+    buckets = streaming_bucket_aggregate(
+        stream,
+        grain="H",
+        agg="sum",
+        series_cols=("event_type",),
+        watermark="3650 days",
+    )
+    qname = f"trs_bucket_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        buckets.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(qname).select("event_type", "ds", _r6("y").alias("y"))
 
 
 def q_rolling_quantile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,9 +1928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_bartlett_daily": q_acf_bartlett_daily,
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
+        "forecast_theta_daily": q_forecast_theta_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
         "sessions_2h_streamed": q_sessions_2h_streamed,
+        "bucket_hour_streamed": q_bucket_hour_streamed,
         "gopher_repetition": q_gopher_repetition,
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
@@ -2218,6 +2288,57 @@ def _acf_bands_oracle(series_sql: str, lags: int, sid: str = "event_type") -> st
                      {sums} FROM l GROUP BY 1),
         r AS (SELECT {sid}, n, {rhos} FROM a)
         {' UNION ALL '.join(selects)}
+    """
+
+
+def _theta_oracle(
+    series_sql: str,
+    horizon: int = 14,
+    alpha: float = 0.5,
+    sid: str = "event_type",
+    trunc_eps: float = 1e-12,
+) -> str:
+    """SQL mirror of forecast.forecast_theta: same moments arithmetic,
+    the same truncation depth K, the same SES weight expansion."""
+    import math as _m
+
+    K = max(1, int(_m.ceil(_m.log(trunc_eps) / _m.log(1.0 - alpha))))
+    a = float(alpha)
+    return f"""
+        WITH s AS ({series_sql}),
+        st AS (SELECT {sid}, ds, y, epoch(ds) / 86400.0 AS t FROM s),
+        mom AS (
+            SELECT {sid}, CAST(COUNT(y) AS DOUBLE) AS n, AVG(t) AS mt,
+                   AVG(y) AS my,
+                   SUM(t * y) AS sty_r, SUM(t * t) AS stt_r,
+                   MAX(ds) AS max_ds, MAX(t) AS max_t
+            FROM st GROUP BY 1
+        ),
+        fit AS (
+            SELECT *, COALESCE(
+                (sty_r - n * mt * my) / NULLIF(stt_r - n * mt * mt, 0), 0.0) AS b
+            FROM mom
+        ),
+        z AS (
+            SELECT st.{sid}, st.ds,
+                   2.0 * st.y - (f.my + f.b * (st.t - f.mt)) AS z2,
+                   f.n,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY st.{sid}
+                        ORDER BY st.ds DESC) AS DOUBLE) AS rn
+            FROM st JOIN fit f ON st.{sid} = f.{sid}
+        ),
+        lev AS (
+            SELECT {sid},
+                   COALESCE(SUM(CASE WHEN rn <= LEAST({float(K)!r}, n - 1)
+                       THEN {a!r} * POWER({1.0 - a!r}, rn - 1) * z2 END), 0.0)
+                 + COALESCE(SUM(CASE WHEN rn = n AND n - 1 <= {float(K)!r}
+                       THEN POWER({1.0 - a!r}, n - 1) * z2 END), 0.0) AS level
+            FROM z GROUP BY 1
+        ),
+        grid AS (SELECT unnest(generate_series(1, {horizon})) AS h)
+        SELECT f.{sid}, f.max_ds + CAST(g.h AS INTEGER) AS ds,
+               {_sql_r6('0.5 * ((f.my + f.b * (f.max_t + CAST(g.h AS DOUBLE) - f.mt)) + lev.level)')} AS yhat
+        FROM fit f JOIN lev ON f.{sid} = lev.{sid} CROSS JOIN grid g
     """
 
 
@@ -2808,6 +2929,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS ds, SUM(value) AS y "
             "FROM events GROUP BY 1, 2"
         ),
+        "bucket_hour_streamed": (
+            f"SELECT event_type, date_trunc('hour', ts) AS ds, "
+            f"{_sql_r6('SUM(value)')} AS y FROM events GROUP BY 1, 2"
+        ),
         "bucket_day_mean": (
             "SELECT event_type, CAST(ts AS DATE) AS ds, AVG(value) AS y "
             "FROM events GROUP BY 1, 2"
@@ -2914,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box_daily": _ljung_box_oracle(_EVENTS_DAILY, lags=8),
         "kpss_daily": _kpss_oracle(_EVENTS_DAILY, nlags=12),
         "adf_daily": _adf_oracle(_EVENTS_DAILY, maxlag=2),
+        "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
         "acf_bartlett_daily": _acf_bands_oracle(_EVENTS_DAILY, lags=10),
         "describe_series": (
             "SELECT event_type, COUNT(value) AS n, AVG(value) AS mean, "

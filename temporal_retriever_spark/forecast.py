@@ -33,6 +33,7 @@ README DIVERGENCES).
 
 from __future__ import annotations
 
+import math
 from typing import Iterable
 
 import pandas as pd
@@ -1009,3 +1010,102 @@ def forecast_exponential_smoothing(
     )
     out = future if not include_history else hist.unionByName(future)
     return out.filter(F.col("yhat").isNotNull())
+
+
+def forecast_theta(
+    df: DataFrame,
+    *,
+    horizon: int = 14,
+    alpha: float = 0.5,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+    trunc_eps: float = 1e-12,
+) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the
+    M3-competition winner), θ ∈ {0, 2} with equal weights — the
+    classical decomposition: the θ=0 line is the linear trend
+    (extrapolated), the θ=2 line ``2y − L`` doubles the local
+    curvature and is forecast flat by simple exponential smoothing;
+    the combination recovers trend + adaptive level.
+
+    Daily-grain output: one row per series per future step,
+    (series, ds, yhat). ``alpha`` is the SES smoothing weight
+    (fixed — classical theta; no optimizer loop).
+
+    Fully native: the trend fit is the usual moments window, the SES
+    level uses the closed-form weight expansion truncated where
+    ``(1−α)^k < trunc_eps`` (identical truncation in the SQL oracle,
+    so the approximation cannot drift cross-engine; the dropped tail
+    is below double rounding at the default). Plan: one window pass
+    (moments + reverse row index) + ONE aggregation per series + a
+    sequence-explode future grid — no Python, same shape as
+    ``forecast_linear_seasonal``.
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    series_cols = list(series_cols)
+    K = max(1, int(math.ceil(math.log(trunc_eps) / math.log(1.0 - alpha))))
+    w = Window.partitionBy(*series_cols)
+    wd = w.orderBy(F.col(ds_col).desc())
+    t = _time_index(F.col(ds_col))
+    d = df.withColumn("_t", t)
+    n = F.count(y_col).over(w).cast("double")
+    mt = F.avg("_t").over(w)
+    my = F.avg(y_col).over(w)
+    stt = F.sum(F.col("_t") * F.col("_t")).over(w) - n * mt * mt
+    sty = F.sum(F.col("_t") * F.col(y_col)).over(w) - n * mt * my
+    b = F.try_divide(sty, stt)
+    d = (
+        d.withColumn("_n", n)
+        .withColumn("_mt", mt)
+        .withColumn("_my", my)
+        .withColumn("_b", F.coalesce(b, F.lit(0.0)))
+        .withColumn(
+            "_z2",
+            F.lit(2.0) * F.col(y_col)
+            - (F.col("_my") + F.col("_b") * (F.col("_t") - F.col("_mt"))),
+        )
+        .withColumn("_rn", F.row_number().over(wd).cast("double"))
+    )
+    a = F.lit(alpha)
+    # exact SES closed form, truncated at K terms: s_n = α·Σ_{j<min(n-1,K)}
+    # (1-α)^j z_{n-j} + (1-α)^{n-1} z_1 (init kept only when visible)
+    main = F.when(
+        F.col("_rn") <= F.least(F.lit(float(K)), F.col("_n") - 1),
+        a * F.pow(F.lit(1.0 - alpha), F.col("_rn") - 1) * F.col("_z2"),
+    )
+    init = F.when(
+        (F.col("_rn") == F.col("_n")) & (F.col("_n") - 1 <= F.lit(float(K))),
+        F.pow(F.lit(1.0 - alpha), F.col("_n") - 1) * F.col("_z2"),
+    )
+    agg = d.groupBy(*series_cols).agg(
+        F.max(F.col(ds_col).cast("date")).alias("_max_ds"),
+        F.max("_t").alias("_max_t"),
+        F.first("_mt").alias("_mt"),
+        F.first("_my").alias("_my"),
+        F.first("_b").alias("_b"),
+        (F.coalesce(F.sum(main), F.lit(0.0)) + F.coalesce(F.sum(init), F.lit(0.0))).alias(
+            "_level"
+        ),
+    )
+    grid = agg.select(
+        *series_cols,
+        "_max_ds",
+        "_max_t",
+        "_mt",
+        "_my",
+        "_b",
+        "_level",
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("_h"),
+    )
+    lfut = F.col("_my") + F.col("_b") * (
+        F.col("_max_t") + F.col("_h").cast("double") - F.col("_mt")
+    )
+    return grid.select(
+        *series_cols,
+        F.date_add(F.col("_max_ds"), F.col("_h")).alias(ds_col),
+        (F.lit(0.5) * (lfut + F.col("_level"))).alias("yhat"),
+    )

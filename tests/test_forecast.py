@@ -215,3 +215,70 @@ def test_exponential_smoothing_matches_local_reference(spark):
         assert abs(r["yhat"] - (a[-1] + h * b[-1])) < 1e-9, h
     # the fitted trend recovers the true slope (2/bucket)
     assert abs(b[-1] - 2.0) < 0.5
+
+
+def test_theta_matches_sequential_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_theta
+
+    def ref(y, h, alpha):
+        n = len(y)
+        t = np.arange(n, dtype=float)
+        b, a0 = np.polyfit(t, y, 1)
+        z2 = 2 * y - (a0 + b * t)
+        s = z2[0]
+        for v in z2[1:]:
+            s = alpha * v + (1 - alpha) * s
+        return np.array([0.5 * ((a0 + b * (n - 1 + k)) + s) for k in range(1, h + 1)])
+
+    rng = np.random.default_rng(5)
+    y = 10 + 0.3 * np.arange(120) + rng.normal(scale=2, size=120)
+    pdf = pd.DataFrame(
+        {"series_id": "a", "ds": pd.date_range("2024-01-01", periods=120), "y": y}
+    )
+    for alpha in (0.2, 0.4, 0.8):
+        out = (
+            forecast_theta(spark.createDataFrame(pdf), horizon=5, alpha=alpha)
+            .toPandas()
+            .sort_values("ds")
+        )
+        assert np.abs(out.yhat.to_numpy() - ref(y, 5, alpha)).max() < 1e-9
+    # future grid: horizon rows starting the day after the last obs
+    assert len(out) == 5
+    assert out.ds.min() == pd.Timestamp("2024-04-30").date()
+
+
+def test_theta_recovers_linear_trend(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_theta
+
+    t = np.arange(60, dtype=float)
+    pdf = pd.DataFrame(
+        {"series_id": "lin", "ds": pd.date_range("2024-01-01", periods=60), "y": 3 + 2 * t}
+    )
+    out = forecast_theta(spark.createDataFrame(pdf), horizon=3).toPandas().sort_values("ds")
+    # the theta drift property (Hyndman & Billah 2003): per-step
+    # increment is b/2 — half the deterministic slope
+    inc = np.diff(out.yhat.to_numpy())
+    assert np.abs(inc - 1.0).max() < 1e-9
+    # and the first step continues from the SES-lagged level, below
+    # the true line but anchored at the last level
+    assert out.yhat.iloc[0] == pytest.approx(121.0, abs=1e-6)
+
+
+def test_theta_validation(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_theta
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": ["a"], "ds": [pd.Timestamp("2024-01-01")], "y": [1.0]})
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        forecast_theta(df, alpha=1.0)
+    with pytest.raises(ValueError, match="horizon"):
+        forecast_theta(df, horizon=0)
