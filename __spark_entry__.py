@@ -543,6 +543,30 @@ def q_forecast_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_hw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3e: Holt-Winters additive triple smoothing (period=7) on the
+    daily series — forecast.forecast_holt_winters. The coupled
+    level/trend/seasonal recursion runs as a grouped Arrow pass; the
+    oracle replays the IDENTICAL recursion as a DuckDB recursive CTE
+    carrying the seasonal list, so even this iterative operator is
+    hash-checked cross-engine."""
+    from temporal_retriever_spark.forecast import forecast_holt_winters
+
+    got = forecast_holt_winters(
+        _events_daily_all(spark, sf_dir).withColumnRenamed("event_type", "series_id"),
+        horizon=14,
+        period=7,
+        alpha=0.3,
+        beta=0.1,
+        gamma=0.2,
+    )
+    return got.select(
+        F.col("series_id").alias("event_type"),
+        "ds",
+        _r6("yhat").alias("yhat"),
+    )
+
+
 def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _daily_series(spark, sf_dir, "click").withColumn(
         "series_id", F.lit("click")
@@ -1929,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
         "forecast_theta_daily": q_forecast_theta_daily,
+        "forecast_hw_daily": q_forecast_hw_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
         "sessions_2h_streamed": q_sessions_2h_streamed,
@@ -2339,6 +2364,79 @@ def _theta_oracle(
         SELECT f.{sid}, f.max_ds + CAST(g.h AS INTEGER) AS ds,
                {_sql_r6('0.5 * ((f.my + f.b * (f.max_t + CAST(g.h AS DOUBLE) - f.mt)) + lev.level)')} AS yhat
         FROM fit f JOIN lev ON f.{sid} = lev.{sid} CROSS JOIN grid g
+    """
+
+
+def _hw_oracle(
+    series_sql: str,
+    horizon: int = 14,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    sid: str = "event_type",
+) -> str:
+    """SQL mirror of forecast.forecast_holt_winters: the identical
+    coupled recursion replayed as a recursive CTE — one row per time
+    step per series carrying (level, trend, seasonal list) — with the
+    same detrended initialization. Iterative-operator oracle in pure
+    SQL."""
+    m = period
+    a, b_, g_ = float(alpha), float(beta), float(gamma)
+    center = (m - 1) / 2.0
+    return f"""
+        WITH RECURSIVE s AS ({series_sql}),
+        data AS (
+            SELECT {sid}, ds, y,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY {sid} ORDER BY ds) - 1
+                        AS BIGINT) AS t
+            FROM s
+        ),
+        m1 AS (
+            SELECT {sid}, AVG(y) FILTER (t < {m}) AS mean1,
+                   (AVG(y) FILTER (t >= {m} AND t < {2 * m})
+                    - AVG(y) FILTER (t < {m})) / {m} AS b0,
+                   MAX(t) AS tmax, MAX(ds) AS max_ds
+            FROM data GROUP BY 1
+        ),
+        init AS (
+            SELECT d.{sid},
+                   ANY_VALUE(m1.mean1 + m1.b0 * {center!r}) AS l0,
+                   ANY_VALUE(m1.b0) AS b0,
+                   ANY_VALUE(m1.tmax) AS tmax,
+                   ANY_VALUE(m1.max_ds) AS max_ds,
+                   list(d.y - (m1.mean1 + m1.b0 * (d.t - {center!r}))
+                        ORDER BY d.t) AS s0
+            FROM data d JOIN m1 ON d.{sid} = m1.{sid}
+            WHERE d.t < {m}
+            GROUP BY d.{sid}
+        ),
+        rec AS (
+            SELECT {sid}, CAST({m} - 1 AS BIGINT) AS t, l0 AS l, b0 AS b,
+                   s0 AS s, tmax, max_ds
+            FROM init
+            UNION ALL
+            SELECT {sid}, t, l,
+                   {b_!r} * (l - pl) + {1.0 - b_!r} * pb AS b,
+                   list_transform(generate_series(1, {m}),
+                       i -> CASE WHEN i = idx
+                                 THEN {g_!r} * (y - pl - pb) + {1.0 - g_!r} * ps[i]
+                                 ELSE ps[i] END) AS s,
+                   tmax, max_ds
+            FROM (
+                SELECT r.{sid}, r.t + 1 AS t, r.l AS pl, r.b AS pb, r.s AS ps,
+                       d.y, r.tmax, r.max_ds,
+                       CAST((r.t + 1) % {m} AS BIGINT) + 1 AS idx,
+                       {a!r} * (d.y - r.s[CAST((r.t + 1) % {m} AS BIGINT) + 1])
+                         + {1.0 - a!r} * (r.l + r.b) AS l
+                FROM rec r JOIN data d ON d.{sid} = r.{sid} AND d.t = r.t + 1
+            )
+        ),
+        fin AS (SELECT * FROM rec WHERE t = tmax),
+        grid AS (SELECT unnest(generate_series(1, {horizon})) AS h)
+        SELECT fin.{sid}, fin.max_ds + CAST(g.h AS INTEGER) AS ds,
+               {_sql_r6('fin.l + g.h * fin.b + fin.s[CAST((fin.tmax + g.h) % ' + str(m) + ' AS BIGINT) + 1]')} AS yhat
+        FROM fin CROSS JOIN grid g
     """
 
 
@@ -3040,6 +3138,7 @@ def oracle_sql() -> dict[str, str]:
         "kpss_daily": _kpss_oracle(_EVENTS_DAILY, nlags=12),
         "adf_daily": _adf_oracle(_EVENTS_DAILY, maxlag=2),
         "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
+        "forecast_hw_daily": _hw_oracle(_EVENTS_DAILY, horizon=14, period=7),
         "acf_bartlett_daily": _acf_bands_oracle(_EVENTS_DAILY, lags=10),
         "describe_series": (
             "SELECT event_type, COUNT(value) AS n, AVG(value) AS mean, "

@@ -1109,3 +1109,92 @@ def forecast_theta(
         F.date_add(F.col("_max_ds"), F.col("_h")).alias(ds_col),
         (F.lit(0.5) * (lfut + F.col("_level"))).alias("yhat"),
     )
+
+
+def forecast_holt_winters(
+    df: DataFrame,
+    *,
+    horizon: int = 14,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing (level +
+    trend + seasonal), the classical seasonal forecaster (Winters
+    1960; Hyndman fpp formulation):
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(y_t − l_{t−1} − b_{t−1}) + (1−γ)s_{t−m}
+
+    with the classical detrended initialization: b₀ = (second-period
+    mean − first-period mean)/m, level anchored at the first period's
+    center (l_{m−1} = mean₁ + b₀(m−1)/2), s_i = y_i − (mean₁ +
+    b₀(i − (m−1)/2)) — detrending the seasonal init keeps a clean
+    trend+seasonal series bit-exact from the first step (tested).
+    Daily-grain output: (series, ds, yhat) for h = 1..horizon,
+    ŷ_{n+h} = l + h·b + s_{(t_n+h) mod m}. Series shorter than two
+    periods fall back to a flat mean forecast (documented — there is
+    no seasonal signal to fit).
+
+    The three recursions are mutually coupled, so unlike ``ewma`` /
+    Brown's DES there is no closed window form: each series runs one
+    Arrow-batched pandas pass over (ds, y) — the documented Python
+    path, same as the Prophet backend. Per-series state is O(m).
+    The DuckDB oracle replays the identical recursion as a recursive
+    CTE (one row per time step carrying the seasonal list), so even
+    this iterative operator is hash-checked cross-engine.
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{name} must be in (0, 1): {v}")
+    series_cols = list(series_cols)
+    m = period
+
+    out_fields = ", ".join(f"{c} string" for c in series_cols)
+    schema = f"{out_fields}, {ds_col} date, yhat double"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ds_col, kind="mergesort")
+        y = pdf[y_col].to_numpy(dtype=float)
+        n = len(y)
+        keys = {c: pdf[c].iloc[0] for c in series_cols}
+        last_ds = pd.Timestamp(pdf[ds_col].iloc[-1])
+        if n < 2 * m:
+            level, trend, seas = float(y.mean()), 0.0, [0.0] * m
+            t_last = n - 1
+        else:
+            mean1 = float(y[:m].mean())
+            trend = float((y[m : 2 * m].mean() - mean1) / m)
+            center = (m - 1) / 2.0
+            level = mean1 + trend * center  # level at t = m-1
+            seas = [
+                float(y[i] - (mean1 + trend * (i - center))) for i in range(m)
+            ]
+            for t in range(m, n):
+                idx = t % m
+                pl, pb = level, trend
+                level = alpha * (y[t] - seas[idx]) + (1 - alpha) * (pl + pb)
+                trend = beta * (level - pl) + (1 - beta) * pb
+                seas[idx] = gamma * (y[t] - pl - pb) + (1 - gamma) * seas[idx]
+            t_last = n - 1
+        rows = []
+        for h in range(1, horizon + 1):
+            rows.append(
+                {
+                    **keys,
+                    ds_col: (last_ds + pd.Timedelta(days=h)).date(),
+                    "yhat": level + h * trend + seas[(t_last + h) % m],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return df.groupBy(*series_cols).applyInPandas(fit, schema)

@@ -282,3 +282,72 @@ def test_theta_validation(spark):
         forecast_theta(df, alpha=1.0)
     with pytest.raises(ValueError, match="horizon"):
         forecast_theta(df, horizon=0)
+
+
+def test_holt_winters_exact_on_clean_seasonal_trend(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_holt_winters
+
+    season = np.tile([3, -2, 1, 0, -1, 2, -3], 10).astype(float)
+    t = np.arange(70, dtype=float)
+    y = 5 + 0.5 * t + season
+    pdf = pd.DataFrame(
+        {"series_id": "s", "ds": pd.date_range("2024-01-01", periods=70), "y": y}
+    )
+    out = (
+        forecast_holt_winters(spark.createDataFrame(pdf), horizon=7, period=7)
+        .toPandas()
+        .sort_values("ds")
+    )
+    # detrended init keeps a clean trend+seasonal series exact
+    want = np.array([5 + 0.5 * (69 + h) + season[(69 + h) % 7] for h in range(1, 8)])
+    assert np.abs(out.yhat.to_numpy() - want).max() < 1e-9
+
+
+def test_holt_winters_multi_series_and_fallback(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_holt_winters
+
+    long = pd.DataFrame(
+        {
+            "series_id": "long",
+            "ds": pd.date_range("2024-01-01", periods=30),
+            "y": np.arange(30, dtype=float),
+        }
+    )
+    short = pd.DataFrame(
+        {
+            "series_id": "short",
+            "ds": pd.date_range("2024-01-01", periods=5),
+            "y": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = forecast_holt_winters(
+        spark.createDataFrame(pd.concat([long, short])), horizon=3, period=7
+    ).toPandas()
+    assert len(out) == 6
+    # short series: flat mean fallback (no seasonal signal to fit)
+    s = out[out.series_id == "short"]
+    assert (s.yhat == 3.0).all()
+    # long linear series: close to the true line
+    l = out[out.series_id == "long"].sort_values("ds")
+    want = [30.0, 31.0, 32.0]
+    assert np.abs(l.yhat.to_numpy() - np.array(want)).max() < 0.5
+
+
+def test_holt_winters_validation(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_holt_winters
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": ["a"], "ds": [pd.Timestamp("2024-01-01")], "y": [1.0]})
+    )
+    with pytest.raises(ValueError, match="period"):
+        forecast_holt_winters(df, period=1)
+    with pytest.raises(ValueError, match="gamma"):
+        forecast_holt_winters(df, gamma=0.0)
