@@ -1362,6 +1362,55 @@ _CORPUS_FILTER_CTES = """
 """
 
 
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 relative quality gate: keep the best 30% of every source
+    by the native quality heuristic (llm.corpus.quality_prune) —
+    exactly ceil(0.3·n) docs per source, ties by (score desc, id).
+    Scores are integer-count ratios, so both engines compute
+    bit-identical doubles and the rank order cannot drift."""
+    from temporal_retriever_spark.llm.corpus import quality_prune
+
+    got = quality_prune(_documents(spark, sf_dir), keep_frac=0.3)
+    return got.select("doc_id", "source", _r6("quality_score").alias("quality_score"))
+
+
+_QUALITY_PRUNE_ORACLE = f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               LENGTH(text) AS n_chars,
+               len(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+               CASE WHEN LENGTH(text) > 0 THEN
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / LENGTH(text) ELSE 0 END AS digit_ratio,
+               CASE WHEN LENGTH(text) > 0 THEN
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text) ELSE 0 END AS punct_ratio,
+               CASE WHEN len(string_split_regex(TRIM(text), '\\s+')) > 0 THEN
+                   CAST(LENGTH(text) AS DOUBLE)
+                   / len(string_split_regex(TRIM(text), '\\s+'))
+                   ELSE 0 END AS avg_tok
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               LEAST(n_chars / 200.0, 1.0)
+               * (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 1.0 ELSE 0.5 END)
+               * GREATEST(0.0, 1.0 - punct_ratio * 4)
+               * GREATEST(0.0, 1.0 - digit_ratio * 4) AS quality_score
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id, source, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM q
+    )
+    SELECT doc_id, source, {{score_round}} AS quality_score
+    FROM r WHERE rn <= CEIL(CAST(n AS DOUBLE) * 0.3)
+"""
+
+
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-10 token heavy hitters (exact counts,
     deterministic tie-break) — WindowGroupLimit pre-shuffle top-k."""
@@ -1956,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_hw_daily": q_forecast_hw_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
+        "quality_prune": q_quality_prune,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "bucket_hour_streamed": q_bucket_hour_streamed,
         "gopher_repetition": q_gopher_repetition,
@@ -3139,6 +3189,9 @@ def oracle_sql() -> dict[str, str]:
         "adf_daily": _adf_oracle(_EVENTS_DAILY, maxlag=2),
         "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
         "forecast_hw_daily": _hw_oracle(_EVENTS_DAILY, horizon=14, period=7),
+        "quality_prune": _QUALITY_PRUNE_ORACLE.format(
+            score_round=_sql_r6("quality_score")
+        ),
         "acf_bartlett_daily": _acf_bands_oracle(_EVENTS_DAILY, lags=10),
         "describe_series": (
             "SELECT event_type, COUNT(value) AS n, AVG(value) AS mean, "

@@ -283,3 +283,59 @@ def train_test_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def quality_prune(
+    df: DataFrame,
+    *,
+    keep_frac: float = 0.5,
+    group_col: str | None = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    out_score_col: str = "quality_score",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by quality score,
+    per group (default: per source) — percentile pruning, the
+    relative-quality gate that complements ``prepare_corpus``'s
+    absolute thresholds: "keep the best 30% of every source" instead
+    of "keep everything above 0.5", so a noisy source can't flood the
+    mix and a clean one isn't over-trimmed.
+
+    Score defaults to the native ``quality_exprs`` heuristic over
+    ``text_col``; pass ``score_col`` to rank on a precomputed column.
+    Exactly ceil(keep_frac·n) docs survive per group, ties broken by
+    (score desc, id asc) — deterministic and engine-portable.
+
+    Scale shape: one hash-partition window shuffle on the group key
+    (scores are computed in the scan projection); the rank filter is
+    the same top-k window family as ``sample_k_per_group``. Keyless
+    (global) mode single-partitions the sort and warns — per-group is
+    the scale path.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    from temporal_retriever_spark.llm.text import quality_exprs
+
+    score = F.col(score_col) if score_col else quality_exprs(text_col)["quality_score"]
+    scored = df.withColumn(out_score_col, score)
+    if group_col is None:
+        from temporal_retriever_spark.rolling import warn_keyless
+
+        warn_keyless("quality_prune")
+        part: list[str] = []
+    else:
+        part = [group_col]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part)
+    wo = w.orderBy(F.col(out_score_col).desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_qp_rn", F.row_number().over(wo))
+        .withColumn("_qp_n", F.count(id_col).over(w))
+        .filter(
+            F.col("_qp_rn")
+            <= F.ceil(F.col("_qp_n").cast("double") * F.lit(float(keep_frac)))
+        )
+        .drop("_qp_rn", "_qp_n")
+    )

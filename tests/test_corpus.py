@@ -139,3 +139,53 @@ def test_sketch_stats_within_bounds(spark, tables):
         assert abs(r["approx_distinct_docs"] - r["xd"]) <= max(2, 0.06 * r["xd"])
         assert r["xq"][0] <= r["len_p50"] <= r["xq"][1]
         assert r["len_p50"] <= r["len_p90"] <= r["len_p99"]
+
+
+def test_quality_prune_exact_counts_and_order(spark):
+    import math
+
+    from temporal_retriever_spark.llm.corpus import quality_prune
+
+    rows = []
+    # src a: 10 docs of stepped quality (longer text = higher len_score)
+    for i in range(10):
+        rows.append((i, "word " * (5 + i * 8), "a"))
+    for i in range(4):
+        rows.append((100 + i, "tok " * (10 + i * 10), "b"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = quality_prune(df, keep_frac=0.3).toPandas()
+    counts = out.groupby("source").size()
+    assert counts["a"] == math.ceil(0.3 * 10) and counts["b"] == math.ceil(0.3 * 4)
+    # docs 5..9 saturate len_score and tie at the top score; the
+    # deterministic id-asc tie-break keeps the smallest tied ids
+    assert set(out[out.source == "a"].doc_id) == {5, 6, 7}
+    assert set(out[out.source == "b"].doc_id) == {102, 103}
+    # keep_frac=1 keeps everything; invalid frac raises
+    assert quality_prune(df, keep_frac=1.0).count() == 14
+    with pytest.raises(ValueError, match="keep_frac"):
+        quality_prune(df, keep_frac=0.0)
+
+
+def test_quality_prune_keyless_warns(spark):
+    import warnings
+
+    from temporal_retriever_spark.llm.corpus import quality_prune
+
+    df = spark.createDataFrame(
+        [(1, "some text here", "s")], "doc_id long, text string, source string"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        quality_prune(df, keep_frac=0.5, group_col=None)
+    assert any("quality_prune" in str(w.message) for w in caught)
+
+
+def test_quality_prune_precomputed_score(spark):
+    from temporal_retriever_spark.llm.corpus import quality_prune
+
+    df = spark.createDataFrame(
+        [(1, "x", "s", 0.9), (2, "x", "s", 0.1), (3, "x", "s", 0.5)],
+        "doc_id long, text string, source string, myscore double",
+    )
+    out = quality_prune(df, keep_frac=0.3, score_col="myscore").toPandas()
+    assert list(out.doc_id) == [1] and out.iloc[0].quality_score == 0.9
