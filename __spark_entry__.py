@@ -340,6 +340,42 @@ def q_kpss_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1g: pairwise Pearson correlation matrix across all daily
+    series on shared dates (diagnostics.series_corr_matrix) —
+    explicit-sum arithmetic, one ts-join + one aggregation."""
+    from temporal_retriever_spark.diagnostics import series_corr_matrix
+
+    got = series_corr_matrix(
+        _events_daily_all(spark, sf_dir).withColumnRenamed("event_type", "series_id")
+    )
+    return got.select(
+        "series_a", "series_b", "n_obs", _r6("corr").alias("corr")
+    )
+
+
+def q_winsorize_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series winsorization of the daily series at the [0.05,
+    0.95] quantile envelope (rolling.winsorize) — one partition-wide
+    percentile window, the outlier-repair preprocessor."""
+    from temporal_retriever_spark.rolling import winsorize
+
+    got = winsorize(
+        _events_daily_all(spark, sf_dir),
+        lower=0.05,
+        upper=0.95,
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        "ds",
+        _r6("y").alias("y"),
+        _r6("y_wins").alias("y_wins"),
+        _r6("q_lo").alias("q_lo"),
+        _r6("q_hi").alias("q_hi"),
+    )
+
+
 def q_adf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1f: Augmented Dickey-Fuller unit-root test (maxlag=2, constant
     regression) — fully native staged-Cholesky OLS incl. the standard
@@ -1962,11 +1998,12 @@ FROM b GROUP BY 1
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
-    # that have never earned a driver-green row sort first (the r3
+    # that have never earned a driver-green row sort first (the 17 r3
     # additions the r3 sample missed), then the r2-green pair the r3
-    # sample rotated out, then this round's new queries, then the
-    # r3-green set with the most redundant variants (bucket grains,
-    # grids, splits) last — those have multiple green rows already.
+    # sample rotated out, then the 24 round-4 additions — 43 entries,
+    # leaving 7 slots that re-confirm the highest-value r3-green
+    # queries (granger/ccf/acf/pacf/describe/forecast). The bucket
+    # grains / grids / splits sort last: multiple green rows already.
     return {
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
@@ -2001,6 +2038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_bartlett_daily": q_acf_bartlett_daily,
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
+        "series_corr_daily": q_series_corr_daily,
+        "winsorize_daily": q_winsorize_daily,
         "forecast_theta_daily": q_forecast_theta_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
         "containment_pairs": q_containment_pairs,
@@ -3187,6 +3226,37 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box_daily": _ljung_box_oracle(_EVENTS_DAILY, lags=8),
         "kpss_daily": _kpss_oracle(_EVENTS_DAILY, nlags=12),
         "adf_daily": _adf_oracle(_EVENTS_DAILY, maxlag=2),
+        "series_corr_daily": f"""
+            WITH s AS ({_EVENTS_DAILY}),
+            j AS (
+                SELECT a.event_type AS series_a, b.event_type AS series_b,
+                       a.y AS xa, b.y AS xb
+                FROM s a JOIN s b ON a.ds = b.ds AND a.event_type < b.event_type
+            ),
+            agg AS (
+                SELECT series_a, series_b, CAST(COUNT(xa) AS DOUBLE) AS n,
+                       SUM(xa) AS sx, SUM(xb) AS sy,
+                       SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy,
+                       SUM(xa * xb) AS sxy
+                FROM j GROUP BY 1, 2
+            )
+            SELECT series_a, series_b, CAST(n AS BIGINT) AS n_obs,
+                   {_sql_r6('(n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))')} AS corr
+            FROM agg WHERE n >= 2
+        """,
+        "winsorize_daily": f"""
+            WITH s AS ({_EVENTS_DAILY}),
+            q AS (
+                SELECT event_type,
+                       quantile_cont(y, 0.05) AS q_lo,
+                       quantile_cont(y, 0.95) AS q_hi
+                FROM s GROUP BY 1
+            )
+            SELECT s.event_type, s.ds, {_sql_r6('s.y')} AS y,
+                   {_sql_r6('LEAST(GREATEST(s.y, q.q_lo), q.q_hi)')} AS y_wins,
+                   {_sql_r6('q.q_lo')} AS q_lo, {_sql_r6('q.q_hi')} AS q_hi
+            FROM s JOIN q ON s.event_type = q.event_type
+        """,
         "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
         "forecast_hw_daily": _hw_oracle(_EVENTS_DAILY, horizon=14, period=7),
         "quality_prune": _QUALITY_PRUNE_ORACLE.format(

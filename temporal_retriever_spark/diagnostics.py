@@ -1523,3 +1523,66 @@ def ccf(
             F.col("_e.ccf").alias("ccf"),
         )
     )
+
+
+def series_corr_matrix(
+    df: DataFrame,
+    *,
+    series_col: str = "series_id",
+    ts_col: str = "ds",
+    value_col: str = "y",
+    min_obs: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every pair of series on
+    their shared timestamps — the lead-lag screening companion to
+    ``ccf`` (which goes deep on one pair; this goes wide across all).
+
+    Output: (series_a < series_b, n_obs, corr), correlation from
+    explicit sums — (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) — so
+    the arithmetic is reproducible bit-for-bit against any SQL oracle
+    (engine-native ``corr`` uses incremental update formulas that
+    drift in the last ulp). NULL when either side is constant.
+
+    Scale shape: one equi-join shuffle on the timestamp, one
+    aggregation per pair. Pair cardinality is |series|² — the
+    intended regime is the analytics one (dozens-to-thousands of
+    series, pre-filtered), not millions; for that, LSH-bucket the
+    series embeddings first (``llm.similarity``) and correlate within
+    buckets.
+    """
+    if min_obs < 2:
+        raise ValueError(f"min_obs must be >= 2: {min_obs}")
+    a = df.select(
+        F.col(series_col).alias("series_a"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_xa"),
+    )
+    b = df.select(
+        F.col(series_col).alias("series_b"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_xb"),
+    )
+    j = a.join(b, on="_ts").filter(F.col("series_a") < F.col("series_b"))
+    agg = j.groupBy("series_a", "series_b").agg(
+        F.count("_xa").cast("double").alias("_n"),
+        F.sum("_xa").alias("_sx"),
+        F.sum("_xb").alias("_sy"),
+        F.sum(F.col("_xa") * F.col("_xa")).alias("_sxx"),
+        F.sum(F.col("_xb") * F.col("_xb")).alias("_syy"),
+        F.sum(F.col("_xa") * F.col("_xb")).alias("_sxy"),
+    )
+    n = F.col("_n")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return (
+        agg.filter(n >= min_obs)
+        .select(
+            "series_a",
+            "series_b",
+            n.cast("long").alias("n_obs"),
+            F.try_divide(num, den).alias("corr"),
+        )
+    )

@@ -637,3 +637,45 @@ def rolling_corr(
         cov / F.sqrt(vx * vy),
     )
     return df.withColumn(out_col, r)
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    series_cols: Iterable[str] = ("series_id",),
+    value_col: str = "y",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-series winsorization: clamp values into the [lower, upper]
+    empirical quantile envelope — the standard outlier-taming
+    preprocessor before fitting anything least-squares-shaped
+    (forecasts, Granger, correlation), where one spike can own the
+    fit. Unlike ``anomaly_zscore`` this doesn't flag, it repairs.
+
+    Output: input columns plus ``out_col`` (default
+    ``{value_col}_wins``) and the per-series ``q_lo``/``q_hi`` bounds
+    used. Exact quantiles via one partition-wide percentile window —
+    a single hash-partition shuffle per series key, no ordering
+    required, no Python.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1: ({lower}, {upper})")
+    series_cols = list(series_cols)
+    out_col = out_col or f"{value_col}_wins"
+    w = Window.partitionBy(*series_cols)
+    qarr = F.percentile(
+        F.col(value_col).cast("double"),
+        F.array(F.lit(float(lower)), F.lit(float(upper))),
+    ).over(w)
+    d = df.withColumn("_qb", qarr)
+    return (
+        d.withColumn("q_lo", F.col("_qb")[0])
+        .withColumn("q_hi", F.col("_qb")[1])
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col).cast("double"), F.col("q_lo")), F.col("q_hi")),
+        )
+        .drop("_qb")
+    )

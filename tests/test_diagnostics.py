@@ -712,3 +712,57 @@ def test_adf_validation(spark):
     )
     with pytest.raises(ValueError, match="maxlag"):
         adf(df, maxlag=-1)
+
+
+def test_series_corr_matrix_known_relationships(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import series_corr_matrix
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=60)
+    frames = []
+    for sid, y in (("a", x), ("b", 2 * x + 1), ("c", -x), ("flat", np.zeros(60))):
+        frames.append(
+            pd.DataFrame(
+                {"series_id": sid, "ds": pd.date_range("2024-01-01", periods=60), "y": y}
+            )
+        )
+    out = series_corr_matrix(spark.createDataFrame(pd.concat(frames))).toPandas()
+    got = {(r.series_a, r.series_b): r for _, r in out.iterrows()}
+    assert got[("a", "b")]["corr"] == pytest.approx(1.0, abs=1e-12)
+    assert got[("a", "c")]["corr"] == pytest.approx(-1.0, abs=1e-12)
+    assert got[("b", "c")]["corr"] == pytest.approx(-1.0, abs=1e-12)
+    # constant series: undefined correlation -> NULL, not a crash
+    assert pd.isna(got[("a", "flat")]["corr"])
+    assert (out.n_obs == 60).all()
+    # matches numpy on a noisy pair
+    y2 = x + rng.normal(scale=0.5, size=60)
+    two = pd.concat(
+        [
+            pd.DataFrame({"series_id": "p", "ds": pd.date_range("2024-01-01", periods=60), "y": x}),
+            pd.DataFrame({"series_id": "q", "ds": pd.date_range("2024-01-01", periods=60), "y": y2}),
+        ]
+    )
+    got2 = series_corr_matrix(spark.createDataFrame(two)).toPandas().iloc[0]
+    assert got2["corr"] == pytest.approx(float(np.corrcoef(x, y2)[0, 1]), abs=1e-12)
+
+
+def test_series_corr_matrix_partial_overlap(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import series_corr_matrix
+
+    a = pd.DataFrame(
+        {"series_id": "a", "ds": pd.date_range("2024-01-01", periods=10), "y": range(10)}
+    )
+    b = pd.DataFrame(
+        {"series_id": "b", "ds": pd.date_range("2024-01-05", periods=10), "y": range(10)}
+    )
+    out = series_corr_matrix(spark.createDataFrame(pd.concat([a, b]))).toPandas()
+    # only the 6 shared dates correlate; both sides linear -> corr 1
+    assert out.iloc[0].n_obs == 6
+    assert out.iloc[0]["corr"] == pytest.approx(1.0, abs=1e-12)
+    with pytest.raises(ValueError, match="min_obs"):
+        series_corr_matrix(spark.createDataFrame(a), min_obs=1)

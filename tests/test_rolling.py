@@ -521,3 +521,29 @@ def test_rolling_quantile_labels_and_validation(spark):
     assert {"rolling_q0", "rolling_q97_5", "rolling_q100"} <= set(out.columns)
     with pytest.raises(ValueError, match="quantile"):
         rolling_quantile(df, window=3, q=1.5)
+
+
+def test_winsorize_clamps_to_quantile_envelope(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.rolling import winsorize
+
+    y = np.concatenate([np.arange(1, 20, dtype=float), [1000.0]])  # one spike
+    pdf = pd.DataFrame(
+        {"series_id": "s", "ds": pd.date_range("2024-01-01", periods=20), "y": y}
+    )
+    out = winsorize(
+        spark.createDataFrame(pdf), lower=0.05, upper=0.95, series_cols=("series_id",)
+    ).toPandas()
+    lo, hi = np.percentile(y, 5), np.percentile(y, 95)
+    assert out.q_lo.iloc[0] == pytest.approx(lo, abs=1e-9)
+    assert out.q_hi.iloc[0] == pytest.approx(hi, abs=1e-9)
+    assert out.y_wins.max() == pytest.approx(hi, abs=1e-9)  # spike repaired
+    assert (out.y_wins <= out.q_hi.iloc[0] + 1e-12).all()
+    assert (out.y_wins >= out.q_lo.iloc[0] - 1e-12).all()
+    # mid-range values untouched
+    mid = out[(out.y > lo) & (out.y < hi)]
+    assert (mid.y_wins == mid.y).all()
+    with pytest.raises(ValueError, match="lower"):
+        winsorize(spark.createDataFrame(pdf), lower=0.9, upper=0.1)
