@@ -603,6 +603,24 @@ def q_forecast_hw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_ar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3f: AR(3) forecast by conditional least squares — the same
+    staged-Cholesky OLS machinery as the ADF test plus an unrolled
+    plug-in multi-step recursion (forecast.forecast_ar); matches
+    numpy lstsq+recursion to 1e-13. The oracle replays the identical
+    ar_stages / ar_forecast_stages strings."""
+    from temporal_retriever_spark.forecast import forecast_ar
+
+    got = forecast_ar(
+        _events_daily_all(spark, sf_dir).withColumnRenamed("event_type", "series_id"),
+        p=3,
+        horizon=14,
+    )
+    return got.select(
+        F.col("series_id").alias("event_type"), "ds", _r6("yhat").alias("yhat")
+    )
+
+
 def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _daily_series(spark, sf_dir, "click").withColumn(
         "series_id", F.lit("click")
@@ -2042,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_daily": q_winsorize_daily,
         "forecast_theta_daily": q_forecast_theta_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
+        "forecast_ar_daily": q_forecast_ar_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
@@ -2526,6 +2545,52 @@ def _hw_oracle(
         SELECT fin.{sid}, fin.max_ds + CAST(g.h AS INTEGER) AS ds,
                {_sql_r6('fin.l + g.h * fin.b + fin.s[CAST((fin.tmax + g.h) % ' + str(m) + ' AS BIGINT) + 1]')} AS yhat
         FROM fin CROSS JOIN grid g
+    """
+
+
+def _ar_oracle(
+    series_sql: str, p: int = 3, horizon: int = 14, sid: str = "event_type"
+) -> str:
+    """SQL mirror of forecast.forecast_ar: same Gram sums, the SAME
+    ar_stages + ar_forecast_stages strings as chained CTEs, the last-p
+    tail via negative list indexing."""
+    from temporal_retriever_spark.forecast import ar_forecast_stages, ar_stages
+
+    m = p + 1
+    zs = ["1.0"] + [f"l{j}" for j in range(1, p + 1)]
+    lag_cols = ", ".join(
+        f"LAG(y, {j}) OVER (PARTITION BY {sid} ORDER BY ds) AS l{j}"
+        for j in range(1, p + 1)
+    )
+    gram = []
+    for i in range(m):
+        for j in range(i, m):
+            gram.append(f"SUM({zs[i]} * {zs[j]}) AS g_{i}_{j}")
+        gram.append(f"SUM({zs[i]} * y) AS gy_{i}")
+    lv_cols = ", ".join(f"tail[{-j}] AS lv_{j}" for j in range(1, p + 1))
+    stage_ctes = []
+    prev = "j0"
+    for idx, (name, expr) in enumerate(ar_stages(p) + ar_forecast_stages(p, horizon)):
+        cte = f"st{idx}"
+        stage_ctes.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    unions = " UNION ALL ".join(
+        f"SELECT {sid}, max_ds + {h} AS ds, {_sql_r6(f'f_{h}')} AS yhat FROM {prev}"
+        for h in range(1, horizon + 1)
+    )
+    return f"""
+        WITH s AS ({series_sql}),
+        lg AS (SELECT {sid}, ds, y, {lag_cols} FROM s),
+        f AS (SELECT * FROM lg WHERE l{p} IS NOT NULL),
+        a AS (SELECT {sid}, CAST(COUNT(y) AS DOUBLE) AS nn, {', '.join(gram)}
+              FROM f GROUP BY 1),
+        t AS (SELECT {sid}, MAX(ds) AS max_ds,
+                     list(y ORDER BY ds) AS tail
+              FROM s GROUP BY 1),
+        j0 AS (SELECT a.*, t.max_ds, {lv_cols}
+               FROM a JOIN t ON a.{sid} = t.{sid}),
+        {', '.join(stage_ctes)}
+        {unions}
     """
 
 
@@ -3259,6 +3324,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
         "forecast_hw_daily": _hw_oracle(_EVENTS_DAILY, horizon=14, period=7),
+        "forecast_ar_daily": _ar_oracle(_EVENTS_DAILY, p=3, horizon=14),
         "quality_prune": _QUALITY_PRUNE_ORACLE.format(
             score_round=_sql_r6("quality_score")
         ),

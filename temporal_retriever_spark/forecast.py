@@ -1198,3 +1198,125 @@ def forecast_holt_winters(
         return pd.DataFrame(rows)
 
     return df.groupBy(*series_cols).applyInPandas(fit, schema)
+
+
+def ar_stages(p: int) -> list[tuple[str, str]]:
+    """Shared SQL stages solving the AR(p)-with-intercept OLS.
+
+    Inputs (one row per series): ``nn``, Gram sums ``g_{i}_{j}``
+    (i ≤ j) over regressors z = [1, y_{t−1}, …, y_{t−p}], and
+    ``gy_{i}`` = Σ zᵢ·y_t. Emits Cholesky X'X = RᵀR, forward solve,
+    and the FULL back substitution c_0 (intercept), c_1..c_p (lag
+    coefficients) — same staged-scalar design as ``adf_stages``; the
+    same strings drive the Spark select chain and the DuckDB oracle.
+    """
+    m = p + 1
+
+    def g(i: int, j: int) -> str:
+        return f"g_{min(i, j)}_{max(i, j)}"
+
+    stages: list[tuple[str, str]] = []
+    for i in range(m):
+        acc = " - ".join([g(i, i)] + [f"r_{k}_{i} * r_{k}_{i}" for k in range(i)])
+        stages.append((f"r_{i}_{i}", f"SQRT({acc})"))
+        for j in range(i + 1, m):
+            acc = " - ".join([g(i, j)] + [f"r_{k}_{i} * r_{k}_{j}" for k in range(i)])
+            stages.append((f"r_{i}_{j}", f"({acc}) / r_{i}_{i}"))
+    for i in range(m):
+        acc = " - ".join([f"gy_{i}"] + [f"r_{k}_{i} * w_{k}" for k in range(i)])
+        stages.append((f"w_{i}", f"({acc}) / r_{i}_{i}"))
+    for i in range(m - 1, -1, -1):
+        acc = " - ".join([f"w_{i}"] + [f"r_{i}_{k} * c_{k}" for k in range(i + 1, m)])
+        stages.append((f"c_{i}", f"({acc}) / r_{i}_{i}"))
+    return stages
+
+
+def ar_forecast_stages(p: int, horizon: int) -> list[tuple[str, str]]:
+    """Unrolled h-step AR recursion as shared expression stages.
+
+    Inputs: coefficients ``c_0..c_p`` (from ``ar_stages``) and the
+    last observations ``lv_1..lv_p`` (lv_1 = y_n, lv_2 = y_{n−1}, …).
+    Emits ``f_1..f_horizon`` where each step substitutes prior
+    forecasts for not-yet-observed lags — the standard plug-in
+    multi-step AR forecast, closed-form because p and horizon are
+    build-time constants.
+    """
+    stages = []
+    for h in range(1, horizon + 1):
+        terms = ["c_0"]
+        for j in range(1, p + 1):
+            src = f"f_{h - j}" if h - j >= 1 else f"lv_{j - h + 1}"
+            terms.append(f"c_{j} * {src}")
+        stages.append((f"f_{h}", " + ".join(terms)))
+    return stages
+
+
+def forecast_ar(
+    df: DataFrame,
+    *,
+    p: int = 3,
+    horizon: int = 14,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+) -> DataFrame:
+    """AR(p) forecast per series: y_t = c + Σ φⱼ·y_{t−j} + ε, fit by
+    conditional least squares, forecast by the plug-in recursion —
+    the autoregressive member of the forecaster family (complements
+    the trend+seasonal, smoothing and theta models; the right tool
+    when PACF shows a sharp lag-p cutoff).
+
+    Daily-grain output: (series, ds, yhat) for h = 1..horizon.
+
+    Fully native: one ordered window pass builds the lag columns, ONE
+    aggregation the Gram sums (plus the p-value tail of last
+    observations), the entire OLS solve is the ``ar_stages`` staged
+    Cholesky, and the multi-step recursion is unrolled into
+    ``horizon`` scalar expressions (``ar_forecast_stages``) — no
+    Python, no iteration at runtime; the oracle replays the identical
+    strings.
+    """
+    if p < 1:
+        raise ValueError(f"p must be >= 1: {p}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    series_cols = list(series_cols)
+    m = p + 1
+    ws = Window.partitionBy(*series_cols).orderBy(ds_col)
+    y = F.col(y_col).cast("double")
+    d = df
+    for j in range(1, p + 1):
+        d = d.withColumn(f"_l{j}", F.lag(y, j).over(ws))
+    fit_rows = d.filter(F.col(f"_l{p}").isNotNull())
+    zs = [F.lit(1.0)] + [F.col(f"_l{j}") for j in range(1, p + 1)]
+    aggs = [F.count(y_col).cast("double").alias("nn")]
+    for i in range(m):
+        for j in range(i, m):
+            aggs.append(F.sum(zs[i] * zs[j]).alias(f"g_{i}_{j}"))
+        aggs.append(F.sum(zs[i] * y).alias(f"gy_{i}"))
+    gram = fit_rows.groupBy(*series_cols).agg(*aggs)
+    tail = df.groupBy(*series_cols).agg(
+        F.max(F.col(ds_col).cast("date")).alias("_max_ds"),
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(F.col(ds_col).alias("ds"), y.alias("v")))),
+            -p,
+            p,
+        ).alias("_tail"),
+    )
+    out = gram.join(tail, on=series_cols)
+    for j in range(1, p + 1):
+        # lv_1 = most recent observation
+        out = out.withColumn(f"lv_{j}", F.element_at("_tail", -j)["v"])
+    for name, expr in ar_stages(p) + ar_forecast_stages(p, horizon):
+        out = out.withColumn(name, F.expr(expr))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(h).alias("h"), F.col(f"f_{h}").alias("yhat"))
+            for h in range(1, horizon + 1)
+        ]
+    )
+    return out.select(*series_cols, "_max_ds", F.explode(pairs).alias("_e")).select(
+        *series_cols,
+        F.date_add(F.col("_max_ds"), F.col("_e.h")).alias(ds_col),
+        F.col("_e.yhat").alias("yhat"),
+    )

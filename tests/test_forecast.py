@@ -351,3 +351,74 @@ def test_holt_winters_validation(spark):
         forecast_holt_winters(df, period=1)
     with pytest.raises(ValueError, match="gamma"):
         forecast_holt_winters(df, gamma=0.0)
+
+
+def test_forecast_ar_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_ar
+
+    def ref(y, p, H):
+        rows = [
+            [1.0] + [y[t - j] for j in range(1, p + 1)] + [y[t]]
+            for t in range(p, len(y))
+        ]
+        A = np.array(rows)
+        X, b = A[:, :-1], A[:, -1]
+        coef, *_ = np.linalg.lstsq(X, b, rcond=None)
+        hist = list(y)
+        out = []
+        for _ in range(H):
+            v = coef[0] + sum(coef[j] * hist[-j] for j in range(1, p + 1))
+            out.append(v)
+            hist.append(v)
+        return np.array(out)
+
+    rng = np.random.default_rng(8)
+    n = 200
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 1.0 + 0.6 * y[t - 1] + 0.25 * y[t - 2] + rng.normal(scale=0.5)
+    pdf = pd.DataFrame(
+        {"series_id": "a", "ds": pd.date_range("2024-01-01", periods=n), "y": y}
+    )
+    sdf = spark.createDataFrame(pdf)
+    for p in (1, 2, 4):
+        out = forecast_ar(sdf, p=p, horizon=6).toPandas().sort_values("ds")
+        assert np.abs(out.yhat.to_numpy() - ref(y, p, 6)).max() < 1e-10
+
+
+def test_forecast_ar_recovers_ar2_coefficients_behavior(spark):
+    """On a near-noiseless AR(2), long-horizon forecasts converge to
+    the process mean c/(1-phi1-phi2)."""
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_ar
+
+    rng = np.random.default_rng(12)
+    n = 400
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 2.0 + 0.5 * y[t - 1] + 0.2 * y[t - 2] + rng.normal(scale=0.01)
+    pdf = pd.DataFrame(
+        {"series_id": "a", "ds": pd.date_range("2023-01-01", periods=n), "y": y}
+    )
+    out = forecast_ar(spark.createDataFrame(pdf), p=2, horizon=60).toPandas()
+    mean = 2.0 / (1 - 0.5 - 0.2)
+    assert abs(out.sort_values("ds").yhat.iloc[-1] - mean) < 0.1
+
+
+def test_forecast_ar_validation(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_ar
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": ["a"], "ds": [pd.Timestamp("2024-01-01")], "y": [1.0]})
+    )
+    with pytest.raises(ValueError, match="p must"):
+        forecast_ar(df, p=0)
+    with pytest.raises(ValueError, match="horizon"):
+        forecast_ar(df, horizon=0)
