@@ -621,6 +621,30 @@ def q_forecast_ar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_baselines_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3g: the three benchmark baselines (naive / seasonal-naive /
+    drift, Hyndman fpp) every real forecaster must beat
+    (forecast.forecast_baseline) — one aggregation per series, scalar
+    arithmetic over the horizon, zero Python."""
+    from functools import reduce
+
+    from temporal_retriever_spark.forecast import forecast_baseline
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    parts = [
+        forecast_baseline(daily, method=mth, horizon=7, period=7).select(
+            F.col("series_id").alias("event_type"),
+            F.lit(mth).alias("method"),
+            "ds",
+            _r6("yhat").alias("yhat"),
+        )
+        for mth in ("naive", "snaive", "drift")
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _daily_series(spark, sf_dir, "click").withColumn(
         "series_id", F.lit("click")
@@ -2061,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_theta_daily": q_forecast_theta_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
+        "forecast_baselines_daily": q_forecast_baselines_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
@@ -3325,6 +3350,32 @@ def oracle_sql() -> dict[str, str]:
         "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
         "forecast_hw_daily": _hw_oracle(_EVENTS_DAILY, horizon=14, period=7),
         "forecast_ar_daily": _ar_oracle(_EVENTS_DAILY, p=3, horizon=14),
+        "forecast_baselines_daily": f"""
+            WITH s AS ({_EVENTS_DAILY}),
+            a AS (
+                SELECT event_type, MAX(ds) AS max_ds,
+                       CAST(COUNT(y) AS DOUBLE) AS n,
+                       list(y ORDER BY ds) AS vals
+                FROM s GROUP BY 1
+            ),
+            t AS (
+                SELECT *, list_slice(vals, GREATEST(CAST(len(vals) AS BIGINT) - 6, 1),
+                                     CAST(len(vals) AS BIGINT)) AS tail
+                FROM a
+            ),
+            grid AS (SELECT unnest(generate_series(1, 7)) AS h)
+            SELECT event_type, 'naive' AS method, max_ds + CAST(h AS INTEGER) AS ds,
+                   {_sql_r6('vals[-1]')} AS yhat
+            FROM t CROSS JOIN grid
+            UNION ALL
+            SELECT event_type, 'snaive' AS method, max_ds + CAST(h AS INTEGER) AS ds,
+                   {_sql_r6('tail[CAST(((h - 1) % len(tail)) - len(tail) AS BIGINT)]')} AS yhat
+            FROM t CROSS JOIN grid
+            UNION ALL
+            SELECT event_type, 'drift' AS method, max_ds + CAST(h AS INTEGER) AS ds,
+                   {_sql_r6('vals[-1] + CAST(h AS DOUBLE) * (vals[-1] - vals[1]) / (n - 1)')} AS yhat
+            FROM t CROSS JOIN grid
+        """,
         "quality_prune": _QUALITY_PRUNE_ORACLE.format(
             score_round=_sql_r6("quality_score")
         ),

@@ -1320,3 +1320,73 @@ def forecast_ar(
         F.date_add(F.col("_max_ds"), F.col("_e.h")).alias(ds_col),
         F.col("_e.yhat").alias("yhat"),
     )
+
+
+def forecast_baseline(
+    df: DataFrame,
+    *,
+    method: str = "snaive",
+    horizon: int = 14,
+    period: int = 7,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+) -> DataFrame:
+    """The three standard benchmark forecasters every model must beat
+    (Hyndman fpp baselines):
+
+    * ``naive`` — repeat the last observation: ŷ_{n+h} = y_n.
+    * ``snaive`` — repeat the last full season:
+      ŷ_{n+h} = y_{n+h−m·⌈h/m⌉}.
+    * ``drift`` — last observation plus the average historical step:
+      ŷ_{n+h} = y_n + h·(y_n − y_1)/(n − 1).
+
+    Daily-grain output: (series, ds, yhat). One aggregation per
+    series collecting the seasonal tail (≤ ``period`` values) and the
+    endpoints; forecasts are pure scalar arithmetic exploded over the
+    horizon — zero Python, one shuffle.
+    """
+    if method not in ("naive", "snaive", "drift"):
+        raise ValueError(f"method must be naive|snaive|drift: {method!r}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    if period < 1:
+        raise ValueError(f"period must be >= 1: {period}")
+    series_cols = list(series_cols)
+    y = F.col(y_col).cast("double")
+    sorted_vals = F.array_sort(
+        F.collect_list(F.struct(F.col(ds_col).alias("ds"), y.alias("v")))
+    )
+    # clamp the tail window to the series length: slice(arr, -p, p) on a
+    # shorter-than-p array would be empty (and h % 0 throws under ANSI)
+    tail_start = -F.least(F.lit(period), F.size(sorted_vals))
+    agg = df.groupBy(*series_cols).agg(
+        F.max(F.col(ds_col).cast("date")).alias("_max_ds"),
+        F.count(y_col).cast("double").alias("_n"),
+        F.slice(sorted_vals, tail_start, period).alias("_tail"),
+        F.min(F.struct(F.col(ds_col).alias("ds"), y.alias("v"))).alias("_first"),
+    )
+    last = F.element_at("_tail", -1)["v"]
+    entries = []
+    for h in range(1, horizon + 1):
+        if method == "naive":
+            yhat = last
+        elif method == "drift":
+            yhat = last + F.lit(float(h)) * F.try_divide(
+                last - F.col("_first")["v"], F.col("_n") - 1
+            )
+        else:  # snaive: position h in the repeating last season
+            # tail is the last min(period, n) observations; index from
+            # its end: offset = ((h-1) mod len) counted from the start
+            # of the repeating block
+            tail_len = F.size("_tail")
+            idx = (F.lit(h - 1) % tail_len) - tail_len  # negative index
+            yhat = F.element_at("_tail", idx.cast("int"))["v"]
+        entries.append(F.struct(F.lit(h).alias("h"), yhat.alias("yhat")))
+    return agg.select(
+        *series_cols, "_max_ds", F.explode(F.array(*entries)).alias("_e")
+    ).select(
+        *series_cols,
+        F.date_add(F.col("_max_ds"), F.col("_e.h")).alias(ds_col),
+        F.col("_e.yhat").alias("yhat"),
+    )

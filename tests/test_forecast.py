@@ -422,3 +422,42 @@ def test_forecast_ar_validation(spark):
         forecast_ar(df, p=0)
     with pytest.raises(ValueError, match="horizon"):
         forecast_ar(df, horizon=0)
+
+
+def test_forecast_baselines(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_baseline
+
+    y = np.arange(1.0, 11.0)
+    pdf = pd.DataFrame(
+        {"series_id": "a", "ds": pd.date_range("2024-01-01", periods=10), "y": y}
+    )
+    sdf = spark.createDataFrame(pdf)
+    nv = forecast_baseline(sdf, method="naive", horizon=3).toPandas().sort_values("ds")
+    assert nv.yhat.tolist() == [10.0, 10.0, 10.0]
+    dr = forecast_baseline(sdf, method="drift", horizon=3).toPandas().sort_values("ds")
+    # average step on 1..10 is exactly 1 -> extends the line
+    assert dr.yhat.tolist() == [11.0, 12.0, 13.0]
+    sn = (
+        forecast_baseline(sdf, method="snaive", horizon=8, period=3)
+        .toPandas()
+        .sort_values("ds")
+    )
+    # last season [8,9,10] repeats
+    assert sn.yhat.tolist() == [8.0, 9.0, 10.0, 8.0, 9.0, 10.0, 8.0, 9.0]
+    # short series: snaive falls back to repeating what exists
+    short = spark.createDataFrame(
+        pd.DataFrame(
+            {"series_id": "s", "ds": pd.date_range("2024-01-01", periods=2), "y": [5.0, 7.0]}
+        )
+    )
+    ss = (
+        forecast_baseline(short, method="snaive", horizon=4, period=7)
+        .toPandas()
+        .sort_values("ds")
+    )
+    assert ss.yhat.tolist() == [5.0, 7.0, 5.0, 7.0]
+    with pytest.raises(ValueError, match="method"):
+        forecast_baseline(sdf, method="ets")
