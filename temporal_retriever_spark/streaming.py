@@ -542,3 +542,107 @@ def streaming_anomaly_zscore(
         outputMode="append",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    *,
+    k: int = 10,
+    capacity: int = 256,
+    group_col: str = "group_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Streaming top-k tokens per group via the SpaceSaving sketch
+    (Metwally et al. 2005) in ``applyInPandasWithState`` — the
+    unbounded-vocabulary companion to the batch ``token_topk``: exact
+    counting needs state per distinct token, SpaceSaving caps state at
+    ``capacity`` counters per group with the classical guarantees
+    (est ≥ true ≥ est − err per entry; any token with true count >
+    N/capacity is present).
+
+    Each micro-batch emits the group's current top-k:
+    (group, token, est_count, err, rank). Batch-local counts are
+    pre-aggregated in pandas before merging, so per-batch work is
+    O(batch distinct + capacity·log); per-group state is exactly three
+    arrays of length ≤ capacity — bounded regardless of vocabulary
+    size, the property that makes this runnable forever at 100 TB/day.
+    When ``capacity`` ≥ the true vocabulary the sketch is exact and
+    stream == batch (tested).
+    """
+    if k < 1 or capacity < k:
+        raise ValueError(f"need 1 <= k <= capacity: k={k}, capacity={capacity}")
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        IntegerType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField(token_col, StringType()),
+            StructField("est_count", LongType()),
+            StructField("err", LongType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("errors", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            tokens, counts, errors = state.get
+            summary = {
+                t: [int(c), int(er)] for t, c, er in zip(tokens, counts, errors)
+            }
+        else:
+            summary = {}
+        for pdf in pdfs:
+            batch = pdf[token_col].value_counts()
+            for tok, cnt in batch.items():
+                cnt = int(cnt)
+                if tok in summary:
+                    summary[tok][0] += cnt
+                elif len(summary) < capacity:
+                    summary[tok] = [cnt, 0]
+                else:
+                    # evict the min-count entry; inherit its count as error
+                    evict = min(summary, key=lambda t: summary[t][0])
+                    base = summary.pop(evict)[0]
+                    summary[tok] = [base + cnt, base]
+        items = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [t for t, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        top = items[:k]
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]] * len(top),
+                token_col: [t for t, _ in top],
+                "est_count": [v[0] for _, v in top],
+                "err": [v[1] for _, v in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
