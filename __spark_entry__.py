@@ -1926,6 +1926,51 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_media_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal REAL audio DSP: a 1-second 8 kHz pure tone at
+    ``100 + (doc_id % 20)·50`` Hz is synthesized per document, encoded
+    as a real RIFF/WAV (llm.codecs), decoded back, and run through the
+    rfft spectrum kernel (codecs.audio_spectrum_features). A full
+    second at integer Hz puts the tone exactly on an FFT bin, so the
+    dominant frequency is EXACT — the oracle recomputes it as integer
+    arithmetic on doc_id, a hard hash-match on a genuine DSP path
+    (WAV framing, PCM scaling, FFT peak-pick all verified). The
+    centroid gate bounds spectral leakage; rms ≈ 0.3/√2 for a 0.3
+    amplitude sine."""
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    RATE = 8000
+    out_schema = (
+        "doc_id long, dominant_hz long, centroid_ok boolean, rms_ok boolean"
+    )
+
+    def run(batches):
+        t = np.arange(RATE) / RATE
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hz = 100 + (int(doc_id) % 20) * 50
+                tone = (0.3 * np.sin(2 * np.pi * hz * t) * 32767).astype(np.int16)
+                rate, dec = codecs.decode_wav(codecs.encode_wav(tone, RATE))
+                dom, cen, rms = codecs.audio_spectrum_features(rate, dec)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(round(dom)),
+                        abs(cen - hz) <= 2.0,  # leakage-bounded centroid
+                        abs(rms - 0.3 * 32767 / np.sqrt(2)) <= 50.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dominant_hz", "centroid_ok", "rms_ok"]
+            )
+
+    return _documents(spark, sf_dir).select("doc_id").mapInPandas(run, out_schema)
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus filters: Gopher repetition metrics (Rae et al. 2021 A1.1)
     — duplicate line/paragraph fractions and the character fraction of
@@ -2072,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "media_audio_spectrum": q_media_audio_spectrum,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
         "corpus_sample_k": q_corpus_sample_k,
@@ -3574,6 +3620,13 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
+        "media_audio_spectrum": """
+            SELECT doc_id,
+                   CAST(100 + (doc_id % 20) * 50 AS BIGINT) AS dominant_hz,
+                   TRUE AS centroid_ok,
+                   TRUE AS rms_ok
+            FROM documents
+        """,
         "doc_chunks": r"""
             WITH t AS (
                 SELECT doc_id, source,

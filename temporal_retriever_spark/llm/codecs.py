@@ -294,6 +294,31 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+def audio_spectrum_features(rate: int, samples: np.ndarray) -> list[float]:
+    """[dominant_hz, spectral_centroid_hz, rms] via the real FFT.
+
+    The frequency-domain complement to ``audio_features``' time-domain
+    stats: dominant_hz is the peak magnitude bin (exact for pure tones
+    at integer Hz over a full second), the centroid is the
+    magnitude-weighted mean frequency, rms the root-mean-square
+    amplitude. numpy ``rfft`` only — no DSP libraries.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size == 0:
+        return [0.0, 0.0, 0.0]
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+    if mag.size > 1:
+        peak = 1 + int(np.argmax(mag[1:]))  # skip DC
+        dominant = float(freqs[peak])
+    else:
+        dominant = 0.0
+    denom = float(mag.sum())
+    centroid = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+    rms = float(np.sqrt((x * x).mean()))
+    return [dominant, centroid, rms]
+
+
 def audio_features(rate: int, samples: np.ndarray) -> list[float]:
     """[duration_ms, rms, zero_crossing_rate, dominant_freq_hz]."""
     x = samples.astype(np.float64)

@@ -280,3 +280,29 @@ def test_jpeg_rejects_malformed():
         codecs.encode_jpeg(np.zeros((0, 4, 3), np.uint8))
     with pytest.raises(ValueError, match="subsampling"):
         codecs.encode_jpeg(np.zeros((4, 4, 3), np.uint8), subsampling="4:1:1")
+
+
+def test_audio_spectrum_features_pure_tone():
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    dom, cen, rms = codecs.audio_spectrum_features(rate, tone)
+    assert dom == 440.0  # full-second integer-Hz tone sits on a bin
+    assert abs(cen - 440.0) < 2.0
+    assert rms == pytest.approx(0.5 * 32767 / np.sqrt(2), rel=1e-3)
+
+
+def test_audio_spectrum_features_two_tones_and_edge_cases():
+    rate = 8000
+    t = np.arange(rate) / rate
+    mix = (
+        (0.6 * np.sin(2 * np.pi * 200 * t) + 0.2 * np.sin(2 * np.pi * 900 * t))
+        * 16000
+    ).astype(np.int16)
+    dom, cen, _ = codecs.audio_spectrum_features(rate, mix)
+    assert dom == 200.0  # louder tone wins
+    assert 200.0 < cen < 900.0  # centroid pulled toward the second tone
+    assert codecs.audio_spectrum_features(rate, np.array([], np.int16)) == [0.0, 0.0, 0.0]
+    # round-trips through the real WAV codec unchanged
+    rate2, dec = codecs.decode_wav(codecs.encode_wav(mix, rate))
+    assert rate2 == rate and (dec == mix).all()
