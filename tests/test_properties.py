@@ -81,3 +81,72 @@ def test_bucket_aggregate_conserves_sum(spark, rows):
         agged = bucket_aggregate(df, grain=grain, agg="sum")
         got = sum(r["y"] for r in agged.collect())
         assert abs(got - total) < 1e-6 * max(1.0, abs(total))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 8),
+    st.integers(0, 3),
+)
+def test_chunking_covers_every_token_exactly(spark, texts, chunk_tokens, overlap):
+    """Non-overlap chunks partition the token stream; overlap chunks
+    cover every token at least once and starts advance by the stride."""
+    from temporal_retriever_spark.llm.chunking import chunk_documents
+
+    overlap = min(overlap, chunk_tokens - 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap
+    ).toPandas()
+    import re
+
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip()) if t.strip() else []
+        chunks = out[out.doc_id == i].sort_values("chunk_id")
+        if not toks:
+            assert len(chunks) == 0
+            continue
+        stride = chunk_tokens - overlap
+        # reconstruct: chunk j covers tokens [j*stride, j*stride+chunk_tokens)
+        seen = set()
+        for _, row in chunks.iterrows():
+            start = row.chunk_id * stride
+            got = row.chunk_text.split(" ") if row.chunk_text else []
+            assert got == toks[start : start + chunk_tokens]
+            seen.update(range(start, min(start + chunk_tokens, len(toks))))
+        assert seen == set(range(len(toks)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    st.integers(1, 40),
+    st.integers(1, 4),
+)
+def test_packing_concat_is_gapless(spark, lengths, capacity, buckets):
+    """Concat packing lays tokens contiguously: within each bucket the
+    next doc starts exactly where the previous ended."""
+    from temporal_retriever_spark.llm.chunking import pack_sequences
+
+    rows = [(i, "w " * n, n) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ntok long")
+    out = pack_sequences(
+        df, capacity=capacity, buckets=buckets, mode="concat", n_tokens_col="ntok"
+    ).toPandas()
+    assert len(out) == len(lengths)
+    for _, grp in out.groupby("bucket"):
+        pos = 0
+        for _, r in grp.sort_values("doc_id").iterrows():
+            assert r.start_seq * capacity + r.start_offset == pos
+            end = pos + max(int(r.n_tokens) - 1, 0)
+            assert r.end_seq == end // capacity
+            pos += int(r.n_tokens)
