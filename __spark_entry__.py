@@ -376,6 +376,22 @@ def q_winsorize_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detect_seasonality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1h: dominant-period detection (argmax ACF over lags 2..21 with
+    a Bartlett significance gate, diagnostics.detect_seasonality) —
+    the period-picking primitive for Holt-Winters / decompose."""
+    from temporal_retriever_spark.diagnostics import detect_seasonality
+
+    got = detect_seasonality(
+        _events_daily_all(spark, sf_dir),
+        max_period=21,
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type", "period", _r6("acf").alias("acf"), "significant", "n"
+    )
+
+
 def q_adf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1f: Augmented Dickey-Fuller unit-root test (maxlag=2, constant
     regression) — fully native staged-Cholesky OLS incl. the standard
@@ -2126,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_bartlett_daily": q_acf_bartlett_daily,
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
+        "detect_seasonality_daily": q_detect_seasonality_daily,
         "series_corr_daily": q_series_corr_daily,
         "winsorize_daily": q_winsorize_daily,
         "forecast_theta_daily": q_forecast_theta_daily,
@@ -2712,6 +2729,54 @@ def _adf_oracle(series_sql: str, maxlag: int, sid: str = "event_type") -> str:
                {_sql_r6(p_expr)} AS adf_pvalue,
                CAST(nn AS BIGINT) AS n, {maxlag} AS nlags
         FROM {prev}
+    """
+
+
+def _detect_seasonality_oracle(
+    series_sql: str,
+    max_period: int = 21,
+    min_period: int = 2,
+    sid: str = "event_type",
+) -> str:
+    """SQL mirror of diagnostics.detect_seasonality: same rho sums,
+    argmax via rank (ties toward the shorter lag), Bartlett prefix via
+    a lag-ordered window, same norm_ppf z constant."""
+    from temporal_retriever_spark.stats import norm_ppf
+
+    z = norm_ppf(0.975)
+    lag_cols = ", ".join(
+        f"LAG(d, {k}) OVER (PARTITION BY {sid} ORDER BY ds) AS d{k}"
+        for k in range(1, max_period + 1)
+    )
+    sums = ", ".join(f"SUM(d * d{k}) AS s{k}" for k in range(1, max_period + 1))
+    union = " UNION ALL ".join(
+        f"SELECT {sid}, n, {k} AS lag, s{k} / c0 AS rho FROM a"
+        for k in range(1, max_period + 1)
+    )
+    return f"""
+        WITH s AS ({series_sql}),
+        c AS (SELECT {sid}, ds, y - AVG(y) OVER (PARTITION BY {sid}) AS d FROM s),
+        l AS (SELECT {sid}, d, {lag_cols} FROM c),
+        a AS (SELECT {sid}, CAST(COUNT(d) AS DOUBLE) AS n, SUM(d * d) AS c0,
+                     {sums} FROM l GROUP BY 1),
+        r AS ({union}),
+        b AS (
+            SELECT *, SUM(COALESCE(rho, 0) * COALESCE(rho, 0)) OVER (
+                       PARTITION BY {sid} ORDER BY lag
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS accp
+            FROM r
+        ),
+        rk AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY {sid}
+                       ORDER BY COALESCE(rho, CAST('-Infinity' AS DOUBLE)) DESC,
+                                lag ASC) AS rn
+            FROM b WHERE lag >= {min_period}
+        )
+        SELECT {sid}, lag AS period, {_sql_r6('rho')} AS acf,
+               ABS(rho) > {z!r} * SQRT((1.0 + 2.0 * COALESCE(accp, 0)) / n)
+                   AS significant,
+               CAST(n AS BIGINT) AS n
+        FROM rk WHERE rn = 1
     """
 
 
@@ -3361,6 +3426,9 @@ def oracle_sql() -> dict[str, str]:
         "acf_daily": _acf_oracle(_EVENTS_DAILY, lags=5),
         "ljung_box_daily": _ljung_box_oracle(_EVENTS_DAILY, lags=8),
         "kpss_daily": _kpss_oracle(_EVENTS_DAILY, nlags=12),
+        "detect_seasonality_daily": _detect_seasonality_oracle(
+            _EVENTS_DAILY, max_period=21
+        ),
         "adf_daily": _adf_oracle(_EVENTS_DAILY, maxlag=2),
         "series_corr_daily": f"""
             WITH s AS ({_EVENTS_DAILY}),

@@ -1586,3 +1586,93 @@ def series_corr_matrix(
             F.try_divide(num, den).alias("corr"),
         )
     )
+
+
+def detect_seasonality(
+    df: DataFrame,
+    *,
+    max_period: int = 31,
+    min_period: int = 2,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Dominant-period detection per series: the lag in
+    [min_period, max_period] with the highest autocorrelation, plus
+    whether it clears the Bartlett 95% significance band — the
+    "should I fit weekly or monthly seasonality?" primitive that
+    picks ``period`` for ``forecast_holt_winters`` / ``decompose``.
+
+    Output: (series, period, acf, significant, n). Ties break toward
+    the SHORTER period (a harmonic's base frequency), deterministic.
+
+    Same single-aggregation plan as ``acf``: one window pass for the
+    lag products, one aggregation, then the argmax over the candidate
+    lags is a build-time fold over scalar columns — no second shuffle.
+    """
+    if not 2 <= min_period <= max_period:
+        raise ValueError(
+            f"need 2 <= min_period <= max_period: ({min_period}, {max_period})"
+        )
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    ws = w.orderBy(ts_col)
+    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
+    for k in range(1, max_period + 1):
+        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
+    agg = d.groupBy(*series_cols).agg(
+        F.count(value_col).cast("double").alias("_n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_c0"),
+        *[F.sum(f"_p{k}").alias(f"_s{k}") for k in range(1, max_period + 1)],
+    )
+    # materialize each rho as a COLUMN first — nesting them inside a
+    # when-fold duplicates subtrees exponentially (2^max_period nodes)
+    agg = agg.select(
+        *series_cols,
+        "_n",
+        *[
+            F.try_divide(F.col(f"_s{k}"), F.col("_c0")).alias(f"_r{k}")
+            for k in range(1, max_period + 1)
+        ],
+    )
+    neg_inf = F.lit(float("-inf"))
+    # argmax via array_max on (rho, -lag) structs: max rho wins, ties
+    # break toward the shorter period (larger -lag); NULL rho -> -inf
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.coalesce(F.col(f"_r{k}"), neg_inf).alias("r"),
+                    F.lit(-k).alias("nl"),
+                )
+                for k in range(min_period, max_period + 1)
+            ]
+        )
+    )
+    agg = agg.withColumn("_best", best)
+    # Bartlett prefix sums as a linear column chain (no nesting)
+    for k in range(0, max_period):
+        prev = F.col(f"_acc{k - 1}") if k >= 1 else F.lit(0.0)
+        rk = F.coalesce(F.col(f"_r{k}"), F.lit(0.0)) if k >= 1 else F.lit(0.0)
+        agg = agg.withColumn(f"_acc{k}", prev + rk * rk)
+    bands = F.array(
+        *[
+            F.sqrt(
+                (F.lit(1.0) + F.lit(2.0) * F.col(f"_acc{k - 1}")) / F.col("_n")
+            )
+            for k in range(1, max_period + 1)
+        ]
+    )
+    from temporal_retriever_spark.stats import norm_ppf
+
+    z = norm_ppf(0.975)
+    period = (-F.col("_best")["nl"]).alias("period")
+    rho_best = F.col("_best")["r"]
+    band_at = F.element_at(bands, (-F.col("_best")["nl"]).cast("int"))
+    return agg.select(
+        *series_cols,
+        period,
+        rho_best.alias("acf"),
+        (F.abs(rho_best) > F.lit(z) * band_at).alias("significant"),
+        F.col("_n").cast("long").alias("n"),
+    )

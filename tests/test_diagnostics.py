@@ -766,3 +766,40 @@ def test_series_corr_matrix_partial_overlap(spark):
     assert out.iloc[0]["corr"] == pytest.approx(1.0, abs=1e-12)
     with pytest.raises(ValueError, match="min_obs"):
         series_corr_matrix(spark.createDataFrame(a), min_obs=1)
+
+
+def test_detect_seasonality_finds_planted_periods(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import detect_seasonality
+
+    rng = np.random.default_rng(6)
+    frames = []
+    for sid, period in (("weekly", 7), ("monthly", 12)):
+        t = np.arange(240)
+        y = 5 * np.sin(2 * np.pi * t / period) + rng.normal(scale=0.5, size=240)
+        frames.append(
+            pd.DataFrame(
+                {"series_id": sid, "ds": pd.date_range("2024-01-01", periods=240), "y": y}
+            )
+        )
+    frames.append(
+        pd.DataFrame(
+            {
+                "series_id": "noise",
+                "ds": pd.date_range("2024-01-01", periods=240),
+                "y": rng.normal(size=240),
+            }
+        )
+    )
+    out = (
+        detect_seasonality(spark.createDataFrame(pd.concat(frames)), max_period=20)
+        .toPandas()
+        .set_index("series_id")
+    )
+    assert out.loc["weekly"].period == 7 and out.loc["weekly"].significant
+    assert out.loc["monthly"].period == 12 and out.loc["monthly"].significant
+    assert not out.loc["noise"].significant
+    with pytest.raises(ValueError, match="min_period"):
+        detect_seasonality(spark.createDataFrame(frames[0]), min_period=1)
