@@ -1179,6 +1179,35 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 chunk→doc pooling: mean AND element-wise max pooled
+    vectors per label (llm.similarity.pool_embeddings), emitted in
+    long (label, pos) form so the hash covers every element. One
+    (group, dim) aggregation each; shuffles carry scalars only."""
+    from temporal_retriever_spark.llm.similarity import pool_embeddings
+
+    emb = _embeddings(spark, sf_dir)
+    mean = pool_embeddings(emb, group_col="label", mode="mean")
+    mx = pool_embeddings(emb, group_col="label", mode="max")
+    j = mean.select("label", F.col("pooled").alias("_pm"), "n_vectors").join(
+        mx.select("label", F.col("pooled").alias("_px")), on="label"
+    )
+    return (
+        j.select(
+            "label",
+            "n_vectors",
+            F.posexplode(F.arrays_zip(F.col("_pm"), F.col("_px"))).alias("pos", "_z"),
+        )
+        .select(
+            "label",
+            "pos",
+            _r6("_z._pm").alias("pooled_mean"),
+            _r6("_z._px").alias("pooled_max"),
+            "n_vectors",
+        )
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 near-dup: exact n-gram containment (Broder) — the
     asymmetric companion to Jaccard that catches small-doc-inside-
@@ -2152,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
+        "pool_embeddings": q_pool_embeddings,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "bucket_hour_streamed": q_bucket_hour_streamed,
         "gopher_repetition": q_gopher_repetition,
@@ -3568,6 +3598,25 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6('cb')} AS containment_b,
                    {_sql_r6('GREATEST(ca, cb)')} AS containment
             FROM c WHERE GREATEST(ca, cb) >= 0.5
+        """,
+        "pool_embeddings": f"""
+            WITH e AS (
+                SELECT label,
+                       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+                       unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                       vec_id
+                FROM embeddings
+            ),
+            p AS (
+                SELECT label, pos, AVG(val) AS pm, MAX(val) AS px,
+                       COUNT(val) AS cnt
+                FROM e GROUP BY 1, 2
+            )
+            SELECT label, CAST(pos AS INTEGER) AS pos,
+                   {_sql_r6('pm')} AS pooled_mean,
+                   {_sql_r6('px')} AS pooled_max,
+                   cnt AS n_vectors
+            FROM p
         """,
         "embedding_outliers": f"""
             WITH nv AS (

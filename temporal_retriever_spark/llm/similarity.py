@@ -481,3 +481,52 @@ def embedding_group_outliers(
         .filter(F.col("outlier_rank") <= k)
         .select(id_col, group_col, "centroid_cos", "outlier_rank")
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    *,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    normalize: bool = False,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Pool many vectors into one per group — mean or element-wise max
+    — the chunk→document aggregation step after embedding chunked text
+    (``chunk_documents`` upstream): embed chunks, pool back to one
+    vector per document for indexing.
+
+    Output: (group, ``out_col`` array<double>[, ``n_vectors``]).
+    ``normalize=True`` L2-normalizes the pooled vector (cosine-ready).
+
+    Scale shape: posexplode → ONE (group, dim-position) partial+final
+    aggregation (mergeable map-side, the same shape that builds the
+    outlier centroids) → rebuild the array with a sorted
+    collect_list. Shuffle volume is groups × dim scalars, never whole
+    vectors.
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max': {mode!r}")
+    agg_fn = F.avg if mode == "mean" else F.max
+    pe = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+    ).withColumn("_val", F.col("_val").cast("double"))
+    per_pos = pe.groupBy(group_col, "_pos").agg(
+        agg_fn("_val").alias("_v"), F.count("_val").alias("_cnt")
+    )
+    pooled = per_pos.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_v"))), lambda s: s["_v"]
+        ).alias(out_col),
+        F.max("_cnt").alias("n_vectors"),
+    )
+    if normalize:
+        pooled = pooled.withColumn(
+            out_col,
+            F.transform(
+                F.col(out_col), lambda x: F.try_divide(x, _norm(out_col))
+            ),
+        )
+    return pooled

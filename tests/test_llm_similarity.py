@@ -225,3 +225,28 @@ def test_embedding_group_outliers_rank_and_validation(spark):
     assert list(out.outlier_rank) == [1, 2, 3]
     with pytest.raises(ValueError, match="k"):
         embedding_group_outliers(df, k=0)
+
+
+def test_pool_embeddings_modes_and_normalize(spark):
+    import numpy as np
+
+    from temporal_retriever_spark.llm.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (1, [3.0, 4.0, 0.0]), (2, [5.0, 5.0, 5.0])],
+        "doc_id long, embedding array<double>",
+    )
+    mean = pool_embeddings(df, mode="mean").toPandas().set_index("doc_id")
+    assert list(mean.loc[1].pooled) == [2.0, 2.0, 1.0]
+    assert mean.loc[1].n_vectors == 2 and mean.loc[2].n_vectors == 1
+    mx = pool_embeddings(df, mode="max").toPandas().set_index("doc_id")
+    assert list(mx.loc[1].pooled) == [3.0, 4.0, 2.0]
+    nm = pool_embeddings(df, mode="mean", normalize=True).toPandas().set_index("doc_id")
+    assert np.linalg.norm(nm.loc[1].pooled) == pytest.approx(1.0, abs=1e-12)
+    # direction preserved under normalization
+    assert np.allclose(
+        np.array(nm.loc[1].pooled) * np.linalg.norm([2.0, 2.0, 1.0]),
+        [2.0, 2.0, 1.0],
+    )
+    with pytest.raises(ValueError, match="mode"):
+        pool_embeddings(df, mode="sum")
