@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.aggregate import (
@@ -659,6 +659,53 @@ def q_forecast_baselines_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         for mth in ("naive", "snaive", "drift")
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def q_forecast_accuracy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest: hold out the last 14 days per series, forecast them
+    with the seasonal-naive baseline, score with the full metric suite
+    (evaluation.forecast_accuracy: MAE/RMSE/MAPE/sMAPE/bias/MASE).
+    MASE uses the train window only (no leakage). One join + one
+    aggregation + one lag window, all native."""
+    from temporal_retriever_spark.evaluation import forecast_accuracy
+    from temporal_retriever_spark.forecast import forecast_baseline
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    w = Window.partitionBy("series_id")
+    train = daily.withColumn("_mx", F.max(F.col("ds").cast("date")).over(w)).filter(
+        F.col("ds") <= F.date_sub(F.col("_mx"), 14)
+    ).drop("_mx")
+    pred = forecast_baseline(train, method="snaive", horizon=14, period=7)
+    acc = forecast_accuracy(
+        pred, daily, seasonal_period=7, history=train
+    )
+    return acc.select(
+        F.col("series_id").alias("event_type"),
+        "n",
+        _r6("mae").alias("mae"),
+        _r6("rmse").alias("rmse"),
+        _r6("mape").alias("mape"),
+        _r6("smape").alias("smape"),
+        _r6("bias").alias("bias"),
+        _r6("mase").alias("mase"),
+    )
+
+
+def q_rolling_origin_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin CV fold assignment (3 folds × 7-day test
+    windows) on the daily series (evaluation.rolling_origin_splits) —
+    the honest-backtest splitter; no-leakage property tested."""
+    from temporal_retriever_spark.evaluation import rolling_origin_splits
+
+    got = rolling_origin_splits(
+        _events_daily_all(spark, sf_dir),
+        n_folds=3,
+        horizon=7,
+        series_cols=("event_type",),
+    )
+    return got.select("event_type", "ds", _r6("y").alias("y"), "fold", "role")
 
 
 def q_forecast_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2178,6 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_hw_daily": q_forecast_hw_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
         "forecast_baselines_daily": q_forecast_baselines_daily,
+        "forecast_accuracy_daily": q_forecast_accuracy_daily,
+        "rolling_origin_daily": q_rolling_origin_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
@@ -3494,6 +3543,69 @@ def oracle_sql() -> dict[str, str]:
         "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
         "forecast_hw_daily": _hw_oracle(_EVENTS_DAILY, horizon=14, period=7),
         "forecast_ar_daily": _ar_oracle(_EVENTS_DAILY, p=3, horizon=14),
+        "forecast_accuracy_daily": f"""
+            WITH s AS ({_EVENTS_DAILY}),
+            b AS (SELECT *, MAX(ds) OVER (PARTITION BY event_type) AS mx FROM s),
+            train AS (SELECT event_type, ds, y FROM b WHERE ds <= mx - 14),
+            ta AS (
+                SELECT event_type, MAX(ds) AS tmax,
+                       CAST(COUNT(y) AS DOUBLE) AS tn,
+                       list(y ORDER BY ds) AS vals
+                FROM train GROUP BY 1
+            ),
+            tt AS (
+                SELECT *, list_slice(vals, GREATEST(CAST(len(vals) AS BIGINT) - 6, 1),
+                                     CAST(len(vals) AS BIGINT)) AS tail
+                FROM ta
+            ),
+            grid AS (SELECT unnest(generate_series(1, 14)) AS h),
+            pred AS (
+                SELECT event_type, tmax + CAST(h AS INTEGER) AS ds,
+                       tail[CAST(((h - 1) % len(tail)) - len(tail) AS BIGINT)] AS yhat
+                FROM tt CROSS JOIN grid
+            ),
+            j AS (
+                SELECT p.event_type, p.yhat, s.y, p.yhat - s.y AS err
+                FROM pred p JOIN s ON p.event_type = s.event_type AND p.ds = s.ds
+            ),
+            m AS (
+                SELECT event_type, COUNT(y) AS n,
+                       AVG(ABS(err)) AS mae,
+                       SQRT(AVG(err * err)) AS rmse,
+                       AVG(CASE WHEN y <> 0 THEN ABS(err / y) END) AS mape,
+                       AVG(2.0 * ABS(err) / (ABS(y) + ABS(yhat))) AS smape,
+                       AVG(err) AS bias
+                FROM j GROUP BY 1
+            ),
+            sc AS (
+                SELECT event_type,
+                       AVG(ABS(y - ly)) AS scale
+                FROM (SELECT event_type, y,
+                             LAG(y, 7) OVER (PARTITION BY event_type ORDER BY ds) AS ly
+                      FROM train)
+                WHERE ly IS NOT NULL GROUP BY 1
+            )
+            SELECT m.event_type, n, {_sql_r6('mae')} AS mae, {_sql_r6('rmse')} AS rmse,
+                   {_sql_r6('mape')} AS mape, {_sql_r6('smape')} AS smape,
+                   {_sql_r6('bias')} AS bias, {_sql_r6('mae / scale')} AS mase
+            FROM m LEFT JOIN sc ON m.event_type = sc.event_type
+        """,
+        "rolling_origin_daily": f"""
+            WITH s AS ({_EVENTS_DAILY}),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY ds DESC) AS rn FROM s),
+            folds AS (SELECT unnest(generate_series(1, 3)) AS fold),
+            x AS (
+                SELECT event_type, ds, y, fold,
+                       CASE WHEN rn > (3 - fold) * 7 AND rn <= (3 - fold) * 7 + 7
+                            THEN 'test'
+                            WHEN rn > (3 - fold) * 7 + 7 THEN 'train'
+                       END AS role
+                FROM r CROSS JOIN folds
+            )
+            SELECT event_type, ds, {_sql_r6('y')} AS y, CAST(fold AS INTEGER) AS fold, role
+            FROM x WHERE role IS NOT NULL
+        """,
         "forecast_baselines_daily": f"""
             WITH s AS ({_EVENTS_DAILY}),
             a AS (

@@ -1,0 +1,129 @@
+"""Forecast evaluation: accuracy metrics and rolling-origin backtests.
+
+The missing half of any forecasting engine — not producing forecasts
+but deciding which forecaster to trust. ``forecast_accuracy`` scores a
+prediction frame against actuals with the standard metric suite
+(MAE/RMSE/MAPE/sMAPE/MASE/bias); ``rolling_origin_splits`` assigns the
+rolling-origin cross-validation folds (Hyndman fpp "time series
+cross-validation") that generate honest out-of-sample scores.
+
+Scale shape: scoring is one equi-join on (series, ds) + ONE
+aggregation per series (the MASE denominator adds one lag-window pass
+over the history); fold assignment is a single reverse-rank window +
+a sequence explode. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["forecast_accuracy", "rolling_origin_splits"]
+
+
+def forecast_accuracy(
+    pred: DataFrame,
+    actuals: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    yhat_col: str = "yhat",
+    y_col: str = "y",
+    seasonal_period: int = 1,
+    history: DataFrame | None = None,
+) -> DataFrame:
+    """Per-series forecast accuracy over the dates present in BOTH
+    frames: MAE, RMSE, MAPE (zero-actual rows skipped), sMAPE, bias
+    (mean signed error), MASE, and n (scored points).
+
+    MASE scales MAE by the in-sample one-step seasonal-naive MAE of
+    ``history`` (defaults to ``actuals``) at ``seasonal_period`` —
+    the scale-free metric that makes series comparable; MASE < 1 beats
+    the naive forecaster. NULL when the history is too short or
+    constant.
+
+    One join + one aggregation; the MASE denominator is one ordered
+    lag window over the history. Everything native.
+    """
+    if seasonal_period < 1:
+        raise ValueError(f"seasonal_period must be >= 1: {seasonal_period}")
+    series_cols = list(series_cols)
+    p = pred.select(
+        *series_cols, F.col(ds_col).alias("_ds"), F.col(yhat_col).alias("_yhat")
+    )
+    a = actuals.select(
+        *series_cols, F.col(ds_col).alias("_ds"), F.col(y_col).alias("_y")
+    )
+    j = p.join(a, on=[*series_cols, "_ds"])
+    err = F.col("_yhat") - F.col("_y")
+    scored = j.groupBy(*series_cols).agg(
+        F.count("_y").alias("n"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(
+            F.when(F.col("_y") != 0, F.abs(F.try_divide(err, F.col("_y"))))
+        ).alias("mape"),
+        F.avg(
+            F.lit(2.0)
+            * F.try_divide(F.abs(err), F.abs(F.col("_y")) + F.abs(F.col("_yhat")))
+        ).alias("smape"),
+        F.avg(err).alias("bias"),
+    )
+    hist = history if history is not None else actuals
+    ws = Window.partitionBy(*series_cols).orderBy(ds_col)
+    scale = (
+        hist.withColumn("_lag", F.lag(F.col(y_col), seasonal_period).over(ws))
+        .filter(F.col("_lag").isNotNull())
+        .groupBy(*series_cols)
+        .agg(F.avg(F.abs(F.col(y_col) - F.col("_lag"))).alias("_scale"))
+    )
+    return (
+        scored.join(scale, on=series_cols, how="left")
+        .withColumn("mase", F.try_divide(F.col("mae"), F.col("_scale")))
+        .drop("_scale")
+    )
+
+
+def rolling_origin_splits(
+    df: DataFrame,
+    *,
+    n_folds: int = 3,
+    horizon: int = 7,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+) -> DataFrame:
+    """Rolling-origin cross-validation fold assignment per series.
+
+    Fold i (1..n_folds) tests on the ``horizon`` rows ending
+    ``(n_folds − i)·horizon`` before the series end and trains on
+    everything strictly earlier — the forecast origin rolls forward
+    by ``horizon`` per fold, so fold n_folds tests on the newest
+    window. Output: input columns + ``fold`` + ``role``
+    ('train'|'test'); rows newer than a fold's test window are
+    excluded from that fold (no future leakage — checked in tests).
+
+    One reverse-rank window + a sequence explode: each input row emits
+    ≤ n_folds rows, no shuffled duplication beyond the fold fan-out.
+    """
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1: {n_folds}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    series_cols = list(series_cols)
+    wd = Window.partitionBy(*series_cols).orderBy(F.col(ds_col).desc())
+    d = df.withColumn("_rn", F.row_number().over(wd)).withColumn(
+        "fold", F.explode(F.sequence(F.lit(1), F.lit(n_folds)))
+    )
+    # fold i: test rows have reverse-rank in (back, back + horizon],
+    # where back = (n_folds - i) * horizon; train rows are older
+    back = (F.lit(n_folds) - F.col("fold")) * horizon
+    role = (
+        F.when(
+            (F.col("_rn") > back) & (F.col("_rn") <= back + horizon), F.lit("test")
+        )
+        .when(F.col("_rn") > back + horizon, F.lit("train"))
+        .otherwise(F.lit(None))
+    )
+    return d.withColumn("role", role).filter(F.col("role").isNotNull()).drop("_rn")

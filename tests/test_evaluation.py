@@ -1,0 +1,114 @@
+"""Forecast accuracy metrics and rolling-origin CV splits."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from temporal_retriever_spark.evaluation import forecast_accuracy, rolling_origin_splits
+
+
+def test_accuracy_matches_hand_math(spark):
+    act = pd.DataFrame(
+        {
+            "series_id": "a",
+            "ds": pd.date_range("2024-01-01", periods=10),
+            "y": [10, 12, 11, 13, 14, 13, 15, 16, 15, 17.0],
+        }
+    )
+    pred = pd.DataFrame(
+        {
+            "series_id": "a",
+            "ds": pd.date_range("2024-01-06", periods=5),
+            "yhat": [13.5, 14, 15.5, 16, 16.0],
+        }
+    )
+    out = (
+        forecast_accuracy(spark.createDataFrame(pred), spark.createDataFrame(act))
+        .toPandas()
+        .iloc[0]
+    )
+    y = act.y.to_numpy()[5:]
+    yh = pred.yhat.to_numpy()
+    err = yh - y
+    assert out.n == 5
+    assert out.mae == pytest.approx(np.abs(err).mean(), abs=1e-12)
+    assert out.rmse == pytest.approx(np.sqrt((err**2).mean()), abs=1e-12)
+    assert out.mape == pytest.approx(np.abs(err / y).mean(), abs=1e-12)
+    assert out.smape == pytest.approx(
+        (2 * np.abs(err) / (np.abs(y) + np.abs(yh))).mean(), abs=1e-12
+    )
+    assert out.bias == pytest.approx(err.mean(), abs=1e-12)
+    scale = np.abs(np.diff(act.y.to_numpy())).mean()
+    assert out.mase == pytest.approx(np.abs(err).mean() / scale, abs=1e-12)
+
+
+def test_accuracy_zero_actuals_and_perfect_forecast(spark):
+    act = pd.DataFrame(
+        {
+            "series_id": "z",
+            "ds": pd.date_range("2024-01-01", periods=4),
+            "y": [0.0, 2.0, 0.0, 4.0],
+        }
+    )
+    pred = act.rename(columns={"y": "yhat"})
+    out = (
+        forecast_accuracy(spark.createDataFrame(pred), spark.createDataFrame(act))
+        .toPandas()
+        .iloc[0]
+    )
+    assert out.mae == 0.0 and out.rmse == 0.0 and out.bias == 0.0
+    # MAPE skips zero actuals instead of dividing by zero
+    assert out.mape == 0.0
+    with pytest.raises(ValueError, match="seasonal_period"):
+        forecast_accuracy(
+            spark.createDataFrame(pred), spark.createDataFrame(act), seasonal_period=0
+        )
+
+
+def test_rolling_origin_no_leakage_and_coverage(spark):
+    df = pd.DataFrame(
+        {
+            "series_id": "a",
+            "ds": pd.date_range("2024-01-01", periods=30),
+            "y": np.arange(30.0),
+        }
+    )
+    out = rolling_origin_splits(
+        spark.createDataFrame(df), n_folds=3, horizon=5
+    ).toPandas()
+    for fold, g in out.groupby("fold"):
+        test = g[g.role == "test"]
+        train = g[g.role == "train"]
+        assert len(test) == 5
+        # strict temporal order: all train rows precede all test rows
+        assert train.ds.max() < test.ds.min()
+        # consecutive folds roll the origin forward by the horizon
+    ends = out[out.role == "test"].groupby("fold").ds.max().sort_index()
+    deltas = ends.diff().dropna().dt.days.unique().tolist()
+    assert deltas == [5]
+    # fold 3 tests on the newest window
+    assert ends.loc[3] == df.ds.max()
+    with pytest.raises(ValueError, match="n_folds"):
+        rolling_origin_splits(spark.createDataFrame(df), n_folds=0)
+
+
+def test_rolling_origin_short_series_degrade_gracefully(spark):
+    # a series shorter than the fold layout keeps only feasible folds
+    df = pd.DataFrame(
+        {
+            "series_id": "s",
+            "ds": pd.date_range("2024-01-01", periods=8),
+            "y": np.arange(8.0),
+        }
+    )
+    out = rolling_origin_splits(
+        spark.createDataFrame(df), n_folds=3, horizon=5
+    ).toPandas()
+    # folds whose train window would be empty produce test-only rows;
+    # downstream scoring then skips them — but no row is mislabeled
+    for fold, g in out.groupby("fold"):
+        te, tr = g[g.role == "test"], g[g.role == "train"]
+        if len(te) and len(tr):
+            assert tr.ds.max() < te.ds.min()
