@@ -24,6 +24,7 @@ from temporal_retriever_spark.llm.dedup import (
     minhash_signatures,
     near_dup_pairs,
     near_dup_pairs_verified,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_near_dups,
     simhash_pairs,
@@ -33,8 +34,10 @@ from temporal_retriever_spark.llm.dedup import (
 from temporal_retriever_spark.llm.similarity import (
     cosine_similarity_expr,
     cosine_topk,
+    embedding_group_outliers,
     embedding_near_dup_pairs,
     lsh_cosine_topk,
+    pool_embeddings,
 )
 from temporal_retriever_spark.llm.chunking import (
     chunk_documents,
@@ -43,6 +46,7 @@ from temporal_retriever_spark.llm.chunking import (
 from temporal_retriever_spark.llm.corpus import (
     corpus_sketch_stats,
     prepare_corpus,
+    quality_prune,
     sample_corpus,
     sample_k_per_group,
     train_test_split,
@@ -95,6 +99,10 @@ __all__ = [
     "sample_k_per_group",
     "train_test_split",
     "chunk_documents",
+    "ngram_containment_pairs",
+    "embedding_group_outliers",
+    "pool_embeddings",
+    "quality_prune",
     "pack_sequences",
     "sample_hash_expr",
     "corpus_sketch_stats",
