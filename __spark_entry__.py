@@ -2606,7 +2606,8 @@ def _theta_oracle(
     a = float(alpha)
     return f"""
         WITH s AS ({series_sql}),
-        st AS (SELECT {sid}, ds, y, epoch(ds) / 86400.0 AS t FROM s),
+        st AS (SELECT {sid}, ds, y, epoch(ds) / 86400.0 AS t FROM s
+               WHERE y IS NOT NULL),
         mom AS (
             SELECT {sid}, CAST(COUNT(y) AS DOUBLE) AS n, AVG(t) AS mt,
                    AVG(y) AS my,
@@ -2742,20 +2743,24 @@ def _ar_oracle(
         stage_ctes.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
         prev = cte
     unions = " UNION ALL ".join(
-        f"SELECT {sid}, max_ds + {h} AS ds, {_sql_r6(f'f_{h}')} AS yhat FROM {prev}"
+        f"SELECT {sid}, max_ds + {h} AS ds, "
+        f"{_sql_r6(f'CASE WHEN isnan(f_{h}) THEN NULL ELSE f_{h} END')} AS yhat "
+        f"FROM {prev}"
         for h in range(1, horizon + 1)
     )
     return f"""
         WITH s AS ({series_sql}),
         lg AS (SELECT {sid}, ds, y, {lag_cols} FROM s),
-        f AS (SELECT * FROM lg WHERE l{p} IS NOT NULL),
+        f AS (SELECT * FROM lg WHERE y IS NOT NULL
+              AND {' AND '.join(f'l{j} IS NOT NULL' for j in range(1, p + 1))}),
         a AS (SELECT {sid}, CAST(COUNT(y) AS DOUBLE) AS nn, {', '.join(gram)}
               FROM f GROUP BY 1),
         t AS (SELECT {sid}, MAX(ds) AS max_ds,
                      list(y ORDER BY ds) AS tail
               FROM s GROUP BY 1),
         j0 AS (SELECT a.*, t.max_ds, {lv_cols}
-               FROM a JOIN t ON a.{sid} = t.{sid}),
+               FROM a JOIN t ON a.{sid} = t.{sid}
+               WHERE a.nn > {float(m)!r}),
         {', '.join(stage_ctes)}
         {unions}
     """
@@ -2773,13 +2778,15 @@ def _adf_oracle(series_sql: str, maxlag: int, sid: str = "event_type") -> str:
         f"LAG(dy, {j}) OVER (PARTITION BY {sid} ORDER BY ds) AS dl{j}"
         for j in range(1, maxlag + 1)
     )
-    deepest = f"dl{maxlag}" if maxlag else "dy"
     gram = []
     for i in range(m):
         for j in range(i, m):
             gram.append(f"SUM({zs[i]} * {zs[j]}) AS g_{i}_{j}")
         gram.append(f"SUM({zs[i]} * dy) AS gy_{i}")
     gram.append("SUM(dy * dy) AS gyy")
+    not_null = " AND ".join(
+        ["dy IS NOT NULL"] + [f"dl{j} IS NOT NULL" for j in range(1, maxlag + 1)]
+    )
     stage_ctes = []
     prev = "a"
     for idx, (name, expr) in enumerate(adf_stages(maxlag)):
@@ -2800,7 +2807,7 @@ def _adf_oracle(series_sql: str, maxlag: int, sid: str = "event_type") -> str:
               FROM s),
         d0 AS (SELECT {sid}, ds, ylag, y - ylag AS dy FROM w),
         dl AS ({dl_select}),
-        f AS (SELECT * FROM dl WHERE {deepest} IS NOT NULL),
+        f AS (SELECT * FROM dl WHERE {not_null}),
         a AS (SELECT {sid}, CAST(COUNT(dy) AS DOUBLE) AS nn, {', '.join(gram)}
               FROM f GROUP BY 1),
         {', '.join(stage_ctes)}
@@ -2884,7 +2891,8 @@ def _kpss_oracle(series_sql: str, nlags: int, sid: str = "event_type") -> str:
         cases.append(f"WHEN stat >= {c0!r} AND stat < {c1!r} THEN {interp}")
     p_expr = f"CASE {' '.join(cases)} ELSE {float(table[0][1])!r} END"
     return f"""
-        WITH s AS ({series_sql}),
+        WITH s0 AS ({series_sql}),
+        s AS (SELECT * FROM s0 WHERE y IS NOT NULL),
         c AS (SELECT {sid}, ds, y - AVG(y) OVER (PARTITION BY {sid}) AS e FROM s),
         cs AS (SELECT {sid}, e,
                       SUM(e) OVER (PARTITION BY {sid} ORDER BY ds

@@ -281,9 +281,15 @@ def interval_join(
     matched = joined.select(*out_cols)
     if how == "inner":
         return matched
-    missed = events.join(
-        matched.select(*events.columns), on=list(events.columns), how="left_anti"
-    )
+    # null-safe anti-join: plain column equality treats NULL = NULL as
+    # unknown, so a matched event carrying a NULL column would ALSO be
+    # emitted as unmatched (one event, two output rows)
+    matched_ev = matched.select(*events.columns)
+    cond = None
+    for c in events.columns:
+        eq = events[c].eqNullSafe(matched_ev[c])
+        cond = eq if cond is None else cond & eq
+    missed = events.join(matched_ev, on=cond, how="left_anti")
     for c in intervals.columns:
         if c not in on:
             missed = missed.withColumn(

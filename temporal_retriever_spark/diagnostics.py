@@ -139,6 +139,31 @@ def chi2_sf_sql(x: str, df: int) -> str:
     return f"CASE WHEN NOT (({x}) > 0) THEN 1.0 ELSE {body} END"
 
 
+def _lag_product_sums_ud(
+    df: DataFrame,
+    *,
+    lags: int,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Underscore-named view of ``_lag_product_sums`` (defined below,
+    shared with the PACF path): one row per series with ``_n``
+    (non-null count, double), ``_c0`` = Σd² and ``_s{k}`` =
+    Σ d·d_{−k}. One scaffold for ``ljung_box`` / ``acf_bands`` /
+    ``detect_seasonality`` so a null-handling or ordering fix applies
+    everywhere at once."""
+    agg = _lag_product_sums(
+        df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
+    )
+    return agg.select(
+        *series_cols,
+        F.col("n").cast("double").alias("_n"),
+        F.col("s0").alias("_c0"),
+        *[F.col(f"s{k}").alias(f"_s{k}") for k in range(1, lags + 1)],
+    )
+
+
 def ljung_box(
     df: DataFrame,
     *,
@@ -166,15 +191,8 @@ def ljung_box(
     if lags < 1:
         raise ValueError(f"lags must be >= 1: {lags}")
     series_cols = list(series_cols)
-    w = Window.partitionBy(*series_cols)
-    ws = w.orderBy(ts_col)
-    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
-    for k in range(1, lags + 1):
-        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
-    agg = d.groupBy(*series_cols).agg(
-        F.count(value_col).cast("double").alias("_n"),
-        F.sum(F.col("_d") * F.col("_d")).alias("_c0"),
-        *[F.sum(f"_p{k}").alias(f"_s{k}") for k in range(1, lags + 1)],
+    agg = _lag_product_sums_ud(
+        df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
     )
     n = F.col("_n")
     rho2 = [
@@ -241,15 +259,8 @@ def acf_bands(
 
     z = norm_ppf(1.0 - alpha / 2.0)
     series_cols = list(series_cols)
-    w = Window.partitionBy(*series_cols)
-    ws = w.orderBy(ts_col)
-    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
-    for k in range(1, lags + 1):
-        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
-    agg = d.groupBy(*series_cols).agg(
-        F.count(value_col).cast("double").alias("_n"),
-        F.sum(F.col("_d") * F.col("_d")).alias("_c0"),
-        *[F.sum(f"_p{k}").alias(f"_s{k}") for k in range(1, lags + 1)],
+    agg = _lag_product_sums_ud(
+        df, lags=lags, series_cols=series_cols, ts_col=ts_col, value_col=value_col
     )
     n = F.col("_n")
     rho = [
@@ -356,6 +367,10 @@ def kpss(
     w = Window.partitionBy(*series_cols)
     ws = w.orderBy(ts_col)
     y = F.col(value_col).cast("double")
+    # drop null observations first so counts and moments describe the
+    # same sample (a null row would enter avg(_t)/row_number but not
+    # count(y), biasing the trend fit)
+    df = df.filter(F.col(value_col).isNotNull())
     if regression == "level":
         e = y - F.avg(y).over(w)
         d = df.withColumn("_e", e)
@@ -402,6 +417,29 @@ def kpss(
 _ADF_CRIT = ((-3.43, 0.01), (-3.12, 0.025), (-2.86, 0.05), (-2.57, 0.10))
 
 
+def gram_cholesky_stages(m: int) -> list[tuple[str, str]]:
+    """Shared staged-Cholesky emitter over Gram columns: factorize
+    X'X = RᵀR (``r_{i}_{j}`` stages from ``g_{i}_{j}``) and forward
+    solve Rᵀw = X'y (``w_{i}`` stages from ``gy_{i}``). The common
+    front half of ``adf_stages`` and ``forecast.ar_stages`` — one
+    emitter so the string generation cannot drift between them."""
+
+    def g(i: int, j: int) -> str:
+        return f"g_{min(i, j)}_{max(i, j)}"
+
+    stages: list[tuple[str, str]] = []
+    for i in range(m):
+        acc = " - ".join([g(i, i)] + [f"r_{k}_{i} * r_{k}_{i}" for k in range(i)])
+        stages.append((f"r_{i}_{i}", f"SQRT({acc})"))
+        for j in range(i + 1, m):
+            acc = " - ".join([g(i, j)] + [f"r_{k}_{i} * r_{k}_{j}" for k in range(i)])
+            stages.append((f"r_{i}_{j}", f"({acc}) / r_{i}_{i}"))
+    for i in range(m):
+        acc = " - ".join([f"gy_{i}"] + [f"r_{k}_{i} * w_{k}" for k in range(i)])
+        stages.append((f"w_{i}", f"({acc}) / r_{i}_{i}"))
+    return stages
+
+
 def adf_stages(p: int) -> list[tuple[str, str]]:
     """Shared SQL expression stages for the ADF regression t-statistic.
 
@@ -419,22 +457,8 @@ def adf_stages(p: int) -> list[tuple[str, str]]:
     Cholesky rounds.
     """
     m = p + 2  # intercept, y_lag, p delta-lags
-
-    def g(i: int, j: int) -> str:
-        return f"g_{min(i, j)}_{max(i, j)}"
-
-    stages: list[tuple[str, str]] = []
-    # Cholesky, row by row (r_{i}{j} for i <= j, R upper triangular)
-    for i in range(m):
-        acc = " - ".join([g(i, i)] + [f"r_{k}_{i} * r_{k}_{i}" for k in range(i)])
-        stages.append((f"r_{i}_{i}", f"SQRT({acc})"))
-        for j in range(i + 1, m):
-            acc = " - ".join([g(i, j)] + [f"r_{k}_{i} * r_{k}_{j}" for k in range(i)])
-            stages.append((f"r_{i}_{j}", f"({acc}) / r_{i}_{i}"))
-    # forward solve R^T w = X'y
-    for i in range(m):
-        acc = " - ".join([f"gy_{i}"] + [f"r_{k}_{i} * w_{k}" for k in range(i)])
-        stages.append((f"w_{i}", f"({acc}) / r_{i}_{i}"))
+    # Cholesky + forward solve come from the shared emitter
+    stages: list[tuple[str, str]] = list(gram_cholesky_stages(m))
     stages.append(
         ("rss", "gyy - (" + " + ".join(f"w_{i} * w_{i}" for i in range(m)) + ")")
     )
@@ -494,8 +518,13 @@ def adf(
     )
     for j in range(1, maxlag + 1):
         d = d.withColumn(f"_dl{j}", F.lag("_dy", j).over(ws))
-    deepest = f"_dl{maxlag}" if maxlag else "_dy"
-    d = d.filter(F.col(deepest).isNotNull())
+    # every regressor AND the response must be present: an interior
+    # null y would otherwise contribute to some Gram sums (the
+    # constant-column ones) but not others
+    cond = F.col("_dy").isNotNull()
+    for j in range(1, maxlag + 1):
+        cond = cond & F.col(f"_dl{j}").isNotNull()
+    d = d.filter(cond)
     zs = [F.lit(1.0), F.col("_ylag")] + [F.col(f"_dl{j}") for j in range(1, maxlag + 1)]
     aggs = [F.count("_dy").cast("double").alias("nn")]
     for i in range(m):
@@ -1615,15 +1644,12 @@ def detect_seasonality(
             f"need 2 <= min_period <= max_period: ({min_period}, {max_period})"
         )
     series_cols = list(series_cols)
-    w = Window.partitionBy(*series_cols)
-    ws = w.orderBy(ts_col)
-    d = df.withColumn("_d", F.col(value_col) - F.avg(value_col).over(w))
-    for k in range(1, max_period + 1):
-        d = d.withColumn(f"_p{k}", F.col("_d") * F.lag("_d", k).over(ws))
-    agg = d.groupBy(*series_cols).agg(
-        F.count(value_col).cast("double").alias("_n"),
-        F.sum(F.col("_d") * F.col("_d")).alias("_c0"),
-        *[F.sum(f"_p{k}").alias(f"_s{k}") for k in range(1, max_period + 1)],
+    agg = _lag_product_sums_ud(
+        df,
+        lags=max_period,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
     )
     # materialize each rho as a COLUMN first — nesting them inside a
     # when-fold duplicates subtrees exponentially (2^max_period nodes)
@@ -1666,12 +1692,18 @@ def detect_seasonality(
     from temporal_retriever_spark.stats import norm_ppf
 
     z = norm_ppf(0.975)
-    period = (-F.col("_best")["nl"]).alias("period")
-    rho_best = F.col("_best")["r"]
+    raw_best = F.col("_best")["r"]
+    # all-NULL candidates (series too short for any lag) would surface
+    # the -inf sentinel as a statistic; report NULLs instead
+    degenerate = raw_best == F.lit(float("-inf"))
+    period = F.when(degenerate, F.lit(None)).otherwise(
+        -F.col("_best")["nl"]
+    )
+    rho_best = F.when(degenerate, F.lit(None)).otherwise(raw_best)
     band_at = F.element_at(bands, (-F.col("_best")["nl"]).cast("int"))
     return agg.select(
         *series_cols,
-        period,
+        period.alias("period"),
         rho_best.alias("acf"),
         (F.abs(rho_best) > F.lit(z) * band_at).alias("significant"),
         F.col("_n").cast("long").alias("n"),

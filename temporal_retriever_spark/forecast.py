@@ -1051,7 +1051,9 @@ def forecast_theta(
     w = Window.partitionBy(*series_cols)
     wd = w.orderBy(F.col(ds_col).desc())
     t = _time_index(F.col(ds_col))
-    d = df.withColumn("_t", t)
+    # drop null observations FIRST: otherwise count(y) excludes them
+    # while the time moments include them and the slope is biased
+    d = df.filter(F.col(y_col).isNotNull()).withColumn("_t", t)
     n = F.count(y_col).over(w).cast("double")
     mt = F.avg("_t").over(w)
     my = F.avg(y_col).over(w)
@@ -1159,7 +1161,11 @@ def forecast_holt_winters(
     series_cols = list(series_cols)
     m = period
 
-    out_fields = ", ".join(f"{c} string" for c in series_cols)
+    # series key fields keep the INPUT column types (integer keys are
+    # legitimate; hardcoding string would crash the Arrow conversion)
+    out_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in series_cols
+    )
     schema = f"{out_fields}, {ds_col} date, yhat double"
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1210,21 +1216,12 @@ def ar_stages(p: int) -> list[tuple[str, str]]:
     coefficients) — same staged-scalar design as ``adf_stages``; the
     same strings drive the Spark select chain and the DuckDB oracle.
     """
+    from temporal_retriever_spark.diagnostics import gram_cholesky_stages
+
     m = p + 1
-
-    def g(i: int, j: int) -> str:
-        return f"g_{min(i, j)}_{max(i, j)}"
-
-    stages: list[tuple[str, str]] = []
-    for i in range(m):
-        acc = " - ".join([g(i, i)] + [f"r_{k}_{i} * r_{k}_{i}" for k in range(i)])
-        stages.append((f"r_{i}_{i}", f"SQRT({acc})"))
-        for j in range(i + 1, m):
-            acc = " - ".join([g(i, j)] + [f"r_{k}_{i} * r_{k}_{j}" for k in range(i)])
-            stages.append((f"r_{i}_{j}", f"({acc}) / r_{i}_{i}"))
-    for i in range(m):
-        acc = " - ".join([f"gy_{i}"] + [f"r_{k}_{i} * w_{k}" for k in range(i)])
-        stages.append((f"w_{i}", f"({acc}) / r_{i}_{i}"))
+    # Cholesky + forward solve come from the shared emitter (same
+    # strings as adf_stages — one generator, no drift)
+    stages: list[tuple[str, str]] = list(gram_cholesky_stages(m))
     for i in range(m - 1, -1, -1):
         acc = " - ".join([f"w_{i}"] + [f"r_{i}_{k} * c_{k}" for k in range(i + 1, m)])
         stages.append((f"c_{i}", f"({acc}) / r_{i}_{i}"))
@@ -1267,6 +1264,9 @@ def forecast_ar(
     when PACF shows a sharp lag-p cutoff).
 
     Daily-grain output: (series, ds, yhat) for h = 1..horizon.
+    Series with ≤ p+2 usable fit rows are DROPPED from the output
+    (too short for a defined OLS — use ``forecast_baseline`` for
+    those); rank-deficient series (e.g. constant) emit NULL yhat.
 
     Fully native: one ordered window pass builds the lag columns, ONE
     aggregation the Gram sums (plus the p-value tail of last
@@ -1287,9 +1287,13 @@ def forecast_ar(
     d = df
     for j in range(1, p + 1):
         d = d.withColumn(f"_l{j}", F.lag(y, j).over(ws))
-    fit_rows = d.filter(F.col(f"_l{p}").isNotNull())
+    fit_cond = y.isNotNull()
+    for j in range(1, p + 1):
+        fit_cond = fit_cond & F.col(f"_l{j}").isNotNull()
+    fit_rows = d.filter(fit_cond)
     zs = [F.lit(1.0)] + [F.col(f"_l{j}") for j in range(1, p + 1)]
     aggs = [F.count(y_col).cast("double").alias("nn")]
+    m_regressors = m  # intercept + p lags
     for i in range(m):
         for j in range(i, m):
             aggs.append(F.sum(zs[i] * zs[j]).alias(f"g_{i}_{j}"))
@@ -1315,10 +1319,16 @@ def forecast_ar(
             for h in range(1, horizon + 1)
         ]
     )
+    # guard: series need more fit rows than regressors for a defined
+    # OLS; below that the series is dropped (documented), and a
+    # rank-deficient Gram (constant series) yields NULL yhat rather
+    # than leaking NaN from a non-positive Cholesky pivot
+    out = out.filter(F.col("nn") > F.lit(float(m_regressors)))
+    yhat = F.col("_e.yhat")
     return out.select(*series_cols, "_max_ds", F.explode(pairs).alias("_e")).select(
         *series_cols,
         F.date_add(F.col("_max_ds"), F.col("_e.h")).alias(ds_col),
-        F.col("_e.yhat").alias("yhat"),
+        F.when(~F.isnan(yhat), yhat).alias("yhat"),
     )
 
 

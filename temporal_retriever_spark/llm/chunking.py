@@ -185,8 +185,11 @@ def pack_sequences(
     # mode == "whole": next-fit per bucket via one grouped pandas pass
     import pandas as pd
 
+    # id field keeps the INPUT column's type (string UUIDs are as
+    # common as numeric ids; hardcoding long would crash in Arrow)
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, bucket long, n_tokens long, "
+        f"{id_col} {id_type}, bucket long, n_tokens long, "
         "seq_id long, offset long, overflow boolean"
     )
 

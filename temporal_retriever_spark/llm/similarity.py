@@ -452,10 +452,20 @@ def embedding_group_outliers(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    nvec = F.transform(
-        F.col(vec_col), lambda x: F.try_divide(x.cast("double"), _norm(vec_col))
+    # materialize the norm ONCE per row: dividing by _norm(vec) inside
+    # the transform lambda would re-evaluate the O(dim) fold per
+    # element (O(dim^2) per vector)
+    normed = (
+        df.withColumn("_nrm", _norm(vec_col))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.try_divide(x.cast("double"), F.col("_nrm")),
+            ).alias("_nv"),
+        )
     )
-    normed = df.select(F.col(id_col), F.col(group_col), nvec.alias("_nv"))
     cent = (
         normed.select(group_col, F.posexplode("_nv").alias("_pos", "_val"))
         .groupBy(group_col, "_pos")
@@ -523,10 +533,15 @@ def pool_embeddings(
         F.max("_cnt").alias("n_vectors"),
     )
     if normalize:
-        pooled = pooled.withColumn(
-            out_col,
-            F.transform(
-                F.col(out_col), lambda x: F.try_divide(x, _norm(out_col))
-            ),
+        # same one-norm-per-row materialization as the outlier path
+        pooled = (
+            pooled.withColumn("_nrm", _norm(out_col))
+            .withColumn(
+                out_col,
+                F.transform(
+                    F.col(out_col), lambda x: F.try_divide(x, F.col("_nrm"))
+                ),
+            )
+            .drop("_nrm")
         )
     return pooled

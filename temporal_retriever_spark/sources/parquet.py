@@ -49,16 +49,20 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     return out
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(spark: SparkSession, path: str, **options) -> DataFrame:
     """``spark.read.parquet`` + nano→micro timestamp restoration.
 
     Sets the required runtime confs defensively: the caller's session may
     not come from ``session.get_spark`` (e.g. the driver harness builds
-    its own), and both confs are runtime-settable SQLConfs.
+    its own), and both confs are runtime-settable SQLConfs. Reader
+    ``options`` (mergeSchema, pathGlobFilter, …) pass through.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(path)
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.parquet(path)
     nano_cols = _nano_timestamp_columns(path)
     for name in nano_cols:
         if dict(df.dtypes).get(name) == "bigint":
@@ -126,7 +130,9 @@ def read_any(
             )
     format = format.lower()
     if format == "parquet":
-        return read_table(spark, path)
+        # forward reader options — silently dropping them would make the
+        # parquet branch disobey the documented options contract
+        return read_table(spark, path, **options)
     if format not in ("orc", "csv", "json"):
         raise ValueError(f"unsupported source format: {format!r}")
     reader = spark.read

@@ -562,8 +562,9 @@ def streaming_heavy_hitters(
 
     Each micro-batch emits the group's current top-k:
     (group, token, est_count, err, rank). Batch-local counts are
-    pre-aggregated in pandas before merging, so per-batch work is
-    O(batch distinct + capacity·log); per-group state is exactly three
+    pre-aggregated in pandas before merging and eviction uses a
+    lazy-deletion min-heap, so per-batch work is
+    O(batch distinct · log capacity); per-group state is exactly three
     arrays of length ≤ capacity — bounded regardless of vocabulary
     size, the property that makes this runnable forever at 100 TB/day.
     When ``capacity`` ≥ the true vocabulary the sketch is exact and
@@ -600,6 +601,8 @@ def streaming_heavy_hitters(
     )
 
     def update(key, pdfs, state: GroupState):
+        import heapq
+
         if state.exists:
             tokens, counts, errors = state.get
             summary = {
@@ -607,19 +610,32 @@ def streaming_heavy_hitters(
             }
         else:
             summary = {}
+        # lazy-deletion min-heap over (count, token): O(log capacity)
+        # eviction instead of a full min() scan per new token (the
+        # standard SpaceSaving structure); stale entries are skipped
+        # when their recorded count no longer matches the summary
+        heap = [(c, t) for t, (c, _) in summary.items()]
+        heapq.heapify(heap)
         for pdf in pdfs:
             batch = pdf[token_col].value_counts()
             for tok, cnt in batch.items():
                 cnt = int(cnt)
                 if tok in summary:
                     summary[tok][0] += cnt
+                    heapq.heappush(heap, (summary[tok][0], tok))
                 elif len(summary) < capacity:
                     summary[tok] = [cnt, 0]
+                    heapq.heappush(heap, (cnt, tok))
                 else:
-                    # evict the min-count entry; inherit its count as error
-                    evict = min(summary, key=lambda t: summary[t][0])
-                    base = summary.pop(evict)[0]
+                    # pop until a live entry surfaces, evict it, and
+                    # inherit its count as the new entry's error bound
+                    while True:
+                        c, t = heapq.heappop(heap)
+                        if t in summary and summary[t][0] == c:
+                            break
+                    base = summary.pop(t)[0]
                     summary[tok] = [base + cnt, base]
+                    heapq.heappush(heap, (base + cnt, tok))
         items = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
         state.update(
             (

@@ -233,3 +233,150 @@ def test_token_topk_unicode_lowercase_order(spark):
     df = spark.createDataFrame([("İ", "g")], "text string, lang string")
     out = token_topk(df, k=5, group_col="lang", min_token_len=2).collect()
     assert len(out) == 1 and out[0]["token"] == "İ".lower()
+
+
+# ---- round-4 self-review fixes ----
+
+
+def test_interval_join_left_null_columns_not_duplicated(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from temporal_retriever_spark.asof import interval_join
+
+    events = spark.createDataFrame(
+        [("a", "2024-01-01 12:00:00", None), ("a", "2024-01-02 05:00:00", 2.0)],
+        "k string, ds string, y double",
+    ).withColumn("ds", F.col("ds").cast("timestamp"))
+    ivs = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 23:00:00", "w1")],
+        "k string, lo string, hi string, label string",
+    ).select(
+        "k",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+        "label",
+    )
+    out = interval_join(
+        events, ivs, on=("k",), ts_col="ds", start_col="lo", end_col="hi", how="left"
+    ).toPandas()
+    # the NULL-y matched event must appear exactly once (matched), not
+    # also as a spurious unmatched row
+    assert len(out) == 2
+    assert out.label.notna().sum() == 1
+
+
+def test_pack_sequences_whole_mode_string_ids(spark):
+    from temporal_retriever_spark.llm.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [("u-1", "a b c"), ("u-2", "d e")], "doc_id string, text string"
+    )
+    out = pack_sequences(df, capacity=4, buckets=2, mode="whole").toPandas()
+    assert sorted(out.doc_id) == ["u-1", "u-2"]
+
+
+def test_holt_winters_integer_series_key(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_holt_winters
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": 7,
+            "ds": pd.date_range("2024-01-01", periods=20),
+            "y": np.arange(20.0),
+        }
+    )
+    out = forecast_holt_winters(spark.createDataFrame(pdf), horizon=2, period=7)
+    assert dict(out.dtypes)["series_id"] == "bigint"
+    assert out.toPandas().series_id.tolist() == [7, 7]
+
+
+def test_forecast_ar_short_series_dropped_not_nan(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_ar
+
+    long = pd.DataFrame(
+        {
+            "series_id": "long",
+            "ds": pd.date_range("2024-01-01", periods=50),
+            "y": np.random.default_rng(1).normal(size=50),
+        }
+    )
+    short = pd.DataFrame(
+        {
+            "series_id": "short",
+            "ds": pd.date_range("2024-01-01", periods=4),
+            "y": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = forecast_ar(
+        spark.createDataFrame(pd.concat([long, short])), p=3, horizon=3
+    ).toPandas()
+    # short series dropped (documented), long series fully forecast
+    assert set(out.series_id) == {"long"}
+    assert out.yhat.notna().all()
+
+
+def test_theta_and_kpss_ignore_null_observations(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import kpss
+    from temporal_retriever_spark.forecast import forecast_theta
+
+    rng = np.random.default_rng(3)
+    base = pd.DataFrame(
+        {
+            "series_id": "a",
+            "ds": pd.date_range("2024-01-01", periods=60),
+            "y": rng.normal(size=60),
+        }
+    )
+    with_null = base.copy()
+    with_null.loc[10, "y"] = None
+    dropped = base.drop(index=10)
+    th_a = forecast_theta(spark.createDataFrame(with_null), horizon=3).toPandas()
+    th_b = forecast_theta(spark.createDataFrame(dropped), horizon=3).toPandas()
+    assert np.allclose(
+        th_a.sort_values("ds").yhat.to_numpy(),
+        th_b.sort_values("ds").yhat.to_numpy(),
+    )
+    kp_a = kpss(spark.createDataFrame(with_null), nlags=5).toPandas().iloc[0]
+    kp_b = kpss(spark.createDataFrame(dropped), nlags=5).toPandas().iloc[0]
+    assert kp_a.kpss_stat == pytest.approx(kp_b.kpss_stat, abs=1e-12)
+
+
+def test_detect_seasonality_degenerate_series_reports_null(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import detect_seasonality
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series_id": "tiny",
+                "ds": pd.date_range("2024-01-01", periods=2),
+                "y": [1.0, 2.0],
+            }
+        )
+    )
+    out = detect_seasonality(df, max_period=10).toPandas().iloc[0]
+    # no candidate lag has data: NULLs, never the -inf sentinel
+    assert pd.isna(out.acf) and pd.isna(out.period)
+
+
+def test_read_any_forwards_parquet_options(spark, tmp_path):
+    from temporal_retriever_spark.sources.parquet import read_any
+
+    spark.range(3).write.parquet(f"{tmp_path}/nested/data")
+    # recursiveFileLookup only finds the nested files if the option
+    # actually reaches the parquet reader
+    out = read_any(
+        spark, f"{tmp_path}/nested", format="parquet", recursiveFileLookup="true"
+    )
+    assert out.count() == 3
