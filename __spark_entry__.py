@@ -661,6 +661,51 @@ def q_forecast_baselines_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def q_residual_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition, fully oracle-backed end-to-end: fit the
+    native linear+seasonal model, take the in-sample residuals, and
+    run the Ljung-Box white-noise test on them — the standard "did
+    the model capture all the structure?" diagnostic. The oracle
+    composes the SAME generators: the forecast-fit CTE chain produces
+    the residual series, which feeds _ljung_box_oracle verbatim."""
+    from temporal_retriever_spark.forecast import fit_linear_seasonal
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    trend, seasonal, _ = fit_linear_seasonal(
+        daily, grain="D", series_cols=("series_id",)
+    )
+    t = F.unix_timestamp(F.col("ds").cast("timestamp")) / F.lit(86400.0)
+    resid = (
+        daily.join(F.broadcast(trend), on="series_id")
+        .withColumn("_t", t)
+        .withColumn("_skey", F.dayofweek("ds"))
+        .join(
+            seasonal.withColumnRenamed("_skey", "_skey"),
+            on=["series_id", "_skey"],
+        )
+        .select(
+            "series_id",
+            "ds",
+            (
+                F.col("y")
+                - (F.col("my") + F.col("b") * (F.col("_t") - F.col("mt")))
+                - F.col("s_mean")
+            ).alias("y"),
+        )
+    )
+    got = ljung_box(resid, lags=6, series_cols=("series_id",))
+    return got.select(
+        F.col("series_id").alias("event_type"),
+        "lag",
+        _r6("lb_stat").alias("lb_stat"),
+        _r6("lb_pvalue").alias("lb_pvalue"),
+        _r6("bp_stat").alias("bp_stat"),
+        _r6("bp_pvalue").alias("bp_pvalue"),
+    )
+
+
 def q_forecast_accuracy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest: hold out the last 14 days per series, forecast them
     with the seasonal-naive baseline, score with the full metric suite
@@ -2215,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_k": q_corpus_sample_k,
         "corpus_split": q_corpus_split,
         "ljung_box_daily": q_ljung_box_daily,
+        "residual_whiteness": q_residual_whiteness,
         "acf_bartlett_daily": q_acf_bartlett_daily,
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
@@ -3512,6 +3558,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "acf_daily": _acf_oracle(_EVENTS_DAILY, lags=5),
         "ljung_box_daily": _ljung_box_oracle(_EVENTS_DAILY, lags=8),
+        # composition: the forecast-fit CTE chain produces the residual
+        # series, which feeds the SAME _ljung_box_oracle generator
+        "residual_whiteness": _ljung_box_oracle(
+            """
+            WITH s0 AS (
+                SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            st AS (SELECT *, epoch(ds) / 86400.0 AS t FROM s0),
+            fit AS (
+                SELECT event_type,
+                       CASE WHEN (SUM(t * t) - SUM(t) * SUM(t)
+                                  / CAST(COUNT(y) AS DOUBLE)) = 0 THEN 0.0
+                            ELSE (SUM(t * y) - SUM(t) * SUM(y)
+                                  / CAST(COUNT(y) AS DOUBLE))
+                               / (SUM(t * t) - SUM(t) * SUM(t)
+                                  / CAST(COUNT(y) AS DOUBLE)) END AS b,
+                       SUM(y) / CAST(COUNT(y) AS DOUBLE) AS my,
+                       SUM(t) / CAST(COUNT(y) AS DOUBLE) AS mt
+                FROM st GROUP BY 1
+            ),
+            resid AS (
+                SELECT st.event_type, st.ds, dayofweek(st.ds) + 1 AS skey,
+                       st.y - (my + b * (st.t - mt)) AS r
+                FROM st JOIN fit USING (event_type)
+            ),
+            seas AS (SELECT event_type, skey,
+                            SUM(r) / CAST(COUNT(r) AS DOUBLE) AS s_mean
+                     FROM resid GROUP BY 1, 2)
+            SELECT resid.event_type, resid.ds, resid.r - seas.s_mean AS y
+            FROM resid JOIN seas ON resid.event_type = seas.event_type
+                                AND resid.skey = seas.skey
+            """,
+            lags=6,
+        ),
         "kpss_daily": _kpss_oracle(_EVENTS_DAILY, nlags=12),
         "detect_seasonality_daily": _detect_seasonality_oracle(
             _EVENTS_DAILY, max_period=21
