@@ -136,3 +136,46 @@ def test_new_window_ops_parallelize_across_series(spark):
         (F.col("series_id") == "3") & (F.col("ds").cast("long") == 3600)
     ).first()
     assert row["v"] is not None
+
+
+def test_new_diagnostics_parallelize_across_series(spark):
+    """The round-4 diagnostics keep their one-row-per-series shape at
+    width: 48 series x 400 rows through ljung_box / kpss / adf /
+    detect_seasonality in one plan each, values matching the
+    single-series path exactly (per-series independence)."""
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.diagnostics import (
+        adf,
+        detect_seasonality,
+        kpss,
+        ljung_box,
+    )
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for i in range(48):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": f"s{i:02d}",
+                    "ds": pd.date_range("2023-01-01", periods=400),
+                    "y": np.cumsum(rng.normal(size=400)) if i % 2 else rng.normal(size=400),
+                }
+            )
+        )
+    wide = spark.createDataFrame(pd.concat(frames))
+    lb = ljung_box(wide, lags=4).toPandas()
+    assert len(lb) == 48 * 4
+    kp = kpss(wide, nlags=8).toPandas()
+    assert len(kp) == 48 and kp.kpss_stat.notna().all()
+    ad = adf(wide, maxlag=1).toPandas()
+    assert len(ad) == 48 and ad.adf_stat.notna().all()
+    ds = detect_seasonality(wide, max_period=10).toPandas()
+    assert len(ds) == 48
+    # independence: one series alone gives identical numbers
+    one = spark.createDataFrame(frames[3])
+    solo = kpss(one, nlags=8).toPandas().iloc[0]
+    inwide = kp[kp.series_id == "s03"].iloc[0]
+    assert solo.kpss_stat == inwide.kpss_stat
