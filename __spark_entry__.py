@@ -1577,6 +1577,60 @@ _CORPUS_FILTER_CTES = """
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+_MIX_PLAN_SQL = """
+    WITH a AS (
+        SELECT source,
+               SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS available_tokens
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT a.*, CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                ELSE 0.2 END AS target_weight
+        FROM a
+    ),
+    b AS (SELECT MIN(available_tokens / target_weight) AS bb FROM j)
+    SELECT source, available_tokens, target_weight,
+           LEAST(bb * target_weight, CAST(available_tokens AS DOUBLE))
+               AS budget_tokens,
+           LEAST(bb * target_weight, CAST(available_tokens AS DOUBLE))
+             / CAST(available_tokens AS DOUBLE) AS fraction
+    FROM j CROSS JOIN b
+"""
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 training-mixture planning: per-source sampling fractions
+    realizing a 50/30/20 token mix at the largest feasible budget —
+    the scarcest-relative source is taken whole, the rest sampled down
+    (llm.corpus.mixture_plan). One aggregation + one scalar min, no
+    collect."""
+    from temporal_retriever_spark.llm.corpus import mixture_plan
+
+    got = mixture_plan(_documents(spark, sf_dir), _MIX_WEIGHTS)
+    return got.select(
+        "source",
+        "available_tokens",
+        _r6("target_weight").alias("target_weight"),
+        _r6("budget_tokens").alias("budget_tokens"),
+        _r6("fraction").alias("fraction"),
+    )
+
+
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 mixture application: the deterministic md5 draw under
+    each source's planned fraction — the doc set both engines agree
+    on id-for-id (llm.corpus.apply_mixture); plan broadcasts, the
+    predicate rides the scan."""
+    from temporal_retriever_spark.llm.corpus import apply_mixture, mixture_plan
+
+    docs = _documents(spark, sf_dir)
+    plan = mixture_plan(docs, _MIX_WEIGHTS)
+    return apply_mixture(docs, plan).select("doc_id", "source")
+
+
 def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 relative quality gate: keep the best 30% of every source
     by the native quality heuristic (llm.corpus.quality_prune) —
@@ -2277,6 +2331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
         "pool_embeddings": q_pool_embeddings,
+        "mixture_plan": q_mixture_plan,
+        "mixture_apply": q_mixture_apply,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "bucket_hour_streamed": q_bucket_hour_streamed,
         "gopher_repetition": q_gopher_repetition,
@@ -3724,6 +3780,20 @@ def oracle_sql() -> dict[str, str]:
         "quality_prune": _QUALITY_PRUNE_ORACLE.format(
             score_round=_sql_r6("quality_score")
         ),
+        "mixture_plan": f"""
+            WITH p AS ({_MIX_PLAN_SQL})
+            SELECT source, available_tokens, {_sql_r6('target_weight')} AS target_weight,
+                   {_sql_r6('budget_tokens')} AS budget_tokens,
+                   {_sql_r6('fraction')} AS fraction
+            FROM p
+        """,
+        "mixture_apply": f"""
+            WITH p AS ({_MIX_PLAN_SQL})
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN p ON d.source = p.source
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0 < p.fraction
+        """,
         "acf_bartlett_daily": _acf_bands_oracle(_EVENTS_DAILY, lags=10),
         "describe_series": (
             "SELECT event_type, COUNT(value) AS n, AVG(value) AS mean, "

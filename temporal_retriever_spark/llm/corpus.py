@@ -339,3 +339,93 @@ def quality_prune(
         )
         .drop("_qp_rn", "_qp_n")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    total_tokens: int | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Plan a training-data mixture: given target per-group token
+    shares (``weights``, summing to 1), compute the per-group sampling
+    fraction that realizes the mix — the "50% web, 30% code, 20%
+    books" step of every pre-training recipe.
+
+    With ``total_tokens=None`` the plan uses the LARGEST feasible
+    budget: B = min over groups of available_g / weight_g, i.e. the
+    scarcest group is taken whole and the plentiful ones are sampled
+    down. An explicit smaller budget scales every group
+    proportionally. Groups absent from ``weights`` are excluded.
+
+    Output (one row per planned group): group, available_tokens,
+    target_weight, budget_tokens (B·w, capped at available), fraction
+    (budget/available, ≤ 1). Fully distributed: one aggregation for
+    availability, one scalar min for the budget — no collect.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive (omit a group to exclude it)")
+    from temporal_retriever_spark.llm.text import token_count_expr
+
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    avail = (
+        df.filter(F.col(group_col).isin(*weights))
+        .groupBy(group_col)
+        .agg(F.sum(token_count_expr(F.col(text_col))).alias("available_tokens"))
+        .withColumn("target_weight", wmap[F.col(group_col)])
+    )
+    feasible = avail.agg(
+        F.min(F.col("available_tokens") / F.col("target_weight")).alias("_b")
+    )
+    if total_tokens is not None:
+        feasible = feasible.select(
+            F.least(F.col("_b"), F.lit(float(total_tokens))).alias("_b")
+        )
+    plan = avail.crossJoin(F.broadcast(feasible))
+    budget = F.least(
+        F.col("_b") * F.col("target_weight"), F.col("available_tokens").cast("double")
+    )
+    return plan.select(
+        group_col,
+        "available_tokens",
+        "target_weight",
+        budget.alias("budget_tokens"),
+        F.try_divide(budget, F.col("available_tokens").cast("double")).alias(
+            "fraction"
+        ),
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Apply a ``mixture_plan``: keep each group's documents whose
+    deterministic md5 draw falls under the group's fraction — the
+    same engine-portable, append-only-stable sampling as
+    ``sample_corpus``, with per-group rates coming from the plan.
+    Document-level hash sampling realizes the token shares in
+    expectation (exact-token packing is a knapsack; the standard
+    practice is doc-level rates). The plan broadcasts; the predicate
+    rides the scan — zero extra shuffles.
+    """
+    u = sample_hash_expr(id_col, salt=salt)
+    rates = plan.select(group_col, "fraction")
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(u < F.col("fraction"))
+        .drop("fraction")
+    )

@@ -189,3 +189,32 @@ def test_quality_prune_precomputed_score(spark):
     )
     out = quality_prune(df, keep_frac=0.3, score_col="myscore").toPandas()
     assert list(out.doc_id) == [1] and out.iloc[0].quality_score == 0.9
+
+
+def test_mixture_plan_scarce_group_taken_whole(spark):
+    from temporal_retriever_spark.llm.corpus import apply_mixture, mixture_plan
+
+    rows = []
+    # tokens: a=100 docs x 10 tok, b=20 x 10, c=40 x 10
+    for src, n in (("a", 100), ("b", 20), ("c", 40)):
+        for i in range(n):
+            rows.append((hash((src, i)) % 10**9, "tok " * 10, src))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {"a": 0.5, "b": 0.2, "c": 0.3}
+    plan = mixture_plan(df, w).toPandas().set_index("source")
+    # feasible budgets avail/w: a=2000, b=1000, c=1333.3 -> b binds at
+    # B=1000 and is taken whole; the others sample down
+    assert plan.loc["b"].fraction == pytest.approx(1.0)
+    assert plan.loc["c"].fraction == pytest.approx(1000 * 0.3 / 400, rel=1e-9)
+    assert plan.loc["a"].fraction == pytest.approx(1000 * 0.5 / 1000, rel=1e-9)
+    # budgets respect the target ratio
+    assert plan.budget_tokens.loc["a"] / plan.budget_tokens.loc["b"] == pytest.approx(2.5)
+    # explicit smaller budget scales down proportionally
+    plan2 = mixture_plan(df, w, total_tokens=500).toPandas().set_index("source")
+    assert plan2.loc["a"].budget_tokens == pytest.approx(250.0)
+    sampled = apply_mixture(df, mixture_plan(df, w))
+    assert 0 < sampled.count() <= len(rows)
+    with pytest.raises(ValueError, match="sum"):
+        mixture_plan(df, {"a": 0.5})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_plan(df, {"a": 1.2, "b": -0.2})
