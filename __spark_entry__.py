@@ -3782,7 +3782,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mixture_plan": f"""
             WITH p AS ({_MIX_PLAN_SQL})
-            SELECT source, available_tokens, {_sql_r6('target_weight')} AS target_weight,
+            SELECT source, CAST(available_tokens AS BIGINT) AS available_tokens,
+                   {_sql_r6('target_weight')} AS target_weight,
                    {_sql_r6('budget_tokens')} AS budget_tokens,
                    {_sql_r6('fraction')} AS fraction
             FROM p
