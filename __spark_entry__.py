@@ -2162,6 +2162,57 @@ def q_media_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select("doc_id").mapInPandas(run, out_schema)
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal metadata probes for the formats whose CODECS
+    are out of scope but whose CONTAINERS are pure struct parsing: a
+    per-doc ISO BMFF (MP4) skeleton and MPEG-1 Layer III frame chain
+    are synthesized, probed (llm.codecs probe_mp4 / probe_mp3 — box
+    walk + frame-header walk), and the extracted duration/dimensions/
+    frame counts hash-match integer arithmetic on doc_id. Exactly what
+    a corpus pipeline needs from media it will never decode: filter
+    and budget by metadata."""
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    out_schema = (
+        "doc_id long, mp4_duration_ms long, mp4_width long, mp4_height long, "
+        "mp3_frames long, mp3_duration_ms long"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                dur = 1000 + (d % 600) * 100
+                w = 320 + (d % 4) * 160
+                h = 240 + (d % 4) * 120
+                mp4 = codecs.encode_mp4_skeleton(dur, width=w, height=h)
+                p4 = codecs.probe_mp4(mp4)
+                nf = 10 + d % 50
+                p3 = codecs.probe_mp3(codecs.encode_mp3_frames(nf))
+                rows.append(
+                    (
+                        d,
+                        p4["duration_ms"],
+                        p4["width"],
+                        p4["height"],
+                        p3["n_frames"],
+                        p3["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mp4_duration_ms", "mp4_width", "mp4_height",
+                    "mp3_frames", "mp3_duration_ms",
+                ],
+            )
+
+    return _documents(spark, sf_dir).select("doc_id").mapInPandas(run, out_schema)
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus filters: Gopher repetition metrics (Rae et al. 2021 A1.1)
     — duplicate line/paragraph fractions and the character fraction of
@@ -2309,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_png": q_media_decode_png,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_audio_spectrum": q_media_audio_spectrum,
+        "media_probe": q_media_probe,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
         "corpus_sample_k": q_corpus_sample_k,
@@ -4009,6 +4061,16 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
+        "media_probe": """
+            SELECT doc_id,
+                   CAST(1000 + (doc_id % 600) * 100 AS BIGINT) AS mp4_duration_ms,
+                   CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS mp4_width,
+                   CAST(240 + (doc_id % 4) * 120 AS BIGINT) AS mp4_height,
+                   CAST(10 + doc_id % 50 AS BIGINT) AS mp3_frames,
+                   CAST(FLOOR((10 + doc_id % 50) * 1152 * 1000 / 44100.0) AS BIGINT)
+                       AS mp3_duration_ms
+            FROM documents
+        """,
         "media_audio_spectrum": """
             SELECT doc_id,
                    CAST(100 + (doc_id % 20) * 50 AS BIGINT) AS dominant_hz,

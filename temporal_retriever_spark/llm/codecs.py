@@ -1038,6 +1038,12 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
     return None
 
 
@@ -1084,3 +1090,158 @@ def sample_frame(payload: bytes, ts_ms: int) -> bytes:
     if sniff_format(payload) != "avi":
         raise ValueError("frame sampling supports AVI payloads")
     return encode_bmp(frame_at(payload, ts_ms))
+
+
+# --------------------------------------------------------------------------
+# MP4 / MP3 metadata probes (ISO/IEC 14496-12 box structure; MPEG-1/2
+# audio frame headers). These are container/metadata parsers, NOT
+# decoders — the honest scope for formats whose codecs (H.264/AAC/
+# MP3 entropy coding) can't be reimplemented here. A corpus pipeline
+# mostly needs exactly this: duration/dimensions/bitrate for filtering
+# and budgeting, without decoding a single frame. Skeleton writers
+# exist so the probes are round-trip testable.
+# --------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def encode_mp4_skeleton(
+    duration_ms: int, *, width: int = 0, height: int = 0, timescale: int = 1000
+) -> bytes:
+    """Minimal valid ISO BMFF skeleton: ftyp + moov(mvhd [+ trak/tkhd
+    when dimensions are given]) + empty mdat. No media samples — a
+    metadata-only container for probe testing and fixtures."""
+    mvhd = (
+        struct.pack(">B3x", 0)  # version 0
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, int(duration_ms * timescale // 1000))
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)  # next track id
+    )
+    moov_body = _mp4_box(b"mvhd", mvhd)
+    if width and height:
+        tkhd = (
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, 1, 0)  # times, track id, reserved
+            + struct.pack(">I", int(duration_ms * timescale // 1000))
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+        )
+        moov_body += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    return (
+        _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        + _mp4_box(b"moov", moov_body)
+        + _mp4_box(b"mdat", b"")
+    )
+
+
+def _iter_boxes(payload: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", payload, pos)
+        if size < 8:
+            return
+        yield btype, pos + 8, min(pos + size, end)
+        pos += size
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO BMFF metadata: {'duration_ms', 'width', 'height', 'brand'}.
+
+    Walks ftyp (major brand) and moov/mvhd (timescale + duration);
+    track dimensions come from the first tkhd carrying a nonzero
+    16.16-fixed width/height. Raises ValueError when no moov exists.
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp)")
+    brand = payload[8:12].decode("latin-1")
+    duration_ms = None
+    width = height = 0
+    for btype, b0, b1 in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _iter_boxes(payload, b0, b1):
+            if ctype == b"mvhd":
+                version = payload[c0]
+                if version == 1:
+                    timescale, dur = struct.unpack_from(">IQ", payload, c0 + 20)
+                else:
+                    timescale, dur = struct.unpack_from(">II", payload, c0 + 12)
+                if timescale:
+                    duration_ms = int(dur * 1000 // timescale)
+            elif ctype == b"trak":
+                for ttype, t0, t1 in _iter_boxes(payload, c0, c1):
+                    if ttype == b"tkhd" and not (width or height):
+                        w16, h16 = struct.unpack_from(">II", payload, t1 - 8)
+                        width, height = w16 >> 16, h16 >> 16
+    if duration_ms is None:
+        raise ValueError("MP4 payload has no moov/mvhd metadata")
+    return {
+        "duration_ms": duration_ms,
+        "width": width,
+        "height": height,
+        "brand": brand,
+    }
+
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables (index 1..14)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def encode_mp3_frames(
+    n_frames: int, *, bitrate_kbps: int = 128, samplerate: int = 44100
+) -> bytes:
+    """Valid MPEG-1 Layer III frame headers with zeroed payloads —
+    silence-shaped fixtures for the probe (no psychoacoustic encoding,
+    which is out of scope by design)."""
+    br = _MP3_BITRATES.index(bitrate_kbps)
+    sr = _MP3_RATES.index(samplerate)
+    frame_len = 144 * bitrate_kbps * 1000 // samplerate  # padding bit 0
+    header = bytes(
+        [0xFF, 0xFB, (br << 4) | (sr << 2), 0x00]
+    )  # sync, MPEG-1 layer III no CRC, stereo
+    return (header + b"\x00" * (frame_len - 4)) * n_frames
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """MPEG audio metadata: {'bitrate_kbps', 'samplerate', 'n_frames',
+    'duration_ms'} by walking frame headers (ID3v2 prefix skipped).
+    Constant-bitrate walk; raises on no sync."""
+    pos = 0
+    if payload[:3] == b"ID3":  # ID3v2: syncsafe 28-bit size at offset 6
+        size = (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + size
+    n_frames = 0
+    bitrate = samplerate = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            break
+        b2 = payload[pos + 2]
+        br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        bitrate = _MP3_BITRATES[br_idx]
+        samplerate = _MP3_RATES[sr_idx]
+        padding = (b2 >> 1) & 0x1
+        frame_len = 144 * bitrate * 1000 // samplerate + padding
+        n_frames += 1
+        pos += frame_len
+    if not n_frames:
+        raise ValueError("no MPEG audio frames found")
+    duration_ms = n_frames * 1152 * 1000 // samplerate  # 1152 samples/frame
+    return {
+        "bitrate_kbps": bitrate,
+        "samplerate": samplerate,
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+    }

@@ -306,3 +306,33 @@ def test_audio_spectrum_features_two_tones_and_edge_cases():
     # round-trips through the real WAV codec unchanged
     rate2, dec = codecs.decode_wav(codecs.encode_wav(mix, rate))
     assert rate2 == rate and (dec == mix).all()
+
+
+def test_mp4_probe_round_trip():
+    p = codecs.encode_mp4_skeleton(93500, width=640, height=480)
+    got = codecs.probe_mp4(p)
+    assert got == {
+        "duration_ms": 93500, "width": 640, "height": 480, "brand": "isom",
+    }
+    # audio-only skeleton: no track dimensions
+    a = codecs.encode_mp4_skeleton(5000)
+    got = codecs.probe_mp4(a)
+    assert got["duration_ms"] == 5000 and got["width"] == 0
+    assert codecs.sniff_format(p) == "mp4"
+    with pytest.raises(ValueError, match="ftyp"):
+        codecs.probe_mp4(b"not an mp4 file")
+
+
+def test_mp3_probe_frames_and_id3():
+    m = codecs.encode_mp3_frames(38, bitrate_kbps=160, samplerate=44100)
+    got = codecs.probe_mp3(m)
+    assert got["n_frames"] == 38 and got["bitrate_kbps"] == 160
+    assert got["duration_ms"] == 38 * 1152 * 1000 // 44100
+    assert codecs.sniff_format(m) == "mp3"
+    # ID3v2 prefix skipped via the syncsafe size
+    tagged = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    tagged += codecs.encode_mp3_frames(5)
+    assert codecs.probe_mp3(tagged)["n_frames"] == 5
+    assert codecs.sniff_format(tagged) == "mp3"
+    with pytest.raises(ValueError, match="frames"):
+        codecs.probe_mp3(b"\x00\x01\x02\x03")
