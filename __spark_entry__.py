@@ -706,6 +706,26 @@ def q_residual_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_ensemble_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast combination (the M-competition "combine!" result):
+    0.6·theta + 0.4·drift over a 7-day horizon
+    (evaluation.ensemble_forecasts) — union + one aggregation; the
+    oracle composes the unrounded theta CTE chain with the drift
+    closed form and averages with identical weights."""
+    from temporal_retriever_spark.evaluation import ensemble_forecasts
+    from temporal_retriever_spark.forecast import forecast_baseline, forecast_theta
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    th = forecast_theta(daily, horizon=7, alpha=0.5)
+    dr = forecast_baseline(daily, method="drift", horizon=7)
+    ens = ensemble_forecasts([th, dr], [0.6, 0.4])
+    return ens.select(
+        F.col("series_id").alias("event_type"), "ds", _r6("yhat").alias("yhat")
+    )
+
+
 def q_forecast_accuracy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest: hold out the last 14 days per series, forecast them
     with the seasonal-naive baseline, score with the full metric suite
@@ -2377,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_hw_daily": q_forecast_hw_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
         "forecast_baselines_daily": q_forecast_baselines_daily,
+        "forecast_ensemble_daily": q_forecast_ensemble_daily,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
         "rolling_origin_daily": q_rolling_origin_daily,
         "containment_pairs": q_containment_pairs,
@@ -2751,6 +2772,7 @@ def _theta_oracle(
     alpha: float = 0.5,
     sid: str = "event_type",
     trunc_eps: float = 1e-12,
+    rounded: bool = True,
 ) -> str:
     """SQL mirror of forecast.forecast_theta: same moments arithmetic,
     the same truncation depth K, the same SES weight expansion."""
@@ -2792,7 +2814,7 @@ def _theta_oracle(
         ),
         grid AS (SELECT unnest(generate_series(1, {horizon})) AS h)
         SELECT f.{sid}, f.max_ds + CAST(g.h AS INTEGER) AS ds,
-               {_sql_r6('0.5 * ((f.my + f.b * (f.max_t + CAST(g.h AS DOUBLE) - f.mt)) + lev.level)')} AS yhat
+               {(_sql_r6 if rounded else (lambda x: x))('0.5 * ((f.my + f.b * (f.max_t + CAST(g.h AS DOUBLE) - f.mt)) + lev.level)')} AS yhat
         FROM fit f JOIN lev ON f.{sid} = lev.{sid} CROSS JOIN grid g
     """
 
@@ -3740,6 +3762,26 @@ def oracle_sql() -> dict[str, str]:
         "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
         "forecast_hw_daily": _hw_oracle(_EVENTS_DAILY, horizon=14, period=7),
         "forecast_ar_daily": _ar_oracle(_EVENTS_DAILY, p=3, horizon=14),
+        "forecast_ensemble_daily": f"""
+            WITH th AS ({_theta_oracle(_EVENTS_DAILY, horizon=7, alpha=0.5, rounded=False)}),
+            s2 AS ({_EVENTS_DAILY}),
+            da AS (
+                SELECT event_type, MAX(ds) AS max_ds,
+                       CAST(COUNT(y) AS DOUBLE) AS n,
+                       list(y ORDER BY ds) AS vals
+                FROM s2 GROUP BY 1
+            ),
+            grid AS (SELECT unnest(generate_series(1, 7)) AS h),
+            dr AS (
+                SELECT event_type, max_ds + CAST(h AS INTEGER) AS ds,
+                       vals[-1] + CAST(h AS DOUBLE) * (vals[-1] - vals[1]) / (n - 1)
+                           AS yhat
+                FROM da CROSS JOIN grid
+            )
+            SELECT th.event_type, th.ds,
+                   {_sql_r6('th.yhat * 0.6 + dr.yhat * 0.4')} AS yhat
+            FROM th JOIN dr ON th.event_type = dr.event_type AND th.ds = dr.ds
+        """,
         "forecast_accuracy_daily": f"""
             WITH s AS ({_EVENTS_DAILY}),
             b AS (SELECT *, MAX(ds) OVER (PARTITION BY event_type) AS mx FROM s),

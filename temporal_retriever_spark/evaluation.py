@@ -20,7 +20,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["forecast_accuracy", "rolling_origin_splits"]
+__all__ = ["ensemble_forecasts", "forecast_accuracy", "rolling_origin_splits"]
 
 
 def forecast_accuracy(
@@ -127,3 +127,50 @@ def rolling_origin_splits(
         .otherwise(F.lit(None))
     )
     return d.withColumn("role", role).filter(F.col("role").isNotNull()).drop("_rn")
+
+
+def ensemble_forecasts(
+    forecasts: list[DataFrame],
+    weights: list[float] | None = None,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    yhat_col: str = "yhat",
+) -> DataFrame:
+    """Weighted combination of forecast frames on (series, ds) — the
+    forecast-combination step that reliably beats its members (the
+    M-competition "combine!" result). Frames must share the key and
+    ``yhat`` columns; weights default to equal and must sum to 1.
+
+    Implementation: tag each frame with its weight, union, ONE
+    aggregation summing w·ŷ per (series, ds). Rows missing from some
+    member are dropped (an ensemble is only defined where every
+    member votes) — enforced by counting votes.
+    """
+    if not forecasts:
+        raise ValueError("forecasts must be non-empty")
+    k = len(forecasts)
+    if weights is None:
+        weights = [1.0 / k] * k
+    if len(weights) != k:
+        raise ValueError(f"{k} forecasts but {len(weights)} weights")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    series_cols = list(series_cols)
+    from functools import reduce
+
+    tagged = [
+        f.select(
+            *series_cols,
+            F.col(ds_col),
+            (F.col(yhat_col) * F.lit(float(w))).alias("_wy"),
+        )
+        for f, w in zip(forecasts, weights)
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    return (
+        unioned.groupBy(*series_cols, ds_col)
+        .agg(F.sum("_wy").alias(yhat_col), F.count("_wy").alias("_votes"))
+        .filter(F.col("_votes") == k)
+        .drop("_votes")
+    )

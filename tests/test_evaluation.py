@@ -112,3 +112,32 @@ def test_rolling_origin_short_series_degrade_gracefully(spark):
         te, tr = g[g.role == "test"], g[g.role == "train"]
         if len(te) and len(tr):
             assert tr.ds.max() < te.ds.min()
+
+
+def test_ensemble_weighted_combination_and_intersection(spark):
+    a = pd.DataFrame(
+        {"series_id": "s", "ds": pd.date_range("2024-01-01", periods=3), "yhat": [10.0, 20, 30]}
+    )
+    b = pd.DataFrame(
+        {"series_id": "s", "ds": pd.date_range("2024-01-01", periods=4), "yhat": [14.0, 24, 34, 44]}
+    )
+    from temporal_retriever_spark.evaluation import ensemble_forecasts
+
+    out = (
+        ensemble_forecasts([spark.createDataFrame(a), spark.createDataFrame(b)], [0.75, 0.25])
+        .toPandas()
+        .sort_values("ds")
+    )
+    # only the 3 dates where EVERY member votes survive
+    assert out.yhat.tolist() == [11.0, 21.0, 31.0]
+    # equal weights by default
+    eq = (
+        ensemble_forecasts([spark.createDataFrame(a), spark.createDataFrame(a)])
+        .toPandas()
+        .sort_values("ds")
+    )
+    assert eq.yhat.tolist() == [10.0, 20.0, 30.0]
+    with pytest.raises(ValueError, match="sum"):
+        ensemble_forecasts([spark.createDataFrame(a)], [0.5])
+    with pytest.raises(ValueError, match="non-empty"):
+        ensemble_forecasts([])
