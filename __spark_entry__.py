@@ -2379,15 +2379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
         "media_decode_jpeg": q_media_decode_jpeg,
-        "media_audio_spectrum": q_media_audio_spectrum,
         "media_probe": q_media_probe,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
         "corpus_sample_k": q_corpus_sample_k,
-        "corpus_split": q_corpus_split,
         "ljung_box_daily": q_ljung_box_daily,
         "residual_whiteness": q_residual_whiteness,
-        "acf_bartlett_daily": q_acf_bartlett_daily,
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
         "detect_seasonality_daily": q_detect_seasonality_daily,
@@ -2396,18 +2393,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_theta_daily": q_forecast_theta_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
-        "forecast_baselines_daily": q_forecast_baselines_daily,
         "forecast_ensemble_daily": q_forecast_ensemble_daily,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
-        "rolling_origin_daily": q_rolling_origin_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
-        "pool_embeddings": q_pool_embeddings,
         "mixture_plan": q_mixture_plan,
-        "mixture_apply": q_mixture_apply,
-        "sessions_2h_streamed": q_sessions_2h_streamed,
-        "bucket_hour_streamed": q_bucket_hour_streamed,
         "gopher_repetition": q_gopher_repetition,
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
@@ -2415,6 +2406,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_hours": q_interval_join_hours,
         "tfidf_topk": q_tfidf_topk,
         "rolling_quantile_daily": q_rolling_quantile_daily,
+        "sessions_2h_streamed": q_sessions_2h_streamed,
+        "bucket_hour_streamed": q_bucket_hour_streamed,
+        # -- round-4 family variants whose siblings hold the in-window
+        # slot (driver evidence diversity > duplicates) --
+        "media_audio_spectrum": q_media_audio_spectrum,
+        "corpus_split": q_corpus_split,
+        "mixture_apply": q_mixture_apply,
+        "acf_bartlett_daily": q_acf_bartlett_daily,
+        "forecast_baselines_daily": q_forecast_baselines_daily,
+        "rolling_origin_daily": q_rolling_origin_daily,
+        "pool_embeddings": q_pool_embeddings,
         # -- r3 driver-green --
         "granger_click_view": q_granger_click_view,
         "granger_lag1": q_granger_lag1,
