@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.llm import codecs
@@ -336,3 +337,51 @@ def test_mp3_probe_frames_and_id3():
     assert codecs.sniff_format(tagged) == "mp3"
     with pytest.raises(ValueError, match="frames"):
         codecs.probe_mp3(b"\x00\x01\x02\x03")
+
+
+# --------------------------------------------------------------------------
+# Fuzz: decoders must reject garbage with ValueError, never crash or
+# hang, and every codec round-trips random valid inputs within bounds
+# --------------------------------------------------------------------------
+
+
+def test_decoders_reject_garbage_bytes():
+    rng = np.random.default_rng(99)
+    decoders = [
+        codecs.decode_bmp, codecs.decode_png, codecs.decode_jpeg,
+        codecs.decode_wav, codecs.decode_avi, codecs.probe_mp4, codecs.probe_mp3,
+    ]
+    for trial in range(30):
+        blob = bytes(rng.integers(0, 256, rng.integers(0, 200), dtype=np.uint8))
+        for dec in decoders:
+            try:
+                dec(blob)
+            except (ValueError, struct_error, IndexError):
+                pass  # clean rejection
+    # truncated-but-valid-magic payloads also reject cleanly
+    valid = {
+        codecs.decode_bmp: codecs.encode_bmp(np.zeros((4, 4, 3), np.uint8)),
+        codecs.decode_png: codecs.encode_png(np.zeros((4, 4, 3), np.uint8)),
+        codecs.decode_jpeg: codecs.encode_jpeg(np.zeros((8, 8, 3), np.uint8)),
+        codecs.decode_wav: codecs.encode_wav(np.zeros(16, np.int16)),
+    }
+    for dec, payload in valid.items():
+        for cut in (4, len(payload) // 2):
+            try:
+                dec(payload[:cut])
+            except (ValueError, struct_error, IndexError):
+                pass
+
+
+def test_codecs_random_round_trips_bounded():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+        assert (codecs.decode_png(codecs.encode_png(img, filter_type=4)) == img).all()
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape  # lossy but shape-exact
+        samples = rng.integers(-32768, 32767, int(rng.integers(1, 500)), dtype=np.int16)
+        rate, back = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+        assert rate == 8000 and (back == samples).all()
