@@ -681,10 +681,7 @@ def q_residual_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.join(F.broadcast(trend), on="series_id")
         .withColumn("_t", t)
         .withColumn("_skey", F.dayofweek("ds"))
-        .join(
-            seasonal.withColumnRenamed("_skey", "_skey"),
-            on=["series_id", "_skey"],
-        )
+        .join(seasonal, on=["series_id", "_skey"])
         .select(
             "series_id",
             "ds",
@@ -3036,7 +3033,9 @@ def _detect_seasonality_oracle(
                                 lag ASC) AS rn
             FROM b WHERE lag >= {min_period}
         )
-        SELECT {sid}, lag AS period, {_sql_r6('rho')} AS acf,
+        SELECT {sid},
+               CASE WHEN rho IS NULL THEN NULL ELSE lag END AS period,
+               {_sql_r6('rho')} AS acf,
                ABS(rho) > {z!r} * SQRT((1.0 + 2.0 * COALESCE(accp, 0)) / n)
                    AS significant,
                CAST(n AS BIGINT) AS n
@@ -3814,7 +3813,9 @@ def oracle_sql() -> dict[str, str]:
                        AVG(ABS(err)) AS mae,
                        SQRT(AVG(err * err)) AS rmse,
                        AVG(CASE WHEN y <> 0 THEN ABS(err / y) END) AS mape,
-                       AVG(2.0 * ABS(err) / (ABS(y) + ABS(yhat))) AS smape,
+                       AVG(CASE WHEN ABS(y) + ABS(yhat) <> 0
+                                THEN 2.0 * ABS(err) / (ABS(y) + ABS(yhat))
+                           END) AS smape,
                        AVG(err) AS bias
                 FROM j GROUP BY 1
             ),
@@ -3976,15 +3977,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ),
             p AS (
-                SELECT label, pos, AVG(val) AS pm, MAX(val) AS px,
-                       COUNT(val) AS cnt
+                SELECT label, pos, AVG(val) AS pm, MAX(val) AS px
                 FROM e GROUP BY 1, 2
-            )
-            SELECT label, CAST(pos AS INTEGER) AS pos,
+            ),
+            nv AS (SELECT label, COUNT(embedding) AS n_vectors
+                   FROM embeddings GROUP BY 1)
+            SELECT p.label, CAST(pos AS INTEGER) AS pos,
                    {_sql_r6('pm')} AS pooled_mean,
                    {_sql_r6('px')} AS pooled_max,
-                   cnt AS n_vectors
-            FROM p
+                   nv.n_vectors
+            FROM p JOIN nv ON p.label = nv.label
         """,
         "embedding_outliers": f"""
             WITH nv AS (

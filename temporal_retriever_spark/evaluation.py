@@ -164,13 +164,20 @@ def ensemble_forecasts(
             *series_cols,
             F.col(ds_col),
             (F.col(yhat_col) * F.lit(float(w))).alias("_wy"),
+            F.lit(i).alias("_member"),
         )
-        for f, w in zip(forecasts, weights)
+        for i, (f, w) in enumerate(zip(forecasts, weights))
     ]
     unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    # exactly ONE row per member: a duplicate (series, ds) inside one
+    # member would otherwise fake the vote count and double its weight
     return (
         unioned.groupBy(*series_cols, ds_col)
-        .agg(F.sum("_wy").alias(yhat_col), F.count("_wy").alias("_votes"))
-        .filter(F.col("_votes") == k)
-        .drop("_votes")
+        .agg(
+            F.sum("_wy").alias(yhat_col),
+            F.count("_wy").alias("_rows"),
+            F.countDistinct("_member").alias("_votes"),
+        )
+        .filter((F.col("_votes") == k) & (F.col("_rows") == k))
+        .drop("_votes", "_rows")
     )

@@ -1264,9 +1264,10 @@ def forecast_ar(
     when PACF shows a sharp lag-p cutoff).
 
     Daily-grain output: (series, ds, yhat) for h = 1..horizon.
-    Series with ≤ p+2 usable fit rows are DROPPED from the output
-    (too short for a defined OLS — use ``forecast_baseline`` for
-    those); rank-deficient series (e.g. constant) emit NULL yhat.
+    Series with ≤ p+1 usable fit rows (the regressor count — no
+    degrees of freedom) are DROPPED from the output; use
+    ``forecast_baseline`` for those. Rank-deficient series (e.g.
+    constant) emit NULL yhat; null observations are ignored.
 
     Fully native: one ordered window pass builds the lag columns, ONE
     aggregation the Gram sums (plus the p-value tail of last
@@ -1284,6 +1285,9 @@ def forecast_ar(
     m = p + 1
     ws = Window.partitionBy(*series_cols).orderBy(ds_col)
     y = F.col(y_col).cast("double")
+    # drop null observations first: they would otherwise enter the
+    # last-p tail and turn every recursion step NULL
+    df = df.filter(F.col(y_col).isNotNull())
     d = df
     for j in range(1, p + 1):
         d = d.withColumn(f"_l{j}", F.lag(y, j).over(ws))
@@ -1363,6 +1367,9 @@ def forecast_baseline(
     if period < 1:
         raise ValueError(f"period must be >= 1: {period}")
     series_cols = list(series_cols)
+    # the baselines repeat the last ACTUAL observation: null rows must
+    # not occupy the tail (naive/drift would emit NULL forecasts)
+    df = df.filter(F.col(y_col).isNotNull())
     y = F.col(y_col).cast("double")
     sorted_vals = F.array_sort(
         F.collect_list(F.struct(F.col(ds_col).alias("ds"), y.alias("v")))

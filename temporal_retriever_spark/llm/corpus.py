@@ -383,6 +383,17 @@ def mixture_plan(
         .agg(F.sum(token_count_expr(F.col(text_col))).alias("available_tokens"))
         .withColumn("target_weight", wmap[F.col(group_col)])
     )
+    # a weighted group with zero rows would be silently omitted and the
+    # feasibility min computed over the rest — the plan would NOT
+    # realize the requested mix; fail loudly instead (tiny action:
+    # |weights| rows at most)
+    present = {r[0] for r in avail.select(group_col).collect()}
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise ValueError(
+            f"weighted group(s) with no rows in the corpus: {missing}; "
+            f"remove them from weights or fix the group values"
+        )
     feasible = avail.agg(
         F.min(F.col("available_tokens") / F.col("target_weight")).alias("_b")
     )

@@ -523,15 +523,15 @@ def pool_embeddings(
         F.col(group_col),
         F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
     ).withColumn("_val", F.col("_val").cast("double"))
-    per_pos = pe.groupBy(group_col, "_pos").agg(
-        agg_fn("_val").alias("_v"), F.count("_val").alias("_cnt")
-    )
+    per_pos = pe.groupBy(group_col, "_pos").agg(agg_fn("_val").alias("_v"))
+    # n_vectors counts INPUT vectors per group (ragged/null-element
+    # vectors included) — not a per-position coverage count
+    n_vec = df.groupBy(group_col).agg(F.count(vec_col).alias("n_vectors"))
     pooled = per_pos.groupBy(group_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("_pos", "_v"))), lambda s: s["_v"]
         ).alias(out_col),
-        F.max("_cnt").alias("n_vectors"),
-    )
+    ).join(n_vec, on=group_col)
     if normalize:
         # same one-norm-per-row materialization as the outlier path
         pooled = (

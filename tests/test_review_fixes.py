@@ -380,3 +380,117 @@ def test_read_any_forwards_parquet_options(spark, tmp_path):
         spark, f"{tmp_path}/nested", format="parquet", recursiveFileLookup="true"
     )
     assert out.count() == 3
+
+
+# ---- second self-review pass ----
+
+
+def test_ar_and_baselines_ignore_trailing_null(spark):
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.forecast import forecast_ar, forecast_baseline
+
+    rng = np.random.default_rng(5)
+    good = pd.DataFrame(
+        {
+            "series_id": "a",
+            "ds": pd.date_range("2024-01-01", periods=40),
+            # noisy AR-ish series: a pure ramp would be rank-deficient
+            # (collinear lags) and correctly yield NULL forecasts
+            "y": np.arange(40.0) + rng.normal(scale=0.5, size=40),
+        }
+    )
+    trailing_null = good.copy()
+    trailing_null.loc[40] = ["a", pd.Timestamp("2024-02-10"), None]
+    base = forecast_ar(spark.createDataFrame(good), p=2, horizon=3).toPandas()
+    got = forecast_ar(spark.createDataFrame(trailing_null), p=2, horizon=3).toPandas()
+    # the null row is ignored entirely — identical forecasts, no NULLs
+    assert got.yhat.notna().all()
+    assert np.allclose(
+        got.sort_values("ds").yhat.to_numpy(), base.sort_values("ds").yhat.to_numpy()
+    )
+    last = good.y.iloc[-1]
+    nv = forecast_baseline(
+        spark.createDataFrame(trailing_null), method="naive", horizon=2
+    ).toPandas()
+    assert nv.yhat.tolist() == [last, last]  # last ACTUAL observation
+    dr = forecast_baseline(
+        spark.createDataFrame(trailing_null), method="drift", horizon=1
+    ).toPandas()
+    want = last + (last - good.y.iloc[0]) / 39
+    assert dr.yhat.iloc[0] == pytest.approx(want)
+
+
+def test_mixture_plan_rejects_absent_weighted_group(spark):
+    from temporal_retriever_spark.llm.corpus import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "tok tok", "web")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_plan(df, {"web": 0.5, "books": 0.5})
+
+
+def test_ensemble_rejects_duplicate_member_rows(spark):
+    import pandas as pd
+
+    from temporal_retriever_spark.evaluation import ensemble_forecasts
+
+    a = pd.DataFrame(
+        {
+            "series_id": ["s", "s"],
+            "ds": [pd.Timestamp("2024-01-01")] * 2,  # duplicate (series, ds)!
+            "yhat": [10.0, 10.0],
+        }
+    )
+    b = pd.DataFrame(
+        {"series_id": ["s"], "ds": [pd.Timestamp("2024-01-02")], "yhat": [20.0]}
+    )
+    out = ensemble_forecasts(
+        [spark.createDataFrame(a), spark.createDataFrame(b)]
+    ).toPandas()
+    # neither date has exactly one vote from EVERY member -> empty
+    assert len(out) == 0
+
+
+def test_accuracy_smape_skips_zero_zero_rows(spark, duck):
+    import pandas as pd
+
+    from temporal_retriever_spark.evaluation import forecast_accuracy
+
+    act = pd.DataFrame(
+        {
+            "series_id": "z",
+            "ds": pd.date_range("2024-01-01", periods=3),
+            "y": [0.0, 10.0, 20.0],
+        }
+    )
+    pred = pd.DataFrame(
+        {
+            "series_id": "z",
+            "ds": pd.date_range("2024-01-01", periods=3),
+            "yhat": [0.0, 12.0, 18.0],  # first row: 0/0 term
+        }
+    )
+    out = (
+        forecast_accuracy(spark.createDataFrame(pred), spark.createDataFrame(act))
+        .toPandas()
+        .iloc[0]
+    )
+    # the 0/0 date is skipped, not NaN-poisoned
+    want = (2 * 2 / 22 + 2 * 2 / 38) / 2
+    assert out.smape == pytest.approx(want, abs=1e-12)
+
+
+def test_detect_seasonality_oracle_degenerate_null(duck, spark):
+    """The oracle emits NULL period for all-NULL-rho series exactly
+    like the engine (hash-parity on short series)."""
+    import __spark_entry__ as e
+
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM (VALUES "
+                 "('x', TIMESTAMP '2024-01-01 00:00:00', 1.0), "
+                 "('x', TIMESTAMP '2024-01-02 00:00:00', 2.0)) t(event_type, ts, value)")
+    out = duck.execute(e.oracle_sql()["detect_seasonality_daily"]).df()
+    assert out.period.isna().all()
+    duck.execute("DROP VIEW events")
