@@ -483,14 +483,19 @@ def test_accuracy_smape_skips_zero_zero_rows(spark, duck):
     assert out.smape == pytest.approx(want, abs=1e-12)
 
 
-def test_detect_seasonality_oracle_degenerate_null(duck, spark):
+def test_detect_seasonality_oracle_degenerate_null():
     """The oracle emits NULL period for all-NULL-rho series exactly
-    like the engine (hash-parity on short series)."""
+    like the engine (hash-parity on short series). Uses its OWN
+    DuckDB connection — replacing the shared fixture's `events` view
+    would break every later oracle test in the session."""
+    import duckdb
+
     import __spark_entry__ as e
 
-    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM (VALUES "
-                 "('x', TIMESTAMP '2024-01-01 00:00:00', 1.0), "
-                 "('x', TIMESTAMP '2024-01-02 00:00:00', 2.0)) t(event_type, ts, value)")
-    out = duck.execute(e.oracle_sql()["detect_seasonality_daily"]).df()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM (VALUES "
+                "('x', TIMESTAMP '2024-01-01 00:00:00', 1.0), "
+                "('x', TIMESTAMP '2024-01-02 00:00:00', 2.0)) t(event_type, ts, value)")
+    out = con.execute(e.oracle_sql()["detect_seasonality_daily"]).df()
+    con.close()
     assert out.period.isna().all()
-    duck.execute("DROP VIEW events")
