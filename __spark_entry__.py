@@ -2230,6 +2230,66 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select("doc_id").mapInPandas(run, out_schema)
 
 
+def q_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal EXIF: a real JPEG gets a real APP1/EXIF
+    segment injected (llm.codecs encode_exif_app1 / inject_exif),
+    probed back (TIFF IFD walk), and the decoded pixels are
+    orientation-normalized (apply_orientation — the step that keeps
+    sideways phone photos out of aspect-ratio filters). Orientation/
+    dimensions/make and the normalized shape all hash-match integer
+    arithmetic on doc_id; the JPEG decoder skipping the APPn segment
+    is implicitly verified by the normalized dims being right."""
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    H, W = 12, 16
+    out_schema = (
+        "doc_id long, orientation long, exif_width long, exif_height long, "
+        "make string, norm_h long, norm_w long"
+    )
+
+    def run(batches):
+        base = np.zeros((H, W, 3), np.uint8)
+        jpeg = codecs.encode_jpeg(base, quality=95)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                orient = 1 + d % 8
+                app1 = codecs.encode_exif_app1(
+                    orientation=orient,
+                    width=100 + d % 900,
+                    height=50 + d % 450,
+                    make=f"cam{d % 5}",
+                )
+                tagged = codecs.inject_exif(jpeg, app1)
+                meta = codecs.probe_exif(tagged)
+                dec = codecs.decode_jpeg(tagged)
+                norm = codecs.apply_orientation(dec, meta["orientation"])
+                rows.append(
+                    (
+                        d,
+                        meta["orientation"],
+                        meta["width"],
+                        meta["height"],
+                        meta["make"],
+                        norm.shape[0],
+                        norm.shape[1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orientation", "exif_width", "exif_height",
+                    "make", "norm_h", "norm_w",
+                ],
+            )
+
+    return _documents(spark, sf_dir).select("doc_id").mapInPandas(run, out_schema)
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus filters: Gopher repetition metrics (Rae et al. 2021 A1.1)
     — duplicate line/paragraph fractions and the character fraction of
@@ -2377,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_png": q_media_decode_png,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_probe": q_media_probe,
+        "media_exif": q_media_exif,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
         "corpus_sample_k": q_corpus_sample_k,
@@ -4107,6 +4168,18 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
+        "media_exif": """
+            SELECT doc_id,
+                   CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+                   CAST(100 + doc_id % 900 AS BIGINT) AS exif_width,
+                   CAST(50 + doc_id % 450 AS BIGINT) AS exif_height,
+                   'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+                   CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 ELSE 12 END
+                        AS BIGINT) AS norm_h,
+                   CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 12 ELSE 16 END
+                        AS BIGINT) AS norm_w
+            FROM documents
+        """,
         "media_probe": """
             SELECT doc_id,
                    CAST(1000 + (doc_id % 600) * 100 AS BIGINT) AS mp4_duration_ms,

@@ -1245,3 +1245,121 @@ def probe_mp3(payload: bytes) -> dict:
         "n_frames": n_frames,
         "duration_ms": duration_ms,
     }
+
+
+# --------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF IFD walk — orientation, dimensions, camera
+# make). Orientation is the one tag a pipeline MUST read before
+# feature extraction or resize: cameras store rotated sensors' pixels
+# unrotated and set tag 0x0112 instead.
+# --------------------------------------------------------------------------
+
+_EXIF_TAGS = {0x0112: "orientation", 0x0100: "width", 0x0101: "height", 0x010F: "make"}
+
+
+def encode_exif_app1(
+    *, orientation: int = 1, width: int = 0, height: int = 0, make: str = ""
+) -> bytes:
+    """A minimal valid APP1/EXIF segment (big-endian TIFF, one IFD)
+    carrying the probe-relevant tags — fixture writer."""
+    entries = []
+    extra = b""
+    make_b = make.encode("ascii") + b"\x00" if make else b""
+    n = sum(1 for v in (orientation, width, height) if v) + (1 if make else 0)
+    # IFD layout: count + n*12 + next-offset; values needing >4 bytes
+    # go after the IFD (offset is from the TIFF header start)
+    data_off = 8 + 2 + n * 12 + 4
+    if orientation:
+        entries.append(struct.pack(">HHI I", 0x0112, 3, 1, orientation << 16))
+    if width:
+        entries.append(struct.pack(">HHI I", 0x0100, 3, 1, width << 16))
+    if height:
+        entries.append(struct.pack(">HHI I", 0x0101, 3, 1, height << 16))
+    if make:
+        entries.append(struct.pack(">HHII", 0x010F, 2, len(make_b), data_off))
+        extra = make_b
+    tiff = (
+        b"MM\x00\x2a" + struct.pack(">I", 8)
+        + struct.pack(">H", n) + b"".join(entries) + struct.pack(">I", 0)
+        + extra
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def inject_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI of an existing JPEG."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def probe_exif(payload: bytes) -> dict:
+    """EXIF metadata from a JPEG's APP1 segment: {'orientation',
+    'width', 'height', 'make'} (absent tags default to 1/0/0/'').
+    Handles both TIFF byte orders; returns defaults when no EXIF
+    APP1 exists (most web images); raises only on non-JPEG input."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    out = {"orientation": 1, "width": 0, "height": 0, "make": ""}
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xDA:  # entropy data follows; no EXIF past here
+            break
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            t0 = pos + 10  # TIFF header start
+            order = payload[t0 : t0 + 2]
+            if order not in (b"MM", b"II"):
+                break
+            e = ">" if order == b"MM" else "<"
+            (ifd_off,) = struct.unpack_from(f"{e}I", payload, t0 + 4)
+            p = t0 + ifd_off
+            (count,) = struct.unpack_from(f"{e}H", payload, p)
+            for i in range(count):
+                ent = p + 2 + i * 12
+                tag, ttype, num = struct.unpack_from(f"{e}HHI", payload, ent)
+                if tag not in _EXIF_TAGS:
+                    continue
+                name = _EXIF_TAGS[tag]
+                if ttype == 3:  # SHORT stored in the first 2 value bytes
+                    (val,) = struct.unpack_from(f"{e}H", payload, ent + 8)
+                    out[name] = int(val)
+                elif ttype == 4:  # LONG
+                    (val,) = struct.unpack_from(f"{e}I", payload, ent + 8)
+                    out[name] = int(val)
+                elif ttype == 2:  # ASCII via offset (or inline if <= 4)
+                    if num <= 4:
+                        raw = payload[ent + 8 : ent + 8 + num]
+                    else:
+                        (off,) = struct.unpack_from(f"{e}I", payload, ent + 8)
+                        raw = payload[t0 + off : t0 + off + num]
+                    out[name] = raw.rstrip(b"\x00").decode("latin-1")
+            break
+        pos += 2 + seglen
+    return out
+
+
+#: EXIF orientation -> (rotate k*90deg CCW, flip horizontally first)
+_ORIENT_OPS = {
+    1: (0, False), 2: (0, True), 3: (2, False), 4: (2, True),
+    5: (3, True), 6: (3, False), 7: (1, True), 8: (1, False),
+}
+
+
+def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize pixels to orientation 1 (the standard EXIF transform
+    table): the step every image pipeline runs before features/resize
+    so a sideways phone photo doesn't poison aspect-ratio filters."""
+    k, flip = _ORIENT_OPS.get(int(orientation), (0, False))
+    if flip:
+        arr = arr[:, ::-1]
+    if k:
+        arr = np.rot90(arr, k)
+    return np.ascontiguousarray(arr)

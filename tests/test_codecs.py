@@ -385,3 +385,43 @@ def test_codecs_random_round_trips_bounded():
         samples = rng.integers(-32768, 32767, int(rng.integers(1, 500)), dtype=np.int16)
         rate, back = codecs.decode_wav(codecs.encode_wav(samples, 8000))
         assert rate == 8000 and (back == samples).all()
+
+
+def test_exif_round_trip_and_defaults():
+    jpeg = codecs.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    app1 = codecs.encode_exif_app1(
+        orientation=6, width=640, height=480, make="CamCo"
+    )
+    tagged = codecs.inject_exif(jpeg, app1)
+    got = codecs.probe_exif(tagged)
+    assert got == {
+        "orientation": 6, "width": 640, "height": 480, "make": "CamCo",
+    }
+    # no EXIF -> defaults; decoder ignores the APP1 either way
+    assert codecs.probe_exif(jpeg) == {
+        "orientation": 1, "width": 0, "height": 0, "make": "",
+    }
+    assert codecs.decode_jpeg(tagged).shape == (8, 8, 3)
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.probe_exif(b"not jpeg")
+
+
+def test_apply_orientation_exif_transform_table():
+    # a marked corner makes every transform distinguishable
+    img = np.zeros((2, 3, 3), np.uint8)
+    img[0, 0] = 255  # top-left
+    for orient in range(1, 9):
+        out = codecs.apply_orientation(img, orient)
+        expected_shape = (3, 2, 3) if orient >= 5 else (2, 3, 3)
+        assert out.shape == expected_shape, orient
+    # orientation 3 = 180deg: corner moves to bottom-right
+    o3 = codecs.apply_orientation(img, 3)
+    assert o3[-1, -1, 0] == 255 and o3[0, 0, 0] == 0
+    # orientation 2 = horizontal mirror: corner to top-right
+    o2 = codecs.apply_orientation(img, 2)
+    assert o2[0, -1, 0] == 255
+    # orientation 6 (90deg CW to display): top-left -> top-right
+    o6 = codecs.apply_orientation(img, 6)
+    assert o6[0, -1, 0] == 255
+    # identity
+    assert (codecs.apply_orientation(img, 1) == img).all()
