@@ -2437,7 +2437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_png": q_media_decode_png,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_probe": q_media_probe,
-        "media_exif": q_media_exif,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
         "corpus_sample_k": q_corpus_sample_k,
@@ -2469,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
         "media_audio_spectrum": q_media_audio_spectrum,
+        "media_exif": q_media_exif,
         "corpus_split": q_corpus_split,
         "mixture_apply": q_mixture_apply,
         "acf_bartlett_daily": q_acf_bartlett_daily,
