@@ -1060,7 +1060,12 @@ def decode_features(payload: bytes, media_type: str) -> list[float]:
     if kind == "png":
         return image_features(decode_png(payload)) + [0.0, 0.0]
     if kind == "jpeg":
-        return image_features(decode_jpeg(payload)) + [0.0, 0.0]
+        # normalize EXIF orientation first: a sideways phone photo's
+        # height/width/luma stats must describe the DISPLAYED image
+        arr = apply_orientation(
+            decode_jpeg(payload), probe_exif(payload)["orientation"]
+        )
+        return image_features(arr) + [0.0, 0.0]
     if kind == "wav":
         rate, samples = decode_wav(payload)
         return audio_features(rate, samples) + [0.0, 0.0, 0.0, 0.0]

@@ -425,3 +425,15 @@ def test_apply_orientation_exif_transform_table():
     assert o6[0, -1, 0] == 255
     # identity
     assert (codecs.apply_orientation(img, 1) == img).all()
+
+
+def test_decode_features_normalizes_jpeg_orientation():
+    # 8x16 landscape pixels tagged orientation 6 (sensor sideways):
+    # displayed image is 16x8 portrait — features must say so
+    img = np.zeros((8, 16, 3), np.uint8)
+    jpeg = codecs.encode_jpeg(img, quality=95)
+    plain = codecs.decode_features(jpeg, "image")
+    assert plain[:2] == [8.0, 16.0]
+    tagged = codecs.inject_exif(jpeg, codecs.encode_exif_app1(orientation=6))
+    rotated = codecs.decode_features(tagged, "image")
+    assert rotated[:2] == [16.0, 8.0]
