@@ -20,7 +20,12 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ensemble_forecasts", "forecast_accuracy", "rolling_origin_splits"]
+__all__ = [
+    "backtest",
+    "ensemble_forecasts",
+    "forecast_accuracy",
+    "rolling_origin_splits",
+]
 
 
 def forecast_accuracy(
@@ -181,3 +186,65 @@ def ensemble_forecasts(
         .filter((F.col("_votes") == k) & (F.col("_rows") == k))
         .drop("_votes", "_rows")
     )
+
+
+def backtest(
+    df: DataFrame,
+    forecaster,
+    *,
+    n_folds: int = 3,
+    horizon: int = 7,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+    seasonal_period: int = 1,
+) -> DataFrame:
+    """Rolling-origin backtest of any forecaster: for each fold, fit
+    on the train window, forecast the held-out horizon, and score with
+    the full metric suite — the honest model-selection loop
+    (``rolling_origin_splits`` × forecaster × ``forecast_accuracy``
+    composed). Output: one row per (series, fold) with the metrics
+    plus ``fold``.
+
+    ``forecaster`` is any callable ``train_df -> DataFrame`` returning
+    (series, ds, yhat) rows past the train window — every forecaster
+    in this engine qualifies (``forecast_theta``, ``forecast_ar``,
+    ``forecast_baseline``, ``forecast_holt_winters``, partials of
+    them, or an ``ensemble_forecasts`` composition).
+
+    The fold loop is a build-time Python loop over n_folds PLANS (not
+    data): each fold contributes one branch to a union, so the whole
+    backtest is one lazy DataFrame; nothing executes until the caller
+    acts. MASE scales per fold on that fold's train window only — no
+    leakage anywhere.
+    """
+    series_cols = list(series_cols)
+    splits = rolling_origin_splits(
+        df,
+        n_folds=n_folds,
+        horizon=horizon,
+        series_cols=series_cols,
+        ds_col=ds_col,
+    )
+    parts = []
+    for fold in range(1, n_folds + 1):
+        train = splits.filter(
+            (F.col("fold") == fold) & (F.col("role") == "train")
+        ).drop("fold", "role")
+        test = splits.filter(
+            (F.col("fold") == fold) & (F.col("role") == "test")
+        ).drop("fold", "role")
+        pred = forecaster(train)
+        acc = forecast_accuracy(
+            pred,
+            test,
+            series_cols=series_cols,
+            ds_col=ds_col,
+            y_col=y_col,
+            seasonal_period=seasonal_period,
+            history=train,
+        )
+        parts.append(acc.withColumn("fold", F.lit(fold)))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)

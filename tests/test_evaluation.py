@@ -141,3 +141,74 @@ def test_ensemble_weighted_combination_and_intersection(spark):
         ensemble_forecasts([spark.createDataFrame(a)], [0.5])
     with pytest.raises(ValueError, match="non-empty"):
         ensemble_forecasts([])
+
+
+def test_backtest_composes_folds_without_leakage(spark):
+    import numpy as np
+
+    from temporal_retriever_spark.evaluation import backtest
+    from temporal_retriever_spark.forecast import forecast_baseline
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "ds": pd.date_range("2024-01-01", periods=60),
+            "y": 10 + 0.5 * np.arange(60) + rng.normal(scale=0.3, size=60),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    def drift(train):
+        return forecast_baseline(train, method="drift", horizon=5)
+
+    out = backtest(
+        sdf, drift, n_folds=3, horizon=5, seasonal_period=1
+    ).toPandas()
+    assert sorted(out.fold) == [1, 2, 3]
+    assert (out.n == 5).all()  # every fold scored its full horizon
+    # drift on a near-linear series: small errors on every fold
+    assert (out.mae < 1.5).all()
+    assert out.mase.notna().all()
+    # cross-check fold 3 against a hand-built split: train = first 45
+    hand_train = sdf.limit(0)  # placeholder; build by date filter
+    import pyspark.sql.functions as F
+
+    train3 = sdf.filter(F.col("ds") <= pd.Timestamp("2024-02-24"))  # 55 rows
+    pred3 = drift(train3)
+    from temporal_retriever_spark.evaluation import forecast_accuracy
+
+    test3 = sdf.filter(F.col("ds") > pd.Timestamp("2024-02-24"))
+    want = forecast_accuracy(pred3, test3, history=train3).toPandas().iloc[0]
+    got = out[out.fold == 3].iloc[0]
+    assert got.mae == pytest.approx(want.mae, abs=1e-12)
+    assert got.mase == pytest.approx(want.mase, abs=1e-12)
+
+
+def test_backtest_ranks_good_model_above_bad(spark):
+    import numpy as np
+
+    from temporal_retriever_spark.evaluation import backtest
+    from temporal_retriever_spark.forecast import forecast_baseline, forecast_theta
+
+    rng = np.random.default_rng(4)
+    t = np.arange(90, dtype=float)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "ds": pd.date_range("2024-01-01", periods=90),
+            "y": 5 + 0.8 * t + rng.normal(scale=0.5, size=90),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    theta_scores = backtest(
+        sdf, lambda tr: forecast_theta(tr, horizon=7), n_folds=2, horizon=7
+    ).toPandas()
+    naive_scores = backtest(
+        sdf,
+        lambda tr: forecast_baseline(tr, method="naive", horizon=7),
+        n_folds=2,
+        horizon=7,
+    ).toPandas()
+    # on a trending series the trend-aware model must win every fold
+    assert (theta_scores.mae.to_numpy() < naive_scores.mae.to_numpy()).all()
