@@ -723,6 +723,107 @@ def q_forecast_ensemble_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full model-selection loop as ONE lazy plan: a 2-fold
+    rolling-origin backtest of the drift baseline
+    (evaluation.backtest = splits × forecaster × accuracy), per-fold
+    MASE scaled on that fold's train window only. The oracle rebuilds
+    both folds' drift forecasts and metric suites in SQL and unions
+    them — the orchestrator is hash-checked end-to-end."""
+    from temporal_retriever_spark.evaluation import backtest
+    from temporal_retriever_spark.forecast import forecast_baseline
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    got = backtest(
+        daily,
+        lambda tr: forecast_baseline(tr, method="drift", horizon=7),
+        n_folds=2,
+        horizon=7,
+        seasonal_period=1,
+    )
+    return got.select(
+        F.col("series_id").alias("event_type"),
+        "fold",
+        "n",
+        _r6("mae").alias("mae"),
+        _r6("rmse").alias("rmse"),
+        _r6("smape").alias("smape"),
+        _r6("bias").alias("bias"),
+        _r6("mase").alias("mase"),
+    )
+
+
+def _backtest_oracle(series_sql: str, n_folds: int = 2, horizon: int = 7,
+                     sid: str = "event_type") -> str:
+    """SQL mirror of the 2-fold drift backtest: per fold, the train
+    prefix (reverse-rank), the drift closed form, the metric suite,
+    and the fold-local lag-1 MASE scale — unioned."""
+    fold_sqls = []
+    for fold in range(1, n_folds + 1):
+        back = (n_folds - fold) * horizon
+        fold_sqls.append(f"""
+            SELECT {sid}, {fold} AS fold, n, mae, rmse, smape, bias,
+                   mae / scale AS mase
+            FROM (
+                WITH r AS (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY {sid}
+                               ORDER BY ds DESC) AS rn
+                    FROM ss
+                ),
+                train AS (SELECT {sid}, ds, y FROM r WHERE rn > {back + horizon}),
+                test AS (SELECT {sid}, ds, y FROM r
+                         WHERE rn > {back} AND rn <= {back + horizon}),
+                ta AS (
+                    SELECT {sid}, MAX(ds) AS tmax,
+                           CAST(COUNT(y) AS DOUBLE) AS tn,
+                           list(y ORDER BY ds) AS vals
+                    FROM train GROUP BY 1
+                ),
+                grid AS (SELECT unnest(generate_series(1, {horizon})) AS h),
+                pred AS (
+                    SELECT {sid}, tmax + CAST(h AS INTEGER) AS ds,
+                           vals[-1] + CAST(h AS DOUBLE) * (vals[-1] - vals[1])
+                               / (tn - 1) AS yhat
+                    FROM ta CROSS JOIN grid
+                ),
+                j AS (
+                    SELECT p.{sid}, p.yhat, t.y, p.yhat - t.y AS err
+                    FROM pred p JOIN test t
+                      ON p.{sid} = t.{sid} AND p.ds = t.ds
+                ),
+                m AS (
+                    SELECT {sid}, COUNT(y) AS n, AVG(ABS(err)) AS mae,
+                           SQRT(AVG(err * err)) AS rmse,
+                           AVG(CASE WHEN ABS(y) + ABS(yhat) <> 0
+                                    THEN 2.0 * ABS(err) / (ABS(y) + ABS(yhat))
+                               END) AS smape,
+                           AVG(err) AS bias
+                    FROM j GROUP BY 1
+                ),
+                sc AS (
+                    SELECT {sid}, AVG(ABS(y - ly)) AS scale
+                    FROM (SELECT {sid}, y, LAG(y, 1) OVER (PARTITION BY {sid}
+                               ORDER BY ds) AS ly FROM train)
+                    WHERE ly IS NOT NULL GROUP BY 1
+                )
+                SELECT m.*, sc.scale FROM m
+                LEFT JOIN sc ON m.{sid} = sc.{sid}
+            )""")
+    union = " UNION ALL ".join(fold_sqls)
+    return f"""
+        WITH ss AS ({series_sql})
+        SELECT {sid}, fold, n,
+               ROUND(mae + {_ROUND_OFFSET!r}, 6) AS mae,
+               ROUND(rmse + {_ROUND_OFFSET!r}, 6) AS rmse,
+               ROUND(smape + {_ROUND_OFFSET!r}, 6) AS smape,
+               ROUND(bias + {_ROUND_OFFSET!r}, 6) AS bias,
+               ROUND(mase + {_ROUND_OFFSET!r}, 6) AS mase
+        FROM ({union})
+    """
+
+
 def q_forecast_accuracy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest: hold out the last 14 days per series, forecast them
     with the seasonal-naive baseline, score with the full metric suite
@@ -2474,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_bartlett_daily": q_acf_bartlett_daily,
         "forecast_baselines_daily": q_forecast_baselines_daily,
         "rolling_origin_daily": q_rolling_origin_daily,
+        "backtest_daily": q_backtest_daily,
         "pool_embeddings": q_pool_embeddings,
         # -- r3 driver-green --
         "granger_click_view": q_granger_click_view,
@@ -3824,6 +3926,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_theta_daily": _theta_oracle(_EVENTS_DAILY, horizon=14, alpha=0.5),
         "forecast_hw_daily": _hw_oracle(_EVENTS_DAILY, horizon=14, period=7),
         "forecast_ar_daily": _ar_oracle(_EVENTS_DAILY, p=3, horizon=14),
+        "backtest_daily": _backtest_oracle(_EVENTS_DAILY, n_folds=2, horizon=7),
         "forecast_ensemble_daily": f"""
             WITH th AS ({_theta_oracle(_EVENTS_DAILY, horizon=7, alpha=0.5, rounded=False)}),
             s2 AS ({_EVENTS_DAILY}),
