@@ -169,12 +169,15 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
+def decode_png(payload: bytes, *, verify_crc: bool = False) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB array.
 
     Supports 8-bit greyscale (0), RGB (2) and RGBA (6), non-interlaced,
     all five scanline filters. Greyscale broadcasts to RGB and RGBA
-    drops alpha so every image feeds the same feature/resize kernels."""
+    drops alpha so every image feeds the same feature/resize kernels.
+    ``verify_crc=True`` checks every chunk CRC and raises on corruption
+    (off by default: web PNGs with sloppy CRCs are common, and zlib's
+    own ADLER check already covers the pixel data)."""
     import zlib
 
     if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
@@ -184,6 +187,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         size, ctype = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
+        if verify_crc:
+            (stored,) = struct.unpack_from(">I", payload, pos + 8 + size)
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != stored:
+                raise ValueError(
+                    f"PNG chunk {ctype.decode('latin-1')!r} fails its CRC"
+                )
         pos += 12 + size  # len + type + crc
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
