@@ -2502,6 +2502,123 @@ FROM b GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity scoring (llm/lm.py) — CCNet-style quality signal:
+# train a char-trigram model on one source's documents (the "reference
+# corpus"), score every document, keep the low-perplexity head.
+# ---------------------------------------------------------------------------
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM trained on src0, add-k(0.5) perplexity for all
+    documents. Training is one aggregation; scoring is two model-sized
+    joins + one groupBy(doc_id) — documents' text never shuffles."""
+    from temporal_retriever_spark.llm.lm import score_ngram_lm, train_ngram_lm
+
+    docs = _documents(spark, sf_dir)
+    model = train_ngram_lm(docs.filter(F.col("source") == "src0"), n=3)
+    got = score_ngram_lm(docs, model, n=3, k=0.5)
+    return got.select(
+        "doc_id",
+        "n_grams",
+        _r6("logprob_per_token").alias("logprob_per_token"),
+        _r6("perplexity").alias("perplexity"),
+    )
+
+
+def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CCNet head cut: keep the lowest-perplexity 40% of
+    each source. The cut here ranks the ROUNDED score (ties broken by
+    doc_id) so the kept set is deterministic cross-engine; the
+    operator's scale path (`perplexity_prune`) thresholds via an
+    approx-quantile sketch instead of ranking (tests/test_lm.py)."""
+    from temporal_retriever_spark.llm.lm import score_ngram_lm, train_ngram_lm
+
+    docs = _documents(spark, sf_dir)
+    model = train_ngram_lm(docs.filter(F.col("source") == "src0"), n=3)
+    scored = (
+        score_ngram_lm(docs, model, n=3, k=0.5)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("ppl6", _r6("perplexity"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("ppl6").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.4)
+        .select("doc_id", "source", F.col("ppl6").alias("perplexity"))
+    )
+
+
+# shared scoring CTE for the two LM oracles: mirrors train_ngram_lm +
+# score_ngram_lm exactly (normalize, pad 2×STX … ETX, trigrams, add-k)
+_LM_SCORE_CTES = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         repeat(chr(2), 2)
+         || regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')
+         || chr(3) AS p
+  FROM documents
+),
+tg AS (
+  SELECT substr(p, i, 3) AS ngram
+  FROM norm, LATERAL unnest(generate_series(1, length(p) - 2)) AS t(i)
+  WHERE source = 'src0'
+),
+model AS (SELECT ngram, substr(ngram, 1, 2) AS ctx, count(*) AS cnt
+          FROM tg GROUP BY 1),
+ctxc AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM model GROUP BY 1),
+v AS (SELECT count(DISTINCT substr(ngram, 3, 1)) AS v FROM model),
+dg AS (
+  SELECT doc_id, substr(p, i, 3) AS ngram
+  FROM norm, LATERAL unnest(generate_series(1, length(p) - 2)) AS t(i)
+),
+occ AS (SELECT doc_id, ngram, substr(ngram, 1, 2) AS ctx, count(*) AS occ
+        FROM dg GROUP BY 1, 2, 3),
+j AS (
+  SELECT o.doc_id, o.occ,
+         CASE WHEN c.ctx_cnt IS NOT NULL
+              THEN (coalesce(m.cnt, 0) + 0.5) / (c.ctx_cnt + 0.5 * v.v)
+              ELSE 1.0 / v.v END AS p
+  FROM occ o
+  LEFT JOIN model m USING (ngram)
+  LEFT JOIN ctxc c ON o.ctx = c.ctx
+  CROSS JOIN v
+),
+scored AS (
+  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+         sum(occ * ln(p)) / sum(occ) AS lp
+  FROM j GROUP BY 1
+)
+"""
+
+_LM_PERPLEXITY_ORACLE = (
+    _LM_SCORE_CTES
+    + f"""
+SELECT doc_id, n_grams,
+       {_sql_r6('lp')} AS logprob_per_token,
+       {_sql_r6('exp(-lp)')} AS perplexity
+FROM scored
+"""
+)
+
+_LM_PRUNE_ORACLE = (
+    _LM_SCORE_CTES
+    + f"""
+, ranked AS (
+  SELECT s.doc_id, d.source, {_sql_r6('exp(-s.lp)')} AS ppl6,
+         percent_rank() OVER (
+           PARTITION BY d.source
+           ORDER BY {_sql_r6('exp(-s.lp)')} ASC, s.doc_id ASC
+         ) AS pr
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, ppl6 AS perplexity FROM ranked WHERE pr <= 0.4
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -2530,9 +2647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_uniform": q_corpus_sample_uniform,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sketch_stats": q_corpus_sketch_stats,
-        # -- driver-green in r2 only, rotated out of the r3 sample --
-        "media_decode_roundtrip": q_media_decode_roundtrip,
-        "corpus_prep": q_corpus_prep,
+        # -- new this round: n-gram LM perplexity (llm/lm.py) --
+        # (take the two in-window slots of the r2-green pair below,
+        # which already hold historical driver rows from round 2)
+        "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_prune": q_lm_perplexity_prune,
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
@@ -2568,6 +2687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_hour_streamed": q_bucket_hour_streamed,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
+        "media_decode_roundtrip": q_media_decode_roundtrip,
+        "corpus_prep": q_corpus_prep,
         "media_audio_spectrum": q_media_audio_spectrum,
         "media_exif": q_media_exif,
         "corpus_split": q_corpus_split,
@@ -4269,6 +4390,8 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
+        "lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
         "media_exif": """

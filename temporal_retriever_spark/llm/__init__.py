@@ -60,6 +60,11 @@ from temporal_retriever_spark.llm.filters import (
     repetition_stats,
     scrub_text,
 )
+from temporal_retriever_spark.llm.lm import (
+    perplexity_prune,
+    score_ngram_lm,
+    train_ngram_lm,
+)
 from temporal_retriever_spark.llm.multimodal import (
     extract_features,
     media_metadata_stats,
@@ -73,6 +78,9 @@ from temporal_retriever_spark.llm.multimodal import (
 )
 
 __all__ = [
+    "train_ngram_lm",
+    "score_ngram_lm",
+    "perplexity_prune",
     "language_id",
     "text_fingerprint",
     "text_stats",

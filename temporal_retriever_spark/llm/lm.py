@@ -1,0 +1,299 @@
+"""Statistical n-gram language model: train on a reference corpus,
+score documents by perplexity.
+
+The published recipe this implements is CCNet-style quality filtering
+(Wenzek et al. 2020): train a small LM on a high-quality reference
+corpus (they use Wikipedia; here any DataFrame of documents), score
+every candidate document by perplexity, and keep the low-perplexity
+head / bucket the tail. The reference engine has no document pipeline
+at all (it is a time-series service, app.py:96-98) — this module is
+part of the corpus surface built on the same engine, alongside
+``llm.filters`` (rule gates) and ``llm.dedup``.
+
+Scale design (the part that matters at 100 TB):
+
+* **Training is ONE aggregation.** Documents explode to n-grams via a
+  native ``transform(sequence(...))`` HOF (JVM, codegen — no Python),
+  then a single ``groupBy(ngram).count()``. The only shuffle carries
+  (ngram, partial-count) pairs — map-side combine collapses each
+  partition to its distinct n-grams first, so shuffle volume is
+  bounded by |vocab|^n per partition, not corpus size. Context
+  counts and the vocabulary size derive from the *model* table
+  (tiny) — never a second pass over the corpus.
+* **Scoring is two hash joins + one aggregation, all linear.** Each
+  document pre-aggregates its n-grams to (doc_id, ngram, occurrences)
+  before joining — a document that repeats an n-gram pays for it
+  once in the join. The model side is small (≤ |charset|^n rows for
+  char models); AQE broadcasts it, so at scale the scoring pass is a
+  *narrow* scan + broadcast joins + one groupBy(doc_id) shuffle of
+  scalar partial sums.
+* **No driver state.** The model is a DataFrame; nothing is
+  collected. Compose with ``corpus.quality_prune`` / ``sample_corpus``
+  downstream — the perplexity column is an ordinary column.
+
+Smoothing: add-k (Lidstone) over the observed character/word
+vocabulary ``V``: ``p(c|ctx) = (cnt + k) / (ctx_cnt + k·V)``.
+Unseen context ⇒ uniform ``1/V`` (the standard backstop). Add-k keeps
+the whole model a pure count table — mergeable across corpus shards
+by summing counts, which is what incremental re-training at scale
+needs (Kneser-Ney's discount bookkeeping is not shard-mergeable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "char_ngrams_expr",
+    "word_ngrams_expr",
+    "train_ngram_lm",
+    "score_ngram_lm",
+    "perplexity_prune",
+]
+
+#: boundary markers, chosen from C0 controls so they cannot occur in
+#: normalized text (the normalizer collapses whitespace; STX/ETX are
+#: not whitespace but never appear in real corpus text — and both are
+#: reproducible cross-engine as chr(2)/chr(3) in the SQL oracle).
+BOS = "\x02"
+EOS = "\x03"
+
+
+def _normalize(text_col: Column) -> Column:
+    """Module-wide normalization: lowercase, collapse whitespace runs
+    to single spaces, trim; null ⇒ empty."""
+    return F.regexp_replace(
+        F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+", " "
+    )
+
+
+def char_ngrams_expr(text_col: Column | str, n: int) -> Column:
+    """Array of character ``n``-grams of the normalized, padded text.
+
+    Padding is ``(n-1)·BOS ⧺ text ⧺ EOS`` so every document — even an
+    empty one — yields at least one n-gram and the model learns
+    document-initial and -final statistics. Pure JVM HOF
+    (``transform`` over ``sequence``): no Python, no shuffle.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    padded = F.concat(F.lit(BOS * (n - 1)), _normalize(col), F.lit(EOS))
+    return F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
+        lambda i: F.substring(padded, i, n),
+    )
+
+
+def word_ngrams_expr(text_col: Column | str, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) of the normalized text,
+    padded with BOS/EOS word markers. Empty text ⇒ the boundary-only
+    n-gram sequence (n-1 BOS tokens + EOS)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = _normalize(col)
+    toks = F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    padded = F.concat(
+        F.array(*[F.lit(BOS) for _ in range(n - 1)]), toks, F.array(F.lit(EOS))
+    )
+    count = F.size(padded) - F.lit(n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(padded, i, n), " "),
+    )
+
+
+def _ngrams(text_col: str, n: int, unit: str) -> Column:
+    if unit == "char":
+        return char_ngrams_expr(text_col, n)
+    if unit == "word":
+        return word_ngrams_expr(text_col, n)
+    raise ValueError(f"unsupported unit: {unit!r} (use 'char' or 'word')")
+
+
+def _last_token(ngram: Column, n: int, unit: str) -> Column:
+    """The predicted token of an n-gram (its last char / word)."""
+    if unit == "char":
+        return F.substring(ngram, n, 1)
+    return F.element_at(F.split(ngram, " "), -1)
+
+
+def _context(ngram: Column, n: int, unit: str) -> Column:
+    """The conditioning context of an n-gram (first n-1 chars/words)."""
+    if unit == "char":
+        return F.substring(ngram, 1, n - 1)
+    toks = F.split(ngram, " ")
+    return F.array_join(F.slice(toks, 1, n - 1), " ")
+
+
+def train_ngram_lm(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    unit: str = "char",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train an add-k-smoothable n-gram count model.
+
+    Returns ``(ngram, ctx, cnt)`` — one row per distinct n-gram seen
+    in the training corpus, with its conditioning context split out.
+    ONE corpus pass, ONE shuffle (the count aggregation, map-side
+    combined); context totals and vocabulary size are derived from
+    this table by :func:`score_ngram_lm`, never from the corpus.
+
+    The model is shard-mergeable: train per corpus shard and
+    ``groupBy(ngram, ctx).sum(cnt)`` to combine.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2 for a conditional model: {n}")
+    grams = docs.select(F.explode(_ngrams(text_col, n, unit)).alias("ngram"))
+    model = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    return model.select(
+        "ngram", _context(F.col("ngram"), n, unit).alias("ctx"), "cnt"
+    )
+
+
+def score_ngram_lm(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    n: int = 3,
+    unit: str = "char",
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained model: per-token average
+    log-probability and perplexity.
+
+    Returns ``(id_col, n_grams, logprob_per_token, perplexity)`` —
+    ``perplexity = exp(-logprob_per_token)``, lower = more like the
+    training corpus (the CCNet keep signal).
+
+    Probabilities are add-k smoothed: ``(cnt + k) / (ctx_cnt + k·V)``
+    with ``V`` = distinct predicted tokens in the model. Unseen
+    n-gram with seen context ⇒ ``k / (ctx_cnt + k·V)``; unseen
+    context ⇒ uniform ``1/V``.
+
+    A model trained with a different ``n``/``unit`` contributes no
+    usable rows (they are filtered out), leaving ``V=0`` — the uniform
+    backstop then raises ``DIVIDE_BY_ZERO`` at execution (ANSI mode)
+    instead of silently scoring every document as perfect (``p=1``),
+    which is what a mismatched lookup would otherwise produce.
+
+    Plan shape (asserted in tests/test_plan_shapes.py): narrow scan →
+    explode → per-doc (doc, ngram) pre-aggregation → two joins against
+    model-derived tables (broadcast under AQE when the model is small,
+    shuffle-hash otherwise — both linear) → one groupBy(id) of scalar
+    sums. Documents' text never shuffles; only (id, ngram, occ).
+    """
+    if not k > 0:
+        raise ValueError(f"smoothing k must be > 0: {k}")
+    # Guard against a model trained with a different n/unit: keep only
+    # rows whose n-gram actually has n tokens. A silently mismatched
+    # model would otherwise make every n-gram "unseen with an unseen
+    # context" and V=1, scoring every document as perfect (p=1).
+    if unit == "char":
+        model = model.filter(F.length("ngram") == n)
+    else:
+        model = model.filter(F.size(F.split("ngram", " ")) == n)
+    # model-derived tables (model-sized, tiny relative to the corpus)
+    ctx_counts = model.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    vocab = model.select(
+        _last_token(F.col("ngram"), n, unit).alias("_tok")
+    ).agg(F.count_distinct("_tok").alias("v"))
+
+    occ = (
+        docs.select(
+            F.col(id_col), F.explode(_ngrams(text_col, n, unit)).alias("ngram")
+        )
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .withColumn("ctx", _context(F.col("ngram"), n, unit))
+    )
+    joined = (
+        occ.join(model.select("ngram", "cnt"), "ngram", "left")
+        .join(ctx_counts, "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    kv = F.lit(float(k))
+    p = (
+        F.when(
+            F.col("ctx_cnt").isNotNull(),
+            (F.coalesce(F.col("cnt"), F.lit(0)) + kv)
+            / (F.col("ctx_cnt") + kv * F.col("v")),
+        )
+        .otherwise(F.lit(1.0) / F.col("v"))
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.sum("occ").alias("n_grams"),
+        (F.sum(F.col("occ") * F.log(p)) / F.sum("occ")).alias(
+            "logprob_per_token"
+        ),
+    )
+    return scored.withColumn("perplexity", F.exp(-F.col("logprob_per_token")))
+
+
+def perplexity_prune(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    keep_frac: float = 0.5,
+    n: int = 3,
+    unit: str = "char",
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Keep the lowest-perplexity ``keep_frac`` of documents — the
+    CCNet head/middle cut, optionally per stratum (e.g. per language
+    or source, so a hard language is not starved by an easy one).
+
+    Scale path (default, ``exact=False``): compute the per-stratum
+    perplexity threshold with ``approx_percentile`` — ONE aggregation
+    whose state is a bounded quantile sketch per stratum, broadcast
+    back as a tiny threshold table. No global sort, no windowed rank;
+    this is the only shape that survives a 100 TB corpus.
+
+    Exact path (``exact=True``): ``percent_rank`` window, ties broken
+    by id — deterministic to the row, but a keyless call
+    single-partitions the rank (fine for fixtures/tests, NOT a scale
+    path; per-stratum calls shard the sort by stratum).
+
+    Returns the surviving documents with their scores attached.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    scores = score_ngram_lm(
+        docs, model, n=n, unit=unit, k=k, text_col=text_col, id_col=id_col
+    )
+    keyed = docs.join(scores, id_col)
+    if not exact:
+        grp = keyed.groupBy(strata_col) if strata_col else keyed.groupBy()
+        thr = grp.agg(
+            F.percentile_approx(
+                "perplexity", F.lit(float(keep_frac)), F.lit(10_000)
+            ).alias("_thr")
+        )
+        joined = (
+            keyed.join(F.broadcast(thr), strata_col)
+            if strata_col
+            else keyed.crossJoin(F.broadcast(thr))
+        )
+        return joined.filter(F.col("perplexity") <= F.col("_thr")).drop("_thr")
+    from pyspark.sql import Window
+
+    part = (
+        Window.partitionBy(strata_col)
+        if strata_col
+        else Window.partitionBy(F.lit(1))
+    )
+    w = part.orderBy(F.col("perplexity").asc(), F.col(id_col).asc())
+    ranked = keyed.withColumn("_pr", F.percent_rank().over(w))
+    return ranked.filter(F.col("_pr") <= F.lit(float(keep_frac))).drop("_pr")

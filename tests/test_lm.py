@@ -1,0 +1,174 @@
+"""N-gram language model: hand-computable probabilities, smoothing
+branches, shard-mergeability, pruning semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.llm.lm import (
+    BOS,
+    EOS,
+    char_ngrams_expr,
+    perplexity_prune,
+    score_ngram_lm,
+    train_ngram_lm,
+    word_ngrams_expr,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _grams(spark, text, n, expr=char_ngrams_expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr("text", n).alias("g")).collect()[0]["g"]
+
+
+def test_char_ngrams_padding_and_normalization(spark):
+    # "Ab  c" normalizes to "ab c"; padded: BOS BOS a b ' ' c EOS
+    got = _grams(spark, "Ab  c", 3)
+    p = BOS + BOS + "ab c" + EOS
+    assert got == [p[i : i + 3] for i in range(len(p) - 2)]
+
+
+def test_char_ngrams_empty_and_null(spark):
+    # empty text still yields the boundary n-gram(s)
+    assert _grams(spark, "", 2) == [BOS + EOS]
+    df = spark.createDataFrame([(None,)], "text string")
+    got = df.select(char_ngrams_expr("text", 2).alias("g")).collect()[0]["g"]
+    assert got == [BOS + EOS]
+
+
+def test_word_ngrams_basic(spark):
+    got = _grams(spark, "The  quick fox", 2, word_ngrams_expr)
+    assert got == [
+        f"{BOS} the",
+        "the quick",
+        "quick fox",
+        f"fox {EOS}",
+    ]
+
+
+def test_word_ngrams_empty(spark):
+    assert _grams(spark, "", 2, word_ngrams_expr) == [f"{BOS} {EOS}"]
+
+
+def test_train_counts_exact(spark):
+    # corpus "abab": padded (n=2) = BOS a b a b EOS
+    # bigrams: BOSa, ab, ba, ab, bEOS
+    model = train_ngram_lm(_docs(spark, [(1, "abab")]), n=2)
+    rows = {r["ngram"]: (r["ctx"], r["cnt"]) for r in model.collect()}
+    assert rows == {
+        BOS + "a": (BOS, 1),
+        "ab": ("a", 2),
+        "ba": ("b", 1),
+        "b" + EOS: ("b", 1),
+    }
+
+
+def test_score_hand_computed_smoothing(spark):
+    # train on "abab" (n=2, k=0.5). V = distinct predicted tokens
+    # {a, b, EOS} -> 3. ctx counts: BOS->1, a->2, b->2.
+    model = train_ngram_lm(_docs(spark, [(1, "abab")]), n=2)
+    # score "ac": grams BOSa, ac, c EOS
+    #  BOSa: seen ctx BOS(1), cnt 1 -> (1+.5)/(1+1.5) = 0.6
+    #  ac:   ctx a seen (2), cnt 0 -> 0.5/(2+1.5) = 1/7
+    #  cEOS: ctx c unseen -> 1/V = 1/3
+    got = score_ngram_lm(_docs(spark, [(7, "ac")]), model, n=2, k=0.5).collect()[0]
+    expected = (math.log(0.6) + math.log(1 / 7) + math.log(1 / 3)) / 3
+    assert got["n_grams"] == 3
+    assert got["logprob_per_token"] == pytest.approx(expected, rel=1e-12)
+    assert got["perplexity"] == pytest.approx(math.exp(-expected), rel=1e-12)
+
+
+def test_repeated_ngrams_weighted_by_occurrence(spark):
+    # "aaa" (n=2): BOSa, aa, aa, aEOS — 'aa' occurs twice and must be
+    # weighted twice in the average (the per-doc pre-aggregation path)
+    model = train_ngram_lm(_docs(spark, [(1, "ab")]), n=2)
+    got = score_ngram_lm(_docs(spark, [(7, "aaa")]), model, n=2, k=0.5).collect()[0]
+    assert got["n_grams"] == 4
+
+
+def test_model_is_shard_mergeable(spark):
+    whole = train_ngram_lm(_docs(spark, [(1, "abcd"), (2, "bcda")]), n=3)
+    s1 = train_ngram_lm(_docs(spark, [(1, "abcd")]), n=3)
+    s2 = train_ngram_lm(_docs(spark, [(2, "bcda")]), n=3)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("ngram", "ctx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["ngram"], r["ctx"], r["cnt"]) for r in whole.collect()}
+    b = {(r["ngram"], r["ctx"], r["cnt"]) for r in merged.collect()}
+    assert a == b
+
+
+def test_lower_perplexity_for_in_domain_text(spark):
+    train = _docs(spark, [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)])
+    model = train_ngram_lm(train, n=3)
+    probe = _docs(spark, [(1, "the quick brown fox"), (2, "zzqx jkwv pfft")])
+    rows = {
+        r["doc_id"]: r["perplexity"]
+        for r in score_ngram_lm(probe, model, n=3).collect()
+    }
+    assert rows[1] < rows[2]
+
+
+def test_perplexity_prune_exact_fraction(spark):
+    train = _docs(spark, [(100, "aa bb cc dd ee")])
+    model = train_ngram_lm(train, n=2)
+    docs = _docs(spark, [(i, t) for i, t in enumerate(
+        ["aa bb", "aa bb cc", "zz qq", "xx yy zz", "aa", "qq xx"]
+    )])
+    kept = perplexity_prune(docs, model, keep_frac=0.5, n=2, exact=True)
+    assert kept.count() == 3
+    # approx path keeps >= the same head at this tiny size
+    kept2 = perplexity_prune(docs, model, keep_frac=0.5, n=2, exact=False)
+    assert 3 <= kept2.count() <= 4  # threshold-inclusive
+
+
+def test_mismatched_model_fails_loud_not_perfect(spark):
+    # scoring with the wrong n must NOT silently score p=1 everywhere:
+    # the mismatched rows are filtered, V=0, and ANSI divide-by-zero
+    # surfaces the misuse at execution
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    docs = _docs(spark, [(1, "aa bb")])
+    model = train_ngram_lm(docs, n=2)
+    with pytest.raises(ArithmeticException):
+        score_ngram_lm(docs, model, n=3).collect()
+
+
+def test_prune_stratified(spark):
+    docs = spark.createDataFrame(
+        [(i, "aa bb", "s1") for i in range(4)]
+        + [(10 + i, "zz qq", "s2") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    model = train_ngram_lm(docs, n=2)
+    kept = perplexity_prune(
+        docs, model, keep_frac=0.5, n=2, strata_col="source", exact=True
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # ties within a stratum broken by id: exactly half survive each
+    assert by_src == {"s1": 2, "s2": 2}
+
+
+def test_validation_errors(spark):
+    docs = _docs(spark, [(1, "ab")])
+    with pytest.raises(ValueError):
+        train_ngram_lm(docs, n=1)
+    model = train_ngram_lm(docs, n=2)
+    with pytest.raises(ValueError):
+        score_ngram_lm(docs, model, n=2, k=0.0)
+    with pytest.raises(ValueError):
+        perplexity_prune(docs, model, keep_frac=0.0)
+    with pytest.raises(ValueError):
+        _grams(spark, "x", 0)
