@@ -61,6 +61,7 @@ from temporal_retriever_spark.llm.dedup import (
     simhash_near_dups,
 )
 from temporal_retriever_spark.llm.similarity import (
+    cosine_similarity_expr,
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_cosine_topk,
@@ -2551,6 +2552,86 @@ def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup invariant gate (llm.similarity.semantic_dedup).
+
+    K-means clustering is engine-side state the oracle cannot replay,
+    so — like the ANN recall gates — the contract emits one row of
+    facts the oracle computes exactly from SQL (threshold, n_total,
+    n_droppable_exact: vectors with ANY smaller-id ≥τ partner
+    corpus-wide) plus booleans the Spark side must earn:
+    every drop is an exact-verifiable duplicate (drops ⊆ droppable),
+    no two kept vectors in one cluster are ≥τ similar, every recorded
+    witness recomputes ≥τ from raw vectors, and keep+drop partitions
+    the corpus.
+    """
+    from temporal_retriever_spark.llm.similarity import semantic_dedup
+
+    t = _NEARDUP_COS_T
+    emb = _embeddings(spark, sf_dir)
+    sd = semantic_dedup(emb, threshold=t, n_clusters=8, max_iter=3, seed=42)
+    exact = embedding_near_dup_pairs(emb, threshold=t, method="exact")
+    droppable = exact.select(F.col("right_id").alias("vec_id")).distinct()
+    drops = sd.filter(~F.col("keep"))
+    kept = sd.filter(F.col("keep")).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    kept_viol = (
+        kept.select(F.col("vec_id").alias("l"), "cluster", F.col("embedding").alias("_lv"))
+        .join(
+            kept.select(F.col("vec_id").alias("r"), "cluster", F.col("embedding").alias("_rv")),
+            "cluster",
+        )
+        .filter(F.col("l") < F.col("r"))
+        .filter(cosine_similarity_expr("_lv", "_rv") >= t)
+    )
+    witness_viol = (
+        drops.join(emb.select(F.col("vec_id"), F.col("embedding").alias("_dv")), "vec_id")
+        .join(
+            emb.select(F.col("vec_id").alias("keeper_id"), F.col("embedding").alias("_kv")),
+            "keeper_id",
+        )
+        .filter(cosine_similarity_expr("_dv", "_kv") < t)
+    )
+    return (
+        emb.agg(F.count("*").alias("n_total"))
+        .crossJoin(droppable.agg(F.count("*").alias("n_droppable_exact")))
+        .crossJoin(drops.agg(F.count("*").alias("_n_drop")))
+        .crossJoin(
+            drops.join(droppable, "vec_id", "left_semi").agg(
+                F.count("*").alias("_n_drop_ok")
+            )
+        )
+        .crossJoin(kept_viol.agg(F.count("*").alias("_n_kviol")))
+        .crossJoin(witness_viol.agg(F.count("*").alias("_n_wviol")))
+        .crossJoin(sd.agg(F.count("*").alias("_n_rows")))
+        .select(
+            F.lit(t).alias("threshold"),
+            "n_total",
+            "n_droppable_exact",
+            (F.col("_n_drop_ok") == F.col("_n_drop")).alias("all_drops_droppable"),
+            (F.col("_n_kviol") == 0).alias("kept_tau_independent"),
+            (F.col("_n_wviol") == 0).alias("witness_valid"),
+            (F.col("_n_rows") == F.col("n_total")).alias("partition_ok"),
+        )
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+SELECT CAST({_NEARDUP_COS_T!r} AS DOUBLE) AS threshold,
+       (SELECT count(*) FROM embeddings) AS n_total,
+       (SELECT count(DISTINCT b.vec_id)
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= {_NEARDUP_COS_T!r}
+       ) AS n_droppable_exact,
+       TRUE AS all_drops_droppable,
+       TRUE AS kept_tau_independent,
+       TRUE AS witness_valid,
+       TRUE AS partition_ok
+"""
+
+
 # shared scoring CTE for the two LM oracles: mirrors train_ngram_lm +
 # score_ngram_lm exactly (normalize, pad 2×STX … ETX, trigrams, add-k)
 _LM_SCORE_CTES = r"""
@@ -2645,13 +2726,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_near": q_corpus_prep_near,
         "token_topk": q_token_topk,
         "corpus_sample_uniform": q_corpus_sample_uniform,
-        "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sketch_stats": q_corpus_sketch_stats,
         # -- new this round: n-gram LM perplexity (llm/lm.py) --
         # (take the two in-window slots of the r2-green pair below,
         # which already hold historical driver rows from round 2)
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_prune": q_lm_perplexity_prune,
+        "semantic_dedup_gate": q_semantic_dedup,
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
@@ -2687,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_hour_streamed": q_bucket_hour_streamed,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
+        "corpus_sample_stratified": q_corpus_sample_stratified,
         "media_decode_roundtrip": q_media_decode_roundtrip,
         "corpus_prep": q_corpus_prep,
         "media_audio_spectrum": q_media_audio_spectrum,
@@ -4392,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
+        "semantic_dedup_gate": _SEMDEDUP_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
         "media_exif": """

@@ -424,6 +424,142 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means blocking.
+
+    Cluster the embedding space (native Lloyd :func:`kmeans_fit`),
+    compare pairs only WITHIN a cluster, and for every pair with
+    cosine ≥ ``threshold`` keep one member. Output: one row per input
+    vector — ``(id_col, cluster, keep, keeper_id, keeper_cos)`` where
+    dropped rows carry the id of the retained near-duplicate that
+    justified the drop (and their cosine); kept rows have NULL keeper.
+
+    Drop rule (one relational pass, no per-cluster iteration): a
+    vector is dropped iff an above-threshold neighbor of higher
+    priority exists — whether or not that neighbor itself survives.
+    Two invariants follow (both gated by the contract query):
+    (1) no two KEPT vectors in the same cluster are ≥ threshold
+    similar, and (2) every dropped vector has an exact-cosine-verified
+    ≥ threshold witness. Along similarity chains (a~b~c, a≁c) this is
+    more aggressive than the paper's sequential greedy (which would
+    re-keep c); at real near-dup thresholds chains are short and the
+    one-pass rule is the scalable standard.
+
+    ``keep="min_id"``: priority = smaller id (deterministic,
+    join-order independent). ``keep="far_from_centroid"`` is the
+    paper's diversity rule: the pair member FARTHER from its centroid
+    has priority (ties → smaller id) — keeps the less-typical
+    exemplar of each near-dup group.
+
+    Scale design: the all-pairs comparison is confined to k-means
+    cells — expected cost Σ|cell|²/2 ≈ n²/(2k), so ``n_clusters``
+    scales with corpus size (the paper uses ~0.1·√n clusters; at
+    100 TB the fit runs on a sample and ``centroids`` is passed in).
+    The pair join shuffles (id, cluster, vector) once on the cluster
+    key; the drop-decision join shuffles ids only. Like the LSH/IVF
+    paths, blocking bounds recall, never precision: every emitted
+    keeper relation is exact-cosine verified.
+    """
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unsupported keep rule: {keep!r}")
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, k=n_clusters, max_iter=max_iter,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+    assigned = assign_clusters(df, centroids, id_col=id_col, vec_col=vec_col)
+    if keep == "far_from_centroid":
+        cf = _centroid_frame(df.sparkSession, centroids)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("centroid"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assigned = (
+            assigned.join(F.broadcast(cf), on="cluster")
+            .withColumn("_d2", d2)
+            .drop("centroid")
+        )
+    left = assigned.select(
+        F.col(id_col).alias("left_id"),
+        F.col("cluster"),
+        F.col(vec_col).alias("_lv"),
+        *([F.col("_d2").alias("left_d2")] if keep == "far_from_centroid" else []),
+    )
+    right = assigned.select(
+        F.col(id_col).alias("right_id"),
+        F.col("cluster"),
+        F.col(vec_col).alias("_rv"),
+        *([F.col("_d2").alias("right_d2")] if keep == "far_from_centroid" else []),
+    )
+    pairs = (
+        left.join(right, on="cluster")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cos", cosine_similarity_expr("_lv", "_rv"))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+    if keep == "min_id":
+        # loser = larger id; winner (keeper candidate) = smaller id
+        losers = pairs.select(
+            F.col("right_id").alias(id_col),
+            F.col("left_id").alias("_winner"),
+            F.col("cos"),
+        )
+    else:
+        is_left_winner = (
+            (F.col("left_d2") > F.col("right_d2"))
+            | ((F.col("left_d2") == F.col("right_d2"))
+               & (F.col("left_id") < F.col("right_id")))
+        )
+        losers = pairs.select(
+            F.when(is_left_winner, F.col("right_id"))
+            .otherwise(F.col("left_id"))
+            .alias(id_col),
+            F.when(is_left_winner, F.col("left_id"))
+            .otherwise(F.col("right_id"))
+            .alias("_winner"),
+            F.col("cos"),
+        )
+    # one drop decision per vector: the strongest justifying neighbor
+    # (max cosine; ties → smaller winner id) — ids + scalars only
+    drops = losers.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("cos"), F.col("_winner")),
+            F.struct(F.col("cos"), (-F.col("_winner")).alias("_w")),
+        ).alias("_best")
+    ).select(
+        F.col(id_col),
+        F.col("_best._winner").alias("keeper_id"),
+        F.col("_best.cos").alias("keeper_cos"),
+    )
+    out = assigned.select(F.col(id_col), F.col("cluster")).join(
+        drops, on=id_col, how="left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("keeper_id").isNull().alias("keep"),
+        "keeper_id",
+        "keeper_cos",
+    )
+
+
 def embedding_group_outliers(
     df: DataFrame,
     *,
