@@ -2552,6 +2552,42 @@ def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE (llm/bpe.py): train 30 merges on src0, tokenize every
+    document, detokenize natively, and prove losslessness corpus-wide
+    — the oracle computes the normalized text in SQL and the hash
+    match requires decode(encode(text)) to equal it for all docs.
+    Merge-table correctness vs an independent reference and the
+    driver==distributed training parity are pytest (tests/test_bpe.py,
+    BPE training itself is iterative — not SQL-expressible)."""
+    from temporal_retriever_spark.llm.bpe import (
+        bpe_decode_expr,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _documents(spark, sf_dir)
+    merges = bpe_train(
+        docs.filter(F.col("source") == "src0"), num_merges=30
+    )
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        bpe_decode_expr("tokens").alias("text_rt"),
+        (F.col("n_tokens") == 0).alias("is_empty"),
+    )
+
+
+_BPE_ROUNDTRIP_ORACLE = r"""
+SELECT doc_id,
+       regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')
+         AS text_rt,
+       length(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')) = 0
+         AS is_empty
+FROM documents
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup invariant gate (llm.similarity.semantic_dedup).
 
@@ -2718,7 +2754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_robust_daily": q_anomaly_robust_daily,
         "gap_fill_linear": q_gap_fill_linear,
         "asof_join_daily": q_asof_join_daily,
-        "asof_join_forward": q_asof_join_forward,
         "sessions_2h": q_sessions_2h,
         "decompose_weekly": q_decompose_weekly,
         "cusum_shift": q_cusum_shift,
@@ -2733,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_prune": q_lm_perplexity_prune,
         "semantic_dedup_gate": q_semantic_dedup,
+        "bpe_roundtrip": q_bpe_roundtrip,
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
@@ -2768,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_hour_streamed": q_bucket_hour_streamed,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
+        "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "media_decode_roundtrip": q_media_decode_roundtrip,
         "corpus_prep": q_corpus_prep,
@@ -4475,6 +4512,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "semantic_dedup_gate": _SEMDEDUP_ORACLE,
+        "bpe_roundtrip": _BPE_ROUNDTRIP_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
         "media_exif": """
