@@ -88,6 +88,7 @@ from temporal_retriever_spark.rolling import (
     rolling_aggregate,
 )
 from temporal_retriever_spark.sources import load_tables
+from temporal_retriever_spark.stats import norm_ppf
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -2552,6 +2553,119 @@ def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kalman_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman local-level filter (statespace.kalman_local_level) on
+    the daily event series, q=2, r=5. The DuckDB oracle replays the
+    identical recursion as a recursive CTE — iterative state-space
+    filtering, hash-checked cross-engine."""
+    from temporal_retriever_spark.statespace import kalman_local_level
+
+    got = kalman_local_level(
+        _events_daily_all(spark, sf_dir),
+        q=2.0,
+        r=5.0,
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        "ds",
+        _r6("level").alias("level"),
+        _r6("level_var").alias("level_var"),
+    )
+
+
+def q_kalman_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-step local-level forecast: flat at the final filtered level
+    with the exact closed-form variance p_n + h·q + r; the oracle runs
+    the same recursive CTE and expands the same closed form."""
+    from temporal_retriever_spark.statespace import kalman_forecast
+
+    got = kalman_forecast(
+        _events_daily_all(spark, sf_dir),
+        horizon=14,
+        q=2.0,
+        r=5.0,
+        series_cols=("event_type",),
+        interval_width=0.8,
+    )
+    return got.select(
+        "event_type",
+        "ds",
+        _r6("yhat").alias("yhat"),
+        _r6("yhat_var").alias("yhat_var"),
+        _r6("yhat_lower").alias("yhat_lower"),
+        _r6("yhat_upper").alias("yhat_upper"),
+    )
+
+
+def _kalman_filter_ctes(base_sql: str, q: float, r: float) -> str:
+    """Recursive-CTE mirror of the filter recursion (init a=y₁, p=r;
+    step k=(p+q)/(p+q+r) — identical operation order, so doubles
+    match bit-for-bit through the recursion)."""
+    return f"""
+WITH RECURSIVE base AS ({base_sql}),
+d AS (
+  SELECT event_type, ds, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY ds) AS rn
+  FROM base
+),
+f AS (
+  SELECT event_type, rn, ds, y,
+         y AS a, CAST({r!r} AS DOUBLE) AS p
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn, d.ds, d.y,
+         f.a + ((f.p + {q!r}) / (f.p + {q!r} + {r!r})) * (d.y - f.a) AS a,
+         (1.0 - (f.p + {q!r}) / (f.p + {q!r} + {r!r})) * (f.p + {q!r}) AS p
+  FROM f JOIN d ON d.event_type = f.event_type AND d.rn = f.rn + 1
+)
+"""
+
+
+_KALMAN_LEVEL_ORACLE = (
+    _kalman_filter_ctes(
+        """
+    SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events GROUP BY 1, 2
+""",
+        2.0,
+        5.0,
+    )
+    + f"""
+SELECT event_type, ds, {_sql_r6('a')} AS level, {_sql_r6('p')} AS level_var
+FROM f
+"""
+)
+
+
+def _kalman_forecast_oracle(q: float, r: float, horizon: int, z: float) -> str:
+    return (
+        _kalman_filter_ctes(
+            """
+    SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events GROUP BY 1, 2
+""",
+            q,
+            r,
+        )
+        + f"""
+, tail AS (
+  SELECT event_type, a, p, ds
+  FROM f QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) = 1
+),
+grid AS (
+  SELECT t.event_type, t.a, t.p + h.h * {q!r} + {r!r} AS v,
+         t.ds + CAST(h.h AS INTEGER) AS ds
+  FROM tail t, LATERAL unnest(generate_series(1, {horizon})) AS h(h)
+)
+SELECT event_type, ds, {_sql_r6('a')} AS yhat, {_sql_r6('v')} AS yhat_var,
+       {_sql_r6(f'a - {z!r} * sqrt(v)')} AS yhat_lower,
+       {_sql_r6(f'a + {z!r} * sqrt(v)')} AS yhat_upper
+FROM grid
+"""
+    )
+
+
 def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE (llm/bpe.py): train 30 merges on src0, tokenize every
     document, detokenize natively, and prove losslessness corpus-wide
@@ -2739,12 +2853,16 @@ SELECT doc_id, source, ppl6 AS perplexity FROM ranked WHERE pr <= 0.4
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
-    # that have never earned a driver-green row sort first (the 17 r3
-    # additions the r3 sample missed), then the r2-green pair the r3
-    # sample rotated out, then the 24 round-4 additions — 43 entries,
-    # leaving 7 slots that re-confirm the highest-value r3-green
-    # queries (granger/ccf/acf/pacf/describe/forecast). The bucket
-    # grains / grids / splits sort last: multiple green rows already.
+    # that have never earned a driver-green row sort first: the r3
+    # additions the r3 sample missed, the 7 new round-4 operators
+    # (LM ×2, SemDeDup, BPE, Kalman ×2 — inserted where the r2-green
+    # pair used to sit), then the round-4 additions. Family variants
+    # whose sibling already holds an in-window slot (stratified vs
+    # uniform sampling, forward vs backward as-of, residual_whiteness
+    # vs ljung_box, gopher_repetition vs gopher_filter) yield their
+    # slot and sort just below the window for the r5 rotation. The
+    # bucket grains / grids / splits sort last: multiple green rows
+    # already.
     return {
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
@@ -2769,6 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_prune": q_lm_perplexity_prune,
         "semantic_dedup_gate": q_semantic_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
+        "kalman_level_daily": q_kalman_level_daily,
+        "kalman_forecast_daily": q_kalman_forecast_daily,
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
@@ -2778,7 +2898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "corpus_sample_k": q_corpus_sample_k,
         "ljung_box_daily": q_ljung_box_daily,
-        "residual_whiteness": q_residual_whiteness,
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
         "detect_seasonality_daily": q_detect_seasonality_daily,
@@ -2793,7 +2912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
         "mixture_plan": q_mixture_plan,
-        "gopher_repetition": q_gopher_repetition,
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
         "contamination_5gram": q_contamination_5gram,
@@ -2804,6 +2922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_hour_streamed": q_bucket_hour_streamed,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
+        "residual_whiteness": q_residual_whiteness,
+        "gopher_repetition": q_gopher_repetition,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "media_decode_roundtrip": q_media_decode_roundtrip,
@@ -4513,6 +4633,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "semantic_dedup_gate": _SEMDEDUP_ORACLE,
         "bpe_roundtrip": _BPE_ROUNDTRIP_ORACLE,
+        "kalman_level_daily": _KALMAN_LEVEL_ORACLE,
+        "kalman_forecast_daily": _kalman_forecast_oracle(
+            2.0, 5.0, 14, norm_ppf(0.9)
+        ),
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
         "media_exif": """

@@ -93,8 +93,11 @@ from temporal_retriever_spark.rolling import (
     rolling_aggregate_time,
     rolling_corr,
 )
+from temporal_retriever_spark.statespace import kalman_forecast, kalman_local_level
 
 __all__ = [
+    "kalman_local_level",
+    "kalman_forecast",
     "get_spark",
     "stop_spark",
     "GRAINS",
