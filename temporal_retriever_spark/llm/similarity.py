@@ -471,6 +471,12 @@ def semantic_dedup(
     key; the drop-decision join shuffles ids only. Like the LSH/IVF
     paths, blocking bounds recall, never precision: every emitted
     keeper relation is exact-cosine verified.
+
+    The assignment subplan feeds three branches (both pair-join legs
+    and the final keep/drop join); Spark's ReuseExchange dedupes the
+    identical subtrees at runtime, but for a huge corpus pass a
+    PERSISTED (or checkpointed) ``df`` so the scan itself runs once —
+    the same discipline as reusing IVF assignments across batches.
     """
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unsupported keep rule: {keep!r}")

@@ -120,3 +120,62 @@ def test_embedding_outliers_broadcast_and_group_limit(spark):
     assert "BroadcastExchange" in plan  # centroids broadcast back
     assert plan.count("WindowGroupLimit") == 2  # partial + final bottom-k
     assert "Python" not in plan
+
+
+def test_lm_training_is_one_exchange_no_python(spark, docs):
+    from temporal_retriever_spark.llm.lm import train_ngram_lm
+
+    plan = _plan(train_ngram_lm(docs, n=3))
+    assert _exchanges(plan) == 1  # the single ngram-count aggregation
+    assert "Python" not in plan
+    assert "Generate" in plan  # native explode, not a UDF
+
+
+def test_lm_scoring_stays_jvm_side(spark, docs):
+    from temporal_retriever_spark.llm.lm import score_ngram_lm, train_ngram_lm
+
+    model = train_ngram_lm(docs, n=3)
+    plan = _plan(score_ngram_lm(docs, model, n=3))
+    assert "Python" not in plan  # ln/exp/joins all native
+    # doc text is consumed by the first narrow explode; only
+    # (id, ngram, occ) scalars reach the joins and final agg
+    assert "BroadcastExchange" in plan or "Exchange hashpartitioning" in plan
+
+
+def test_bpe_encode_is_single_arrow_pass_no_shuffle(spark, docs):
+    from temporal_retriever_spark.llm.bpe import bpe_encode
+
+    plan = _plan(bpe_encode(docs, [("a", "b")]))
+    assert _exchanges(plan) == 0
+    assert plan.count("MapInPandas") == 1  # one Arrow stage, no per-row UDF
+
+
+def test_semantic_dedup_vectors_shuffle_once(spark):
+    from temporal_retriever_spark.llm.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(
+        semantic_dedup(df, threshold=0.99, centroids=[[1.0, 0.0], [0.0, 1.0]])
+    )
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # nested-loop joins appear ONLY as the k-row broadcast-centroid
+    # assignment crossJoin (the assignment subtree shows once per
+    # self-join branch pre-AQE; ReuseExchange / caller persist dedupes
+    # at runtime — documented in the operator); the PAIR join itself
+    # must be cluster-keyed, never nested-loop
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line  # the centroid crossJoin
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_kalman_filter_single_grouped_arrow_pass(spark, daily):
+    from temporal_retriever_spark.statespace import kalman_local_level
+
+    plan = _plan(kalman_local_level(daily, q=1.0, r=1.0))
+    assert _exchanges(plan) == 1  # the groupBy(series) exchange
+    assert plan.count("FlatMapGroupsInPandas") == 1
