@@ -2553,6 +2553,47 @@ def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (llm.dedup.verbatim_span_pairs): document
+    pairs sharing ≥1 verbatim 8-token window, with the shared-window
+    count. Integer counts on md5 window identity — bit-exact vs the
+    oracle's string-join mirror."""
+    from temporal_retriever_spark.llm.dedup import verbatim_span_pairs
+
+    got = verbatim_span_pairs(
+        _documents(spark, sf_dir),
+        window_tokens=8,
+        max_df=50,
+        hash_fn="md5",
+    )
+    return got.select("left_id", "right_id", "n_shared_windows")
+
+
+_VERBATIM_SPANS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'),
+           ' ') AS t
+  FROM documents
+),
+w AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS win
+  FROM toks,
+       LATERAL unnest(generate_series(1, greatest(len(t) - 7, 1))) AS g(i)
+),
+ok AS (
+  SELECT win FROM w GROUP BY win HAVING count(*) <= 50
+),
+f AS (SELECT doc_id, win FROM w JOIN ok USING (win))
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       count(*) AS n_shared_windows
+FROM f a JOIN f b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_kalman_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kalman local-level filter (statespace.kalman_local_level) on
     the daily event series, q=2, r=5. The DuckDB oracle replays the
@@ -2866,7 +2907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
-        "rolling_time_window": q_rolling_time_window,
         "ewma_daily": q_ewma_daily,
         "anomaly_zscore_daily": q_anomaly_zscore_daily,
         "anomaly_robust_daily": q_anomaly_robust_daily,
@@ -2889,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip": q_bpe_roundtrip,
         "kalman_level_daily": q_kalman_level_daily,
         "kalman_forecast_daily": q_kalman_forecast_daily,
+        "verbatim_spans": q_verbatim_spans,
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
@@ -2922,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_hour_streamed": q_bucket_hour_streamed,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
+        "rolling_time_window": q_rolling_time_window,
         "residual_whiteness": q_residual_whiteness,
         "gopher_repetition": q_gopher_repetition,
         "asof_join_forward": q_asof_join_forward,
@@ -4637,6 +4679,7 @@ def oracle_sql() -> dict[str, str]:
         "kalman_forecast_daily": _kalman_forecast_oracle(
             2.0, 5.0, 14, norm_ppf(0.9)
         ),
+        "verbatim_spans": _VERBATIM_SPANS_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
         "media_exif": """

@@ -621,3 +621,104 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def verbatim_window_hashes(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+    stride: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Distinct rolling token-window hashes per document:
+    (id, whash) — the building block of exact-substring dedup.
+
+    Every ``window_tokens``-token contiguous span (step ``stride``)
+    is hashed; two documents sharing a hash share a verbatim
+    ≥ window_tokens-token span (modulo hash collision, ~2⁻⁶⁴ for
+    xxhash64). Native ``transform``/``slice`` HOFs over the token
+    array — no Python; only (id, 8-byte hash) rows ever shuffle.
+
+    ``hash_fn="md5"`` swaps the 64-bit hash for md5 — slower, but
+    reproducible in any engine (the contract oracle's choice).
+    Documents shorter than ``window_tokens`` yield a single
+    whole-document window (they can still be verbatim-contained).
+    """
+    if window_tokens < 2:
+        raise ValueError(f"window_tokens must be >= 2: {window_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1: {stride}")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unsupported hash_fn: {hash_fn!r}")
+    tokens = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    w, s = window_tokens, stride
+    spans = F.expr(
+        f"transform(sequence(1, greatest(size(_tokens) - {w - 1}, 1), {s}), "
+        f"i -> concat_ws(' ', slice(_tokens, i, {w})))"
+    )
+    hashed = (
+        F.transform(spans, lambda x: F.xxhash64(x))
+        if hash_fn == "xxhash64"
+        else F.transform(spans, lambda x: F.md5(x))
+    )
+    return (
+        df.select(F.col(id_col), tokens.alias("_tokens"))
+        .select(F.col(id_col), F.explode(F.array_distinct(hashed)).alias("whash"))
+    )
+
+
+def verbatim_span_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+    stride: int = 1,
+    max_df: int = 1000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplicate pairs (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document pairs
+    sharing ≥1 verbatim span of at least ``window_tokens`` tokens.
+
+    The published method builds a corpus suffix array; the equivalent
+    distributed formulation is rolling-window hashing — the same spans
+    are detected (any shared substring of length ≥ w contains a shared
+    w-token window) with a shuffle that carries (id, hash) pairs only.
+    Output: (left_id, right_id, n_shared_windows), left < right —
+    n_shared_windows lower-bounds the shared-span structure (w + n−1
+    contiguous matches ⇔ a w+n−1-token verbatim run at stride 1).
+
+    ``max_df`` drops windows appearing in more than that many
+    documents BEFORE the pair join — the skew guard: boilerplate
+    spans (licenses, headers) would otherwise contribute |df|² pairs.
+    Dropped windows are boilerplate by definition (the operator
+    targets pairwise verbatim reuse, not corpus-wide templates, which
+    ``repetition_stats``/``exact_duplicate_groups`` cover).
+    """
+    hashes = verbatim_window_hashes(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        window_tokens=window_tokens,
+        stride=stride,
+        hash_fn=hash_fn,
+    )
+    if max_df is not None:
+        ok = (
+            hashes.groupBy("whash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("whash")
+        )
+        hashes = hashes.join(ok, on="whash")
+    a = hashes.select(F.col(id_col).alias("left_id"), "whash")
+    b = hashes.select(F.col(id_col).alias("right_id"), "whash")
+    return (
+        a.join(b, on="whash")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
