@@ -2553,6 +2553,63 @@ def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_seasonal_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-ESD-family anomaly detection (rolling.anomaly_seasonal):
+    weekly decompose, robust modified z on the REMAINDER — seasonal
+    peaks don't flag, genuine departures do. Fully native; the oracle
+    extends the decompose CTE with the same median/MAD windows."""
+    from temporal_retriever_spark.rolling import anomaly_seasonal
+
+    got = anomaly_seasonal(
+        _events_daily_all(spark, sf_dir),
+        period=7,
+        threshold=3.5,
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        "ds",
+        _r6("resid").alias("resid"),
+        _r6("score").alias("score"),
+        # edges carry NULL flags in the operator (no trend there);
+        # the contract coalesces to FALSE — nullable booleans compare
+        # as None-vs-NaN across engines
+        F.coalesce("is_anomaly", F.lit(False)).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_SEASONAL_ORACLE = f"""
+WITH n AS (SELECT event_type, ds, y,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS rn
+  FROM (SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+        FROM events GROUP BY 1, 2)),
+tr AS (SELECT event_type, ds, y, rn % 7 AS pos,
+    CASE WHEN COUNT(y) OVER w = 7 THEN AVG(y) OVER w END AS trend
+  FROM n
+  WINDOW w AS (PARTITION BY event_type ORDER BY ds
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+sm AS (SELECT event_type, pos, AVG(y - trend) AS smean
+       FROM tr GROUP BY 1, 2),
+cs AS (SELECT event_type, pos,
+              smean - AVG(smean) OVER (PARTITION BY event_type) AS seasonal
+       FROM sm),
+res AS (SELECT t.event_type, t.ds, t.y - t.trend - c.seasonal AS resid
+        FROM tr t JOIN cs c ON t.event_type = c.event_type AND t.pos = c.pos),
+md AS (SELECT event_type, ds, resid,
+              median(resid) OVER (PARTITION BY event_type) AS med
+       FROM res),
+sc AS (SELECT event_type, ds, resid,
+              median(abs(resid - med)) OVER (PARTITION BY event_type) AS mad,
+              med
+       FROM md)
+SELECT event_type, ds, {_sql_r6('resid')} AS resid,
+       {_sql_r6('CASE WHEN resid IS NOT NULL AND mad > 0 THEN 0.6745 * (resid - med) / mad END')} AS score,
+       coalesce(CASE WHEN resid IS NOT NULL AND mad > 0
+            THEN abs(0.6745 * (resid - med) / mad) > 3.5 END, FALSE) AS is_anomaly
+FROM sc
+"""
+
+
 def q_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (llm.dedup.verbatim_span_pairs): document
     pairs sharing ≥1 verbatim 8-token window, with the shared-window
@@ -2909,7 +2966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
         "anomaly_zscore_daily": q_anomaly_zscore_daily,
-        "anomaly_robust_daily": q_anomaly_robust_daily,
         "gap_fill_linear": q_gap_fill_linear,
         "asof_join_daily": q_asof_join_daily,
         "sessions_2h": q_sessions_2h,
@@ -2930,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_level_daily": q_kalman_level_daily,
         "kalman_forecast_daily": q_kalman_forecast_daily,
         "verbatim_spans": q_verbatim_spans,
+        "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
@@ -2963,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_hour_streamed": q_bucket_hour_streamed,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
+        "anomaly_robust_daily": q_anomaly_robust_daily,
         "rolling_time_window": q_rolling_time_window,
         "residual_whiteness": q_residual_whiteness,
         "gopher_repetition": q_gopher_repetition,
@@ -4680,6 +4738,7 @@ def oracle_sql() -> dict[str, str]:
             2.0, 5.0, 14, norm_ppf(0.9)
         ),
         "verbatim_spans": _VERBATIM_SPANS_ORACLE,
+        "anomaly_seasonal_weekly": _ANOMALY_SEASONAL_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
         "media_exif": """

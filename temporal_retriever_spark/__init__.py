@@ -84,6 +84,7 @@ from temporal_retriever_spark.streaming import (
 from temporal_retriever_spark.asof import asof_join, session_stats, sessionize
 from temporal_retriever_spark.rolling import (
     anomaly_robust,
+    anomaly_seasonal,
     anomaly_zscore,
     cusum_drift,
     decompose,
@@ -160,6 +161,7 @@ __all__ = [
     "ewma",
     "anomaly_zscore",
     "anomaly_robust",
+    "anomaly_seasonal",
     "cusum_drift",
     "fill_gaps",
     "decompose",

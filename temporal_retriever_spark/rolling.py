@@ -679,3 +679,69 @@ def winsorize(
         )
         .drop("_qb")
     )
+
+
+def anomaly_seasonal(
+    df: DataFrame,
+    *,
+    period: int,
+    threshold: float = 3.5,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Seasonality-aware anomaly detection (the seasonal-ESD family,
+    Hochenbaum et al. 2017): decompose first, score the REMAINDER.
+
+    A raw z/MAD score flags every seasonal peak as an outlier; the
+    right test removes trend + seasonality (``decompose``) and applies
+    the robust modified z-score to the residual: score =
+    0.6745·(resid − median)/MAD with per-series median/MAD over the
+    whole residual series (50% breakdown — the residual of a true
+    anomaly doesn't corrupt its own baseline the way it corrupts a
+    mean/std).
+
+    Output: input keys + (ts, y, trend, seasonal, resid, score,
+    is_anomaly). Rows at the half-period edges have NULL resid (no
+    trend there, same as ``decompose``/statsmodels) and NULL
+    score/flag. A zero-MAD series (constant residual) yields NULL
+    scores — nothing to flag against.
+
+    Plan: the two decompose shuffles + ONE more series-key window pass
+    for median/MAD (both percentiles share the exchange). Everything
+    native — no Python.
+    """
+    if not threshold > 0:
+        raise ValueError(f"threshold must be > 0: {threshold}")
+    series_cols = list(series_cols)
+    dec = decompose(
+        df,
+        period=period,
+        series_cols=series_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+    if series_cols:
+        w = Window.partitionBy(*series_cols)
+    else:
+        warn_keyless("seasonal anomaly scoring")
+        w = Window.partitionBy(F.lit(1))
+    med = F.percentile(F.col("resid"), F.lit(0.5)).over(w)
+    d = dec.withColumn("_med", med)
+    mad = F.percentile(F.abs(F.col("resid") - F.col("_med")), F.lit(0.5)).over(w)
+    d = d.withColumn("_mad", mad)
+    score = F.when(
+        F.col("resid").isNotNull() & (F.col("_mad") > 0),
+        F.lit(0.6745) * (F.col("resid") - F.col("_med")) / F.col("_mad"),
+    )
+    return (
+        d.withColumn("score", score)
+        .withColumn(
+            "is_anomaly",
+            F.when(
+                F.col("score").isNotNull(),
+                F.abs(F.col("score")) > F.lit(float(threshold)),
+            ),
+        )
+        .drop("_med", "_mad")
+    )

@@ -547,3 +547,68 @@ def test_winsorize_clamps_to_quantile_envelope(spark):
     assert (mid.y_wins == mid.y).all()
     with pytest.raises(ValueError, match="lower"):
         winsorize(spark.createDataFrame(pdf), lower=0.9, upper=0.1)
+
+
+# -- anomaly_seasonal -------------------------------------------------------
+
+
+def _seasonal_series(spark, n=28, spike_at=17, period=7):
+    import datetime as _dt
+
+    rows = []
+    for t in range(n):
+        # deterministic bounded noise keeps the residual MAD healthy
+        # (a perfectly repeating sawtooth degenerates MAD to ~0)
+        noise = 0.0 if spike_at < 0 else ((t * 2654435761 % 97) / 97.0 - 0.5) * 4.0
+        y = 100.0 + 10.0 * (t % period) + noise + (50.0 if t == spike_at else 0.0)
+        rows.append(
+            ("s1", _dt.datetime(2024, 1, 1) + _dt.timedelta(days=t), y)
+        )
+    return spark.createDataFrame(rows, "series_id string, ds timestamp, y double")
+
+
+def test_anomaly_seasonal_flags_spike_not_peaks(spark):
+    from temporal_retriever_spark.rolling import anomaly_seasonal
+
+    # threshold 8: with 4 weeks of data the spike leaks ~1/4 of its
+    # mass into the seasonal mean (classical decompose, documented),
+    # producing echo scores ~5; the spike itself scores ~11 — by far
+    # the argmax — so a tight threshold isolates exactly it
+    out = (
+        anomaly_seasonal(_seasonal_series(spark), period=7, threshold=8.0)
+        .orderBy("ds")
+        .collect()
+    )
+    flagged = [i for i, r in enumerate(out) if r["is_anomaly"]]
+    assert flagged == [17]
+    scores = [abs(r["score"]) if r["score"] is not None else -1.0 for r in out]
+    assert max(range(len(scores)), key=scores.__getitem__) == 17
+    # weekly RAW-VALUE peaks (pos 6, the series maxima) score low:
+    # seasonality is removed before scoring
+    for i in (6, 13):
+        assert abs(out[i]["score"]) < 1.0
+
+
+def test_anomaly_seasonal_edges_null(spark):
+    from temporal_retriever_spark.rolling import anomaly_seasonal
+
+    out = anomaly_seasonal(_seasonal_series(spark), period=7).orderBy("ds").collect()
+    for r in out[:3] + out[-3:]:
+        assert r["resid"] is None and r["score"] is None and r["is_anomaly"] is None
+
+
+def test_anomaly_seasonal_constant_resid_null_scores(spark):
+    from temporal_retriever_spark.rolling import anomaly_seasonal
+
+    out = anomaly_seasonal(
+        _seasonal_series(spark, spike_at=-1), period=7
+    ).collect()
+    # perfectly periodic series: resid == 0 everywhere (MAD 0) -> no flags
+    assert all(r["score"] is None for r in out)
+
+
+def test_anomaly_seasonal_validation(spark):
+    from temporal_retriever_spark.rolling import anomaly_seasonal
+
+    with pytest.raises(ValueError):
+        anomaly_seasonal(_seasonal_series(spark), period=7, threshold=0.0)
