@@ -1619,6 +1619,29 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, ann, k=5, min_hits=2)
 
 
+def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN vs exact top-k: per-query recall ≥ 0.6.
+
+    The 100-TB embedding path: m=16 subquantizers × 64 codes compress
+    the 64-dim corpus 16× (16 bytes/vector); the ADC scan is a pure-HOF
+    table-lookup fold over broadcast per-query LUTs, and refine=6
+    re-ranks the candidate pool with exact cosine. Empirical recall at
+    these params is ≥ 0.8 per query at both test SFs on this
+    (near-random, hardest-case) corpus; min_hits=3 leaves a one-hit
+    margin against centroid float drift.
+    """
+    from temporal_retriever_spark.llm.pq import pq_topk, pq_train
+
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    books = pq_train(emb, m=16, n_codes=64, max_iter=5, seed=7)
+    ann = pq_topk(emb, queries_df, books, k=5, refine=6)
+    exact = cosine_topk(emb, queries_df, k=5)
+    return _ann_recall_check(exact, ann, k=5, min_hits=3)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 composite: quality gate + language gate + exact dedup in
     one operator (llm.corpus.prepare_corpus) — the raw-crawl → clean-
@@ -2980,7 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (take the two in-window slots of the r2-green pair below,
         # which already hold historical driver rows from round 2)
         "lm_perplexity": q_lm_perplexity,
-        "lm_perplexity_prune": q_lm_perplexity_prune,
+        "pq_cosine_topk": q_pq_cosine_topk,
         "semantic_dedup_gate": q_semantic_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
         "kalman_level_daily": q_kalman_level_daily,
@@ -3021,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
         "anomaly_robust_daily": q_anomaly_robust_daily,
+        "lm_perplexity_prune": q_lm_perplexity_prune,
         "rolling_time_window": q_rolling_time_window,
         "residual_whiteness": q_residual_whiteness,
         "gopher_repetition": q_gopher_repetition,
@@ -4652,6 +4676,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id < 10"
         ),
         "ivf_cosine_topk": (
+            "SELECT vec_id AS query_id, 5 AS k, CAST(TRUE AS BOOLEAN) AS recall_pass "
+            "FROM embeddings WHERE vec_id < 10"
+        ),
+        "pq_cosine_topk": (
             "SELECT vec_id AS query_id, 5 AS k, CAST(TRUE AS BOOLEAN) AS recall_pass "
             "FROM embeddings WHERE vec_id < 10"
         ),
