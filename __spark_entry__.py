@@ -2576,6 +2576,89 @@ def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable Naive-Bayes classifier (llm.classify): char-bigram NB
+    fit on the 80% split's ``lang`` labels, argmax + margin on the
+    held-out 20%. Training is ONE (label, token) aggregation; scoring
+    is broadcast joins + one groupBy(doc, label) of scalar sums. The
+    fixture's lang labels carry no text signal (accuracy is chance —
+    tests/test_classify.py proves near-perfect accuracy on separable
+    data); the contract checks the engine mirror: identical counts,
+    smoothing, priors, argmax and margins vs the inline-trained SQL."""
+    from temporal_retriever_spark.llm.classify import nb_classify, nb_train
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    model = nb_train(
+        docs.filter(F.col("doc_id") % 5 != 0), label_col="lang", n=2, unit="char"
+    )
+    got = nb_classify(
+        docs.filter(F.col("doc_id") % 5 == 0), model, n=2, unit="char"
+    )
+    return got.select(
+        "doc_id",
+        "pred_label",
+        _r6("avg_loglik").alias("avg_loglik"),
+        _r6("margin").alias("margin"),
+    )
+
+
+_NB_CLASSIFY_ORACLE = rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         chr(2)
+         || regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')
+         || chr(3) AS p
+  FROM documents
+),
+tg AS (
+  SELECT lang AS label, substr(p, i, 2) AS token
+  FROM norm, LATERAL unnest(generate_series(1, length(p) - 1)) AS t(i)
+  WHERE doc_id % 5 <> 0 AND lang IS NOT NULL
+),
+model AS (SELECT label, token, count(*) AS cnt FROM tg GROUP BY 1, 2),
+stats AS (
+  SELECT n.lang AS label, count(*) AS n_docs, t.n_tokens
+  FROM norm n
+  JOIN (SELECT label, sum(cnt) AS n_tokens FROM model GROUP BY 1) t
+    ON n.lang = t.label
+  WHERE n.doc_id % 5 <> 0 AND n.lang IS NOT NULL
+  GROUP BY 1, 3
+),
+v AS (SELECT count(DISTINCT token) AS v FROM model),
+nd AS (SELECT sum(n_docs) AS nd FROM stats),
+occ AS (
+  SELECT doc_id, substr(p, i, 2) AS token, count(*) AS occ
+  FROM norm, LATERAL unnest(generate_series(1, length(p) - 1)) AS t(i)
+  WHERE doc_id % 5 = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT o.doc_id, s.label,
+         (ln(s.n_docs / nd.nd)
+          + sum(o.occ * (ln(coalesce(m.cnt, 0) + 1.0)
+                         - ln(s.n_tokens + 1.0 * v.v)))) / sum(o.occ)
+           AS avg_loglik
+  FROM occ o
+  CROSS JOIN stats s
+  CROSS JOIN v
+  CROSS JOIN nd
+  LEFT JOIN model m ON m.label = s.label AND m.token = o.token
+  GROUP BY o.doc_id, s.label, s.n_docs, s.n_tokens, v.v, nd.nd
+),
+ranked AS (
+  SELECT doc_id, label, avg_loglik,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY avg_loglik DESC, label DESC) AS rn
+  FROM scored
+)
+SELECT a.doc_id, a.label AS pred_label,
+       {_sql_r6('a.avg_loglik')} AS avg_loglik,
+       {_sql_r6('a.avg_loglik - b.avg_loglik')} AS margin
+FROM ranked a LEFT JOIN ranked b ON a.doc_id = b.doc_id AND b.rn = 2
+WHERE a.rn = 1
+"""
+
+
 def q_anomaly_seasonal_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-ESD-family anomaly detection (rolling.anomaly_seasonal):
     weekly decompose, robust modified z on the REMAINDER — seasonal
@@ -3007,7 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_gate": q_semantic_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
         "kalman_level_daily": q_kalman_level_daily,
-        "kalman_forecast_daily": q_kalman_forecast_daily,
+        "nb_classify_lang": q_nb_classify,
         "verbatim_spans": q_verbatim_spans,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         # -- round-4 additions --
@@ -3045,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot (driver evidence diversity > duplicates) --
         "anomaly_robust_daily": q_anomaly_robust_daily,
         "lm_perplexity_prune": q_lm_perplexity_prune,
+        "kalman_forecast_daily": q_kalman_forecast_daily,
         "rolling_time_window": q_rolling_time_window,
         "residual_whiteness": q_residual_whiteness,
         "gopher_repetition": q_gopher_repetition,
@@ -4758,6 +4842,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "nb_classify_lang": _NB_CLASSIFY_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "semantic_dedup_gate": _SEMDEDUP_ORACLE,
         "bpe_roundtrip": _BPE_ROUNDTRIP_ORACLE,

@@ -1,0 +1,212 @@
+"""Multinomial Naive-Bayes text classifier: train on labeled docs,
+score/classify a corpus. Closed-form (count-based), so training is
+pure aggregation and the whole operator stays inside Catalyst.
+
+The corpus-pipeline role: fastText-style *trainable* language /
+quality / domain identification — the heuristic gates
+(``text.language_id``, ``filters.gopher_filter``) are fixed rules,
+while this learns from whatever labels the corpus already carries
+(a labeled seed set, an existing ``lang`` column, human quality
+ratings) and generalizes them to unlabeled shards. Multinomial NB
+over character-n-gram counts is the classic language-ID baseline
+(Cavnar & Trenkle 1994 n-gram profiles; McCallum & Nigam 1998 for
+the event model) — public literature.
+
+Scale design:
+
+* **Training is ONE aggregation.** Documents explode to n-grams via
+  the same native HOFs as ``llm.lm`` (JVM, codegen), then a single
+  ``groupBy(label, token).count()`` — map-side combine bounds the
+  shuffle by per-partition distinct (label, token), not corpus size.
+  Label priors and per-label token totals derive from the *model*
+  table; the corpus is never re-scanned.
+* **The model is a pair of DataFrames, shard-mergeable by summing
+  counts** — incremental re-training unions the count tables and
+  re-aggregates; nothing is collected to the driver.
+* **Scoring is linear:** per-doc (id, token, occ) pre-aggregation
+  (repeated tokens pay once), a broadcast cross with the ≤|labels|
+  stats row set, one left join against the (label, token) count table
+  (AQE broadcasts it — ≤ |labels|·|vocab| rows), and ONE
+  groupBy(id, label) of scalar partial sums. Document text rides only
+  the first narrow scan.
+
+Smoothing: add-α (Lidstone) over the global observed vocabulary V:
+``p(t|l) = (cnt(l,t) + α) / (n_tokens(l) + α·V)`` — unseen tokens get
+the α floor, so every doc scores under every label. Scores are
+reported PER TOKEN (``avg_loglik = loglik / n_tokens``): same argmax,
+but the magnitude stays O(ln p) so 6-decimal rounding is stable
+cross-engine.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.llm.lm import char_ngrams_expr, word_ngrams_expr
+
+__all__ = ["NBModel", "nb_train", "nb_score", "nb_classify"]
+
+
+class NBModel(NamedTuple):
+    """Count model: both frames are shard-mergeable by summed counts.
+
+    token_counts: (label, token, cnt) — occurrences of token in label.
+    label_stats:  (label, n_docs, n_tokens) — doc count (priors) and
+                  total token occurrences per label.
+    """
+
+    token_counts: DataFrame
+    label_stats: DataFrame
+
+
+def _tokens(text_col: str, n: int, unit: str):
+    if unit == "char":
+        return char_ngrams_expr(text_col, n)
+    if unit == "word":
+        return word_ngrams_expr(text_col, n)
+    raise ValueError(f"unsupported unit: {unit!r} (use 'char' or 'word')")
+
+
+def nb_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    n: int = 2,
+    unit: str = "char",
+) -> NBModel:
+    """Fit multinomial NB counts from labeled documents.
+
+    One corpus pass: explode to n-grams (native HOF), ONE
+    groupBy(label, token) count. ``label_stats`` comes from a doc-count
+    aggregation plus a rollup of the token table (model-sized — the
+    corpus is not re-scanned for totals). NULL labels are excluded.
+    """
+    labeled = df.filter(F.col(label_col).isNotNull())
+    token_counts = (
+        labeled.select(
+            F.col(label_col).alias("label"),
+            F.explode(_tokens(text_col, n, unit)).alias("token"),
+        )
+        .groupBy("label", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_docs = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs")
+    )
+    n_tokens = token_counts.groupBy("label").agg(
+        F.sum("cnt").alias("n_tokens")
+    )
+    return NBModel(token_counts, n_docs.join(n_tokens, "label"))
+
+
+def nb_score(
+    df: DataFrame,
+    model: NBModel,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    unit: str = "char",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-(doc, label) average log-likelihood: (id, label, avg_loglik,
+    n_tokens).
+
+    ``avg_loglik = [ln prior(l) + Σ_t occ_t·ln p(t|l)] / n_tokens`` —
+    argmax-equivalent to the raw joint log-likelihood (n_tokens ≥ 1 by
+    the BOS/EOS padding), numerically tame for cross-engine rounding.
+    """
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0: {alpha}")
+    # model-derived scalars: vocabulary size + total docs (tiny aggs)
+    vocab = model.token_counts.agg(
+        F.countDistinct("token").alias("_v")
+    )
+    totals = model.label_stats.agg(F.sum("n_docs").alias("_nd"))
+    lab = (
+        model.label_stats.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.col("_nd")).alias("_ln_prior"),
+            F.log(
+                F.col("n_tokens").cast("double") + F.lit(alpha) * F.col("_v")
+            ).alias("_ln_denom"),
+        )
+    )
+    occ = (
+        df.select(
+            F.col(id_col), F.explode(_tokens(text_col, n, unit)).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("occ"))
+    )
+    joined = (
+        occ.crossJoin(F.broadcast(lab))
+        .join(F.broadcast(model.token_counts), ["label", "token"], "left")
+        .select(
+            id_col,
+            "label",
+            "occ",
+            "_ln_prior",
+            (
+                F.col("occ")
+                * (
+                    F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                    - F.col("_ln_denom")
+                )
+            ).alias("_part"),
+        )
+    )
+    return (
+        joined.groupBy(id_col, "label")
+        .agg(
+            (
+                (F.first("_ln_prior") + F.sum("_part")) / F.sum("occ")
+            ).alias("avg_loglik"),
+            F.sum("occ").alias("n_tokens"),
+        )
+    )
+
+
+def nb_classify(
+    df: DataFrame,
+    model: NBModel,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    unit: str = "char",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Argmax prediction per doc: (id, pred_label, avg_loglik, margin).
+
+    ``margin`` = winner's avg_loglik − runner-up's (NULL with a single
+    label) — the standard low-confidence gate for routing docs to
+    review or a bigger model. Ties break on the larger label string,
+    mirrored by the oracle's ORDER BY. One extra scalar-row exchange
+    on top of :func:`nb_score`.
+    """
+    scored = nb_score(
+        df, model, id_col=id_col, text_col=text_col, n=n, unit=unit, alpha=alpha
+    )
+    ranked = F.sort_array(
+        F.collect_list(F.struct("avg_loglik", "label")), asc=False
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(ranked.alias("_r"))
+        .select(
+            id_col,
+            F.col("_r")[0]["label"].alias("pred_label"),
+            F.col("_r")[0]["avg_loglik"].alias("avg_loglik"),
+            F.when(
+                F.size("_r") > 1,
+                F.col("_r")[0]["avg_loglik"] - F.col("_r")[1]["avg_loglik"],
+            ).alias("margin"),
+        )
+    )
