@@ -2659,6 +2659,94 @@ WHERE a.rn = 1
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (llm.dsir, Xie et al. 2023): weight
+    every doc by ln p_target − ln p_raw under char-trigram LMs (target
+    = src0, raw = whole corpus), Gumbel-top-k 100 ∝ softmax(weight).
+    Two linear scoring passes + a TakeOrdered top-k; the Gumbel noise
+    is the engine-portable md5 draw, so the oracle reproduces the
+    selection id-for-id."""
+    from temporal_retriever_spark.llm.dsir import dsir_select
+    from temporal_retriever_spark.llm.lm import train_ngram_lm
+
+    docs = _documents(spark, sf_dir)
+    target = train_ngram_lm(docs.filter(F.col("source") == "src0"), n=3)
+    raw = train_ngram_lm(docs, n=3)
+    got = dsir_select(docs, target, raw, n_select=100, n=3, k=0.5)
+    return got.select(
+        "doc_id",
+        "n_grams",
+        _r6("log_ratio_per_token").alias("log_ratio_per_token"),
+        _r6("log_ratio").alias("log_ratio"),
+        _r6("sort_key").alias("sort_key"),
+    )
+
+
+_DSIR_ORACLE = rf"""
+WITH norm AS (
+  SELECT doc_id, source,
+         repeat(chr(2), 2)
+         || regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')
+         || chr(3) AS p
+  FROM documents
+),
+dg AS (
+  SELECT doc_id, source, substr(p, i, 3) AS ngram
+  FROM norm, LATERAL unnest(generate_series(1, length(p) - 2)) AS t(i)
+),
+model_t AS (SELECT ngram, substr(ngram, 1, 2) AS ctx, count(*) AS cnt
+            FROM dg WHERE source = 'src0' GROUP BY 1),
+ctxc_t AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM model_t GROUP BY 1),
+v_t AS (SELECT count(DISTINCT substr(ngram, 3, 1)) AS v FROM model_t),
+model_r AS (SELECT ngram, substr(ngram, 1, 2) AS ctx, count(*) AS cnt
+            FROM dg GROUP BY 1),
+ctxc_r AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM model_r GROUP BY 1),
+v_r AS (SELECT count(DISTINCT substr(ngram, 3, 1)) AS v FROM model_r),
+occ AS (SELECT doc_id, ngram, substr(ngram, 1, 2) AS ctx, count(*) AS occ
+        FROM dg GROUP BY 1, 2, 3),
+j_t AS (
+  SELECT o.doc_id, o.occ,
+         CASE WHEN c.ctx_cnt IS NOT NULL
+              THEN (coalesce(m.cnt, 0) + 0.5) / (c.ctx_cnt + 0.5 * v.v)
+              ELSE 1.0 / v.v END AS p
+  FROM occ o
+  LEFT JOIN model_t m USING (ngram)
+  LEFT JOIN ctxc_t c ON o.ctx = c.ctx
+  CROSS JOIN v_t v
+),
+s_t AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+               sum(occ * ln(p)) / sum(occ) AS lp_t
+        FROM j_t GROUP BY 1),
+j_r AS (
+  SELECT o.doc_id, o.occ,
+         CASE WHEN c.ctx_cnt IS NOT NULL
+              THEN (coalesce(m.cnt, 0) + 0.5) / (c.ctx_cnt + 0.5 * v.v)
+              ELSE 1.0 / v.v END AS p
+  FROM occ o
+  LEFT JOIN model_r m USING (ngram)
+  LEFT JOIN ctxc_r c ON o.ctx = c.ctx
+  CROSS JOIN v_r v
+),
+s_r AS (SELECT doc_id, sum(occ * ln(p)) / sum(occ) AS lp_r
+        FROM j_r GROUP BY 1),
+w AS (
+  SELECT t.doc_id, t.n_grams,
+         t.lp_t - r.lp_r AS lrpt,
+         t.n_grams * (t.lp_t - r.lp_r) AS lr,
+         t.n_grams * (t.lp_t - r.lp_r)
+           - ln(-ln(CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967296.0 + 0.5 / 4294967296.0))
+           AS sort_key
+  FROM s_t t JOIN s_r r USING (doc_id)
+)
+SELECT doc_id, n_grams,
+       {_sql_r6('lrpt')} AS log_ratio_per_token,
+       {_sql_r6('lr')} AS log_ratio,
+       {_sql_r6('sort_key')} AS sort_key
+FROM w ORDER BY w.sort_key DESC, doc_id LIMIT 100
+"""
+
+
 def q_anomaly_seasonal_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-ESD-family anomaly detection (rolling.anomaly_seasonal):
     weekly decompose, robust modified z on the REMAINDER — seasonal
@@ -3081,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_near": q_corpus_prep_near,
         "token_topk": q_token_topk,
         "corpus_sample_uniform": q_corpus_sample_uniform,
+        "dsir_select_src0": q_dsir_select,
         "corpus_sketch_stats": q_corpus_sketch_stats,
         # -- new this round: n-gram LM perplexity (llm/lm.py) --
         # (take the two in-window slots of the r2-green pair below,
@@ -3100,7 +3189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": q_media_probe,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
-        "corpus_sample_k": q_corpus_sample_k,
         "ljung_box_daily": q_ljung_box_daily,
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
@@ -3134,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
+        "corpus_sample_k": q_corpus_sample_k,
         "media_decode_roundtrip": q_media_decode_roundtrip,
         "corpus_prep": q_corpus_prep,
         "media_audio_spectrum": q_media_audio_spectrum,
@@ -4843,6 +4932,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "nb_classify_lang": _NB_CLASSIFY_ORACLE,
+        "dsir_select_src0": _DSIR_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "semantic_dedup_gate": _SEMDEDUP_ORACLE,
         "bpe_roundtrip": _BPE_ROUNDTRIP_ORACLE,
