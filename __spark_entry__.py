@@ -2659,6 +2659,120 @@ WHERE a.rn = 1
 """
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (llm.filters.c4_clean, Raffel et al. 2020):
+    line-level retention (terminal punctuation, ≥3 words, no
+    javascript) + page gates (≥5 sentences, no lorem ipsum, no curly
+    brace), all native expressions on one narrow scan. The fixture
+    corpus has no terminal punctuation, so the line gate is relaxed to
+    word count only here; the oracle re-applies the identical rules
+    and the md5 of the cleaned text proves byte-for-byte parity."""
+    from temporal_retriever_spark.llm.filters import c4_clean
+
+    got = c4_clean(
+        _documents(spark, sf_dir),
+        require_terminal_punct=False,
+        min_line_words=30,
+        min_sentences=1,
+    )
+    return got.select(
+        "doc_id",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        "r_min_sentences",
+        "r_curly",
+        "r_bad_phrases",
+        "keep",
+    )
+
+
+_C4_CLEAN_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+l AS (
+  SELECT doc_id, t,
+         list_filter(
+           string_split(t, chr(10)),
+           ln -> len(list_filter(string_split(regexp_replace(trim(ln), '\s+', ' ', 'g'), ' '),
+                                 w -> len(w) > 0)) >= 30
+                 AND NOT regexp_matches(lower(trim(ln)), '\bjavascript\b')
+         ) AS kept,
+         len(string_split(t, chr(10))) AS n_lines
+  FROM base
+),
+c AS (
+  SELECT doc_id, t, n_lines, len(kept) AS n_lines_kept,
+         list_aggregate(list_transform(kept, x -> trim(x)), 'string_agg', chr(10))
+           AS clean0
+  FROM l
+),
+r AS (
+  SELECT doc_id, n_lines, n_lines_kept,
+         coalesce(clean0, '') AS clean,
+         len(regexp_extract_all(coalesce(clean0, ''), '[.!?]')) AS n_sentences,
+         NOT contains(t, '{') AS r_curly,
+         NOT contains(lower(t), 'lorem ipsum') AS r_bad_phrases
+  FROM c
+)
+SELECT doc_id, md5(clean) AS clean_md5, n_lines, n_lines_kept, n_sentences,
+       n_sentences >= 1 AS r_min_sentences,
+       r_curly, r_bad_phrases,
+       (n_sentences >= 1) AND r_curly AND r_bad_phrases AS keep
+FROM r
+"""
+
+
+def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grains of the D/W/M hierarchy in ONE scan + ONE shuffle via
+    GROUPING SETS (aggregate.bucket_aggregate_multi) — vs the naive
+    per-grain loop's 3 scans + 3 shuffles. Plan: Scan → Expand(×3) →
+    partial HashAggregate → one exchange → final (asserted in
+    tests/test_multi_grain.py). The oracle is the semantic UNION ALL
+    of the three per-grain aggregations."""
+    from temporal_retriever_spark.aggregate import bucket_aggregate_multi
+
+    events = _events_long(spark, sf_dir).select("event_type", "ds", "y")
+    got = bucket_aggregate_multi(
+        events,
+        grains=("D", "W", "M"),
+        aggs=("sum", "mean", "median"),
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        "grain",
+        "ds",
+        _r6("y_sum").alias("y_sum"),
+        _r6("y_mean").alias("y_mean"),
+        _r6("y_median").alias("y_median"),
+    )
+
+
+_MULTI_GRAIN_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, 'D' AS grain, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ds,
+         SUM(value) AS s, AVG(value) AS m, MEDIAN(value) AS md
+  FROM events GROUP BY 1, 3
+  UNION ALL
+  SELECT event_type, 'W',
+         CAST(CAST(date_trunc('week', ts) AS DATE) + 6 AS TIMESTAMP),
+         SUM(value), AVG(value), MEDIAN(value)
+  FROM events GROUP BY 1, 3
+  UNION ALL
+  SELECT event_type, 'M', CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP),
+         SUM(value), AVG(value), MEDIAN(value)
+  FROM events GROUP BY 1, 3
+)
+SELECT event_type, grain, ds,
+       {_sql_r6('s')} AS y_sum, {_sql_r6('m')} AS y_mean,
+       {_sql_r6('md')} AS y_median
+FROM g
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (llm.dsir, Xie et al. 2023): weight
     every doc by ln p_target − ln p_raw under char-trigram LMs (target
@@ -3198,7 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_theta_daily": q_forecast_theta_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
-        "forecast_ensemble_daily": q_forecast_ensemble_daily,
+        "multi_grain_rollup": q_multi_grain_rollup,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
@@ -3220,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_time_window": q_rolling_time_window,
         "residual_whiteness": q_residual_whiteness,
         "gopher_repetition": q_gopher_repetition,
+        "c4_clean": q_c4_clean,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -3229,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exif": q_media_exif,
         "corpus_split": q_corpus_split,
         "mixture_apply": q_mixture_apply,
+        "forecast_ensemble_daily": q_forecast_ensemble_daily,
         "acf_bartlett_daily": q_acf_bartlett_daily,
         "forecast_baselines_daily": q_forecast_baselines_daily,
         "rolling_origin_daily": q_rolling_origin_daily,
@@ -4933,6 +5049,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "nb_classify_lang": _NB_CLASSIFY_ORACLE,
         "dsir_select_src0": _DSIR_ORACLE,
+        "multi_grain_rollup": _MULTI_GRAIN_ORACLE,
+        "c4_clean": _C4_CLEAN_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "semantic_dedup_gate": _SEMDEDUP_ORACLE,
         "bpe_roundtrip": _BPE_ROUNDTRIP_ORACLE,

@@ -25,7 +25,7 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from temporal_retriever_spark.grains import bucket_expr
+from temporal_retriever_spark.grains import bucket_expr, normalize_grain
 
 AGGREGATIONS = ("sum", "min", "max", "mean", "median")
 
@@ -223,3 +223,73 @@ def bucket_count(
     if series_cols:
         return df.groupBy(*series_cols).agg(agg)
     return df.agg(agg)
+
+
+def bucket_aggregate_multi(
+    df: DataFrame,
+    *,
+    ts_col: str = "ds",
+    value_col: str = "y",
+    grains: Iterable[str] = ("D", "W", "M"),
+    aggs: Iterable[str] = ("sum",),
+    series_cols: Iterable[str] = (),
+    approx_median: bool = False,
+) -> DataFrame:
+    """A1 at every grain of a rollup hierarchy in ONE scan + ONE
+    shuffle, via GROUPING SETS.
+
+    The naive multi-grain loop (one ``bucket_aggregate`` per grain —
+    the reference's only option, app.py:70-93 is called per request)
+    costs |grains| scans and |grains| shuffles of the SAME input. Here
+    every grain's bucket label is a projection on the single scan and
+    Catalyst plans Scan → Expand(×|grains|) → partial HashAggregate →
+    ONE shuffle → final aggregate: the input is read once, and the
+    Expand duplication is collapsed by the map-side partial before
+    anything moves — the shuffle carries each partition's distinct
+    (set, key) rows, roughly the union of what the per-grain plans
+    would each have shuffled, in a single exchange.
+
+    Output: ``(*series_cols, grain, ds, {value_col}_{agg}...)`` with
+    ``ds`` cast to timestamp so calendar grains (D/W/M: dates) and
+    clock grains (H/min: timestamps) can share the column.
+    """
+    gs = [normalize_grain(g) for g in grains]
+    if len(set(gs)) != len(gs):
+        raise ValueError(f"duplicate grains after normalization: {gs}")
+    if not gs:
+        raise ValueError("grains must be non-empty")
+    normalized_aggs = [normalize_aggregation(a) for a in aggs]
+    if len(set(normalized_aggs)) != len(normalized_aggs):
+        raise ValueError(f"duplicate aggs after normalization: {normalized_aggs}")
+    bcols = {g: f"_bucket_{g}" for g in gs}
+    out = df
+    for g in gs:
+        out = out.withColumn(
+            bcols[g], bucket_expr(ts_col, g).cast("timestamp")
+        )
+    sets = [[*series_cols, bcols[g]] for g in gs]
+    agg_exprs = [
+        agg_expr(value_col, a, approx_median=approx_median).alias(
+            f"{value_col}_{a}"
+        )
+        for a in normalized_aggs
+    ]
+    # grouping() indicators are only legal inside the aggregate list
+    gflags = [F.grouping(bcols[g]).alias(f"_grouped_{g}") for g in gs]
+    grouped = out.groupingSets(
+        sets, *series_cols, *[bcols[g] for g in gs]
+    ).agg(*gflags, *agg_exprs)
+    grain_label = None
+    for g in gs:
+        cond = F.col(f"_grouped_{g}") == 0
+        grain_label = (
+            F.when(cond, F.lit(g))
+            if grain_label is None
+            else grain_label.when(cond, F.lit(g))
+        )
+    return grouped.select(
+        *series_cols,
+        grain_label.alias("grain"),
+        F.coalesce(*[F.col(bcols[g]) for g in gs]).alias(ts_col),
+        *[F.col(f"{value_col}_{a}") for a in normalized_aggs],
+    )

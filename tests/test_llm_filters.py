@@ -132,3 +132,75 @@ def test_contamination_plan_is_hash_join_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "BroadcastHashJoin" in plan
+
+
+class TestC4Clean:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_line_rules(self, spark):
+        from temporal_retriever_spark.llm.filters import c4_clean
+
+        text = "\n".join(
+            [
+                "This is a proper sentence with words.",  # kept
+                "short line.",                            # < 3 words
+                "no terminal punctuation here",           # no punct
+                "Enable javascript to continue reading.", # javascript
+                'He said "stop right there!"',            # ends in quote
+                "One more good sentence follows here.",   # kept
+            ]
+        )
+        got = c4_clean(self._df(spark, [(1, text)])).first()
+        kept = got["text_clean"].split("\n")
+        assert kept == [
+            "This is a proper sentence with words.",
+            'He said "stop right there!"',
+            "One more good sentence follows here.",
+        ]
+        assert got["n_lines"] == 6
+        assert got["n_lines_kept"] == 3
+
+    def test_page_gates(self, spark):
+        from temporal_retriever_spark.llm.filters import c4_clean
+
+        good = "\n".join(
+            f"This sentence number {i} is perfectly fine." for i in range(6)
+        )
+        rows = [
+            (1, good),
+            (2, good + "\nAlso some lorem ipsum filler text here."),
+            (3, good.replace("fine.", "fine {.")),
+            (4, "Only two sentences here. Not enough content."),
+        ]
+        got = {r["doc_id"]: r for r in c4_clean(self._df(spark, rows)).collect()}
+        assert got[1]["keep"] is True
+        assert got[2]["keep"] is False and got[2]["r_bad_phrases"] is False
+        assert got[3]["keep"] is False and got[3]["r_curly"] is False
+        assert got[4]["keep"] is False and got[4]["r_min_sentences"] is False
+
+    def test_sentence_count_on_cleaned_text(self, spark):
+        from temporal_retriever_spark.llm.filters import c4_clean
+
+        # junk lines are dropped BEFORE sentences are counted
+        text = "bad ... line ... no!!! punct words\n" * 3 + (
+            "A single clean sentence survives here."
+        )
+        got = c4_clean(
+            self._df(spark, [(1, text)]), min_line_words=4
+        ).first()
+        assert got["n_sentences"] == 1
+
+    def test_null_and_empty(self, spark):
+        from temporal_retriever_spark.llm.filters import c4_clean
+
+        got = {
+            r["doc_id"]: r
+            for r in c4_clean(
+                spark.createDataFrame(
+                    [(1, None), (2, "")], "doc_id long, text string"
+                )
+            ).collect()
+        }
+        assert got[1]["keep"] is False
+        assert got[2]["n_lines_kept"] == 0
