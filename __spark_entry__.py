@@ -3004,6 +3004,128 @@ def q_kalman_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GARCH_A, _GARCH_B, _GARCH_OM = 0.1, 0.85, 100.0
+
+
+def q_garch_vol_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional volatility (statespace.garch_volatility,
+    Bollerslev 1986) on daily event-series RETURNS (first differences;
+    the first row's NULL return exercises the expectation update).
+    Fixed (ω, α, β); init σ²₁ = ω/(1−α−β) is closed-form, so the
+    recursive-CTE oracle matches bit-for-bit like the Kalman filter."""
+    from temporal_retriever_spark.statespace import garch_volatility
+
+    daily = _events_daily_all(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ds")
+    returns = daily.select(
+        "event_type", "ds", (F.col("y") - F.lag("y").over(w)).alias("y")
+    )
+    got = garch_volatility(
+        returns,
+        alpha=_GARCH_A,
+        beta=_GARCH_B,
+        omega=_GARCH_OM,
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        "ds",
+        _r6("resid").alias("resid"),
+        _r6("sigma2").alias("sigma2"),
+        _r6("sigma").alias("sigma"),
+        _r6("z").alias("z"),
+    )
+
+
+def q_garch_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-step GARCH variance term structure: geometric reversion of
+    σ²_{n+h} to ω/(1−α−β); the filter's Arrow pass + a native
+    sequence-explode grid, closed form mirrored by the oracle."""
+    from temporal_retriever_spark.statespace import garch_forecast
+
+    daily = _events_daily_all(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ds")
+    returns = daily.select(
+        "event_type", "ds", (F.col("y") - F.lag("y").over(w)).alias("y")
+    )
+    got = garch_forecast(
+        returns,
+        omega=_GARCH_OM,
+        alpha=_GARCH_A,
+        beta=_GARCH_B,
+        horizon=14,
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        "ds",
+        "h",
+        _r6("sigma2_hat").alias("sigma2_hat"),
+        _r6("sigma_hat").alias("sigma_hat"),
+    )
+
+
+def _garch_filter_ctes(a: float, b: float, om: float) -> str:
+    """Recursive-CTE mirror of the GARCH recursion — identical
+    operation order to the Arrow pass (init ω/(1−α−β); step
+    ω + α·e² + β·σ²; NULL return ⇒ ω + (α+β)·σ²)."""
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS yv
+    FROM events GROUP BY 1, 2
+),
+ret AS (
+  SELECT event_type, ds,
+         yv - lag(yv) OVER (PARTITION BY event_type ORDER BY ds) AS e,
+         row_number() OVER (PARTITION BY event_type ORDER BY ds) AS rn
+  FROM daily
+),
+f AS (
+  SELECT event_type, rn, ds, e,
+         CAST({om!r} / (1.0 - {a!r} - {b!r}) AS DOUBLE) AS s2
+  FROM ret WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn, r.ds, r.e,
+         CASE WHEN f.e IS NULL
+              THEN {om!r} + ({a!r} + {b!r}) * f.s2
+              ELSE {om!r} + {a!r} * (f.e * f.e) + {b!r} * f.s2 END AS s2
+  FROM f JOIN ret r ON r.event_type = f.event_type AND r.rn = f.rn + 1
+)
+"""
+
+
+_GARCH_VOL_ORACLE = (
+    _garch_filter_ctes(_GARCH_A, _GARCH_B, _GARCH_OM)
+    + f"""
+SELECT event_type, ds, {_sql_r6('e')} AS resid, {_sql_r6('s2')} AS sigma2,
+       {_sql_r6('sqrt(s2)')} AS sigma, {_sql_r6('e / sqrt(s2)')} AS z
+FROM f
+"""
+)
+
+_GARCH_FC_ORACLE = (
+    _garch_filter_ctes(_GARCH_A, _GARCH_B, _GARCH_OM)
+    + f"""
+, tail AS (
+  SELECT event_type, e, s2, ds
+  FROM f QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) = 1
+),
+grid AS (
+  SELECT t.event_type, t.ds + CAST(h.h AS INTEGER) AS ds, h.h,
+         ({_GARCH_OM!r} / {1.0 - _GARCH_A - _GARCH_B!r})
+         + POWER({_GARCH_A + _GARCH_B!r}, h.h - 1)
+           * (({_GARCH_OM!r} + {_GARCH_A!r} * coalesce(t.e * t.e, t.s2)
+               + {_GARCH_B!r} * t.s2)
+              - ({_GARCH_OM!r} / {1.0 - _GARCH_A - _GARCH_B!r})) AS s2h
+  FROM tail t, LATERAL unnest(generate_series(1, 14)) AS h(h)
+)
+SELECT event_type, ds, h, {_sql_r6('s2h')} AS sigma2_hat,
+       {_sql_r6('sqrt(s2h)')} AS sigma_hat
+FROM grid
+"""
+)
+
+
 def _kalman_filter_ctes(base_sql: str, q: float, r: float) -> str:
     """Recursive-CTE mirror of the filter recursion (init a=y₁, p=r;
     step k=(p+q)/(p+q+r) — identical operation order, so doubles
@@ -3299,7 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
-        "media_decode_jpeg": q_media_decode_jpeg,
+        "garch_vol_daily": q_garch_vol_daily,
         "media_probe": q_media_probe,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
@@ -3340,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_k": q_corpus_sample_k,
         "media_decode_roundtrip": q_media_decode_roundtrip,
         "corpus_prep": q_corpus_prep,
+        "media_decode_jpeg": q_media_decode_jpeg,
+        "garch_forecast_daily": q_garch_forecast_daily,
         "media_audio_spectrum": q_media_audio_spectrum,
         "media_exif": q_media_exif,
         "corpus_split": q_corpus_split,
@@ -5051,6 +5175,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select_src0": _DSIR_ORACLE,
         "multi_grain_rollup": _MULTI_GRAIN_ORACLE,
         "c4_clean": _C4_CLEAN_ORACLE,
+        "garch_vol_daily": _GARCH_VOL_ORACLE,
+        "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "semantic_dedup_gate": _SEMDEDUP_ORACLE,
         "bpe_roundtrip": _BPE_ROUNDTRIP_ORACLE,

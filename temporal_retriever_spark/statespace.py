@@ -28,6 +28,7 @@ cross-engine despite being iterative.
 
 from __future__ import annotations
 
+import math
 from typing import Iterable
 
 import pandas as pd
@@ -35,7 +36,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kalman_local_level", "kalman_forecast"]
+__all__ = [
+    "kalman_local_level",
+    "kalman_forecast",
+    "garch_volatility",
+    "garch_forecast",
+]
 
 
 def _check_qr(q: float, r: float) -> None:
@@ -187,4 +193,185 @@ def kalman_forecast(
         var.alias("yhat_var"),
         (F.col("_a") - F.lit(z) * F.sqrt(var)).alias("yhat_lower"),
         (F.col("_a") + F.lit(z) * F.sqrt(var)).alias("yhat_upper"),
+    )
+
+
+def _check_garch(alpha: float, beta: float, omega: float | None) -> None:
+    if not alpha >= 0.0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    if not beta >= 0.0:
+        raise ValueError(f"beta must be >= 0: {beta}")
+    if not alpha + beta < 1.0:
+        raise ValueError(
+            f"alpha + beta must be < 1 for covariance stationarity: "
+            f"{alpha} + {beta} = {alpha + beta}"
+        )
+    if omega is not None and not omega > 0.0:
+        raise ValueError(f"omega must be > 0: {omega}")
+
+
+def garch_volatility(
+    df: DataFrame,
+    *,
+    alpha: float = 0.1,
+    beta: float = 0.85,
+    omega: float | None = None,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+    demean: bool = False,
+) -> DataFrame:
+    """GARCH(1,1) conditional volatility (Bollerslev 1986) per series:
+
+        σ²_t = ω + α·e²_{t−1} + β·σ²_{t−1}
+
+    with fixed parameters — the filtering/scoring operator, not an MLE
+    fitter (the GARCH likelihood is non-convex; at scale you fit
+    parameters offline on a sample and SCORE the fleet of series here,
+    the same split as ``kalman_local_level``). Covariance stationarity
+    ``α + β < 1`` is enforced.
+
+    * ``omega`` given → σ²₁ = ω/(1−α−β) (the unconditional variance):
+      every constant in the recursion is closed-form, so the DuckDB
+      recursive-CTE oracle matches bit-for-bit (the contract path).
+    * ``omega=None`` → variance targeting: ω = s²·(1−α−β) with s² the
+      per-series sample variance, σ²₁ = s² (pandas-computed; float
+      summation order makes this path ~1e-12-reproducible, not
+      bit-exact, across engines).
+    * ``demean=True`` subtracts the per-series mean first (same
+      caveat); default treats ``y`` as already-centered returns.
+
+    NULL observations propagate variance with the expectation update
+    E[e²_t] = σ²_t:  σ²_{t+1} = ω + (α+β)·σ²_t, and score NULL z.
+
+    Output: keys + (ds, y, resid, sigma2, sigma, z) where
+    z = resid/σ_t is the standardized residual (|z| spikes flag
+    volatility-adjusted anomalies — the vol-aware sibling of
+    ``rolling.anomaly_zscore``).
+
+    Plan: ONE groupBy(series) exchange + one Arrow pass with O(1)
+    state, identical in shape to ``kalman_local_level``.
+    """
+    _check_garch(alpha, beta, omega)
+    series_cols = list(series_cols)
+    key_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in series_cols
+    )
+    ds_type = df.schema[ds_col].dataType.simpleString()
+    schema = (
+        f"{key_fields}, {ds_col} {ds_type}, y double, resid double, "
+        "sigma2 double, sigma double, z double"
+    )
+    a, b = float(alpha), float(beta)
+    w = None if omega is None else float(omega)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ds_col, kind="mergesort")
+        ys = pdf[y_col].astype(float)
+        mu = float(ys.mean()) if demean else 0.0
+        resid = ys - mu
+        if w is None:
+            s2 = float(resid.var(ddof=1))
+            om = s2 * (1.0 - a - b)
+        else:
+            om = w
+            s2 = w / (1.0 - a - b)
+        n = len(pdf)
+        sig2 = [0.0] * n
+        cur = s2
+        for t in range(n):
+            if t > 0:
+                e_prev = resid.iloc[t - 1]
+                if pd.isna(e_prev):
+                    cur = om + (a + b) * cur
+                else:
+                    cur = om + a * (e_prev * e_prev) + b * cur
+            sig2[t] = cur
+        out = pdf[series_cols + [ds_col]].copy()
+        out["y"] = ys.astype(object).where(pd.notna(ys), None)
+        out["resid"] = resid.astype(object).where(pd.notna(resid), None)
+        # math.sqrt, not **0.5: sqrt is correctly rounded IEEE on both
+        # engines, pow(x, 0.5) need not be — keeps the oracle bit-exact
+        out["sigma2"] = sig2
+        out["sigma"] = [math.sqrt(s) for s in sig2]
+        out["z"] = [
+            None if pd.isna(e) else float(e) / math.sqrt(s)
+            for e, s in zip(resid, sig2)
+        ]
+        return out
+
+    return df.groupBy(*series_cols).applyInPandas(run, schema)
+
+
+def garch_forecast(
+    df: DataFrame,
+    *,
+    omega: float,
+    horizon: int = 14,
+    alpha: float = 0.1,
+    beta: float = 0.85,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+    demean: bool = False,
+) -> DataFrame:
+    """h-step-ahead conditional variance, closed form:
+
+        σ²_{n+h} = σ²_∞ + (α+β)^{h−1}·(σ²_{n+1} − σ²_∞),
+        σ²_∞ = ω/(1−α−β),  σ²_{n+1} = ω + α·e²_n + β·σ²_n
+
+    — geometric reversion of the variance forecast to its
+    unconditional level, the textbook GARCH term structure.
+
+    Plan: the filter's Arrow pass + a per-series tail aggregation +
+    a native sequence-explode grid (the h-expansion is a JVM
+    expression, like ``kalman_forecast``). Output: keys + (ds, h,
+    sigma2_hat, sigma_hat).
+    """
+    if omega is None:
+        raise ValueError(
+            "garch_forecast requires explicit omega — the forecast's "
+            "closed form needs the same omega the filter used"
+        )
+    _check_garch(alpha, beta, omega)
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    series_cols = list(series_cols)
+    filt = garch_volatility(
+        df, alpha=alpha, beta=beta, omega=omega,
+        series_cols=series_cols, ds_col=ds_col, y_col=y_col, demean=demean,
+    )
+    a, b = float(alpha), float(beta)
+    last = filt.groupBy(*series_cols).agg(
+        F.max_by("resid", ds_col).alias("_e"),
+        F.max_by("sigma2", ds_col).alias("_s2"),
+        F.max(ds_col).alias("_last_ds"),
+    )
+    om_expr = F.lit(float(omega))
+    s2_inf = om_expr / F.lit(1.0 - a - b)
+    s2_next = (
+        om_expr
+        + F.lit(a) * F.coalesce(F.col("_e") * F.col("_e"), F.col("_s2"))
+        + F.lit(b) * F.col("_s2")
+    )
+    grid = last.select(
+        *series_cols,
+        "_last_ds",
+        s2_next.alias("_s2n"),
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+    )
+    s2_h = s2_inf + F.pow(F.lit(a + b), F.col("h") - F.lit(1)) * (
+        F.col("_s2n") - s2_inf
+    )
+    ds_type = df.schema[ds_col].dataType.simpleString()
+    if ds_type in ("date", "timestamp", "timestamp_ntz"):
+        next_ds = F.date_add(F.col("_last_ds").cast("date"), F.col("h"))
+    else:  # integer step index — advance arithmetically
+        next_ds = F.col("_last_ds") + F.col("h")
+    return grid.select(
+        *series_cols,
+        next_ds.alias(ds_col),
+        F.col("h"),
+        s2_h.alias("sigma2_hat"),
+        F.sqrt(s2_h).alias("sigma_hat"),
     )
