@@ -3004,6 +3004,100 @@ def q_kalman_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINSEG_PEN = 200_000.0
+
+
+def q_binseg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline multiple-changepoint detection by binary segmentation
+    (segmentation.binseg_changepoints) on the daily event series.
+    Penalty-only stopping makes the breakpoint set order-independent,
+    so the oracle replays the hierarchy exactly: a recursive CTE over
+    a precomputed best-split-per-(lo,hi) table (all-pairs is fine at
+    oracle scale; the engine itself only ever evaluates OPEN segments,
+    one round per split level). Gains round to 2 decimals: their
+    inputs are re-aggregated daily sums (~1e-9 cross-engine float
+    noise at 1e6 gain scale), unlike the bit-exact recursions."""
+    from temporal_retriever_spark.segmentation import binseg_changepoints
+
+    got = binseg_changepoints(
+        _events_daily_all(spark, sf_dir),
+        penalty=_BINSEG_PEN,
+        min_segment=3,
+        max_changepoints=64,
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        "ds",
+        "cp_index",
+        F.round(F.col("gain") + F.lit(_ROUND_OFFSET), 2).alias("gain"),
+        "seg_lo",
+        "seg_hi",
+    )
+
+
+_BINSEG_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, ds, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY ds) AS rn,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY ds
+                      ROWS UNBOUNDED PRECEDING) AS ps
+  FROM daily
+),
+lens AS (SELECT event_type, MAX(rn) AS n FROM r GROUP BY 1),
+cand AS (
+  SELECT l.event_type, lo.lo, hi.hi, k.k
+  FROM lens l,
+       LATERAL unnest(generate_series(1, l.n)) AS lo(lo),
+       LATERAL unnest(generate_series(1, l.n)) AS hi(hi),
+       LATERAL unnest(generate_series(lo.lo + 2, hi.hi - 3)) AS k(k)
+  WHERE hi.hi - lo.lo + 1 >= 6
+),
+g AS (
+  SELECT c.event_type, c.lo, c.hi, c.k,
+         (CAST(c.k - c.lo + 1 AS DOUBLE) * CAST(c.hi - c.k AS DOUBLE)
+            / CAST(c.hi - c.lo + 1 AS DOUBLE))
+         * (((pk.ps - coalesce(plo.ps, 0.0)) / CAST(c.k - c.lo + 1 AS DOUBLE))
+            - ((phi.ps - pk.ps) / CAST(c.hi - c.k AS DOUBLE)))
+         * (((pk.ps - coalesce(plo.ps, 0.0)) / CAST(c.k - c.lo + 1 AS DOUBLE))
+            - ((phi.ps - pk.ps) / CAST(c.hi - c.k AS DOUBLE))) AS gain
+  FROM cand c
+  JOIN r pk ON pk.event_type = c.event_type AND pk.rn = c.k
+  JOIN r phi ON phi.event_type = c.event_type AND phi.rn = c.hi
+  LEFT JOIN r plo ON plo.event_type = c.event_type AND plo.rn = c.lo - 1
+),
+best AS (
+  SELECT event_type, lo, hi, k, gain
+  FROM g
+  QUALIFY row_number() OVER (PARTITION BY event_type, lo, hi
+                             ORDER BY gain DESC, k ASC) = 1
+),
+seg AS (
+  SELECT event_type, 1 AS lo, n AS hi FROM lens
+  UNION ALL
+  SELECT s.event_type, u.lo2, u.hi2
+  FROM seg s
+  JOIN best b ON b.event_type = s.event_type AND b.lo = s.lo AND b.hi = s.hi,
+       LATERAL (SELECT * FROM (VALUES (s.lo, b.k), (b.k + 1, s.hi)) v(lo2, hi2)) u
+  WHERE b.gain > {_BINSEG_PEN!r}
+),
+cps AS (
+  SELECT s.event_type, b.k AS cp_index, b.gain, s.lo AS seg_lo, s.hi AS seg_hi
+  FROM seg s
+  JOIN best b ON b.event_type = s.event_type AND b.lo = s.lo AND b.hi = s.hi
+  WHERE b.gain > {_BINSEG_PEN!r}
+)
+SELECT c.event_type, r.ds, c.cp_index,
+       ROUND(c.gain + {_ROUND_OFFSET!r}, 2) AS gain,
+       c.seg_lo, c.seg_hi
+FROM cps c JOIN r ON r.event_type = c.event_type AND r.rn = c.cp_index
+"""
+
+
 _GARCH_A, _GARCH_B, _GARCH_OM = 0.1, 0.85, 100.0
 
 
@@ -3402,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose_weekly": q_decompose_weekly,
         "cusum_shift": q_cusum_shift,
         "rolling_corr_pair": q_rolling_corr_pair,
+        "binseg_daily": q_binseg_daily,
         "corpus_prep_near": q_corpus_prep_near,
         "token_topk": q_token_topk,
         "corpus_sample_uniform": q_corpus_sample_uniform,
@@ -3441,7 +3536,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_prune": q_quality_prune,
         "mixture_plan": q_mixture_plan,
         "gopher_filter": q_gopher_filter,
-        "pii_scrub": q_pii_scrub,
         "contamination_5gram": q_contamination_5gram,
         "interval_join_hours": q_interval_join_hours,
         "tfidf_topk": q_tfidf_topk,
@@ -3457,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "residual_whiteness": q_residual_whiteness,
         "gopher_repetition": q_gopher_repetition,
         "c4_clean": q_c4_clean,
+        "pii_scrub": q_pii_scrub,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5176,6 +5271,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_grain_rollup": _MULTI_GRAIN_ORACLE,
         "c4_clean": _C4_CLEAN_ORACLE,
         "garch_vol_daily": _GARCH_VOL_ORACLE,
+        "binseg_daily": _BINSEG_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "semantic_dedup_gate": _SEMDEDUP_ORACLE,
