@@ -3004,6 +3004,151 @@ def q_kalman_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retrieval_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query set for the retrieval contracts: each of docs 0-4's
+    30-token prefix (+ its aligned embedding where needed)."""
+    docs = _documents(spark, sf_dir)
+    return docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 30)
+        ).alias("query_text"),
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 (llm.retrieval.bm25_topk, Lucene shifted-idf
+    form): postings built in one explode+agg, broadcast query terms,
+    pre-shuffle WindowGroupLimit top-k. Queries are each doc 0-4's own
+    30-token prefix; the oracle rebuilds the identical index and
+    scoring in SQL."""
+    from temporal_retriever_spark.llm.retrieval import bm25_topk
+
+    got = bm25_topk(
+        _documents(spark, sf_dir), _retrieval_queries(spark, sf_dir), k=10
+    )
+    return got.select(
+        "query_id", "doc_id", "rank", _r6("bm25").alias("bm25")
+    )
+
+
+_BM25_CTES = r"""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(list_slice(
+           string_split_regex(trim(text), '\s+'), 1, 30), ' ') AS query_text
+  FROM documents WHERE doc_id < 5
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(
+           regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'),
+           ' ')) AS term
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+consts AS (SELECT count(DISTINCT doc_id) AS n,
+                  sum(tf) * 1.0 / count(DISTINCT doc_id) AS avgdl
+           FROM tf),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(string_split(
+             regexp_replace(lower(trim(coalesce(query_text, ''))), '\s+', ' ', 'g'),
+             ' ')) AS term
+    FROM q WHERE length(trim(coalesce(query_text, ''))) > 0)
+),
+scored AS (
+  SELECT qt.query_id, t.doc_id,
+         sum(
+           ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+         ) AS bm25
+  FROM tf t
+  JOIN qterms qt USING (term)
+  JOIN dfreq f USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN consts c
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+)
+"""
+
+_BM25_ORACLE = (
+    _BM25_CTES
+    + f"""
+SELECT query_id, doc_id, rank, {_sql_r6('bm25')} AS bm25
+FROM ranked WHERE rank <= 10
+"""
+)
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (llm.retrieval.hybrid_topk): BM25 top-5 and
+    exact-cosine top-5 fused by reciprocal-rank fusion (Cormack et al.
+    2009), score = Σ 1/(60+rank). The oracle rebuilds both legs and
+    the fusion in SQL."""
+    from temporal_retriever_spark.llm.retrieval import hybrid_topk
+
+    docs = _documents(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    queries = _retrieval_queries(spark, sf_dir).join(
+        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        on="query_id",
+    )
+    got = hybrid_topk(docs, emb, queries, k=5)
+    return got.select(
+        "query_id", "doc_id", "rank", _r6("rrf").alias("rrf")
+    )
+
+
+_HYBRID_ORACLE = (
+    _BM25_CTES
+    + f"""
+, lex AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5),
+vec_scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(qe.embedding AS DOUBLE[])) AS cosine
+  FROM q
+  JOIN embeddings qe ON qe.vec_id = q.query_id
+  CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+vec AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS rank
+  FROM vec_scored
+  QUALIFY rank <= 5
+),
+un AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM vec
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c) AS rrf FROM un GROUP BY 1, 2
+),
+franked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rank, {_sql_r6('rrf')} AS rrf
+FROM franked WHERE rank <= 5
+"""
+)
+
+
 _BINSEG_PEN = 200_000.0
 
 
@@ -3538,7 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "contamination_5gram": q_contamination_5gram,
         "interval_join_hours": q_interval_join_hours,
-        "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
         "rolling_quantile_daily": q_rolling_quantile_daily,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "bucket_hour_streamed": q_bucket_hour_streamed,
@@ -3552,6 +3697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "c4_clean": q_c4_clean,
         "pii_scrub": q_pii_scrub,
+        "tfidf_topk": q_tfidf_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5272,6 +5419,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _C4_CLEAN_ORACLE,
         "garch_vol_daily": _GARCH_VOL_ORACLE,
         "binseg_daily": _BINSEG_ORACLE,
+        "bm25_topk": _BM25_ORACLE,
+        "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
         "semantic_dedup_gate": _SEMDEDUP_ORACLE,

@@ -1,0 +1,224 @@
+"""Lexical and hybrid retrieval: Okapi BM25 scoring + reciprocal-rank
+fusion with the embedding ANN operators.
+
+The published pieces: BM25 (Robertson & Walker; the Lucene
+``k1``/``b`` parameterization with the non-negative idf) and RRF
+(Cormack, Clarke & Buettcher 2009) — the standard way production
+search fuses a lexical ranking with a vector ranking without score
+calibration.
+
+Scale design:
+
+* The corpus side is indexed ONCE: ``bm25_index`` computes per-(doc,
+  term) frequencies and per-doc lengths in one explode + one
+  aggregation (map-side combined; text never shuffles again), exactly
+  the ``lm.train_ngram_lm`` shape. Document frequencies and the
+  corpus constants (N, avgdl) derive from the index — no second scan.
+* Scoring joins the (tiny, broadcast) query-term table against the
+  posting rows by term, then ONE groupBy(query, doc) of scalar
+  partials. Per-query top-k is the pre-shuffle ``WindowGroupLimit``
+  rank window, like ``cosine_topk``.
+* ``rrf_fuse`` is a union + one aggregation over (query, doc, rank)
+  triples — rankings are already tiny (top-k per query).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_index", "bm25_topk", "rrf_fuse", "hybrid_topk"]
+
+
+def _terms(text_col) -> "F.Column":
+    """Lowercase whitespace terms of normalized text (module-wide)."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+", " "
+    )
+    return F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bm25_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Posting rows: (id, term, tf, dl) — term frequency and document
+    length. One explode + ONE aggregation; build once, score many."""
+    toks = docs.select(
+        F.col(id_col), F.explode(_terms(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy(id_col)
+    return tf.withColumn("dl", F.sum("tf").over(w))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query BM25 top-k: (query_id, id, rank, bm25).
+
+    score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's shifted idf,
+    always ≥ 0). Repeated query terms count once (set semantics, the
+    standard convention). Ties break on the smaller doc id.
+
+    Pass a cached ``index`` (from :func:`bm25_index`) to amortize the
+    corpus pass across query batches.
+    """
+    if index is None:
+        index = bm25_index(docs, id_col=id_col, text_col=text_col)
+    consts = index.groupBy().agg(
+        F.countDistinct(id_col).alias("_n"),
+        (F.sum("tf") / F.countDistinct(id_col)).alias("_avgdl"),
+    )
+    df_tbl = index.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(_terms(F.col(query_text_col)))).alias("term"),
+    )
+    scored = (
+        index.join(F.broadcast(qterms), on="term")
+        .join(F.broadcast(df_tbl), on="term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                    )
+                )
+            ).alias("_s"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_s").alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "bm25")
+    )
+
+
+def rrf_fuse(
+    rankings: Iterable[DataFrame],
+    *,
+    k: int = 60,
+    top: int | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion: score(d) = Σ_r 1/(k + rank_r(d)).
+
+    Each input ranking contributes only for documents it ranked (the
+    standard RRF convention). Output: (query_id, id, rank, rrf) with
+    the fused rank (ties → smaller id), truncated to ``top`` if given.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0: {k}")
+    rankings = list(rankings)
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = un.groupBy(query_id_col, id_col).agg(F.sum("_c").alias("rrf"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col)
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if top is not None:
+        out = out.filter(F.col("rank") <= top)
+    return out.select(query_id_col, id_col, "rank", "rrf")
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    corpus_vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-k and exact cosine
+    top-k fused by RRF. ``queries`` carries both a text column and an
+    embedding column; vector ids must align with doc ids.
+
+    The vector leg is ``cosine_topk`` (swap in ``pq_topk`` /
+    ``ivf_cosine_topk`` at scale — any (query, id, rank) ranking
+    fuses identically).
+    """
+    from temporal_retriever_spark.llm.similarity import cosine_topk
+
+    lex = bm25_topk(
+        docs,
+        queries.select(query_id_col, query_text_col),
+        k=k,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    ).select(query_id_col, F.col(id_col), "rank")
+    vec = cosine_topk(
+        corpus_vectors,
+        queries.select(query_id_col, vec_col),
+        k=k,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, F.col(vec_id_col).alias(id_col), "rank")
+    return rrf_fuse(
+        [lex, vec],
+        k=rrf_k,
+        top=k,
+        query_id_col=query_id_col,
+        id_col=id_col,
+    )
