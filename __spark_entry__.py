@@ -1642,6 +1642,57 @@ def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, ann, k=5, min_hits=3)
 
 
+def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization (llm.pq.sq8_train/sq8_encode): per-dim
+    min-max ranges → round(255·(x−lo)/width) codes, a pure zip_with
+    projection (zero shuffles; 4× store compression). Unlike the
+    recall-gated ANN contracts this one is VALUE-EXACT: min/max are
+    bit-exact cross-engine, so the oracle reproduces every code and
+    the md5 of the code vector must match id-for-id."""
+    from temporal_retriever_spark.llm.pq import sq8_encode, sq8_train
+
+    emb = _embeddings(spark, sf_dir)
+    ranges = sq8_train(emb)
+    got = sq8_encode(emb, ranges)
+    return got.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.md5(
+            F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))
+        ).alias("codes_md5"),
+    )
+
+
+_SQ8_ORACLE = """
+WITH dims AS (
+  SELECT t.i AS dim,
+         MIN(CAST(embedding[t.i] AS DOUBLE)) AS lo,
+         MAX(CAST(embedding[t.i] AS DOUBLE)) AS hi
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY 1
+),
+codes AS (
+  SELECT e.vec_id, t.i AS dim,
+         CASE WHEN d.hi - d.lo > 0
+              THEN GREATEST(0, LEAST(255, CAST(ROUND(
+                     (CAST(e.embedding[t.i] AS DOUBLE) - d.lo) * 255.0
+                     / (d.hi - d.lo)) AS INTEGER)))
+              ELSE 0 END AS code
+  FROM embeddings e,
+       LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+  JOIN dims d ON d.dim = t.i
+)
+SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS n_dims,
+       SUM(code) AS code_sum,
+       md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS codes_md5
+FROM codes GROUP BY vec_id
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 composite: quality gate + language gate + exact dedup in
     one operator (llm.corpus.prepare_corpus) — the raw-crawl → clean-
@@ -3676,7 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_ar_daily": q_forecast_ar_daily,
         "multi_grain_rollup": q_multi_grain_rollup,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
-        "containment_pairs": q_containment_pairs,
+        "sq8_codes": q_sq8_codes,
         "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
         "mixture_plan": q_mixture_plan,
@@ -3699,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "tfidf_topk": q_tfidf_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "containment_pairs": q_containment_pairs,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5420,6 +5472,7 @@ def oracle_sql() -> dict[str, str]:
         "garch_vol_daily": _GARCH_VOL_ORACLE,
         "binseg_daily": _BINSEG_ORACLE,
         "bm25_topk": _BM25_ORACLE,
+        "sq8_codes": _SQ8_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

@@ -405,3 +405,122 @@ def pq_reconstruction_error(
         / F.lit(float(dim))
     )
     return joined.select(F.col(id_col), mse.alias("mse"))
+
+
+def sq8_train(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) ranges for 8-bit scalar quantization.
+
+    One posexplode + ONE (dim) aggregation — dim rows reach the
+    driver. The SQ8 companion to PQ: 4× compression with exact,
+    engine-mirrorable arithmetic (no k-means), the right first step
+    before PQ's 16-32×.
+    """
+    base = corpus.select(F.col(vec_col))
+    if normalize:
+        base = base.select(_unit_expr(vec_col).alias(vec_col))
+    rows = (
+        base.select(F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    return [(float(r["lo"]), float(r["hi"])) for r in rows]
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    ranges: list[tuple[float, float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Quantize each dimension to 0..255 over its range: (id, codes).
+
+    code = round(255·(x − lo)/(hi − lo)), clamped — a pure zip_with
+    expression over the broadcast range constants; zero shuffles, and
+    exactly mirrorable in SQL (the contract check is value-exact, not
+    recall-gated). Constant dimensions (hi == lo) code to 0.
+    """
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if normalize:
+        base = base.withColumn(vec_col, _unit_expr(vec_col))
+    lo = F.array(*[F.lit(l) for l, _ in ranges])
+    width = F.array(*[F.lit(h - l) for l, h in ranges])
+    scaled = F.zip_with(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            lo,
+            lambda x, l: x - l,
+        ),
+        width,
+        lambda d, w: F.when(
+            w > 0,
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(255), F.round(d * F.lit(255.0) / w, 0).cast("int")),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return base.select(F.col(id_col), scaled.alias("codes"))
+
+
+def sq8_decode_expr(
+    codes_col: str | "F.Column", ranges: list[tuple[float, float]]
+) -> "F.Column":
+    """Reconstruction expression: lo + code·width/255 per dimension."""
+    col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    lo = F.array(*[F.lit(l) for l, _ in ranges])
+    width = F.array(*[F.lit(h - l) for l, h in ranges])
+    return F.zip_with(
+        F.zip_with(col, width, lambda c, w: c.cast("double") * w / F.lit(255.0)),
+        lo,
+        lambda v, l: v + l,
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ranges: list[tuple[float, float]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k over SQ8-reconstructed vectors:
+    (query_id, id, rank, score). Same broadcast shape as
+    ``cosine_topk`` but the corpus side is the 4×-smaller code table;
+    reconstruction happens in the expression, floats never stored."""
+    from temporal_retriever_spark.llm.similarity import cosine_similarity_expr
+
+    if codes is None:
+        codes = sq8_encode(corpus, ranges, id_col=id_col, vec_col=vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    joined = codes.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity_expr(sq8_decode_expr("codes", ranges), "_qvec")
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), sim.alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )
