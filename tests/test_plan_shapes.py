@@ -179,3 +179,113 @@ def test_kalman_filter_single_grouped_arrow_pass(spark, daily):
     plan = _plan(kalman_local_level(daily, q=1.0, r=1.0))
     assert _exchanges(plan) == 1  # the groupBy(series) exchange
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_sq8_encode_is_shuffle_free_projection(spark, vectors):
+    from temporal_retriever_spark.llm.pq import sq8_encode, sq8_train
+
+    ranges = sq8_train(vectors)
+    plan = _plan(sq8_encode(vectors, ranges))
+    assert _exchanges(plan) == 0
+    assert "Python" not in plan
+
+
+def test_pq_adc_no_python_and_prepartition_topk(spark, vectors):
+    from temporal_retriever_spark.llm.pq import pq_topk, pq_train
+
+    books = pq_train(vectors, m=4, n_codes=8, max_iter=1)
+    queries = vectors.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    plan = _plan(pq_topk(vectors, queries, books, k=3))
+    assert "Python" not in plan
+    # ADC scan side broadcasts the per-query LUTs, never shuffles codes
+    # before the top-k rank window's partial limit
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_nb_scoring_broadcasts_model(spark, docs):
+    from temporal_retriever_spark.llm.classify import NBModel, nb_score, nb_train
+
+    # materialize the model as standalone tables (the production shape:
+    # trained once, stored) so the plan shows the SCORING side only
+    trained = nb_train(docs, label_col="source")
+    model = NBModel(
+        spark.createDataFrame(trained.token_counts.collect()),
+        spark.createDataFrame(trained.label_stats.collect()),
+    )
+    plan = _plan(nb_score(docs, model))
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan
+    # doc text rides one narrow scan; corpus-side shuffles are the
+    # (id, token) pre-agg + the final (id, label) agg; the remaining
+    # exchanges aggregate the model-sized tables (V, priors)
+    assert plan.count("Scan ExistingRDD[doc_id") == 1
+    assert _exchanges(plan) <= 5
+
+
+def test_bm25_broadcasts_queries_and_prelimits_topk(spark, docs):
+    from temporal_retriever_spark.llm.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma doc")],
+        "query_id long, query_text string",
+    )
+    plan = _plan(bm25_topk(docs, queries, k=5))
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_multi_grain_rollup_single_exchange_with_expand(spark, daily):
+    from temporal_retriever_spark.aggregate import bucket_aggregate_multi
+
+    plan = _plan(
+        bucket_aggregate_multi(
+            daily, grains=("D", "W", "M"), aggs=("sum", "mean"),
+            series_cols=("series_id",),
+        )
+    )
+    assert "Expand" in plan
+    assert _exchanges(plan) == 1
+    assert "Python" not in plan
+
+
+def test_garch_single_grouped_arrow_pass(spark, daily):
+    from temporal_retriever_spark.statespace import garch_volatility
+
+    plan = _plan(
+        garch_volatility(daily, alpha=0.1, beta=0.8, omega=0.1)
+    )
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert _exchanges(plan) == 1
+
+
+def test_c4_clean_is_shuffle_free(spark, docs):
+    from temporal_retriever_spark.llm.filters import c4_clean
+
+    plan = _plan(c4_clean(docs))
+    assert _exchanges(plan) == 0
+    assert "Python" not in plan
+
+
+def test_dsir_select_is_take_ordered(spark, docs):
+    from temporal_retriever_spark.llm.dsir import dsir_select
+    from temporal_retriever_spark.llm.lm import train_ngram_lm
+
+    target = train_ngram_lm(docs.filter(F.col("source") == "s0"), n=2)
+    raw = train_ngram_lm(docs, n=2)
+    plan = _plan(dsir_select(docs, target, raw, n_select=5, n=2))
+    # top-k via per-partition heaps + driver merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
