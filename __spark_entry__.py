@@ -1110,6 +1110,83 @@ def q_sessions_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 stream-stream interval join contract row: clicks and views
+    are replayed as TWO separate file-source streams (chunked, so
+    matches span micro-batch boundaries and must come from the join
+    state store), inner-joined on user within [click, click + 2h] via
+    ``streaming_interval_join`` — the native watermarked stream-stream
+    join whose range condition bounds state. Hash-matched against the
+    plain batch interval join in SQL."""
+    import tempfile
+    import uuid
+
+    from temporal_retriever_spark.streaming import streaming_interval_join
+
+    ev = _events_long(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("ds").cast("timestamp").alias("ds"),
+        F.col("event_type"),
+        F.col("y"),
+    ).filter(F.col("user_id") % 5 == 0)
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    tmp = tempfile.mkdtemp(prefix="trs-ij-stream-")
+    for name, df in (("clicks", clicks), ("views", views)):
+        a, b = df.randomSplit([0.5, 0.5], seed=13)
+        a.write.parquet(f"{tmp}/{name}/chunk=0")
+        b.write.parquet(f"{tmp}/{name}/chunk=1")
+    sc = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/clicks/chunk=*")
+    )
+    sv = (
+        spark.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/views/chunk=*")
+    )
+    joined = streaming_interval_join(
+        sc, sv, keys=("user_id",),
+        before="0 seconds", after="2 hours", watermark="30 minutes",
+    )
+    qname = f"trs_ij_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(qname).select(
+        "user_id",
+        F.col("ds").alias("click_ts"),
+        F.col("ds_r").alias("view_ts"),
+        _r6("y").alias("click_y"),
+        _r6("y_r").alias("view_y"),
+    )
+
+
+_INTERVAL_JOIN_STREAMED_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'click' AND user_id % 5 = 0
+),
+v AS (
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'view' AND user_id % 5 = 0
+)
+SELECT c.user_id, c.ts AS click_ts, v.ts AS view_ts,
+       {_sql_r6('c.value')} AS click_y, {_sql_r6('v.value')} AS view_y
+FROM c JOIN v ON v.user_id = c.user_id
+              AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 2 HOUR
+"""
+
+
 def q_sessions_2h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming contract row: the events table is REPLAYED
     through a real Structured Streaming query — file source chunked by
@@ -3737,9 +3814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "rolling_quantile_daily": q_rolling_quantile_daily,
         "sessions_2h_streamed": q_sessions_2h_streamed,
-        "bucket_hour_streamed": q_bucket_hour_streamed,
+        "interval_join_streamed": q_interval_join_streamed,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates) --
+        "bucket_hour_streamed": q_bucket_hour_streamed,
         "anomaly_robust_daily": q_anomaly_robust_daily,
         "lm_perplexity_prune": q_lm_perplexity_prune,
         "kalman_forecast_daily": q_kalman_forecast_daily,
@@ -5473,6 +5551,7 @@ def oracle_sql() -> dict[str, str]:
         "binseg_daily": _BINSEG_ORACLE,
         "bm25_topk": _BM25_ORACLE,
         "sq8_codes": _SQ8_ORACLE,
+        "interval_join_streamed": _INTERVAL_JOIN_STREAMED_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

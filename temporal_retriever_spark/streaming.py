@@ -662,3 +662,59 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: Iterable[str] = ("series_id",),
+    left_ts: str = "ds",
+    right_ts: str = "ds",
+    before: str = "0 seconds",
+    after: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """§2.8 stream-stream interval join: pair each left event with the
+    right-stream events of the same key whose timestamp falls in
+    ``[left_ts − before, left_ts + after]``.
+
+    The streaming sibling of ``asof.interval_join`` — correlation of
+    two live feeds (clicks ⨝ views within 2h, orders ⨝ payments within
+    a day) without landing either to storage first.
+
+    Spark-first: this is the native stream-stream join — both sides
+    get event-time watermarks and the range predicate BOUNDS THE JOIN
+    STATE (Spark derives each side's state-eviction horizon from the
+    time-range condition + the other side's watermark, so per-key
+    buffers are dropped once they can no longer match; without the
+    range condition the state would grow forever). Inner joins emit
+    eagerly on match; outer joins additionally emit unmatched rows
+    once the watermark passes (pass ``how="leftOuter"`` etc. — Spark's
+    stream-stream outer-join rules apply).
+
+    All right-side columns are suffixed with ``right_suffix``; the
+    equality keys collapse back to one column each.
+    """
+    keys = list(keys)
+    l = left.withWatermark(left_ts, watermark)
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + right_suffix)
+    r = r.withWatermark(right_ts + right_suffix, watermark)
+    cond = None
+    for k in keys:
+        eq = F.col(k) == F.col(k + right_suffix)
+        cond = eq if cond is None else cond & eq
+    rng = (
+        F.col(right_ts + right_suffix)
+        >= F.col(left_ts) - F.expr(f"INTERVAL {before}")
+    ) & (
+        F.col(right_ts + right_suffix)
+        <= F.col(left_ts) + F.expr(f"INTERVAL {after}")
+    )
+    cond = rng if cond is None else cond & rng
+    out = l.join(r, cond, how)
+    return out.drop(*[k + right_suffix for k in keys])
