@@ -1719,6 +1719,29 @@ def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, ann, k=5, min_hits=3)
 
 
+def q_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (llm.pq.ivfpq_*, the FAISS shape): coarse
+    cells + residual product quantization, score = ⟨q,c⟩ + residual
+    ADC, exact refine re-rank. Index row ≈ 4+m bytes. Full probe here
+    (near-random fixture scatters neighbors across cells; clustered
+    production corpora probe few cells — the candidate-restriction
+    contract is pinned in tests/test_pq.py); recall gate ≥ 0.6/query."""
+    from temporal_retriever_spark.llm.pq import ivfpq_topk, ivfpq_train
+
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    centroids, books = ivfpq_train(
+        emb, n_cells=8, m=16, n_codes=32, coarse_iter=3, pq_iter=3, seed=7
+    )
+    ann = ivfpq_topk(
+        emb, queries_df, centroids, books, k=5, nprobe=8, refine=6
+    )
+    exact = cosine_topk(emb, queries_df, k=5)
+    return _ann_recall_check(exact, ann, k=5, min_hits=3)
+
+
 def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit scalar quantization (llm.pq.sq8_train/sq8_encode): per-dim
     min-max ranges → round(255·(x−lo)/width) codes, a pure zip_with
@@ -3829,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "containment_pairs": q_containment_pairs,
+        "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5465,6 +5489,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id < 10"
         ),
         "pq_cosine_topk": (
+            "SELECT vec_id AS query_id, 5 AS k, CAST(TRUE AS BOOLEAN) AS recall_pass "
+            "FROM embeddings WHERE vec_id < 10"
+        ),
+        "ivfpq_cosine_topk": (
             "SELECT vec_id AS query_id, 5 AS k, CAST(TRUE AS BOOLEAN) AS recall_pass "
             "FROM embeddings WHERE vec_id < 10"
         ),

@@ -524,3 +524,231 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    coarse_iter: int = 5,
+    pq_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[list[list[float]], Codebooks]:
+    """IVF-PQ (Jégou et al. 2011 §V, the FAISS composite): coarse
+    k-means cells + product quantization of the RESIDUAL
+    ``x − centroid(cell)``.
+
+    Residual PQ is where PQ earns its keep on clustered data: the
+    coarse quantizer absorbs the between-cluster structure, so the
+    codebooks spend their bits on the within-cell detail a flat PQ
+    wastes on separating clusters. Codebooks are shared across cells
+    (the standard choice — per-cell books multiply model size ×cells).
+
+    Returns (centroids, codebooks); both are models — train on a
+    hash-sample at 100 TB, reuse across encodes and query batches.
+    The corpus is unit-normalized internally (cosine contract).
+    """
+    from temporal_retriever_spark.llm.similarity import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    unit = corpus.select(F.col(id_col), _unit_expr(vec_col).alias(vec_col))
+    centroids = kmeans_fit(
+        unit, k=n_cells, max_iter=coarse_iter, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    assigned = assign_clusters(unit, centroids, id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    cf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, _cent array<double>",
+    )
+    resid = assigned.join(F.broadcast(cf), on="cluster").select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col), F.col("_cent"), lambda a, b: a.cast("double") - b
+        ).alias(vec_col),
+    )
+    books = pq_train(
+        resid, m=m, n_codes=n_codes, max_iter=pq_iter, id_col=id_col,
+        vec_col=vec_col, seed=seed + 1, normalize=False,
+    )
+    return centroids, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes): coarse cell + residual PQ codes — the whole
+    index row is ~(4 + m) bytes/vector. Same int-only shuffle shape as
+    ``pq_encode``."""
+    from temporal_retriever_spark.llm.similarity import assign_clusters
+
+    spark = corpus.sparkSession
+    unit = corpus.select(F.col(id_col), _unit_expr(vec_col).alias(vec_col))
+    assigned = assign_clusters(unit, centroids, id_col=id_col, vec_col=vec_col)
+    cf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, _cent array<double>",
+    )
+    resid = assigned.join(F.broadcast(cf), on="cluster").select(
+        F.col(id_col),
+        F.col("cluster").alias("cell"),
+        F.zip_with(
+            F.col(vec_col), F.col("_cent"), lambda a, b: a.cast("double") - b
+        ).alias(vec_col),
+    )
+    codes = pq_encode(
+        resid, codebooks, id_col=id_col, vec_col=vec_col, normalize=False
+    )
+    return resid.select(id_col, "cell").join(codes, on=id_col)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    index: DataFrame | None = None,
+    refine: int = 0,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ search: probe ``nprobe`` cells, ADC-score residual codes.
+
+    score(q, x) ≈ ⟨q̂, c_cell⟩ + Σ_sub LUT[sub][code] with
+    LUT[sub][code] = ⟨q̂_sub, codebook[sub][code]⟩ — the decomposition
+    ⟨q̂, x̂⟩ = ⟨q̂, c⟩ + ⟨q̂, r⟩. The LUT is CELL-INDEPENDENT (shared
+    codebooks), built once per query from the tiny queries ⨯ codebook
+    cross; the per-(query, cell) coarse dot products are a
+    queries ⨯ centroids cross — both broadcast. Candidates are only
+    the probed cells' rows (expected nprobe/n_cells of the corpus),
+    scored without touching any stored float. ``refine`` re-ranks the
+    ADC pool with exact cosine, as in :func:`pq_topk`.
+    """
+    from temporal_retriever_spark.llm.similarity import (
+        assign_clusters,
+        cosine_similarity_expr,
+    )
+
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    if index is None:
+        index = ivfpq_encode(
+            corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
+        )
+    qunit = queries.select(
+        F.col(query_id_col), _unit_expr(vec_col).alias("_q")
+    )
+    # probed cells + coarse dot per (query, cell)
+    cf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, _cent array<double>",
+    )
+    qdots = qunit.crossJoin(F.broadcast(cf)).select(
+        query_id_col,
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("_q"), F.col("_cent"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_qc"),
+    )
+    probed = assign_clusters(
+        qunit, centroids, id_col=query_id_col, vec_col="_q",
+        n_nearest=nprobe,
+    ).select(query_id_col, F.col("cluster").alias("cell"))
+    # per-query residual LUT (cell-independent, shared codebooks)
+    qrows = _subvector_rows(qunit, query_id_col, "_q", m, sub_dim)
+    cb = _codebook_frame(spark, codebooks)
+    ip = F.aggregate(
+        F.zip_with(F.col("subvec"), F.col("centroid"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = (
+        qrows.join(F.broadcast(cb), on="sub")
+        .select(query_id_col, "sub", "code", ip.alias("_ip"))
+        .groupBy(query_id_col, "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "_ip"))),
+                lambda s: s["_ip"],
+            ).alias("_row")
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "_row"))),
+                lambda s: s["_row"],
+            ).alias("_lut")
+        )
+    )
+    probe_tbl = (
+        probed.join(qdots, on=[query_id_col, "cell"])
+        .join(lut, on=query_id_col)
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = index.join(F.broadcast(probe_tbl), on="cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (F.col("_qc") + adc).alias("score"),
+    )
+    if not include_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine and refine > 1:
+        cand = ranked.filter(F.col("rank") <= k * refine).select(
+            query_id_col, id_col
+        )
+        exact = cand.join(
+            corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")), on=id_col
+        ).join(
+            F.broadcast(
+                queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+            ),
+            on=query_id_col,
+        )
+        rescored = exact.select(
+            query_id_col,
+            id_col,
+            cosine_similarity_expr("_cv", "_qv").alias("score"),
+        )
+        w2 = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(id_col)
+        )
+        return (
+            rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "rank", "score")
+        )
+    return ranked.filter(F.col("rank") <= k).select(
+        query_id_col, id_col, "rank", "score"
+    )

@@ -129,3 +129,71 @@ def test_reconstruction_error_improves_with_codes(emb):
     mse_big = pq_reconstruction_error(emb, big).agg(F.avg("mse")).first()[0]
     assert mse_big < mse_small
     assert mse_big >= 0.0
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def model(self, emb):
+        from temporal_retriever_spark.llm.pq import ivfpq_train
+
+        return ivfpq_train(
+            emb, n_cells=8, m=16, n_codes=32, coarse_iter=3, pq_iter=3, seed=7
+        )
+
+    def test_encode_shape(self, emb, model):
+        from temporal_retriever_spark.llm.pq import ivfpq_encode
+
+        centroids, books = model
+        idx = ivfpq_encode(emb, centroids, books).collect()
+        assert len(idx) == emb.count()
+        for r in idx:
+            assert 0 <= r["cell"] < 8
+            assert len(r["codes"]) == 16
+            assert all(0 <= c < 32 for c in r["codes"])
+
+    def test_candidates_only_probed_cells(self, emb, model):
+        from temporal_retriever_spark.llm.pq import ivfpq_encode, ivfpq_topk
+        from temporal_retriever_spark.llm.similarity import assign_clusters
+
+        centroids, books = model
+        idx = ivfpq_encode(emb, centroids, books).cache()
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = ivfpq_topk(
+            emb, queries, centroids, books, k=5, nprobe=2, index=idx
+        )
+        cells = {r["vec_id"]: r["cell"] for r in idx.collect()}
+        from temporal_retriever_spark.llm.pq import _unit_expr
+
+        probed = assign_clusters(
+            queries.select("query_id", _unit_expr("embedding").alias("e")),
+            centroids, id_col="query_id", vec_col="e", n_nearest=2,
+        )
+        allowed = {}
+        for r in probed.collect():
+            allowed.setdefault(r["query_id"], set()).add(r["cluster"])
+        for r in got.collect():
+            assert cells[r["vec_id"]] in allowed[r["query_id"]]
+        idx.unpersist()
+
+    def test_refined_recall(self, emb, model):
+        from temporal_retriever_spark.llm.pq import ivfpq_topk
+
+        centroids, books = model
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = cosine_topk(emb, queries, k=5)
+        # probe every cell: isolates the residual-ADC quality from the
+        # coarse recall loss (near-random data scatters neighbors
+        # across cells; real clustered corpora probe few cells)
+        got = ivfpq_topk(
+            emb, queries, centroids, books, k=5, nprobe=8, refine=6
+        )
+        hits = (
+            exact.select("query_id", "vec_id")
+            .join(got.select("query_id", "vec_id"), on=["query_id", "vec_id"])
+            .count()
+        )
+        assert hits >= 40  # >= 0.8 with full probe + 6x refine
