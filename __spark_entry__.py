@@ -1742,6 +1742,37 @@ def q_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, ann, k=5, min_hits=3)
 
 
+def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string self-join (fuzzy.fuzzy_join, Gravano et al.
+    2001): distinct document sources within 1 edit of each other —
+    q-gram blocking + length filter + native levenshtein verify
+    (precision exact by construction; recall exact at these lengths).
+    The oracle is the quadratic levenshtein join — integer-exact."""
+    from temporal_retriever_spark.fuzzy import fuzzy_join
+
+    docs = _documents(spark, sf_dir).select("source")
+    got = fuzzy_join(
+        docs,
+        docs.selectExpr("source as source_r"),
+        left_col="source",
+        right_col="source_r",
+        max_distance=1,
+        q=2,
+    )
+    return got.filter(F.col("source") < F.col("source_r")).select(
+        "source", "source_r", "distance"
+    )
+
+
+_FUZZY_ORACLE = """
+WITH s AS (SELECT DISTINCT lower(trim(source)) AS source FROM documents)
+SELECT a.source, b.source AS source_r,
+       CAST(levenshtein(a.source, b.source) AS INTEGER) AS distance
+FROM s a JOIN s b ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 1
+"""
+
+
 def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit scalar quantization (llm.pq.sq8_train/sq8_encode): per-dim
     min-max ranges → round(255·(x−lo)/width) codes, a pure zip_with
@@ -3814,7 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_png": q_media_decode_png,
         "garch_vol_daily": q_garch_vol_daily,
         "media_probe": q_media_probe,
-        "doc_chunks": q_doc_chunks,
+        "fuzzy_source_pairs": q_fuzzy_source_pairs,
         "packed_sequences": q_packed_sequences,
         "ljung_box_daily": q_ljung_box_daily,
         "kpss_daily": q_kpss_daily,
@@ -3853,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "containment_pairs": q_containment_pairs,
         "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
+        "doc_chunks": q_doc_chunks,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5580,6 +5612,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_ORACLE,
         "sq8_codes": _SQ8_ORACLE,
         "interval_join_streamed": _INTERVAL_JOIN_STREAMED_ORACLE,
+        "fuzzy_source_pairs": _FUZZY_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

@@ -1,0 +1,140 @@
+"""Fuzzy (approximate) string join — entity resolution for dirty
+keys: q-gram blocking + exact edit-distance verification.
+
+The published recipe (Gravano et al. 2001, "Approximate String Joins
+in a Database (Almost) for Free"): two strings within edit distance
+``d`` must share q-grams, so candidate pairs come from an equi-join
+on q-grams instead of an O(n·m) cross product, and the exact
+``levenshtein`` (JVM-native in Spark, also native in DuckDB — fully
+oracle-able) verifies every candidate. Precision is exact by
+construction; recall is exact whenever strings are long enough that
+``d`` edits cannot destroy every q-gram (see ``fuzzy_join`` notes).
+
+Use cases in this engine's pipelines: joining dirty dimension keys
+(vendor/source names with typos), deduplicating entity mentions
+before grouping, reconciling externally-ingested catalogs.
+
+Scale design: q-grams explode on a narrow projection; the equi-join
+shuffles (gram, id) pairs only; candidate pairs are de-duplicated on
+ids BEFORE strings re-attach (two id-keyed joins), so the verify step
+— a native ``levenshtein`` — runs once per candidate pair. A
+``max_gram_df`` guard drops ubiquitous q-grams (the skew/stop-gram
+cap, same role as ``verbatim_span_pairs``'s ``max_df``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["qgrams_expr", "fuzzy_join"]
+
+#: boundary pad char for positional-free q-grams (C0 control: cannot
+#: occur in normalized text, reproducible as chr(1) cross-engine)
+PAD = "\x01"
+
+
+def qgrams_expr(col: Column | str, q: int = 3) -> Column:
+    """Padded character q-grams of the lowercased, trimmed string.
+
+    Padding with ``q−1`` boundary chars on each side gives every
+    non-empty string ``len + q − 1`` grams, so single-char strings
+    still block. Pure JVM HOF (transform over sequence).
+    """
+    if q < 2:
+        raise ValueError(f"q must be >= 2: {q}")
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(
+        F.lit(PAD * (q - 1)),
+        F.lower(F.trim(F.coalesce(c, F.lit("")))),
+        F.lit(PAD * (q - 1)),
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(q - 1)),
+        lambda i: F.substring(padded, i, q),
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    q: int = 3,
+    left_id: str | None = None,
+    right_id: str | None = None,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Pairs whose strings are within ``max_distance`` edits.
+
+    Output: (left_id?, left_col, right_id?, right_col, distance) for
+    every pair with ``levenshtein ≤ max_distance`` that shares at
+    least one q-gram. Recall is EXACT when the shorter string has
+    length > q·(max_distance−1)+1 (``d`` edits destroy ≤ q·d of the
+    ``len+q−1`` padded grams); below that, very short strings may
+    block apart — run those through a plain cross join if they matter
+    (they are few by definition).
+
+    ``max_gram_df`` drops q-grams appearing in more than that many
+    DISTINCT strings before the candidate join — the stop-gram skew
+    guard. Dropping a gram can only reduce recall for pairs whose
+    every shared gram is ubiquitous; leave None for exactness.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0: {max_distance}")
+    lid = [left_id] if left_id else []
+    rid = [right_id] if right_id else []
+    # distance is measured on the NORMALIZED form (lower+trim) — the
+    # same form blocking uses, so verify and block can't disagree;
+    # original strings are what the output carries
+    norm_l = F.lower(F.trim(F.coalesce(F.col(left_col), F.lit(""))))
+    norm_r = F.lower(F.trim(F.coalesce(F.col(right_col), F.lit(""))))
+    l = left.select(
+        *lid, F.col(left_col).alias("_lraw"), norm_l.alias("_ls")
+    ).dropDuplicates([*lid, "_ls"])
+    r = right.select(
+        *rid, F.col(right_col).alias("_rraw"), norm_r.alias("_rs")
+    ).dropDuplicates([*rid, "_rs"])
+    lg = l.select(
+        *lid, "_lraw", "_ls", F.explode(qgrams_expr("_ls", q)).alias("_g")
+    ).dropDuplicates()
+    rg = r.select(
+        *rid, "_rraw", "_rs", F.explode(qgrams_expr("_rs", q)).alias("_g")
+    ).dropDuplicates()
+    if max_gram_df is not None:
+        df_tbl = (
+            lg.select("_g", "_ls").unionByName(
+                rg.select("_g", F.col("_rs").alias("_ls"))
+            )
+            .distinct()
+            .groupBy("_g")
+            .count()
+            .filter(F.col("count") <= max_gram_df)
+            .select("_g")
+        )
+        lg = lg.join(F.broadcast(df_tbl), on="_g")
+        rg = rg.join(F.broadcast(df_tbl), on="_g")
+    cand = (
+        lg.join(rg, on="_g")
+        .filter(
+            F.abs(F.length("_ls") - F.length("_rs")) <= F.lit(max_distance)
+        )
+        .select(*lid, "_lraw", "_ls", *rid, "_rraw", "_rs")
+        .distinct()
+    )
+    dist = F.levenshtein("_ls", "_rs")
+    return (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            *lid,
+            F.col("_lraw").alias(left_col),
+            *rid,
+            F.col("_rraw").alias(
+                right_col if right_col != left_col else f"{right_col}_r"
+            ),
+            "distance",
+        )
+    )
