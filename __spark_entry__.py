@@ -1742,6 +1742,60 @@ def q_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, ann, k=5, min_hits=3)
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (funnel.funnel): click → view → purchase per
+    user within 1 day of the first click; greedy-earliest semantics.
+    ONE groupBy(user) exchange + a JVM aggregate-HOF walk over each
+    user's sorted events (no per-step self-joins). The oracle is the
+    cascaded-min formulation the semantics were designed to mirror."""
+    from temporal_retriever_spark.funnel import funnel
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = funnel(
+        ev, ["click", "view", "purchase"], within="1 day"
+    )
+    return got.select(
+        "user_id", "steps_completed", "t_1", "t_2", "t_3",
+        "seconds_to_convert",
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+users AS (SELECT DISTINCT user_id FROM base),
+f1 AS (SELECT user_id, MIN(ts) AS t1 FROM base
+       WHERE event_type = 'click' GROUP BY 1),
+f2 AS (SELECT b.user_id, MIN(b.ts) AS t2
+       FROM base b JOIN f1 ON f1.user_id = b.user_id
+       WHERE b.event_type = 'view' AND b.ts > f1.t1
+         AND b.ts <= f1.t1 + INTERVAL 1 DAY
+       GROUP BY 1),
+f3 AS (SELECT b.user_id, MIN(b.ts) AS t3
+       FROM base b
+       JOIN f1 ON f1.user_id = b.user_id
+       JOIN f2 ON f2.user_id = b.user_id
+       WHERE b.event_type = 'purchase' AND b.ts > f2.t2
+         AND b.ts <= f1.t1 + INTERVAL 1 DAY
+       GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS steps_completed,
+       t1 AS t_1, t2 AS t_2, t3 AS t_3,
+       CASE WHEN t3 IS NOT NULL
+            THEN CAST(floor(epoch(t3)) - floor(epoch(t1)) AS BIGINT)
+       END AS seconds_to_convert
+FROM users u
+LEFT JOIN f1 ON f1.user_id = u.user_id
+LEFT JOIN f2 ON f2.user_id = u.user_id
+LEFT JOIN f3 ON f3.user_id = u.user_id
+"""
+
+
 def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string self-join (fuzzy.fuzzy_join, Gravano et al.
     2001): distinct document sources within 1 edit of each other —
@@ -3852,7 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adf_daily": q_adf_daily,
         "detect_seasonality_daily": q_detect_seasonality_daily,
         "series_corr_daily": q_series_corr_daily,
-        "winsorize_daily": q_winsorize_daily,
+        "funnel_conversion": q_funnel_conversion,
         "forecast_theta_daily": q_forecast_theta_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
@@ -3885,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
         "doc_chunks": q_doc_chunks,
+        "winsorize_daily": q_winsorize_daily,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5613,6 +5668,7 @@ def oracle_sql() -> dict[str, str]:
         "sq8_codes": _SQ8_ORACLE,
         "interval_join_streamed": _INTERVAL_JOIN_STREAMED_ORACLE,
         "fuzzy_source_pairs": _FUZZY_ORACLE,
+        "funnel_conversion": _FUNNEL_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

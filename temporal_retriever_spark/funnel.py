@@ -1,0 +1,163 @@
+"""Funnel (conversion) analysis over event streams.
+
+The events-table OLAP classic: how many users progressed through the
+ordered steps click → view → purchase, how far did each get, and how
+long did conversion take? (The operator family behind ClickHouse's
+``windowFunnel`` and SQL MATCH_RECOGNIZE-style sequence queries —
+semantics here are the standard greedy-earliest walk, fully
+documented and oracle-mirrorable.)
+
+Semantics (greedy from the earliest anchor): t₁ is the user's
+earliest step-1 event; tᵢ is the earliest step-i event strictly after
+tᵢ₋₁; all steps must land within ``within`` of t₁ (None = unbounded).
+Greedy-earliest is deterministic and mirrors as cascaded ``min``
+subqueries in SQL.
+
+Spark-first shape: ONE groupBy(user) exchange; the sequence walk is a
+pure JVM ``aggregate`` HOF fold over each user's sorted (ts, step)
+array — no Python, no per-step self-joins (a k-step funnel as k
+self-joins would shuffle the events table k times; this shuffles it
+once). Per-user event counts bound the fold (the same per-key-bounded
+contract as ``asof.sessionize``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "funnel_summary"]
+
+
+def funnel(
+    df: DataFrame,
+    steps: Iterable[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Per-user funnel progress: (user, steps_completed, t_1..t_k,
+    seconds_to_convert).
+
+    ``within`` is an INTERVAL string (e.g. ``"1 day"``) bounding the
+    whole funnel relative to t₁. Events not matching any step are
+    ignored. Ties (same timestamp as the previous step) do NOT
+    advance — steps are strictly ordered in time, so a single event
+    can never satisfy two steps.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 steps: {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct: {steps}")
+    k = len(steps)
+    ev = df.filter(F.col(step_col).isin(steps)).select(
+        F.col(user_col),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(step_col).alias("_step"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct("_ts", "_step"))).alias("_evs")
+    )
+    # fold state: array of k filled timestamps (nulls while unreached)
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+
+    def step_fold(acc, e):
+        # next unfilled index = count of non-null entries
+        filled = F.size(F.filter(acc, lambda t: t.isNotNull()))
+        out = acc
+        for i, name in enumerate(steps):
+            want = (
+                (filled == i)
+                & (e["_step"] == name)
+                & (
+                    (e["_ts"] > F.element_at(acc, i))  # strictly after prev
+                    if i > 0
+                    else F.lit(True)
+                )
+            )
+            if within is not None and i > 0:
+                want = want & (
+                    e["_ts"]
+                    <= F.element_at(acc, 1) + F.expr(f"INTERVAL {within}")
+                )
+            out = F.when(
+                want,
+                F.concat(
+                    F.slice(acc, 1, i),
+                    F.array(e["_ts"]),
+                    F.slice(acc, i + 2, k - i - 1) if i < k - 1 else F.array().cast("array<timestamp>"),
+                ),
+            ).otherwise(out)
+        return out
+
+    walked = per_user.select(
+        user_col,
+        F.aggregate("_evs", init, step_fold).alias("_t"),
+    )
+    t_cols = [
+        F.element_at("_t", i + 1).alias(f"t_{i + 1}") for i in range(k)
+    ]
+    reached = F.size(F.filter(F.col("_t"), lambda t: t.isNotNull()))
+    convert_sec = F.when(
+        F.element_at("_t", k).isNotNull(),
+        F.unix_timestamp(F.element_at("_t", k))
+        - F.unix_timestamp(F.element_at("_t", 1)),
+    )
+    return walked.select(
+        user_col,
+        reached.alias("steps_completed"),
+        *t_cols,
+        convert_sec.alias("seconds_to_convert"),
+    )
+
+
+def funnel_summary(
+    df: DataFrame,
+    steps: Iterable[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Step-level conversion table: (step, step_name, n_users,
+    conversion_rate) — n_users who completed ≥ step, rate relative to
+    step 1. One extra tiny aggregation over :func:`funnel`."""
+    steps = list(steps)
+    per_user = funnel(
+        df, steps, user_col=user_col, ts_col=ts_col, step_col=step_col,
+        within=within,
+    )
+    counts = (
+        per_user.select(
+            F.explode(
+                F.sequence(F.lit(1), F.col("steps_completed"))
+            ).alias("step")
+        )
+        .groupBy("step")
+        .agg(F.count("*").alias("n_users"))
+    )
+    names = per_user.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    base = counts.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("_base")
+    )
+    return (
+        names.join(counts, on="step", how="left")
+        .withColumn("n_users", F.coalesce("n_users", F.lit(0)))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "step_name",
+            "n_users",
+            F.try_divide(F.col("n_users"), F.col("_base")).alias(
+                "conversion_rate"
+            ),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Funnel analysis: hand-built walks, greedy-earliest semantics,
+window bound, summary rates."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.funnel import funnel, funnel_summary
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, d, h, m), t) for u, d, h, m, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+STEPS = ["click", "view", "purchase"]
+
+
+def test_full_and_partial_walks(spark):
+    rows = [
+        # user 1: full funnel
+        (1, 1, 9, 0, "click"),
+        (1, 1, 10, 0, "view"),
+        (1, 1, 11, 30, "purchase"),
+        # user 2: stops after view
+        (2, 1, 9, 0, "click"),
+        (2, 1, 9, 30, "view"),
+        # user 3: purchase BEFORE click -> only step 1
+        (3, 1, 8, 0, "purchase"),
+        (3, 1, 9, 0, "click"),
+        # user 4: only unrelated events -> excluded entirely
+        (4, 1, 9, 0, "signup"),
+        # user 5: view first, never clicks -> steps_completed 0
+        (5, 1, 9, 0, "view"),
+    ]
+    got = {r["user_id"]: r for r in funnel(_df(spark, rows), STEPS).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["steps_completed"] == 3
+    assert got[1]["seconds_to_convert"] == 2.5 * 3600
+    assert got[2]["steps_completed"] == 2
+    assert got[2]["seconds_to_convert"] is None
+    assert got[3]["steps_completed"] == 1
+    assert got[5]["steps_completed"] == 0
+    assert got[5]["t_1"] is None
+
+
+def test_greedy_earliest_anchor(spark):
+    """t1 anchors at the EARLIEST click even when a later click would
+    convert faster — the documented greedy semantics."""
+    rows = [
+        (1, 1, 9, 0, "click"),
+        (1, 2, 9, 0, "click"),
+        (1, 2, 9, 30, "view"),
+        (1, 2, 10, 0, "purchase"),
+    ]
+    got = funnel(_df(spark, rows), STEPS).first()
+    assert str(got["t_1"]) == "2024-01-01 09:00:00"
+    assert got["steps_completed"] == 3  # later events still within walk
+
+
+def test_within_bound(spark):
+    rows = [
+        (1, 1, 9, 0, "click"),
+        (1, 3, 9, 0, "view"),       # 2 days later -> outside 1 day
+        (1, 3, 10, 0, "purchase"),
+        (2, 1, 9, 0, "click"),
+        (2, 1, 20, 0, "view"),      # same day -> inside
+        (2, 1, 21, 0, "purchase"),
+    ]
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(_df(spark, rows), STEPS, within="1 day").collect()
+    }
+    assert got == {1: 1, 2: 3}
+
+
+def test_strict_ordering_same_timestamp(spark):
+    rows = [
+        (1, 1, 9, 0, "click"),
+        (1, 1, 9, 0, "view"),  # same instant: does NOT advance
+        (1, 1, 10, 0, "view"),
+    ]
+    got = funnel(_df(spark, rows), STEPS).first()
+    assert got["steps_completed"] == 2
+    assert str(got["t_2"]) == "2024-01-01 10:00:00"
+
+
+def test_summary_rates(spark):
+    rows = [
+        (1, 1, 9, 0, "click"), (1, 1, 10, 0, "view"), (1, 1, 11, 0, "purchase"),
+        (2, 1, 9, 0, "click"), (2, 1, 10, 0, "view"),
+        (3, 1, 9, 0, "click"),
+        (4, 1, 9, 0, "click"),
+    ]
+    got = {
+        r["step"]: (r["step_name"], r["n_users"], r["conversion_rate"])
+        for r in funnel_summary(_df(spark, rows), STEPS).collect()
+    }
+    assert got[1] == ("click", 4, 1.0)
+    assert got[2] == ("view", 2, 0.5)
+    assert got[3] == ("purchase", 1, 0.25)
+
+
+def test_validation(spark):
+    df = _df(spark, [(1, 1, 9, 0, "click")])
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(df, ["click"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(df, ["click", "click"])
