@@ -1796,6 +1796,41 @@ LEFT JOIN f3 ON f3.user_id = u.user_id
 """
 
 
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (funnel.cohort_retention): users keyed
+    by first-activity week, counted in each week they return. Two
+    user-keyed aggregations + one user-keyed join + one (cohort,
+    period) aggregation — AQE co-partitions the join at scale."""
+    from temporal_retriever_spark.funnel import cohort_retention
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = cohort_retention(ev, grain="W")
+    return got.select(
+        "cohort", "period", "n_active", "n_cohort",
+        _r6("retention").alias("retention"),
+    )
+
+
+_COHORT_ORACLE = f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) + 6 AS b
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(b) AS c FROM active GROUP BY 1),
+j AS (
+  SELECT co.c AS cohort,
+         CAST(date_diff('day', co.c, a.b) / 7 AS INTEGER) AS period
+  FROM active a JOIN cohort co ON co.user_id = a.user_id
+),
+sizes AS (SELECT c AS cohort, COUNT(*) AS n_cohort FROM cohort GROUP BY 1)
+SELECT j.cohort, j.period, COUNT(*) AS n_active, s.n_cohort,
+       {_sql_r6('COUNT(*) * 1.0 / s.n_cohort')} AS retention
+FROM j JOIN sizes s ON s.cohort = j.cohort
+GROUP BY j.cohort, j.period, s.n_cohort
+"""
+
+
 def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string self-join (fuzzy.fuzzy_join, Gravano et al.
     2001): distinct document sources within 1 edit of each other —
@@ -3905,7 +3940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpss_daily": q_kpss_daily,
         "adf_daily": q_adf_daily,
         "detect_seasonality_daily": q_detect_seasonality_daily,
-        "series_corr_daily": q_series_corr_daily,
+        "cohort_retention_weekly": q_cohort_retention_weekly,
         "funnel_conversion": q_funnel_conversion,
         "forecast_theta_daily": q_forecast_theta_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
@@ -3940,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
         "doc_chunks": q_doc_chunks,
         "winsorize_daily": q_winsorize_daily,
+        "series_corr_daily": q_series_corr_daily,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5669,6 +5705,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_streamed": _INTERVAL_JOIN_STREAMED_ORACLE,
         "fuzzy_source_pairs": _FUZZY_ORACLE,
         "funnel_conversion": _FUNNEL_ORACLE,
+        "cohort_retention_weekly": _COHORT_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_summary"]
+__all__ = ["funnel", "funnel_summary", "cohort_retention"]
 
 
 def funnel(
@@ -158,6 +158,77 @@ def funnel_summary(
             "n_users",
             F.try_divide(F.col("n_users"), F.col("_base")).alias(
                 "conversion_rate"
+            ),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "W",
+    max_periods: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: (cohort, period, n_active, n_cohort,
+    retention) — users grouped by their FIRST activity bucket, counted
+    in each later bucket they return.
+
+    The other events-table OLAP classic next to :func:`funnel`.
+    ``period`` is the bucket offset from the cohort bucket (0 = the
+    signup bucket itself, retention ≡ 1.0 there); ``grain`` is any
+    engine grain (D/W/M/H/min).
+
+    Plan: first-activity per user is one min-aggregation; activity
+    buckets deduplicate per (user, bucket); ONE join back on user (the
+    cohort table is user-sized — at 100 TB both sides are already
+    user-keyed so AQE plans a co-partitioned join) + one final
+    (cohort, period) aggregation. Period arithmetic is native
+    datediff/months_between — no calendars in Python.
+    """
+    from temporal_retriever_spark.grains import bucket_expr, normalize_grain
+
+    g = normalize_grain(grain)
+    b = bucket_expr(ts_col, g)
+    active = df.select(F.col(user_col), b.alias("_b")).dropDuplicates()
+    cohort = active.groupBy(user_col).agg(F.min("_b").alias("_cohort"))
+    if g == "M":
+        period = F.round(
+            F.months_between(F.col("_b"), F.col("_cohort"))
+        ).cast("int")
+    elif g in ("D", "W"):
+        days = 7 if g == "W" else 1
+        period = (
+            F.datediff(F.col("_b"), F.col("_cohort")) / F.lit(days)
+        ).cast("int")
+    else:  # clock grains: exact second arithmetic
+        secs = {"H": 3600, "min": 60}[g]
+        period = (
+            (
+                F.unix_timestamp("_b") - F.unix_timestamp("_cohort")
+            )
+            / F.lit(secs)
+        ).cast("int")
+    joined = active.join(cohort, on=user_col).select(
+        F.col("_cohort").alias("cohort"), period.alias("period")
+    )
+    if max_periods is not None:
+        joined = joined.filter(F.col("period") <= max_periods)
+    sizes = cohort.groupBy(F.col("_cohort").alias("cohort")).agg(
+        F.count("*").alias("n_cohort")
+    )
+    return (
+        joined.groupBy("cohort", "period")
+        .agg(F.count("*").alias("n_active"))
+        .join(sizes, on="cohort")
+        .select(
+            "cohort",
+            "period",
+            "n_active",
+            "n_cohort",
+            F.try_divide(F.col("n_active"), F.col("n_cohort")).alias(
+                "retention"
             ),
         )
     )

@@ -112,3 +112,63 @@ def test_validation(spark):
         funnel(df, ["click"])
     with pytest.raises(ValueError, match="distinct"):
         funnel(df, ["click", "click"])
+
+
+class TestCohortRetention:
+    def test_weekly_matrix(self, spark):
+        from temporal_retriever_spark.funnel import cohort_retention
+
+        rows = [
+            # cohort week of Jan 1 (Mon): users 1, 2
+            (1, datetime(2024, 1, 2, 10), "click"),
+            (1, datetime(2024, 1, 9, 10), "click"),   # back week 1
+            (1, datetime(2024, 1, 23, 10), "view"),   # back week 3
+            (2, datetime(2024, 1, 3, 10), "view"),
+            # cohort week of Jan 8: user 3
+            (3, datetime(2024, 1, 10, 10), "click"),
+            (3, datetime(2024, 1, 17, 10), "click"),  # back week 1
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            (str(r["cohort"]), r["period"]): (
+                r["n_active"], r["n_cohort"], r["retention"]
+            )
+            for r in cohort_retention(df, grain="W").collect()
+        }
+        # week-end Sunday labels: Jan 1 week -> 2024-01-07
+        assert got[("2024-01-07", 0)] == (2, 2, 1.0)
+        assert got[("2024-01-07", 1)] == (1, 2, 0.5)
+        assert got[("2024-01-07", 3)] == (1, 2, 0.5)
+        assert ("2024-01-07", 2) not in got
+        assert got[("2024-01-14", 0)] == (1, 1, 1.0)
+        assert got[("2024-01-14", 1)] == (1, 1, 1.0)
+
+    def test_multiple_events_one_bucket_count_once(self, spark):
+        from temporal_retriever_spark.funnel import cohort_retention
+
+        rows = [
+            (1, datetime(2024, 1, 2, 9), "click"),
+            (1, datetime(2024, 1, 2, 10), "click"),
+            (1, datetime(2024, 1, 2, 11), "view"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = cohort_retention(df, grain="D").collect()
+        assert len(got) == 1
+        assert got[0]["n_active"] == 1 and got[0]["period"] == 0
+
+    def test_max_periods(self, spark):
+        from temporal_retriever_spark.funnel import cohort_retention
+
+        rows = [
+            (1, datetime(2024, 1, 1, 9), "click"),
+            (1, datetime(2024, 3, 1, 9), "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = cohort_retention(df, grain="D", max_periods=7).collect()
+        assert {r["period"] for r in got} == {0}
