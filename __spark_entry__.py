@@ -1796,6 +1796,52 @@ LEFT JOIN f3 ON f3.user_id = u.user_id
 """
 
 
+def q_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (history.scd2_history, the Kimball
+    dimension-versioning classic): each customer's order-status
+    change log collapsed to versions with half-open valid ranges.
+    ONE window exchange does change detection (null-safe lag), range
+    closing (lead) and version numbering. Oracle: the identical
+    two-window SQL with IS DISTINCT FROM."""
+    from temporal_retriever_spark.history import scd2_history
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    got = scd2_history(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return got.select(
+        "o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        "is_current", "version",
+    )
+
+
+_SCD2_ORACLE = """
+WITH obs AS (
+  SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS tb,
+         o_orderstatus AS st
+  FROM orders
+),
+m AS (
+  SELECT k, ts, tb, st,
+         lag(st) OVER (PARTITION BY k ORDER BY ts, tb)
+           IS DISTINCT FROM st AS chg
+  FROM obs
+),
+v AS (SELECT k, ts, tb, st FROM m WHERE chg)
+SELECT k AS o_custkey, st AS o_orderstatus,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       CAST(row_number() OVER w AS INTEGER) AS version
+FROM v
+WINDOW w AS (PARTITION BY k ORDER BY ts, tb)
+"""
+
+
 def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (funnel.cohort_retention): users keyed
     by first-activity week, counted in each week they return. Two
@@ -3938,7 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "ljung_box_daily": q_ljung_box_daily,
         "kpss_daily": q_kpss_daily,
-        "adf_daily": q_adf_daily,
+        "scd2_order_status": q_scd2_order_status,
         "detect_seasonality_daily": q_detect_seasonality_daily,
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "funnel_conversion": q_funnel_conversion,
@@ -3976,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "winsorize_daily": q_winsorize_daily,
         "series_corr_daily": q_series_corr_daily,
+        "adf_daily": q_adf_daily,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5706,6 +5753,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_source_pairs": _FUZZY_ORACLE,
         "funnel_conversion": _FUNNEL_ORACLE,
         "cohort_retention_weekly": _COHORT_ORACLE,
+        "scd2_order_status": _SCD2_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

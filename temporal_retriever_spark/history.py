@@ -1,0 +1,99 @@
+"""Slowly-changing-dimension (SCD type-2) history from a change log,
+and point-in-time snapshots over it.
+
+The warehouse classic (Kimball's type-2 dimension): given a stream of
+observed states (key, ts, attributes…), produce one row per VERSION —
+``valid_from`` / ``valid_to`` half-open ranges, ``is_current``,
+``version`` — collapsing consecutive observations whose attributes
+did not change. ``snapshot_at`` then answers "what did the dimension
+look like at time T?" — the join partner for as-of enrichment
+(``asof.asof_join`` is the event-side view of the same idea; this is
+the dimension-side one).
+
+Plan shape: ONE window exchange per key does everything — change
+detection is a ``lag`` comparison, ``valid_to`` is ``lead``,
+``version`` is a running count of change points (all share the same
+(key, order) window). Snapshots are a pure range filter on the
+history — partition the stored history by ``valid_to IS NULL`` and
+current-state reads never touch closed versions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_history", "snapshot_at"]
+
+
+def scd2_history(
+    changes: DataFrame,
+    *,
+    key_cols: Iterable[str],
+    ts_col: str = "ts",
+    attr_cols: Iterable[str] | None = None,
+    tiebreak_cols: Iterable[str] = (),
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Build the type-2 history.
+
+    Output: key cols + attr cols + (valid_from, valid_to, is_current,
+    version). Ranges are half-open ``[valid_from, valid_to)`` with
+    NULL ``valid_to`` on the current version; ``version`` counts from
+    1 per key in time order. ``tiebreak_cols`` make same-timestamp
+    observations deterministic (pass a change-log sequence/id column).
+    ``collapse_unchanged=False`` keeps every observation as a version.
+    """
+    key_cols = list(key_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if attr_cols is None:
+        attr_cols = [
+            c
+            for c in changes.columns
+            if c not in key_cols and c != ts_col and c not in tiebreak_cols
+        ]
+    attr_cols = list(attr_cols)
+    if not attr_cols:
+        raise ValueError("no attribute columns to track")
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    # eqNullSafe: NULL attribute values compare as equal to NULL (no
+    # spurious versions), and the first row (lag NULL) is a change
+    changed = (
+        ~F.lag(cur).over(w).eqNullSafe(cur)
+        if collapse_unchanged
+        else F.lit(True)
+    )
+    marked = changes.select(
+        *key_cols,
+        F.col(ts_col),
+        *tiebreak_cols,
+        *attr_cols,
+        changed.alias("_chg"),
+    )
+    versions = marked.filter(F.col("_chg"))
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+    return versions.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+def snapshot_at(history: DataFrame, ts, *, ts_type: str = "timestamp") -> DataFrame:
+    """Point-in-time view: the version of each key valid at ``ts``
+    (half-open ranges: ``valid_from <= ts < valid_to``). Keys that did
+    not exist yet are absent. A pure filter — rides the history scan,
+    prunes to current-only when ``ts`` ≥ every close time."""
+    t = F.lit(ts).cast(ts_type)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("is_current")
