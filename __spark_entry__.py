@@ -1796,6 +1796,38 @@ LEFT JOIN f3 ON f3.user_id = u.user_id
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    timeline (funnel.transition_matrix): one (user, time) window pass
+    forms consecutive pairs, one count aggregation, row-normalized
+    probabilities. Deterministic same-instant tie order (ts, step)
+    mirrored in the oracle."""
+    from temporal_retriever_spark.funnel import transition_matrix
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = transition_matrix(ev)
+    return got.select(
+        "from_step", "to_step", "n", _r6("p").alias("p")
+    )
+
+
+_TRANSITIONS_ORACLE = f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_type) AS from_step,
+         event_type AS to_step
+  FROM events
+),
+c AS (
+  SELECT from_step, to_step, COUNT(*) AS n
+  FROM pairs WHERE from_step IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_step, to_step, n,
+       {_sql_r6('n * 1.0 / SUM(n) OVER (PARTITION BY from_step)')} AS p
+FROM c
+"""
+
+
 def q_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD history (history.scd2_history, the Kimball
     dimension-versioning classic): each customer's order-status
@@ -3990,7 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "forecast_theta_daily": q_forecast_theta_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
-        "forecast_ar_daily": q_forecast_ar_daily,
+        "event_transitions": q_event_transitions,
         "multi_grain_rollup": q_multi_grain_rollup,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
         "sq8_codes": q_sq8_codes,
@@ -4023,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_daily": q_winsorize_daily,
         "series_corr_daily": q_series_corr_daily,
         "adf_daily": q_adf_daily,
+        "forecast_ar_daily": q_forecast_ar_daily,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5754,6 +5787,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": _FUNNEL_ORACLE,
         "cohort_retention_weekly": _COHORT_ORACLE,
         "scd2_order_status": _SCD2_ORACLE,
+        "event_transitions": _TRANSITIONS_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

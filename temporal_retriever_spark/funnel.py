@@ -25,10 +25,10 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_summary", "cohort_retention"]
+__all__ = ["funnel", "funnel_summary", "cohort_retention", "transition_matrix"]
 
 
 def funnel(
@@ -231,4 +231,46 @@ def cohort_retention(
                 "retention"
             ),
         )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    normalize: bool = True,
+) -> DataFrame:
+    """First-order Markov transitions over each user's event timeline:
+    (from_step, to_step, n, p) where p is the row-normalized
+    transition probability. The path-analysis companion to
+    :func:`funnel` (which checks ONE ordered pattern; this summarizes
+    ALL observed consecutive behavior).
+
+    One (user, time-order) window pass forms consecutive pairs
+    (deterministic tie order: ts then step), one aggregation counts
+    them; normalization is a window over the tiny (from, to) count
+    table. Identical lag semantics mirror in SQL.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "to_step")
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(step_col).alias("to_step"),
+        )
+        .withColumn("from_step", F.lag("to_step").over(w))
+        .filter(F.col("from_step").isNotNull())
+        .groupBy("from_step", "to_step")
+        .agg(F.count("*").alias("n"))
+    )
+    if not normalize:
+        return pairs
+    wtot = Window.partitionBy("from_step")
+    return pairs.select(
+        "from_step",
+        "to_step",
+        "n",
+        (F.col("n") / F.sum("n").over(wtot)).alias("p"),
     )

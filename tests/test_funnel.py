@@ -172,3 +172,29 @@ class TestCohortRetention:
         )
         got = cohort_retention(df, grain="D", max_periods=7).collect()
         assert {r["period"] for r in got} == {0}
+
+
+def test_transition_matrix(spark):
+    from temporal_retriever_spark.funnel import transition_matrix
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), "a"),
+        (1, datetime(2024, 1, 1, 10), "b"),
+        (1, datetime(2024, 1, 1, 11), "a"),
+        (2, datetime(2024, 1, 1, 9), "a"),
+        (2, datetime(2024, 1, 1, 10), "b"),
+        (2, datetime(2024, 1, 1, 11), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_step"], r["to_step"]): (r["n"], r["p"])
+        for r in transition_matrix(df).collect()
+    }
+    # pairs: u1: a->b, b->a; u2: a->b, b->b
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "b")] == (1, 0.5)
+    raw = transition_matrix(df, normalize=False).columns
+    assert "p" not in raw
