@@ -1985,7 +1985,7 @@ codes AS (
   JOIN dims d ON d.dim = t.i
 )
 SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS n_dims,
-       SUM(code) AS code_sum,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
        md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS codes_md5
 FROM codes GROUP BY vec_id
 """
@@ -2074,7 +2074,8 @@ _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 _MIX_PLAN_SQL = """
     WITH a AS (
         SELECT source,
-               SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS available_tokens
+               CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+                   AS available_tokens
         FROM documents WHERE source IN ('src0', 'src1', 'src2')
         GROUP BY 1
     ),
