@@ -289,3 +289,60 @@ def test_dsir_select_is_take_ordered(spark, docs):
     # top-k via per-partition heaps + driver merge, not a global sort
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+@pytest.fixture(scope="module")
+def user_events(spark):
+    from datetime import datetime, timedelta
+
+    rows = [
+        (u, datetime(2024, 1, 1) + timedelta(hours=u * 7 + i),
+         ["click", "view", "purchase"][i % 3])
+        for u in range(20)
+        for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_single_exchange_no_python(spark, user_events):
+    from temporal_retriever_spark.funnel import funnel
+
+    plan = _plan(funnel(user_events, ["click", "view", "purchase"]))
+    assert _exchanges(plan) == 1
+    assert "Python" not in plan
+
+
+def test_scd2_single_window_exchange(spark, user_events):
+    from temporal_retriever_spark.history import scd2_history
+
+    plan = _plan(
+        scd2_history(
+            user_events, key_cols=["user_id"], ts_col="ts",
+            attr_cols=["event_type"],
+        )
+    )
+    assert _exchanges(plan) == 1
+    assert "Python" not in plan
+
+
+def test_fuzzy_join_no_python_native_levenshtein(spark, docs):
+    from temporal_retriever_spark.fuzzy import fuzzy_join
+
+    plan = _plan(
+        fuzzy_join(
+            docs, docs.selectExpr("source as source_r"),
+            left_col="source", right_col="source_r", max_distance=1, q=2,
+        )
+    )
+    assert "Python" not in plan
+    assert "levenshtein" in plan
+
+
+def test_transition_matrix_two_exchanges(spark, user_events):
+    from temporal_retriever_spark.funnel import transition_matrix
+
+    plan = _plan(transition_matrix(user_events))
+    assert _exchanges(plan) <= 3  # lag window + count agg (+ tiny normalize)
+    assert "Python" not in plan
