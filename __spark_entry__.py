@@ -1796,6 +1796,51 @@ LEFT JOIN f3 ON f3.user_id = u.user_id
 """
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users per event type
+    (rolling.rolling_distinct): the metric where exact counts don't
+    decompose over windows. Both paths run — the exact per-bucket-set
+    path is hash-matched against the oracle's range-join distinct
+    count, and the HLL sketch path (the 100-TB design: kilobyte
+    mergeable sketches shuffle, ids don't) is accuracy-gated within
+    max(2, 5%) of exact."""
+    from temporal_retriever_spark.rolling import rolling_distinct
+
+    ev = _events_long(spark, sf_dir).select(
+        "event_type", "ds", "user_id"
+    )
+    kw = dict(
+        entity_col="user_id", series_cols=("event_type",), window_buckets=7
+    )
+    exact = rolling_distinct(ev, method="exact", **kw)
+    sk = rolling_distinct(ev, method="sketch", **kw).withColumnRenamed(
+        "n_distinct", "_est"
+    )
+    return exact.join(sk, on=["event_type", "ds"]).select(
+        "event_type",
+        "ds",
+        "n_distinct",
+        (
+            F.abs(F.col("_est") - F.col("n_distinct"))
+            <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_distinct"))
+        ).alias("sketch_ok"),
+    )
+
+
+_ROLLING_DISTINCT_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT event_type, d FROM b)
+SELECT dy.event_type, dy.d AS ds,
+       (SELECT COUNT(DISTINCT x.user_id) FROM b x
+        WHERE x.event_type = dy.event_type
+          AND x.d BETWEEN dy.d - 6 AND dy.d) AS n_distinct,
+       TRUE AS sketch_ok
+FROM days dy
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     timeline (funnel.transition_matrix): one (user, time) window pass
@@ -4016,7 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_source_pairs": q_fuzzy_source_pairs,
         "packed_sequences": q_packed_sequences,
         "ljung_box_daily": q_ljung_box_daily,
-        "kpss_daily": q_kpss_daily,
+        "rolling_distinct_users": q_rolling_distinct_users,
         "scd2_order_status": q_scd2_order_status,
         "detect_seasonality_daily": q_detect_seasonality_daily,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -4057,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_corr_daily": q_series_corr_daily,
         "adf_daily": q_adf_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
+        "kpss_daily": q_kpss_daily,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5789,6 +5835,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_weekly": _COHORT_ORACLE,
         "scd2_order_status": _SCD2_ORACLE,
         "event_transitions": _TRANSITIONS_ORACLE,
+        "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

@@ -745,3 +745,79 @@ def anomaly_seasonal(
         )
         .drop("_med", "_mad")
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str = "ds",
+    series_cols: Iterable[str] = ("series_id",),
+    window_buckets: int = 7,
+    grain: str = "D",
+    method: str = "sketch",
+    lgk: int = 12,
+) -> DataFrame:
+    """Rolling distinct-entity counts (e.g. 7-day active users) per
+    series bucket: (series…, ds, n_distinct).
+
+    Distinct counts don't decompose over windows (yesterday's users
+    overlap today's), so the naive plan re-scans ``window_buckets``
+    days of raw events per output row. Both paths here reduce the
+    corpus ONCE to per-bucket state and merge state over the window:
+
+    * ``method="sketch"`` — the 100-TB path: one ``hll_sketch_agg``
+      per (series, bucket) (Apache DataSketches HLL, mergeable,
+      ~2^lgk bytes), then ONE range-window ``hll_union_agg`` merge.
+      Shuffles carry kilobyte sketches, never entity ids; standard
+      error ≈ 1.04/√2^lgk (~1.6% at the default lgk=12).
+    * ``method="exact"`` — per-bucket ``collect_set`` then a window
+      flatten+distinct. Exact, but window memory is the distinct-set
+      size — the verification / small-cardinality path.
+
+    The window is ``window_buckets`` buckets ending at (and including)
+    the current one, range-based on event time — gaps in the calendar
+    count as empty buckets, not skipped ones.
+    """
+    from temporal_retriever_spark.grains import bucket_expr, normalize_grain
+
+    g = normalize_grain(grain)
+    secs = {"D": 86400, "W": 7 * 86400, "H": 3600, "min": 60}.get(g)
+    if secs is None:
+        raise ValueError(
+            f"grain {grain!r} has no fixed span for a range window "
+            "(month windows: bucket to D and use window_buckets=28/30/31)"
+        )
+    if window_buckets < 1:
+        raise ValueError(f"window_buckets must be >= 1: {window_buckets}")
+    series_cols = list(series_cols)
+    b = bucket_expr(ts_col, g)
+    base = df.select(*series_cols, b.alias("_b"), F.col(entity_col))
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col("_b").cast("timestamp").cast("long"))
+        .rangeBetween(-(window_buckets - 1) * secs, 0)
+    )
+    if method == "sketch":
+        daily = base.groupBy(*series_cols, "_b").agg(
+            F.hll_sketch_agg(entity_col, F.lit(lgk)).alias("_sk")
+        )
+        return daily.select(
+            *series_cols,
+            F.col("_b").alias(ts_col),
+            F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w)).alias(
+                "n_distinct"
+            ),
+        )
+    if method == "exact":
+        daily = base.groupBy(*series_cols, "_b").agg(
+            F.collect_set(entity_col).alias("_set")
+        )
+        return daily.select(
+            *series_cols,
+            F.col("_b").alias(ts_col),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("_set").over(w)))
+            ).cast("long").alias("n_distinct"),
+        )
+    raise ValueError(f"unknown method: {method!r} (use 'sketch' or 'exact')")

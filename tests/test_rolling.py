@@ -612,3 +612,64 @@ def test_anomaly_seasonal_validation(spark):
 
     with pytest.raises(ValueError):
         anomaly_seasonal(_seasonal_series(spark), period=7, threshold=0.0)
+
+
+class TestRollingDistinct:
+    def _events(self, spark):
+        from datetime import datetime
+
+        rows = []
+        # series s: user u active on day d
+        for d, users in enumerate([[1, 2], [2, 3], [3], [], [1], [4, 5], [1]]):
+            for u in users:
+                rows.append(("s", datetime(2024, 1, 1 + d, 12), u))
+        return spark.createDataFrame(rows, "series_id string, ds timestamp, user_id long")
+
+    def test_exact_rolling_3day(self, spark):
+        from temporal_retriever_spark.rolling import rolling_distinct
+
+        got = {
+            str(r["ds"]): r["n_distinct"]
+            for r in rolling_distinct(
+                self._events(spark), entity_col="user_id",
+                window_buckets=3, method="exact",
+            ).collect()
+        }
+        # day1:{1,2} day2:{2,3} day3:{3} day5:{1} day6:{4,5} day7:{1}
+        assert got["2024-01-01"] == 2          # {1,2}
+        assert got["2024-01-02"] == 3          # {1,2,3}
+        assert got["2024-01-03"] == 3          # {1,2,3}
+        assert got["2024-01-05"] == 2          # day3..5 -> {3,1}
+        assert got["2024-01-07"] == 3          # day5..7 -> {1,4,5}
+        assert "2024-01-04" not in got         # no events that bucket
+
+    def test_sketch_matches_exact_at_small_cardinality(self, spark, tables):
+        from temporal_retriever_spark.rolling import rolling_distinct
+
+        ev = tables["events"].select(
+            "event_type", F.col("ts").alias("ds"), "user_id"
+        )
+        kw = dict(entity_col="user_id", series_cols=("event_type",),
+                  window_buckets=7)
+        exact = {
+            (r["event_type"], str(r["ds"])): r["n_distinct"]
+            for r in rolling_distinct(ev, method="exact", **kw).collect()
+        }
+        est = {
+            (r["event_type"], str(r["ds"])): r["n_distinct"]
+            for r in rolling_distinct(ev, method="sketch", **kw).collect()
+        }
+        assert set(exact) == set(est)
+        for k, v in exact.items():
+            assert abs(est[k] - v) <= max(2, 0.05 * v), (k, est[k], v)
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.rolling import rolling_distinct
+
+        df = self._events(spark)
+        with pytest.raises(ValueError, match="window_buckets"):
+            rolling_distinct(df, entity_col="user_id", window_buckets=0)
+        with pytest.raises(ValueError, match="no fixed span"):
+            rolling_distinct(df, entity_col="user_id", grain="M")
+        with pytest.raises(ValueError, match="unknown method"):
+            rolling_distinct(df, entity_col="user_id", method="x")
