@@ -1796,6 +1796,86 @@ LEFT JOIN f3 ON f3.user_id = u.user_id
 """
 
 
+def q_dq_checks_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (quality.check_constraints, the
+    deequ recipe): completeness, key uniqueness, value bounds, domain
+    containment and row-count gates over lineitem — ALL metrics in ONE
+    aggregation job (one scan regardless of suite size). The oracle
+    recomputes every metric and gate in SQL."""
+    from temporal_retriever_spark.quality import (
+        bounds,
+        check_constraints,
+        completeness,
+        contained_in,
+        row_count,
+        uniqueness,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    got = check_constraints(
+        li,
+        [
+            completeness("l_orderkey"),
+            completeness("l_shipdate", min_ratio=0.5),
+            uniqueness(["l_orderkey", "l_linenumber"]),
+            bounds("l_quantity", minimum=0.0, maximum=100.0),
+            bounds("l_discount", minimum=0.0, maximum=0.2),
+            contained_in("l_returnflag", ["A", "N", "R"]),
+            row_count(minimum=1),
+        ],
+    )
+    return got.select(
+        "check", "column", _r6("metric").alias("metric"),
+        _r6("threshold").alias("threshold"), "passed",
+    )
+
+
+_DQ_ORACLE = f"""
+WITH m AS (
+  SELECT COUNT(l_orderkey) * 1.0 / COUNT(*) AS c_ok,
+         COUNT(l_shipdate) * 1.0 / COUNT(*) AS c_comment,
+         COUNT(DISTINCT (l_orderkey, l_linenumber)) * 1.0 / COUNT(*) AS uniq,
+         CAST(MIN(l_quantity) AS DOUBLE) AS qmin,
+         CAST(MAX(l_quantity) AS DOUBLE) AS qmax,
+         CAST(MIN(l_discount) AS DOUBLE) AS dmin,
+         CAST(MAX(l_discount) AS DOUBLE) AS dmax,
+         SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+           * 1.0 / COUNT(*) AS dom,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'completeness' AS "check", 'l_orderkey' AS "column",
+         {_sql_r6('c_ok')} AS metric, {_sql_r6('1.0')} AS threshold,
+         c_ok >= 1.0 AS passed FROM m
+  UNION ALL
+  SELECT 'completeness', 'l_shipdate', {_sql_r6('c_comment')},
+         {_sql_r6('0.5')}, c_comment >= 0.5 FROM m
+  UNION ALL
+  SELECT 'uniqueness', 'l_orderkey,l_linenumber', {_sql_r6('uniq')},
+         {_sql_r6('1.0')}, uniq >= 1.0 FROM m
+  UNION ALL
+  SELECT 'min_bound', 'l_quantity', {_sql_r6('qmin')}, {_sql_r6('0.0')},
+         qmin >= 0.0 FROM m
+  UNION ALL
+  SELECT 'max_bound', 'l_quantity', {_sql_r6('qmax')}, {_sql_r6('100.0')},
+         qmax <= 100.0 FROM m
+  UNION ALL
+  SELECT 'min_bound', 'l_discount', {_sql_r6('dmin')}, {_sql_r6('0.0')},
+         dmin >= 0.0 FROM m
+  UNION ALL
+  SELECT 'max_bound', 'l_discount', {_sql_r6('dmax')}, {_sql_r6('0.2')},
+         dmax <= 0.2 FROM m
+  UNION ALL
+  SELECT 'contained_in', 'l_returnflag', {_sql_r6('dom')}, {_sql_r6('1.0')},
+         dom >= 1.0 FROM m
+  UNION ALL
+  SELECT 'row_count_min', '*', {_sql_r6('n')}, {_sql_r6('1.0')},
+         n >= 1.0 FROM m
+)
+"""
+
+
 def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling distinct users per event type
     (rolling.rolling_distinct): the metric where exact counts don't
@@ -4073,7 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
         "sq8_codes": q_sq8_codes,
         "embedding_outliers": q_embedding_outliers,
-        "quality_prune": q_quality_prune,
+        "dq_checks_lineitem": q_dq_checks_lineitem,
         "mixture_plan": q_mixture_plan,
         "gopher_filter": q_gopher_filter,
         "contamination_5gram": q_contamination_5gram,
@@ -4103,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adf_daily": q_adf_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
         "kpss_daily": q_kpss_daily,
+        "quality_prune": q_quality_prune,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_sample_k": q_corpus_sample_k,
@@ -5836,6 +5917,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_order_status": _SCD2_ORACLE,
         "event_transitions": _TRANSITIONS_ORACLE,
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
+        "dq_checks_lineitem": _DQ_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

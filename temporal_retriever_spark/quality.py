@@ -1,0 +1,151 @@
+"""Data-quality constraint validation — the deequ-style expectation
+suite (Schelter et al. 2018, "Automating Large-Scale Data Quality
+Verification", VLDB — public) as a single aggregation pass.
+
+Every check compiles to an aggregate expression over the SAME
+``df.agg(...)`` call, so a suite of N checks costs ONE job and one
+scan regardless of N (count-distinct checks ride the same aggregation
+via Spark's Expand). The result is a tidy (check, column, metric,
+threshold, passed) frame — gate a pipeline stage on
+``passed = all``, or store the metrics time series and alert on
+drift.
+
+Checks:
+
+* ``completeness(col, min_ratio)`` — non-null fraction ≥ threshold
+* ``uniqueness(cols, min_ratio)`` — distinct/total ≥ threshold (1.0 =
+  primary key)
+* ``bounds(col, min/max)`` — observed min/max inside limits
+* ``contained_in(col, values, min_ratio)`` — fraction of rows whose
+  value is in the allowed set
+* ``row_count(min/max)`` — table size window
+* ``non_negative(col)`` — shorthand bounds(col, min=0)
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "completeness",
+    "uniqueness",
+    "bounds",
+    "contained_in",
+    "row_count",
+    "non_negative",
+    "check_constraints",
+]
+
+
+class Check(NamedTuple):
+    name: str
+    column: str
+    metric: Column
+    threshold: float
+    # metric `op` threshold ⇒ passed
+    op: str  # ">=" or "<="
+
+
+def completeness(col: str, *, min_ratio: float = 1.0) -> Check:
+    m = F.try_divide(
+        F.count(col).cast("double"), F.count(F.lit(1)).cast("double")
+    )
+    return Check("completeness", col, m, float(min_ratio), ">=")
+
+
+def uniqueness(cols: list[str] | tuple[str, ...] | str, *, min_ratio: float = 1.0) -> Check:
+    """distinct(cols)/rows. SQL COUNT DISTINCT semantics: tuples with
+    any NULL component don't count as distinct values — pair with
+    ``completeness`` when the key must also be non-null."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    m = F.try_divide(
+        F.count_distinct(*[F.col(c) for c in cols]).cast("double"),
+        F.count(F.lit(1)).cast("double"),
+    )
+    return Check("uniqueness", ",".join(cols), m, float(min_ratio), ">=")
+
+
+def bounds(col: str, *, minimum: float | None = None, maximum: float | None = None) -> list[Check]:
+    out = []
+    if minimum is not None:
+        out.append(
+            Check("min_bound", col, F.min(col).cast("double"), float(minimum), ">=")
+        )
+    if maximum is not None:
+        out.append(
+            Check("max_bound", col, F.max(col).cast("double"), float(maximum), "<=")
+        )
+    if not out:
+        raise ValueError("bounds needs minimum and/or maximum")
+    return out
+
+
+def contained_in(col: str, values, *, min_ratio: float = 1.0) -> Check:
+    values = list(values)
+    if not values:
+        raise ValueError("values must be non-empty")
+    m = F.try_divide(
+        F.sum(F.col(col).isin(values).cast("long")).cast("double"),
+        F.count(F.lit(1)).cast("double"),
+    )
+    return Check("contained_in", col, m, float(min_ratio), ">=")
+
+
+def row_count(*, minimum: int = 1, maximum: int | None = None) -> list[Check]:
+    out = [
+        Check("row_count_min", "*", F.count(F.lit(1)).cast("double"), float(minimum), ">=")
+    ]
+    if maximum is not None:
+        out.append(
+            Check("row_count_max", "*", F.count(F.lit(1)).cast("double"), float(maximum), "<=")
+        )
+    return out
+
+
+def non_negative(col: str) -> list[Check]:
+    return bounds(col, minimum=0.0)
+
+
+def _flatten(checks) -> list[Check]:
+    flat: list[Check] = []
+    for c in checks:
+        if isinstance(c, Check):
+            flat.append(c)
+        else:
+            flat.extend(c)
+    if not flat:
+        raise ValueError("no checks given")
+    names = [(c.name, c.column) for c in flat]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate checks: {names}")
+    return flat
+
+
+def check_constraints(df: DataFrame, checks) -> DataFrame:
+    """Evaluate a suite in ONE aggregation: (check, column, metric,
+    threshold, passed). ``checks`` is any mix of Check values and the
+    lists returned by ``bounds``/``row_count``/``non_negative``."""
+    flat = _flatten(checks)
+    aggs = [
+        c.metric.alias(f"_m{i}") for i, c in enumerate(flat)
+    ]
+    row = df.agg(*aggs)
+    parts = []
+    for i, c in enumerate(flat):
+        m = F.col(f"_m{i}")
+        ok = (m >= F.lit(c.threshold)) if c.op == ">=" else (m <= F.lit(c.threshold))
+        parts.append(
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.column).alias("column"),
+                m.alias("metric"),
+                F.lit(c.threshold).alias("threshold"),
+                F.coalesce(ok, F.lit(False)).alias("passed"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("_c")).select(
+        "_c.check", "_c.column", "_c.metric", "_c.threshold", "_c.passed"
+    )
