@@ -134,7 +134,11 @@ def funnel_summary(
         within=within,
     )
     counts = (
-        per_user.select(
+        # sequence(1, 0) would yield [1, 0] (Spark's default -1 step),
+        # silently counting zero-step users as step-1 completers —
+        # filter them out before the explode
+        per_user.filter(F.col("steps_completed") >= 1)
+        .select(
             F.explode(
                 F.sequence(F.lit(1), F.col("steps_completed"))
             ).alias("step")

@@ -91,12 +91,14 @@ def fuzzy_join(
     # original strings are what the output carries
     norm_l = F.lower(F.trim(F.coalesce(F.col(left_col), F.lit(""))))
     norm_r = F.lower(F.trim(F.coalesce(F.col(right_col), F.lit(""))))
+    # dedupe on the RAW string (plus ids): distinct raw variants that
+    # normalize identically must each appear in the output pairs
     l = left.select(
         *lid, F.col(left_col).alias("_lraw"), norm_l.alias("_ls")
-    ).dropDuplicates([*lid, "_ls"])
+    ).dropDuplicates([*lid, "_lraw"])
     r = right.select(
         *rid, F.col(right_col).alias("_rraw"), norm_r.alias("_rs")
-    ).dropDuplicates([*rid, "_rs"])
+    ).dropDuplicates([*rid, "_rraw"])
     lg = l.select(
         *lid, "_lraw", "_ls", F.explode(qgrams_expr("_ls", q)).alias("_g")
     ).dropDuplicates()

@@ -147,7 +147,11 @@ def nb_score(
     )
     joined = (
         occ.crossJoin(F.broadcast(lab))
-        .join(F.broadcast(model.token_counts), ["label", "token"], "left")
+        # no broadcast HINT on token_counts: a char-gram model is tiny
+        # (AQE broadcasts it), but a word-unit model is |labels|·|vocab|
+        # rows — corpus-scaled — and forcing it onto every executor
+        # would OOM where a plain shuffle join completes
+        .join(model.token_counts, ["label", "token"], "left")
         .select(
             id_col,
             "label",

@@ -307,7 +307,7 @@ def pq_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)
     )
-    if refine and refine > 1:
+    if refine and refine >= 1:
         cand = (
             scored.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= k * refine)
@@ -724,7 +724,7 @@ def ivfpq_topk(
         F.col("score").desc(), F.col(id_col)
     )
     ranked = scored.withColumn("rank", F.row_number().over(w))
-    if refine and refine > 1:
+    if refine and refine >= 1:
         cand = ranked.filter(F.col("rank") <= k * refine).select(
             query_id_col, id_col
         )

@@ -87,10 +87,19 @@ def bm25_topk(
         F.countDistinct(id_col).alias("_n"),
         (F.sum("tf") / F.countDistinct(id_col)).alias("_avgdl"),
     )
-    df_tbl = index.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(_terms(F.col(query_text_col)))).alias("term"),
+    )
+    # document frequencies only for the QUERY terms (semi-join first):
+    # the full-vocabulary df table is corpus-sized and must never be
+    # aggregated — let alone broadcast — for a handful of queries
+    df_tbl = (
+        index.join(
+            F.broadcast(qterms.select("term").distinct()), on="term", how="left_semi"
+        )
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
     )
     scored = (
         index.join(F.broadcast(qterms), on="term")

@@ -97,6 +97,14 @@ def binseg_changepoints(
         raise ValueError(f"max_changepoints must be >= 1: {max_changepoints}")
     series_cols = list(series_cols)
     spark = df.sparkSession
+    drop_key = False
+    if not series_cols:
+        # keyless global series: inject a constant key internally (the
+        # split evaluation single-partitions one series — inherent to a
+        # global ordered series, same note as rolling's keyless mode)
+        df = df.withColumn("_series", F.lit(1))
+        series_cols = ["_series"]
+        drop_key = True
     rows = _prefix(
         df.filter(F.col(value_col).isNotNull()), series_cols, ts_col, value_col
     ).persist()
@@ -168,8 +176,14 @@ def binseg_changepoints(
             )
             if not best:
                 break
-            # driver update: replace each split segment with its children
-            for r in best:
+            # driver update: replace each split segment with its
+            # children. DETERMINISTIC order — highest gain first, ties
+            # to the smaller split index — so a binding
+            # max_changepoints cap always keeps the same set (collect()
+            # row order is arbitrary). NOTE: the recursive-CTE oracle
+            # mirror applies only while the cap does NOT bind (penalty-
+            # only stopping); a binding cap keeps the top-gain splits.
+            for r in sorted(best, key=lambda r: (-r["_gain"], r["_rn"])):
                 k = tuple(r[c] for c in series_cols)
                 if len(accepted[k]) >= max_changepoints:
                     continue
@@ -183,7 +197,7 @@ def binseg_changepoints(
             for (cp, g, lo, hi) in lst
         ]
         if not cp_rows:
-            return (
+            out = (
                 rows.select(*series_cols, ts_col)
                 .limit(0)
                 .select(
@@ -195,11 +209,12 @@ def binseg_changepoints(
                     F.lit(0).alias("seg_hi"),
                 )
             )
+            return out.drop("_series") if drop_key else out
         cp_df = spark.createDataFrame(
             cp_rows,
             f"{key_fields}, cp_index int, gain double, seg_lo int, seg_hi int",
         )
-        return (
+        out = (
             cp_df.join(
                 rows.select(
                     *series_cols, F.col("_rn").alias("cp_index"), ts_col
@@ -209,6 +224,7 @@ def binseg_changepoints(
                 *series_cols, ts_col, "cp_index", "gain", "seg_lo", "seg_hi"
             )
         )
+        return out.drop("_series") if drop_key else out
     finally:
         rows.unpersist()
 

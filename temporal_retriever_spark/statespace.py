@@ -291,11 +291,14 @@ def garch_volatility(
         out["y"] = ys.astype(object).where(pd.notna(ys), None)
         out["resid"] = resid.astype(object).where(pd.notna(resid), None)
         # math.sqrt, not **0.5: sqrt is correctly rounded IEEE on both
-        # engines, pow(x, 0.5) need not be — keeps the oracle bit-exact
+        # engines, pow(x, 0.5) need not be — keeps the oracle bit-exact.
+        # A constant series under variance targeting gives sigma2 == 0
+        # (omega = 0): score z as NULL instead of dividing by zero —
+        # one dead-flat sensor must not abort a fleet-wide run
         out["sigma2"] = sig2
         out["sigma"] = [math.sqrt(s) for s in sig2]
         out["z"] = [
-            None if pd.isna(e) else float(e) / math.sqrt(s)
+            None if (pd.isna(e) or s <= 0.0) else float(e) / math.sqrt(s)
             for e, s in zip(resid, sig2)
         ]
         return out

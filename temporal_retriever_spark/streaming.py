@@ -717,4 +717,11 @@ def streaming_interval_join(
     )
     cond = rng if cond is None else cond & rng
     out = l.join(r, cond, how)
+    # collapse the key pair to ONE column that survives null-extension
+    # on EITHER side (rightOuter/fullOuter rows have a NULL left key —
+    # dropping the right copy would lose the key entirely)
+    for k in keys:
+        out = out.withColumn(
+            k, F.coalesce(F.col(k), F.col(k + right_suffix))
+        )
     return out.drop(*[k + right_suffix for k in keys])

@@ -499,3 +499,116 @@ def test_detect_seasonality_oracle_degenerate_null():
     out = con.execute(e.oracle_sql()["detect_seasonality_daily"]).df()
     con.close()
     assert out.period.isna().all()
+
+
+# ---- round-4b code-review findings (second review pass) ----
+
+
+def test_funnel_summary_excludes_zero_step_users(spark):
+    """sequence(1, 0) yields [1, 0] in Spark — zero-step users must not
+    count as step-1 completers."""
+    from datetime import datetime
+
+    from temporal_retriever_spark.funnel import funnel_summary
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), "click"),
+        (1, datetime(2024, 1, 1, 10), "view"),
+        (2, datetime(2024, 1, 1, 9), "view"),   # never clicks
+        (3, datetime(2024, 1, 1, 9), "view"),   # never clicks
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step"]: (r["n_users"], r["conversion_rate"])
+        for r in funnel_summary(df, ["click", "view"]).collect()
+    }
+    assert got[1] == (1, 1.0)
+    assert got[2] == (1, 1.0)
+
+
+def test_garch_constant_series_yields_null_z(spark):
+    """Variance targeting on a flat series gives sigma2 == 0; z must be
+    NULL, not a ZeroDivisionError that kills the fleet-wide job."""
+    from temporal_retriever_spark.statespace import garch_volatility
+
+    df = spark.createDataFrame(
+        [("s", i, 5.0) for i in range(10)],
+        "series_id string, ds int, y double",
+    )
+    got = sorted(
+        garch_volatility(df, alpha=0.1, beta=0.8).collect(),
+        key=lambda r: r["ds"],
+    )
+    assert len(got) == 10
+    # targeting: s2 = var(y) = 0, so sigma2[0] == 0 -> NULL z (was a
+    # ZeroDivisionError); resid = y (no demean) re-inflates later steps
+    assert got[0]["sigma2"] == 0.0 and got[0]["z"] is None
+    assert all(r["sigma2"] > 0 and r["z"] is not None for r in got[1:])
+
+    # demeaned flat series: resid == 0 everywhere -> sigma2 stays 0,
+    # every z NULL, still no crash
+    got2 = garch_volatility(df, alpha=0.1, beta=0.8, demean=True).collect()
+    assert all(r["sigma2"] == 0.0 and r["z"] is None for r in got2)
+
+
+def test_fuzzy_join_keeps_all_raw_variants(spark):
+    """Raw strings that normalize identically each get their own output
+    pairs — dedup is on the raw form, not the normalized key."""
+    from temporal_retriever_spark.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([("ACME",), ("acme ",)], "s string")
+    right = spark.createDataFrame([("acne",)], "t string")
+    got = {
+        r["s"]
+        for r in fuzzy_join(
+            left, right, left_col="s", right_col="t", max_distance=1, q=2
+        ).collect()
+    }
+    assert got == {"ACME", "acme "}
+
+
+def test_binseg_keyless_global_series(spark):
+    """series_cols=() runs as one global series instead of crashing on
+    a malformed schema string."""
+    import math
+
+    from temporal_retriever_spark.segmentation import binseg_changepoints
+
+    rows = [
+        (i, (0.0 if i < 30 else 8.0) + 0.1 * math.sin(7.0 * i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "ds int, y double")
+    got = binseg_changepoints(df, penalty=10.0, series_cols=()).collect()
+    assert [r["cp_index"] for r in got] == [30]
+    assert "_series" not in got[0].asDict()
+
+
+def test_pq_refine_one_returns_exact_cosine(spark):
+    """refine=1 re-ranks the top-k pool with exact cosine as the
+    docstring promises (previously silently ignored)."""
+    import numpy as np
+
+    from temporal_retriever_spark.llm.pq import pq_topk, pq_train
+    from temporal_retriever_spark.llm.similarity import cosine_similarity_expr
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(df, m=4, n_codes=8, max_iter=2)
+    queries = df.filter(F.col("vec_id") < 2).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = pq_topk(df, queries, books, k=3, refine=1).collect()
+    # scores must be exact cosines for the returned pairs
+    for r in got:
+        qv = df.filter(F.col("vec_id") == r["query_id"]).first()["embedding"]
+        cv = df.filter(F.col("vec_id") == r["vec_id"]).first()["embedding"]
+        dot = sum(a * b for a, b in zip(qv, cv))
+        na = sum(a * a for a in qv) ** 0.5
+        nb = sum(b * b for b in cv) ** 0.5
+        assert abs(r["score"] - dot / (na * nb)) < 1e-9
