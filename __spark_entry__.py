@@ -1796,6 +1796,46 @@ LEFT JOIN f3 ON f3.user_id = u.user_id
 """
 
 
+def q_impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular imputation (impute.impute, SimpleImputer semantics
+    distributed): event values nulled on a deterministic key are
+    filled from each event type's surviving MEDIAN; fills broadcast
+    back onto the scan, one aggregation pass. The oracle recomputes
+    the group medians and coalesce in SQL."""
+    from temporal_retriever_spark.impute import impute
+
+    ev = _events_long(spark, sf_dir).select(
+        "event_type",
+        F.col("user_id"),
+        F.col("ds"),
+        F.when(F.col("user_id") % 11 != 0, F.col("y")).alias("y"),
+    )
+    got = impute(ev, {"y": "median"}, group_cols=["event_type"])
+    return got.select(
+        "event_type",
+        "user_id",
+        "ds",
+        _r6("y").alias("y"),
+        "y_imputed",
+    )
+
+
+_IMPUTE_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, user_id, ts AS ds,
+         CASE WHEN user_id % 11 <> 0 THEN value END AS y
+  FROM events
+),
+fills AS (
+  SELECT event_type, MEDIAN(y) AS f FROM base GROUP BY 1
+)
+SELECT b.event_type, b.user_id, b.ds,
+       {_sql_r6('coalesce(b.y, f.f)')} AS y,
+       (b.y IS NULL AND f.f IS NOT NULL) AS y_imputed
+FROM base b LEFT JOIN fills f ON f.event_type = b.event_type
+"""
+
+
 def q_dq_checks_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (quality.check_constraints, the
     deequ recipe): completeness, key uniqueness, value bounds, domain
@@ -4147,7 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "funnel_conversion": q_funnel_conversion,
         "forecast_theta_daily": q_forecast_theta_daily,
-        "forecast_hw_daily": q_forecast_hw_daily,
+        "impute_event_values": q_impute_event_values,
         "event_transitions": q_event_transitions,
         "multi_grain_rollup": q_multi_grain_rollup,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
@@ -4183,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adf_daily": q_adf_daily,
         "forecast_ar_daily": q_forecast_ar_daily,
         "kpss_daily": q_kpss_daily,
+        "forecast_hw_daily": q_forecast_hw_daily,
         "quality_prune": q_quality_prune,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -5918,6 +5959,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _TRANSITIONS_ORACLE,
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "dq_checks_lineitem": _DQ_ORACLE,
+        "impute_event_values": _IMPUTE_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,
