@@ -1796,6 +1796,87 @@ LEFT JOIN f3 ON f3.user_id = u.user_id
 """
 
 
+def q_lag_features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free feature matrix (features.make_lag_features): lags
+    1/7, rolling mean/std over the strictly-past [-7, -1] frame, and
+    calendar features — every lag and roll shares ONE (series, order)
+    window exchange. The oracle mirrors the frames exactly."""
+    from temporal_retriever_spark.features import make_lag_features
+
+    got = make_lag_features(
+        _events_daily_all(spark, sf_dir),
+        lags=(1, 7),
+        roll_windows=(7,),
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type",
+        "ds",
+        _r6("y").alias("y"),
+        _r6("y_lag_1").alias("y_lag_1"),
+        _r6("y_lag_7").alias("y_lag_7"),
+        _r6("y_roll_mean_7").alias("y_roll_mean_7"),
+        _r6("y_roll_std_7").alias("y_roll_std_7"),
+        "dow",
+        "dom",
+        "month",
+        "weekofyear",
+    )
+
+
+_LAG_FEATURES_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, ds, {_sql_r6('y')} AS y,
+       {_sql_r6('lag(y, 1) OVER w')} AS y_lag_1,
+       {_sql_r6('lag(y, 7) OVER w')} AS y_lag_7,
+       {_sql_r6('AVG(y) OVER (PARTITION BY event_type ORDER BY ds ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)')} AS y_roll_mean_7,
+       {_sql_r6('STDDEV_SAMP(y) OVER (PARTITION BY event_type ORDER BY ds ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)')} AS y_roll_std_7,
+       CAST(isodow(ds) AS INTEGER) AS dow,
+       CAST(day(ds) AS INTEGER) AS dom,
+       CAST(month(ds) AS INTEGER) AS month,
+       CAST(weekofyear(ds) AS INTEGER) AS weekofyear
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY ds)
+"""
+
+
+def q_target_encode_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (features.target_encode, the
+    Micci-Barreca recipe): each document's source encoded against the
+    n_chars target without the row's own value, smoothed toward the
+    global mean. One category aggregation broadcast back; the fact
+    table never reshuffles. Oracle mirrors the LOO arithmetic."""
+    from temporal_retriever_spark.features import target_encode
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("y")
+    )
+    got = target_encode(docs, cat_col="source", smoothing=5.0)
+    return got.select("doc_id", "source", _r6("source_te").alias("source_te"))
+
+
+_TARGET_ENCODE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS y FROM documents
+),
+stats AS (
+  SELECT source, SUM(y) AS s, COUNT(y) AS n FROM base GROUP BY 1
+),
+g AS (SELECT AVG(y) AS g FROM base)
+SELECT b.doc_id, b.source,
+       {_sql_r6('''CASE WHEN st.n IS NULL
+         OR (st.n - CASE WHEN b.y IS NOT NULL THEN 1 ELSE 0 END) + 5.0 = 0
+       THEN g.g
+       ELSE (st.s - CASE WHEN b.y IS NOT NULL THEN b.y ELSE 0.0 END + 5.0 * g.g)
+            / (CAST(st.n - CASE WHEN b.y IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE) + 5.0)
+       END''')} AS source_te
+FROM base b LEFT JOIN stats st ON st.source = b.source CROSS JOIN g
+"""
+
+
 def q_impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular imputation (impute.impute, SimpleImputer semantics
     distributed): event values nulled on a deterministic key are
@@ -4183,7 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_daily": q_ljung_box_daily,
         "rolling_distinct_users": q_rolling_distinct_users,
         "scd2_order_status": q_scd2_order_status,
-        "detect_seasonality_daily": q_detect_seasonality_daily,
+        "lag_features_daily": q_lag_features_daily,
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "funnel_conversion": q_funnel_conversion,
         "forecast_theta_daily": q_forecast_theta_daily,
@@ -4192,7 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_grain_rollup": q_multi_grain_rollup,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
         "sq8_codes": q_sq8_codes,
-        "embedding_outliers": q_embedding_outliers,
+        "target_encode_source": q_target_encode_source,
         "dq_checks_lineitem": q_dq_checks_lineitem,
         "mixture_plan": q_mixture_plan,
         "gopher_filter": q_gopher_filter,
@@ -4224,6 +4305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_ar_daily": q_forecast_ar_daily,
         "kpss_daily": q_kpss_daily,
         "forecast_hw_daily": q_forecast_hw_daily,
+        "detect_seasonality_daily": q_detect_seasonality_daily,
+        "embedding_outliers": q_embedding_outliers,
         "quality_prune": q_quality_prune,
         "asof_join_forward": q_asof_join_forward,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -5960,6 +6043,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "dq_checks_lineitem": _DQ_ORACLE,
         "impute_event_values": _IMPUTE_ORACLE,
+        "lag_features_daily": _LAG_FEATURES_ORACLE,
+        "target_encode_source": _TARGET_ENCODE_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "garch_forecast_daily": _GARCH_FC_ORACLE,
         "lm_perplexity_prune": _LM_PRUNE_ORACLE,

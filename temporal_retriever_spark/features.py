@@ -1,0 +1,127 @@
+"""Feature engineering for downstream forecasting / ML models: lag
+and rolling features over series, calendar features, and
+leave-one-out target encoding for categoricals.
+
+The step between the engine's analytics and a trained model: the
+reference pipes Prophet frames around (app.py:70-93); at scale the
+same role is a FEATURE MATRIX built with window functions — every
+transform here is a native window/aggregation expression, and the
+leakage rules (lags strictly from the past, LOO encoding excluding
+the row's own target) are part of the operator contract, not caller
+discipline.
+
+* ``make_lag_features`` — y_lag_k (strict past), y_roll_mean_w /
+  y_roll_std_w over [-w, -1] (the spike-excluding baseline frame,
+  matching ``rolling.anomaly_zscore``), plus calendar features. ONE
+  window exchange per series for every lag and roll together.
+* ``target_encode`` — the Micci-Barreca target-encoding recipe with
+  leave-one-out leakage control and additive smoothing toward the
+  global mean: enc = (sum_cat − y + m·ȳ)/(n_cat − 1 + m). One
+  aggregation + a broadcast join; singleton categories fall back to
+  the smoothed prior (never divide by zero).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["make_lag_features", "target_encode"]
+
+
+def make_lag_features(
+    df: DataFrame,
+    *,
+    lags: Iterable[int] = (1, 7),
+    roll_windows: Iterable[int] = (7,),
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    calendar: bool = True,
+) -> DataFrame:
+    """Append lag / rolling / calendar features per series row.
+
+    All lags and rolls share ONE (series, order) window exchange.
+    Rolling frames are ``[-w, -1]`` — strictly past rows, never the
+    current one, so the features are leakage-free for forecasting.
+    Short histories yield NULLs (no partial-lag invention); rolling
+    stats need at least 1 (mean) / 2 (std) past rows.
+
+    Calendar features (``calendar=True``): dow (1=Mon..7=Sun), dom,
+    month, weekofyear — pure projections.
+    """
+    lags = sorted(set(int(x) for x in lags))
+    roll_windows = sorted(set(int(x) for x in roll_windows))
+    if any(l < 1 for l in lags):
+        raise ValueError(f"lags must be >= 1: {lags}")
+    if any(w < 1 for w in roll_windows):
+        raise ValueError(f"roll windows must be >= 1: {roll_windows}")
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    out = df
+    for k in lags:
+        out = out.withColumn(
+            f"{value_col}_lag_{k}", F.lag(value_col, k).over(w)
+        )
+    for win in roll_windows:
+        frame = w.rowsBetween(-win, -1)
+        out = out.withColumn(
+            f"{value_col}_roll_mean_{win}", F.avg(value_col).over(frame)
+        ).withColumn(
+            f"{value_col}_roll_std_{win}", F.stddev_samp(value_col).over(frame)
+        )
+    if calendar:
+        out = (
+            out.withColumn("dow", F.weekday(ts_col) + F.lit(1))
+            .withColumn("dom", F.dayofmonth(ts_col))
+            .withColumn("month", F.month(ts_col))
+            .withColumn("weekofyear", F.weekofyear(ts_col))
+        )
+    return out
+
+
+def target_encode(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    target_col: str = "y",
+    smoothing: float = 1.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing:
+
+        enc(row) = (sum_cat − y_row + m·ȳ) / (n_cat − 1 + m)
+
+    — the category's mean target computed WITHOUT the row's own value
+    (the leakage control that plain mean-encoding lacks), shrunk
+    toward the global mean ȳ by pseudo-count ``m``. Rows with a NULL
+    target contribute nothing and are encoded from the full category
+    statistics; NULL categories encode to the smoothed prior.
+
+    One (category) aggregation broadcast back + one global-mean
+    scalar — two small exchanges, the fact table never reshuffles.
+    """
+    if not smoothing >= 0:
+        raise ValueError(f"smoothing must be >= 0: {smoothing}")
+    out_col = out_col or f"{cat_col}_te"
+    stats = df.groupBy(cat_col).agg(
+        F.sum(target_col).alias("_s"), F.count(target_col).alias("_n")
+    )
+    glob = df.agg(F.avg(target_col).alias("_g"))
+    m = F.lit(float(smoothing))
+    joined = df.join(F.broadcast(stats), on=cat_col, how="left").crossJoin(
+        F.broadcast(glob)
+    )
+    own = F.when(F.col(target_col).isNotNull(), F.col(target_col)).otherwise(
+        F.lit(0.0)
+    )
+    n_loo = F.col("_n") - F.col(target_col).isNotNull().cast("long")
+    enc = F.when(
+        F.col("_n").isNull() | (n_loo + m == 0),
+        F.col("_g"),
+    ).otherwise(
+        (F.col("_s") - own + m * F.col("_g")) / (n_loo.cast("double") + m)
+    )
+    return joined.select(*df.columns, enc.alias(out_col))

@@ -1,0 +1,93 @@
+"""Feature engineering: leakage-free lags/rolls, calendar features,
+LOO target encoding math."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.features import make_lag_features, target_encode
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        ("s", date(2024, 1, d), float(d)) for d in range(1, 11)
+    ]
+    return spark.createDataFrame(rows, "series_id string, ds date, y double")
+
+
+def test_lags_and_rolls_strictly_past(series):
+    got = {
+        str(r["ds"]): r
+        for r in make_lag_features(
+            series, lags=(1, 3), roll_windows=(3,), calendar=False
+        ).collect()
+    }
+    r5 = got["2024-01-05"]
+    assert r5["y_lag_1"] == 4.0 and r5["y_lag_3"] == 2.0
+    # roll over [-3,-1]: days 2,3,4 -> mean 3
+    assert r5["y_roll_mean_3"] == pytest.approx(3.0)
+    assert r5["y_roll_std_3"] == pytest.approx(1.0)
+    # short history: NULLs, never partial inventions for lags
+    r1 = got["2024-01-01"]
+    assert r1["y_lag_1"] is None and r1["y_roll_mean_3"] is None
+    r2 = got["2024-01-02"]
+    assert r2["y_roll_mean_3"] == 1.0 and r2["y_roll_std_3"] is None
+
+
+def test_calendar_features(series):
+    got = make_lag_features(series, lags=(1,), roll_windows=()).first()
+    # 2024-01-01 is a Monday
+    first = [
+        r for r in make_lag_features(series, lags=(1,), roll_windows=()).collect()
+        if str(r["ds"]) == "2024-01-01"
+    ][0]
+    assert first["dow"] == 1 and first["dom"] == 1 and first["month"] == 1
+    assert first["weekofyear"] == 1
+
+
+def test_target_encode_loo_math(spark):
+    rows = [("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 10.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = {
+        (r["cat"], r["y"]): r["cat_te"]
+        for r in target_encode(df, cat_col="cat", smoothing=0.0).collect()
+    }
+    # LOO within 'a': (sum - own)/(n-1)
+    assert got[("a", 1.0)] == pytest.approx((3 + 5) / 2)
+    assert got[("a", 3.0)] == pytest.approx((1 + 5) / 2)
+    assert got[("a", 5.0)] == pytest.approx((1 + 3) / 2)
+    g = (1 + 3 + 5 + 10 + 7) / 5
+    # singleton 'b' with smoothing 0: n_loo = 0 -> global-mean fallback
+    assert got[("b", 10.0)] == pytest.approx(g)
+    # NULL category -> prior
+    assert got[(None, 7.0)] == pytest.approx(g)
+
+
+def test_target_encode_smoothing_shrinks_to_global(spark):
+    rows = [("a", 0.0), ("a", 0.0), ("b", 10.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    g = 5.0
+    small = {
+        r["cat"]: r["cat_te"]
+        for r in target_encode(df, cat_col="cat", smoothing=0.1).collect()
+    }
+    large = {
+        r["cat"]: r["cat_te"]
+        for r in target_encode(df, cat_col="cat", smoothing=1000.0).collect()
+    }
+    assert abs(large["a"] - g) < abs(small["a"] - g)
+    assert large["a"] == pytest.approx(g, rel=1e-2)
+
+
+def test_validation(series, spark):
+    with pytest.raises(ValueError, match="lags"):
+        make_lag_features(series, lags=(0,))
+    with pytest.raises(ValueError, match="roll windows"):
+        make_lag_features(series, roll_windows=(0,))
+    df = spark.createDataFrame([("a", 1.0)], "cat string, y double")
+    with pytest.raises(ValueError, match="smoothing"):
+        target_encode(df, cat_col="cat", smoothing=-1.0)
