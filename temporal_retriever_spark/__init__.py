@@ -31,6 +31,7 @@ from temporal_retriever_spark.aggregate import (
     AGGREGATIONS,
     agg_expr,
     bucket_aggregate,
+    bucket_aggregate_multi,
     date_bounds,
     floor_ceiling,
     normalize_aggregation,
@@ -94,9 +95,57 @@ from temporal_retriever_spark.rolling import (
     rolling_aggregate_time,
     rolling_corr,
 )
-from temporal_retriever_spark.statespace import kalman_forecast, kalman_local_level
+from temporal_retriever_spark.statespace import (
+    garch_forecast,
+    garch_volatility,
+    kalman_forecast,
+    kalman_local_level,
+)
+from temporal_retriever_spark.segmentation import binseg_changepoints, segment_means
+from temporal_retriever_spark.fuzzy import fuzzy_join, qgrams_expr
+from temporal_retriever_spark.funnel import (
+    cohort_retention,
+    funnel,
+    funnel_summary,
+    transition_matrix,
+)
+from temporal_retriever_spark.history import scd2_history, snapshot_at
+from temporal_retriever_spark.quality import (
+    bounds,
+    check_constraints,
+    completeness,
+    contained_in,
+    non_negative,
+    row_count,
+    uniqueness,
+)
+from temporal_retriever_spark.impute import impute
+from temporal_retriever_spark.features import make_lag_features, target_encode
 
 __all__ = [
+    "binseg_changepoints",
+    "bounds",
+    "bucket_aggregate_multi",
+    "check_constraints",
+    "cohort_retention",
+    "completeness",
+    "contained_in",
+    "fuzzy_join",
+    "funnel",
+    "funnel_summary",
+    "garch_forecast",
+    "garch_volatility",
+    "impute",
+    "make_lag_features",
+    "non_negative",
+    "qgrams_expr",
+    "row_count",
+    "scd2_history",
+    "segment_means",
+    "snapshot_at",
+    "target_encode",
+    "transition_matrix",
+    "uniqueness",
     "kalman_local_level",
     "kalman_forecast",
     "get_spark",
