@@ -725,3 +725,114 @@ def streaming_interval_join(
             k, F.coalesce(F.col(k), F.col(k + right_suffix))
         )
     return out.drop(*[k + right_suffix for k in keys])
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: Iterable[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming funnel walks (the stateful sibling of
+    ``funnel.funnel``): per-user state holds the k filled step
+    timestamps (O(k) per user — constant, not per-event); each
+    micro-batch advances the greedy walk over its events in event-time
+    order and emits the user's UPDATED progress row.
+
+    Semantics match the batch operator under in-order arrival per user
+    (ordered replay — asserted in tests): t₁ anchors at the earliest
+    step-1 event seen, steps advance strictly forward in time, and
+    ``within`` bounds the whole walk relative to t₁. An out-of-order
+    event older than the current progress is ignored (the batch
+    operator, seeing global order, would have consumed it earlier).
+    Use update-mode sinks; the latest row per user is the funnel state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 steps: {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct: {steps}")
+    k = len(steps)
+    within_us = (
+        int(interval_seconds(within) * 1_000_000) if within is not None else None
+    )
+    user_type = stream.schema[user_col].dataType
+
+    output_schema = StructType(
+        [
+            StructField(user_col, user_type),
+            StructField("steps_completed", IntegerType()),
+            *[StructField(f"t_{i + 1}", TimestampType()) for i in range(k)],
+            StructField("seconds_to_convert", LongType()),
+        ]
+    )
+    # state: filled timestamps as epoch MICROSECONDS (long), -1 = unfilled
+    state_schema = StructType([StructField("ts_us", ArrayType(LongType()))])
+
+    def update(key, pdfs, state: GroupState):
+        filled: list[int] = [-1] * k
+        if state.exists:
+            (stored,) = state.get
+            filled = list(stored)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((filled,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        n_filled = sum(1 for t in filled if t >= 0)
+        for ts, st in zip(pdf[ts_col], pdf[step_col]):
+            if n_filled >= k:
+                break
+            us = int(ts.value // 1000)  # pandas ns -> us
+            want = steps[n_filled]
+            if st != want:
+                continue
+            if n_filled > 0 and us <= filled[n_filled - 1]:
+                continue  # strictly after the previous step
+            if (
+                within_us is not None
+                and n_filled > 0
+                and us > filled[0] + within_us
+            ):
+                continue
+            filled[n_filled] = us
+            n_filled += 1
+        state.update((filled,))
+        row = {user_col: key[0], "steps_completed": n_filled}
+        for i in range(k):
+            row[f"t_{i + 1}"] = (
+                pd.Timestamp(filled[i] * 1000) if filled[i] >= 0 else pd.NaT
+            )
+        row["seconds_to_convert"] = (
+            (filled[k - 1] // 1_000_000) - (filled[0] // 1_000_000)
+            if n_filled == k
+            else None
+        )
+        yield pd.DataFrame([row])
+
+    return (
+        _with_event_time(stream, ts_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -144,3 +144,52 @@ def test_left_outer_emits_unmatched(spark, tables, tmpdir):
     for r in rows:
         if r["ds_r"] is None:
             assert r["y_r"] is None  # null-extension is all-or-nothing
+
+
+def test_streaming_funnel_matches_batch(spark, tables, tmpdir):
+    """Ordered replay (time-split chunks): the final streamed funnel
+    state per user equals the batch greedy walk."""
+    from temporal_retriever_spark.funnel import funnel
+    from temporal_retriever_spark.streaming import streaming_funnel
+
+    ev = tables["events"].select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    ).filter(F.col("user_id") % 9 == 0)
+    steps = ["click", "view", "purchase"]
+    mid = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    ev.filter(F.col("ts") <= mid).write.parquet(f"{tmpdir}/f/chunk=0")
+    ev.filter(F.col("ts") > mid).write.parquet(f"{tmpdir}/f/chunk=1")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/f/chunk=*")
+    )
+    walked = streaming_funnel(stream, steps, within="1 day")
+    q = (
+        walked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_funnel")
+        .option("checkpointLocation", f"{tmpdir}/fckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: keep each user's LAST emitted row (max steps wins —
+    # progress is monotone)
+    rows = spark.table("stream_funnel").collect()
+    got = {}
+    for r in rows:
+        prev = got.get(r["user_id"])
+        if prev is None or r["steps_completed"] >= prev["steps_completed"]:
+            got[r["user_id"]] = r
+    want = {
+        r["user_id"]: r
+        for r in funnel(ev, steps, within="1 day").collect()
+    }
+    assert set(got) == set(want)
+    for u, w in want.items():
+        g = got[u]
+        assert g["steps_completed"] == w["steps_completed"], u
+        for i in (1, 2, 3):
+            assert str(g[f"t_{i}"]) == str(w[f"t_{i}"]), (u, i)
+        assert g["seconds_to_convert"] == w["seconds_to_convert"], u
