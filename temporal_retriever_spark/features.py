@@ -118,10 +118,14 @@ def target_encode(
         F.lit(0.0)
     )
     n_loo = F.col("_n") - F.col(target_col).isNotNull().cast("long")
+    # coalesce the sum: a category whose targets are ALL NULL has
+    # _s = NULL but _n = 0 — it must encode to the smoothed prior,
+    # never to NULL
     enc = F.when(
         F.col("_n").isNull() | (n_loo + m == 0),
         F.col("_g"),
     ).otherwise(
-        (F.col("_s") - own + m * F.col("_g")) / (n_loo.cast("double") + m)
+        (F.coalesce(F.col("_s"), F.lit(0.0)) - own + m * F.col("_g"))
+        / (n_loo.cast("double") + m)
     )
     return joined.select(*df.columns, enc.alias(out_col))

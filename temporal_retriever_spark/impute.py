@@ -92,15 +92,45 @@ def impute(
         if fills is None:
             fills = mc
         elif group_cols:
-            fills = fills.join(mc, on=group_cols, how="full")
+            # null-safe merge: the NULL group's moment and mode fills
+            # must land on ONE row (plain `on=` would keep two
+            # null-keyed rows and later double-match)
+            renamed = mc
+            for g in group_cols:
+                renamed = renamed.withColumnRenamed(g, f"_mk_{g}")
+            cond = None
+            for g in group_cols:
+                eq = F.col(g).eqNullSafe(F.col(f"_mk_{g}"))
+                cond = eq if cond is None else cond & eq
+            fills = (
+                fills.join(renamed, on=cond, how="full")
+                .withColumns(
+                    {
+                        g: F.coalesce(F.col(g), F.col(f"_mk_{g}"))
+                        for g in group_cols
+                    }
+                )
+                .drop(*[f"_mk_{g}" for g in group_cols])
+            )
         else:
             fills = fills.crossJoin(mc)
     if fills is not None:
-        out = (
-            out.join(F.broadcast(fills), on=group_cols, how="left")
-            if group_cols
-            else out.crossJoin(F.broadcast(fills))
-        )
+        if group_cols:
+            # null-SAFE key equality: a NULL group is a real group with
+            # its own statistics; plain `on=` would never match it and
+            # silently leave those rows unfilled
+            renamed = fills
+            for g in group_cols:
+                renamed = renamed.withColumnRenamed(g, f"_gk_{g}")
+            cond = None
+            for g in group_cols:
+                eq = F.col(g).eqNullSafe(F.col(f"_gk_{g}"))
+                cond = eq if cond is None else cond & eq
+            out = out.join(F.broadcast(renamed), on=cond, how="left").drop(
+                *[f"_gk_{g}" for g in group_cols]
+            )
+        else:
+            out = out.crossJoin(F.broadcast(fills))
     proj = []
     for c in df.columns:
         if c in const_cols:

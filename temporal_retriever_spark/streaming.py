@@ -771,6 +771,10 @@ def streaming_funnel(
     within_us = (
         int(interval_seconds(within) * 1_000_000) if within is not None else None
     )
+    # pre-filter to funnel steps, like the batch operator: users with
+    # no step events get NO state and NO rows — state scales with
+    # funnel PARTICIPANTS, not the whole user base
+    stream = stream.filter(F.col(step_col).isin(steps))
     user_type = stream.schema[user_col].dataType
 
     output_schema = StructType(
@@ -781,11 +785,14 @@ def streaming_funnel(
             StructField("seconds_to_convert", LongType()),
         ]
     )
-    # state: filled timestamps as epoch MICROSECONDS (long), -1 = unfilled
+    # state: filled timestamps as epoch MICROSECONDS (long). Unfilled
+    # sentinel is LONG_MIN-ish, far below any representable event time
+    # (-1 would collide with 1969-12-31 23:59:59.999999)
+    UNFILLED = -(2 ** 62)
     state_schema = StructType([StructField("ts_us", ArrayType(LongType()))])
 
     def update(key, pdfs, state: GroupState):
-        filled: list[int] = [-1] * k
+        filled: list[int] = [UNFILLED] * k
         if state.exists:
             (stored,) = state.get
             filled = list(stored)
@@ -794,7 +801,7 @@ def streaming_funnel(
             state.update((filled,))
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
-        n_filled = sum(1 for t in filled if t >= 0)
+        n_filled = sum(1 for t in filled if t != UNFILLED)
         for ts, st in zip(pdf[ts_col], pdf[step_col]):
             if n_filled >= k:
                 break
@@ -816,7 +823,9 @@ def streaming_funnel(
         row = {user_col: key[0], "steps_completed": n_filled}
         for i in range(k):
             row[f"t_{i + 1}"] = (
-                pd.Timestamp(filled[i] * 1000) if filled[i] >= 0 else pd.NaT
+                pd.Timestamp(filled[i] * 1000)
+                if filled[i] != UNFILLED
+                else pd.NaT
             )
         row["seconds_to_convert"] = (
             (filled[k - 1] // 1_000_000) - (filled[0] // 1_000_000)

@@ -39,7 +39,6 @@ def test_lags_and_rolls_strictly_past(series):
 
 
 def test_calendar_features(series):
-    got = make_lag_features(series, lags=(1,), roll_windows=()).first()
     # 2024-01-01 is a Monday
     first = [
         r for r in make_lag_features(series, lags=(1,), roll_windows=()).collect()

@@ -612,3 +612,67 @@ def test_pq_refine_one_returns_exact_cosine(spark):
         na = sum(a * a for a in qv) ** 0.5
         nb = sum(b * b for b in cv) ** 0.5
         assert abs(r["score"] - dot / (na * nb)) < 1e-9
+
+
+def test_target_encode_all_null_category_gets_prior(spark):
+    """A category whose targets are ALL NULL encodes to the smoothed
+    prior, not NULL (F.sum over all-NULL is NULL; count is 0)."""
+    from temporal_retriever_spark.features import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("c", None), ("c", None)],
+        "cat string, y double",
+    )
+    got = {r["cat"]: r["cat_te"] for r in
+           target_encode(df, cat_col="cat", smoothing=5.0).collect()}
+    assert got["c"] == pytest.approx(2.0)  # the global mean
+
+
+def test_impute_null_group_is_a_real_group(spark):
+    """Rows with a NULL group key fill from the NULL group's own
+    statistic (null-safe join), and moment+mode fills for the NULL
+    group land on one row."""
+    from temporal_retriever_spark.impute import impute
+
+    df = spark.createDataFrame(
+        [("g", 1.0, "x"), ("g", None, None), (None, 5.0, "z"),
+         (None, None, None), (None, 7.0, "z")],
+        "grp string, v double, c string",
+    )
+    got = impute(
+        df, {"v": "mean", "c": "mode"}, group_cols=["grp"]
+    ).collect()
+    null_rows = [r for r in got if r["grp"] is None]
+    assert len(null_rows) == 3
+    filled = [r for r in null_rows if r["v_imputed"]]
+    assert len(filled) == 1 and filled[0]["v"] == pytest.approx(6.0)
+    assert all(r["c"] == "z" for r in null_rows)
+
+
+def test_streaming_funnel_state_only_for_participants(spark, tmp_path):
+    """Users with no step events get no state and no rows, matching
+    the batch operator's output set."""
+    from datetime import datetime
+
+    from temporal_retriever_spark.streaming import streaming_funnel
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), "click"),
+        (1, datetime(2024, 1, 1, 10), "view"),
+        (2, datetime(2024, 1, 1, 9), "signup"),  # non-participant
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/in/chunk=0")
+    stream = spark.readStream.schema(df.schema).parquet(f"{tmp_path}/in/chunk=*")
+    walked = streaming_funnel(stream, ["click", "view"])
+    q = (
+        walked.writeStream.outputMode("update")
+        .format("memory").queryName("sf_participants")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    users = {r["user_id"] for r in spark.table("sf_participants").collect()}
+    assert users == {1}

@@ -157,8 +157,11 @@ def test_streaming_funnel_matches_batch(spark, tables, tmpdir):
     ).filter(F.col("user_id") % 9 == 0)
     steps = ["click", "view", "purchase"]
     mid = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
-    ev.filter(F.col("ts") <= mid).write.parquet(f"{tmpdir}/f/chunk=0")
-    ev.filter(F.col("ts") > mid).write.parquet(f"{tmpdir}/f/chunk=1")
+    # ONE part file per chunk: the ordered-replay premise needs each
+    # trigger to deliver a time-contiguous slice (multiple part files
+    # per chunk would interleave a user's events across triggers)
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(f"{tmpdir}/f/chunk=0")
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(f"{tmpdir}/f/chunk=1")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
