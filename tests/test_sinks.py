@@ -93,3 +93,48 @@ def test_read_any_csv_json_and_sniffing(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="format"):
         read_any(spark, str(tmp_path / "unknown.xyz"))
+
+
+class TestTrainingShards:
+    def test_shard_budget_and_manifest(self, spark, tmp_path):
+        from temporal_retriever_spark.sources.writers import write_training_shards
+
+        rows = [(i, 100 + (i % 7) * 10) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        manifest = write_training_shards(
+            df, str(tmp_path / "shards"), max_tokens_per_shard=3000
+        ).collect()
+        total = sum(r["n_tokens"] for r in manifest)
+        assert total == sum(t for _, t in rows)
+        assert sum(r["n_rows"] for r in manifest) == 200
+        # every shard but possibly the last respects the budget closely:
+        # a shard closes when the running total crosses the budget, so
+        # n_tokens <= budget + max_row_tokens
+        for r in manifest:
+            assert r["n_tokens"] <= 3000 + 160
+        # shards are contiguous ordered slices
+        ordered = sorted(manifest, key=lambda r: r["shard"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["last_key"] < b["first_key"]
+
+    def test_deterministic_assignment(self, spark, tmp_path):
+        from temporal_retriever_spark.sources.writers import write_training_shards
+
+        rows = [(i, 50 + i % 13) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        m1 = write_training_shards(
+            df.repartition(8), str(tmp_path / "a"), max_tokens_per_shard=1000
+        ).collect()
+        m2 = write_training_shards(
+            df.repartition(3), str(tmp_path / "b"), max_tokens_per_shard=1000
+        ).collect()
+        assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.sources.writers import write_training_shards
+
+        df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_tokens_per_shard"):
+            write_training_shards(df, "/tmp/x", max_tokens_per_shard=0)
