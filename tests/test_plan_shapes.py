@@ -346,3 +346,31 @@ def test_transition_matrix_two_exchanges(spark, user_events):
     plan = _plan(transition_matrix(user_events))
     assert _exchanges(plan) <= 3  # lag window + count agg (+ tiny normalize)
     assert "Python" not in plan
+
+
+def test_lag_features_single_window_exchange(spark, daily):
+    from temporal_retriever_spark.features import make_lag_features
+
+    plan = _plan(
+        make_lag_features(daily, lags=(1, 7), roll_windows=(7, 28))
+    )
+    # every lag and roll shares ONE (series, order) window exchange
+    assert _exchanges(plan) == 1
+    assert "Python" not in plan
+
+
+def test_rolling_distinct_sketch_is_two_stage(spark, user_events):
+    from temporal_retriever_spark.rolling import rolling_distinct
+
+    plan = _plan(
+        rolling_distinct(
+            user_events.withColumnRenamed("ts", "ds"),
+            entity_col="event_type",
+            series_cols=("user_id",),
+            window_buckets=3,
+        )
+    )
+    # per-bucket sketch agg + the range-window merge; ids never
+    # reshuffle raw (only sketches move after the first aggregation)
+    assert _exchanges(plan) <= 2
+    assert "Python" not in plan
