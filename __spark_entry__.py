@@ -4213,6 +4213,63 @@ SELECT doc_id, source, ppl6 AS perplexity FROM ranked WHERE pr <= 0.4
 )
 
 
+def q_ks_click_view_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov per day-of-week: does the click
+    value distribution differ from view's? Keyed mode is the scale
+    path — the ordered window runs per dow over DISTINCT values only
+    (inference.ks_2sample); p-values are the finite Kolmogorov series,
+    identical closed form in both engines."""
+    from temporal_retriever_spark.inference import ks_2sample
+
+    ev = _events_long(spark, sf_dir).select(
+        F.dayofweek("ds").alias("dow"), "event_type", "y"
+    )
+    got = ks_2sample(ev, "y", "event_type", "click", "view", keys=["dow"])
+    return got.select(
+        "dow",
+        "n_a",
+        "n_b",
+        F.round(F.col("d_stat") + F.lit(_ROUND_OFFSET), 6).alias("d_stat"),
+        F.round(F.col("p_value") + F.lit(_ROUND_OFFSET), 6).alias("p_value"),
+    )
+
+
+def q_mwu_chars_en_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on document lengths, en vs de — the corpus
+    distribution-shift check. Midranks via distinct-value prefix sums
+    (multiples of 0.5, so u_stat is EXACT in doubles on both engines);
+    tie-corrected variance + continuity-corrected z; two-sided p via
+    the shared A&S 26.2.17 normal CDF (inference.mann_whitney_u)."""
+    from temporal_retriever_spark.inference import mann_whitney_u
+
+    docs = _documents(spark, sf_dir)
+    got = mann_whitney_u(docs, "n_chars", "lang", "en", "de")
+    return got.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("u_stat") + F.lit(_ROUND_OFFSET), 6).alias("u_stat"),
+        F.round(F.col("z_score") + F.lit(_ROUND_OFFSET), 6).alias("z_score"),
+        F.round(F.col("p_value") + F.lit(_ROUND_OFFSET), 6).alias("p_value"),
+    )
+
+
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocations (min_count=5): adjacent-pair phrase
+    mining before tokenizer training. One scan, zip_with bigrams,
+    vocabulary-sized count shuffles, broadcast probability joins
+    (llm.text.collocations_pmi)."""
+    from temporal_retriever_spark.llm.text import collocations_pmi
+
+    docs = _documents(spark, sf_dir)
+    got = collocations_pmi(docs, min_count=5)
+    return got.select(
+        "w1",
+        "w2",
+        "pair_cnt",
+        F.round(F.col("pmi") + F.lit(_ROUND_OFFSET), 6).alias("pmi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4227,6 +4284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bucket grains / grids / splits sort last: multiple green rows
     # already.
     return {
+        # -- new this session: hypothesis tests + PMI (first for
+        # driver evidence on their first round) --
+        "ks_click_view_dow": q_ks_click_view_dow,
+        "mwu_chars_en_de": q_mwu_chars_en_de,
+        "collocations_pmi": q_collocations_pmi,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -5488,6 +5550,144 @@ _MEDIA_FEATURES_ORACLE = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ks_click_view_dow": f"""
+            WITH base AS (
+              SELECT dayofweek(ts) + 1 AS dow, value AS v,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+                     CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i2
+              FROM events
+              WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+            ),
+            c AS (
+              SELECT dow, v, CAST(SUM(i1) AS BIGINT) AS d1,
+                     CAST(SUM(i2) AS BIGINT) AS d2
+              FROM base GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT dow,
+                CAST(SUM(d1) OVER (PARTITION BY dow ORDER BY v) AS DOUBLE)
+                  / CAST(SUM(d1) OVER (PARTITION BY dow) AS DOUBLE) AS f1,
+                CAST(SUM(d2) OVER (PARTITION BY dow ORDER BY v) AS DOUBLE)
+                  / CAST(SUM(d2) OVER (PARTITION BY dow) AS DOUBLE) AS f2,
+                CAST(SUM(d1) OVER (PARTITION BY dow) AS BIGINT) AS n1,
+                CAST(SUM(d2) OVER (PARTITION BY dow) AS BIGINT) AS n2
+              FROM c
+            ),
+            a AS (
+              SELECT dow, MAX(ABS(f1 - f2)) AS d_stat,
+                     MAX(n1) AS n_a, MAX(n2) AS n_b
+              FROM w GROUP BY dow
+            ),
+            l AS (
+              SELECT dow, n_a, n_b, d_stat,
+                (SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) + 0.12
+                 + 0.11 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+                * d_stat AS lam
+              FROM a
+            )
+            SELECT dow, n_a, n_b,
+                   {_sql_r6("d_stat")} AS d_stat,
+                   {_sql_r6('''CASE WHEN lam <= 0.2 THEN 1.0 ELSE
+                     LEAST(1.0, GREATEST(0.0, 2.0 * (
+                     SELECT SUM(CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END
+                                * EXP(-2.0 * j * j * lam * lam))
+                     FROM generate_series(1, 100) AS t(j)))) END''')} AS p_value
+            FROM l
+        """,
+        "mwu_chars_en_de": f"""
+            WITH base AS (
+              SELECT n_chars AS v,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS i1,
+                     CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS i2
+              FROM documents
+              WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+            ),
+            c AS (
+              SELECT v, CAST(SUM(i1) AS BIGINT) AS d1,
+                     CAST(SUM(i2) AS BIGINT) AS d2
+              FROM base GROUP BY 1
+            ),
+            r AS (
+              SELECT d1, d2, CAST(d1 + d2 AS DOUBLE) AS dt,
+                CAST(COALESCE(SUM(d1 + d2) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS DOUBLE) AS bef
+              FROM c
+            ),
+            a AS (
+              SELECT CAST(SUM(d1) AS BIGINT) AS n_a,
+                     CAST(SUM(d2) AS BIGINT) AS n_b,
+                     SUM(CAST(d1 AS DOUBLE) * (bef + (dt + 1.0) / 2.0)) AS r1,
+                     SUM(dt * dt * dt - dt) AS ties
+              FROM r
+            ),
+            s AS (
+              SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS n1,
+                     CAST(n_b AS DOUBLE) AS n2,
+                     r1 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)
+                       / 2.0 AS u1,
+                     ties
+              FROM a
+            ),
+            zc AS (
+              SELECT n_a, n_b, u1,
+                CASE WHEN n1 * n2 / 12.0 * ((n1 + n2 + 1.0)
+                       - ties / ((n1 + n2) * (n1 + n2 - 1.0))) > 0
+                THEN (u1 - n1 * n2 / 2.0
+                      + CASE WHEN u1 - n1 * n2 / 2.0 > 0 THEN -0.5
+                             WHEN u1 - n1 * n2 / 2.0 < 0 THEN 0.5
+                             ELSE 0.0 END)
+                     / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)
+                       - ties / ((n1 + n2) * (n1 + n2 - 1.0))))
+                ELSE 0.0 END AS z
+              FROM s
+            ),
+            tpoly AS (
+              SELECT n_a, n_b, u1, z,
+                     1.0 / (1.0 + 0.2316419 * ABS(z)) AS t
+              FROM zc
+            )
+            SELECT n_a, n_b,
+                   {_sql_r6("u1")} AS u_stat,
+                   {_sql_r6("z")} AS z_score,
+                   {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(ABS(z) * ABS(z)) / 2.0)
+                     * 0.3989422804014327
+                     * (0.319381530 * t + -0.356563782 * t * t
+                        + 1.781477937 * t * t * t
+                        + -1.821255978 * t * t * t * t
+                        + 1.330274429 * t * t * t * t * t)))''')} AS p_value
+            FROM tpoly
+        """,
+        "collocations_pmi": rf"""
+            WITH toks AS (
+              SELECT string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            bi AS (
+              SELECT lower(t[i]) AS w1, lower(t[i + 1]) AS w2
+              FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+            ),
+            pair AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+              FROM bi GROUP BY 1, 2
+            ),
+            uni AS (
+              SELECT lower(x) AS w, CAST(COUNT(*) AS BIGINT) AS wc
+              FROM toks, LATERAL unnest(t) AS s(x) GROUP BY 1
+            ),
+            tb AS (SELECT CAST(SUM(pair_cnt) AS DOUBLE) AS nbi FROM pair),
+            tu AS (SELECT CAST(SUM(wc) AS DOUBLE) AS nun FROM uni)
+            SELECT p.w1, p.w2, p.pair_cnt,
+                   {_sql_r6('''ln((CAST(p.pair_cnt AS DOUBLE) / nbi)
+                     / ((CAST(u1.wc AS DOUBLE) / nun)
+                        * (CAST(u2.wc AS DOUBLE) / nun)))''')} AS pmi
+            FROM pair p
+            JOIN uni u1 ON u1.w = p.w1
+            JOIN uni u2 ON u2.w = p.w2, tb, tu
+            WHERE p.pair_cnt >= 5
+        """,
         "bucket_hour_sum": (
             "SELECT event_type, date_trunc('hour', ts) AS ds, SUM(value) AS y "
             "FROM events GROUP BY 1, 2"

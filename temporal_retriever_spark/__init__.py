@@ -121,6 +121,7 @@ from temporal_retriever_spark.quality import (
 )
 from temporal_retriever_spark.impute import impute
 from temporal_retriever_spark.features import make_lag_features, target_encode
+from temporal_retriever_spark.inference import ks_2sample, mann_whitney_u
 
 __all__ = [
     "binseg_changepoints",
@@ -136,7 +137,9 @@ __all__ = [
     "garch_forecast",
     "garch_volatility",
     "impute",
+    "ks_2sample",
     "make_lag_features",
+    "mann_whitney_u",
     "non_negative",
     "qgrams_expr",
     "row_count",

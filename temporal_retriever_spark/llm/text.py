@@ -294,3 +294,71 @@ def token_topk(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information.
+
+    PMI = ln( P(w1,w2) / (P(w1) * P(w2)) ) over adjacent whitespace
+    token pairs — the classic phrase detector (Church & Hanks 1990;
+    the word2vec phrase-joining preprocessing step). A training-data
+    pipeline runs this to find multiword expressions worth fusing
+    before tokenizer training.
+
+    Plan shape: ONE scan of the documents builds the token arrays;
+    bigrams come from a JVM ``zip_with`` over two array slices (no
+    Python, no self-join). Two count aggregations (bigrams, unigrams)
+    each shuffle only (token-pair, count) partials — map-side combine
+    makes the shuffle vocabulary-sized, not corpus-sized. The unigram
+    table and the two scalar totals are vocabulary-/one-row-sized, so
+    both probability joins are broadcasts: at 100 TB the heavy bigram
+    table never reshuffles after its count aggregation.
+
+    ``min_count`` prunes rare pairs BEFORE the joins (PMI is noisy at
+    low counts and the filter shrinks the candidate set early);
+    probabilities still use the unpruned totals.
+
+    Output: (w1, w2, pair_cnt, pmi), one row per surviving bigram.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    arr = df.select(toks.alias("_t")).select(
+        F.col("_t"),
+        F.greatest(F.size("_t") - 1, F.lit(0)).alias("_nb"),
+    )
+    bigrams = arr.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), F.lit(1), F.col("_nb")),
+                F.slice(F.col("_t"), F.lit(2), F.col("_nb")),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        arr.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pair = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    tot_b = pair.agg(F.sum("pair_cnt").cast("double").alias("_nbi"))
+    tot_u = uni.agg(F.sum("wc").cast("double").alias("_nun"))
+    c1 = F.col("_w1c").cast("double")
+    c2 = F.col("_w2c").cast("double")
+    cp = F.col("pair_cnt").cast("double")
+    pmi = F.log((cp / F.col("_nbi")) / ((c1 / F.col("_nun")) * (c2 / F.col("_nun"))))
+    return (
+        pair.filter(F.col("pair_cnt") >= int(min_count))
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("wc").alias("_w1c"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("wc").alias("_w2c"))), "w2")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_u))
+        .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
+    )

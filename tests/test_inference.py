@@ -1,0 +1,198 @@
+"""Two-sample tests (inference.py) vs scipy-free naive references,
+plus plan-shape guards for the distinct-value aggregation design."""
+
+from __future__ import annotations
+
+import bisect
+import math
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.inference import ks_2sample, mann_whitney_u
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def samples():
+    rng = random.Random(7)
+    rows = [("a", round(rng.gauss(0, 1), 2)) for _ in range(300)] + [
+        ("b", round(rng.gauss(0.3, 1.2), 2)) for _ in range(250)
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def sdf(spark, samples):
+    return spark.createDataFrame(samples, "grp string, v double")
+
+
+def _naive_ks(rows):
+    av = sorted(v for g, v in rows if g == "a")
+    bv = sorted(v for g, v in rows if g == "b")
+    xs = sorted({v for _, v in rows})
+    d = max(
+        abs(
+            bisect.bisect_right(av, x) / len(av)
+            - bisect.bisect_right(bv, x) / len(bv)
+        )
+        for x in xs
+    )
+    en = math.sqrt(len(av) * len(bv) / (len(av) + len(bv)))
+    lam = (en + 0.12 + 0.11 / en) * d
+    if lam <= 0.2:
+        return len(av), len(bv), d, 1.0
+    p = 2 * sum(
+        (-1) ** (j - 1) * math.exp(-2 * j * j * lam * lam) for j in range(1, 101)
+    )
+    return len(av), len(bv), d, min(1.0, max(0.0, p))
+
+
+def _naive_mwu(rows):
+    av = [v for g, v in rows if g == "a"]
+    bv = [v for g, v in rows if g == "b"]
+    cnt = Counter(v for _, v in rows)
+    ranks, i = {}, 0
+    for v in sorted(cnt):
+        ranks[v] = i + (cnt[v] + 1) / 2
+        i += cnt[v]
+    n1, n2 = len(av), len(bv)
+    n = n1 + n2
+    r1 = sum(ranks[v] for v in av)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    ties = sum(c**3 - c for c in cnt.values())
+    var = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    d = u1 - n1 * n2 / 2
+    d += -0.5 if d > 0 else (0.5 if d < 0 else 0.0)
+    z = d / math.sqrt(var)
+    t = 1 / (1 + 0.2316419 * abs(z))
+    b = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    sf = (
+        math.exp(-z * z / 2)
+        * 0.3989422804014327
+        * (b[0] * t + b[1] * t**2 + b[2] * t**3 + b[3] * t**4 + b[4] * t**5)
+    )
+    return n1, n2, u1, z, min(1.0, 2 * sf)
+
+
+def test_ks_matches_naive(sdf, samples):
+    n1, n2, d, p = _naive_ks(samples)
+    row = ks_2sample(sdf, "v", "grp", "a", "b").collect()[0]
+    assert (row.n_a, row.n_b) == (n1, n2)
+    assert row.d_stat == pytest.approx(d, abs=1e-12)
+    assert row.p_value == pytest.approx(p, abs=1e-12)
+
+
+def test_mwu_matches_naive(sdf, samples):
+    n1, n2, u1, z, p = _naive_mwu(samples)
+    row = mann_whitney_u(sdf, "v", "grp", "a", "b").collect()[0]
+    assert (row.n_a, row.n_b) == (n1, n2)
+    assert row.u_stat == pytest.approx(u1, abs=1e-9)
+    assert row.z_score == pytest.approx(z, abs=1e-12)
+    assert row.p_value == pytest.approx(p, abs=1e-12)
+
+
+def test_ks_identical_samples_high_p(spark):
+    rows = [(g, float(v % 13)) for g in ("a", "b") for v in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    row = ks_2sample(df, "v", "grp", "a", "b").collect()[0]
+    assert row.d_stat == 0.0
+    assert row.p_value == 1.0
+
+
+def test_mwu_identical_samples_z_zero(spark):
+    rows = [(g, float(v % 13)) for g in ("a", "b") for v in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    row = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    assert row.z_score == 0.0
+    # the A&S polynomial CDF is exact to ~7.5e-8, not at the boundary
+    assert row.p_value == pytest.approx(1.0, abs=1e-6)
+
+
+def test_keyed_matches_per_key_naive(spark, samples):
+    rows = [(g, i % 2, v) for i, (g, v) in enumerate(samples)]
+    df = spark.createDataFrame(rows, "grp string, k int, v double")
+    got = {r.k: r for r in ks_2sample(df, "v", "grp", "a", "b", keys=["k"]).collect()}
+    for k in (0, 1):
+        sub = [(g, v) for g, kk, v in rows if kk == k]
+        n1, n2, d, p = _naive_ks(sub)
+        assert (got[k].n_a, got[k].n_b) == (n1, n2)
+        assert got[k].d_stat == pytest.approx(d, abs=1e-12)
+        assert got[k].p_value == pytest.approx(p, abs=1e-12)
+
+
+def test_other_groups_ignored_and_nulls_dropped(spark):
+    rows = [("a", 1.0), ("b", 2.0), ("c", 99.0), ("a", None), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    row = ks_2sample(df, "v", "grp", "a", "b").collect()[0]
+    assert (row.n_a, row.n_b) == (1, 2)
+
+
+def test_mwu_shift_direction(spark):
+    # group b strictly larger -> ranks of a low -> u_stat small, z < 0
+    rows = [("a", float(i)) for i in range(50)] + [
+        ("b", float(i + 100)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    row = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    assert row.u_stat == 0.0
+    assert row.z_score < -7
+    assert row.p_value < 1e-6
+
+
+def test_plans_native_single_value_shuffle(sdf):
+    # both tests: no Python workers, and the raw data shuffles once
+    # (on the value); later exchanges only carry distinct values
+    for fn in (ks_2sample, mann_whitney_u):
+        plan = _plan(fn(sdf, "v", "grp", "a", "b"))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_collocations_pmi_naive(spark):
+    rows = [
+        (1, "New York is big New York is loud"),
+        (2, "old york is quiet new york sleeps"),
+        (3, "new york new york New YORK"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from temporal_retriever_spark.llm.text import collocations_pmi
+
+    got = {
+        (r.w1, r.w2): (r.pair_cnt, r.pmi)
+        for r in collocations_pmi(df, min_count=2).collect()
+    }
+    # naive reference
+    docs = [r[1].lower().split() for r in rows]
+    uni = Counter(w for d in docs for w in d)
+    bi = Counter((d[i], d[i + 1]) for d in docs for i in range(len(d) - 1))
+    nun = sum(uni.values())
+    nbi = sum(bi.values())
+    for (w1, w2), c in bi.items():
+        if c >= 2:
+            pmi = math.log((c / nbi) / ((uni[w1] / nun) * (uni[w2] / nun)))
+            assert got[(w1, w2)][0] == c
+            assert got[(w1, w2)][1] == pytest.approx(pmi, abs=1e-12)
+    assert set(got) == {k for k, c in bi.items() if c >= 2}
+    # high-PMI sanity: 'new york' should beat 'is big'
+    assert got[("new", "york")][1] > 0
+
+
+def test_collocations_pmi_broadcast_plan(spark):
+    rows = [(i, "alpha beta gamma delta " * 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from temporal_retriever_spark.llm.text import collocations_pmi
+
+    plan = _plan(collocations_pmi(df, min_count=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # both probability joins and both totals are broadcasts: the bigram
+    # count table never reshuffles after its aggregation
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
