@@ -4253,6 +4253,46 @@ def q_mwu_chars_en_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test, event_type x weekday.
+    Full expected grid from crossed broadcast marginals (zero-observed
+    cells still contribute); dof=(5-1)*(7-1)=24 is passed statically so
+    the p-value is the exact finite-series chi2_sf_sql string shared
+    verbatim with the oracle (inference.chi2_independence)."""
+    from temporal_retriever_spark.inference import chi2_independence
+
+    ev = _events_long(spark, sf_dir).select(
+        "event_type", F.dayofweek("ds").alias("dow")
+    )
+    got = chi2_independence(ev, "event_type", "dow", dof=24)
+    return got.select(
+        "n",
+        "dof",
+        F.round(F.col("chi2") + F.lit(_ROUND_OFFSET), 6).alias("chi2"),
+        F.round(F.col("p_value") + F.lit(_ROUND_OFFSET), 6).alias("p_value"),
+    )
+
+
+def q_jsd_tokens_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of
+    two corpus sources — the bounded [0,1]-bits drift measure run
+    between training-mix snapshots. One vocabulary-sized shuffle
+    (inference.js_divergence over exploded tokens)."""
+    from temporal_retriever_spark.inference import js_divergence
+
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    got = js_divergence(tok, "token", "source", "src0", "src1")
+    return got.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("jsd_bits") + F.lit(_ROUND_OFFSET), 6).alias("jsd_bits"),
+    )
+
+
 def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram PMI collocations (min_count=5): adjacent-pair phrase
     mining before tokenizer training. One scan, zip_with bigrams,
@@ -4289,6 +4329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_click_view_dow": q_ks_click_view_dow,
         "mwu_chars_en_de": q_mwu_chars_en_de,
         "collocations_pmi": q_collocations_pmi,
+        "chi2_event_dow": q_chi2_event_dow,
+        "jsd_tokens_src": q_jsd_tokens_src,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -5548,8 +5590,78 @@ _MEDIA_FEATURES_ORACLE = (
 )
 
 
+def _chi2_dow_oracle() -> str:
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    return f"""
+        WITH base AS (
+          SELECT event_type AS a, dayofweek(ts) + 1 AS b
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ),
+        obs AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+        cells AS (
+          SELECT ra.a, cb.b,
+                 CAST(COALESCE(obs.o, 0) AS DOUBLE) AS o,
+                 CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE) AS e,
+                 tot.n
+          FROM ra CROSS JOIN cb CROSS JOIN tot
+          LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+        ),
+        agg AS (
+          SELECT MAX(n) AS n,
+                 CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+                      AS INT) AS dof,
+                 SUM((o - e) * (o - e) / e) AS chi2
+          FROM cells
+        )
+        SELECT n, dof,
+               {_sql_r6("chi2")} AS chi2,
+               {_sql_r6(chi2_sf_sql("chi2", 24))} AS p_value
+        FROM agg
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "chi2_event_dow": _chi2_dow_oracle(),
+        "jsd_tokens_src": rf"""
+            WITH tok AS (
+              SELECT source,
+                     UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+              FROM documents WHERE source IN ('src0', 'src1')
+            ),
+            c AS (
+              SELECT token,
+                     CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d1,
+                     CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d2
+              FROM tok WHERE token IS NOT NULL GROUP BY 1
+            ),
+            t AS (
+              SELECT d1, d2,
+                CAST(d1 AS DOUBLE) / CAST(SUM(d1) OVER () AS DOUBLE) AS p,
+                CAST(d2 AS DOUBLE) / CAST(SUM(d2) OVER () AS DOUBLE) AS q,
+                CAST(SUM(d1) OVER () AS BIGINT) AS n1,
+                CAST(SUM(d2) OVER () AS BIGINT) AS n2
+              FROM c
+            )
+            SELECT MAX(n1) AS n_a, MAX(n2) AS n_b,
+              {_sql_r6('''0.5 * SUM(
+                CASE WHEN p > 0
+                  THEN p * ln(2.0 * p / (p + q)) / 0.6931471805599453
+                  ELSE 0.0 END
+                + CASE WHEN q > 0
+                  THEN q * ln(2.0 * q / (p + q)) / 0.6931471805599453
+                  ELSE 0.0 END)''')} AS jsd_bits
+            FROM t
+        """,
         "ks_click_view_dow": f"""
             WITH base AS (
               SELECT dayofweek(ts) + 1 AS dow, value AS v,

@@ -121,13 +121,19 @@ from temporal_retriever_spark.quality import (
 )
 from temporal_retriever_spark.impute import impute
 from temporal_retriever_spark.features import make_lag_features, target_encode
-from temporal_retriever_spark.inference import ks_2sample, mann_whitney_u
+from temporal_retriever_spark.inference import (
+    chi2_independence,
+    js_divergence,
+    ks_2sample,
+    mann_whitney_u,
+)
 
 __all__ = [
     "binseg_changepoints",
     "bounds",
     "bucket_aggregate_multi",
     "check_constraints",
+    "chi2_independence",
     "cohort_retention",
     "completeness",
     "contained_in",
@@ -137,6 +143,7 @@ __all__ = [
     "garch_forecast",
     "garch_volatility",
     "impute",
+    "js_divergence",
     "ks_2sample",
     "make_lag_features",
     "mann_whitney_u",

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ks_2sample", "mann_whitney_u"]
+__all__ = ["chi2_independence", "js_divergence", "ks_2sample", "mann_whitney_u"]
 
 #: Abramowitz & Stegun 26.2.17 coefficients for the standard normal
 #: tail probability (|error| < 7.5e-8) — public-domain constants.
@@ -220,4 +220,130 @@ def mann_whitney_u(
         u1.alias("u_stat"),
         z.alias("z_score"),
         p.alias("p_value"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    dof: int | None = None,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categorical columns (event type x weekday, source x language...).
+
+    One row-count-proportional shuffle (the ``groupBy(a, b)`` count);
+    everything after runs on the r x c contingency table, which is
+    categorical-cardinality-sized. The full expected grid comes from
+    crossing the row/column marginal tables (broadcast), so cells with
+    ZERO observed count still contribute their expected mass — the
+    classic groupBy-only mistake drops them and understates chi2.
+
+    ``dof``: pass the known degrees of freedom ``(r-1)*(c-1)`` to get
+    the exact finite-series p-value (``diagnostics.chi2_sf_sql``, the
+    same engine-neutral string the Ljung-Box test uses). Without it the
+    df is computed from the data at runtime and the p-value uses the
+    Wilson-Hilferty cube-root normal approximation (documented ~1e-3
+    absolute accuracy; identical expression on both engines, so
+    cross-engine parity is still exact). A mismatch between a passed
+    ``dof`` and the data's actual df raises at collect time via an
+    assert column — silent wrong-df p-values are worse than a failure.
+
+    Output (one row): ``n, dof, chi2, p_value``.
+    """
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    a, b = F.col(a_col), F.col(b_col)
+    obs = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = obs.agg(F.sum("_o").alias("_n"))
+    cells = (
+        ra.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["_a", "_b"], "left")
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    o = F.coalesce(F.col("_o"), F.lit(0)).cast("double")
+    agg = cells.agg(
+        F.first("_n").alias("n"),
+        (
+            (F.count_distinct(F.col("_a")) - 1)
+            * (F.count_distinct(F.col("_b")) - 1)
+        ).cast("int").alias("dof"),
+        F.sum((o - e) * (o - e) / e).alias("chi2"),
+    )
+    if dof is not None:
+        p = F.expr(chi2_sf_sql("chi2", int(dof)))
+        guard = F.when(
+            F.col("dof") == int(dof), p
+        ).otherwise(F.assert_true(F.lit(False), F.lit("dof mismatch")).cast("double"))
+        return agg.select("n", "dof", "chi2", guard.alias("p_value"))
+    # Wilson-Hilferty: chi2_sf(x, k) ~ P(Z > ((x/k)^(1/3) - 1 + 2/(9k)) / sqrt(2/(9k)))
+    k = F.col("dof").cast("double")
+    z = (
+        F.pow(F.col("chi2") / k, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * k))
+    ) / F.sqrt(2.0 / (9.0 * k))
+    p = F.when(z >= 0, _norm_sf_expr(z)).otherwise(1.0 - _norm_sf_expr(-z))
+    return agg.select("n", "dof", "chi2", p.alias("p_value"))
+
+
+def js_divergence(
+    df: DataFrame,
+    category_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two categorical
+    distributions — the standard bounded corpus-drift measure
+    (token distribution of snapshot A vs snapshot B, domain mix of
+    two sources). Base-2 logs, so the result lives in [0, 1].
+
+    JSD = 0.5*KL(P||M) + 0.5*KL(Q||M), M = (P+Q)/2. Zero-probability
+    categories on one side contribute only through the other side's
+    term (0*log0 := 0), which the conditional sums encode exactly.
+
+    Plan: one shuffle on (keys, category) for the conditional counts,
+    then one aggregation of p*log2(2p/(p+q)) terms per key — the
+    category table is vocabulary-sized, never row-count-sized.
+    Output per key group: ``n_a, n_b, jsd_bits``.
+    """
+    keys = list(keys or [])
+    counts = _counts_by_value(df, category_col, group_col, group_a, group_b, keys)
+    tot = Window.partitionBy(*(keys if keys else [F.lit(1)]))
+    withp = counts.select(
+        *keys,
+        F.col("_d1"),
+        F.col("_d2"),
+        (F.col("_d1").cast("double") / F.sum("_d1").over(tot).cast("double")).alias(
+            "_p"
+        ),
+        (F.col("_d2").cast("double") / F.sum("_d2").over(tot).cast("double")).alias(
+            "_q"
+        ),
+        F.sum("_d1").over(tot).alias("_n1"),
+        F.sum("_d2").over(tot).alias("_n2"),
+    )
+    ln2 = 0.6931471805599453
+    p_, q_ = F.col("_p"), F.col("_q")
+    term = (
+        F.when(p_ > 0, p_ * F.log(2.0 * p_ / (p_ + q_)) / ln2).otherwise(0.0)
+        + F.when(q_ > 0, q_ * F.log(2.0 * q_ / (p_ + q_)) / ln2).otherwise(0.0)
+    )
+    return withp.groupBy(*keys).agg(
+        F.first("_n1").alias("n_a"),
+        F.first("_n2").alias("n_b"),
+        (0.5 * F.sum(term)).alias("jsd_bits"),
     )

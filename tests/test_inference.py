@@ -196,3 +196,104 @@ def test_collocations_pmi_broadcast_plan(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("BroadcastNestedLoopJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_chi2_matches_naive(spark):
+    rng = random.Random(11)
+    rows = [
+        (rng.choice("abc"), rng.choice(["x", "y", "z", "w"])) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from temporal_retriever_spark.inference import chi2_independence
+    from temporal_retriever_spark.stats import chi2_sf
+
+    obs = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = sum(
+        (obs.get((a, b), 0) - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for a in ra
+        for b in cb
+    )
+    dof = (len(ra) - 1) * (len(cb) - 1)
+    row = chi2_independence(df, "a", "b", dof=dof).collect()[0]
+    assert (row.n, row.dof) == (n, dof)
+    assert row.chi2 == pytest.approx(chi2, abs=1e-9)
+    assert row.p_value == pytest.approx(chi2_sf(chi2, dof), abs=1e-6)
+
+
+def test_chi2_zero_cells_counted(spark):
+    # (a2, y) never occurs -> its expected mass must still enter chi2
+    rows = [("a1", "x")] * 10 + [("a1", "y")] * 10 + [("a2", "x")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    from temporal_retriever_spark.inference import chi2_independence
+
+    row = chi2_independence(df, "a", "b").collect()[0]
+    # naive with the zero cell: e(a2,y)=10*20/30? -> marginals: a2=10, y=10
+    ra = {"a1": 20, "a2": 10}
+    cb = {"x": 20, "y": 10}
+    obs = {("a1", "x"): 10, ("a1", "y"): 10, ("a2", "x"): 10}
+    chi2 = sum(
+        (obs.get((a, b), 0) - ra[a] * cb[b] / 30) ** 2 / (ra[a] * cb[b] / 30)
+        for a in ra
+        for b in cb
+    )
+    assert row.chi2 == pytest.approx(chi2, abs=1e-12)
+    assert row.dof == 1
+
+
+def test_chi2_wilson_hilferty_path(spark):
+    rng = random.Random(3)
+    rows = [(rng.choice("ab"), rng.choice("xy")) for _ in range(300)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from temporal_retriever_spark.inference import chi2_independence
+    from temporal_retriever_spark.stats import chi2_sf
+
+    row = chi2_independence(df, "a", "b").collect()[0]  # runtime dof
+    assert row.p_value == pytest.approx(chi2_sf(row.chi2, row.dof), abs=2e-3)
+
+
+def test_chi2_dof_mismatch_raises(spark):
+    rows = [("a1", "x"), ("a1", "y"), ("a2", "x"), ("a2", "y")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from temporal_retriever_spark.inference import chi2_independence
+
+    with pytest.raises(Exception):
+        chi2_independence(df, "a", "b", dof=24).collect()
+
+
+def test_jsd_naive_and_bounds(spark):
+    from temporal_retriever_spark.inference import js_divergence
+
+    # identical distributions -> 0 bits
+    rows = [("a", t) for t in "xxyyz"] + [("b", t) for t in "xxyyz"]
+    df = spark.createDataFrame(rows, "grp string, tok string")
+    row = js_divergence(df, "tok", "grp", "a", "b").collect()[0]
+    assert row.jsd_bits == pytest.approx(0.0, abs=1e-15)
+
+    # disjoint vocabularies -> exactly 1 bit
+    rows = [("a", t) for t in "xxyy"] + [("b", t) for t in "uuvv"]
+    df = spark.createDataFrame(rows, "grp string, tok string")
+    row = js_divergence(df, "tok", "grp", "a", "b").collect()[0]
+    assert row.jsd_bits == pytest.approx(1.0, abs=1e-12)
+
+    # naive cross-check on a random pair of distributions
+    rng = random.Random(5)
+    rows = [("a", rng.choice("pqrs")) for _ in range(200)] + [
+        ("b", rng.choice("qrst")) for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "grp string, tok string")
+    ca = Counter(t for g, t in rows if g == "a")
+    cb = Counter(t for g, t in rows if g == "b")
+    na, nb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for t in set(ca) | set(cb):
+        p, q = ca.get(t, 0) / na, cb.get(t, 0) / nb
+        if p > 0:
+            jsd += 0.5 * p * math.log2(2 * p / (p + q))
+        if q > 0:
+            jsd += 0.5 * q * math.log2(2 * q / (p + q))
+    row = js_divergence(df, "tok", "grp", "a", "b").collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.jsd_bits == pytest.approx(jsd, abs=1e-12)
