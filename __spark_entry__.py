@@ -4293,6 +4293,48 @@ def q_jsd_tokens_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prop_ztest_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per weekday: is the share of high-value
+    (>50) events different between click and view? ONE aggregation of
+    four conditional sums per key (inference.prop_ztest)."""
+    from temporal_retriever_spark.inference import prop_ztest
+
+    ev = _events_long(spark, sf_dir).select(
+        F.dayofweek("ds").alias("dow"),
+        "event_type",
+        (F.col("y") > 50.0).cast("int").alias("high"),
+    )
+    got = prop_ztest(ev, "high", "event_type", "click", "view", keys=["dow"])
+    return got.select(
+        "dow",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(F.col("p_a") + F.lit(_ROUND_OFFSET), 6).alias("p_a"),
+        F.round(F.col("p_b") + F.lit(_ROUND_OFFSET), 6).alias("p_b"),
+        F.round(F.col("z_score") + F.lit(_ROUND_OFFSET), 6).alias("z_score"),
+        F.round(F.col("p_value") + F.lit(_ROUND_OFFSET), 6).alias("p_value"),
+    )
+
+
+def q_psi_value_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the value distribution, purchase
+    vs error, 10 fixed-width bins from the pooled min/max (broadcast
+    back; deterministic so the oracle reproduces the exact binning).
+    Empty bins enter through the closed-form smoothing correction
+    (inference.psi)."""
+    from temporal_retriever_spark.inference import psi
+
+    ev = _events_long(spark, sf_dir)
+    got = psi(ev, "y", "event_type", "purchase", "error", bins=10)
+    return got.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("psi") + F.lit(_ROUND_OFFSET), 6).alias("psi"),
+    )
+
+
 def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram PMI collocations (min_count=5): adjacent-pair phrase
     mining before tokenizer training. One scan, zip_with bigrams,
@@ -4331,6 +4373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations_pmi,
         "chi2_event_dow": q_chi2_event_dow,
         "jsd_tokens_src": q_jsd_tokens_src,
+        "prop_ztest_dow": q_prop_ztest_dow,
+        "psi_value_purchase_error": q_psi_value_purchase_error,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -5630,6 +5674,103 @@ def _chi2_dow_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "chi2_event_dow": _chi2_dow_oracle(),
+        "prop_ztest_dow": f"""
+            WITH base AS (
+              SELECT dayofweek(ts) + 1 AS dow, event_type AS g,
+                     CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+              FROM events
+              WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+            ),
+            a AS (
+              SELECT dow,
+                CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN g = 'click' THEN s ELSE 0 END) AS BIGINT) AS x_a,
+                CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN g = 'view' THEN s ELSE 0 END) AS BIGINT) AS x_b
+              FROM base GROUP BY 1
+            ),
+            s2 AS (
+              SELECT dow, n_a, x_a, n_b, x_b,
+                CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+                CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+                CAST(x_a + x_b AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS ppv,
+                CAST(n_a AS DOUBLE) AS n1, CAST(n_b AS DOUBLE) AS n2
+              FROM a
+            ),
+            zc AS (
+              SELECT dow, n_a, x_a, n_b, x_b, p1, p2,
+                CASE WHEN ppv * (1.0 - ppv) * (1.0 / n1 + 1.0 / n2) > 0
+                  THEN (p1 - p2)
+                       / SQRT(ppv * (1.0 - ppv) * (1.0 / n1 + 1.0 / n2))
+                  ELSE 0.0 END AS z
+              FROM s2
+            ),
+            tp AS (
+              SELECT dow, n_a, x_a, n_b, x_b, p1, p2, z,
+                     1.0 / (1.0 + 0.2316419 * ABS(z)) AS t
+              FROM zc
+            )
+            SELECT dow, n_a, x_a, n_b, x_b,
+                   {_sql_r6("p1")} AS p_a,
+                   {_sql_r6("p2")} AS p_b,
+                   {_sql_r6("z")} AS z_score,
+                   {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(ABS(z) * ABS(z)) / 2.0)
+                     * 0.3989422804014327
+                     * (0.319381530 * t + -0.356563782 * t * t
+                        + 1.781477937 * t * t * t
+                        + -1.821255978 * t * t * t * t
+                        + 1.330274429 * t * t * t * t * t)))''')} AS p_value
+            FROM tp
+        """,
+        "psi_value_purchase_error": f"""
+            WITH base AS (
+              SELECT CAST(value AS DOUBLE) AS v, event_type AS g FROM events
+              WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+            ),
+            rng AS (
+              SELECT CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
+              FROM base
+            ),
+            bn AS (
+              SELECT CASE WHEN (hi - lo) / 10.0 > 0
+                THEN GREATEST(0, LEAST(9,
+                     CAST(FLOOR((v - lo) / ((hi - lo) / 10.0)) AS INT)))
+                ELSE 0 END AS b, g
+              FROM base, rng
+            ),
+            c AS (
+              SELECT b,
+                CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS c1,
+                CAST(SUM(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS c2
+              FROM bn GROUP BY 1
+            ),
+            t AS (
+              SELECT c1, c2,
+                CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                CAST(SUM(c2) OVER () AS BIGINT) AS n2,
+                (CAST(c1 AS DOUBLE) + 0.5)
+                  / (CAST(SUM(c1) OVER () AS DOUBLE) + 5.0) AS pa,
+                (CAST(c2 AS DOUBLE) + 0.5)
+                  / (CAST(SUM(c2) OVER () AS DOUBLE) + 5.0) AS pb
+              FROM c
+            ),
+            a AS (
+              SELECT MAX(n1) AS n_a, MAX(n2) AS n_b,
+                     SUM((pa - pb) * ln(pa / pb)) AS psi_obs,
+                     CAST(COUNT(*) AS BIGINT) AS nbins
+              FROM t
+            )
+            SELECT n_a, n_b,
+              {_sql_r6('''psi_obs + (10.0 - CAST(nbins AS DOUBLE))
+                * ((0.5 / (CAST(n_a AS DOUBLE) + 5.0)
+                    - 0.5 / (CAST(n_b AS DOUBLE) + 5.0))
+                   * ln((0.5 / (CAST(n_a AS DOUBLE) + 5.0))
+                        / (0.5 / (CAST(n_b AS DOUBLE) + 5.0))))''')} AS psi
+            FROM a
+        """,
         "jsd_tokens_src": rf"""
             WITH tok AS (
               SELECT source,

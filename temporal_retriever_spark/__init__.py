@@ -126,6 +126,8 @@ from temporal_retriever_spark.inference import (
     js_divergence,
     ks_2sample,
     mann_whitney_u,
+    prop_ztest,
+    psi,
 )
 
 __all__ = [
@@ -148,6 +150,8 @@ __all__ = [
     "make_lag_features",
     "mann_whitney_u",
     "non_negative",
+    "prop_ztest",
+    "psi",
     "qgrams_expr",
     "row_count",
     "scd2_history",

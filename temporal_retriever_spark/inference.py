@@ -347,3 +347,152 @@ def js_divergence(
         F.first("_n2").alias("n_b"),
         (0.5 * F.sum(term)).alias("jsd_bits"),
     )
+
+
+def prop_ztest(
+    df: DataFrame,
+    success_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Two-proportion z-test — the conversion-rate A/B comparison.
+
+    ``success_col`` is boolean or 0/1. Pooled-variance z under H0
+    (p1 == p2): z = (p1 - p2) / sqrt(pp*(1-pp)*(1/n1 + 1/n2)),
+    two-sided p via the shared A&S 26.2.17 normal CDF. ONE aggregation
+    over the raw rows — four conditional sums per key — so the plan is
+    a single map-side-combined shuffle of scalar partials regardless
+    of row count.
+
+    Output per key group: ``n_a, x_a, n_b, x_b, p_a, p_b, z_score,
+    p_value`` (z and p are 0/1 when a variance degenerates).
+    """
+    keys = list(keys or [])
+    g = F.col(group_col)
+    s = F.col(success_col).cast("int")
+    agg = (
+        df.filter(g.isin([group_a, group_b]) & F.col(success_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(g == group_a, s).otherwise(0)).alias("x_a"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(g == group_b, s).otherwise(0)).alias("x_b"),
+        )
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    p1 = F.col("x_a").cast("double") / n1
+    p2 = F.col("x_b").cast("double") / n2
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (n1 + n2)
+    var = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)
+    z = F.when(var > 0, (p1 - p2) / F.sqrt(var)).otherwise(F.lit(0.0))
+    p = F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(z)))
+    return agg.select(
+        *keys,
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        p1.alias("p_a"),
+        p2.alias("p_b"),
+        z.alias("z_score"),
+        p.alias("p_value"),
+    )
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Population stability index over fixed-width bins — the
+    model-monitoring drift score for a CONTINUOUS metric (JSD covers
+    the categorical case). PSI = sum (p_a - p_b) * ln(p_a / p_b) with
+    the conventional thresholds (<0.1 stable, 0.1-0.25 shifting,
+    >0.25 drifted).
+
+    Fixed-width bins over ``[lo, hi]`` (pass them for a stable
+    monitoring grid; omitted, they come from the pooled min/max in one
+    scalar aggregation broadcast back — deterministic, unlike
+    quantile-sketch edges, so the DuckDB oracle reproduces the exact
+    binning). Values at/beyond the edges clamp into the boundary bins.
+    Zero-count bins use add-half smoothing p = (c + 0.5)/(n + bins/2)
+    — keeps the log finite, identical in both engines.
+
+    Plan: (optional) one min/max aggregation, then ONE shuffle of
+    (keys, bin) count partials; everything downstream is bins-sized.
+    Output per key group: ``n_a, n_b, psi``.
+    """
+    keys = list(keys or [])
+    g = F.col(group_col)
+    base = df.filter(
+        g.isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    )
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        rng = base.agg(
+            F.min(v).cast("double").alias("_lo"), F.max(v).cast("double").alias("_hi")
+        )
+        base = base.crossJoin(F.broadcast(rng))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / float(bins)
+    b = F.when(width > 0,
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(int(bins) - 1), F.floor((v - lo_c) / width).cast("int")),
+        ),
+    ).otherwise(F.lit(0))
+    counts = base.groupBy(*keys, b.alias("_bin")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).alias("_c2"),
+    )
+    tot = Window.partitionBy(*(keys if keys else [F.lit(1)]))
+    withp = counts.select(
+        *keys,
+        F.sum("_c1").over(tot).alias("_n1"),
+        F.sum("_c2").over(tot).alias("_n2"),
+        (
+            (F.col("_c1").cast("double") + 0.5)
+            / (F.sum("_c1").over(tot).cast("double") + float(bins) / 2.0)
+        ).alias("_pa"),
+        (
+            (F.col("_c2").cast("double") + 0.5)
+            / (F.sum("_c2").over(tot).cast("double") + float(bins) / 2.0)
+        ).alias("_pb"),
+    )
+    term = (F.col("_pa") - F.col("_pb")) * F.log(F.col("_pa") / F.col("_pb"))
+    agg = withp.groupBy(*keys).agg(
+        F.first("_n1").alias("n_a"),
+        F.first("_n2").alias("n_b"),
+        F.sum(term).alias("_psi_obs"),
+        F.count(F.lit(1)).alias("_nbins_obs"),
+    )
+    # bins with zero counts on BOTH sides never materialize, but their
+    # smoothed term is nonzero whenever n_a != n_b; it is the SAME
+    # closed-form value for every empty bin, so add it analytically
+    # instead of materializing a grid
+    pa0 = 0.5 / (F.col("n_a").cast("double") + float(bins) / 2.0)
+    pb0 = 0.5 / (F.col("n_b").cast("double") + float(bins) / 2.0)
+    empty_term = (pa0 - pb0) * F.log(pa0 / pb0)
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        (
+            F.col("_psi_obs")
+            + (float(bins) - F.col("_nbins_obs").cast("double")) * empty_term
+        ).alias("psi"),
+    )

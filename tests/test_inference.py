@@ -297,3 +297,106 @@ def test_jsd_naive_and_bounds(spark):
     row = js_divergence(df, "tok", "grp", "a", "b").collect()[0]
     assert (row.n_a, row.n_b) == (na, nb)
     assert row.jsd_bits == pytest.approx(jsd, abs=1e-12)
+
+
+def test_prop_ztest_matches_naive(spark):
+    rng = random.Random(9)
+    rows = [("a", 1 if rng.random() < 0.30 else 0) for _ in range(400)] + [
+        ("b", 1 if rng.random() < 0.36 else 0) for _ in range(350)
+    ]
+    df = spark.createDataFrame(rows, "grp string, s int")
+    from temporal_retriever_spark.inference import prop_ztest
+
+    n1 = 400
+    x1 = sum(s for g, s in rows if g == "a")
+    n2 = 350
+    x2 = sum(s for g, s in rows if g == "b")
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    t = 1 / (1 + 0.2316419 * abs(z))
+    b = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    sf = (
+        math.exp(-z * z / 2)
+        * 0.3989422804014327
+        * (b[0] * t + b[1] * t**2 + b[2] * t**3 + b[3] * t**4 + b[4] * t**5)
+    )
+    row = prop_ztest(df, "s", "grp", "a", "b").collect()[0]
+    assert (row.n_a, row.x_a, row.n_b, row.x_b) == (n1, x1, n2, x2)
+    assert row.z_score == pytest.approx(z, abs=1e-12)
+    assert row.p_value == pytest.approx(min(1.0, 2 * sf), abs=1e-12)
+
+
+def test_prop_ztest_degenerate_variance(spark):
+    # all successes in both groups -> pooled variance 0 -> z = 0, p = 1
+    rows = [("a", 1)] * 10 + [("b", 1)] * 10
+    df = spark.createDataFrame(rows, "grp string, s int")
+    from temporal_retriever_spark.inference import prop_ztest
+
+    row = prop_ztest(df, "s", "grp", "a", "b").collect()[0]
+    assert row.z_score == 0.0
+    assert row.p_value == pytest.approx(1.0, abs=1e-6)
+
+
+def test_psi_matches_naive_with_empty_bins(spark):
+    rng = random.Random(13)
+    # disjoint-ish supports with unequal n -> empty bins matter
+    vals = [("a", rng.uniform(0, 1)) for _ in range(500)] + [
+        ("b", rng.uniform(3, 4)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(vals, "grp string, v double")
+    from temporal_retriever_spark.inference import psi as psi_op
+
+    bins = 10
+    lo = min(v for _, v in vals)
+    hi = max(v for _, v in vals)
+    width = (hi - lo) / bins
+
+    def binof(v):
+        return max(0, min(bins - 1, int(math.floor((v - lo) / width))))
+
+    ca = Counter(binof(v) for g, v in vals if g == "a")
+    cb = Counter(binof(v) for g, v in vals if g == "b")
+    na, nb = 500, 300
+    expect = sum(
+        ((ca.get(i, 0) + 0.5) / (na + 5.0) - (cb.get(i, 0) + 0.5) / (nb + 5.0))
+        * math.log(
+            ((ca.get(i, 0) + 0.5) / (na + 5.0))
+            / ((cb.get(i, 0) + 0.5) / (nb + 5.0))
+        )
+        for i in range(bins)
+    )
+    row = psi_op(df, "v", "grp", "a", "b", bins=bins).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.psi == pytest.approx(expect, abs=1e-12)
+    assert row.psi > 0.25  # far-drifted pair lands in the "drifted" band
+
+
+def test_psi_identical_distributions_zero(spark):
+    rows = [(g, float(i % 7)) for g in ("a", "b") for i in range(210)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    from temporal_retriever_spark.inference import psi as psi_op
+
+    row = psi_op(df, "v", "grp", "a", "b", bins=7).collect()[0]
+    assert row.psi == pytest.approx(0.0, abs=1e-15)
+
+
+def test_psi_static_bounds_and_clamp(spark):
+    # values beyond [lo, hi] clamp into the boundary bins
+    rows = [("a", -5.0), ("a", 0.5), ("b", 0.5), ("b", 99.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    from temporal_retriever_spark.inference import psi as psi_op
+
+    row = psi_op(df, "v", "grp", "a", "b", bins=4, lo=0.0, hi=1.0).collect()[0]
+    ca, cb = {0: 2}, {1: 1, 3: 1}
+    # -5 clamps to bin 0; 0.5 -> bin 2? floor(0.5/0.25)=2; 99 clamps to 3
+    ca = {0: 1, 2: 1}
+    cb = {2: 1, 3: 1}
+    expect = sum(
+        ((ca.get(i, 0) + 0.5) / (2 + 2.0) - (cb.get(i, 0) + 0.5) / (2 + 2.0))
+        * math.log(
+            ((ca.get(i, 0) + 0.5) / (2 + 2.0)) / ((cb.get(i, 0) + 0.5) / (2 + 2.0))
+        )
+        for i in range(4)
+    )
+    assert row.psi == pytest.approx(expect, abs=1e-12)
