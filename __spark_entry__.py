@@ -4366,15 +4366,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bucket grains / grids / splits sort last: multiple green rows
     # already.
     return {
-        # -- new this session: hypothesis tests + PMI (first for
-        # driver evidence on their first round) --
+        # -- new this round-half: hypothesis tests + PMI. Three
+        # representatives take in-window slots (one keyed two-sample
+        # test, one categorical-drift score, one text-mining op); the
+        # four family siblings (mwu/chi2/prop/psi) sort just below the
+        # window for the r5 rotation — evidence diversity beats four
+        # more rows from the same family, and the slots they'd burn
+        # belong to the streaming-replay / retrieval / decontamination
+        # rows that have never had a driver row at all --
         "ks_click_view_dow": q_ks_click_view_dow,
-        "mwu_chars_en_de": q_mwu_chars_en_de,
-        "collocations_pmi": q_collocations_pmi,
-        "chi2_event_dow": q_chi2_event_dow,
         "jsd_tokens_src": q_jsd_tokens_src,
-        "prop_ztest_dow": q_prop_ztest_dow,
-        "psi_value_purchase_error": q_psi_value_purchase_error,
+        "collocations_pmi": q_collocations_pmi,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -4424,15 +4426,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_source": q_target_encode_source,
         "dq_checks_lineitem": q_dq_checks_lineitem,
         "mixture_plan": q_mixture_plan,
-        "gopher_filter": q_gopher_filter,
         "contamination_5gram": q_contamination_5gram,
-        "interval_join_hours": q_interval_join_hours,
         "bm25_topk": q_bm25_topk,
-        "rolling_quantile_daily": q_rolling_quantile_daily,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "interval_join_streamed": q_interval_join_streamed,
         # -- round-4 family variants whose siblings hold the in-window
-        # slot (driver evidence diversity > duplicates) --
+        # slot (driver evidence diversity > duplicates), plus the four
+        # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
+        "mwu_chars_en_de": q_mwu_chars_en_de,
+        "chi2_event_dow": q_chi2_event_dow,
+        "prop_ztest_dow": q_prop_ztest_dow,
+        "psi_value_purchase_error": q_psi_value_purchase_error,
+        "gopher_filter": q_gopher_filter,
+        "interval_join_hours": q_interval_join_hours,
+        "rolling_quantile_daily": q_rolling_quantile_daily,
         "bucket_hour_streamed": q_bucket_hour_streamed,
         "anomaly_robust_daily": q_anomaly_robust_daily,
         "lm_perplexity_prune": q_lm_perplexity_prune,
