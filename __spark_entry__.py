@@ -4293,6 +4293,26 @@ def q_jsd_tokens_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_dow_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment composed over the seven
+    per-weekday KS tests — the multiple-comparisons control a fleet of
+    keyed tests needs. BH runs on the 6-dp-rounded p-values (identical
+    inputs cross-engine) with the weekday as the deterministic
+    tie-break (inference.fdr_bh); one 7-row window, zero data cost."""
+    from temporal_retriever_spark.inference import fdr_bh
+
+    ks = q_ks_click_view_dow(spark, sf_dir)
+    got = fdr_bh(ks, "p_value", tiebreak=["dow"])
+    return got.select(
+        "dow",
+        "n_a",
+        "n_b",
+        "d_stat",
+        "p_value",
+        F.round(F.col("p_adj") + F.lit(_ROUND_OFFSET), 6).alias("p_adj"),
+    )
+
+
 def q_prop_ztest_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test per weekday: is the share of high-value
     (>50) events different between click and view? ONE aggregation of
@@ -4374,7 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # more rows from the same family, and the slots they'd burn
         # belong to the streaming-replay / retrieval / decontamination
         # rows that have never had a driver row at all --
-        "ks_click_view_dow": q_ks_click_view_dow,
+        "ks_dow_fdr": q_ks_dow_fdr,
         "jsd_tokens_src": q_jsd_tokens_src,
         "collocations_pmi": q_collocations_pmi,
         # -- never driver-checked (r3 additions; local-oracle green) --
@@ -4433,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates), plus the four
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
+        "ks_click_view_dow": q_ks_click_view_dow,
         "mwu_chars_en_de": q_mwu_chars_en_de,
         "chi2_event_dow": q_chi2_event_dow,
         "prop_ztest_dow": q_prop_ztest_dow,
@@ -5641,6 +5662,55 @@ _MEDIA_FEATURES_ORACLE = (
 )
 
 
+#: KS-by-weekday oracle, shared by ks_click_view_dow and the
+#: FDR-composed ks_dow_fdr (which wraps it as a CTE)
+_KS_DOW = f"""
+            WITH base AS (
+              SELECT dayofweek(ts) + 1 AS dow, value AS v,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+                     CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i2
+              FROM events
+              WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+            ),
+            c AS (
+              SELECT dow, v, CAST(SUM(i1) AS BIGINT) AS d1,
+                     CAST(SUM(i2) AS BIGINT) AS d2
+              FROM base GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT dow,
+                CAST(SUM(d1) OVER (PARTITION BY dow ORDER BY v) AS DOUBLE)
+                  / CAST(SUM(d1) OVER (PARTITION BY dow) AS DOUBLE) AS f1,
+                CAST(SUM(d2) OVER (PARTITION BY dow ORDER BY v) AS DOUBLE)
+                  / CAST(SUM(d2) OVER (PARTITION BY dow) AS DOUBLE) AS f2,
+                CAST(SUM(d1) OVER (PARTITION BY dow) AS BIGINT) AS n1,
+                CAST(SUM(d2) OVER (PARTITION BY dow) AS BIGINT) AS n2
+              FROM c
+            ),
+            a AS (
+              SELECT dow, MAX(ABS(f1 - f2)) AS d_stat,
+                     MAX(n1) AS n_a, MAX(n2) AS n_b
+              FROM w GROUP BY dow
+            ),
+            l AS (
+              SELECT dow, n_a, n_b, d_stat,
+                (SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) + 0.12
+                 + 0.11 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+                * d_stat AS lam
+              FROM a
+            )
+            SELECT dow, n_a, n_b,
+                   {_sql_r6("d_stat")} AS d_stat,
+                   {_sql_r6('''CASE WHEN lam <= 0.2 THEN 1.0 ELSE
+                     LEAST(1.0, GREATEST(0.0, 2.0 * (
+                     SELECT SUM(CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END
+                                * EXP(-2.0 * j * j * lam * lam))
+                     FROM generate_series(1, 100) AS t(j)))) END''')} AS p_value
+            FROM l
+        """
+
 def _chi2_dow_oracle() -> str:
     from temporal_retriever_spark.diagnostics import chi2_sf_sql
 
@@ -5810,51 +5880,22 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 0.0 END)''')} AS jsd_bits
             FROM t
         """,
-        "ks_click_view_dow": f"""
-            WITH base AS (
-              SELECT dayofweek(ts) + 1 AS dow, value AS v,
-                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
-                     CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i2
-              FROM events
-              WHERE event_type IN ('click', 'view') AND value IS NOT NULL
-            ),
-            c AS (
-              SELECT dow, v, CAST(SUM(i1) AS BIGINT) AS d1,
-                     CAST(SUM(i2) AS BIGINT) AS d2
-              FROM base GROUP BY 1, 2
-            ),
-            w AS (
-              SELECT dow,
-                CAST(SUM(d1) OVER (PARTITION BY dow ORDER BY v) AS DOUBLE)
-                  / CAST(SUM(d1) OVER (PARTITION BY dow) AS DOUBLE) AS f1,
-                CAST(SUM(d2) OVER (PARTITION BY dow ORDER BY v) AS DOUBLE)
-                  / CAST(SUM(d2) OVER (PARTITION BY dow) AS DOUBLE) AS f2,
-                CAST(SUM(d1) OVER (PARTITION BY dow) AS BIGINT) AS n1,
-                CAST(SUM(d2) OVER (PARTITION BY dow) AS BIGINT) AS n2
-              FROM c
-            ),
-            a AS (
-              SELECT dow, MAX(ABS(f1 - f2)) AS d_stat,
-                     MAX(n1) AS n_a, MAX(n2) AS n_b
-              FROM w GROUP BY dow
-            ),
-            l AS (
-              SELECT dow, n_a, n_b, d_stat,
-                (SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) + 0.12
-                 + 0.11 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
-                * d_stat AS lam
-              FROM a
+        "ks_click_view_dow": _KS_DOW,
+        "ks_dow_fdr": f"""
+            WITH ks AS ({_KS_DOW}),
+            v AS (
+              SELECT dow, n_a, n_b, d_stat, p_value,
+                p_value * CAST(COUNT(*) OVER () AS DOUBLE)
+                  / CAST(ROW_NUMBER() OVER (ORDER BY p_value, dow)
+                         AS DOUBLE) AS val
+              FROM ks
             )
-            SELECT dow, n_a, n_b,
-                   {_sql_r6("d_stat")} AS d_stat,
-                   {_sql_r6('''CASE WHEN lam <= 0.2 THEN 1.0 ELSE
-                     LEAST(1.0, GREATEST(0.0, 2.0 * (
-                     SELECT SUM(CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END
-                                * EXP(-2.0 * j * j * lam * lam))
-                     FROM generate_series(1, 100) AS t(j)))) END''')} AS p_value
-            FROM l
+            SELECT dow, n_a, n_b, d_stat, p_value,
+              {_sql_r6('''LEAST(1.0, MIN(val) OVER (
+                ORDER BY p_value, dow
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))''')}
+              AS p_adj
+            FROM v
         """,
         "mwu_chars_en_de": f"""
             WITH base AS (

@@ -123,6 +123,7 @@ from temporal_retriever_spark.impute import impute
 from temporal_retriever_spark.features import make_lag_features, target_encode
 from temporal_retriever_spark.inference import (
     chi2_independence,
+    fdr_bh,
     js_divergence,
     ks_2sample,
     mann_whitney_u,
@@ -136,6 +137,7 @@ __all__ = [
     "bucket_aggregate_multi",
     "check_constraints",
     "chi2_independence",
+    "fdr_bh",
     "cohort_retention",
     "completeness",
     "contained_in",

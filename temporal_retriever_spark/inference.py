@@ -32,7 +32,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chi2_independence", "js_divergence", "ks_2sample", "mann_whitney_u"]
+__all__ = [
+    "chi2_independence",
+    "fdr_bh",
+    "js_divergence",
+    "ks_2sample",
+    "mann_whitney_u",
+    "prop_ztest",
+    "psi",
+]
 
 #: Abramowitz & Stegun 26.2.17 coefficients for the standard normal
 #: tail probability (|error| < 7.5e-8) — public-domain constants.
@@ -495,4 +503,44 @@ def psi(
             F.col("_psi_obs")
             + (float(bins) - F.col("_nbins_obs").cast("double")) * empty_term
         ).alias("psi"),
+    )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str = "p_value",
+    *,
+    keys: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate adjustment.
+
+    The keyed tests above produce one p-value per key; running many of
+    them inflates false positives, and BH is the standard correction:
+    sort the m p-values ascending, p_adj(i) = min_{j>=i} (m/j)*p(j),
+    clamped to 1. The suffix minimum is a reverse running min — one
+    ordered window over the TEST-RESULT table (m rows, never data
+    rows), so cost is nil at any corpus scale.
+
+    ``keys`` group independent test families (each adjusted over its
+    own m); ``tiebreak`` columns make the within-ties ordering
+    deterministic for engine-mirroring (the adjusted values themselves
+    are tie-stable — tied p-values share one suffix minimum — but a
+    deterministic order keeps intermediate ranks reproducible).
+
+    Output: the input columns plus ``p_adj``.
+    """
+    keys = list(keys or [])
+    order = [F.col(p_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    part = keys if keys else [F.lit(1)]
+    w_ord = Window.partitionBy(*part).orderBy(*order)
+    w_tot = Window.partitionBy(*part)
+    w_suffix = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val = (
+        F.col(p_col)
+        * F.count(F.lit(1)).over(w_tot).cast("double")
+        / F.row_number().over(w_ord).cast("double")
+    )
+    return df.withColumn(
+        "p_adj", F.least(F.lit(1.0), F.min(val).over(w_suffix))
     )

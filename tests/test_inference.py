@@ -400,3 +400,42 @@ def test_psi_static_bounds_and_clamp(spark):
         for i in range(4)
     )
     assert row.psi == pytest.approx(expect, abs=1e-12)
+
+
+def test_fdr_bh_matches_naive(spark):
+    from temporal_retriever_spark.inference import fdr_bh
+
+    ps = [0.01, 0.04, 0.03, 0.20, 0.20, 0.9, 0.005]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "test_id int, p_value double"
+    )
+    got = {
+        r.test_id: r.p_adj
+        for r in fdr_bh(df, "p_value", tiebreak=["test_id"]).collect()
+    }
+    # naive BH
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: (ps[i], i))
+    adj = [0.0] * m
+    run = 1.0
+    for rank in range(m, 0, -1):
+        i = order[rank - 1]
+        run = min(run, ps[i] * m / rank)
+        adj[i] = run
+    for i in range(m):
+        assert got[i] == pytest.approx(adj[i], abs=1e-15), i
+    # monotone in p, clamped at 1
+    assert max(got.values()) <= 1.0
+    assert got[6] <= got[0] <= got[2]
+
+
+def test_fdr_bh_keyed_families_independent(spark):
+    from temporal_retriever_spark.inference import fdr_bh
+
+    rows = [("f1", 1, 0.02), ("f1", 2, 0.5), ("g2", 1, 0.02), ("g2", 2, 0.5)]
+    df = spark.createDataFrame(rows, "fam string, tid int, p_value double")
+    got = fdr_bh(df, "p_value", keys=["fam"], tiebreak=["tid"]).collect()
+    # both families are identical, so adjustments must match pairwise
+    by = {(r.fam, r.tid): r.p_adj for r in got}
+    assert by[("f1", 1)] == by[("g2", 1)] == pytest.approx(0.04)
+    assert by[("f1", 2)] == by[("g2", 2)] == pytest.approx(0.5)
