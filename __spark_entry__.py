@@ -4269,6 +4269,7 @@ def q_chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "dof",
         F.round(F.col("chi2") + F.lit(_ROUND_OFFSET), 6).alias("chi2"),
+        F.round(F.col("cramers_v") + F.lit(_ROUND_OFFSET), 6).alias("cramers_v"),
         F.round(F.col("p_value") + F.lit(_ROUND_OFFSET), 6).alias("p_value"),
     )
 
@@ -5738,11 +5739,16 @@ def _chi2_dow_oracle() -> str:
           SELECT MAX(n) AS n,
                  CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
                       AS INT) AS dof,
-                 SUM((o - e) * (o - e) / e) AS chi2
+                 SUM((o - e) * (o - e) / e) AS chi2,
+                 CAST(LEAST(COUNT(DISTINCT a) - 1, COUNT(DISTINCT b) - 1)
+                      AS DOUBLE) AS mindim
           FROM cells
         )
         SELECT n, dof,
                {_sql_r6("chi2")} AS chi2,
+               {_sql_r6('''CASE WHEN mindim > 0
+                 THEN SQRT(chi2 / (CAST(n AS DOUBLE) * mindim))
+                 ELSE 0.0 END''')} AS cramers_v,
                {_sql_r6(chi2_sf_sql("chi2", 24))} AS p_value
         FROM agg
     """

@@ -258,7 +258,7 @@ def chi2_independence(
     ``dof`` and the data's actual df raises at collect time via an
     assert column — silent wrong-df p-values are worse than a failure.
 
-    Output (one row): ``n, dof, chi2, p_value``.
+    Output (one row): ``n, dof, chi2, cramers_v, p_value``.
     """
     from temporal_retriever_spark.diagnostics import chi2_sf_sql
 
@@ -289,20 +289,33 @@ def chi2_independence(
             * (F.count_distinct(F.col("_b")) - 1)
         ).cast("int").alias("dof"),
         F.sum((o - e) * (o - e) / e).alias("chi2"),
+        F.least(
+            F.count_distinct(F.col("_a")) - 1, F.count_distinct(F.col("_b")) - 1
+        ).cast("double").alias("_mindim"),
     )
+    # Cramer's V effect size: chi2 alone scales with n, V in [0, 1]
+    # does not — the interpretable strength-of-association companion
+    v = F.when(
+        F.col("_mindim") > 0,
+        F.sqrt(F.col("chi2") / (F.col("n").cast("double") * F.col("_mindim"))),
+    ).otherwise(F.lit(0.0))
     if dof is not None:
         p = F.expr(chi2_sf_sql("chi2", int(dof)))
         guard = F.when(
             F.col("dof") == int(dof), p
         ).otherwise(F.assert_true(F.lit(False), F.lit("dof mismatch")).cast("double"))
-        return agg.select("n", "dof", "chi2", guard.alias("p_value"))
+        return agg.select(
+            "n", "dof", "chi2", v.alias("cramers_v"), guard.alias("p_value")
+        )
     # Wilson-Hilferty: chi2_sf(x, k) ~ P(Z > ((x/k)^(1/3) - 1 + 2/(9k)) / sqrt(2/(9k)))
     k = F.col("dof").cast("double")
     z = (
         F.pow(F.col("chi2") / k, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * k))
     ) / F.sqrt(2.0 / (9.0 * k))
     p = F.when(z >= 0, _norm_sf_expr(z)).otherwise(1.0 - _norm_sf_expr(-z))
-    return agg.select("n", "dof", "chi2", p.alias("p_value"))
+    return agg.select(
+        "n", "dof", "chi2", v.alias("cramers_v"), p.alias("p_value")
+    )
 
 
 def js_divergence(

@@ -220,6 +220,9 @@ def test_chi2_matches_naive(spark):
     row = chi2_independence(df, "a", "b", dof=dof).collect()[0]
     assert (row.n, row.dof) == (n, dof)
     assert row.chi2 == pytest.approx(chi2, abs=1e-9)
+    assert row.cramers_v == pytest.approx(
+        math.sqrt(chi2 / (n * min(len(ra) - 1, len(cb) - 1))), abs=1e-12
+    )
     assert row.p_value == pytest.approx(chi2_sf(chi2, dof), abs=1e-6)
 
 
