@@ -4373,6 +4373,80 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII into the synthetic corpus.
+
+    The test corpus is clean word-salad, so a scan of the raw text
+    would trivially hash-match on all-zeros. Both the Spark query and
+    the DuckDB oracle append the SAME doc_id-derived PII strings
+    (email always; phone/IP/SSN/card on residue classes), so the
+    contract genuinely exercises the regex + Luhn logic, not the
+    absence of input.
+    """
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com"),
+        F.when(did % 3 == 0, F.lit(" call (555) 867-5309")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" card 4532015112830366"))
+        .when(did % 11 == 1, F.lit(" ref 1234567812345678"))
+        .otherwise(F.lit("")),
+    )
+    return docs.withColumn("text", aug)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII census over deterministically-injected PII:
+    emails/SSNs/phones/IPs by regexp_extract_all, card candidates
+    split into Luhn-valid vs not by a native HOF checksum — one
+    codegen'd scan, one per-source aggregation, zero Python
+    (llm.pii.pii_counts)."""
+    from temporal_retriever_spark.llm.pii import pii_counts
+
+    docs = _pii_augmented(_documents(spark, sf_dir))
+    counted = pii_counts(docs)
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pii_email").alias("emails"),
+            F.sum("pii_ssn").alias("ssns"),
+            F.sum("pii_phone").alias("phones"),
+            F.sum("pii_ipv4").alias("ips"),
+            F.sum("pii_card").alias("card_candidates"),
+            F.sum("pii_cards_valid").alias("cards_valid"),
+            F.sum("pii_total").alias("pii_total"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-token redaction of the injected PII, verified to the
+    BYTE per document: md5(clean text) must match the oracle's
+    chained regexp_replace mirror exactly (llm.pii.pii_redact)."""
+    from temporal_retriever_spark.llm.pii import pii_redact
+
+    docs = _pii_augmented(_documents(spark, sf_dir))
+    clean = pii_redact(docs, out_col="clean")
+    return clean.select(
+        "doc_id", F.md5(F.col("clean")).alias("clean_md5")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4398,6 +4472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_dow_fdr": q_ks_dow_fdr,
         "jsd_tokens_src": q_jsd_tokens_src,
         "collocations_pmi": q_collocations_pmi,
+        # -- new this session: PII scrubbing (llm/pii.py). The scan
+        # row (counts + native Luhn) takes the in-window slot;
+        # byte-parity redaction is its family sibling below the
+        # window. media_probe yields its slot (media family keeps
+        # media_decode_png in-window). --
+        "pii_scan": q_pii_scan,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -4429,7 +4509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
         "garch_vol_daily": q_garch_vol_daily,
-        "media_probe": q_media_probe,
         "fuzzy_source_pairs": q_fuzzy_source_pairs,
         "packed_sequences": q_packed_sequences,
         "ljung_box_daily": q_ljung_box_daily,
@@ -4454,6 +4533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates), plus the four
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
+        "pii_redact": q_pii_redact,
+        "media_probe": q_media_probe,
         "ks_click_view_dow": q_ks_click_view_dow,
         "mwu_chars_en_de": q_mwu_chars_en_de,
         "chi2_event_dow": q_chi2_event_dow,
@@ -6873,6 +6954,77 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6("CASE WHEN COALESCE(agg.n_ngrams, 0) > 0 THEN agg.n_contaminated * 1.0 / agg.n_ngrams ELSE 0.0 END")}
                      AS contaminated_frac
             FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "pii_scan": r"""
+            WITH aug AS (
+                SELECT doc_id, source,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       || CASE WHEN doc_id % 3 = 0 THEN ' call (555) 867-5309' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN ' card 4532015112830366'
+                               WHEN doc_id % 11 = 1 THEN ' ref 1234567812345678'
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            hits AS (
+                SELECT source,
+                    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+                    len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS s,
+                    len(regexp_extract_all(text, '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS p,
+                    len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i,
+                    regexp_extract_all(text, '\b[0-9]{13,16}\b') AS cards
+                FROM aug
+            ),
+            luhn AS (
+                SELECT source, e, s, p, i, len(cards) AS c,
+                    len(list_filter(cards, x ->
+                        list_sum(list_transform(range(1, length(x) + 1), k ->
+                            CASE WHEN k % 2 = 0 THEN
+                                CASE WHEN CAST(substr(reverse(x), k, 1) AS INTEGER) * 2 > 9
+                                     THEN CAST(substr(reverse(x), k, 1) AS INTEGER) * 2 - 9
+                                     ELSE CAST(substr(reverse(x), k, 1) AS INTEGER) * 2 END
+                            ELSE CAST(substr(reverse(x), k, 1) AS INTEGER) END
+                        )) % 10 = 0)) AS cv
+                FROM hits
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(e) AS BIGINT) AS emails,
+                   CAST(SUM(s) AS BIGINT) AS ssns,
+                   CAST(SUM(p) AS BIGINT) AS phones,
+                   CAST(SUM(i) AS BIGINT) AS ips,
+                   CAST(SUM(c) AS BIGINT) AS card_candidates,
+                   CAST(SUM(cv) AS BIGINT) AS cards_valid,
+                   CAST(SUM(e + s + p + i + cv) AS BIGINT) AS pii_total
+            FROM luhn GROUP BY source ORDER BY source
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       || CASE WHEN doc_id % 3 = 0 THEN ' call (555) 867-5309' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN ' card 4532015112830366'
+                               WHEN doc_id % 11 = 1 THEN ' ref 1234567812345678'
+                               ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+                       '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+                       '\b[0-9]{13,16}\b', '[CARD]', 'g')
+                   ) AS clean_md5
+            FROM aug ORDER BY doc_id
         """,
         "token_topk": r"""
             WITH toks AS (
