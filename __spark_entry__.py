@@ -4447,6 +4447,31 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curves per activity type: per
+    (user, event_type) lifetimes (7-day churn gap, right-censoring),
+    then the product-limit estimator over each type's
+    distinct-duration table — two key-bounded shuffles + two tiny
+    keyed ordered windows; the running product is order-deterministic
+    so 6-dp survival hashes match cross-engine
+    (survival.user_lifetimes / kaplan_meier)."""
+    from temporal_retriever_spark.survival import kaplan_meier, user_lifetimes
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    lt = user_lifetimes(
+        ev, churn_gap_days=7.0, segment_cols=["event_type"]
+    )
+    km = kaplan_meier(lt, keys=["event_type"])
+    return km.select(
+        "event_type",
+        "duration_days",
+        "n_risk",
+        "d_events",
+        "censored",
+        _r6("survival").alias("survival"),
+    ).orderBy("event_type", "duration_days")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4478,6 +4503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. media_probe yields its slot (media family keeps
         # media_decode_png in-window). --
         "pii_scan": q_pii_scan,
+        # -- new this session: Kaplan-Meier retention (survival.py).
+        # forecast_theta_daily yields its slot (the forecast family
+        # already holds driver-green rows from r3 plus
+        # forecast_accuracy_daily in-window). --
+        "km_survival": q_km_survival,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -4517,7 +4547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_features_daily": q_lag_features_daily,
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "funnel_conversion": q_funnel_conversion,
-        "forecast_theta_daily": q_forecast_theta_daily,
         "impute_event_values": q_impute_event_values,
         "event_transitions": q_event_transitions,
         "multi_grain_rollup": q_multi_grain_rollup,
@@ -4534,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot (driver evidence diversity > duplicates), plus the four
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
         "pii_redact": q_pii_redact,
+        "forecast_theta_daily": q_forecast_theta_daily,
         "media_probe": q_media_probe,
         "ks_click_view_dow": q_ks_click_view_dow,
         "mwu_chars_en_de": q_mwu_chars_en_de,
@@ -6954,6 +6984,40 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6("CASE WHEN COALESCE(agg.n_ngrams, 0) > 0 THEN agg.n_contaminated * 1.0 / agg.n_ngrams ELSE 0.0 END")}
                      AS contaminated_frac
             FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "km_survival": """
+            WITH lt AS (
+                SELECT user_id, event_type, MIN(ts) AS f, MAX(ts) AS l
+                FROM events GROUP BY user_id, event_type
+            ),
+            obs AS (SELECT MAX(ts) AS oe FROM events),
+            d AS (
+                SELECT event_type,
+                       date_diff('second', f, l) // 86400 AS duration_days,
+                       CASE WHEN date_diff('second', l, oe) > 7 * 86400
+                            THEN 1 ELSE 0 END AS ev
+                FROM lt, obs
+            ),
+            g AS (
+                SELECT event_type, duration_days,
+                       CAST(SUM(ev) AS BIGINT) AS d_events,
+                       CAST(COUNT(*) - SUM(ev) AS BIGINT) AS censored
+                FROM d GROUP BY event_type, duration_days
+            ),
+            r AS (
+                SELECT *,
+                       CAST(SUM(d_events + censored)
+                            OVER (PARTITION BY event_type
+                                  ORDER BY duration_days DESC) AS BIGINT)
+                           AS n_risk
+                FROM g
+            )
+            SELECT event_type, duration_days, n_risk, d_events, censored,
+                   ROUND(product(1.0 - d_events / CAST(n_risk AS DOUBLE))
+                         OVER (PARTITION BY event_type
+                               ORDER BY duration_days ASC)
+                         + 1.234567e-07, 6) AS survival
+            FROM r ORDER BY event_type, duration_days
         """,
         "pii_scan": r"""
             WITH aug AS (

@@ -22,6 +22,14 @@ non-capturing groups, ``\\b`` word boundaries — no backreferences or
 lookaround, so the same pattern string drives both engines and the
 contract oracles are byte-identical mirrors.
 
+Relation to ``llm.filters.scrub_text``: that is the in-pipeline
+cleaning step (email/url/ipv4 placeholder substitution inside
+``prepare_corpus``); this module is the dedicated PII *audit*
+surface — typed per-category counts, SSN/phone/card patterns, and
+checksum validation (Luhn) that a release review needs. The two
+share the design rule (RE2-compatible patterns, fixed application
+order) but not patterns or columns.
+
 Reference parity: the reference engine has no PII surface
 (``/root/reference/temporal_retriever/app.py`` is forecasting-only);
 this extends the corpus-preparation family (``llm/filters.py``,

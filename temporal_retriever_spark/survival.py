@@ -1,0 +1,159 @@
+"""Kaplan-Meier survival analysis over event timelines.
+
+User-retention questions ("what fraction of users are still active
+after N days?") are right-censored: users active at the end of the
+observation window haven't churned yet, and treating them as churned
+biases every retention number downward. The Kaplan-Meier product-limit
+estimator (Kaplan & Meier 1958) is the standard correction, and it
+compiles to a plan that survives 100 TB of events:
+
+1. ``groupBy(user)`` — one shuffle keyed on the subject builds
+   per-user lifetimes (first/last activity, censoring flag).
+2. ``groupBy(duration)`` — a second shuffle collapses to the
+   distinct-duration table, whose cardinality is bounded by the
+   observation window in days, not the user count.
+3. Two ordered windows over that tiny table: a descending cumulative
+   sum gives the at-risk count n_t, an ascending cumulative
+   ``product(1 - d_t/n_t)`` gives the survival curve. With grouping
+   ``keys`` the windows partition per key (the scale path); keyless
+   mode is one ordered partition over distinct durations only —
+   hundreds of rows regardless of input size.
+
+The running product is evaluated in ascending duration order on any
+engine, so the float sequence is bit-reproducible and 6-dp rounding
+is stable cross-engine (same argument as ``inference.py``).
+
+Reference parity: the reference engine has no survival surface
+(``/root/reference/temporal_retriever/app.py`` enumerates only
+forecast/acf/pacf/granger); this extends the events-analytics family
+(``funnel.py`` cohort retention is the uncensored cousin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kaplan_meier",
+    "median_survival",
+    "user_lifetimes",
+]
+
+
+def user_lifetimes(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: float = 7.0,
+    segment_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-user duration + censoring flag from a raw event log.
+
+    Duration is whole days between a user's first and last event
+    (integer floor — engine-portable). A user whose last event is
+    more than ``churn_gap_days`` before the global observation end
+    (the max timestamp in the log) has churned: ``event = 1``. Anyone
+    still active within the gap is right-censored: ``event = 0``.
+
+    ``segment_cols`` widens the subject key to (user, segments) —
+    e.g. per-activity-type retention — and the columns carry through
+    for a keyed ``kaplan_meier``. The censoring horizon stays global.
+
+    One shuffle (groupBy subject); the observation end is a one-row
+    aggregate broadcast back over the lifetimes.
+    """
+    if churn_gap_days < 0:
+        raise ValueError(f"churn_gap_days must be >= 0, got {churn_gap_days}")
+    subject = [user_col, *(segment_cols or [])]
+    lt = events.groupBy(*subject).agg(
+        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    )
+    obs = events.agg(F.max(ts_col).alias("_obs_end"))
+    gap_s = int(churn_gap_days * 86400)
+    diff_s = F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
+    return (
+        lt.crossJoin(F.broadcast(obs))
+        .withColumn(
+            "duration_days", F.floor(diff_s / F.lit(86400)).cast("long")
+        )
+        .withColumn(
+            "event",
+            (
+                (
+                    F.unix_timestamp("_obs_end")
+                    - F.unix_timestamp("last_ts")
+                )
+                > gap_s
+            ).cast("int"),
+        )
+        .drop("_obs_end")
+    )
+
+
+def kaplan_meier(
+    lifetimes: DataFrame,
+    *,
+    duration_col: str = "duration_days",
+    event_col: str = "event",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Product-limit survival curve S(t) from (duration, event) rows.
+
+    Returns one row per distinct duration (per key): ``n_risk``
+    subjects at risk entering t, ``d_events`` observed events at t,
+    ``censored`` subjects leaving the risk set at t without an event,
+    and ``survival`` = Π_{u<=t} (1 − d_u/n_u). Censoring-only times
+    keep their row (factor 1) — the risk set still shrinks there,
+    which is the whole point of the estimator.
+
+    Keyless mode single-partitions the distinct-duration table; that
+    table is observation-window-sized (not data-sized), so this is
+    safe at any input scale — per-key mode is the parallel path.
+    """
+    kcols = list(keys or [])
+    dur = F.col(duration_col)
+    per_t = lifetimes.groupBy(*kcols, duration_col).agg(
+        F.sum(event_col).cast("long").alias("d_events"),
+        (F.count("*") - F.sum(event_col)).cast("long").alias("censored"),
+    )
+    part = kcols if kcols else [F.lit(1)]
+    w_desc = (
+        Window.partitionBy(*part)
+        .orderBy(dur.desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy(*part)
+        .orderBy(dur.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("d_events") + F.col("censored")).over(w_desc)
+    )
+    factor = F.lit(1.0) - F.col("d_events").cast("double") / F.col("n_risk")
+    return with_risk.withColumn(
+        "survival", F.product(factor).over(w_asc)
+    ).select(*kcols, duration_col, "n_risk", "d_events", "censored", "survival")
+
+
+def median_survival(
+    km: DataFrame,
+    *,
+    duration_col: str = "duration_days",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Smallest duration where S(t) drops to <= 0.5, per key.
+
+    NULL when the curve never reaches 0.5 inside the observation
+    window (more than half the population is censored) — the honest
+    answer, not an extrapolation.
+    """
+    kcols = list(keys or [])
+    med = F.min(
+        F.when(F.col("survival") <= 0.5, F.col(duration_col))
+    ).alias("median_survival")
+    if kcols:
+        return km.groupBy(*kcols).agg(med)
+    return km.agg(med)
