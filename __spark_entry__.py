@@ -4472,6 +4472,30 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "duration_days")
 
 
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achlioptas sparse random projection 64→8 over the embedding
+    table: literal ±1 weight matrix (md5-derived, engine-portable),
+    zip_with dot products, zero shuffles/Python — the JL pre-step
+    that shrinks every downstream ANN pass
+    (llm.similarity.random_projection). VALUE-EXACT oracle: every
+    projected coordinate matches the SQL mirror at 4 dp."""
+    from temporal_retriever_spark.llm.similarity import random_projection
+
+    emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 100)
+    proj = random_projection(emb, dim=64, out_dim=8, salt="rp")
+    return (
+        proj.select(
+            "vec_id", F.posexplode("projected").alias("j", "val")
+        )
+        .select(
+            "vec_id",
+            "j",
+            F.round(F.col("val") + F.lit(_ROUND_OFFSET), 4).alias("val"),
+        )
+        .orderBy("vec_id", "j")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4508,6 +4532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # already holds driver-green rows from r3 plus
         # forecast_accuracy_daily in-window). --
         "km_survival": q_km_survival,
+        # -- new this session: JL random projection (value-exact).
+        # sq8_codes yields its slot (compression family keeps
+        # pq_cosine_topk in-window). --
+        "rp_project": q_rp_project,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -4551,7 +4579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "multi_grain_rollup": q_multi_grain_rollup,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
-        "sq8_codes": q_sq8_codes,
         "target_encode_source": q_target_encode_source,
         "dq_checks_lineitem": q_dq_checks_lineitem,
         "mixture_plan": q_mixture_plan,
@@ -4564,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
         "pii_redact": q_pii_redact,
         "forecast_theta_daily": q_forecast_theta_daily,
+        "sq8_codes": q_sq8_codes,
         "media_probe": q_media_probe,
         "ks_click_view_dow": q_ks_click_view_dow,
         "mwu_chars_en_de": q_mwu_chars_en_de,
@@ -6984,6 +7012,22 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_r6("CASE WHEN COALESCE(agg.n_ngrams, 0) > 0 THEN agg.n_contaminated * 1.0 / agg.n_ngrams ELSE 0.0 END")}
                      AS contaminated_frac
             FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "rp_project": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings WHERE vec_id < 100
+            )
+            SELECT vec_id, CAST(j AS INTEGER) AS j,
+                   ROUND(sqrt(3.0 / 8) * list_sum(list_transform(
+                       range(0, 64), i ->
+                       emb[i + 1] * CASE
+                           CAST(('0x' || substr(md5('rp:' || CAST(j AS VARCHAR)
+                                || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 6
+                           WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))
+                       + {_ROUND_OFFSET!r}, 4) AS val
+            FROM e, generate_series(0, 7) AS t(j)
+            ORDER BY vec_id, j
         """,
         "km_survival": """
             WITH lt AS (

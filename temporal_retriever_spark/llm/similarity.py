@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -687,3 +689,70 @@ def pool_embeddings(
             .drop("_nrm")
         )
     return pooled
+
+
+def jl_weights(
+    dim: int, out_dim: int, *, salt: str = "rp"
+) -> list[list[int]]:
+    """Achlioptas (2003) sparse random-projection weights, engine-portable.
+
+    ``w[j][i] ∈ {+1, −1, 0}`` with probabilities {1/6, 1/6, 2/3},
+    drawn from ``md5(f"{salt}:{j}:{i}") % 6`` — the same derivation an
+    ANSI-SQL mirror can compute (``('0x' || substr(md5(...), 1, 8))
+    % 6``), so the matrix is identical on any engine with no RNG
+    state and no transcendental math (the reason this beats Gaussian
+    JL for cross-engine reproducibility; the JL distance guarantee is
+    the paper's Theorem 1.1). Scaling by sqrt(3/out_dim) happens in
+    the projection, not here, so weights stay exact integers.
+    """
+    import hashlib
+
+    return [
+        [
+            [1, -1, 0, 0, 0, 0][
+                int(
+                    hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 6
+            ]
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    dim: int,
+    out_dim: int = 16,
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimension reduction, fully native.
+
+    Projects ``vec_col`` (length ``dim``) onto ``out_dim`` sparse
+    ±1 hyperplanes (`jl_weights`) scaled by sqrt(3/out_dim) — the
+    Achlioptas database-friendly JL transform. Compiles to a
+    ``transform`` over a literal weight matrix with ``zip_with``
+    dot products: zero shuffles, zero Python, and 2/3 of the
+    multiplies are against literal zeros Catalyst folds away.
+
+    At 100 TB this is the pre-step that makes downstream ANN cheap:
+    a 64→16 projection cuts every cosine-topk / IVF / LSH pass by
+    4× in both bytes shuffled and flops, at the JL-bounded distance
+    distortion. Use a larger ``out_dim`` when feeding near-dup
+    thresholds (distortion compounds with tight cosine cuts).
+    """
+    if out_dim <= 0 or dim <= 0:
+        raise ValueError(f"dim/out_dim must be positive, got {dim}/{out_dim}")
+    w = jl_weights(dim, out_dim, salt=salt)
+    scale = math.sqrt(3.0 / out_dim)
+    rows = []
+    vec = F.col(vec_col)
+    for j in range(out_dim):
+        arr = F.array(*[F.lit(float(x)) for x in w[j]])
+        rows.append(_dot(vec, arr) * F.lit(scale))
+    return df.withColumn(out_col, F.array(*rows))
