@@ -4496,6 +4496,54 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_welch_click_view_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t-test per weekday: click vs view mean
+    value. ONE aggregation of six conditional moments per key
+    (inference.welch_ttest); p is the documented asymptotic-normal
+    form, identical closed form in the oracle."""
+    from temporal_retriever_spark.inference import welch_ttest
+
+    ev = _events_long(spark, sf_dir).select(
+        F.dayofweek("ds").alias("dow"), "event_type", "y"
+    )
+    got = welch_ttest(ev, "y", "event_type", "click", "view", keys=["dow"])
+    return got.select(
+        "dow",
+        "n_a",
+        "n_b",
+        _r6("mean_a").alias("mean_a"),
+        _r6("mean_b").alias("mean_b"),
+        _r6("t_stat").alias("t_stat"),
+        # df is O(n): round at 4 dp so engine var_samp noise (~1e-12
+        # relative) stays far from the rounding grid
+        F.round(F.col("df_welch") + F.lit(_ROUND_OFFSET), 4).alias(
+            "df_welch"
+        ),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+def q_kw_value_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis across ALL five event types per weekday — the
+    k-group rank test on the distinct-value midrank machinery
+    (inference.kruskal_wallis); groups=5 pins the exact finite-series
+    chi-squared p at dof=4, mirrored closed-form in the oracle."""
+    from temporal_retriever_spark.inference import kruskal_wallis
+
+    ev = _events_long(spark, sf_dir).select(
+        F.dayofweek("ds").alias("dow"), "event_type", "y"
+    )
+    got = kruskal_wallis(ev, "y", "event_type", keys=["dow"], groups=5)
+    return got.select(
+        "dow",
+        "n",
+        "k_groups",
+        _r6("h_stat").alias("h_stat"),
+        "dof",
+        _r6("p_value").alias("p_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4598,6 +4646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_event_dow": q_chi2_event_dow,
         "prop_ztest_dow": q_prop_ztest_dow,
         "psi_value_purchase_error": q_psi_value_purchase_error,
+        "welch_click_view_dow": q_welch_click_view_dow,
+        "kw_value_event_dow": q_kw_value_event_dow,
         "gopher_filter": q_gopher_filter,
         "interval_join_hours": q_interval_join_hours,
         "rolling_quantile_daily": q_rolling_quantile_daily,
@@ -5944,6 +5994,99 @@ def oracle_sql() -> dict[str, str]:
                         + -1.821255978 * t * t * t * t
                         + 1.330274429 * t * t * t * t * t)))''')} AS p_value
             FROM tp
+        """,
+        "welch_click_view_dow": f"""
+            WITH base AS (
+              SELECT dayofweek(ts) + 1 AS dow, event_type AS g,
+                     CAST(value AS DOUBLE) AS v
+              FROM events
+              WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+            ),
+            a AS (
+              SELECT dow,
+                CAST(COUNT(CASE WHEN g = 'click' THEN v END) AS BIGINT) AS n_a,
+                CAST(COUNT(CASE WHEN g = 'view' THEN v END) AS BIGINT) AS n_b,
+                AVG(CASE WHEN g = 'click' THEN v END) AS mean_a,
+                AVG(CASE WHEN g = 'view' THEN v END) AS mean_b,
+                VAR_SAMP(CASE WHEN g = 'click' THEN v END) AS va,
+                VAR_SAMP(CASE WHEN g = 'view' THEN v END) AS vb
+              FROM base GROUP BY 1
+            ),
+            s AS (
+              SELECT dow, n_a, n_b, mean_a, mean_b, va, vb,
+                     va / n_a + vb / n_b AS se2
+              FROM a
+            ),
+            t1 AS (
+              SELECT dow, n_a, n_b, mean_a, mean_b, se2,
+                (mean_a - mean_b) / SQRT(se2) AS t,
+                (se2 * se2) / ((va / n_a) * (va / n_a) / (n_a - 1.0)
+                               + (vb / n_b) * (vb / n_b) / (n_b - 1.0)) AS dfw
+              FROM s
+            ),
+            tp AS (
+              SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(t)) AS tt FROM t1
+            )
+            SELECT dow, n_a, n_b,
+                   {_sql_r6("mean_a")} AS mean_a,
+                   {_sql_r6("mean_b")} AS mean_b,
+                   {_sql_r6("t")} AS t_stat,
+                   ROUND(dfw + {_ROUND_OFFSET!r}, 4) AS df_welch,
+                   {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(t * t) / 2.0)
+                     * 0.3989422804014327
+                     * (0.319381530 * tt + -0.356563782 * tt * tt
+                        + 1.781477937 * tt * tt * tt
+                        + -1.821255978 * tt * tt * tt * tt
+                        + 1.330274429 * tt * tt * tt * tt * tt)))''')} AS p_value
+            FROM tp
+        """,
+        "kw_value_event_dow": f"""
+            WITH base AS (
+              SELECT dayofweek(ts) + 1 AS dow, event_type AS g,
+                     CAST(value AS DOUBLE) AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            cnt AS (
+              SELECT dow, v, g, COUNT(*) AS c FROM base GROUP BY 1, 2, 3
+            ),
+            perv AS (SELECT dow, v, SUM(c) AS dt FROM cnt GROUP BY 1, 2),
+            rnk AS (
+              SELECT dow, v, CAST(dt AS DOUBLE) AS dt,
+                CAST(COALESCE(SUM(dt) OVER (PARTITION BY dow ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS DOUBLE) AS bef
+              FROM perv
+            ),
+            mid AS (
+              SELECT dow, v, dt, bef + (dt + 1.0) / 2.0 AS m FROM rnk
+            ),
+            pg AS (
+              SELECT c.dow, c.g,
+                     SUM(CAST(c.c AS DOUBLE)) AS ng,
+                     SUM(CAST(c.c AS DOUBLE) * m.m) AS rg,
+                     SUM(CAST(c.c AS DOUBLE) * (m.dt * m.dt - 1.0)) AS tg
+              FROM cnt c JOIN mid m ON c.dow = m.dow AND c.v = m.v
+              GROUP BY 1, 2
+            ),
+            ag AS (
+              SELECT dow, CAST(SUM(ng) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS INTEGER) AS k_groups,
+                     SUM(rg * rg / ng) AS s, SUM(tg) AS ties
+              FROM pg GROUP BY 1
+            ),
+            h AS (
+              SELECT dow, n, k_groups,
+                (12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * s
+                 - 3.0 * (n + 1.0))
+                / (1.0 - ties / (CAST(n AS DOUBLE) * n * n - n)) AS hstat
+              FROM ag
+            )
+            SELECT dow, n, k_groups,
+                   {_sql_r6("hstat")} AS h_stat,
+                   k_groups - 1 AS dof,
+                   {_sql_r6("EXP(-hstat / 2.0) * (1.0 + hstat / 2.0)")}
+                       AS p_value
+            FROM h
         """,
         "psi_value_purchase_error": f"""
             WITH base AS (

@@ -35,11 +35,13 @@ from pyspark.sql import functions as F
 __all__ = [
     "chi2_independence",
     "fdr_bh",
+    "kruskal_wallis",
     "js_divergence",
     "ks_2sample",
     "mann_whitney_u",
     "prop_ztest",
     "psi",
+    "welch_ttest",
 ]
 
 #: Abramowitz & Stegun 26.2.17 coefficients for the standard normal
@@ -556,4 +558,172 @@ def fdr_bh(
     )
     return df.withColumn(
         "p_adj", F.least(F.lit(1.0), F.min(val).over(w_suffix))
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Welch's unequal-variance t-test — ONE aggregation, any scale.
+
+    The entire test is six conditional moments (n, mean, sample var
+    per population) from a single ``groupBy(keys)`` pass, so the plan
+    is one map-side-combined shuffle regardless of input size — the
+    cheapest of the two-sample tests here, and the right first check
+    for "did the metric mean move between snapshots".
+
+    Degrees of freedom via Welch-Satterthwaite; the two-sided
+    ``p_value`` uses the standard normal in place of Student-t — the
+    asymptotic form, indistinguishable for the df this engine runs at
+    scale (t_60 already matches N(0,1) to <0.006 in tail mass) and
+    shared by the oracle mirror. For tiny fixtures read ``t_stat`` /
+    ``df_welch`` directly.
+
+    Output per key: ``n_a, n_b, mean_a, mean_b, t_stat, df_welch,
+    p_value`` (p NULL when either side has n < 2 or both variances
+    are zero — the test is undefined, not "significant").
+    """
+    keys = list(keys or [])
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.filter(in_a | in_b).groupBy(*keys).agg(
+        F.count(F.when(in_a, v)).alias("n_a"),
+        F.count(F.when(in_b, v)).alias("n_b"),
+        F.avg(F.when(in_a, v)).alias("mean_a"),
+        F.avg(F.when(in_b, v)).alias("mean_b"),
+        F.var_samp(F.when(in_a, v)).alias("_va"),
+        F.var_samp(F.when(in_b, v)).alias("_vb"),
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    se2 = F.col("_va") / n1 + F.col("_vb") / n2
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (F.col("_va") / n1) * (F.col("_va") / n1) / (n1 - 1.0)
+        + (F.col("_vb") / n2) * (F.col("_vb") / n2) / (n2 - 1.0)
+    )
+    ok = (n1 >= 2) & (n2 >= 2) & (se2 > 0)
+    p = F.when(ok, F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(t))))
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dfw).alias("df_welch"),
+        p.alias("p_value"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    keys: list[str] | None = None,
+    groups: int | None = None,
+) -> DataFrame:
+    """Kruskal-Wallis H test (one-way ANOVA on ranks), fully native.
+
+    The k-group generalization of `mann_whitney_u`, on the same
+    distinct-value midrank machinery: ``groupBy(value, group)``
+    collapses to per-distinct-value per-group counts, one ordered
+    window over the distinct values yields midranks, and the tie sum
+    folds through the exploded rows as ``c * (d_t^2 - 1)`` (summing
+    to the classic ``sum(d^3 - d)`` without a second pass). Every
+    stage after the first shuffle is value-domain-sized.
+
+    H is tie-corrected: ``H / (1 - sum(d^3 - d)/(n^3 - n))``. The
+    p-value is chi-squared with ``k - 1`` dof — the exact finite
+    series when ``groups`` (the known group count) is passed at build
+    time, else the Wilson-Hilferty cube-root normal approximation
+    (same convention as `chi2_independence`). NULL H when every
+    pooled observation is tied (the statistic is undefined).
+
+    Output per key: ``n, k_groups, h_stat, dof, p_value``.
+    """
+    keys = list(keys or [])
+    v = F.col(value_col)
+    cnts = df.filter(v.isNotNull()).groupBy(
+        *keys, v.alias("_v"), F.col(group_col).alias("_g")
+    ).agg(
+        F.count("*").alias("_c")
+    )
+    perv = cnts.groupBy(*keys, "_v").agg(
+        F.sum("_c").alias("_dt"),
+        F.collect_list(F.struct(F.col("_g"), F.col("_c"))).alias("_entries"),
+    )
+    part = keys if keys else [F.lit(1)]
+    w_prev = (
+        Window.partitionBy(*part)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = perv.select(
+        *keys,
+        F.col("_dt").cast("double").alias("_dt"),
+        F.col("_entries"),
+        F.coalesce(F.sum("_dt").over(w_prev), F.lit(0)).cast("double").alias(
+            "_before"
+        ),
+    )
+    midrank = F.col("_before") + (F.col("_dt") + 1.0) / 2.0
+    exploded = ranked.select(
+        *keys,
+        F.col("_dt"),
+        midrank.alias("_mid"),
+        F.explode("_entries").alias("_e"),
+    ).select(
+        *keys,
+        F.col("_dt"),
+        F.col("_mid"),
+        F.col("_e._g").alias("_g"),
+        F.col("_e._c").cast("double").alias("_c"),
+    )
+    per_g = exploded.groupBy(*keys, "_g").agg(
+        F.sum("_c").alias("_ng"),
+        F.sum(F.col("_c") * F.col("_mid")).alias("_rg"),
+        F.sum(F.col("_c") * (F.col("_dt") * F.col("_dt") - 1.0)).alias("_tg"),
+    )
+    agg = per_g.groupBy(*keys).agg(
+        F.sum("_ng").cast("long").alias("n"),
+        F.count("*").cast("int").alias("k_groups"),
+        F.sum(F.col("_rg") * F.col("_rg") / F.col("_ng")).alias("_s"),
+        F.sum("_tg").alias("_ties"),
+    )
+    n = F.col("n").cast("double")
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("_s") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("_ties") / (n * n * n - n)
+    h = F.when(corr > 0, h_raw / corr)  # all-tied pool -> NULL
+    dof = (F.col("k_groups") - 1).cast("int")
+    out = agg.select(*keys, "n", "k_groups", h.alias("h_stat"), dof.alias("dof"))
+    if groups is not None:
+        from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+        p = F.when(
+            F.col("dof") == int(groups) - 1,
+            F.expr(chi2_sf_sql("h_stat", int(groups) - 1)),
+        ).otherwise(
+            F.assert_true(F.lit(False), F.lit("group count mismatch")).cast(
+                "double"
+            )
+        )
+    else:
+        k = F.col("dof").cast("double")
+        z = (
+            F.pow(F.col("h_stat") / k, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * k))
+        ) / F.sqrt(2.0 / (9.0 * k))
+        p = F.when(z >= 0, _norm_sf_expr(z)).otherwise(
+            1.0 - _norm_sf_expr(-z)
+        )
+    return out.withColumn(
+        "p_value", F.when(F.col("h_stat").isNotNull(), p)
     )

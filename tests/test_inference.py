@@ -442,3 +442,142 @@ def test_fdr_bh_keyed_families_independent(spark):
     by = {(r.fam, r.tid): r.p_adj for r in got}
     assert by[("f1", 1)] == by[("g2", 1)] == pytest.approx(0.04)
     assert by[("f1", 2)] == by[("g2", 2)] == pytest.approx(0.5)
+
+
+from temporal_retriever_spark.inference import kruskal_wallis, welch_ttest
+
+
+def _norm_sf(z: float) -> float:
+    return 0.5 * math.erfc(z / math.sqrt(2))
+
+
+def _naive_welch(rows, a="a", b="b"):
+    av = [v for g, v in rows if g == a]
+    bv = [v for g, v in rows if g == b]
+    n1, n2 = len(av), len(bv)
+    m1, m2 = sum(av) / n1, sum(bv) / n2
+    v1 = sum((x - m1) ** 2 for x in av) / (n1 - 1)
+    v2 = sum((x - m2) ** 2 for x in bv) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    dfw = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return t, dfw, m1, m2
+
+
+class TestWelch:
+    def test_matches_naive(self, spark, sdf, samples):
+        row = welch_ttest(sdf, "v", "grp", "a", "b").collect()[0]
+        t, dfw, m1, m2 = _naive_welch(samples)
+        assert row["n_a"] == 300 and row["n_b"] == 250
+        assert math.isclose(row["mean_a"], m1, rel_tol=1e-12)
+        assert math.isclose(row["t_stat"], t, rel_tol=1e-9)
+        assert math.isclose(row["df_welch"], dfw, rel_tol=1e-9)
+        # asymptotic normal p, the documented convention
+        p_ref = min(1.0, 2 * _norm_sf(abs(t)))
+        assert math.isclose(row["p_value"], p_ref, abs_tol=2e-7)
+
+    def test_identical_populations_p_near_one(self, spark):
+        rows = [("a", float(v)) for v in range(50)] + [
+            ("b", float(v)) for v in range(50)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        row = welch_ttest(df, "v", "grp", "a", "b").collect()[0]
+        assert abs(row["t_stat"]) < 1e-12
+        assert row["p_value"] > 0.999
+
+    def test_undefined_cases_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("b", 3.0)], "grp string, v double"
+        )
+        row = welch_ttest(df, "v", "grp", "a", "b").collect()[0]
+        assert row["t_stat"] is None and row["p_value"] is None
+        # both-constant populations: se2 == 0
+        df2 = spark.createDataFrame(
+            [("a", 1.0)] * 3 + [("b", 1.0)] * 3, "grp string, v double"
+        )
+        row2 = welch_ttest(df2, "v", "grp", "a", "b").collect()[0]
+        assert row2["p_value"] is None
+
+    def test_keyed_single_aggregation_plan(self, spark, sdf):
+        keyed = sdf.withColumn("k", F.lit("x"))
+        out = welch_ttest(keyed, "v", "grp", "a", "b", keys=["k"])
+        plan = _plan(out)
+        assert plan.count("Exchange") == 1, plan
+        assert "Python" not in plan
+
+
+def _naive_kw(rows):
+    """Tie-corrected Kruskal-Wallis via explicit midranks."""
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    # midrank of each distinct value
+    first = {}
+    cnt = Counter(vals)
+    pos, mid = 0, {}
+    for v in sorted(cnt):
+        mid[v] = pos + (cnt[v] + 1) / 2
+        pos += cnt[v]
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(mid[v])
+    s = sum(sum(r) ** 2 / len(r) for r in groups.values())
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    ties = sum(c**3 - c for c in cnt.values())
+    return h / (1 - ties / (n**3 - n)), len(groups)
+
+
+class TestKruskalWallis:
+    def test_matches_naive_with_ties(self, spark):
+        rng = random.Random(11)
+        rows = (
+            [("a", float(rng.randint(0, 20))) for _ in range(80)]
+            + [("b", float(rng.randint(3, 23))) for _ in range(70)]
+            + [("c", float(rng.randint(0, 20))) for _ in range(60)]
+        )
+        df = spark.createDataFrame(rows, "grp string, v double")
+        row = kruskal_wallis(df, "v", "grp").collect()[0]
+        h_ref, k_ref = _naive_kw(rows)
+        assert row["k_groups"] == k_ref and row["dof"] == k_ref - 1
+        assert row["n"] == len(rows)
+        assert math.isclose(row["h_stat"], h_ref, rel_tol=1e-9)
+        # Wilson-Hilferty p reference
+        k = row["dof"]
+        z = ((h_ref / k) ** (1 / 3) - (1 - 2 / (9 * k))) / math.sqrt(
+            2 / (9 * k)
+        )
+        p_ref = _norm_sf(z) if z >= 0 else 1 - _norm_sf(-z)
+        assert math.isclose(row["p_value"], p_ref, abs_tol=2e-7)
+
+    def test_exact_series_p_for_known_groups(self, spark):
+        rng = random.Random(5)
+        rows = (
+            [("a", float(rng.gauss(0, 1))) for _ in range(40)]
+            + [("b", float(rng.gauss(1, 1))) for _ in range(40)]
+            + [("c", float(rng.gauss(2, 1))) for _ in range(40)]
+        )
+        df = spark.createDataFrame(rows, "grp string, v double")
+        row = kruskal_wallis(df, "v", "grp", groups=3).collect()[0]
+        # dof=2: chi2 sf is exactly exp(-h/2)
+        assert math.isclose(
+            row["p_value"], math.exp(-row["h_stat"] / 2), rel_tol=1e-9
+        )
+
+    def test_two_groups_consistent_with_mwu(self, spark, sdf, samples):
+        kw = kruskal_wallis(sdf, "v", "grp").collect()[0]
+        mwu = mann_whitney_u(sdf, "v", "grp", "a", "b", continuity=False).collect()[0]
+        # H (df=1) == z^2 for two groups (tie-corrected, no continuity)
+        assert math.isclose(kw["h_stat"], mwu["z_score"] ** 2, rel_tol=1e-9)
+
+    def test_all_tied_pool_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0)] * 5 + [("b", 1.0)] * 5, "grp string, v double"
+        )
+        row = kruskal_wallis(df, "v", "grp").collect()[0]
+        assert row["h_stat"] is None and row["p_value"] is None
+
+    def test_group_count_mismatch_fails_loud(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "grp string, v double"
+        )
+        with pytest.raises(Exception, match="group count mismatch"):
+            kruskal_wallis(df, "v", "grp", groups=3).collect()
