@@ -1,3 +1,14 @@
 from temporal_retriever_spark.sources.parquet import load_tables, read_table
+from temporal_retriever_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    split_http_payload,
+)
 
-__all__ = ["load_tables", "read_table"]
+__all__ = [
+    "load_tables",
+    "read_table",
+    "iter_warc_records",
+    "read_warc",
+    "split_http_payload",
+]
