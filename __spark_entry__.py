@@ -4544,6 +4544,100 @@ def q_kw_value_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_augmented(docs: DataFrame) -> DataFrame:
+    """Wrap each document in a deterministic HTML page (same
+    construction in the DuckDB oracle): head/title with entities,
+    style + script subtrees that must never leak, block structure,
+    and 1-2 links keyed off doc_id — so the extraction contract
+    tests the rule chain, not empty input."""
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(" &amp; "),
+        F.col("source"),
+        F.lit("</title><style>p { color: red }</style></head><body>"),
+        F.lit('<script>var a = "'),
+        did,
+        F.lit('";</script><h1>'),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<ul><li>"),
+                F.col("source"),
+                F.lit("</li><li>n"),
+                did,
+                F.lit("</li></ul>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<p>See <a href="http://ex.com/'),
+        did,
+        F.lit('">link</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" and <a href='http://ex.com/alt/"),
+                did,
+                F.lit("'>alt</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(".</p><!-- hidden <p>comment</p> --></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction over deterministically-wrapped docs:
+    the full llm.html rule chain (subtree drops, block newlines,
+    entity unescape, whitespace normalization) plus title and link
+    extraction — one codegen'd pass, zero shuffles; extracted text
+    verified to the BYTE via md5 against the SQL mirror of the same
+    rule chain (llm.html.html_to_text)."""
+    from temporal_retriever_spark.llm.html import html_to_text
+
+    pages = _html_augmented(_documents(spark, sf_dir))
+    out = html_to_text(pages, links_col="links")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "title",
+        F.size("links").alias("n_links"),
+    ).orderBy("doc_id")
+
+
+def _html_rules_sql(col: str) -> str:
+    """The llm.html rule chain as nested DuckDB regexp_replace calls —
+    generated from HTML_RULES so engine and oracle can never drift."""
+    from temporal_retriever_spark.llm.html import HTML_RULES
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = col
+    for pat, repl in HTML_RULES:
+        # raw newlines inside SQL string literals are legal
+        expr = f"regexp_replace({expr}, {q(pat)}, {q(repl)}, 'g')"
+    return expr
+
+
+def _html_title_sql(col: str) -> str:
+    """SQL mirror of ``llm.html.html_title_expr`` (extract + entity
+    rules + whitespace collapse + trim)."""
+    from temporal_retriever_spark.llm.html import HTML_RULES
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = f"regexp_extract({col}, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    for pat, repl in HTML_RULES[6:13]:  # entity rules only
+        expr = f"regexp_replace({expr}, {q(pat)}, {q(repl)}, 'g')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4584,6 +4678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sq8_codes yields its slot (compression family keeps
         # pq_cosine_topk in-window). --
         "rp_project": q_rp_project,
+        # -- new this session: HTML->text extraction (byte-parity).
+        # anomaly_seasonal_weekly yields its slot (anomaly family
+        # keeps anomaly_zscore_daily in-window). --
+        "html_extract": q_html_extract,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -4610,7 +4708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_level_daily": q_kalman_level_daily,
         "nb_classify_lang": q_nb_classify,
         "verbatim_spans": q_verbatim_spans,
-        "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
@@ -4638,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot (driver evidence diversity > duplicates), plus the four
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
         "pii_redact": q_pii_redact,
+        "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "forecast_theta_daily": q_forecast_theta_daily,
         "sq8_codes": q_sq8_codes,
         "media_probe": q_media_probe,
@@ -7205,6 +7303,36 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY duration_days ASC)
                          + 1.234567e-07, 6) AS survival
             FROM r ORDER BY event_type, duration_days
+        """,
+        "html_extract": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                       || ' &amp; ' || source
+                       || '</title><style>p {{ color: red }}</style></head><body>'
+                       || '<script>var a = "' || CAST(doc_id AS VARCHAR)
+                       || '";</script><h1>' || lang || '</h1><p>' || text || '</p>'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '<ul><li>' || source || '</li><li>n'
+                                    || CAST(doc_id AS VARCHAR) || '</li></ul>'
+                               ELSE '' END
+                       || '<p>See <a href="http://ex.com/'
+                       || CAST(doc_id AS VARCHAR) || '">link</a>'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' and <a href=''http://ex.com/alt/'
+                                    || CAST(doc_id AS VARCHAR) || '''>alt</a>'
+                               ELSE '' END
+                       || '.</p><!-- hidden <p>comment</p> --></body></html>'
+                           AS html
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5({_html_rules_sql('html')}) AS text_md5,
+                   {_html_title_sql('html')} AS title,
+                   CAST(len(regexp_extract_all(html,
+                        '(?i)href\\s*=\\s*["'']([^"'']+)["'']', 1))
+                        AS INTEGER) AS n_links
+            FROM pages ORDER BY doc_id
         """,
         "pii_scan": r"""
             WITH aug AS (
