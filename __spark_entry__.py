@@ -4638,6 +4638,40 @@ def _html_title_sql(col: str) -> str:
     return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
 
 
+def q_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps over deterministically-constructed
+    crawl URLs (skewed: one mega-domain, a two-label-suffix domain,
+    a long tail): host regexp + eTLD+1 heuristic + md5-ordered
+    WindowGroupLimit cap (llm.urls.domain_cap). The oracle derives
+    the registrable domain INDEPENDENTLY from the construction rule,
+    so extraction + suffix logic + keep-order are all cross-checked
+    id-for-id."""
+    from temporal_retriever_spark.llm.urls import domain_cap
+
+    did = F.col("doc_id")
+    base = (
+        F.when(did % 10 < 4, F.lit("mega.com"))
+        .when(did % 10 < 6, F.lit("bbc.co.uk"))
+        .when(did % 10 < 8, F.lit("midsize.org"))
+        .otherwise(
+            F.concat(F.lit("tail"), (did % 17).cast("string"), F.lit(".net"))
+        )
+    )
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://s"),
+            (did % 3).cast("string"),
+            F.lit("."),
+            base,
+            F.lit("/page/"),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    capped = domain_cap(docs, max_per_domain=20, salt="cap")
+    return capped.select("domain", "doc_id").orderBy("domain", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4682,6 +4716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anomaly_seasonal_weekly yields its slot (anomaly family
         # keeps anomaly_zscore_daily in-window). --
         "html_extract": q_html_extract,
+        # -- new this session: per-domain caps (llm/urls.py).
+        # cohort_retention_weekly yields its slot (funnel family
+        # keeps funnel_conversion + event_transitions in-window). --
+        "domain_cap_docs": q_domain_cap_docs,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -4718,7 +4756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "scd2_order_status": q_scd2_order_status,
         "lag_features_daily": q_lag_features_daily,
-        "cohort_retention_weekly": q_cohort_retention_weekly,
         "funnel_conversion": q_funnel_conversion,
         "impute_event_values": q_impute_event_values,
         "event_transitions": q_event_transitions,
@@ -4736,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
+        "cohort_retention_weekly": q_cohort_retention_weekly,
         "forecast_theta_daily": q_forecast_theta_daily,
         "sq8_codes": q_sq8_codes,
         "media_probe": q_media_probe,
@@ -7303,6 +7341,26 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY duration_days ASC)
                          + 1.234567e-07, 6) AS survival
             FROM r ORDER BY event_type, duration_days
+        """,
+        "domain_cap_docs": """
+            WITH u AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 10 < 4 THEN 'mega.com'
+                         WHEN doc_id % 10 < 6 THEN 'bbc.co.uk'
+                         WHEN doc_id % 10 < 8 THEN 'midsize.org'
+                         ELSE 'tail' || CAST(doc_id % 17 AS VARCHAR) || '.net'
+                    END AS domain
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, domain,
+                       ROW_NUMBER() OVER (PARTITION BY domain
+                           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk
+                FROM u
+            )
+            SELECT domain, doc_id FROM r WHERE rk <= 20
+            ORDER BY domain, doc_id
         """,
         "html_extract": f"""
             WITH pages AS (
