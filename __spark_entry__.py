@@ -4672,6 +4672,47 @@ def q_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("domain", "doc_id").orderBy("domain", "doc_id")
 
 
+def q_bootstrap_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value per type:
+    md5-deterministic Poisson(1) weights, 80 single-pass replicates,
+    keys×replicates shuffle only (inference.bootstrap_ci). Weights
+    and percentile interpolation are engine-identical, so the CI
+    bounds hash-match at 6 dp."""
+    from temporal_retriever_spark.inference import bootstrap_ci
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_type", "event_id", "value"
+    )
+    got = bootstrap_ci(
+        ev,
+        "value",
+        id_col="event_id",
+        keys=["event_type"],
+        n_boot=80,
+        salt="boot",
+    )
+    return got.select(
+        "event_type",
+        "n",
+        _r6("est").alias("est"),
+        _r6("ci_lo").alias("ci_lo"),
+        _r6("ci_hi").alias("ci_hi"),
+        "n_boot",
+    )
+
+
+def _poisson_w_sql(u_expr: str) -> str:
+    """SQL mirror of ``inference.poisson_weight_expr`` — the SAME
+    literal thresholds (repr'd doubles), so draws are engine-equal."""
+    from temporal_retriever_spark.inference import _poisson1_thresholds
+
+    terms = " + ".join(
+        f"CASE WHEN ({u_expr}) > {t!r} THEN 1 ELSE 0 END"
+        for t in _poisson1_thresholds()
+    )
+    return f"({terms})"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4720,6 +4761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohort_retention_weekly yields its slot (funnel family
         # keeps funnel_conversion + event_transitions in-window). --
         "domain_cap_docs": q_domain_cap_docs,
+        # -- new this session: Poisson-bootstrap CI (the scale-native
+        # uncertainty operator). lag_features_daily yields its slot
+        # (feature-prep family keeps target_encode_source +
+        # impute_event_values in-window). --
+        "bootstrap_ci_value": q_bootstrap_ci_value,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -4755,7 +4801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_daily": q_ljung_box_daily,
         "rolling_distinct_users": q_rolling_distinct_users,
         "scd2_order_status": q_scd2_order_status,
-        "lag_features_daily": q_lag_features_daily,
         "funnel_conversion": q_funnel_conversion,
         "impute_event_values": q_impute_event_values,
         "event_transitions": q_event_transitions,
@@ -4774,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
+        "lag_features_daily": q_lag_features_daily,
         "forecast_theta_daily": q_forecast_theta_daily,
         "sq8_codes": q_sq8_codes,
         "media_probe": q_media_probe,
@@ -7341,6 +7387,50 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY duration_days ASC)
                          + 1.234567e-07, 6) AS survival
             FROM r ORDER BY event_type, duration_days
+        """,
+        "bootstrap_ci_value": f"""
+            WITH base AS (
+                SELECT event_type AS k, CAST(value AS DOUBLE) AS x,
+                       CAST(event_id AS VARCHAR) AS rid
+                FROM events WHERE value IS NOT NULL
+            ),
+            ex AS (
+                SELECT k, x, rid, b
+                FROM base, generate_series(0, 79) AS t(b)
+            ),
+            wd AS (
+                SELECT k, b, x,
+                    (CAST(('0x' || substr(md5('boot:' || rid || ':'
+                         || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                        / 4294967296.0 AS u
+                FROM ex
+            ),
+            ww AS (
+                SELECT k, b, x,
+                       CAST({_poisson_w_sql('u')} AS DOUBLE) AS w
+                FROM wd
+            ),
+            rep AS (
+                SELECT k, b, SUM(w * x) AS wx, SUM(w) AS sw
+                FROM ww GROUP BY 1, 2
+            ),
+            m AS (SELECT k, wx / sw AS mm FROM rep WHERE sw > 0),
+            ci AS (
+                SELECT k, quantile_cont(mm, 0.025) AS ci_lo,
+                       quantile_cont(mm, 0.975) AS ci_hi,
+                       CAST(COUNT(*) AS INTEGER) AS n_boot
+                FROM m GROUP BY 1
+            ),
+            pt AS (
+                SELECT k, CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS est
+                FROM base GROUP BY 1
+            )
+            SELECT pt.k AS event_type, n,
+                   {_sql_r6("est")} AS est,
+                   {_sql_r6("ci_lo")} AS ci_lo,
+                   {_sql_r6("ci_hi")} AS ci_hi,
+                   n_boot
+            FROM pt JOIN ci ON pt.k = ci.k
         """,
         "domain_cap_docs": """
             WITH u AS (

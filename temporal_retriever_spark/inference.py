@@ -33,12 +33,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bootstrap_ci",
     "chi2_independence",
     "fdr_bh",
     "kruskal_wallis",
     "js_divergence",
     "ks_2sample",
     "mann_whitney_u",
+    "poisson_weight_expr",
     "prop_ztest",
     "psi",
     "welch_ttest",
@@ -727,3 +729,117 @@ def kruskal_wallis(
     return out.withColumn(
         "p_value", F.when(F.col("h_stat").isNotNull(), p)
     )
+
+
+def _poisson1_thresholds(kmax: int = 10) -> list[float]:
+    """CDF(k) of Poisson(1) for k = 0..kmax, as exact double literals.
+
+    Both the Spark expression and the SQL oracle compare the SAME
+    literal doubles against the md5-uniform, so the drawn weights are
+    engine-identical by construction (no libm involved at runtime).
+    """
+    import math
+
+    cdf, acc, fact = [], 0.0, 1.0
+    e1 = math.exp(-1.0)
+    for k in range(kmax + 1):
+        if k > 0:
+            fact *= k
+        acc += e1 / fact
+        cdf.append(acc)
+    return cdf
+
+
+def poisson_weight_expr(u: Column, *, kmax: int = 10) -> Column:
+    """Poisson(1) draw from a uniform by inverse CDF, natively.
+
+    ``w = #{k : u > CDF(k)}`` — a fixed chain of literal comparisons
+    (truncated at ``kmax``; P(X > 10) ≈ 1e-8). Deterministic given
+    ``u``, identical on any engine.
+    """
+    w = F.lit(0)
+    for t in _poisson1_thresholds(kmax):
+        w = w + F.when(u > t, 1).otherwise(0)
+    return w
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    *,
+    id_col: str,
+    keys: list[str] | None = None,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean via the Poisson bootstrap.
+
+    The multinomial bootstrap needs the full sample per replicate —
+    impossible distributed. The Poisson bootstrap (Chamandy et al.
+    2012, "Estimating Uncertainty for Massive Data Streams") replaces
+    each row's resample count with an independent Poisson(1) weight,
+    making every replicate a SINGLE PASS: explode each row into
+    ``n_boot`` (replicate, weight) pairs, map-side partial-aggregate,
+    and shuffle only ``keys × n_boot`` partial sums — at 100 TB the
+    shuffle is replicate-table-sized, not data-sized.
+
+    Weights are md5-deterministic (``salt:id:replicate``), so the CI
+    is bit-reproducible across runs, engines, and partitionings.
+    Output per key: ``n, est`` (full-sample mean), ``ci_lo, ci_hi``
+    (percentile bootstrap at ``alpha/2`` and ``1 - alpha/2``),
+    ``n_boot``. Replicates whose total weight is zero (only possible
+    for tiny groups) drop out of the percentile.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    keys = list(keys or [])
+    v = F.col(value_col).cast("double")
+    rows = df.filter(v.isNotNull()).select(
+        *keys,
+        v.alias("_x"),
+        F.col(id_col).cast("string").alias("_id"),
+    )
+    exploded = rows.select(
+        *keys,
+        "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b"),
+        "_id",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(salt), F.col("_id"), F.col("_b"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 32))
+    w = poisson_weight_expr(u).cast("double")
+    rep = exploded.groupBy(*keys, "_b").agg(
+        F.sum(w * F.col("_x")).alias("_wx"),
+        F.sum(w).alias("_w"),
+    )
+    rep_means = rep.filter(F.col("_w") > 0).select(
+        *keys, (F.col("_wx") / F.col("_w")).alias("_m")
+    )
+    ci = rep_means.groupBy(*keys).agg(
+        F.percentile("_m", F.lit(alpha / 2)).alias("ci_lo"),
+        F.percentile("_m", F.lit(1 - alpha / 2)).alias("ci_hi"),
+        F.count("*").cast("int").alias("n_boot"),
+    )
+    base = rows.groupBy(*keys).agg(
+        F.count("*").alias("n"), F.avg("_x").alias("est")
+    )
+    if keys:
+        out = base.join(ci, on=keys)
+    else:
+        out = base.crossJoin(ci)
+    return out.select(*keys, "n", "est", "ci_lo", "ci_hi", "n_boot")

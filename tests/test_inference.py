@@ -581,3 +581,83 @@ class TestKruskalWallis:
         )
         with pytest.raises(Exception, match="group count mismatch"):
             kruskal_wallis(df, "v", "grp", groups=3).collect()
+
+
+from temporal_retriever_spark.inference import (
+    _poisson1_thresholds,
+    bootstrap_ci,
+    poisson_weight_expr,
+)
+
+
+class TestPoissonBootstrap:
+    def test_thresholds_are_poisson_cdf(self):
+        t = _poisson1_thresholds()
+        e1 = math.exp(-1)
+        assert math.isclose(t[0], e1, rel_tol=1e-15)
+        assert math.isclose(t[1], 2 * e1, rel_tol=1e-15)
+        assert math.isclose(t[2], 2.5 * e1, rel_tol=1e-15)
+        assert t[-1] > 1 - 1e-7  # truncation tail is negligible
+
+    def test_weight_draw_distribution(self, spark):
+        # md5-uniforms through the inverse CDF should look Poisson(1)
+        df = spark.range(20000).select(
+            poisson_weight_expr(
+                (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                 .cast("double") + 0.5) / F.lit(float(2**32))
+            ).alias("w")
+        )
+        rows = df.groupBy("w").count().collect()
+        dist = {r["w"]: r["count"] / 20000 for r in rows}
+        e1 = math.exp(-1)
+        assert abs(dist.get(0, 0) - e1) < 0.02
+        assert abs(dist.get(1, 0) - e1) < 0.02
+        assert abs(dist.get(2, 0) - e1 / 2) < 0.02
+        mean = sum(k * p for k, p in dist.items())
+        assert abs(mean - 1.0) < 0.03
+
+    def test_ci_covers_mean_and_shrinks(self, spark):
+        rng = random.Random(3)
+        small = [(i, rng.gauss(10, 2)) for i in range(100)]
+        big = [(i, rng.gauss(10, 2)) for i in range(4000)]
+        for rows, max_width in ((small, 2.0), (big, 0.5)):
+            df = spark.createDataFrame(rows, "rid long, v double")
+            out = bootstrap_ci(df, "v", id_col="rid", n_boot=120).collect()[0]
+            assert out["ci_lo"] < out["est"] < out["ci_hi"]
+            assert out["ci_lo"] < 10.3 and out["ci_hi"] > 9.7  # covers truth
+            width = out["ci_hi"] - out["ci_lo"]
+            assert width < max_width, (len(rows), width)
+            # ~ +-2 se sanity: width within 4x of the CLT width
+            se = 2 / math.sqrt(len(rows))
+            assert width > 1.5 * se, (len(rows), width, se)
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [(i, float(i % 13)) for i in range(500)]
+        a = bootstrap_ci(
+            spark.createDataFrame(rows, "rid long, v double").repartition(2),
+            "v", id_col="rid", n_boot=50,
+        ).collect()[0]
+        b = bootstrap_ci(
+            spark.createDataFrame(rows, "rid long, v double").repartition(17),
+            "v", id_col="rid", n_boot=50,
+        ).collect()[0]
+        assert abs(a["ci_lo"] - b["ci_lo"]) < 1e-9
+        assert abs(a["ci_hi"] - b["ci_hi"]) < 1e-9
+
+    def test_keyed(self, spark):
+        rows = [("a", i, 5.0 + (i % 3)) for i in range(300)] + [
+            ("b", i, 50.0 + (i % 7)) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "k string, rid long, v double")
+        out = {r["k"]: r for r in bootstrap_ci(
+            df, "v", id_col="rid", keys=["k"], n_boot=80
+        ).collect()}
+        assert out["a"]["ci_hi"] < 10 and out["b"]["ci_lo"] > 40
+        assert out["a"]["n"] == 300 and out["a"]["n_boot"] == 80
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "rid long, v double")
+        with pytest.raises(ValueError, match="alpha"):
+            bootstrap_ci(df, "v", id_col="rid", alpha=1.5)
+        with pytest.raises(ValueError, match="n_boot"):
+            bootstrap_ci(df, "v", id_col="rid", n_boot=1)
