@@ -4713,6 +4713,55 @@ def _poisson_w_sql(u_expr: str) -> str:
     return f"({terms})"
 
 
+def q_cuped_user_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED A/B readout on a deterministic pseudo-experiment: per
+    user, first-half mean value is the pre-metric x, second-half mean
+    is the outcome y, variant = user_id % 2. Pooled theta, Welch test
+    on the adjusted metric, variance-reduction report
+    (inference.cuped_ttest)."""
+    from temporal_retriever_spark.inference import cuped_ttest
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bounds = ev.agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))
+            )
+            / 2.0
+        ).alias("_mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.avg(
+                F.when(F.unix_timestamp("ts") < F.col("_mid"), F.col("value"))
+            ).alias("x"),
+            F.avg(
+                F.when(
+                    F.unix_timestamp("ts") >= F.col("_mid"), F.col("value")
+                )
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn("variant", (F.col("user_id") % 2).cast("string"))
+    )
+    got = cuped_ttest(per_user, "y", "x", "variant", "0", "1")
+    return got.select(
+        "n_a",
+        "n_b",
+        _r6("mean_a").alias("mean_a"),
+        _r6("mean_b").alias("mean_b"),
+        _r6("t_stat").alias("t_stat"),
+        F.round(F.col("df_welch") + F.lit(_ROUND_OFFSET), 4).alias(
+            "df_welch"
+        ),
+        _r6("p_value").alias("p_value"),
+        _r6("theta").alias("theta"),
+        _r6("var_reduction").alias("var_reduction"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4830,6 +4879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_value_purchase_error": q_psi_value_purchase_error,
         "welch_click_view_dow": q_welch_click_view_dow,
         "kw_value_event_dow": q_kw_value_event_dow,
+        "cuped_user_halves": q_cuped_user_halves,
         "gopher_filter": q_gopher_filter,
         "interval_join_hours": q_interval_join_hours,
         "rolling_quantile_daily": q_rolling_quantile_daily,
@@ -7387,6 +7437,73 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY duration_days ASC)
                          + 1.234567e-07, 6) AS survival
             FROM r ORDER BY event_type, duration_days
+        """,
+        "cuped_user_halves": f"""
+            WITH mid AS (
+                SELECT FLOOR((FLOOR(epoch(MIN(ts))) + FLOOR(epoch(MAX(ts))))
+                             / 2.0) AS m
+                FROM events
+            ),
+            pu AS (
+                SELECT user_id,
+                    AVG(CASE WHEN epoch(ts) < m THEN value END) AS x,
+                    AVG(CASE WHEN epoch(ts) >= m THEN value END) AS y
+                FROM events, mid GROUP BY user_id, m
+            ),
+            f AS (
+                SELECT user_id, CAST(x AS DOUBLE) AS x,
+                       CAST(y AS DOUBLE) AS y,
+                       CAST(user_id % 2 AS VARCHAR) AS variant
+                FROM pu WHERE x IS NOT NULL AND y IS NOT NULL
+            ),
+            th AS (
+                SELECT COVAR_SAMP(x, y) AS cxy, VAR_SAMP(x) AS vx,
+                       AVG(x) AS mx, VAR_SAMP(y) AS vy
+                FROM f
+            ),
+            adj AS (
+                SELECT variant, y,
+                       y - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END)
+                           * (x - mx) AS ycv
+                FROM f, th
+            ),
+            mom AS (
+                SELECT
+                  CAST(COUNT(CASE WHEN variant = '0' THEN ycv END) AS BIGINT) AS n_a,
+                  CAST(COUNT(CASE WHEN variant = '1' THEN ycv END) AS BIGINT) AS n_b,
+                  AVG(CASE WHEN variant = '0' THEN ycv END) AS mean_a,
+                  AVG(CASE WHEN variant = '1' THEN ycv END) AS mean_b,
+                  VAR_SAMP(CASE WHEN variant = '0' THEN ycv END) AS va,
+                  VAR_SAMP(CASE WHEN variant = '1' THEN ycv END) AS vb,
+                  VAR_SAMP(ycv) AS vycv
+                FROM adj
+            ),
+            tt AS (
+                SELECT n_a, n_b, mean_a, mean_b, vycv,
+                       va / n_a + vb / n_b AS se2,
+                       (mean_a - mean_b) / SQRT(va / n_a + vb / n_b) AS t,
+                       ((va / n_a + vb / n_b) * (va / n_a + vb / n_b))
+                         / ((va / n_a) * (va / n_a) / (n_a - 1.0)
+                            + (vb / n_b) * (vb / n_b) / (n_b - 1.0)) AS dfw
+                FROM mom
+            ),
+            tp AS (
+                SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(t)) AS tc FROM tt
+            )
+            SELECT n_a, n_b,
+                   {_sql_r6("mean_a")} AS mean_a,
+                   {_sql_r6("mean_b")} AS mean_b,
+                   {_sql_r6("t")} AS t_stat,
+                   ROUND(dfw + {_ROUND_OFFSET!r}, 4) AS df_welch,
+                   {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(t * t) / 2.0)
+                     * 0.3989422804014327
+                     * (0.319381530 * tc + -0.356563782 * tc * tc
+                        + 1.781477937 * tc * tc * tc
+                        + -1.821255978 * tc * tc * tc * tc
+                        + 1.330274429 * tc * tc * tc * tc * tc)))''')} AS p_value,
+                   {_sql_r6("CASE WHEN th.vx > 0 THEN th.cxy / th.vx ELSE 0.0 END")} AS theta,
+                   {_sql_r6("CASE WHEN th.vy > 0 THEN 1.0 - tp.vycv / th.vy ELSE 0.0 END")} AS var_reduction
+            FROM tp, th
         """,
         "bootstrap_ci_value": f"""
             WITH base AS (

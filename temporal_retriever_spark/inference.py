@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "bootstrap_ci",
     "chi2_independence",
+    "cuped_adjust",
+    "cuped_ttest",
     "fdr_bh",
     "kruskal_wallis",
     "js_divergence",
@@ -843,3 +845,91 @@ def bootstrap_ci(
     else:
         out = base.crossJoin(ci)
     return out.select(*keys, "n", "est", "ci_lo", "ci_hi", "n_boot")
+
+
+def cuped_adjust(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    *,
+    keys: list[str] | None = None,
+    out_col: str = "y_cv",
+) -> DataFrame:
+    """CUPED covariate adjustment (Deng et al. 2013, WSDM).
+
+    ``y_cv = y − θ·(x − E[x])`` with ``θ = cov(x, y)/var(x)`` from the
+    pooled sample (per key): the standard pre-experiment-covariate
+    variance reduction, cutting metric variance by corr(x, y)² while
+    leaving every group's expected mean intact (the adjustment is
+    mean-zero by construction, so it cannot move a true effect).
+
+    Two passes: ONE tiny aggregation for (θ, E[x]) per key, broadcast
+    back, then the adjusted column — no data-sized shuffle beyond the
+    θ aggregation itself. Rows with NULL x/y keep NULL ``out_col``.
+    Zero-variance x yields θ = 0 (adjustment is a no-op, not a NaN).
+    """
+    keys = list(keys or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    stats = df.groupBy(*keys).agg(
+        F.covar_samp(x, y).alias("_cxy"),
+        F.var_samp(x).alias("_vx"),
+        F.avg(x).alias("_mx"),
+    )
+    theta = F.when(
+        F.col("_vx") > 0, F.col("_cxy") / F.col("_vx")
+    ).otherwise(F.lit(0.0))
+    stats = stats.select(*keys, theta.alias("_theta"), "_mx")
+    joined = (
+        df.join(F.broadcast(stats), on=keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    return joined.withColumn(
+        out_col, y - F.col("_theta") * (x - F.col("_mx"))
+    ).drop("_theta", "_mx")
+
+
+def cuped_ttest(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Welch t-test on the CUPED-adjusted metric, plus the reduction.
+
+    θ comes from the pooled (both-variant) sample — the unbiased
+    choice; per-variant θ would leak the treatment effect into the
+    adjustment. Output adds ``theta`` and ``var_reduction``
+    (1 − var(y_cv)/var(y), pooled) to the `welch_ttest` columns, so
+    the report shows how much the covariate actually bought.
+    """
+    keys = list(keys or [])
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    adj = cuped_adjust(sub, y_col, x_col, keys=keys, out_col="_ycv")
+    test = welch_ttest(adj, "_ycv", group_col, group_a, group_b, keys=keys)
+    pooled = adj.groupBy(*keys).agg(
+        F.var_samp(F.col(y_col).cast("double")).alias("_vy"),
+        F.var_samp("_ycv").alias("_vycv"),
+        F.covar_samp(
+            F.col(x_col).cast("double"), F.col(y_col).cast("double")
+        ).alias("_cxy"),
+        F.var_samp(F.col(x_col).cast("double")).alias("_vx"),
+    )
+    theta = F.when(
+        F.col("_vx") > 0, F.col("_cxy") / F.col("_vx")
+    ).otherwise(F.lit(0.0))
+    red = F.when(
+        F.col("_vy") > 0, F.lit(1.0) - F.col("_vycv") / F.col("_vy")
+    ).otherwise(F.lit(0.0))
+    extra = pooled.select(*keys, theta.alias("theta"), red.alias("var_reduction"))
+    out = (
+        test.join(F.broadcast(extra), on=keys)
+        if keys
+        else test.crossJoin(F.broadcast(extra))
+    )
+    return out

@@ -661,3 +661,55 @@ class TestPoissonBootstrap:
             bootstrap_ci(df, "v", id_col="rid", alpha=1.5)
         with pytest.raises(ValueError, match="n_boot"):
             bootstrap_ci(df, "v", id_col="rid", n_boot=1)
+
+
+from temporal_retriever_spark.inference import cuped_adjust, cuped_ttest
+
+
+class TestCuped:
+    @pytest.fixture(scope="class")
+    def ab(self, spark):
+        # y correlated with pre-metric x; true lift +0.5 for b
+        rng = random.Random(19)
+        rows = []
+        for i in range(800):
+            x = rng.gauss(10, 3)
+            g = "a" if i % 2 == 0 else "b"
+            lift = 0.5 if g == "b" else 0.0
+            y = 2.0 + 0.9 * x + lift + rng.gauss(0, 1)
+            rows.append((g, float(x), float(y)))
+        return spark.createDataFrame(rows, "grp string, x double, y double")
+
+    def test_adjustment_is_mean_preserving(self, spark, ab):
+        adj = cuped_adjust(ab, "y", "x")
+        row = adj.agg(
+            F.avg("y").alias("my"), F.avg("y_cv").alias("mycv")
+        ).collect()[0]
+        assert abs(row["my"] - row["mycv"]) < 1e-9
+
+    def test_theta_matches_cov_over_var(self, spark, ab):
+        out = cuped_ttest(ab, "y", "x", "grp", "a", "b").collect()[0]
+        pdf = ab.toPandas()
+        theta_ref = pdf["x"].cov(pdf["y"]) / pdf["x"].var()
+        assert math.isclose(out["theta"], theta_ref, rel_tol=1e-9)
+
+    def test_variance_reduction_and_power(self, spark, ab):
+        cuped = cuped_ttest(ab, "y", "x", "grp", "a", "b").collect()[0]
+        raw = welch_ttest(ab, "y", "grp", "a", "b").collect()[0]
+        # corr ~ 0.94 => ~88% variance reduction
+        assert cuped["var_reduction"] > 0.7, cuped["var_reduction"]
+        # same direction, much stronger evidence on the adjusted metric
+        assert abs(cuped["t_stat"]) > abs(raw["t_stat"]) * 1.5
+        assert cuped["p_value"] < 1e-6
+        # detected lift is near the true +0.5 (b - a => mean_a - mean_b < 0)
+        assert -0.75 < cuped["mean_a"] - cuped["mean_b"] < -0.25
+
+    def test_zero_variance_covariate_noop(self, spark):
+        rows = [("a", 1.0, float(v)) for v in range(20)] + [
+            ("b", 1.0, float(v + 1)) for v in range(20)
+        ]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        out = cuped_ttest(df, "y", "x", "grp", "a", "b").collect()[0]
+        assert out["theta"] == 0.0 and out["var_reduction"] == 0.0
+        raw = welch_ttest(df, "y", "grp", "a", "b").collect()[0]
+        assert math.isclose(out["t_stat"], raw["t_stat"], rel_tol=1e-12)
