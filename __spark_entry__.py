@@ -4762,6 +4762,51 @@ def q_cuped_user_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff: documents vs a deterministic v2 mutation
+    (drops, text edits, lang rewrites, additions keyed off doc_id —
+    same construction in the oracle). ONE full-outer join, null-safe
+    column comparison, per-key status + changed-column attribution
+    (snapshot.snapshot_diff)."""
+    from temporal_retriever_spark.snapshot import snapshot_diff
+
+    docs = _documents(spark, sf_dir)
+    did = F.col("doc_id")
+    base = docs.filter(~(did % 17 == 3))
+    mut = (
+        base.withColumn(
+            "text",
+            F.when(
+                did % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(did % 5 == 0, F.col("n_chars") + 3).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .withColumn(
+            "lang",
+            F.when(did % 11 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+    )
+    added = docs.filter(did % 23 == 0).select(
+        (did + 1000000).alias("doc_id"),
+        F.concat(F.lit("fresh doc "), did.cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("srcX").alias("source"),
+        F.lit(5).cast("long").alias("n_chars"),
+    )
+    new = mut.unionByName(added)
+    diff = snapshot_diff(docs, new, keys=["doc_id"])
+    return diff.select(
+        "doc_id",
+        "diff_status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4815,6 +4860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (feature-prep family keeps target_encode_source +
         # impute_event_values in-window). --
         "bootstrap_ci_value": q_bootstrap_ci_value,
+        # -- new this session: snapshot versioning diff.
+        # rolling_distinct_users yields its slot (rolling family
+        # keeps rolling_daily/ewma/rolling_corr_pair in-window). --
+        "snapshot_diff_docs": q_snapshot_diff_docs,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -4848,7 +4897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_source_pairs": q_fuzzy_source_pairs,
         "packed_sequences": q_packed_sequences,
         "ljung_box_daily": q_ljung_box_daily,
-        "rolling_distinct_users": q_rolling_distinct_users,
         "scd2_order_status": q_scd2_order_status,
         "funnel_conversion": q_funnel_conversion,
         "impute_event_values": q_impute_event_values,
@@ -4869,6 +4917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "lag_features_daily": q_lag_features_daily,
+        "rolling_distinct_users": q_rolling_distinct_users,
         "forecast_theta_daily": q_forecast_theta_daily,
         "sq8_codes": q_sq8_codes,
         "media_probe": q_media_probe,
@@ -7437,6 +7486,50 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY duration_days ASC)
                          + 1.234567e-07, 6) AS survival
             FROM r ORDER BY event_type, duration_days
+        """,
+        "snapshot_diff_docs": """
+            WITH newv AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text,
+                       CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END
+                           AS lang,
+                       source,
+                       CASE WHEN doc_id % 5 = 0 THEN n_chars + 3
+                            ELSE n_chars END AS n_chars
+                FROM documents WHERE doc_id % 17 <> 3
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       'fresh doc ' || CAST(doc_id AS VARCHAR),
+                       'en', 'srcX', CAST(5 AS BIGINT)
+                FROM documents WHERE doc_id % 23 = 0
+            ),
+            j AS (
+                SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                       o.doc_id IS NOT NULL AS in_old,
+                       n.doc_id IS NOT NULL AS in_new,
+                       list_sort(list_filter([
+                           CASE WHEN o.lang IS DISTINCT FROM n.lang
+                                THEN 'lang' END,
+                           CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars
+                                THEN 'n_chars' END,
+                           CASE WHEN o.source IS DISTINCT FROM n.source
+                                THEN 'source' END,
+                           CASE WHEN o.text IS DISTINCT FROM n.text
+                                THEN 'text' END
+                       ], x -> x IS NOT NULL)) AS ch
+                FROM documents o FULL OUTER JOIN newv n
+                     ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN len(ch) > 0 THEN 'changed'
+                        ELSE 'unchanged' END AS diff_status,
+                   CASE WHEN in_old AND in_new AND len(ch) > 0
+                        THEN array_to_string(ch, ',')
+                        ELSE '' END AS changed_cols
+            FROM j ORDER BY doc_id
         """,
         "cuped_user_halves": f"""
             WITH mid AS (
