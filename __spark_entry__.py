@@ -4807,6 +4807,68 @@ def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_kappa_lang_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source between the lang label and a
+    deterministic noisy second rater (20% md5-flip to the next
+    language — same construction in the oracle): the annotator-QC
+    operator on the contingency machinery
+    (inference.cohens_kappa)."""
+    from temporal_retriever_spark.inference import cohens_kappa
+
+    docs = _documents(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rate:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**32))
+    flipped = (
+        F.when(F.col("lang") == "en", F.lit("de"))
+        .when(F.col("lang") == "de", F.lit("zh"))
+        .otherwise(F.lit("en"))
+    )
+    rated = docs.select(
+        "source",
+        F.col("lang").alias("rater_a"),
+        F.when(u < 0.2, flipped).otherwise(F.col("lang")).alias("rater_b"),
+    )
+    got = cohens_kappa(rated, "rater_a", "rater_b", keys=["source"])
+    return got.select(
+        "source",
+        "n",
+        _r6("p_observed").alias("p_observed"),
+        _r6("p_expected").alias("p_expected"),
+        _r6("kappa").alias("kappa"),
+    ).orderBy("source")
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration report: Gini over docs-per-source,
+    docs-per-lang, and chars-per-source — three group-table-sized
+    window aggregations unioned (llm.corpus.gini_concentration)."""
+    from temporal_retriever_spark.llm.corpus import gini_concentration
+
+    docs = _documents(spark, sf_dir)
+    a = gini_concentration(docs, "source", label="docs_by_source")
+    b = gini_concentration(docs, "lang", label="docs_by_lang")
+    c = gini_concentration(
+        docs, "source", weight_col="n_chars", label="chars_by_source"
+    )
+    out = a.unionByName(b).unionByName(c)
+    return out.select(
+        "dimension",
+        "n_groups",
+        _r6("total").alias("total"),
+        _r6("gini").alias("gini"),
+    ).orderBy("dimension")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4929,6 +4991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_click_view_dow": q_welch_click_view_dow,
         "kw_value_event_dow": q_kw_value_event_dow,
         "cuped_user_halves": q_cuped_user_halves,
+        "kappa_lang_raters": q_kappa_lang_raters,
+        "gini_concentration": q_gini_concentration,
         "gopher_filter": q_gopher_filter,
         "interval_join_hours": q_interval_join_hours,
         "rolling_quantile_daily": q_rolling_quantile_daily,
@@ -7486,6 +7550,91 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY duration_days ASC)
                          + 1.234567e-07, 6) AS survival
             FROM r ORDER BY event_type, duration_days
+        """,
+        "kappa_lang_raters": f"""
+            WITH rated AS (
+                SELECT source, lang AS ra,
+                    CASE WHEN (CAST(('0x' || substr(md5('rate:'
+                              || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                              + 0.5) / 4294967296.0 < 0.2
+                         THEN CASE WHEN lang = 'en' THEN 'de'
+                                   WHEN lang = 'de' THEN 'zh'
+                                   ELSE 'en' END
+                         ELSE lang END AS rb
+                FROM documents
+            ),
+            cells AS (
+                SELECT source, ra, rb, COUNT(*) AS c
+                FROM rated GROUP BY 1, 2, 3
+            ),
+            tot AS (
+                SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END)
+                            AS BIGINT) AS agree
+                FROM cells GROUP BY 1
+            ),
+            rm AS (SELECT source, ra AS k, SUM(c) AS rc
+                   FROM cells GROUP BY 1, 2),
+            cm AS (SELECT source, rb AS k, SUM(c) AS cc
+                   FROM cells GROUP BY 1, 2),
+            pe AS (
+                SELECT rm.source,
+                       SUM(CAST(rc AS DOUBLE) * cc) AS pe_num
+                FROM rm JOIN cm ON rm.source = cm.source AND rm.k = cm.k
+                GROUP BY 1
+            ),
+            fin AS (
+                SELECT tot.source, n,
+                       agree / CAST(n AS DOUBLE) AS po,
+                       COALESCE(pe_num, 0.0)
+                           / (CAST(n AS DOUBLE) * n) AS pex
+                FROM tot LEFT JOIN pe ON tot.source = pe.source
+            )
+            SELECT source, n,
+                   {_sql_r6("po")} AS p_observed,
+                   {_sql_r6("pex")} AS p_expected,
+                   {_sql_r6("CASE WHEN pex < 1.0 THEN (po - pex) / (1.0 - pex) END")}
+                       AS kappa
+            FROM fin ORDER BY source
+        """,
+        "gini_concentration": f"""
+            WITH g1 AS (
+                SELECT source AS grp, CAST(COUNT(*) AS DOUBLE) AS x
+                FROM documents WHERE source IS NOT NULL GROUP BY 1
+            ),
+            g2 AS (
+                SELECT lang AS grp, CAST(COUNT(*) AS DOUBLE) AS x
+                FROM documents WHERE lang IS NOT NULL GROUP BY 1
+            ),
+            g3 AS (
+                SELECT source AS grp, CAST(SUM(n_chars) AS DOUBLE) AS x
+                FROM documents WHERE source IS NOT NULL GROUP BY 1
+            ),
+            u AS (
+                SELECT 'docs_by_source' AS dimension, grp, x FROM g1
+                UNION ALL
+                SELECT 'docs_by_lang', grp, x FROM g2
+                UNION ALL
+                SELECT 'chars_by_source', grp, x FROM g3
+            ),
+            r AS (
+                SELECT dimension, x,
+                       ROW_NUMBER() OVER (PARTITION BY dimension
+                           ORDER BY x ASC, grp ASC) AS i
+                FROM u
+            ),
+            fin AS (
+                SELECT dimension,
+                       CAST(COUNT(*) AS BIGINT) AS n_groups,
+                       SUM(x) AS total,
+                       2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                           - (COUNT(*) + 1.0) / COUNT(*) AS gini
+                FROM r GROUP BY 1
+            )
+            SELECT dimension, n_groups,
+                   {_sql_r6("total")} AS total,
+                   {_sql_r6("gini")} AS gini
+            FROM fin ORDER BY dimension
         """,
         "snapshot_diff_docs": """
             WITH newv AS (

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bootstrap_ci",
     "chi2_independence",
+    "cohens_kappa",
     "cuped_adjust",
     "cuped_ttest",
     "fdr_bh",
@@ -933,3 +934,66 @@ def cuped_ttest(
         else test.crossJoin(F.broadcast(extra))
     )
     return out
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement of two labelers.
+
+    The label-QC staple (annotator vs annotator, model vs gold):
+    ``kappa = (p_o − p_e) / (1 − p_e)`` with observed agreement p_o
+    and chance agreement ``p_e = Σ_k (row_k/n)·(col_k/n)`` over ALL
+    labels k — including labels one side never assigns to the same
+    row (their marginal product still contributes, the classic
+    diagonal-only mistake). ONE data-sized ``groupBy(a, b)`` count
+    shuffle (label-cardinality-bounded, like `chi2_independence`);
+    the marginal tables and their join are category-sized. Rows with
+    a NULL on either side are excluded (no-label is not a label).
+
+    Output per key: ``n, p_observed, p_expected, kappa`` (kappa NULL
+    when p_e == 1 — both labelers constant — where the statistic is
+    undefined).
+    """
+    keys = list(keys or [])
+    a, b = F.col(a_col), F.col(b_col)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(*keys, a.alias("_a"), b.alias("_b"))
+        .agg(F.count("*").alias("_c"))
+    )
+    totals = cells.groupBy(*keys).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0)
+        ).cast("long").alias("_agree"),
+    )
+    row_m = cells.groupBy(*keys, F.col("_a").alias("_k")).agg(
+        F.sum("_c").alias("_ra")
+    )
+    col_m = cells.groupBy(*keys, F.col("_b").alias("_k")).agg(
+        F.sum("_c").alias("_cb")
+    )
+    pe_tab = row_m.join(col_m, on=[*keys, "_k"]).groupBy(*keys).agg(
+        F.sum(F.col("_ra").cast("double") * F.col("_cb")).alias("_pe_num")
+    )
+    joined = (
+        totals.join(pe_tab, on=keys, how="left")
+        if keys
+        else totals.crossJoin(pe_tab)
+    )
+    n = F.col("n").cast("double")
+    po = F.col("_agree") / n
+    pe = F.coalesce(F.col("_pe_num"), F.lit(0.0)) / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return joined.select(
+        *keys,
+        "n",
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        kappa.alias("kappa"),
+    )

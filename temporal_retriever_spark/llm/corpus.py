@@ -440,3 +440,56 @@ def apply_mixture(
         .filter(u < F.col("fraction"))
         .drop("fraction")
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    *,
+    weight_col: str | None = None,
+    label: str | None = None,
+) -> DataFrame:
+    """Gini coefficient of corpus mass concentration across groups.
+
+    "Is the corpus dominated by a handful of domains/sources?" as one
+    number: G = 0 (uniform) .. →1 (one group owns everything), via
+    the sorted-share identity ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n``
+    over the per-group masses x (doc counts, or ``weight_col`` sums
+    — e.g. token counts). The window runs over the GROUP table (one
+    row per domain/source), never the corpus, so this is
+    group-cardinality-sized after one counting shuffle.
+
+    Ties break by group name for a deterministic rank on any engine.
+    Output: ``dimension`` (the label, default the column name),
+    ``n_groups, total, gini`` — a one-row report per call; union
+    calls for a multi-dimension view.
+    """
+    from pyspark.sql import Window
+
+    mass = (
+        F.sum(weight_col) if weight_col is not None else F.count("*")
+    ).cast("double")
+    per_group = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(mass.alias("_x"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("_x").asc(), F.col(group_col).asc()
+    )
+    ranked = per_group.withColumn("_i", F.row_number().over(w))
+    out = ranked.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("_x").alias("total"),
+        (
+            2.0 * F.sum(F.col("_i") * F.col("_x"))
+            / (F.count("*") * F.sum("_x"))
+            - (F.count("*") + 1.0) / F.count("*")
+        ).alias("gini"),
+    )
+    return out.select(
+        F.lit(label or group_col).alias("dimension"),
+        "n_groups",
+        "total",
+        "gini",
+    )

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -218,3 +220,37 @@ def test_mixture_plan_scarce_group_taken_whole(spark):
         mixture_plan(df, {"a": 0.5})
     with pytest.raises(ValueError, match="positive"):
         mixture_plan(df, {"a": 1.2, "b": -0.2})
+
+
+from temporal_retriever_spark.llm.corpus import gini_concentration
+
+
+class TestGini:
+    def test_uniform_is_zero(self, spark):
+        rows = [(f"s{i % 4}",) for i in range(40)]
+        df = spark.createDataFrame(rows, "src string")
+        out = gini_concentration(df, "src").collect()[0]
+        assert out["n_groups"] == 4 and out["total"] == 40.0
+        assert abs(out["gini"]) < 1e-12
+
+    def test_total_concentration_approaches_one(self, spark):
+        rows = [("big",)] * 997 + [("a",), ("b",), ("c",)]
+        df = spark.createDataFrame(rows, "src string")
+        out = gini_concentration(df, "src").collect()[0]
+        # G for [1,1,1,997]: 2*(1+2+3+4*997)/(4*1000) - 5/4 = 0.747
+        assert math.isclose(out["gini"], 0.747, abs_tol=1e-9)
+
+    def test_weighted_and_label(self, spark):
+        rows = [("a", 10), ("a", 10), ("b", 80)]
+        df = spark.createDataFrame(rows, "src string, tok long")
+        out = gini_concentration(
+            df, "src", weight_col="tok", label="tokens_by_src"
+        ).collect()[0]
+        # masses [20, 80]: G = 2*(1*20+2*80)/(2*100) - 3/2 = 0.3
+        assert out["dimension"] == "tokens_by_src"
+        assert math.isclose(out["gini"], 0.3, rel_tol=1e-12)
+
+    def test_null_groups_dropped(self, spark):
+        rows = [("a",), (None,), ("b",)]
+        df = spark.createDataFrame(rows, "src string")
+        assert gini_concentration(df, "src").collect()[0]["n_groups"] == 2

@@ -713,3 +713,54 @@ class TestCuped:
         assert out["theta"] == 0.0 and out["var_reduction"] == 0.0
         raw = welch_ttest(df, "y", "grp", "a", "b").collect()[0]
         assert math.isclose(out["t_stat"], raw["t_stat"], rel_tol=1e-12)
+
+
+from temporal_retriever_spark.inference import cohens_kappa
+
+
+class TestCohensKappa:
+    def test_textbook_two_rater(self, spark):
+        # classic 2x2: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+        rows = (
+            [("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = cohens_kappa(df, "a", "b").collect()[0]
+        po = 35 / 50
+        pe = (25 / 50) * (30 / 50) + (25 / 50) * (20 / 50)
+        assert out["n"] == 50
+        assert math.isclose(out["p_observed"], po, rel_tol=1e-12)
+        assert math.isclose(out["p_expected"], pe, rel_tol=1e-12)
+        assert math.isclose(out["kappa"], (po - pe) / (1 - pe), rel_tol=1e-12)
+
+    def test_perfect_and_chance_agreement(self, spark):
+        perfect = spark.createDataFrame(
+            [("a", "a")] * 5 + [("b", "b")] * 5, "a string, b string"
+        )
+        assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+        # independent labels at 50/50: kappa ~ 0
+        chance = spark.createDataFrame(
+            [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")] * 10,
+            "a string, b string",
+        )
+        assert abs(cohens_kappa(chance, "a", "b").collect()[0]["kappa"]) < 1e-12
+
+    def test_offdiagonal_label_contributes_to_pe(self, spark):
+        # label 'c' never agrees but both raters use it: its marginal
+        # product must still enter p_e (diagonal-only impls miss it)
+        rows = [("a", "a")] * 4 + [("c", "b")] * 3 + [("b", "c")] * 3
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = cohens_kappa(df, "a", "b").collect()[0]
+        pe = (4 / 10) * (4 / 10) + (3 / 10) * (3 / 10) + (3 / 10) * (3 / 10)
+        assert math.isclose(out["p_expected"], pe, rel_tol=1e-12)
+
+    def test_constant_raters_kappa_null(self, spark):
+        df = spark.createDataFrame([("a", "a")] * 5, "a string, b string")
+        out = cohens_kappa(df, "a", "b").collect()[0]
+        assert out["kappa"] is None and out["p_expected"] == 1.0
+
+    def test_nulls_excluded(self, spark):
+        rows = [("a", "a"), ("a", None), (None, "b"), ("b", "b")]
+        df = spark.createDataFrame(rows, "a string, b string")
+        assert cohens_kappa(df, "a", "b").collect()[0]["n"] == 2
