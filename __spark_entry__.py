@@ -4869,6 +4869,51 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dimension")
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier scorecard per event type over a deterministic
+    pseudo-model (score = value/100 + md5 jitter, label = value>50 —
+    same construction in the oracle): midrank ROC AUC (exact tie
+    handling, MWU machinery), clamped log-loss, Brier
+    (evaluation.classification_metrics)."""
+    from temporal_retriever_spark.evaluation import classification_metrics
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("score:"), F.col("event_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**32))
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.least(
+            F.lit(0.99),
+            F.greatest(
+                F.lit(0.01),
+                F.col("value") / 100.0 + (u - 0.5) * 0.3,
+            ),
+        ).alias("score"),
+        (F.col("value") > 50.0).cast("int").alias("label"),
+    )
+    got = classification_metrics(scored, "score", "label", keys=["event_type"])
+    return got.select(
+        "event_type",
+        "n",
+        "n_pos",
+        _r6("auc").alias("auc"),
+        _r6("log_loss").alias("log_loss"),
+        _r6("brier").alias("brier"),
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -4993,6 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_user_halves": q_cuped_user_halves,
         "kappa_lang_raters": q_kappa_lang_raters,
         "gini_concentration": q_gini_concentration,
+        "classifier_eval": q_classifier_eval,
         "gopher_filter": q_gopher_filter,
         "interval_join_hours": q_interval_join_hours,
         "rolling_quantile_daily": q_rolling_quantile_daily,
@@ -7550,6 +7596,56 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY duration_days ASC)
                          + 1.234567e-07, 6) AS survival
             FROM r ORDER BY event_type, duration_days
+        """,
+        "classifier_eval": f"""
+            WITH scored AS (
+                SELECT event_type,
+                    LEAST(0.99, GREATEST(0.01,
+                        CAST(value AS DOUBLE) / 100.0
+                        + ((CAST(('0x' || substr(md5('score:'
+                             || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                             + 0.5) / 4294967296.0 - 0.5) * 0.3)) AS s,
+                    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL
+            ),
+            mom AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(y) AS BIGINT) AS n_pos,
+                       AVG(-(y * LN(LEAST(GREATEST(s, 1e-15), 1.0 - 1e-15))
+                             + (1 - y) * LN(1.0 - LEAST(GREATEST(s, 1e-15),
+                                                        1.0 - 1e-15))))
+                           AS log_loss,
+                       AVG((s - y) * (s - y)) AS brier
+                FROM scored GROUP BY 1
+            ),
+            cnts AS (
+                SELECT event_type, s,
+                       CAST(SUM(y) AS DOUBLE) AS dp,
+                       CAST(COUNT(*) - SUM(y) AS DOUBLE) AS dn
+                FROM scored GROUP BY 1, 2
+            ),
+            rnk AS (
+                SELECT event_type, dp, dp + dn AS dt,
+                       CAST(COALESCE(SUM(dp + dn) OVER (
+                            PARTITION BY event_type ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS DOUBLE) AS bef
+                FROM cnts
+            ),
+            rp AS (
+                SELECT event_type,
+                       SUM(dp * (bef + (dt + 1.0) / 2.0)) AS rpos
+                FROM rnk GROUP BY 1
+            )
+            SELECT mom.event_type, n, n_pos,
+                   {_sql_r6('''CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+                       (rpos - n_pos * (n_pos + 1.0) / 2.0)
+                       / (CAST(n_pos AS DOUBLE) * (n - n_pos)) END''')} AS auc,
+                   {_sql_r6("log_loss")} AS log_loss,
+                   {_sql_r6("brier")} AS brier
+            FROM mom JOIN rp ON mom.event_type = rp.event_type
+            ORDER BY mom.event_type
         """,
         "kappa_lang_raters": f"""
             WITH rated AS (

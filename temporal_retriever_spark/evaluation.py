@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "backtest",
+    "calibration_bins",
+    "classification_metrics",
     "ensemble_forecasts",
     "forecast_accuracy",
     "rolling_origin_splits",
@@ -248,3 +250,116 @@ def backtest(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def classification_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Binary-classifier scoring at any scale: AUC, log-loss, Brier.
+
+    ROC AUC uses the rank identity ``AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻)`` — the probability a random positive outranks a random
+    negative — computed on DISTINCT-score midranks exactly like
+    ``inference.mann_whitney_u``, so ties are handled correctly
+    (trapezoid ROC) and nothing ever sorts the raw rows: one
+    ``groupBy(score)`` shuffle, one score-domain-sized ordered
+    window. Log-loss clamps scores to [1e-15, 1−1e-15] (the sklearn
+    convention) so a confident-wrong 0/1 score stays finite.
+
+    Labels must be 0/1 (NULL rows dropped); output per key:
+    ``n, n_pos, auc, log_loss, brier`` — AUC NULL for one-class
+    groups (undefined, not 0.5-by-fiat).
+    """
+    keys = list(keys or [])
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    # moments: one aggregation
+    eps = 1e-15
+    sc = F.least(F.greatest(s, F.lit(eps)), F.lit(1.0 - eps))
+    mom = base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(y).cast("long").alias("n_pos"),
+        F.avg(
+            -(
+                y.cast("double") * F.log(sc)
+                + (1.0 - y.cast("double")) * F.log(F.lit(1.0) - sc)
+            )
+        ).alias("log_loss"),
+        F.avg((s - y.cast("double")) * (s - y.cast("double"))).alias(
+            "brier"
+        ),
+    )
+    # midrank AUC over distinct scores
+    cnts = base.groupBy(*keys, s.alias("_s")).agg(
+        F.sum(y).cast("double").alias("_dp"),
+        (F.count("*") - F.sum(y)).cast("double").alias("_dn"),
+    )
+    part = keys if keys else [F.lit(1)]
+    w_prev = (
+        Window.partitionBy(*part)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dt = F.col("_dp") + F.col("_dn")
+    ranked = cnts.select(
+        *keys,
+        "_dp",
+        F.coalesce(F.sum(dt).over(w_prev), F.lit(0.0)).alias("_before"),
+        dt.alias("_dt"),
+    )
+    midrank = F.col("_before") + (F.col("_dt") + 1.0) / 2.0
+    rpos = ranked.groupBy(*keys).agg(
+        F.sum(F.col("_dp") * midrank).alias("_rpos")
+    )
+    joined = (
+        mom.join(rpos, on=keys) if keys else mom.crossJoin(rpos)
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn = (F.col("n") - F.col("n_pos")).cast("double")
+    auc = F.when(
+        (np_ > 0) & (nn > 0),
+        (F.col("_rpos") - np_ * (np_ + 1.0) / 2.0) / (np_ * nn),
+    )
+    return joined.select(
+        *keys, "n", "n_pos", auc.alias("auc"), "log_loss", "brier"
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Reliability table: equal-width score bins vs observed rate.
+
+    One aggregation on (keys, bin); scores land in
+    ``floor(score · n_bins)`` clamped to the last bin (score = 1.0
+    belongs to bin n−1, not a phantom bin n). Feed a calibration
+    plot or an ECE computation downstream.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    keys = list(keys or [])
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    return (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(*keys, b)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.avg(s).alias("mean_score"),
+            F.avg(y.cast("double")).alias("frac_positive"),
+        )
+        .orderBy(*keys, "bin")
+    )

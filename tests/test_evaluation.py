@@ -212,3 +212,91 @@ def test_backtest_ranks_good_model_above_bad(spark):
     ).toPandas()
     # on a trending series the trend-aware model must win every fold
     assert (theta_scores.mae.to_numpy() < naive_scores.mae.to_numpy()).all()
+
+
+import math
+import random
+
+from temporal_retriever_spark.evaluation import calibration_bins, classification_metrics
+
+
+def _auc_ref(pairs):
+    """O(n^2) reference AUC with tie credit 0.5."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+class TestClassificationMetrics:
+    def test_matches_quadratic_reference_with_ties(self, spark):
+        rng = random.Random(5)
+        pairs = [
+            (round(rng.random(), 1), 1 if rng.random() < 0.4 else 0)
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(pairs, "p double, y int")
+        out = classification_metrics(df, "p", "y").collect()[0]
+        assert math.isclose(out["auc"], _auc_ref(pairs), rel_tol=1e-12)
+        ll_ref = sum(
+            -(y * math.log(min(max(p, 1e-15), 1 - 1e-15))
+              + (1 - y) * math.log(1 - min(max(p, 1e-15), 1 - 1e-15)))
+            for p, y in pairs
+        ) / len(pairs)
+        assert math.isclose(out["log_loss"], ll_ref, rel_tol=1e-12)
+        br_ref = sum((p - y) ** 2 for p, y in pairs) / len(pairs)
+        assert math.isclose(out["brier"], br_ref, rel_tol=1e-12)
+        assert out["n"] == 300 and out["n_pos"] == sum(y for _, y in pairs)
+
+    def test_perfect_and_antiperfect(self, spark):
+        perfect = [(0.9, 1)] * 5 + [(0.1, 0)] * 5
+        df = spark.createDataFrame(perfect, "p double, y int")
+        assert classification_metrics(df, "p", "y").collect()[0]["auc"] == 1.0
+        anti = [(0.1, 1)] * 5 + [(0.9, 0)] * 5
+        df2 = spark.createDataFrame(anti, "p double, y int")
+        assert classification_metrics(df2, "p", "y").collect()[0]["auc"] == 0.0
+
+    def test_one_class_auc_null_but_loss_defined(self, spark):
+        df = spark.createDataFrame([(0.7, 1), (0.6, 1)], "p double, y int")
+        out = classification_metrics(df, "p", "y").collect()[0]
+        assert out["auc"] is None
+        assert out["log_loss"] > 0
+
+    def test_confident_wrong_score_finite(self, spark):
+        df = spark.createDataFrame([(0.0, 1), (1.0, 0)], "p double, y int")
+        out = classification_metrics(df, "p", "y").collect()[0]
+        assert math.isfinite(out["log_loss"]) and out["log_loss"] > 30
+
+    def test_keyed(self, spark):
+        rows = [("a", 0.9, 1), ("a", 0.2, 0), ("b", 0.2, 1), ("b", 0.9, 0)]
+        df = spark.createDataFrame(rows, "k string, p double, y int")
+        out = {
+            r["k"]: r["auc"]
+            for r in classification_metrics(df, "p", "y", keys=["k"]).collect()
+        }
+        assert out == {"a": 1.0, "b": 0.0}
+
+
+class TestCalibrationBins:
+    def test_bins_and_rates(self, spark):
+        rows = [(0.05, 0)] * 9 + [(0.05, 1)] + [(0.95, 1)] * 8 + [(0.95, 0)] * 2
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = {r["bin"]: r for r in calibration_bins(df, "p", "y").collect()}
+        assert set(out) == {0, 9}
+        assert out[0]["n"] == 10 and math.isclose(out[0]["frac_positive"], 0.1)
+        assert out[9]["n"] == 10 and math.isclose(out[9]["frac_positive"], 0.8)
+
+    def test_score_one_lands_in_last_bin(self, spark):
+        df = spark.createDataFrame([(1.0, 1), (0.999, 1)], "p double, y int")
+        out = calibration_bins(df, "p", "y").collect()
+        assert [r["bin"] for r in out] == [9]
+        assert out[0]["n"] == 2
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0.5, 1)], "p double, y int")
+        import pytest
+
+        with pytest.raises(ValueError, match="n_bins"):
+            calibration_bins(df, "p", "y", n_bins=0)
