@@ -4914,6 +4914,49 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins CDC flatten of the event log: error events
+    act as deletes, everything else upserts, event_id breaks
+    same-timestamp ties — pre-shuffle WindowGroupLimit, ~keys rows
+    shuffled (history.apply_cdc)."""
+    from temporal_retriever_spark.history import apply_cdc
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    state = apply_cdc(
+        ev, keys=["user_id"], ts_col="ts", seq_col="event_id"
+    )
+    return state.select(
+        "user_id", "event_id", _r6("value").alias("value")
+    ).orderBy("user_id")
+
+
+def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics for the two natural event-log keys:
+    per-key-column cardinality, heaviest value, share, and the
+    slowest-reducer multiplier (quality.key_skew_report)."""
+    from temporal_retriever_spark.quality import key_skew_report
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = key_skew_report(ev, ["user_id", "event_type"])
+    return got.select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "top_key",
+        "top_count",
+        _r6("top_share").alias("top_share"),
+        _r6("skew_factor").alias("skew_factor"),
+    ).orderBy("key_col")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -5039,6 +5082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_lang_raters": q_kappa_lang_raters,
         "gini_concentration": q_gini_concentration,
         "classifier_eval": q_classifier_eval,
+        "cdc_user_state": q_cdc_user_state,
+        "key_skew_events": q_key_skew_events,
         "gopher_filter": q_gopher_filter,
         "interval_join_hours": q_interval_join_hours,
         "rolling_quantile_daily": q_rolling_quantile_daily,
@@ -7596,6 +7641,61 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY duration_days ASC)
                          + 1.234567e-07, 6) AS survival
             FROM r ORDER BY event_type, duration_days
+        """,
+        "cdc_user_state": f"""
+            WITH log AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'error' THEN 'delete'
+                            ELSE 'upsert' END AS op,
+                       value
+                FROM events
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM log
+            )
+            SELECT user_id, event_id,
+                   {_sql_r6("value")} AS value
+            FROM r WHERE rn = 1 AND op <> 'delete'
+            ORDER BY user_id
+        """,
+        "key_skew_events": f"""
+            WITH k1 AS (
+                SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            k2 AS (
+                SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            t1 AS (
+                SELECT 'user_id' AS key_col, k, c,
+                       CAST(SUM(c) OVER () AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS n_keys,
+                       ROW_NUMBER() OVER (ORDER BY c DESC, k DESC) AS rn
+                FROM k1
+            ),
+            t2 AS (
+                SELECT 'event_type' AS key_col, k, c,
+                       CAST(SUM(c) OVER () AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS n_keys,
+                       ROW_NUMBER() OVER (ORDER BY c DESC, k DESC) AS rn
+                FROM k2
+            ),
+            u AS (
+                SELECT key_col, n_rows, n_keys, k AS top_key,
+                       CAST(c AS BIGINT) AS top_count
+                FROM t1 WHERE rn = 1
+                UNION ALL
+                SELECT key_col, n_rows, n_keys, k, CAST(c AS BIGINT)
+                FROM t2 WHERE rn = 1
+            )
+            SELECT key_col, n_rows, n_keys, top_key, top_count,
+                   {_sql_r6("top_count / CAST(n_rows AS DOUBLE)")} AS top_share,
+                   {_sql_r6("CAST(top_count AS DOUBLE) * n_keys / n_rows")}
+                       AS skew_factor
+            FROM u ORDER BY key_col
         """,
         "classifier_eval": f"""
             WITH scored AS (

@@ -25,7 +25,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_history", "snapshot_at"]
+__all__ = ["apply_cdc", "merge_cdc_snapshot", "scd2_history", "snapshot_at"]
 
 
 def scd2_history(
@@ -97,3 +97,89 @@ def snapshot_at(history: DataFrame, ts, *, ts_type: str = "timestamp") -> DataFr
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).drop("is_current")
+
+
+def apply_cdc(
+    changelog: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    delete_value: str = "delete",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Collapse a CDC changelog into the current state (upsert/delete).
+
+    Last-writer-wins per key: the newest record (by ``ts_col``, then
+    ``seq_col`` for same-timestamp ordering — pass the log offset
+    when you have one) decides; a delete as the newest record removes
+    the key entirely. The rank filter compiles to the pre-shuffle
+    ``WindowGroupLimit``, so each map task forwards one candidate row
+    per key it sees — the shuffle carries ~keys rows, not the full
+    changelog. This is the lakehouse MERGE-flatten; for full validity
+    history use `scd2_history` instead.
+
+    NULL timestamps are rejected loudly (a changelog row without a
+    time has no position in last-writer-wins).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    # the guard lives inside the ordering expression itself, so
+    # Catalyst cannot prune it away: a NULL timestamp fails the job
+    ts_guarded = F.when(F.col(ts_col).isNotNull(), F.col(ts_col)).otherwise(
+        F.assert_true(
+            F.lit(False), F.lit(f"NULL {ts_col} in CDC changelog")
+        ).cast(changelog.schema[ts_col].dataType)
+    )
+    order = [ts_guarded.desc()]
+    if seq_col is not None:
+        order.append(F.col(seq_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_value))
+        .drop("_rn", op_col)
+    )
+
+
+def merge_cdc_snapshot(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    delete_value: str = "delete",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Apply a changelog on top of an existing snapshot.
+
+    The snapshot's rows enter the race as upserts that lose every
+    timestamp tie (seq −1 vs the log's non-negative sequence; when no
+    ``seq_col`` exists one is synthesized: 0 for log rows, −1 for
+    snapshot rows), so a log row AT the snapshot timestamp supersedes
+    it — the semantics of "snapshot as of T, log from T onward".
+    """
+    seq = seq_col or "_seq"
+    log = changelog
+    if seq_col is None:
+        log = log.withColumn(seq, F.lit(0))
+    snap = snapshot.select(
+        *[
+            F.col(c)
+            for c in snapshot.columns
+            if c not in (op_col, seq)
+        ],
+        F.lit("upsert").alias(op_col),
+        F.lit(-1).cast(log.schema[seq].dataType).alias(seq),
+    )
+    merged = snap.unionByName(log, allowMissingColumns=False)
+    out = apply_cdc(
+        merged,
+        keys=keys,
+        ts_col=ts_col,
+        op_col=op_col,
+        delete_value=delete_value,
+        seq_col=seq,
+    )
+    return out.drop(seq) if seq_col is None else out

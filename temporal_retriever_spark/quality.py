@@ -37,6 +37,7 @@ __all__ = [
     "row_count",
     "non_negative",
     "check_constraints",
+    "key_skew_report",
 ]
 
 
@@ -149,3 +150,55 @@ def check_constraints(df: DataFrame, checks) -> DataFrame:
     return row.select(F.explode(F.array(*parts)).alias("_c")).select(
         "_c.check", "_c.column", "_c.metric", "_c.threshold", "_c.passed"
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str] | tuple[str, ...]
+) -> DataFrame:
+    """Shuffle-skew diagnostics per candidate join/groupBy key.
+
+    Before keying a 100 TB join on a column, ask this table whether
+    one key value owns the partition: per column it reports
+    ``n_rows, n_keys`` (NULL keys counted as a key), the heaviest
+    value (``top_key`` as string, ``top_count, top_share``) and
+    ``skew_factor`` = top_count / mean-count — the multiplier the
+    slowest reducer pays vs the average. skew_factor ≳ 20 is the
+    "salt this key or let AQE split it" signal.
+
+    One count aggregation + one key-cardinality-sized reduction per
+    column (tie on the heavy key breaks by key string for engine
+    determinism); columns are independent jobs unioned.
+    """
+    outs = []
+    for col in key_cols:
+        per_key = df.groupBy(
+            F.col(col).cast("string").alias("_k")
+        ).agg(F.count("*").alias("_c"))
+        agg = per_key.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max(F.struct(F.col("_c"), F.col("_k"))).alias("_top"),
+        )
+        outs.append(
+            agg.select(
+                "key_col",
+                "n_rows",
+                "n_keys",
+                F.col("_top._k").alias("top_key"),
+                F.col("_top._c").cast("long").alias("top_count"),
+                (
+                    F.col("_top._c")
+                    / F.col("n_rows").cast("double")
+                ).alias("top_share"),
+                (
+                    F.col("_top._c").cast("double")
+                    * F.col("n_keys")
+                    / F.col("n_rows")
+                ).alias("skew_factor"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
