@@ -4957,6 +4957,19 @@ def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_col")
 
 
+def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ 0.5 via Bayardo prefix filtering —
+    the no-false-negative near-dup path (rarest-first prefixes bound
+    the candidate join; length filter rides the join). Oracle is the
+    quadratic exact-pairs SQL: the output must be EVERY qualifying
+    pair, integer-ratio exact (llm.dedup.allpairs_jaccard)."""
+    from temporal_retriever_spark.llm.dedup import allpairs_jaccard
+
+    return allpairs_jaccard(
+        _documents(spark, sf_dir), n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -5014,6 +5027,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling_distinct_users yields its slot (rolling family
         # keeps rolling_daily/ewma/rolling_corr_pair in-window). --
         "snapshot_diff_docs": q_snapshot_diff_docs,
+        # -- new this session: exact all-pairs similarity (prefix
+        # filtering). contamination_5gram yields its slot
+        # (containment family keeps verbatim_spans in-window). --
+        "allpairs_jaccard_05": q_allpairs_jaccard,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -5056,7 +5073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_source": q_target_encode_source,
         "dq_checks_lineitem": q_dq_checks_lineitem,
         "mixture_plan": q_mixture_plan,
-        "contamination_5gram": q_contamination_5gram,
         "bm25_topk": q_bm25_topk,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "interval_join_streamed": q_interval_join_streamed,
@@ -5068,6 +5084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "lag_features_daily": q_lag_features_daily,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "contamination_5gram": q_contamination_5gram,
         "forecast_theta_daily": q_forecast_theta_daily,
         "sq8_codes": q_sq8_codes,
         "media_probe": q_media_probe,
@@ -7071,6 +7088,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
+        "allpairs_jaccard_05": _EXACT_JACCARD_SQL.replace(">= 0.2", ">= 0.5")
+            + " ORDER BY id_a, id_b",
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -722,3 +722,95 @@ def verbatim_span_pairs(
         .groupBy("left_id", "right_id")
         .agg(F.count("*").alias("n_shared_windows"))
     )
+
+
+def allpairs_jaccard(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ τ via prefix filtering — no LSH miss.
+
+    Bayardo/Ma/Srikant 2007 ("Scaling Up All Pairs Similarity
+    Search"): if J(A, B) ≥ τ then A and B must share a token inside
+    each other's PREFIX — the first ``|d| − ⌈τ·|d|⌉ + 1`` tokens when
+    every document orders its tokens by ascending global frequency
+    (rarest first, the order that makes prefixes selective). So the
+    candidate join runs on prefix tokens only, candidates are bounded
+    by rare-token document frequencies instead of corpus², and — the
+    property MinHash-LSH cannot offer — there are NO false negatives:
+    the output is exactly every pair at or above the threshold.
+
+    Plan shape: shingle explode → token-frequency aggregation →
+    per-doc rank sort (one window keyed by doc) → prefix explode →
+    token-keyed candidate self-join (with the |B| ≥ τ·|A| length
+    filter riding the join) → exact-intersection verify. Shuffles
+    carry (id, token) pairs and candidate ids only.
+
+    Use this when the threshold is high (τ ≥ ~0.5 keeps prefixes
+    short) and recall must be exact — dataset-card dedup claims,
+    eval-contamination sweeps. At lower thresholds prefixes approach
+    whole documents; prefer `near_dup_pairs` (LSH) there.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    # global document frequency per token -> rarest-first total order
+    freq = toks.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = toks.join(freq, on="shingle")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_df").asc(), F.col("shingle").asc()
+    )
+    sized = ranked.select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(w).alias("_pos"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("_m"),
+    )
+    # prefix length m - ceil(tau*m) + 1
+    plen = F.col("_m") - F.ceil(F.col("_m") * F.lit(threshold)) + 1
+    prefix = sized.filter(F.col("_pos") <= plen).select(
+        F.col(id_col), "shingle", F.col("_m")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("_m").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("_m").alias("n_b")
+    )
+    cands = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size filter: J >= tau forces tau <= |B|/|A| <= 1/tau
+        .filter(
+            (F.col("n_b") >= F.col("n_a") * F.lit(threshold))
+            & (F.col("n_a") >= F.col("n_b") * F.lit(threshold))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), "shingle")
+    tb = toks.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(ta, on="id_a")
+        .join(tb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("_m"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_m").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_m").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

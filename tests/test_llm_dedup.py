@@ -172,3 +172,59 @@ def test_containment_directions_and_threshold(spark):
     assert len(out) == 1
     assert out.iloc[0].containment == pytest.approx(0.5)
     assert ngram_containment_pairs(df, n=3, threshold=0.6).count() == 0
+
+
+from temporal_retriever_spark.llm.dedup import allpairs_jaccard, ngram_jaccard_pairs
+
+
+class TestAllPairsJaccard:
+    def _corpus(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, base),
+            (1, base + " tonight"),                       # near-dup of 0
+            (2, base.replace("quick", "slow")),           # near-dup of 0
+            (3, "completely different text about spark window functions"),
+            (4, "completely different text about spark window functions"),  # exact dup of 3
+            (5, "unrelated short doc here now"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exactly_matches_bruteforce(self, spark):
+        df = self._corpus(spark)
+        for tau in (0.3, 0.5, 0.8):
+            got = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in allpairs_jaccard(df, threshold=tau).collect()
+            }
+            want = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(df, threshold=tau).collect()
+            }
+            assert got == want, (tau, got ^ want)
+
+    def test_no_false_negatives_on_random_corpus(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(8, 20))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tau = 0.4
+        got = {(r["id_a"], r["id_b"]) for r in allpairs_jaccard(df, threshold=tau).collect()}
+        want = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=tau).collect()}
+        assert got == want
+
+    def test_exact_dup_has_jaccard_one(self, spark):
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in allpairs_jaccard(self._corpus(spark), threshold=0.9).collect()
+        }
+        assert out[(3, 4)] == 1.0
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError, match="threshold"):
+            allpairs_jaccard(self._corpus(spark), threshold=0.0)
