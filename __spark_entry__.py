@@ -4970,6 +4970,93 @@ def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation→nation trade graph (supplier's nation
+    links customer's nation once per distinct trading pair): relational
+    power iteration with uniform dangling fold-back (graph.pagerank).
+    The oracle unrolls the IDENTICAL 6 iterations as chained CTEs, so
+    ranks must match to 6 digits, dangling mass included."""
+    from temporal_retriever_spark.graph import pagerank
+
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    n = t["nation"].select("n_nationkey", "n_name")
+    edges = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "src")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "dst")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("src", "dst")
+    )
+    got = pagerank(edges, iterations=6)
+    return got.select("node", _r6("rank").alias("rank")).orderBy("node")
+
+
+def _pagerank_oracle(iters: int = 6, damping: float = 0.85) -> str:
+    """DuckDB mirror of q_pagerank_nations: the same distinct edge
+    table, then the same power iteration unrolled as chained CTEs —
+    per-round dangling mass, contribution join, uniform fold-back."""
+    d = repr(damping)
+    ctes = [
+        """e AS (
+            SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE ns.n_name <> nc.n_name
+        )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM r{i} r "
+            f"LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib "
+            f"FROM r{i} r JOIN outdeg o ON o.src = r.node "
+            f"JOIN e ON e.src = r.node GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT nodes.node, (1.0 - {d}) / nn.n + {d} * "
+            f"(COALESCE(c{i}.contrib, 0.0) + d{i}.dm / nn.n) AS rank "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN d{i} "
+            f"LEFT JOIN c{i} ON c{i}.node = nodes.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(rank + {_ROUND_OFFSET!r}, 6) AS rank "
+        f"FROM r{iters} ORDER BY node"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -5031,6 +5118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filtering). contamination_5gram yields its slot
         # (containment family keeps verbatim_spans in-window). --
         "allpairs_jaccard_05": q_allpairs_jaccard,
+        # -- new this session: PageRank link authority (graph.py).
+        # Takes an in-window slot; dsir_select_src0 yields (the
+        # corpus-selection family keeps corpus_sketch_stats and the
+        # sampling rows in-window). --
+        "pagerank_nations": q_pagerank_nations,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -5045,7 +5137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_near": q_corpus_prep_near,
         "token_topk": q_token_topk,
         "corpus_sample_uniform": q_corpus_sample_uniform,
-        "dsir_select_src0": q_dsir_select,
         "corpus_sketch_stats": q_corpus_sketch_stats,
         # -- new this round: n-gram LM perplexity (llm/lm.py) --
         # (take the two in-window slots of the r2-green pair below,
@@ -5076,6 +5167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "interval_join_streamed": q_interval_join_streamed,
+        # (dsir yielded its in-window slot to pagerank_nations; first
+        # candidate to rotate in for r5)
+        "dsir_select_src0": q_dsir_select,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates), plus the four
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
@@ -7090,6 +7184,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
         "allpairs_jaccard_05": _EXACT_JACCARD_SQL.replace(">= 0.2", ">= 0.5")
             + " ORDER BY id_a, id_b",
+        "pagerank_nations": _pagerank_oracle(iters=6, damping=0.85),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -109,6 +109,7 @@ from temporal_retriever_spark.funnel import (
     funnel_summary,
     transition_matrix,
 )
+from temporal_retriever_spark.graph import pagerank
 from temporal_retriever_spark.history import scd2_history, snapshot_at
 from temporal_retriever_spark.quality import (
     bounds,
@@ -152,6 +153,7 @@ __all__ = [
     "make_lag_features",
     "mann_whitney_u",
     "non_negative",
+    "pagerank",
     "prop_ztest",
     "psi",
     "qgrams_expr",

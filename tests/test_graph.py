@@ -1,0 +1,74 @@
+"""PageRank: hand-computed references, dangling mass, invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from temporal_retriever_spark.graph import pagerank
+
+
+def _pagerank_ref(edges, d=0.85, iters=10):
+    """Driver-side power iteration with uniform dangling fold-back."""
+    e = {(s, t) for s, t in edges if s != t}
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    n = len(nodes)
+    out = {}
+    for s, t in e:
+        out.setdefault(s, []).append(t)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: (1 - d) / n + d * dang / n for v in nodes}
+        for s, ts in out.items():
+            share = r[s] / len(ts)
+            for t in ts:
+                nxt[t] += d * share
+        r = nxt
+    return r
+
+
+class TestPageRank:
+    def test_matches_reference_with_dangling(self, spark):
+        # C is dangling; A is the hub
+        edges = [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("d", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
+        ref = _pagerank_ref(edges, iters=12)
+        assert set(got) == set(ref)
+        for v in ref:
+            assert math.isclose(got[v], ref[v], rel_tol=1e-9), v
+        assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+
+    def test_cycle_is_uniform(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+        for v in got.values():
+            assert math.isclose(v, 1 / 3, rel_tol=1e-12)
+
+    def test_authority_ordering(self, spark):
+        # everyone links to 'hub'; hub links back to one node
+        edges = [(f"u{i}", "hub") for i in range(5)] + [("hub", "u0")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df, iterations=20).collect()}
+        assert got["hub"] == max(got.values())
+        assert got["u0"] > got["u1"]  # gets the hub's mass
+
+    def test_parallel_edges_and_self_loops_collapsed(self, spark):
+        edges = [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df, iterations=15).collect()}
+        ref = _pagerank_ref([("a", "b"), ("b", "a")], iters=15)
+        for v in ref:
+            assert math.isclose(got[v], ref[v], rel_tol=1e-9)
+
+    def test_validation_and_empty(self, spark):
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.0)
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(df, iterations=0)
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(empty).count() == 0
