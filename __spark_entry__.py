@@ -4970,19 +4970,15 @@ def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the nation→nation trade graph (supplier's nation
-    links customer's nation once per distinct trading pair): relational
-    power iteration with uniform dangling fold-back (graph.pagerank).
-    The oracle unrolls the IDENTICAL 6 iterations as chained CTEs, so
-    ranks must match to 6 digits, dangling mass included."""
-    from temporal_retriever_spark.graph import pagerank
-
+def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation→nation trade edges: supplier's nation links customer's
+    nation once per distinct trading pair (lineitem ⋈ orders ⋈
+    broadcast dims)."""
     t = load_tables(
         spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation")
     )
     n = t["nation"].select("n_nationkey", "n_name")
-    edges = (
+    return (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey")
         .join(
@@ -5008,17 +5004,9 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst")
     )
-    got = pagerank(edges, iterations=6)
-    return got.select("node", _r6("rank").alias("rank")).orderBy("node")
 
 
-def _pagerank_oracle(iters: int = 6, damping: float = 0.85) -> str:
-    """DuckDB mirror of q_pagerank_nations: the same distinct edge
-    table, then the same power iteration unrolled as chained CTEs —
-    per-round dangling mass, contribution join, uniform fold-back."""
-    d = repr(damping)
-    ctes = [
-        """e AS (
+_TRADE_EDGES_SQL = """
             SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
             FROM lineitem l
             JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -5027,10 +5015,50 @@ def _pagerank_oracle(iters: int = 6, damping: float = 0.85) -> str:
             JOIN nation ns ON ns.n_nationkey = s.s_nationkey
             JOIN nation nc ON nc.n_nationkey = c.c_nationkey
             WHERE ns.n_name <> nc.n_name
-        )""",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+"""
+
+
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation→nation trade graph: relational power
+    iteration with uniform dangling fold-back (graph.pagerank). The
+    oracle unrolls the IDENTICAL 6 iterations as chained CTEs, so
+    ranks must match to 6 digits, dangling mass included."""
+    from temporal_retriever_spark.graph import pagerank
+
+    got = pagerank(_nation_trade_edges(spark, sf_dir), iterations=6)
+    return got.select("node", _r6("rank").alias("rank")).orderBy("node")
+
+
+def q_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hub/authority over the nation→nation trade graph
+    (graph.hits): per round, authority = in-edge hub sum then hub =
+    out-edge authority sum, each L2-normalized. The oracle unrolls the
+    IDENTICAL 4 iterations (same raw-sum-then-divide order) as chained
+    CTEs — both score vectors must match to 6 digits."""
+    from temporal_retriever_spark.graph import hits
+
+    got = hits(_nation_trade_edges(spark, sf_dir), iterations=4)
+    return got.select(
+        "node",
+        _r6("hub").alias("hub"),
+        _r6("authority").alias("authority"),
+    ).orderBy("node")
+
+
+def _pagerank_oracle(iters: int = 6, damping: float = 0.85) -> str:
+    """DuckDB mirror of q_pagerank_nations: the same distinct edge
+    table, then the same power iteration unrolled as chained CTEs —
+    per-round dangling mass, contribution join, uniform fold-back."""
+    d = repr(damping)
+    # MATERIALIZED: see _hits_oracle — stops DuckDB re-inlining the
+    # 5-table scan at every per-round reference
+    ctes = [
+        f"e AS MATERIALIZED ({_TRADE_EDGES_SQL})",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
-        "outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1)",
+        "outdeg AS MATERIALIZED "
+        "(SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1)",
         "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
     ]
     for i in range(iters):
@@ -5054,6 +5082,63 @@ def _pagerank_oracle(iters: int = 6, damping: float = 0.85) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT node, ROUND(rank + {_ROUND_OFFSET!r}, 6) AS rank "
         f"FROM r{iters} ORDER BY node"
+    )
+
+
+def _hits_oracle(iters: int = 4) -> str:
+    """DuckDB mirror of q_hits_nations: the same distinct edge table,
+    then the same HITS rounds unrolled as chained CTEs — raw in-edge
+    hub sums, L2 norm, raw out-edge authority sums divided by the SAME
+    norm (the engine's raw-then-divide order), hub L2 norm."""
+    # MATERIALIZED: inlining would re-expand the 5-table scan at every
+    # of the ~3 references per round and exhaust file descriptors
+    ctes = [
+        f"e AS MATERIALIZED ({_TRADE_EDGES_SQL})",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"ar{i} AS (SELECT nodes.node, COALESCE(s.v, 0.0) AS a "
+            f"FROM nodes LEFT JOIN (SELECT e.dst AS node, SUM(p.h) AS v "
+            f"FROM h{i} p JOIN e ON e.src = p.node GROUP BY 1) s "
+            f"ON s.node = nodes.node)"
+        )
+        ctes.append(
+            f"an{i} AS (SELECT COALESCE(NULLIF(sqrt(SUM(a*a)), 0.0), 1.0)"
+            f" AS n FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT nodes.node, COALESCE(s.v, 0.0) AS v "
+            f"FROM nodes LEFT JOIN (SELECT e.src AS node, SUM(q.a) AS v "
+            f"FROM ar{i} q JOIN e ON e.dst = q.node GROUP BY 1) s "
+            f"ON s.node = nodes.node)"
+        )
+        ctes.append(
+            f"h2{i} AS (SELECT hr{i}.node, v / an{i}.n AS h "
+            f"FROM hr{i} CROSS JOIN an{i})"
+        )
+        ctes.append(
+            f"hn{i} AS (SELECT COALESCE(NULLIF(sqrt(SUM(h*h)), 0.0), 1.0)"
+            f" AS n FROM h2{i})"
+        )
+        ctes.append(
+            f"h{i + 1} AS (SELECT node, h / hn{i}.n AS h "
+            f"FROM h2{i} CROSS JOIN hn{i})"
+        )
+        ctes.append(
+            f"a{i + 1} AS (SELECT node, a / an{i}.n AS a "
+            f"FROM ar{i} CROSS JOIN an{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h{iters}.node, "
+        f"ROUND(h{iters}.h + {_ROUND_OFFSET!r}, 6) AS hub, "
+        f"ROUND(a{iters}.a + {_ROUND_OFFSET!r}, 6) AS authority "
+        f"FROM h{iters} JOIN a{iters} ON a{iters}.node = h{iters}.node "
+        f"ORDER BY h{iters}.node"
     )
 
 
@@ -5173,6 +5258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates), plus the four
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
+        "hits_nations": q_hits_nations,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7185,6 +7271,7 @@ def oracle_sql() -> dict[str, str]:
         "allpairs_jaccard_05": _EXACT_JACCARD_SQL.replace(">= 0.2", ">= 0.5")
             + " ORDER BY id_a, id_b",
         "pagerank_nations": _pagerank_oracle(iters=6, damping=0.85),
+        "hits_nations": _hits_oracle(iters=4),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

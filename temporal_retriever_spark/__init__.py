@@ -109,7 +109,7 @@ from temporal_retriever_spark.funnel import (
     funnel_summary,
     transition_matrix,
 )
-from temporal_retriever_spark.graph import pagerank
+from temporal_retriever_spark.graph import hits, pagerank
 from temporal_retriever_spark.history import scd2_history, snapshot_at
 from temporal_retriever_spark.quality import (
     bounds,
@@ -147,6 +147,7 @@ __all__ = [
     "funnel_summary",
     "garch_forecast",
     "garch_volatility",
+    "hits",
     "impute",
     "js_divergence",
     "ks_2sample",

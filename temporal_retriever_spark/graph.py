@@ -1,4 +1,4 @@
-"""Relational graph analytics: PageRank over edge tables.
+"""Relational graph analytics: PageRank and HITS over edge tables.
 
 A crawl corpus is also a graph (pages link pages, domains link
 domains), and link authority is a quality prior every serious web
@@ -28,6 +28,12 @@ quadratic inside the checkpoint window):
   checkpoint truncates the plan to a leaf, so lineage depth stays 1
   regardless of ``iterations``.
 
+`hits` (Kleinberg 1999) is the two-score companion: hubs point at
+good authorities, authorities are pointed at by good hubs. Each
+round is two edge-keyed join+sum passes (hub→authority then
+authority→hub) with L2 normalization; the norm is the per-round
+one-double driver scalar.
+
 At 100 TB: cost is iterations × (one edge-keyed shuffle), the known
 floor for distributed PageRank without vertex-cut partitioning; the
 per-round rank materialization is node-count-sized (≪ edges), spilled
@@ -38,11 +44,13 @@ automatically.
 
 from __future__ import annotations
 
+import math
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["hits", "pagerank"]
 
 
 def pagerank(
@@ -137,5 +145,108 @@ def pagerank(
         )
     out = ranks.select("node", "rank")
     node_deg.unpersist()
+    e.unpersist()
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+) -> DataFrame:
+    """Kleinberg HITS hub/authority scores over a (src, dst) edge table.
+
+    Parallel edges are collapsed; self-loops are dropped. Per round:
+    ``authority[j] = Σ hub[i] over edges (i→j)`` then L2-normalize,
+    ``hub[i] = Σ authority[j] over edges (i→j)`` then L2-normalize —
+    the textbook power iteration on EᵀE / EEᵀ. Returns
+    ``(node, hub, authority)`` with each score vector at unit L2 norm
+    (all-zero if the graph has no edges in that direction). Same
+    materialization discipline as :func:`pagerank`: edges persisted
+    once, scores localCheckpoint'ed per round so the logical plan
+    never nests.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()  # materializes both caches
+    if n_nodes == 0:
+        out = nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+        e.unpersist()
+        nodes.unpersist()
+        return out
+
+    def _l2(df: DataFrame, col: str) -> float:
+        s = df.agg(F.sum(F.col(col) * F.col(col))).collect()[0][0]
+        return math.sqrt(s) if s else 1.0
+
+    # two materializations per round: (hub, auth_raw) then
+    # (auth, hub_raw); the final /hub-norm rides lazily on top of the
+    # second checkpoint into the next round's join (plan depth 1)
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        auth_raw = (
+            scores.join(e, scores["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        scores = (
+            scores.drop("authority")
+            .join(auth_raw, on="node", how="left")
+            .select(
+                "node",
+                "hub",
+                F.coalesce(F.col("_a"), F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        an = _l2(scores, "authority")
+        # hub from RAW authority = an × (hub from normalized authority),
+        # so dividing the summed contributions by an is exactly the
+        # textbook update on the normalized vector
+        hub_raw = (
+            scores.join(e, scores["node"] == e["_d"])
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("authority").alias("_h"))
+        )
+        scores = (
+            scores.drop("hub")
+            .join(hub_raw, on="node", how="left")
+            .select(
+                "node",
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.lit(an)).alias(
+                    "hub"
+                ),
+                (F.col("authority") / F.lit(an)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hn = _l2(scores, "hub")
+        scores = scores.select(
+            "node",
+            (F.col("hub") / F.lit(hn)).alias("hub"),
+            "authority",
+        )
+    out = scores.localCheckpoint(eager=True)
+    nodes.unpersist()
     e.unpersist()
     return out

@@ -72,3 +72,58 @@ class TestPageRank:
             pagerank(df, iterations=0)
         empty = spark.createDataFrame([], "src string, dst string")
         assert pagerank(empty).count() == 0
+
+
+def _hits_ref(edges, iters=10):
+    """Driver-side HITS mirroring the engine's update order exactly."""
+    e = {(s, t) for s, t in edges if s != t}
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    h = {v: 1.0 for v in nodes}
+    a = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        a = {v: sum(h[s] for s, t in e if t == v) for v in nodes}
+        an = math.sqrt(sum(x * x for x in a.values())) or 1.0
+        h = {v: sum(a[t] for s, t in e if s == v) / an for v in nodes}
+        a = {v: a[v] / an for v in nodes}
+        hn = math.sqrt(sum(x * x for x in h.values())) or 1.0
+        h = {v: h[v] / hn for v in nodes}
+    return h, a
+
+
+class TestHits:
+    def test_matches_reference(self, spark):
+        from temporal_retriever_spark.graph import hits
+
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iterations=8).collect()}
+        h, a = _hits_ref(edges, iters=8)
+        assert set(got) == set(h)
+        for v in h:
+            assert math.isclose(got[v][0], h[v], rel_tol=1e-9), ("hub", v)
+            assert math.isclose(got[v][1], a[v], rel_tol=1e-9), ("auth", v)
+
+    def test_unit_norms_and_ordering(self, spark):
+        from temporal_retriever_spark.graph import hits
+
+        # u0..u4 all point at 'sink'; 'hub0' points at everything
+        edges = [(f"u{i}", "sink") for i in range(5)] + [
+            ("hub0", f"u{i}") for i in range(5)
+        ] + [("hub0", "sink")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        rows = hits(df, iterations=15).collect()
+        hub = {r["node"]: r["hub"] for r in rows}
+        auth = {r["node"]: r["authority"] for r in rows}
+        assert math.isclose(sum(x * x for x in hub.values()), 1.0, rel_tol=1e-9)
+        assert math.isclose(sum(x * x for x in auth.values()), 1.0, rel_tol=1e-9)
+        assert auth["sink"] == max(auth.values())
+        assert hub["hub0"] == max(hub.values())
+
+    def test_validation_and_empty(self, spark):
+        from temporal_retriever_spark.graph import hits
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError, match="iterations"):
+            hits(df, iterations=0)
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert hits(empty).count() == 0
