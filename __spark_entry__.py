@@ -5142,6 +5142,109 @@ def _hits_oracle(iters: int = 4) -> str:
     )
 
 
+_LOGREG_FEATURES = ("x0", "x1", "x2", "x3")
+
+
+def _logreg_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label + feature frame for the trainable quality classifier:
+    y = (lang = 'en'), features are the proven-parity text stats
+    (length/1000, stopword ratio, digit ratio, tokens/100), each
+    stably rounded to 6 digits so BOTH engines train on bit-identical
+    inputs."""
+    from temporal_retriever_spark.llm.text import quality_exprs
+
+    ex = quality_exprs("text")
+    off = F.lit(_ROUND_OFFSET)
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.round(F.length("text") / F.lit(1000.0) + off, 6).alias("x0"),
+        F.round(ex["stopword_ratio"] + off, 6).alias("x1"),
+        F.round(ex["digit_ratio"] + off, 6).alias("x2"),
+        F.round(
+            ex["n_tokens"].cast("double") / F.lit(100.0) + off, 6
+        ).alias("x3"),
+    )
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier (llm.classify.logreg_train): binary
+    LR by full-batch GD — 6 fixed iterations, each ONE aggregation of
+    k+1 gradient sums; the driver holds only the 5-double weight
+    vector. The oracle unrolls the IDENTICAL iterations as chained
+    CTEs (same sigmoid, same update order), then scores every doc —
+    probabilities must match to 6 digits."""
+    from temporal_retriever_spark.llm.classify import (
+        logreg_score,
+        logreg_train,
+    )
+
+    feats = _logreg_feature_frame(spark, sf_dir)
+    w = logreg_train(
+        feats, list(_LOGREG_FEATURES), "y", lr=0.5, iterations=6
+    )
+    scored = logreg_score(feats, w, list(_LOGREG_FEATURES))
+    return scored.select(
+        "doc_id", _r6("prob").alias("prob"), "pred"
+    ).orderBy("doc_id")
+
+
+def _logreg_oracle(iters: int = 6, lr: float = 0.5) -> str:
+    """DuckDB mirror of q_logreg_quality: identical rounded features,
+    then the same GD unrolled — per-iteration sigmoid CTE, 5 gradient
+    sums, weight update w − lr·(g/n) in the same expression order."""
+    off = repr(_ROUND_OFFSET)
+    lrs = repr(lr)
+    stop = "|".join(_STOPWORDS)
+    ntok = "len(string_split_regex(TRIM(text), '\\s+'))"
+    feat = (
+        "f AS MATERIALIZED (SELECT doc_id, "
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+        f"ROUND(LENGTH(text) / 1000.0 + {off}, 6) AS x0, "
+        f"ROUND(CASE WHEN {ntok} > 0 THEN "
+        f"CAST(len(regexp_extract_all(text, '(?i)\\b({stop})\\b')) AS DOUBLE)"
+        f" / {ntok} ELSE 0 END + {off}, 6) AS x1, "
+        "ROUND(CASE WHEN LENGTH(text) > 0 THEN "
+        "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)"
+        f" / LENGTH(text) ELSE 0 END + {off}, 6) AS x2, "
+        f"ROUND({ntok} / 100.0 + {off}, 6) AS x3 "
+        "FROM documents)"
+    )
+    sig = "1.0 / (1.0 + exp(-(b + w1*x0 + w2*x1 + w3*x2 + w4*x3)))"
+    ctes = [
+        feat,
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, "
+        "0.0 AS w4)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"p{i} AS (SELECT y, x0, x1, x2, x3, {sig} AS p "
+            f"FROM f CROSS JOIN w{i})"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT SUM(p - y) AS g0, SUM((p - y) * x0) AS g1, "
+            f"SUM((p - y) * x1) AS g2, SUM((p - y) * x2) AS g3, "
+            f"SUM((p - y) * x3) AS g4 FROM p{i})"
+        )
+        ctes.append(
+            f"w{i + 1} AS (SELECT "
+            f"b - {lrs} * (g0 / nn.n) AS b, "
+            f"w1 - {lrs} * (g1 / nn.n) AS w1, "
+            f"w2 - {lrs} * (g2 / nn.n) AS w2, "
+            f"w3 - {lrs} * (g3 / nn.n) AS w3, "
+            f"w4 - {lrs} * (g4 / nn.n) AS w4 "
+            f"FROM w{i} CROSS JOIN g{i} CROSS JOIN nn)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, ROUND({sig} + {off}, 6) AS prob, "
+        f"CASE WHEN {sig} >= 0.5 THEN 1 ELSE 0 END AS pred "
+        f"FROM f CROSS JOIN w{iters} ORDER BY doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -5208,6 +5311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-selection family keeps corpus_sketch_stats and the
         # sampling rows in-window). --
         "pagerank_nations": q_pagerank_nations,
+        # -- new this session: trainable LR quality classifier
+        # (llm.classify.logreg_train). corpus_sample_uniform yields
+        # its slot (the corpus-selection family keeps corpus_prep_near
+        # + corpus_sketch_stats in-window; sampling rotates in r5). --
+        "logreg_quality": q_logreg_quality,
         # -- never driver-checked (r3 additions; local-oracle green) --
         "rolling_daily": q_rolling_daily,
         "ewma_daily": q_ewma_daily,
@@ -5221,7 +5329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg_daily": q_binseg_daily,
         "corpus_prep_near": q_corpus_prep_near,
         "token_topk": q_token_topk,
-        "corpus_sample_uniform": q_corpus_sample_uniform,
         "corpus_sketch_stats": q_corpus_sketch_stats,
         # -- new this round: n-gram LM perplexity (llm/lm.py) --
         # (take the two in-window slots of the r2-green pair below,
@@ -5252,9 +5359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "sessions_2h_streamed": q_sessions_2h_streamed,
         "interval_join_streamed": q_interval_join_streamed,
-        # (dsir yielded its in-window slot to pagerank_nations; first
-        # candidate to rotate in for r5)
+        # (dsir / uniform-sampling yielded their in-window slots to
+        # pagerank_nations / logreg_quality; first candidates to
+        # rotate in for r5)
         "dsir_select_src0": q_dsir_select,
+        "corpus_sample_uniform": q_corpus_sample_uniform,
         # -- round-4 family variants whose siblings hold the in-window
         # slot (driver evidence diversity > duplicates), plus the four
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
@@ -7272,6 +7381,7 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY id_a, id_b",
         "pagerank_nations": _pagerank_oracle(iters=6, damping=0.85),
         "hits_nations": _hits_oracle(iters=4),
+        "logreg_quality": _logreg_oracle(iters=6, lr=0.5),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

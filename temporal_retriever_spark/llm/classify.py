@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from temporal_retriever_spark.llm.lm import char_ngrams_expr, word_ngrams_expr
 
-__all__ = ["NBModel", "nb_train", "nb_score", "nb_classify"]
+__all__ = ["NBModel", "nb_train", "nb_score", "nb_classify", "logreg_train", "logreg_score"]
 
 
 class NBModel(NamedTuple):
@@ -213,4 +213,104 @@ def nb_classify(
                 F.col("_r")[0]["avg_loglik"] - F.col("_r")[1]["avg_loglik"],
             ).alias("margin"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression on numeric features (full-batch gradient descent)
+# ---------------------------------------------------------------------------
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    lr: float = 0.5,
+    iterations: int = 8,
+    l2: float = 0.0,
+) -> list[float]:
+    """Train binary logistic regression by full-batch gradient descent.
+
+    The numeric-feature companion to the NB token model: the standard
+    trainable *quality classifier* of corpus pipelines (a fastText-/
+    CCNet-style filter scoring docs on engineered stats) reduces to a
+    small dense LR once features are columns. Each of the fixed
+    ``iterations`` is ONE aggregation: k+1 scalar sums of
+    ``(σ(w·x) − y)·x_j`` (JVM expressions, map-side partials), so the
+    per-round shuffle carries k+1 doubles per partition and the driver
+    holds only the (k+1)-vector w — the same O(small-state) iteration
+    contract as k-means / pagerank. The feature frame is persisted
+    once; lineage never nests (weights re-enter as literals).
+
+    Deterministic: fixed iteration count, zero-init, no RNG, no
+    row-order dependence beyond float-sum association. Returns
+    ``[intercept, w_1, …, w_k]``.
+    """
+    from pyspark import StorageLevel
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("feature_cols must be non-empty")
+    feats = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{i}")
+            for i, c in enumerate(feature_cols)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = feats.count()
+    if n == 0:
+        feats.unpersist()
+        raise ValueError("cannot train on an empty frame")
+    w = [0.0] * (k + 1)
+    for _ in range(iterations):
+        margin = F.lit(w[0])
+        for i in range(k):
+            margin = margin + F.lit(w[i + 1]) * F.col(f"_x{i}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        d = p - F.col("_y")
+        row = feats.agg(
+            F.sum(d).alias("_g0"),
+            *[
+                F.sum(d * F.col(f"_x{i}")).alias(f"_g{i + 1}")
+                for i in range(k)
+            ],
+        ).collect()[0]
+        w = [
+            w[j]
+            - lr * (row[j] / n + (l2 * w[j] if j > 0 else 0.0))
+            for j in range(k + 1)
+        ]
+    feats.unpersist()
+    return w
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: list[float],
+    feature_cols: list[str],
+    *,
+    prob_col: str = "prob",
+    pred_col: str = "pred",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score rows under a trained LR model: adds ``prob_col`` (σ(w·x))
+    and ``pred_col`` (prob ≥ threshold). Pure native expressions —
+    scoring a 100-TB corpus is one narrow codegen'd scan."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"weights must be [intercept] + one per feature: "
+            f"got {len(weights)} for {len(feature_cols)} features"
+        )
+    margin = F.lit(weights[0])
+    for i, c in enumerate(feature_cols):
+        margin = margin + F.lit(weights[i + 1]) * F.col(c).cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return df.withColumn(prob_col, prob).withColumn(
+        pred_col, (F.col(prob_col) >= F.lit(threshold)).cast("int")
     )

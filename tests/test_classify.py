@@ -134,3 +134,100 @@ def test_alpha_validation(spark, docs):
     model = nb_train(docs.limit(10), label_col="lang")
     with pytest.raises(ValueError, match="alpha"):
         nb_score(docs.limit(5), model, alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression (full-batch GD)
+# ---------------------------------------------------------------------------
+
+
+def _logreg_ref(rows, k, lr=0.5, iters=8, l2=0.0):
+    """Driver-side GD mirroring the engine's update order exactly."""
+    n = len(rows)
+    w = [0.0] * (k + 1)
+    for _ in range(iters):
+        g = [0.0] * (k + 1)
+        for y, xs in rows:
+            m = w[0]
+            for i in range(k):
+                m = m + w[i + 1] * xs[i]
+            p = 1.0 / (1.0 + math.exp(-m))
+            d = p - y
+            g[0] += d
+            for i in range(k):
+                g[i + 1] += d * xs[i]
+        w = [
+            w[j] - lr * (g[j] / n + (l2 * w[j] if j > 0 else 0.0))
+            for j in range(k + 1)
+        ]
+    return w
+
+
+class TestLogReg:
+    def test_matches_reference_gd(self, spark):
+        from temporal_retriever_spark.llm.classify import logreg_train
+
+        rows = [
+            (1.0, (0.2, 1.5)),
+            (0.0, (0.9, -0.3)),
+            (1.0, (0.1, 2.0)),
+            (0.0, (1.2, 0.0)),
+            (1.0, (0.3, 1.1)),
+            (0.0, (0.8, -1.0)),
+        ]
+        df = spark.createDataFrame(
+            [(y, a, b) for y, (a, b) in rows], "y double, f1 double, f2 double"
+        )
+        got = logreg_train(df, ["f1", "f2"], "y", lr=0.5, iterations=8)
+        want = _logreg_ref(rows, k=2, lr=0.5, iters=8)
+        for g, w in zip(got, want):
+            assert math.isclose(g, w, rel_tol=1e-9), (got, want)
+
+    def test_l2_shrinks_weights(self, spark):
+        from temporal_retriever_spark.llm.classify import logreg_train
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (0.0, -2.0), (1.0, 1.5), (0.0, -1.5)] * 5,
+            "y double, f double",
+        )
+        free = logreg_train(df, ["f"], "y", iterations=20)
+        reg = logreg_train(df, ["f"], "y", iterations=20, l2=0.5)
+        assert abs(reg[1]) < abs(free[1])
+
+    def test_separable_accuracy_and_score(self, spark):
+        from temporal_retriever_spark.llm.classify import (
+            logreg_score,
+            logreg_train,
+        )
+
+        # y = 1 iff f1 > 0; 40 points, clean margin
+        pts = [(1.0, 0.5 + 0.05 * i, float(i % 3)) for i in range(20)] + [
+            (0.0, -0.5 - 0.05 * i, float(i % 3)) for i in range(20)
+        ]
+        df = spark.createDataFrame(pts, "y double, f1 double, f2 double")
+        w = logreg_train(df, ["f1", "f2"], "y", lr=1.0, iterations=30)
+        scored = logreg_score(df, w, ["f1", "f2"])
+        acc = scored.filter(
+            (F.col("pred") == 1) == (F.col("y") == 1.0)
+        ).count() / 40.0
+        assert acc >= 0.95
+        probs = [r["prob"] for r in scored.collect()]
+        assert all(0.0 <= p <= 1.0 for p in probs)
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.llm.classify import (
+            logreg_score,
+            logreg_train,
+        )
+
+        df = spark.createDataFrame([(1.0, 1.0)], "y double, f double")
+        with pytest.raises(ValueError, match="iterations"):
+            logreg_train(df, ["f"], "y", iterations=0)
+        with pytest.raises(ValueError, match="lr"):
+            logreg_train(df, ["f"], "y", lr=0.0)
+        with pytest.raises(ValueError, match="feature_cols"):
+            logreg_train(df, [], "y")
+        with pytest.raises(ValueError, match="empty"):
+            logreg_train(df.filter("y > 5"), ["f"], "y")
+        with pytest.raises(ValueError, match="weights"):
+            logreg_score(df, [0.0], ["f"])
