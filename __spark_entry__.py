@@ -5245,6 +5245,66 @@ def _logreg_oracle(iters: int = 6, lr: float = 0.5) -> str:
     )
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for the events table on (user_id, value)
+    (sources.layout.zvalue_expr): per-column range-normalized 16-bit
+    indexes, bit-interleaved into one BIGINT — the clustering key
+    zorder_write lays files out by. The oracle recomputes the ranges
+    and the identical shift/AND interleave in SQL; values are
+    integer-exact."""
+    from temporal_retriever_spark.sources.layout import (
+        column_ranges,
+        zvalue_expr,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("user_id").cast("double").alias("u"),
+        "value",
+    )
+    ranges = column_ranges(ev, ["u", "value"])
+    return ev.select(
+        "event_id",
+        zvalue_expr(["u", "value"], ranges, bits=16).alias("zvalue"),
+    ).orderBy("event_id")
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    """DuckDB mirror of q_zorder_events: same double normalization
+    (floor((x − mn)/(mx − mn) · 2^bits), clamped), same bit
+    interleave (column i's bit b → output bit b·2 + i)."""
+    top = (1 << bits) - 1
+    scale = repr(float(1 << bits))
+
+    def idx(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {col} IS NULL OR {mx} = {mn} THEN 0 ELSE "
+            f"GREATEST(0, LEAST(CAST(floor((CAST({col} AS DOUBLE) - {mn})"
+            f" / ({mx} - {mn}) * {scale}) AS BIGINT), {top})) END"
+        )
+
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((iu >> {b}) & 1) << {b * 2})")
+        terms.append(f"(((iv >> {b}) & 1) << {b * 2 + 1})")
+    interleave = " | ".join(terms)
+    return f"""
+        WITH r AS (
+            SELECT CAST(MIN(user_id) AS DOUBLE) AS mnu,
+                   CAST(MAX(user_id) AS DOUBLE) AS mxu,
+                   MIN(value) AS mnv, MAX(value) AS mxv
+            FROM events
+        ),
+        ix AS (
+            SELECT event_id,
+                   {idx("user_id", "mnu", "mxu")} AS iu,
+                   {idx("value", "mnv", "mxv")} AS iv
+            FROM events CROSS JOIN r
+        )
+        SELECT event_id, {interleave} AS zvalue FROM ix ORDER BY event_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -5368,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot (driver evidence diversity > duplicates), plus the four
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
         "hits_nations": q_hits_nations,
+        "zorder_events": q_zorder_events,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7382,6 +7443,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_nations": _pagerank_oracle(iters=6, damping=0.85),
         "hits_nations": _hits_oracle(iters=4),
         "logreg_quality": _logreg_oracle(iters=6, lr=0.5),
+        "zorder_events": _zorder_oracle(bits=16),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,
