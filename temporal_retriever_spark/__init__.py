@@ -109,7 +109,7 @@ from temporal_retriever_spark.funnel import (
     funnel_summary,
     transition_matrix,
 )
-from temporal_retriever_spark.graph import hits, pagerank
+from temporal_retriever_spark.graph import connected_components, hits, pagerank
 from temporal_retriever_spark.history import scd2_history, snapshot_at
 from temporal_retriever_spark.quality import (
     bounds,
@@ -141,6 +141,7 @@ __all__ = [
     "fdr_bh",
     "cohort_retention",
     "completeness",
+    "connected_components",
     "contained_in",
     "fuzzy_join",
     "funnel",

@@ -50,7 +50,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hits", "pagerank"]
+__all__ = ["connected_components", "hits", "pagerank"]
 
 
 def pagerank(
@@ -250,3 +250,30 @@ def hits(
     nodes.unpersist()
     e.unpersist()
     return out
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    method: str = "star",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Weakly connected components over a (src, dst) edge table.
+
+    General-graph alias of ``llm.dedup.duplicate_clusters`` (the
+    log-round large-star/small-star algorithm by default, min-label
+    propagation via ``method="label"``): returns ``(node, component)``
+    with component = min node id in the component. Nodes only appear
+    if they touch an edge — isolated vertices carry no edge rows.
+    """
+    out_df = edges.select(
+        F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
+    )
+    from temporal_retriever_spark.llm.dedup import duplicate_clusters
+
+    got = duplicate_clusters(out_df, max_iter=max_iter, method=method)
+    return got.select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+    )

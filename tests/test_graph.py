@@ -127,3 +127,22 @@ class TestHits:
             hits(df, iterations=0)
         empty = spark.createDataFrame([], "src string, dst string")
         assert hits(empty).count() == 0
+
+
+class TestConnectedComponents:
+    def test_components_and_min_labels(self, spark):
+        from temporal_retriever_spark.graph import connected_components
+
+        edges = [(1, 2), (2, 3), (10, 11), (20, 20)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_label_method_agrees(self, spark):
+        from temporal_retriever_spark.graph import connected_components
+
+        edges = [(i, i + 1) for i in range(8)] + [(100, 101)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        star = sorted(connected_components(df, method="star").collect())
+        label = sorted(connected_components(df, method="label").collect())
+        assert star == label

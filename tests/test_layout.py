@@ -132,3 +132,38 @@ class TestZOrderLayout:
         assert back.agg(F.sum("event_id")).collect()[0][0] == ev.agg(
             F.sum("event_id")
         ).collect()[0][0]
+
+
+class TestPlanShapes:
+    def test_zorder_write_is_one_range_exchange(self, spark, sf_dir):
+        from temporal_retriever_spark.sources.layout import (
+            column_ranges,
+            zvalue_expr,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", F.col("user_id").cast("double").alias("u"), "value"
+        )
+        ranges = column_ranges(ev, ["u", "value"])
+        laid = (
+            ev.withColumn("_z", zvalue_expr(["u", "value"], ranges))
+            .repartitionByRange(8, "_z")
+            .sortWithinPartitions("_z")
+        )
+        plan = laid._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "rangepartitioning" in plan.lower()
+
+    def test_logreg_gradient_is_one_partial_aggregate(self, spark, sf_dir):
+        """Each GD round must be one map-side-combined aggregation —
+        a partial HashAggregate before the single exchange."""
+        ev = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            (F.col("lang") == "en").cast("double").alias("_y"),
+            (F.length("text") / 1000.0).alias("_x0"),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(0.1) + F.lit(0.2) * F.col("_x0"))))
+        d = p - F.col("_y")
+        agg = ev.agg(F.sum(d).alias("g0"), F.sum(d * F.col("_x0")).alias("g1"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "partial" in plan.lower()
