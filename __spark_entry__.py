@@ -5305,6 +5305,83 @@ def _zorder_oracle(bits: int = 16) -> str:
     """
 
 
+def q_isotonic_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) probability calibration of a deterministic text
+    score against the lang='en' label (evaluation.isotonic_calibration)
+    — computed natively via the minimax identity over the reliability
+    bins. The oracle replays the identical bin aggregation, pair join,
+    and running max/min windows in SQL."""
+    from temporal_retriever_spark.evaluation import isotonic_calibration
+
+    d = _documents(spark, sf_dir).select(
+        F.round(
+            F.least(F.length("text") / F.lit(600.0), F.lit(1.0))
+            + F.lit(_ROUND_OFFSET),
+            6,
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    got = isotonic_calibration(d, "score", "y", n_bins=10)
+    return got.select(
+        "bin",
+        "n",
+        _r6("mean_score").alias("mean_score"),
+        _r6("frac_positive").alias("frac_positive"),
+        _r6("iso_prob").alias("iso_prob"),
+    ).orderBy("bin")
+
+
+def _isotonic_oracle(n_bins: int = 10) -> str:
+    """DuckDB mirror of q_isotonic_lang: same bins, same prefix sums,
+    same (i ≤ j) pair averages, same runmax-over-i / runmin-over-j
+    windows, output at the i = j diagonal."""
+    off = repr(_ROUND_OFFSET)
+    return f"""
+        WITH d AS (
+            SELECT ROUND(LEAST(LENGTH(text) / 600.0, 1.0) + {off}, 6)
+                       AS score,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        bins AS (
+            SELECT LEAST(CAST(floor(score * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+                   COUNT(*) AS n, AVG(score) AS mean_score,
+                   AVG(CAST(y AS DOUBLE)) AS frac_positive
+            FROM d GROUP BY 1
+        ),
+        b2 AS (
+            SELECT bin, n, mean_score, frac_positive,
+                   CAST(n AS DOUBLE) * frac_positive AS pos,
+                   CAST(n AS DOUBLE) AS w,
+                   SUM(CAST(n AS DOUBLE)) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                   SUM(CAST(n AS DOUBLE) * frac_positive) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+            FROM bins
+        ),
+        pairs AS (
+            SELECT a.bin AS i, b.bin AS j, b.n, b.mean_score,
+                   b.frac_positive,
+                   (b.cp - a.cp + a.pos) / (b.cw - a.cw + a.w) AS avgv
+            FROM b2 a JOIN b2 b ON a.bin <= b.bin
+        ),
+        rm AS (
+            SELECT *, MAX(avgv) OVER (PARTITION BY j ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS amax
+            FROM pairs
+        ),
+        iso AS (
+            SELECT *, MIN(amax) OVER (PARTITION BY i ORDER BY j
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS isov
+            FROM rm
+        )
+        SELECT i AS bin, n, ROUND(mean_score + {off}, 6) AS mean_score,
+               ROUND(frac_positive + {off}, 6) AS frac_positive,
+               ROUND(isov + {off}, 6) AS iso_prob
+        FROM iso WHERE i = j ORDER BY bin
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -5429,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
         "hits_nations": q_hits_nations,
         "zorder_events": q_zorder_events,
+        "isotonic_lang": q_isotonic_lang,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7444,6 +7522,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_nations": _hits_oracle(iters=4),
         "logreg_quality": _logreg_oracle(iters=6, lr=0.5),
         "zorder_events": _zorder_oracle(bits=16),
+        "isotonic_lang": _isotonic_oracle(n_bins=10),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -217,6 +217,8 @@ def test_backtest_ranks_good_model_above_bad(spark):
 import math
 import random
 
+from pyspark.sql import functions as F
+
 from temporal_retriever_spark.evaluation import calibration_bins, classification_metrics
 
 
@@ -300,3 +302,100 @@ class TestCalibrationBins:
 
         with pytest.raises(ValueError, match="n_bins"):
             calibration_bins(df, "p", "y", n_bins=0)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (minimax PAV)
+# ---------------------------------------------------------------------------
+
+
+def _pav_ref(ys, ws):
+    """Classic stack PAV over (rate, weight) bins."""
+    blocks = []
+    for y, w in zip(ys, ws):
+        blocks.append([y * w, w, 1])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] / blocks[-2][1] >= blocks[-1][0] / blocks[-1][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    out = []
+    for swy, sw, c in blocks:
+        out.extend([swy / sw] * c)
+    return out
+
+
+class TestIsotonicCalibration:
+    def _mkdf(self, spark, spec, key=None):
+        rows = []
+        for b, rate, n in spec:
+            npos = round(rate * n)
+            for i in range(n):
+                r = ((b + 0.5) / len(spec), 1 if i < npos else 0)
+                rows.append(r + (key,) if key else r)
+        schema = "score double, y int" + (", k string" if key else "")
+        return spark.createDataFrame(rows, schema)
+
+    def test_pools_adjacent_violators(self, spark):
+        from temporal_retriever_spark.evaluation import isotonic_calibration
+
+        spec = [(0, 0.1, 30), (1, 0.4, 10), (2, 0.2, 20), (3, 0.8, 40)]
+        df = self._mkdf(spark, spec)
+        got = isotonic_calibration(df, "score", "y", n_bins=4).collect()
+        ref = _pav_ref(
+            [r["frac_positive"] for r in got], [float(r["n"]) for r in got]
+        )
+        for r, v in zip(got, ref):
+            assert math.isclose(r["iso_prob"], v, rel_tol=1e-9)
+        # violator bins 1,2 pooled: (0.4*10 + 0.2*20) / 30
+        assert math.isclose(got[1]["iso_prob"], 8.0 / 30, rel_tol=1e-9)
+        assert got[1]["iso_prob"] == got[2]["iso_prob"]
+
+    def test_already_monotone_is_identity(self, spark):
+        from temporal_retriever_spark.evaluation import isotonic_calibration
+
+        spec = [(0, 0.1, 20), (1, 0.3, 20), (2, 0.6, 20), (3, 0.9, 20)]
+        got = isotonic_calibration(
+            self._mkdf(spark, spec), "score", "y", n_bins=4
+        ).collect()
+        for r in got:
+            assert math.isclose(
+                r["iso_prob"], r["frac_positive"], rel_tol=1e-9
+            )
+
+    def test_keyed_groups_fit_independently(self, spark):
+        from temporal_retriever_spark.evaluation import isotonic_calibration
+
+        a = self._mkdf(spark, [(0, 0.9, 10), (1, 0.1, 10)], key="a")
+        b = self._mkdf(spark, [(0, 0.2, 10), (1, 0.7, 10)], key="b")
+        got = isotonic_calibration(
+            a.union(b), "score", "y", n_bins=2, keys=["k"]
+        ).collect()
+        by = {(r["k"], r["bin"]): r["iso_prob"] for r in got}
+        # group a is decreasing -> pooled to the global mean 0.5
+        assert math.isclose(by[("a", 0)], 0.5, rel_tol=1e-9)
+        assert math.isclose(by[("a", 1)], 0.5, rel_tol=1e-9)
+        # group b already monotone -> untouched
+        assert math.isclose(by[("b", 0)], 0.2, rel_tol=1e-9)
+        assert math.isclose(by[("b", 1)], 0.7, rel_tol=1e-9)
+
+    def test_monotone_on_real_scores(self, spark, sf_dir):
+        from temporal_retriever_spark.evaluation import isotonic_calibration
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            (F.length("text") / F.lit(2000.0)).alias("score"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        )
+        got = isotonic_calibration(docs, "score", "y", n_bins=8).collect()
+        for prev, cur in zip(got, got[1:]):
+            assert prev["iso_prob"] <= cur["iso_prob"] + 1e-12
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.evaluation import isotonic_calibration
+
+        df = spark.createDataFrame([(0.5, 1)], "score double, y int")
+        with pytest.raises(ValueError, match="n_bins"):
+            isotonic_calibration(df, "score", "y", n_bins=0)
