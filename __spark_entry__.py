@@ -5305,6 +5305,43 @@ def _zorder_oracle(bits: int = 16) -> str:
     """
 
 
+def q_triangles_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts over the undirected trade graph
+    (graph.triangle_count, degree-oriented wedge join). The oracle is
+    the canonical a<b<c triple join — per-node counts are
+    orientation-independent, so they must match integer-exactly."""
+    from temporal_retriever_spark.graph import triangle_count
+
+    got = triangle_count(_nation_trade_edges(spark, sf_dir))
+    return got.orderBy("node")
+
+
+_TRIANGLES_ORACLE = f"""
+    WITH e AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+    und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+    cnt AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY 1)
+    SELECT nodes.node,
+           CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
+    FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
+    ORDER BY nodes.node
+"""
+
+
 def q_isotonic_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) probability calibration of a deterministic text
     score against the lang='en' label (evaluation.isotonic_calibration)
@@ -5507,6 +5544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_nations": q_hits_nations,
         "zorder_events": q_zorder_events,
         "isotonic_lang": q_isotonic_lang,
+        "triangles_nations": q_triangles_nations,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7523,6 +7561,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_quality": _logreg_oracle(iters=6, lr=0.5),
         "zorder_events": _zorder_oracle(bits=16),
         "isotonic_lang": _isotonic_oracle(n_bins=10),
+        "triangles_nations": _TRIANGLES_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

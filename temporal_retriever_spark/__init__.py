@@ -109,7 +109,12 @@ from temporal_retriever_spark.funnel import (
     funnel_summary,
     transition_matrix,
 )
-from temporal_retriever_spark.graph import connected_components, hits, pagerank
+from temporal_retriever_spark.graph import (
+    connected_components,
+    hits,
+    pagerank,
+    triangle_count,
+)
 from temporal_retriever_spark.history import scd2_history, snapshot_at
 from temporal_retriever_spark.quality import (
     bounds,
@@ -161,6 +166,7 @@ __all__ = [
     "qgrams_expr",
     "row_count",
     "scd2_history",
+    "triangle_count",
     "segment_means",
     "snapshot_at",
     "target_encode",

@@ -50,7 +50,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "hits", "pagerank"]
+__all__ = ["connected_components", "hits", "pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -277,3 +277,85 @@ def connected_components(
     return got.select(
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected view of the edges.
+
+    The standard two-join MapReduce algorithm (Suri & Vassilvitskii
+    2011) with DEGREE ORIENTATION: canonicalize each edge, then orient
+    every edge from its lower-degree endpoint to the higher-degree one
+    (ties by node id). Wedges are built only at each edge's low-degree
+    end, so the wedge join fans out by min-degree — O(m^{3/2}) total
+    wedges even on power-law graphs where a naive neighbor join
+    explodes at the hubs. One wedge join + one closing semi-join +
+    one explode/aggregate; returns ``(node, triangles)`` for every
+    node that touches an edge (0 if it closes none).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("node"))
+        .union(und.select(F.col("_b")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+    )
+    # orient low-degree -> high-degree (ties broken by id): every
+    # wedge center has small out-degree by construction
+    oriented = (
+        und.join(deg.withColumnsRenamed({"node": "_a", "_deg": "_da"}), on="_a")
+        .join(deg.withColumnsRenamed({"node": "_b", "_deg": "_db"}), on="_b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))),
+                F.struct(F.col("_a").alias("u"), F.col("_b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("_b").alias("u"), F.col("_a").alias("v"))
+            )
+            .alias("_e")
+        )
+        .select(F.col("_e.u").alias("_u"), F.col("_e.v").alias("_v"))
+        .persist()
+    )
+    # wedges centered at u: (v, w) both out-neighbors of u
+    left = oriented.select(F.col("_u").alias("_c"), F.col("_v").alias("_x"))
+    right = oriented.select(F.col("_u").alias("_c"), F.col("_v").alias("_y"))
+    wedges = left.join(right, on="_c").filter(F.col("_x") < F.col("_y"))
+    # close the wedge against the canonical undirected edge list
+    closed = wedges.join(
+        und.select(F.col("_a").alias("_x"), F.col("_b").alias("_y")),
+        on=["_x", "_y"],
+        how="inner",
+    )
+    per_node = (
+        closed.select(
+            F.explode(F.array("_c", "_x", "_y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+        )
+    )
+    result = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return result

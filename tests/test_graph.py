@@ -146,3 +146,53 @@ class TestConnectedComponents:
         star = sorted(connected_components(df, method="star").collect())
         label = sorted(connected_components(df, method="label").collect())
         assert star == label
+
+
+def _triangles_ref(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = {v: 0 for v in adj}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            count[c] += 0  # counted via the corner loop below
+    for v in adj:
+        ns = sorted(adj[v])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                if tuple(sorted((ns[i], ns[j]))) in und:
+                    count[v] += 1
+    return count
+
+
+class TestTriangleCount:
+    def test_complete_graph(self, spark):
+        from temporal_retriever_spark.graph import triangle_count
+
+        edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_path_and_star_are_triangle_free(self, spark):
+        from temporal_retriever_spark.graph import triangle_count
+
+        path = [(i, i + 1) for i in range(5)]
+        star = [(0, i) for i in range(1, 6)]
+        for edges in (path, star):
+            df = spark.createDataFrame(edges, "src long, dst long")
+            got = triangle_count(df).collect()
+            assert all(r["triangles"] == 0 for r in got)
+            assert len(got) == len({v for e in edges for v in e})
+
+    def test_matches_reference_on_mixed_graph(self, spark):
+        from temporal_retriever_spark.graph import triangle_count
+
+        # deterministic pseudo-random graph + duplicate/self edges
+        edges = [((i * 7) % 11, (i * 5 + 3) % 11) for i in range(40)]
+        edges += [(2, 2), (3, 4), (4, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert got == _triangles_ref(edges)
