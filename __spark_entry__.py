@@ -5342,6 +5342,27 @@ _TRIANGLES_ORACLE = f"""
 """
 
 
+def q_forecast_arma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3h: ARMA(2,1) forecast by Hannan–Rissanen two-stage least
+    squares (forecast.forecast_arma) — long-AR(5) residuals feed a
+    second staged-Cholesky OLS on [1, y-lags, e-lags], then the
+    unrolled conditional-expectation recursion. The oracle replays
+    BOTH stages' identical strings."""
+    from temporal_retriever_spark.forecast import forecast_arma
+
+    got = forecast_arma(
+        _events_daily_all(spark, sf_dir).withColumnRenamed(
+            "event_type", "series_id"
+        ),
+        p=2,
+        q=1,
+        horizon=10,
+    )
+    return got.select(
+        F.col("series_id").alias("event_type"), "ds", _r6("yhat").alias("yhat")
+    )
+
+
 def q_isotonic_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) probability calibration of a deterministic text
     score against the lang='en' label (evaluation.isotonic_calibration)
@@ -5545,6 +5566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "isotonic_lang": q_isotonic_lang,
         "triangles_nations": q_triangles_nations,
+        "forecast_arma_daily": q_forecast_arma_daily,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -6133,6 +6155,108 @@ def _ar_oracle(
                FROM a JOIN t ON a.{sid} = t.{sid}
                WHERE a.nn > {float(m)!r}),
         {', '.join(stage_ctes)}
+        {unions}
+    """
+
+
+def _arma_oracle(
+    series_sql: str,
+    p: int = 2,
+    q: int = 1,
+    horizon: int = 10,
+    sid: str = "event_type",
+) -> str:
+    """SQL mirror of forecast.forecast_arma: stage-1 long-AR gram +
+    ar_stages(P) strings, per-row residuals under those coefficients,
+    stage-2 gram over [1, y-lags, e-lags] + ar_stages(p+q) +
+    arma_forecast_stages strings — the same two-stage Hannan–Rissanen
+    chain, string-identical."""
+    from temporal_retriever_spark.forecast import (
+        ar_stages,
+        arma_forecast_stages,
+    )
+
+    P = p + q + 2
+    mA, mB = P + 1, p + q + 1
+    lagA = ", ".join(
+        f"LAG(y, {j}) OVER (PARTITION BY {sid} ORDER BY ds) AS l{j}"
+        for j in range(1, P + 1)
+    )
+    zsA = ["1.0"] + [f"l{j}" for j in range(1, P + 1)]
+    gramA = []
+    for i in range(mA):
+        for j in range(i, mA):
+            gramA.append(f"SUM({zsA[i]} * {zsA[j]}) AS g_{i}_{j}")
+        gramA.append(f"SUM({zsA[i]} * y) AS gy_{i}")
+    condA = " AND ".join(
+        ["y IS NOT NULL"] + [f"l{j} IS NOT NULL" for j in range(1, P + 1)]
+    )
+    stA = []
+    prev = "aA"
+    for idx, (name, expr) in enumerate(ar_stages(P)):
+        cte = f"sa{idx}"
+        stA.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    coef_cols = ", ".join(f"c_{i} AS a{i}" for i in range(mA))
+    pred = " + ".join(["a0"] + [f"a{j} * l{j}" for j in range(1, P + 1)])
+    lagB = ", ".join(
+        f"LAG(e, {k}) OVER (PARTITION BY {sid} ORDER BY ds) AS el{k}"
+        for k in range(1, q + 1)
+    )
+    zsB = (
+        ["1.0"]
+        + [f"l{j}" for j in range(1, p + 1)]
+        + [f"el{k}" for k in range(1, q + 1)]
+    )
+    gramB = []
+    for i in range(mB):
+        for j in range(i, mB):
+            gramB.append(f"SUM({zsB[i]} * {zsB[j]}) AS g_{i}_{j}")
+        gramB.append(f"SUM({zsB[i]} * y) AS gy_{i}")
+    condB = " AND ".join(
+        ["y IS NOT NULL"]
+        + [f"l{j} IS NOT NULL" for j in range(1, p + 1)]
+        + [f"el{k} IS NOT NULL" for k in range(1, q + 1)]
+    )
+    lv_cols = ", ".join(f"ytail[{-j}] AS lv_{j}" for j in range(1, p + 1))
+    le_cols = ", ".join(f"etail[{-k}] AS le_{k}" for k in range(1, q + 1))
+    stB = []
+    prev_b = "j0"
+    for idx, (name, expr) in enumerate(
+        ar_stages(p + q) + arma_forecast_stages(p, q, horizon)
+    ):
+        cte = f"sb{idx}"
+        stB.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev_b})")
+        prev_b = cte
+    unions = " UNION ALL ".join(
+        f"SELECT {sid}, max_ds + {h} AS ds, "
+        f"{_sql_r6(f'CASE WHEN isnan(f_{h}) THEN NULL ELSE f_{h} END')} AS yhat "
+        f"FROM {prev_b}"
+        for h in range(1, horizon + 1)
+    )
+    return f"""
+        WITH s AS ({series_sql}),
+        lg AS (SELECT {sid}, ds, y, {lagA} FROM s),
+        fA AS (SELECT * FROM lg WHERE {condA}),
+        aA AS (SELECT {sid}, CAST(COUNT(y) AS DOUBLE) AS nn, {', '.join(gramA)}
+               FROM fA GROUP BY 1),
+        {', '.join(stA)},
+        coef AS (SELECT {sid}, {coef_cols} FROM {prev}
+                 WHERE nn > {float(mA)!r}),
+        er AS (SELECT lg.*, CASE WHEN {condA} THEN y - ({pred}) END AS e
+               FROM lg JOIN coef USING ({sid})),
+        l2 AS (SELECT *, {lagB} FROM er),
+        fB AS (SELECT * FROM l2 WHERE {condB}),
+        aB AS (SELECT {sid}, CAST(COUNT(y) AS DOUBLE) AS nn, {', '.join(gramB)}
+               FROM fB GROUP BY 1),
+        t AS (SELECT {sid}, MAX(ds) AS max_ds,
+                     list(y ORDER BY ds) AS ytail,
+                     list(e ORDER BY ds) FILTER (WHERE e IS NOT NULL) AS etail
+              FROM l2 GROUP BY 1),
+        j0 AS (SELECT aB.*, t.max_ds, {lv_cols}, {le_cols}
+               FROM aB JOIN t ON aB.{sid} = t.{sid}
+               WHERE aB.nn > {float(mB)!r}),
+        {', '.join(stB)}
         {unions}
     """
 
@@ -7562,6 +7686,9 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _zorder_oracle(bits=16),
         "isotonic_lang": _isotonic_oracle(n_bins=10),
         "triangles_nations": _TRIANGLES_ORACLE,
+        "forecast_arma_daily": _arma_oracle(
+            _EVENTS_DAILY, p=2, q=1, horizon=10
+        ),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

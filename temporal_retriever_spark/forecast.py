@@ -1407,3 +1407,170 @@ def forecast_baseline(
         F.date_add(F.col("_max_ds"), F.col("_e.h")).alias(ds_col),
         F.col("_e.yhat").alias("yhat"),
     )
+
+
+def arma_forecast_stages(p: int, q: int, horizon: int) -> list[tuple[str, str]]:
+    """Unrolled h-step ARMA recursion as shared expression stages.
+
+    Inputs: coefficients ``c_0`` (intercept), ``c_1..c_p`` (AR),
+    ``c_{p+1}..c_{p+q}`` (MA), last observations ``lv_1..lv_p``
+    (lv_1 = y_n) and last residuals ``le_1..le_q`` (le_1 = e_n).
+    Future shocks are their expectation 0, so MA terms only survive
+    while ``h − k ≤ 0`` reaches back into observed residuals — the
+    standard conditional-expectation ARMA forecast.
+    """
+    stages = []
+    for h in range(1, horizon + 1):
+        terms = ["c_0"]
+        for j in range(1, p + 1):
+            src = f"f_{h - j}" if h - j >= 1 else f"lv_{j - h + 1}"
+            terms.append(f"c_{j} * {src}")
+        for k in range(1, q + 1):
+            s = h - k
+            if s <= 0:
+                terms.append(f"c_{p + k} * le_{1 - s}")
+        stages.append((f"f_{h}", " + ".join(terms)))
+    return stages
+
+
+def forecast_arma(
+    df: DataFrame,
+    *,
+    p: int = 2,
+    q: int = 1,
+    ar_order: int | None = None,
+    horizon: int = 14,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+) -> DataFrame:
+    """ARMA(p, q) forecast per series via Hannan–Rissanen two-stage
+    least squares — the moving-average extension of ``forecast_ar``
+    (the right tool when the ACF, not the PACF, cuts off sharply).
+
+    Stage 1 fits a long AR(``ar_order``, default p+q+2) by the same
+    staged-Cholesky OLS as ``forecast_ar`` and materializes its
+    residuals e_t per row (one broadcast join of the series-count-
+    sized coefficient table). Stage 2 regresses y_t on
+    [1, y_{t−1..p}, e_{t−1..q}] — one more window pass + ONE
+    aggregation — and the multi-step forecast is the unrolled
+    conditional-expectation recursion (future shocks = 0,
+    ``arma_forecast_stages``). Everything is native expressions; the
+    oracle replays the identical stage strings (Hannan & Rissanen
+    1982; Brockwell & Davis §8.4 — public literature).
+
+    Output: (series, ds, yhat), h = 1..horizon, daily grain. Series
+    without enough rows for either regression are dropped;
+    rank-deficient fits yield NULL yhat.
+    """
+    if p < 1:
+        raise ValueError(f"p must be >= 1: {p}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1: {q}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    P = ar_order if ar_order is not None else p + q + 2
+    if P < max(p, q):
+        raise ValueError(f"ar_order must be >= max(p, q): {P}")
+    series_cols = list(series_cols)
+    ws = Window.partitionBy(*series_cols).orderBy(ds_col)
+    y = F.col(y_col).cast("double")
+    df = df.filter(F.col(y_col).isNotNull())
+    d = df
+    for j in range(1, P + 1):
+        d = d.withColumn(f"_l{j}", F.lag(y, j).over(ws))
+
+    # ---- stage 1: long AR(P), coefficients a_0..a_P per series ----
+    condA = y.isNotNull()
+    for j in range(1, P + 1):
+        condA = condA & F.col(f"_l{j}").isNotNull()
+    zsA = [F.lit(1.0)] + [F.col(f"_l{j}") for j in range(1, P + 1)]
+    mA = P + 1
+    aggsA = [F.count(y_col).cast("double").alias("nn")]
+    for i in range(mA):
+        for j2 in range(i, mA):
+            aggsA.append(F.sum(zsA[i] * zsA[j2]).alias(f"g_{i}_{j2}"))
+        aggsA.append(F.sum(zsA[i] * y).alias(f"gy_{i}"))
+    gramA = d.filter(condA).groupBy(*series_cols).agg(*aggsA)
+    for name, expr in ar_stages(P):
+        gramA = gramA.withColumn(name, F.expr(expr))
+    coefA = gramA.filter(F.col("nn") > F.lit(float(mA))).select(
+        *series_cols,
+        *[F.col(f"c_{i}").alias(f"_a{i}") for i in range(mA)],
+    )
+
+    # ---- residuals per row under the long AR ----
+    pred = F.col("_a0")
+    for j in range(1, P + 1):
+        pred = pred + F.col(f"_a{j}") * F.col(f"_l{j}")
+    withe = d.join(F.broadcast(coefA), on=series_cols).withColumn(
+        "_e", F.when(condA, y - pred)
+    )
+
+    # ---- stage 2: y_t on [1, y-lags 1..p, e-lags 1..q] ----
+    d2 = withe
+    for k in range(1, q + 1):
+        d2 = d2.withColumn(f"_el{k}", F.lag(F.col("_e"), k).over(ws))
+    condB = y.isNotNull()
+    for j in range(1, p + 1):
+        condB = condB & F.col(f"_l{j}").isNotNull()
+    for k in range(1, q + 1):
+        condB = condB & F.col(f"_el{k}").isNotNull()
+    zsB = (
+        [F.lit(1.0)]
+        + [F.col(f"_l{j}") for j in range(1, p + 1)]
+        + [F.col(f"_el{k}") for k in range(1, q + 1)]
+    )
+    mB = p + q + 1
+    aggsB = [F.count(y_col).cast("double").alias("nn")]
+    for i in range(mB):
+        for j2 in range(i, mB):
+            aggsB.append(F.sum(zsB[i] * zsB[j2]).alias(f"g_{i}_{j2}"))
+        aggsB.append(F.sum(zsB[i] * y).alias(f"gy_{i}"))
+    gramB = d2.filter(condB).groupBy(*series_cols).agg(*aggsB)
+
+    # ---- tails: last p observations + last q residuals ----
+    tail = d2.groupBy(*series_cols).agg(
+        F.max(F.col(ds_col).cast("date")).alias("_max_ds"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ds_col).alias("ds"), y.alias("v")))
+            ),
+            -p,
+            p,
+        ).alias("_ytail"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_e").isNotNull(),
+                        F.struct(F.col(ds_col).alias("ds"), F.col("_e").alias("v")),
+                    )
+                )
+            ),
+            -q,
+            q,
+        ).alias("_etail"),
+    )
+    out = gramB.join(tail, on=series_cols)
+    for j in range(1, p + 1):
+        out = out.withColumn(f"lv_{j}", F.element_at("_ytail", -j)["v"])
+    for k in range(1, q + 1):
+        out = out.withColumn(f"le_{k}", F.element_at("_etail", -k)["v"])
+    for name, expr in ar_stages(p + q) + arma_forecast_stages(p, q, horizon):
+        out = out.withColumn(name, F.expr(expr))
+    out = out.filter(F.col("nn") > F.lit(float(mB)))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(h).alias("h"), F.col(f"f_{h}").alias("yhat"))
+            for h in range(1, horizon + 1)
+        ]
+    )
+    yhat = F.col("_e.yhat")
+    return out.select(
+        *series_cols, "_max_ds", F.explode(pairs).alias("_e")
+    ).select(
+        *series_cols,
+        F.date_add(F.col("_max_ds"), F.col("_e.h")).alias(ds_col),
+        F.when(~F.isnan(yhat), yhat).alias("yhat"),
+    )

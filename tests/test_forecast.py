@@ -461,3 +461,117 @@ def test_forecast_baselines(spark):
     assert ss.yhat.tolist() == [5.0, 7.0, 5.0, 7.0]
     with pytest.raises(ValueError, match="method"):
         forecast_baseline(sdf, method="ets")
+
+
+# ---------------------------------------------------------------------------
+# ARMA via Hannan-Rissanen (forecast_arma)
+# ---------------------------------------------------------------------------
+
+
+def _arma_ref(ys, p, q, P, horizon):
+    """Driver-side Hannan-Rissanen mirroring the engine's conditioning."""
+    import numpy as np
+
+    n = len(ys)
+    XA = np.array(
+        [[1.0] + [ys[t - j] for j in range(1, P + 1)] for t in range(P, n)]
+    )
+    YA = np.array([ys[t] for t in range(P, n)])
+    a = np.linalg.solve(XA.T @ XA, XA.T @ YA)
+    e = [None] * n
+    for t in range(P, n):
+        e[t] = ys[t] - (a[0] + sum(a[j] * ys[t - j] for j in range(1, P + 1)))
+    rows = []
+    for t in range(n):
+        if t < p or any(
+            t - k < 0 or e[t - k] is None for k in range(1, q + 1)
+        ):
+            continue
+        rows.append(
+            (
+                [1.0]
+                + [ys[t - j] for j in range(1, p + 1)]
+                + [e[t - k] for k in range(1, q + 1)],
+                ys[t],
+            )
+        )
+    XB = np.array([r[0] for r in rows])
+    YB = np.array([r[1] for r in rows])
+    c = np.linalg.solve(XB.T @ XB, XB.T @ YB)
+    f = {}
+    for h in range(1, horizon + 1):
+        v = c[0]
+        for j in range(1, p + 1):
+            v += c[j] * (f[h - j] if h - j >= 1 else ys[n - (j - h + 1)])
+        for k in range(1, q + 1):
+            s = h - k
+            if s <= 0:
+                v += c[p + k] * e[n - (1 - s)]
+        f[h] = v
+    return f
+
+
+class TestForecastArma:
+    def _series(self, n=120):
+        """Deterministic ARMA-flavored series: AR pull + seasonal kick."""
+        ys = [10.0, 11.0]
+        for t in range(2, n):
+            shock = ((t * 7919) % 13 - 6) / 10.0
+            ys.append(0.55 * ys[-1] - 0.2 * ys[-2] + 5.0 + shock)
+        return ys
+
+    def test_matches_reference(self, spark):
+        from temporal_retriever_spark.forecast import forecast_arma
+
+        ys = self._series()
+        base = datetime.date(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("s", base + datetime.timedelta(days=i), v) for i, v in enumerate(ys)],
+            "series_id string, ds date, y double",
+        )
+        got = {
+            (r["ds"] - base).days - len(ys) + 1: r["yhat"]
+            for r in forecast_arma(
+                df, p=2, q=1, horizon=8
+            ).collect()
+        }
+        ref = _arma_ref(ys, p=2, q=1, P=5, horizon=8)
+        assert set(got) == set(ref)
+        for h in ref:
+            assert got[h] == pytest.approx(ref[h], rel=1e-6), h
+
+    def test_deterministic_series_is_rank_deficient(self, spark):
+        from temporal_retriever_spark.forecast import forecast_arma
+
+        # perfectly linear series: long-AR residuals are ~0, so the
+        # e-lag column is constant-zero -> singular Gram -> NULL yhat
+        base = datetime.date(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("s", base + datetime.timedelta(days=i), 2.0 * i + 5.0)
+                for i in range(60)
+            ],
+            "series_id string, ds date, y double",
+        )
+        rows = forecast_arma(df, p=1, q=1, horizon=3).collect()
+        assert len(rows) == 3
+        assert all(r["yhat"] is None for r in rows)
+
+    def test_short_series_dropped_and_validation(self, spark):
+        from temporal_retriever_spark.forecast import forecast_arma
+
+        base = datetime.date(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("s", base + datetime.timedelta(days=i), float(i % 7))
+                for i in range(8)
+            ],
+            "series_id string, ds date, y double",
+        )
+        assert forecast_arma(df, p=2, q=1, horizon=3).count() == 0
+        with pytest.raises(ValueError, match="p must"):
+            forecast_arma(df, p=0)
+        with pytest.raises(ValueError, match="q must"):
+            forecast_arma(df, q=0)
+        with pytest.raises(ValueError, match="ar_order"):
+            forecast_arma(df, p=3, q=3, ar_order=2)
