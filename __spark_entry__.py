@@ -5245,6 +5245,86 @@ def _logreg_oracle(iters: int = 6, lr: float = 0.5) -> str:
     )
 
 
+def q_poisson_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM (log link) on daily event counts
+    (llm.classify.poisson_train): same one-aggregation-per-iteration
+    contract as logreg_quality, exp link instead of sigmoid; features
+    are integer-exact (day-of-week, type indicator). The oracle
+    unrolls the identical 6 GD rounds; fitted rates match at 6
+    digits."""
+    from temporal_retriever_spark.llm.classify import (
+        poisson_score,
+        poisson_train,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    feats = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("ds")
+        )
+        .agg(F.count("*").cast("double").alias("y"))
+        .select(
+            "event_type",
+            "ds",
+            "y",
+            (F.dayofweek("ds").cast("double") / F.lit(7.0)).alias("x0"),
+            (F.col("event_type") == "click").cast("double").alias("x1"),
+        )
+    )
+    w = poisson_train(feats, ["x0", "x1"], "y", lr=0.2, iterations=6)
+    return (
+        poisson_score(feats, w, ["x0", "x1"])
+        .select(
+            "event_type",
+            "ds",
+            F.col("y").cast("long").alias("n_events"),
+            _r6("rate").alias("rate"),
+        )
+        .orderBy("event_type", "ds")
+    )
+
+
+def _poisson_oracle(iters: int = 6, lr: float = 0.2) -> str:
+    """DuckDB mirror of q_poisson_rate_daily: identical integer-exact
+    features, then the same exp-link GD unrolled as chained CTEs."""
+    off = repr(_ROUND_OFFSET)
+    lrs = repr(lr)
+    link = "exp(b + w1*x0 + w2*x1)"
+    ctes = [
+        "daily AS (SELECT event_type, CAST(ts AS DATE) AS ds, "
+        "CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2)",
+        "f AS MATERIALIZED (SELECT event_type, ds, y, "
+        "(dayofweek(ds) + 1) / 7.0 AS x0, "
+        "CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS x1 "
+        "FROM daily)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"p{i} AS (SELECT y, x0, x1, {link} AS mu "
+            f"FROM f CROSS JOIN w{i})"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT SUM(mu - y) AS g0, "
+            f"SUM((mu - y) * x0) AS g1, SUM((mu - y) * x1) AS g2 "
+            f"FROM p{i})"
+        )
+        ctes.append(
+            f"w{i + 1} AS (SELECT b - {lrs} * (g0 / nn.n) AS b, "
+            f"w1 - {lrs} * (g1 / nn.n) AS w1, "
+            f"w2 - {lrs} * (g2 / nn.n) AS w2 "
+            f"FROM w{i} CROSS JOIN g{i} CROSS JOIN nn)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT event_type, ds, CAST(y AS BIGINT) AS n_events, "
+        f"ROUND({link} + {off}, 6) AS rate "
+        f"FROM f CROSS JOIN w{iters} ORDER BY event_type, ds"
+    )
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values for the events table on (user_id, value)
     (sources.layout.zvalue_expr): per-column range-normalized 16-bit
@@ -5567,6 +5647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_lang": q_isotonic_lang,
         "triangles_nations": q_triangles_nations,
         "forecast_arma_daily": q_forecast_arma_daily,
+        "poisson_rate_daily": q_poisson_rate_daily,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7689,6 +7770,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_arma_daily": _arma_oracle(
             _EVENTS_DAILY, p=2, q=1, horizon=10
         ),
+        "poisson_rate_daily": _poisson_oracle(iters=6, lr=0.2),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

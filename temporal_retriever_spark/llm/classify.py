@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from temporal_retriever_spark.llm.lm import char_ngrams_expr, word_ngrams_expr
 
-__all__ = ["NBModel", "nb_train", "nb_score", "nb_classify", "logreg_train", "logreg_score"]
+__all__ = ["NBModel", "nb_train", "nb_score", "nb_classify", "logreg_train", "logreg_score", "poisson_train", "poisson_score"]
 
 
 class NBModel(NamedTuple):
@@ -314,3 +314,82 @@ def logreg_score(
     return df.withColumn(prob_col, prob).withColumn(
         pred_col, (F.col(prob_col) >= F.lit(threshold)).cast("int")
     )
+
+
+def poisson_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    lr: float = 0.1,
+    iterations: int = 8,
+) -> list[float]:
+    """Train Poisson regression (log-link GLM) by full-batch gradient
+    descent: ``E[y|x] = exp(w·x)``, gradient ``Σ (exp(w·x) − y)·x_j``.
+
+    The count-data companion to :func:`logreg_train` (event rates,
+    token counts, dup-cluster sizes) with the identical iteration
+    contract: each fixed round is ONE aggregation of k+1 scalar sums,
+    the driver holds only the weight vector, weights re-enter as
+    literals so lineage never nests. Returns ``[intercept, w_1..w_k]``.
+
+    GD (not IRLS) keeps every round a plain sum — no per-round matrix
+    solve — and stays deterministic; pick ``lr`` small enough for the
+    exp link (features should be roughly unit-scale).
+    """
+    from pyspark import StorageLevel
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("feature_cols must be non-empty")
+    feats = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{i}")
+            for i, c in enumerate(feature_cols)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = feats.count()
+    if n == 0:
+        feats.unpersist()
+        raise ValueError("cannot train on an empty frame")
+    w = [0.0] * (k + 1)
+    for _ in range(iterations):
+        margin = F.lit(w[0])
+        for i in range(k):
+            margin = margin + F.lit(w[i + 1]) * F.col(f"_x{i}")
+        d = F.exp(margin) - F.col("_y")
+        row = feats.agg(
+            F.sum(d).alias("_g0"),
+            *[
+                F.sum(d * F.col(f"_x{i}")).alias(f"_g{i + 1}")
+                for i in range(k)
+            ],
+        ).collect()[0]
+        w = [w[j] - lr * (row[j] / n) for j in range(k + 1)]
+    feats.unpersist()
+    return w
+
+
+def poisson_score(
+    df: DataFrame,
+    weights: list[float],
+    feature_cols: list[str],
+    *,
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Score rows under a trained Poisson GLM: adds ``rate_col`` =
+    exp(w·x), the predicted event rate. One codegen'd projection."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"weights must be [intercept] + one per feature: "
+            f"got {len(weights)} for {len(feature_cols)} features"
+        )
+    margin = F.lit(weights[0])
+    for i, c in enumerate(feature_cols):
+        margin = margin + F.lit(weights[i + 1]) * F.col(c).cast("double")
+    return df.withColumn(rate_col, F.exp(margin))

@@ -231,3 +231,72 @@ class TestLogReg:
             logreg_train(df.filter("y > 5"), ["f"], "y")
         with pytest.raises(ValueError, match="weights"):
             logreg_score(df, [0.0], ["f"])
+
+
+def _poisson_ref(rows, k, lr=0.1, iters=8):
+    n = len(rows)
+    w = [0.0] * (k + 1)
+    for _ in range(iters):
+        g = [0.0] * (k + 1)
+        for y, xs in rows:
+            m = w[0]
+            for i in range(k):
+                m = m + w[i + 1] * xs[i]
+            d = math.exp(m) - y
+            g[0] += d
+            for i in range(k):
+                g[i + 1] += d * xs[i]
+        w = [w[j] - lr * (g[j] / n) for j in range(k + 1)]
+    return w
+
+
+class TestPoisson:
+    def test_matches_reference_gd(self, spark):
+        from temporal_retriever_spark.llm.classify import poisson_train
+
+        rows = [
+            (3.0, (0.5,)),
+            (1.0, (0.1,)),
+            (7.0, (1.2,)),
+            (2.0, (0.4,)),
+            (5.0, (0.9,)),
+        ]
+        df = spark.createDataFrame(
+            [(y, x) for y, (x,) in rows], "y double, f double"
+        )
+        got = poisson_train(df, ["f"], "y", lr=0.1, iterations=8)
+        want = _poisson_ref(rows, k=1)
+        for g, w in zip(got, want):
+            assert math.isclose(g, w, rel_tol=1e-9), (got, want)
+
+    def test_learns_rate_structure(self, spark):
+        from temporal_retriever_spark.llm.classify import (
+            poisson_score,
+            poisson_train,
+        )
+
+        # y = exp(1 + 0.5x) evaluated exactly (deterministic "counts");
+        # unit-scale features per the docstring (exp link curvature)
+        pts = [(math.exp(1.0 + 0.5 * (i / 30.0)), i / 30.0) for i in range(30)]
+        df = spark.createDataFrame(pts, "y double, f double")
+        w = poisson_train(df, ["f"], "y", lr=0.3, iterations=120)
+        assert abs(w[0] - 1.0) < 0.05 and abs(w[1] - 0.5) < 0.05, w
+        scored = poisson_score(df, w, ["f"])
+        rel = scored.select(
+            F.max(F.abs(F.col("rate") - F.col("y")) / F.col("y")).alias("m")
+        ).collect()[0]["m"]
+        assert rel < 0.05
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.llm.classify import (
+            poisson_score,
+            poisson_train,
+        )
+
+        df = spark.createDataFrame([(1.0, 1.0)], "y double, f double")
+        with pytest.raises(ValueError, match="iterations"):
+            poisson_train(df, ["f"], "y", iterations=0)
+        with pytest.raises(ValueError, match="lr"):
+            poisson_train(df, ["f"], "y", lr=-1.0)
+        with pytest.raises(ValueError, match="weights"):
+            poisson_score(df, [0.0, 1.0, 2.0], ["f"])
