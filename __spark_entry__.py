@@ -5245,6 +5245,101 @@ def _logreg_oracle(iters: int = 6, lr: float = 0.5) -> str:
     )
 
 
+def q_stump_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram decision stump (tree.tree_train at depth 1) on event
+    values over calendar features: ONE (node, feature, bin)
+    aggregation, driver-side argmax split, codegen'd CASE scoring.
+    The oracle replays the identical binning, prefix-scan gains,
+    tie-break (gain desc, feature asc, bin asc) and leaf means —
+    per-row predictions hash-match at 6 digits."""
+    from temporal_retriever_spark.tree import tree_apply, tree_train
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.dayofweek(F.col("ts").cast("date")).cast("double").alias("x0"),
+        F.hour("ts").cast("double").alias("x1"),
+        F.col("value").alias("y"),
+    )
+    model = tree_train(
+        ev, ["x0", "x1"], "y", max_depth=1, n_bins=8, min_leaf=50
+    )
+    return (
+        tree_apply(ev, model)
+        .select("event_id", _r6("pred").alias("pred"))
+        .orderBy("event_id")
+    )
+
+
+def _stump_oracle(n_bins: int = 8, min_leaf: int = 50) -> str:
+    """DuckDB mirror of q_stump_events: same bin formula, per-(f, bin)
+    histogram, running-prefix split gains, identical argmax order,
+    leaf means, and the CASE routing for every row."""
+    off = repr(_ROUND_OFFSET)
+
+    def binx(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} = {mn} THEN 0 ELSE "
+            f"GREATEST(0, LEAST(CAST(floor(({col} - {mn}) / ({mx} - {mn})"
+            f" * {float(n_bins)!r}) AS INT), {n_bins - 1})) END"
+        )
+
+    return f"""
+        WITH ev AS (
+            SELECT event_id,
+                   CAST(dayofweek(CAST(ts AS DATE)) + 1 AS DOUBLE) AS x0,
+                   CAST(hour(ts) AS DOUBLE) AS x1,
+                   value AS y
+            FROM events
+        ),
+        r AS (SELECT MIN(x0) AS mn0, MAX(x0) AS mx0,
+                     MIN(x1) AS mn1, MAX(x1) AS mx1 FROM ev),
+        b AS MATERIALIZED (
+            SELECT event_id, y,
+                   {binx("x0", "mn0", "mx0")} AS b0,
+                   {binx("x1", "mn1", "mx1")} AS b1
+            FROM ev CROSS JOIN r
+        ),
+        h AS (
+            SELECT 0 AS f, b0 AS bin, CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(y) AS sy FROM b GROUP BY 2
+            UNION ALL
+            SELECT 1, b1, CAST(COUNT(*) AS DOUBLE), SUM(y)
+            FROM b GROUP BY 2
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt, SUM(y) AS st FROM b),
+        pref AS (
+            SELECT f, bin,
+                   SUM(n) OVER (PARTITION BY f ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+                   SUM(sy) OVER (PARTITION BY f ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+                   MAX(bin) OVER (PARTITION BY f) AS maxb
+            FROM h
+        ),
+        cand AS (
+            SELECT f, bin, nl, sl, nt - nl AS nr, st - sl AS sr,
+                   sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+                       - st * st / nt AS gain
+            FROM pref CROSS JOIN tot
+            WHERE bin < maxb AND nl >= {min_leaf} AND nt - nl >= {min_leaf}
+        ),
+        best AS (
+            SELECT * FROM cand WHERE gain > 1e-12
+            ORDER BY gain DESC, f, bin LIMIT 1
+        )
+        SELECT b.event_id,
+               ROUND(CASE
+                   WHEN best.f IS NULL THEN tot.st / tot.nt
+                   WHEN (best.f = 0 AND b.b0 <= best.bin)
+                     OR (best.f = 1 AND b.b1 <= best.bin)
+                       THEN best.sl / best.nl
+                   ELSE best.sr / best.nr
+               END + {off}, 6) AS pred
+        FROM b LEFT JOIN best ON TRUE CROSS JOIN tot
+        ORDER BY b.event_id
+    """
+
+
 def q_poisson_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson GLM (log link) on daily event counts
     (llm.classify.poisson_train): same one-aggregation-per-iteration
@@ -5648,6 +5743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_nations": q_triangles_nations,
         "forecast_arma_daily": q_forecast_arma_daily,
         "poisson_rate_daily": q_poisson_rate_daily,
+        "stump_events": q_stump_events,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7771,6 +7867,7 @@ def oracle_sql() -> dict[str, str]:
             _EVENTS_DAILY, p=2, q=1, horizon=10
         ),
         "poisson_rate_daily": _poisson_oracle(iters=6, lr=0.2),
+        "stump_events": _stump_oracle(n_bins=8, min_leaf=50),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,
