@@ -5340,6 +5340,127 @@ def _stump_oracle(n_bins: int = 8, min_leaf: int = 50) -> str:
     """
 
 
+def q_gbt_stumps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted stumps (tree.gbt_train, 3 rounds × depth 1,
+    lr 0.5) on event values: squared-loss boosting where every round
+    is one histogram aggregation + driver argmax. The oracle chains
+    the full stump block per round over the evolving residual —
+    base mean, per-round best split, leaf means, shrinkage — and the
+    final per-row predictions hash-match at 6 digits."""
+    from temporal_retriever_spark.tree import gbt_apply, gbt_train
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.dayofweek(F.col("ts").cast("date")).cast("double").alias("x0"),
+        F.hour("ts").cast("double").alias("x1"),
+        F.col("value").alias("y"),
+    )
+    model = gbt_train(
+        ev,
+        ["x0", "x1"],
+        "y",
+        n_trees=3,
+        learning_rate=0.5,
+        max_depth=1,
+        n_bins=8,
+        min_leaf=50,
+    )
+    return (
+        gbt_apply(ev, model)
+        .select("event_id", _r6("pred").alias("pred"))
+        .orderBy("event_id")
+    )
+
+
+def _gbt_oracle(
+    rounds: int = 3,
+    lr: float = 0.5,
+    n_bins: int = 8,
+    min_leaf: int = 50,
+) -> str:
+    """DuckDB mirror of q_gbt_stumps_events: the _stump_oracle block
+    repeated per boosting round over the evolving residual, with the
+    engine's no-split fallback (constant mean-residual correction)."""
+    off = repr(_ROUND_OFFSET)
+    lrs = repr(lr)
+
+    def binx(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} = {mn} THEN 0 ELSE "
+            f"GREATEST(0, LEAST(CAST(floor(({col} - {mn}) / ({mx} - {mn})"
+            f" * {float(n_bins)!r}) AS INT), {n_bins - 1})) END"
+        )
+
+    ctes = [
+        """ev AS (
+            SELECT event_id,
+                   CAST(dayofweek(CAST(ts AS DATE)) + 1 AS DOUBLE) AS x0,
+                   CAST(hour(ts) AS DOUBLE) AS x1,
+                   value AS y
+            FROM events
+        )""",
+        "r AS (SELECT MIN(x0) AS mn0, MAX(x0) AS mx0, "
+        "MIN(x1) AS mn1, MAX(x1) AS mx1 FROM ev)",
+        f"""b AS MATERIALIZED (
+            SELECT event_id, y,
+                   {binx("x0", "mn0", "mx0")} AS b0,
+                   {binx("x1", "mn1", "mx1")} AS b1
+            FROM ev CROSS JOIN r
+        )""",
+        "base AS (SELECT AVG(y) AS mu FROM b)",
+        "d0 AS (SELECT event_id, b0, b1, y, y - base.mu AS res "
+        "FROM b CROSS JOIN base)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"h{t} AS (SELECT 0 AS f, b0 AS bin, "
+            f"CAST(COUNT(*) AS DOUBLE) AS n, SUM(res) AS sy "
+            f"FROM d{t} GROUP BY 2 "
+            f"UNION ALL SELECT 1, b1, CAST(COUNT(*) AS DOUBLE), SUM(res) "
+            f"FROM d{t} GROUP BY 2)"
+        )
+        ctes.append(
+            f"tot{t} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt, "
+            f"SUM(res) AS st FROM d{t})"
+        )
+        ctes.append(
+            f"pref{t} AS (SELECT f, bin, "
+            f"SUM(n) OVER (PARTITION BY f ORDER BY bin "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl, "
+            f"SUM(sy) OVER (PARTITION BY f ORDER BY bin "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl, "
+            f"MAX(bin) OVER (PARTITION BY f) AS maxb FROM h{t})"
+        )
+        ctes.append(
+            f"cand{t} AS (SELECT f, bin, nl, sl, nt - nl AS nr, "
+            f"st - sl AS sr, sl * sl / nl "
+            f"+ (st - sl) * (st - sl) / (nt - nl) - st * st / nt AS gain "
+            f"FROM pref{t} CROSS JOIN tot{t} "
+            f"WHERE bin < maxb AND nl >= {min_leaf} "
+            f"AND nt - nl >= {min_leaf})"
+        )
+        ctes.append(
+            f"best{t} AS (SELECT * FROM cand{t} WHERE gain > 1e-12 "
+            f"ORDER BY gain DESC, f, bin LIMIT 1)"
+        )
+        ctes.append(
+            f"d{t + 1} AS (SELECT d.event_id, d.b0, d.b1, d.y, "
+            f"d.res - {lrs} * CASE "
+            f"WHEN best{t}.f IS NULL THEN tot{t}.st / tot{t}.nt "
+            f"WHEN (best{t}.f = 0 AND d.b0 <= best{t}.bin) "
+            f"  OR (best{t}.f = 1 AND d.b1 <= best{t}.bin) "
+            f"  THEN best{t}.sl / best{t}.nl "
+            f"ELSE best{t}.sr / best{t}.nr END AS res "
+            f"FROM d{t} d LEFT JOIN best{t} ON TRUE CROSS JOIN tot{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT event_id, ROUND(y - res + {off}, 6) AS pred "
+        f"FROM d{rounds} ORDER BY event_id"
+    )
+
+
 def q_poisson_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson GLM (log link) on daily event counts
     (llm.classify.poisson_train): same one-aggregation-per-iteration
@@ -5744,6 +5865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_arma_daily": q_forecast_arma_daily,
         "poisson_rate_daily": q_poisson_rate_daily,
         "stump_events": q_stump_events,
+        "gbt_stumps_events": q_gbt_stumps_events,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7868,6 +7990,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "poisson_rate_daily": _poisson_oracle(iters=6, lr=0.2),
         "stump_events": _stump_oracle(n_bins=8, min_leaf=50),
+        "gbt_stumps_events": _gbt_oracle(
+            rounds=3, lr=0.5, n_bins=8, min_leaf=50
+        ),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

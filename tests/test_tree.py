@@ -163,3 +163,80 @@ class TestTreeTrain:
         )
         got = [r["pred"] for r in tree_apply(df, model).collect()]
         assert got == [10.0, 10.0, 20.0]
+
+
+class TestGBT:
+    def test_boosting_reduces_error_beyond_one_tree(self, spark):
+        from temporal_retriever_spark.tree import gbt_apply, gbt_train
+
+        rows = _data()
+        df = spark.createDataFrame(
+            [(x0, x1, y) for (x0, x1), y in rows],
+            "f0 double, f1 double, y double",
+        )
+
+        def sse(scored):
+            return scored.select(
+                F.sum((F.col("pred") - F.col("y")) ** 2).alias("s")
+            ).collect()[0]["s"]
+
+        # a single stump captures only ONE of the two additive steps;
+        # boosted stumps recover both — the classic boosting win.
+        # (deeper trees already sit near the bin-quantization error
+        # floor here, so stumps are the honest baseline)
+        stump = tree_train(df, ["f0", "f1"], "y", max_depth=1, n_bins=8, min_leaf=10)
+        sse_stump = sse(tree_apply(df, stump))
+        boosted = gbt_train(
+            df, ["f0", "f1"], "y",
+            n_trees=8, learning_rate=0.5, max_depth=1, n_bins=8, min_leaf=10,
+        )
+        sse_boost = sse(gbt_apply(df, boosted))
+        assert len(boosted.trees) >= 2
+        assert sse_boost < 0.75 * sse_stump, (sse_boost, sse_stump)
+
+    def test_apply_is_base_plus_scaled_trees(self, spark):
+        from temporal_retriever_spark.tree import gbt_apply, gbt_train, tree_apply
+
+        rows = _data()[:60]
+        df = spark.createDataFrame(
+            [(x0, x1, y) for (x0, x1), y in rows],
+            "f0 double, f1 double, y double",
+        )
+        m = gbt_train(
+            df, ["f0", "f1"], "y",
+            n_trees=3, learning_rate=0.4, max_depth=1, n_bins=4, min_leaf=5,
+        )
+        got = [r["pred"] for r in gbt_apply(df, m).orderBy("f0", "f1").collect()]
+        manual = df
+        for i, t in enumerate(m.trees):
+            manual = tree_apply(manual, t, pred_col=f"_t{i}")
+        acc = F.lit(m.base)
+        for i in range(len(m.trees)):
+            acc = acc + F.lit(m.learning_rate) * F.col(f"_t{i}")
+        want = [
+            r["w"] for r in manual.withColumn("w", acc).orderBy("f0", "f1").collect()
+        ]
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_constant_label_early_stop(self, spark):
+        from temporal_retriever_spark.tree import gbt_apply, gbt_train
+
+        df = spark.createDataFrame(
+            [(float(i % 7), 4.25) for i in range(40)], "f double, y double"
+        )
+        m = gbt_train(df, ["f"], "y", n_trees=5, max_depth=2, min_leaf=5)
+        assert m.base == 4.25
+        assert m.trees == []
+        got = gbt_apply(df, m).select("pred").distinct().collect()
+        assert [r["pred"] for r in got] == [4.25]
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.tree import gbt_train
+
+        df = spark.createDataFrame([(1.0, 1.0)], "f double, y double")
+        with pytest.raises(ValueError, match="n_trees"):
+            gbt_train(df, ["f"], "y", n_trees=0)
+        with pytest.raises(ValueError, match="learning_rate"):
+            gbt_train(df, ["f"], "y", learning_rate=0.0)
+        with pytest.raises(ValueError, match="empty"):
+            gbt_train(df.filter("y > 9"), ["f"], "y")
