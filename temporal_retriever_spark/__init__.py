@@ -117,6 +117,14 @@ from temporal_retriever_spark.graph import (
     triangle_count,
 )
 from temporal_retriever_spark.history import scd2_history, snapshot_at
+from temporal_retriever_spark.tree import (
+    GBTModel,
+    TreeModel,
+    gbt_apply,
+    gbt_train,
+    tree_apply,
+    tree_train,
+)
 from temporal_retriever_spark.quality import (
     bounds,
     check_constraints,
@@ -155,7 +163,11 @@ __all__ = [
     "funnel_summary",
     "garch_forecast",
     "garch_volatility",
+    "gbt_apply",
+    "gbt_train",
     "hits",
+    "tree_apply",
+    "tree_train",
     "impute",
     "js_divergence",
     "ks_2sample",
