@@ -5340,6 +5340,128 @@ def _stump_oracle(n_bins: int = 8, min_leaf: int = 50) -> str:
     """
 
 
+def q_cox_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional hazards on user churn (survival.cox_ph):
+    Breslow partial likelihood, Newton-Raphson, risk sets via ONE
+    descending RANGE-frame window per iteration. Covariates are
+    stably-rounded per-user activity stats; the oracle replays the
+    identical 4 Newton rounds (same window frame, same closed-form
+    2×2 solve) — coefficients and hazard ratios match at 6 digits."""
+    import math
+
+    from temporal_retriever_spark.survival import cox_ph
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    off = F.lit(_ROUND_OFFSET)
+    # subjects are (user, event_type) activity threads — the same
+    # segmentation km_survival uses (type-level churn exists in the
+    # synthetic log; global churn does not)
+    lt = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("f"),
+        F.max("ts").alias("l"),
+        F.count("*").alias("cnt"),
+        F.avg("value").alias("av"),
+    )
+    obs = ev.agg(F.max("ts").alias("oe"))
+    sub = lt.crossJoin(F.broadcast(obs)).select(
+        F.floor(
+            (F.unix_timestamp("l") - F.unix_timestamp("f")) / F.lit(86400)
+        )
+        .cast("double")
+        .alias("duration_days"),
+        (
+            (F.unix_timestamp("oe") - F.unix_timestamp("l"))
+            > F.lit(7 * 86400)
+        )
+        .cast("int")
+        .alias("event"),
+        F.round(F.log(F.lit(1.0) + F.col("cnt")) + off, 6).alias("x0"),
+        F.round(F.col("av") + off, 6).alias("x1"),
+    )
+    w = cox_ph(sub, ["x0", "x1"], iterations=4)
+    out = spark.createDataFrame(
+        [
+            ("x0", w[0], math.exp(w[0])),
+            ("x1", w[1], math.exp(w[1])),
+        ],
+        "covariate string, coef double, hazard_ratio double",
+    )
+    return out.select(
+        "covariate",
+        _r6("coef").alias("coef"),
+        _r6("hazard_ratio").alias("hazard_ratio"),
+    ).orderBy("covariate")
+
+
+def _cox_oracle(iterations: int = 4) -> str:
+    """DuckDB mirror of q_cox_churn: same subject frame (integer-second
+    durations, rounded covariates), then the same Newton rounds —
+    descending RANGE-frame risk-set sums, event-row gradient/Hessian,
+    closed-form 2×2 update in the identical expression order."""
+    off = repr(_ROUND_OFFSET)
+    ctes = [
+        """lt AS (
+            SELECT user_id, event_type, MIN(ts) AS f, MAX(ts) AS l,
+                   COUNT(*) AS cnt, AVG(value) AS av
+            FROM events GROUP BY 1, 2
+        )""",
+        "obs AS (SELECT MAX(ts) AS oe FROM events)",
+        f"""sub AS MATERIALIZED (
+            SELECT CAST(date_diff('second', f, l) // 86400 AS DOUBLE)
+                       AS t,
+                   CASE WHEN date_diff('second', l, oe) > 7 * 86400
+                        THEN 1 ELSE 0 END AS d,
+                   ROUND(ln(1.0 + cnt) + {off}, 6) AS x0,
+                   ROUND(av + {off}, 6) AS x1
+            FROM lt CROSS JOIN obs
+        )""",
+        "W0 AS (SELECT 0.0 AS w0, 0.0 AS w1)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"e{i} AS (SELECT t, d, x0, x1, "
+            f"exp(0.0 + w0 * x0 + w1 * x1) AS ex "
+            f"FROM sub CROSS JOIN W{i})"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT *, "
+            f"SUM(ex) OVER (ORDER BY t DESC) AS s0, "
+            f"SUM(x0 * ex) OVER (ORDER BY t DESC) AS s1_0, "
+            f"SUM(x1 * ex) OVER (ORDER BY t DESC) AS s1_1, "
+            f"SUM(x0 * x0 * ex) OVER (ORDER BY t DESC) AS s2_00, "
+            f"SUM(x0 * x1 * ex) OVER (ORDER BY t DESC) AS s2_01, "
+            f"SUM(x1 * x1 * ex) OVER (ORDER BY t DESC) AS s2_11 "
+            f"FROM e{i})"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT "
+            f"SUM(x0 - s1_0 / s0) AS g0, SUM(x1 - s1_1 / s0) AS g1, "
+            f"SUM(s2_00 / s0 - (s1_0 / s0) * (s1_0 / s0)) AS h00, "
+            f"SUM(s2_01 / s0 - (s1_0 / s0) * (s1_1 / s0)) AS h01, "
+            f"SUM(s2_11 / s0 - (s1_1 / s0) * (s1_1 / s0)) AS h11 "
+            f"FROM s{i} WHERE d = 1)"
+        )
+        ctes.append(
+            f"W{i + 1} AS (SELECT "
+            f"w0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS w0, "
+            f"w1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS w1 "
+            f"FROM W{i} CROSS JOIN g{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT 'x0' AS covariate, ROUND(w0 + {off}, 6) AS coef,
+               ROUND(exp(w0) + {off}, 6) AS hazard_ratio
+        FROM W{iterations}
+        UNION ALL
+        SELECT 'x1', ROUND(w1 + {off}, 6), ROUND(exp(w1) + {off}, 6)
+        FROM W{iterations}
+        ORDER BY covariate
+    """
+    )
+
+
 def q_gbt_stumps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gradient-boosted stumps (tree.gbt_train, 3 rounds × depth 1,
     lr 0.5) on event values: squared-loss boosting where every round
@@ -5866,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_rate_daily": q_poisson_rate_daily,
         "stump_events": q_stump_events,
         "gbt_stumps_events": q_gbt_stumps_events,
+        "cox_churn": q_cox_churn,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7993,6 +8116,7 @@ def oracle_sql() -> dict[str, str]:
         "gbt_stumps_events": _gbt_oracle(
             rounds=3, lr=0.5, n_bins=8, min_leaf=50
         ),
+        "cox_churn": _cox_oracle(iterations=4),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,
