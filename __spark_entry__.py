@@ -5340,6 +5340,122 @@ def _stump_oracle(n_bins: int = 8, min_leaf: int = 50) -> str:
     """
 
 
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade per document (llm.text.
+    readability) — native regex counting, one projection. The oracle
+    recomputes the identical word/sentence/vowel-group counts and
+    formulas in SQL."""
+    from temporal_retriever_spark.llm.text import readability
+
+    got = readability(_documents(spark, sf_dir))
+    return got.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        _r6("flesch_reading_ease").alias("flesch_reading_ease"),
+        _r6("fk_grade").alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+_READABILITY_ORACLE = f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE)
+                   AS w,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS DOUBLE) AS s,
+               CAST(len(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                   AS DOUBLE) AS y
+        FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_syllables,
+           ROUND(ROUND(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6)
+                 + {_ROUND_OFFSET!r}, 6) AS flesch_reading_ease,
+           ROUND(ROUND(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 6)
+                 + {_ROUND_OFFSET!r}, 6) AS fk_grade
+    FROM c ORDER BY doc_id
+"""
+
+
+def q_mi_features_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against the lang label
+    (features.mutual_information): one exploded (feature, bin, label)
+    aggregation, then cell-table-sized window assembly. The oracle
+    recomputes the identical bins, joint cells, and MI sum in SQL."""
+    from temporal_retriever_spark.features import mutual_information
+    from temporal_retriever_spark.llm.text import quality_exprs
+
+    ex = quality_exprs("text")
+    off = F.lit(_ROUND_OFFSET)
+    d = _documents(spark, sf_dir).select(
+        F.col("lang"),
+        F.length("text").cast("double").alias("n_chars"),
+        F.round(ex["digit_ratio"] + off, 6).alias("digit_ratio"),
+        ex["n_tokens"].cast("double").alias("n_tokens"),
+    )
+    got = mutual_information(
+        d, ["n_chars", "digit_ratio", "n_tokens"], "lang", n_bins=8
+    )
+    return got.select("feature", _r6("mi").alias("mi")).orderBy("feature")
+
+
+def _mi_oracle(n_bins: int = 8) -> str:
+    """DuckDB mirror of q_mi_features_lang: same fixed-width bins,
+    same joint (feature, bin, label) cells, same MI assembly."""
+    off = repr(_ROUND_OFFSET)
+    ntok = "len(string_split_regex(TRIM(text), '\\s+'))"
+
+    def binx(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {col} IS NULL OR {mx} = {mn} THEN 0 ELSE "
+            f"GREATEST(0, LEAST(CAST(floor(({col} - {mn}) / ({mx} - {mn})"
+            f" * {float(n_bins)!r}) AS INT), {n_bins - 1})) END"
+        )
+
+    return f"""
+        WITH d AS (
+            SELECT lang,
+                   CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   ROUND(CASE WHEN LENGTH(text) > 0 THEN
+                       CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                       / LENGTH(text) ELSE 0 END + {off}, 6) AS digit_ratio,
+                   CAST({ntok} AS DOUBLE) AS n_tokens
+            FROM documents
+        ),
+        r AS (SELECT MIN(n_chars) AS mn0, MAX(n_chars) AS mx0,
+                     MIN(digit_ratio) AS mn1, MAX(digit_ratio) AS mx1,
+                     MIN(n_tokens) AS mn2, MAX(n_tokens) AS mx2 FROM d),
+        cells AS (
+            SELECT 'n_chars' AS feature,
+                   {binx("n_chars", "mn0", "mx0")} AS bin, lang,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM d CROSS JOIN r WHERE lang IS NOT NULL GROUP BY 2, 3
+            UNION ALL
+            SELECT 'digit_ratio', {binx("digit_ratio", "mn1", "mx1")},
+                   lang, CAST(COUNT(*) AS DOUBLE)
+            FROM d CROSS JOIN r WHERE lang IS NOT NULL GROUP BY 2, 3
+            UNION ALL
+            SELECT 'n_tokens', {binx("n_tokens", "mn2", "mx2")},
+                   lang, CAST(COUNT(*) AS DOUBLE)
+            FROM d CROSS JOIN r WHERE lang IS NOT NULL GROUP BY 2, 3
+        ),
+        t AS (
+            SELECT feature,
+                   (n / SUM(n) OVER (PARTITION BY feature))
+                   * ln((n * SUM(n) OVER (PARTITION BY feature))
+                        / (SUM(n) OVER (PARTITION BY feature, bin)
+                           * SUM(n) OVER (PARTITION BY feature, lang)))
+                       AS term
+            FROM cells
+        )
+        SELECT feature, ROUND(SUM(term) + {off}, 6) AS mi
+        FROM t GROUP BY 1 ORDER BY feature
+    """
+
+
 def q_cox_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cox proportional hazards on user churn (survival.cox_ph):
     Breslow partial likelihood, Newton-Raphson, risk sets via ONE
@@ -5989,6 +6105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_events": q_stump_events,
         "gbt_stumps_events": q_gbt_stumps_events,
         "cox_churn": q_cox_churn,
+        "mi_features_lang": q_mi_features_lang,
+        "readability_docs": q_readability_docs,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -8117,6 +8235,8 @@ def oracle_sql() -> dict[str, str]:
             rounds=3, lr=0.5, n_bins=8, min_leaf=50
         ),
         "cox_churn": _cox_oracle(iterations=4),
+        "mi_features_lang": _mi_oracle(n_bins=8),
+        "readability_docs": _READABILITY_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

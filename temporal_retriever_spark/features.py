@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["make_lag_features", "target_encode"]
+__all__ = ["make_lag_features", "mutual_information", "target_encode"]
 
 
 def make_lag_features(
@@ -129,3 +129,76 @@ def target_encode(
         / (n_loo.cast("double") + m)
     )
     return joined.select(*df.columns, enc.alias(out_col))
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    ranges: dict | None = None,
+) -> DataFrame:
+    """Mutual information I(feature; label) per feature — the standard
+    filter-method feature ranking (plus a model-free "is there ANY
+    dependence" screen, unlike correlation it catches non-monotone
+    structure).
+
+    Features discretize into ``n_bins`` fixed-width bins (the same
+    formula as the histogram tree / z-order layout); labels are used
+    as-is (categorical or already-discrete). ONE aggregation computes
+    every feature's joint (bin, label) table at once — rows explode
+    into their k (feature, bin) pairs, map-side combined, so the
+    shuffle carries at most features × bins × labels cells per
+    partition. MI then assembles from the cell table with two
+    window sums — everything after the first aggregation is
+    cell-table-sized, independent of data volume.
+
+    Returns ``(feature, mi)`` (natural-log units), descending —
+    deterministic, fully native, SQL-mirrorable.
+    """
+    from temporal_retriever_spark.sources.layout import column_ranges
+    from temporal_retriever_spark.tree import _bin_expr
+
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("feature_cols must be non-empty")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if ranges is None:
+        ranges = column_ranges(df, feature_cols)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    _bin_expr(c, *ranges[c], n_bins).alias("bin"),
+                )
+                for c in feature_cols
+            ]
+        )
+    ).alias("_p")
+    cells = (
+        df.filter(F.col(label_col).isNotNull())
+        .select(F.col(label_col).alias("_l"), pairs)
+        .groupBy("_p.feature", "_p.bin", "_l")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    wf = Window.partitionBy("feature")
+    wb = Window.partitionBy("feature", "bin")
+    wl = Window.partitionBy("feature", "_l")
+    terms = cells.select(
+        "feature",
+        (
+            (F.col("n") / F.sum("n").over(wf))
+            * F.log(
+                (F.col("n") * F.sum("n").over(wf))
+                / (F.sum("n").over(wb) * F.sum("n").over(wl))
+            )
+        ).alias("_t"),
+    )
+    return (
+        terms.groupBy("feature")
+        .agg(F.sum("_t").alias("mi"))
+        .orderBy(F.col("mi").desc(), "feature")
+    )

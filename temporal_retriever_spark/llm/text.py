@@ -362,3 +362,48 @@ def collocations_pmi(
         .crossJoin(F.broadcast(tot_u))
         .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
     )
+
+
+def readability(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic readability gates of corpus quality filtering (Flesch
+    1948; Kincaid et al. 1975 — public formulas), entirely native
+    regex counting:
+
+    * words      = whitespace tokens,
+    * sentences  = runs of ``[.!?]`` (floored at 1),
+    * syllables  ≈ vowel-group count over the lowercased text — the
+      standard cheap heuristic (one `[aeiouy]+` run per syllable);
+      exact hyphenation dictionaries are out of honest scope, and
+      the heuristic's error is stable across a corpus, which is all
+      a filter threshold needs.
+
+    FRE = 206.835 − 1.015·(words/sent) − 84.6·(syll/words);
+    FKGL = 0.39·(words/sent) + 11.8·(syll/words) − 15.59.
+    Zero-word docs emit NULL scores. One narrow projection — no
+    shuffle, no Python.
+    """
+    t = F.col(text_col)
+    words = token_count_expr(t, mode="whitespace").cast("double")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    sylls = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("double")
+    wps = words / sents
+    spw = sylls / words
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fkgl = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    nz = words > 0
+    return df.select(
+        *id_cols,
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        F.when(nz, F.round(fre, 6)).alias("flesch_reading_ease"),
+        F.when(nz, F.round(fkgl, 6)).alias("fk_grade"),
+    )

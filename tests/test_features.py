@@ -90,3 +90,55 @@ def test_validation(series, spark):
     df = spark.createDataFrame([("a", 1.0)], "cat string, y double")
     with pytest.raises(ValueError, match="smoothing"):
         target_encode(df, cat_col="cat", smoothing=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# Mutual information feature ranking
+# ---------------------------------------------------------------------------
+
+
+class TestMutualInformation:
+    def test_hand_computed_independent_and_determined(self, spark):
+        import math
+
+        from temporal_retriever_spark.features import mutual_information
+
+        # f_dep fully determines the label; f_ind is independent of it
+        rows = []
+        for i in range(200):
+            lab = "a" if i % 2 == 0 else "b"
+            f_dep = 0.1 if lab == "a" else 0.9
+            # i%5 and i%2 are jointly uniform over each 10-cycle
+            f_ind = (i % 5) / 5.0
+            rows.append((f_dep, f_ind, lab))
+        df = spark.createDataFrame(rows, "f_dep double, f_ind double, lab string")
+        got = {r["feature"]: r["mi"] for r in mutual_information(
+            df, ["f_dep", "f_ind"], "lab", n_bins=4
+        ).collect()}
+        # deterministic feature: MI = H(label) = ln 2
+        assert got["f_dep"] == pytest.approx(math.log(2), rel=1e-12)
+        assert got["f_ind"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_nonmonotone_dependence_detected(self, spark):
+        from temporal_retriever_spark.features import mutual_information
+
+        # label = 1 in the MIDDLE of the range: correlation ~0, MI > 0
+        rows = [((i % 10) / 10.0, "mid" if 3 <= i % 10 <= 6 else "out")
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "f double, lab string")
+        got = mutual_information(df, ["f"], "lab", n_bins=10).collect()
+        assert got[0]["mi"] > 0.3
+
+    def test_ordering_and_validation(self, spark):
+        from temporal_retriever_spark.features import mutual_information
+
+        rows = [((i % 2) * 1.0, (i % 5) / 5.0, "x" if i % 2 else "y")
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "f1 double, f2 double, lab string")
+        got = mutual_information(df, ["f1", "f2"], "lab", n_bins=5).collect()
+        assert got[0]["feature"] == "f1"  # perfectly informative sorts first
+        assert got[0]["mi"] >= got[1]["mi"]
+        with pytest.raises(ValueError, match="feature_cols"):
+            mutual_information(df, [], "lab")
+        with pytest.raises(ValueError, match="n_bins"):
+            mutual_information(df, ["f1"], "lab", n_bins=1)
