@@ -5699,6 +5699,135 @@ def _gbt_oracle(
     )
 
 
+def q_forest_stumps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random forest of 2 bagged stumps (tree.forest_train): each tree
+    trains on the rows whose md5-hash draw under its tree salt falls
+    below 0.7 — the engine-portable deterministic bagging — and
+    scoring averages the CASE chains. The oracle rebuilds every
+    tree's subsample, split, and leaves, then averages; per-row
+    predictions hash-match."""
+    from temporal_retriever_spark.tree import forest_apply, forest_train
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.dayofweek(F.col("ts").cast("date")).cast("double").alias("x0"),
+        F.hour("ts").cast("double").alias("x1"),
+        F.col("value").alias("y"),
+    )
+    model = forest_train(
+        ev,
+        ["x0", "x1"],
+        "y",
+        id_col="event_id",
+        n_trees=2,
+        sample_fraction=0.7,
+        max_depth=1,
+        n_bins=8,
+        min_leaf=50,
+        salt="rf",
+    )
+    return (
+        forest_apply(ev, model)
+        .select("event_id", _r6("pred").alias("pred"))
+        .orderBy("event_id")
+    )
+
+
+def _forest_oracle(
+    n_trees: int = 2,
+    sample_fraction: float = 0.7,
+    n_bins: int = 8,
+    min_leaf: int = 50,
+    salt: str = "rf",
+) -> str:
+    """DuckDB mirror of q_forest_stumps_events: per tree, the md5
+    bagging predicate + the stump block (ranges from the FULL table,
+    histogram from the subsample), then the mean of the tree CASEs."""
+    off = repr(_ROUND_OFFSET)
+
+    def binx(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} = {mn} THEN 0 ELSE "
+            f"GREATEST(0, LEAST(CAST(floor(({col} - {mn}) / ({mx} - {mn})"
+            f" * {float(n_bins)!r}) AS INT), {n_bins - 1})) END"
+        )
+
+    ctes = [
+        """ev AS (
+            SELECT event_id,
+                   CAST(dayofweek(CAST(ts AS DATE)) + 1 AS DOUBLE) AS x0,
+                   CAST(hour(ts) AS DOUBLE) AS x1,
+                   value AS y
+            FROM events
+        )""",
+        "r AS (SELECT MIN(x0) AS mn0, MAX(x0) AS mx0, "
+        "MIN(x1) AS mn1, MAX(x1) AS mx1 FROM ev)",
+        f"""b AS MATERIALIZED (
+            SELECT event_id, y,
+                   {binx("x0", "mn0", "mx0")} AS b0,
+                   {binx("x1", "mn1", "mx1")} AS b1
+            FROM ev CROSS JOIN r
+        )""",
+    ]
+    case_terms = []
+    for t in range(n_trees):
+        draw = (
+            f"CAST(('0x' || substr(md5('{salt}:{t}:' || "
+            f"CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            f"/ 4294967296.0 < {sample_fraction!r}"
+        )
+        ctes.append(f"bt{t} AS (SELECT * FROM b WHERE {draw})")
+        ctes.append(
+            f"h{t} AS (SELECT 0 AS f, b0 AS bin, "
+            f"CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy "
+            f"FROM bt{t} GROUP BY 2 "
+            f"UNION ALL SELECT 1, b1, CAST(COUNT(*) AS DOUBLE), SUM(y) "
+            f"FROM bt{t} GROUP BY 2)"
+        )
+        ctes.append(
+            f"tot{t} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt, "
+            f"SUM(y) AS st FROM bt{t})"
+        )
+        ctes.append(
+            f"pref{t} AS (SELECT f, bin, "
+            f"SUM(n) OVER (PARTITION BY f ORDER BY bin "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl, "
+            f"SUM(sy) OVER (PARTITION BY f ORDER BY bin "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl, "
+            f"MAX(bin) OVER (PARTITION BY f) AS maxb FROM h{t})"
+        )
+        ctes.append(
+            f"cand{t} AS (SELECT f, bin, nl, sl, nt - nl AS nr, "
+            f"st - sl AS sr, sl * sl / nl "
+            f"+ (st - sl) * (st - sl) / (nt - nl) - st * st / nt AS gain "
+            f"FROM pref{t} CROSS JOIN tot{t} "
+            f"WHERE bin < maxb AND nl >= {min_leaf} "
+            f"AND nt - nl >= {min_leaf})"
+        )
+        ctes.append(
+            f"best{t} AS (SELECT * FROM cand{t} WHERE gain > 1e-12 "
+            f"ORDER BY gain DESC, f, bin LIMIT 1)"
+        )
+        case_terms.append(
+            f"CASE WHEN best{t}.f IS NULL THEN tot{t}.st / tot{t}.nt "
+            f"WHEN (best{t}.f = 0 AND b.b0 <= best{t}.bin) "
+            f"  OR (best{t}.f = 1 AND b.b1 <= best{t}.bin) "
+            f"  THEN best{t}.sl / best{t}.nl "
+            f"ELSE best{t}.sr / best{t}.nr END"
+        )
+    joins = " ".join(
+        f"LEFT JOIN best{t} ON TRUE CROSS JOIN tot{t}"
+        for t in range(n_trees)
+    )
+    mean = "(" + " + ".join(case_terms) + f") / {float(n_trees)!r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT b.event_id, ROUND({mean} + {off}, 6) AS pred "
+        f"FROM b {joins} ORDER BY b.event_id"
+    )
+
+
 def q_poisson_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson GLM (log link) on daily event counts
     (llm.classify.poisson_train): same one-aggregation-per-iteration
@@ -6107,6 +6236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_churn": q_cox_churn,
         "mi_features_lang": q_mi_features_lang,
         "readability_docs": q_readability_docs,
+        "forest_stumps_events": q_forest_stumps_events,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -8237,6 +8367,9 @@ def oracle_sql() -> dict[str, str]:
         "cox_churn": _cox_oracle(iterations=4),
         "mi_features_lang": _mi_oracle(n_bins=8),
         "readability_docs": _READABILITY_ORACLE,
+        "forest_stumps_events": _forest_oracle(
+            n_trees=2, sample_fraction=0.7, n_bins=8, min_leaf=50
+        ),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from temporal_retriever_spark.sources.layout import column_ranges
 
-__all__ = ["GBTModel", "TreeModel", "gbt_apply", "gbt_train", "tree_train", "tree_apply"]
+__all__ = ["ForestModel", "GBTModel", "TreeModel", "forest_apply", "forest_train", "gbt_apply", "gbt_train", "tree_train", "tree_apply"]
 
 
 @dataclass
@@ -373,3 +373,103 @@ def gbt_apply(
     for tree in model.trees:
         expr = expr + F.lit(model.learning_rate) * _tree_pred_expr(tree)
     return df.withColumn(pred_col, expr)
+
+
+@dataclass
+class ForestModel:
+    """Bagged tree ensemble: prediction = mean of tree predictions."""
+
+    trees: list[TreeModel] = field(default_factory=list)
+
+
+def forest_train(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    id_col: str,
+    n_trees: int = 5,
+    sample_fraction: float = 0.7,
+    feature_fraction: float = 1.0,
+    max_depth: int = 3,
+    n_bins: int = 16,
+    min_leaf: int = 20,
+    salt: str = "rf",
+) -> ForestModel:
+    """Random forest (Breiman 2001) with DETERMINISTIC bagging: each
+    tree trains on the rows whose md5-hash draw (the engine-portable
+    "hash the id, not rand()" idiom from ``llm.corpus``) falls under
+    ``sample_fraction`` for that tree's salt, and on a salted-hash-
+    ranked subset of ``feature_fraction`` of the features. Same salt →
+    bit-identical forest on any cluster layout; disjoint tree salts →
+    independent subsamples.
+
+    Cost: n_trees × the histogram-tree cost (each subsample scan is a
+    codegen'd md5 filter — no materialized copies); bin ranges are
+    computed ONCE on the full frame so every tree shares the bin
+    space. Scoring (`forest_apply`) is one projection averaging the
+    trees' CASE chains.
+    """
+    import hashlib
+
+    feature_cols = list(feature_cols)
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("feature_cols must be non-empty")
+    if n_trees < 1:
+        raise ValueError(f"n_trees must be >= 1, got {n_trees}")
+    if not 0 < sample_fraction <= 1:
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}"
+        )
+    if not 0 < feature_fraction <= 1:
+        raise ValueError(
+            f"feature_fraction must be in (0, 1], got {feature_fraction}"
+        )
+    m = max(1, round(k * feature_fraction))
+    ranges = column_ranges(df, feature_cols)
+    forest = ForestModel()
+    for t in range(n_trees):
+        key = F.concat(
+            F.lit(f"{salt}:{t}:"), F.col(id_col).cast("string")
+        )
+        draw = (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+            / F.lit(float(2**32))
+        )
+        sub = df.filter(draw < F.lit(sample_fraction))
+        feats = sorted(
+            feature_cols,
+            key=lambda c: hashlib.md5(
+                f"{salt}:{t}:{c}".encode()
+            ).hexdigest(),
+        )[:m]
+        feats = [c for c in feature_cols if c in feats]  # stable order
+        forest.trees.append(
+            tree_train(
+                sub,
+                feats,
+                label_col,
+                max_depth=max_depth,
+                n_bins=n_bins,
+                min_leaf=min_leaf,
+                ranges={c: ranges[c] for c in feats},
+            )
+        )
+    return forest
+
+
+def forest_apply(
+    df: DataFrame,
+    model: ForestModel,
+    *,
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Score rows under a forest: mean of the trees' CASE chains —
+    ONE codegen'd projection."""
+    if not model.trees:
+        raise ValueError("forest has no trees")
+    expr: Column = _tree_pred_expr(model.trees[0])
+    for tree in model.trees[1:]:
+        expr = expr + _tree_pred_expr(tree)
+    return df.withColumn(pred_col, expr / F.lit(float(len(model.trees))))

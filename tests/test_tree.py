@@ -240,3 +240,95 @@ class TestGBT:
             gbt_train(df, ["f"], "y", learning_rate=0.0)
         with pytest.raises(ValueError, match="empty"):
             gbt_train(df.filter("y > 9"), ["f"], "y")
+
+
+class TestForest:
+    def _df(self, spark):
+        rows = _data()
+        return spark.createDataFrame(
+            [(i, x0, x1, y) for i, ((x0, x1), y) in enumerate(rows)],
+            "rid long, f0 double, f1 double, y double",
+        )
+
+    def test_deterministic_and_salt_sensitivity(self, spark):
+        from temporal_retriever_spark.tree import forest_train
+
+        df = self._df(spark)
+        kw = dict(id_col="rid", n_trees=3, max_depth=2, n_bins=8, min_leaf=10)
+        a = forest_train(df, ["f0", "f1"], "y", salt="s1", **kw)
+        b = forest_train(df, ["f0", "f1"], "y", salt="s1", **kw)
+        c = forest_train(df, ["f0", "f1"], "y", salt="s2", **kw)
+        assert [(t.splits, t.leaves) for t in a.trees] == [
+            (t.splits, t.leaves) for t in b.trees
+        ]
+        assert [(t.splits, t.leaves) for t in a.trees] != [
+            (t.splits, t.leaves) for t in c.trees
+        ]
+        # bagged subsamples differ between trees
+        assert (a.trees[0].splits, a.trees[0].leaves) != (
+            a.trees[1].splits,
+            a.trees[1].leaves,
+        )
+
+    def test_apply_is_mean_of_trees(self, spark):
+        from temporal_retriever_spark.tree import (
+            forest_apply,
+            forest_train,
+            tree_apply,
+        )
+
+        df = self._df(spark)
+        m = forest_train(
+            df, ["f0", "f1"], "y",
+            id_col="rid", n_trees=3, max_depth=2, n_bins=8, min_leaf=10,
+        )
+        got = [
+            r["pred"]
+            for r in forest_apply(df, m).orderBy("rid").collect()
+        ]
+        scored = df
+        for i, t in enumerate(m.trees):
+            scored = tree_apply(scored, t, pred_col=f"_t{i}")
+        want = [
+            (r["_t0"] + r["_t1"] + r["_t2"]) / 3.0
+            for r in scored.orderBy("rid").collect()
+        ]
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_forest_fits_structure(self, spark):
+        from temporal_retriever_spark.tree import forest_apply, forest_train
+
+        df = self._df(spark)
+        m = forest_train(
+            df, ["f0", "f1"], "y",
+            id_col="rid", n_trees=5, max_depth=3, n_bins=8, min_leaf=8,
+        )
+        sse = forest_apply(df, m).select(
+            F.sum((F.col("pred") - F.col("y")) ** 2).alias("s")
+        ).collect()[0]["s"]
+        mean = df.agg(F.avg("y")).collect()[0][0]
+        sse_mean = df.select(
+            F.sum((F.lit(mean) - F.col("y")) ** 2).alias("s")
+        ).collect()[0]["s"]
+        assert sse < 0.15 * sse_mean
+
+    def test_feature_fraction_and_validation(self, spark):
+        from temporal_retriever_spark.tree import forest_apply, forest_train
+
+        df = self._df(spark)
+        m = forest_train(
+            df, ["f0", "f1"], "y",
+            id_col="rid", n_trees=4, feature_fraction=0.5,
+            max_depth=2, n_bins=8, min_leaf=10,
+        )
+        assert all(len(t.feature_cols) == 1 for t in m.trees)
+        used = {t.feature_cols[0] for t in m.trees}
+        assert used == {"f0", "f1"}  # salted ranking varies the subset
+        with pytest.raises(ValueError, match="sample_fraction"):
+            forest_train(df, ["f0"], "y", id_col="rid", sample_fraction=0.0)
+        with pytest.raises(ValueError, match="feature_fraction"):
+            forest_train(df, ["f0"], "y", id_col="rid", feature_fraction=1.5)
+        with pytest.raises(ValueError, match="no trees"):
+            from temporal_retriever_spark.tree import ForestModel
+
+            forest_apply(df, ForestModel())
