@@ -5699,6 +5699,69 @@ def _gbt_oracle(
     )
 
 
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embeddings table (llm.similarity.dbscan):
+    cosine-ball neighborhoods, core points by min_pts, clusters as
+    core-core connected components (min-id labels), deterministic
+    min-cluster border assignment. The oracle rebuilds the exact
+    neighbor graph and replays the same rules with a recursive-CTE
+    component search."""
+    from temporal_retriever_spark.llm.similarity import dbscan
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    got = dbscan(emb, threshold=0.3, min_pts=4, method="exact")
+    return got.orderBy("vec_id")
+
+
+_DBSCAN_ORACLE = """
+    WITH RECURSIVE p AS MATERIALIZED (
+        SELECT a.vec_id AS l, b.vec_id AS r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
+    ),
+    sym AS MATERIALIZED (
+        SELECT l AS a, r AS b FROM p UNION ALL SELECT r, l FROM p
+    ),
+    deg AS (SELECT a, COUNT(*) AS n FROM sym GROUP BY 1),
+    cores AS MATERIALIZED (SELECT a AS id FROM deg WHERE n + 1 >= 4),
+    ce AS MATERIALIZED (
+        SELECT s.a, s.b FROM sym s
+        JOIN cores c1 ON c1.id = s.a
+        JOIN cores c2 ON c2.id = s.b
+        WHERE s.a < s.b
+    ),
+    edges2 AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM ce UNION SELECT b, a FROM ce
+    ),
+    reach(id, root) AS (
+        SELECT id, id FROM cores
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges2 e ON e.src = r.id
+    ),
+    core_lab AS MATERIALIZED (
+        SELECT id, MIN(root) AS cluster FROM reach GROUP BY 1
+    ),
+    border AS (
+        SELECT s.a AS id, MIN(cl.cluster) AS cluster
+        FROM sym s
+        JOIN cores c ON c.id = s.b
+        JOIN core_lab cl ON cl.id = s.b
+        WHERE s.a NOT IN (SELECT id FROM cores)
+        GROUP BY 1
+    )
+    SELECT i.vec_id,
+           CASE WHEN cl.id IS NOT NULL THEN 'core'
+                WHEN bo.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cl.cluster, bo.cluster) AS cluster
+    FROM embeddings i
+    LEFT JOIN core_lab cl ON cl.id = i.vec_id
+    LEFT JOIN border bo ON bo.id = i.vec_id
+    ORDER BY i.vec_id
+"""
+
+
 def q_forest_stumps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random forest of 2 bagged stumps (tree.forest_train): each tree
     trains on the rows whose md5-hash draw under its tree salt falls
@@ -6237,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_features_lang": q_mi_features_lang,
         "readability_docs": q_readability_docs,
         "forest_stumps_events": q_forest_stumps_events,
+        "dbscan_embeddings": q_dbscan_embeddings,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -8370,6 +8434,7 @@ def oracle_sql() -> dict[str, str]:
         "forest_stumps_events": _forest_oracle(
             n_trees=2, sample_fraction=0.7, n_bins=8, min_leaf=50
         ),
+        "dbscan_embeddings": _DBSCAN_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

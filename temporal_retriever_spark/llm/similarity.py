@@ -756,3 +756,101 @@ def random_projection(
         arr = F.array(*[F.lit(float(x)) for x in w[j]])
         rows.append(_dot(vec, arr) * F.lit(scale))
     return df.withColumn(out_col, F.array(*rows))
+
+
+def dbscan(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    min_pts: int = 4,
+    method: str = "exact",
+    **blocker_kwargs,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over an
+    embedding column, expressed entirely as joins over the near-dup
+    pair machinery.
+
+    Neighborhoods are cosine balls: q ∈ N(p) iff cos(p, q) ≥
+    ``threshold``. A point is CORE when its neighborhood (self
+    included) holds ≥ ``min_pts`` points; clusters are the connected
+    components of the core-core adjacency (the log-round star
+    clusterer — cluster id = min core id); non-core points adjacent
+    to a core become BORDER points assigned to the MINIMUM adjacent
+    core's cluster (classic DBSCAN leaves border assignment
+    order-dependent; the min rule makes it deterministic — documented
+    divergence); everything else is NOISE (NULL cluster).
+
+    ``method`` selects the pair blocker (``exact`` = O(n²) verifier
+    path, ``lsh`` = hyperplane-bucketed 100-TB path — same contract
+    as ``embedding_near_dup_pairs``; with LSH the recall loss can
+    only MERGE-miss or downgrade core status, never invent pairs).
+    Output: (id, role ∈ {core, border, noise}, cluster).
+    """
+    from temporal_retriever_spark.llm.dedup import duplicate_clusters
+
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    pairs = embedding_near_dup_pairs(
+        df,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        method=method,
+        **blocker_kwargs,
+    ).select("left_id", "right_id")
+    sym = pairs.union(
+        pairs.select(
+            F.col("right_id").alias("left_id"),
+            F.col("left_id").alias("right_id"),
+        )
+    )
+    ids = df.select(id_col).distinct()
+    deg = sym.groupBy(F.col("left_id").alias(id_col)).agg(
+        F.count("*").alias("_deg")
+    )
+    cores = (
+        ids.join(deg, on=id_col, how="left")
+        .filter(F.coalesce(F.col("_deg"), F.lit(0)) + 1 >= min_pts)
+        .select(id_col)
+    )
+    core_edges = (
+        sym.join(cores.withColumnRenamed(id_col, "left_id"), "left_id")
+        .join(cores.withColumnRenamed(id_col, "right_id"), "right_id")
+        .filter(F.col("left_id") < F.col("right_id"))
+    )
+    cc = duplicate_clusters(
+        core_edges, left_col="left_id", right_col="right_id", method="star"
+    )
+    core_lab = (
+        cores.join(cc, cores[id_col] == cc["doc_id"], "left")
+        .select(
+            cores[id_col],
+            F.coalesce(cc["cluster_id"], cores[id_col]).alias("_ccl"),
+        )
+    )
+    border_lab = (
+        sym.join(cores.withColumnRenamed(id_col, "right_id"), "right_id")
+        .join(cores.withColumnRenamed(id_col, "left_id"), "left_id", "left_anti")
+        .join(
+            core_lab.select(
+                F.col(id_col).alias("right_id"), F.col("_ccl")
+            ),
+            "right_id",
+        )
+        .groupBy(F.col("left_id").alias(id_col))
+        .agg(F.min("_ccl").alias("_bcl"))
+    )
+    return (
+        ids.join(core_lab, on=id_col, how="left")
+        .join(border_lab, on=id_col, how="left")
+        .select(
+            id_col,
+            F.when(F.col("_ccl").isNotNull(), F.lit("core"))
+            .when(F.col("_bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("_ccl", "_bcl").alias("cluster"),
+        )
+    )
