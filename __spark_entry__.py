@@ -6179,6 +6179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slot and sort just below the window for the r5 rotation. The
     # bucket grains / grids / splits sort last: multiple green rows
     # already.
+    #
+    # R5 ROTATION PLAN: once CORRECTNESS_r04 lands green rows for the
+    # current window, rotate those out and promote (in order) the
+    # late-round-4 additions directly below the window (hits_nations
+    # .. dbscan_embeddings — new families, zero driver rows) plus
+    # dsir_select_src0 / corpus_sample_uniform, then the remaining
+    # family variants.
     return {
         # -- new this round-half: hypothesis tests + PMI. Three
         # representatives take in-window slots (one keyed two-sample
@@ -6285,9 +6292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate in for r5)
         "dsir_select_src0": q_dsir_select,
         "corpus_sample_uniform": q_corpus_sample_uniform,
-        # -- round-4 family variants whose siblings hold the in-window
-        # slot (driver evidence diversity > duplicates), plus the four
-        # hypothesis-test siblings of ks_click_view_dow/jsd_tokens_src --
+        # -- round-4 late-session additions (all local-oracle green in
+        # the full 179-query vanilla-session sweep, BASELINE.md note):
+        # FIRST candidates to rotate into the r5 window — none has a
+        # driver row yet and each opens a new family (graph ×3, layout,
+        # calibration, GLM ×2, trees ×3, ARMA, survival-regression,
+        # feature-ranking, readability, density clustering) --
         "hits_nations": q_hits_nations,
         "zorder_events": q_zorder_events,
         "isotonic_lang": q_isotonic_lang,
