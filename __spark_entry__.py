@@ -5699,6 +5699,108 @@ def _gbt_oracle(
     )
 
 
+def q_psm_att_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score-matched ATT of 'click' events on value
+    (inference.propensity_att): in-engine logistic propensity (6 GD
+    rounds) + sort-based nearest-control matching with deterministic
+    tie rules. The oracle unrolls the identical GD and replays the
+    same two IGNORE-NULLS window frames and closer-side choice."""
+    from temporal_retriever_spark.inference import propensity_att
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        (F.col("event_type") == "click").cast("int").alias("tr"),
+        F.col("value").alias("y"),
+        (F.dayofweek(F.col("ts").cast("date")).cast("double") / F.lit(7.0)).alias("x0"),
+        (F.hour("ts").cast("double") / F.lit(24.0)).alias("x1"),
+    )
+    got = propensity_att(ev, "tr", "y", ["x0", "x1"], lr=0.5, iterations=6)
+    return got.select(
+        "n_treated",
+        "n_matched",
+        _r6("att").alias("att"),
+        _r6("naive_diff").alias("naive_diff"),
+    )
+
+
+def _psm_oracle(iters: int = 6, lr: float = 0.5) -> str:
+    """DuckDB mirror of q_psm_att_click: the logreg GD unrolled on the
+    same features, then the same (ps, tr, y)-ordered window frames —
+    last preceding / first following control via IGNORE NULLS — and
+    the same closer-side (ties → preceding) match rule."""
+    off = repr(_ROUND_OFFSET)
+    lrs = repr(lr)
+    sig = "1.0 / (1.0 + exp(-(b + w1*x0 + w2*x1)))"
+    ctes = [
+        "f AS MATERIALIZED (SELECT "
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS tr, "
+        "value AS y, "
+        "(dayofweek(CAST(ts AS DATE)) + 1) / 7.0 AS x0, "
+        "hour(ts) / 24.0 AS x1 FROM events)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"p{i} AS (SELECT tr, x0, x1, {sig} AS p "
+            f"FROM f CROSS JOIN w{i})"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT SUM(p - tr) AS g0, "
+            f"SUM((p - tr) * x0) AS g1, SUM((p - tr) * x1) AS g2 "
+            f"FROM p{i})"
+        )
+        ctes.append(
+            f"w{i + 1} AS (SELECT b - {lrs} * (g0 / nn.n) AS b, "
+            f"w1 - {lrs} * (g1 / nn.n) AS w1, "
+            f"w2 - {lrs} * (g2 / nn.n) AS w2 "
+            f"FROM w{i} CROSS JOIN g{i} CROSS JOIN nn)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        s AS (SELECT tr, y, {sig} AS ps FROM f CROSS JOIN w{iters}),
+        m AS (
+            SELECT *,
+                last_value(CASE WHEN tr = 0 THEN ps END IGNORE NULLS)
+                    OVER (ORDER BY ps, tr, y
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS ps_prev,
+                last_value(CASE WHEN tr = 0 THEN y END IGNORE NULLS)
+                    OVER (ORDER BY ps, tr, y
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS y_prev,
+                first_value(CASE WHEN tr = 0 THEN ps END IGNORE NULLS)
+                    OVER (ORDER BY ps, tr, y
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS ps_next,
+                first_value(CASE WHEN tr = 0 THEN y END IGNORE NULLS)
+                    OVER (ORDER BY ps, tr, y
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS y_next
+            FROM s
+        ),
+        t AS (
+            SELECT y,
+                CASE WHEN ps_prev IS NOT NULL AND (ps_next IS NULL
+                          OR abs(ps - ps_prev) <= abs(ps_next - ps))
+                     THEN y_prev ELSE y_next END AS my
+            FROM m WHERE tr = 1
+        ),
+        naive AS (
+            SELECT AVG(CASE WHEN tr = 1 THEN y END)
+                   - AVG(CASE WHEN tr = 0 THEN y END) AS nd
+            FROM s
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+               CAST(COUNT(my) AS BIGINT) AS n_matched,
+               ROUND(AVG(y - my) + {off}, 6) AS att,
+               ROUND(naive.nd + {off}, 6) AS naive_diff
+        FROM t CROSS JOIN naive GROUP BY naive.nd
+    """
+    )
+
+
 def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the embeddings table (llm.similarity.dbscan):
     cosine-ball neighborhoods, core points by min_pts, clusters as
@@ -6311,6 +6413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": q_readability_docs,
         "forest_stumps_events": q_forest_stumps_events,
         "dbscan_embeddings": q_dbscan_embeddings,
+        "psm_att_click": q_psm_att_click,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -8445,6 +8548,7 @@ def oracle_sql() -> dict[str, str]:
             n_trees=2, sample_fraction=0.7, n_bins=8, min_leaf=50
         ),
         "dbscan_embeddings": _DBSCAN_ORACLE,
+        "psm_att_click": _psm_oracle(iters=6, lr=0.5),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "propensity_att",
     "bootstrap_ci",
     "chi2_independence",
     "cohens_kappa",
@@ -996,4 +997,111 @@ def cohens_kappa(
         po.alias("p_observed"),
         pe.alias("p_expected"),
         kappa.alias("kappa"),
+    )
+
+
+def propensity_att(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    feature_cols: list[str],
+    *,
+    caliper: float | None = None,
+    lr: float = 0.5,
+    iterations: int = 6,
+) -> DataFrame:
+    """Average treatment effect on the treated by propensity-score
+    matching (Rosenbaum & Rubin 1983): fit P(treat | x) with the
+    in-engine logistic trainer, then match every treated unit to its
+    NEAREST control on the propensity score (1-NN with replacement)
+    and average the outcome differences.
+
+    Matching is sort-based, not a quadratic join: one global window
+    ordered by (score, treat, id-order) carries the last-preceding
+    and first-following CONTROL (score, outcome) past every treated
+    row — two `last_value(ignorenulls)` frames — and the closer side
+    wins (ties → the preceding control; all tie rules deterministic,
+    replayed verbatim by the oracle). ``caliper`` drops matches with
+    |Δscore| above it. The propensity fit is the
+    ``llm.classify.logreg_train`` contract (one aggregation per
+    fixed GD round).
+
+    Output: one row — n_treated, n_matched, att (matched mean
+    difference), naive_diff (the unadjusted group difference, for
+    contrast). At 100 TB the sort is one range exchange; the window
+    is the same single-ordering caveat as keyless as-of (partition by
+    strata upstream to parallelize).
+    """
+    from temporal_retriever_spark.llm.classify import (
+        logreg_score,
+        logreg_train,
+    )
+
+    if caliper is not None and caliper <= 0:
+        raise ValueError(f"caliper must be > 0, got {caliper}")
+    base = df.select(
+        F.col(treat_col).cast("int").alias("_tr"),
+        F.col(outcome_col).cast("double").alias("_y"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+    )
+    w = logreg_train(
+        base, feature_cols, "_tr", lr=lr, iterations=iterations
+    )
+    scored = logreg_score(base, w, feature_cols, prob_col="_ps").select(
+        "_tr", "_y", "_ps"
+    )
+    # order by (score, treat) so equal-score controls sort BEFORE the
+    # treated rows they serve — "preceding control" then includes
+    # exact-score ties, mirroring the SQL frame exactly
+    ws = Window.orderBy("_ps", "_tr", "_y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wf = Window.orderBy("_ps", "_tr", "_y").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    cs = F.when(F.col("_tr") == 0, F.col("_ps"))
+    cy = F.when(F.col("_tr") == 0, F.col("_y"))
+    m = scored.withColumn(
+        "_ps_prev", F.last(cs, ignorenulls=True).over(ws)
+    ).withColumn(
+        "_y_prev", F.last(cy, ignorenulls=True).over(ws)
+    ).withColumn(
+        "_ps_next", F.first(cs, ignorenulls=True).over(wf)
+    ).withColumn(
+        "_y_next", F.first(cy, ignorenulls=True).over(wf)
+    )
+    d_prev = F.abs(F.col("_ps") - F.col("_ps_prev"))
+    d_next = F.abs(F.col("_ps_next") - F.col("_ps"))
+    use_prev = F.col("_ps_prev").isNotNull() & (
+        F.col("_ps_next").isNull() | (d_prev <= d_next)
+    )
+    matched_y = F.when(use_prev, F.col("_y_prev")).otherwise(
+        F.col("_y_next")
+    )
+    matched_d = F.when(use_prev, d_prev).otherwise(d_next)
+    t = m.filter(F.col("_tr") == 1).select(
+        "_y", matched_y.alias("_my"), matched_d.alias("_md")
+    )
+    if caliper is not None:
+        ok = F.col("_my").isNotNull() & (F.col("_md") <= F.lit(caliper))
+    else:
+        ok = F.col("_my").isNotNull()
+    naive = scored.groupBy().agg(
+        F.avg(F.when(F.col("_tr") == 1, F.col("_y"))).alias("_mt"),
+        F.avg(F.when(F.col("_tr") == 0, F.col("_y"))).alias("_mc"),
+    )
+    return (
+        t.groupBy()
+        .agg(
+            F.count("*").cast("long").alias("n_treated"),
+            F.count(F.when(ok, F.lit(1))).cast("long").alias("n_matched"),
+            F.avg(F.when(ok, F.col("_y") - F.col("_my"))).alias("att"),
+        )
+        .crossJoin(naive)
+        .select(
+            "n_treated",
+            "n_matched",
+            "att",
+            (F.col("_mt") - F.col("_mc")).alias("naive_diff"),
+        )
     )

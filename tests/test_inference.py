@@ -764,3 +764,60 @@ class TestCohensKappa:
         rows = [("a", "a"), ("a", None), (None, "b"), ("b", "b")]
         df = spark.createDataFrame(rows, "a string, b string")
         assert cohens_kappa(df, "a", "b").collect()[0]["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Propensity-score matching (ATT)
+# ---------------------------------------------------------------------------
+
+
+class TestPropensityATT:
+    def test_confounded_null_effect_recovered(self, spark):
+        from temporal_retriever_spark.inference import propensity_att
+
+        # outcome depends ONLY on x; treatment probability rises with x.
+        # naive difference is badly biased upward; matched ATT ~ 0.
+        rows = []
+        for i in range(300):
+            x = (i % 3) / 2.0          # three strata: 0, 0.5, 1
+            treated = 1 if (i % 10) < (2 + 3 * (i % 3)) else 0
+            y = 10.0 * x               # no treatment effect at all
+            rows.append((treated, y, x))
+        df = spark.createDataFrame(rows, "tr int, y double, x double")
+        got = propensity_att(df, "tr", "y", ["x"], iterations=30, lr=1.0).collect()[0]
+        assert got["n_treated"] > 50
+        assert got["n_matched"] == got["n_treated"]
+        assert abs(got["naive_diff"]) > 1.0       # confounding is real
+        assert abs(got["att"]) < 1e-9             # exact-score matches
+    def test_true_effect_estimated(self, spark):
+        from temporal_retriever_spark.inference import propensity_att
+
+        rows = []
+        for i in range(300):
+            x = (i % 3) / 2.0
+            treated = 1 if (i % 10) < (2 + 3 * (i % 3)) else 0
+            y = 5.0 * x + (2.0 if treated else 0.0)
+            rows.append((treated, y, x))
+        df = spark.createDataFrame(rows, "tr int, y double, x double")
+        got = propensity_att(df, "tr", "y", ["x"], iterations=30, lr=1.0).collect()[0]
+        assert got["att"] == pytest.approx(2.0, abs=1e-9)
+
+    def test_caliper_drops_distant_matches(self, spark):
+        from temporal_retriever_spark.inference import propensity_att
+
+        # one treated unit far from every control in feature space
+        rows = [(0, 1.0, 0.0)] * 10 + [(1, 5.0, 0.0)] * 5 + [(1, 9.0, 10.0)]
+        df = spark.createDataFrame(rows, "tr int, y double, x double")
+        loose = propensity_att(df, "tr", "y", ["x"], iterations=20).collect()[0]
+        tight = propensity_att(
+            df, "tr", "y", ["x"], iterations=20, caliper=0.05
+        ).collect()[0]
+        assert loose["n_matched"] == 6
+        assert tight["n_matched"] == 5  # the outlier's match is dropped
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.inference import propensity_att
+
+        df = spark.createDataFrame([(1, 1.0, 0.5)], "tr int, y double, x double")
+        with pytest.raises(ValueError, match="caliper"):
+            propensity_att(df, "tr", "y", ["x"], caliper=0.0)
