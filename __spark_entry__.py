@@ -5699,6 +5699,120 @@ def _gbt_oracle(
     )
 
 
+def q_sp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest paths on the undirected trade graph
+    from two landmark nations (graph.shortest_paths): per round one
+    hop join + min-aggregation, early stop on a fixed point. Oracle:
+    bounded recursive-CTE BFS with a MIN collapse — distances are
+    integer-exact."""
+    from temporal_retriever_spark.graph import shortest_paths
+
+    got = shortest_paths(
+        _nation_trade_edges(spark, sf_dir), ["NATION_0", "NATION_12"]
+    )
+    return got.orderBy("node", "landmark")
+
+
+_SP_ORACLE = f"""
+    WITH RECURSIVE e AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    reach(node, landmark, d) AS (
+        SELECT l, l, 0 FROM (VALUES ('NATION_0'), ('NATION_12')) t(l)
+        UNION
+        SELECT s.dst, r.landmark, r.d + 1
+        FROM reach r JOIN sym s ON s.src = r.node
+        WHERE r.d < 10
+    )
+    SELECT node, landmark, CAST(MIN(d) AS BIGINT) AS distance
+    FROM reach GROUP BY 1, 2 ORDER BY node, landmark
+"""
+
+
+def q_did_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on event values
+    (inference.diff_in_diff): group = click events, period = from
+    March on — one aggregation of the four cells' moments, then the
+    closed-form DiD/SE/z/p shared with the oracle."""
+    from temporal_retriever_spark.inference import diff_in_diff
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        (F.col("event_type") == "click").cast("int").alias("g"),
+        (F.month("ts") >= 3).cast("int").alias("p"),
+        F.col("value").alias("y"),
+    )
+    got = diff_in_diff(ev, group_col="g", period_col="p", outcome_col="y")
+    return got.select(
+        "n",
+        _r6("m00").alias("m00"),
+        _r6("m01").alias("m01"),
+        _r6("m10").alias("m10"),
+        _r6("m11").alias("m11"),
+        _r6("did").alias("did"),
+        _r6("se").alias("se"),
+        _r6("z").alias("z"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+_DID_ORACLE = f"""
+    WITH b AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+               CASE WHEN month(ts) >= 3 THEN 1 ELSE 0 END AS p,
+               value AS y
+        FROM events
+    ),
+    a AS (
+        SELECT
+            CAST(COUNT(CASE WHEN g = 0 AND p = 0 THEN 1 END) AS DOUBLE) AS n00,
+            AVG(CASE WHEN g = 0 AND p = 0 THEN y END) AS m00,
+            var_samp(CASE WHEN g = 0 AND p = 0 THEN y END) AS v00,
+            CAST(COUNT(CASE WHEN g = 0 AND p = 1 THEN 1 END) AS DOUBLE) AS n01,
+            AVG(CASE WHEN g = 0 AND p = 1 THEN y END) AS m01,
+            var_samp(CASE WHEN g = 0 AND p = 1 THEN y END) AS v01,
+            CAST(COUNT(CASE WHEN g = 1 AND p = 0 THEN 1 END) AS DOUBLE) AS n10,
+            AVG(CASE WHEN g = 1 AND p = 0 THEN y END) AS m10,
+            var_samp(CASE WHEN g = 1 AND p = 0 THEN y END) AS v10,
+            CAST(COUNT(CASE WHEN g = 1 AND p = 1 THEN 1 END) AS DOUBLE) AS n11,
+            AVG(CASE WHEN g = 1 AND p = 1 THEN y END) AS m11,
+            var_samp(CASE WHEN g = 1 AND p = 1 THEN y END) AS v11
+        FROM b
+    ),
+    c AS (
+        SELECT *, (m11 - m10) - (m01 - m00) AS did,
+               SQRT(v00 / n00 + v01 / n01 + v10 / n10 + v11 / n11) AS se
+        FROM a
+    ),
+    d AS (
+        SELECT *, ABS(did / se) AS z,
+               1.0 / (1.0 + 0.2316419 * ABS(did / se)) AS t
+        FROM c
+    )
+    SELECT CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n,
+           {{r6_m00}} AS m00, {{r6_m01}} AS m01,
+           {{r6_m10}} AS m10, {{r6_m11}} AS m11,
+           {{r6_did}} AS did, {{r6_se}} AS se,
+           {{r6_z}} AS z, {{r6_p}} AS p_value
+    FROM d
+""".format(
+    r6_m00=_sql_r6("m00"),
+    r6_m01=_sql_r6("m01"),
+    r6_m10=_sql_r6("m10"),
+    r6_m11=_sql_r6("m11"),
+    r6_did=_sql_r6("did"),
+    r6_se=_sql_r6("se"),
+    r6_z=_sql_r6("did / se"),
+    r6_p=_sql_r6(
+        "2.0 * (EXP(-(z * z) / 2.0) * 0.3989422804014327 "
+        "* (0.319381530 * t + -0.356563782 * t * t "
+        "+ 1.781477937 * t * t * t "
+        "+ -1.821255978 * t * t * t * t "
+        "+ 1.330274429 * t * t * t * t * t))"
+    ),
+)
+
+
 def q_psm_att_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Propensity-score-matched ATT of 'click' events on value
     (inference.propensity_att): in-engine logistic propensity (6 GD
@@ -6414,6 +6528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_stumps_events": q_forest_stumps_events,
         "dbscan_embeddings": q_dbscan_embeddings,
         "psm_att_click": q_psm_att_click,
+        "sp_nations": q_sp_nations,
+        "did_click_value": q_did_click_value,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -8549,6 +8665,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dbscan_embeddings": _DBSCAN_ORACLE,
         "psm_att_click": _psm_oracle(iters=6, lr=0.5),
+        "sp_nations": _SP_ORACLE,
+        "did_click_value": _DID_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

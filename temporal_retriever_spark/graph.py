@@ -50,7 +50,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "hits", "pagerank", "triangle_count"]
+__all__ = ["connected_components", "hits", "pagerank", "shortest_paths", "triangle_count"]
 
 
 def pagerank(
@@ -359,3 +359,76 @@ def triangle_count(
     result = out.localCheckpoint(eager=True)
     oriented.unpersist()
     return result
+
+
+def shortest_paths(
+    edges: DataFrame,
+    landmarks: list,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Unweighted shortest-path distances from every node to each
+    landmark (the GraphX ShortestPaths counterpart): multi-source BFS
+    as iterative relaxation — each round one (dist ⋈ edges) hop join
+    + one min-aggregation, localCheckpoint'ed like :func:`pagerank`.
+    Stops early when a round changes nothing (two driver scalars:
+    row count + distance sum). Unreachable (node, landmark) pairs
+    emit no row. Cost: diameter × (one edge-keyed shuffle) — the BFS
+    floor.
+    """
+    if not landmarks:
+        raise ValueError("landmarks must be non-empty")
+    if max_iterations < 1:
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}"
+        )
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).filter(F.col("_s") != F.col("_d"))
+    if not directed:
+        e = e.union(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+    e = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    spark = edges.sparkSession
+    lm = spark.createDataFrame(
+        [(v,) for v in landmarks], [src_col]
+    ).select(F.col(src_col).alias("landmark"))
+    dist = (
+        lm.select(
+            F.col("landmark").alias("node"),
+            "landmark",
+            F.lit(0).cast("long").alias("distance"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = (dist.count(), 0)
+    for _ in range(max_iterations):
+        hops = (
+            dist.join(e, dist["node"] == e["_s"])
+            .select(
+                F.col("_d").alias("node"),
+                "landmark",
+                (F.col("distance") + 1).alias("distance"),
+            )
+        )
+        dist = (
+            dist.union(hops)
+            .groupBy("node", "landmark")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            dist.agg(
+                F.count("*"), F.coalesce(F.sum("distance"), F.lit(0))
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    e.unpersist()
+    return dist

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "diff_in_diff",
     "propensity_att",
     "bootstrap_ci",
     "chi2_independence",
@@ -1104,4 +1105,63 @@ def propensity_att(
             "att",
             (F.col("_mt") - F.col("_mc")).alias("naive_diff"),
         )
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    *,
+    group_col: str,
+    period_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Two-group × two-period difference-in-differences: the
+    parallel-trends causal workhorse. ``group_col``/``period_col``
+    are 0/1 indicators (control/treated, pre/post);
+
+    DiD = (ȳ₁₁ − ȳ₁₀) − (ȳ₀₁ − ȳ₀₀),
+
+    with the delta-method standard error Σ s²gp/ngp over the four
+    independent cells, a normal z, and the same A&S closed-form
+    p-value every other test in this module shares with its oracle.
+    ONE aggregation (eight conditional moments), then scalar
+    projections — the plan is a single map-side-combined
+    HashAggregate at any scale.
+    """
+    g = F.col(group_col).cast("int")
+    p = F.col(period_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    aggs = []
+    for gv in (0, 1):
+        for pv in (0, 1):
+            cell = (g == gv) & (p == pv)
+            aggs.append(
+                F.count(F.when(cell, 1)).cast("double").alias(f"n{gv}{pv}")
+            )
+            aggs.append(F.avg(F.when(cell, y)).alias(f"m{gv}{pv}"))
+            aggs.append(
+                F.var_samp(F.when(cell, y)).alias(f"v{gv}{pv}")
+            )
+    out = df.agg(*aggs)
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    var = (
+        F.col("v00") / F.col("n00")
+        + F.col("v01") / F.col("n01")
+        + F.col("v10") / F.col("n10")
+        + F.col("v11") / F.col("n11")
+    )
+    se = F.sqrt(var)
+    z = F.abs(did / se)
+    return out.select(
+        (F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11"))
+        .cast("long")
+        .alias("n"),
+        "m00",
+        "m01",
+        "m10",
+        "m11",
+        did.alias("did"),
+        se.alias("se"),
+        (did / se).alias("z"),
+        (F.lit(2.0) * _norm_sf_expr(z)).alias("p_value"),
     )

@@ -196,3 +196,54 @@ class TestTriangleCount:
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
         assert got == _triangles_ref(edges)
+
+
+class TestShortestPaths:
+    def test_path_graph_distances(self, spark):
+        from temporal_retriever_spark.graph import shortest_paths
+
+        edges = [(i, i + 1) for i in range(5)]  # 0-1-2-3-4-5
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["node"], r["landmark"]): r["distance"]
+            for r in shortest_paths(df, [0, 5]).collect()
+        }
+        for v in range(6):
+            assert got[(v, 0)] == v
+            assert got[(v, 5)] == 5 - v
+
+    def test_directed_vs_undirected(self, spark):
+        from temporal_retriever_spark.graph import shortest_paths
+
+        edges = [(1, 2), (2, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        und = {
+            (r["node"], r["landmark"]): r["distance"]
+            for r in shortest_paths(df, [3]).collect()
+        }
+        assert und[(1, 3)] == 2
+        dire = {
+            (r["node"], r["landmark"]): r["distance"]
+            for r in shortest_paths(df, [3], directed=True).collect()
+        }
+        # with only forward edges, nothing reaches landmark 3
+        assert (1, 3) not in dire and (2, 3) not in dire
+        assert dire[(3, 3)] == 0
+
+    def test_unreachable_components_absent(self, spark):
+        from temporal_retriever_spark.graph import shortest_paths
+
+        edges = [(1, 2), (10, 11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = shortest_paths(df, [1]).collect()
+        nodes = {r["node"] for r in got}
+        assert nodes == {1, 2}
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.graph import shortest_paths
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="landmarks"):
+            shortest_paths(df, [])
+        with pytest.raises(ValueError, match="max_iterations"):
+            shortest_paths(df, [1], max_iterations=0)

@@ -821,3 +821,44 @@ class TestPropensityATT:
         df = spark.createDataFrame([(1, 1.0, 0.5)], "tr int, y double, x double")
         with pytest.raises(ValueError, match="caliper"):
             propensity_att(df, "tr", "y", ["x"], caliper=0.0)
+
+
+class TestDiffInDiff:
+    def test_recovers_planted_effect(self, spark):
+        from temporal_retriever_spark.inference import diff_in_diff
+
+        # common trend +3 in post; treated get +2 extra; group gap +5
+        rows = []
+        for i in range(400):
+            gv = i % 2
+            pv = (i // 2) % 2
+            noise = ((i * 7919) % 11 - 5) / 10.0
+            y = 10.0 + 5.0 * gv + 3.0 * pv + 2.0 * gv * pv + noise
+            rows.append((gv, pv, y))
+        df = spark.createDataFrame(rows, "g int, p int, y double")
+        r = diff_in_diff(
+            df, group_col="g", period_col="p", outcome_col="y"
+        ).collect()[0]
+        assert r["n"] == 400
+        assert r["did"] == pytest.approx(2.0, abs=0.2)
+        assert r["p_value"] < 1e-6
+        # the raw group gap and the trend do NOT contaminate the DiD
+        assert r["m10"] - r["m00"] == pytest.approx(5.0, abs=0.2)
+        assert r["m01"] - r["m00"] == pytest.approx(3.0, abs=0.2)
+
+    def test_null_effect_large_p(self, spark):
+        from temporal_retriever_spark.inference import diff_in_diff
+
+        rows = []
+        for i in range(400):
+            gv = i % 2
+            pv = (i // 2) % 2
+            noise = ((i * 104729) % 101 - 50) / 25.0
+            y = 4.0 + 2.0 * gv + 1.0 * pv + noise
+            rows.append((gv, pv, y))
+        df = spark.createDataFrame(rows, "g int, p int, y double")
+        r = diff_in_diff(
+            df, group_col="g", period_col="p", outcome_col="y"
+        ).collect()[0]
+        assert abs(r["did"]) < 3 * r["se"]
+        assert r["p_value"] > 0.01
