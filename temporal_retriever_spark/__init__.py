@@ -114,6 +114,7 @@ from temporal_retriever_spark.graph import (
     connected_components,
     hits,
     pagerank,
+    shortest_paths,
     triangle_count,
 )
 from temporal_retriever_spark.history import scd2_history, snapshot_at
@@ -180,6 +181,7 @@ __all__ = [
     "qgrams_expr",
     "row_count",
     "scd2_history",
+    "shortest_paths",
     "triangle_count",
     "segment_means",
     "snapshot_at",
