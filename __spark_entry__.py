@@ -5699,6 +5699,70 @@ def _gbt_oracle(
     )
 
 
+def q_ridge_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ridge regression of value on calendar features
+    (features.ridge_regression): every key's Gram in ONE aggregation,
+    intercept-unpenalized λI, the shared staged-Cholesky solve. The
+    oracle replays the identical Gram sums + stage strings."""
+    from temporal_retriever_spark.features import ridge_regression
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("date")).cast("double") / F.lit(7.0)).alias("x0"),
+        (F.hour("ts").cast("double") / F.lit(24.0)).alias("x1"),
+        F.col("value").alias("y"),
+    )
+    got = ridge_regression(
+        ev, ["x0", "x1"], "y", l2=1.0, keys=["event_type"]
+    )
+    return got.select(
+        "event_type",
+        "n",
+        _r6("intercept").alias("intercept"),
+        _r6("coef_x0").alias("coef_x0"),
+        _r6("coef_x1").alias("coef_x1"),
+    ).orderBy("event_type")
+
+
+def _ridge_oracle(l2: float = 1.0) -> str:
+    """DuckDB mirror of q_ridge_value: same Gram sums over
+    [1, x0, x1], λ on the two penalized diagonal cells, then the SAME
+    ar_stages(2) strings as chained CTEs."""
+    from temporal_retriever_spark.forecast import ar_stages
+
+    zs = ["1.0", "x0", "x1"]
+    gram = []
+    for i in range(3):
+        for j in range(i, 3):
+            pen = f" + {float(l2)!r}" if (i == j and i >= 1) else ""
+            gram.append(f"SUM({zs[i]} * {zs[j]}){pen} AS g_{i}_{j}")
+        gram.append(f"SUM({zs[i]} * y) AS gy_{i}")
+    stage_ctes = []
+    prev = "a"
+    for idx, (name, expr) in enumerate(ar_stages(2)):
+        cte = f"st{idx}"
+        stage_ctes.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    return f"""
+        WITH f AS (
+            SELECT event_type,
+                   (dayofweek(CAST(ts AS DATE)) + 1) / 7.0 AS x0,
+                   hour(ts) / 24.0 AS x1,
+                   value AS y
+            FROM events
+        ),
+        a AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nn,
+                     {', '.join(gram)}
+              FROM f GROUP BY 1),
+        {', '.join(stage_ctes)}
+        SELECT event_type, CAST(nn AS BIGINT) AS n,
+               {_sql_r6("c_0")} AS intercept,
+               {_sql_r6("c_1")} AS coef_x0,
+               {_sql_r6("c_2")} AS coef_x1
+        FROM {prev} ORDER BY event_type
+    """
+
+
 def q_sp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS shortest paths on the undirected trade graph
     from two landmark nations (graph.shortest_paths): per round one
@@ -6530,6 +6594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psm_att_click": q_psm_att_click,
         "sp_nations": q_sp_nations,
         "did_click_value": q_did_click_value,
+        "ridge_value": q_ridge_value,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -8667,6 +8732,7 @@ def oracle_sql() -> dict[str, str]:
         "psm_att_click": _psm_oracle(iters=6, lr=0.5),
         "sp_nations": _SP_ORACLE,
         "did_click_value": _DID_ORACLE,
+        "ridge_value": _ridge_oracle(l2=1.0),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["make_lag_features", "mutual_information", "target_encode"]
+__all__ = ["make_lag_features", "mutual_information", "ridge_regression", "target_encode"]
 
 
 def make_lag_features(
@@ -201,4 +201,68 @@ def mutual_information(
         terms.groupBy("feature")
         .agg(F.sum("_t").alias("mi"))
         .orderBy(F.col("mi").desc(), "feature")
+    )
+
+
+def ridge_regression(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    l2: float = 1.0,
+    keys: Iterable[str] | None = None,
+) -> DataFrame:
+    """Closed-form ridge regression, optionally PER KEY — the
+    continuous-outcome member of the supervised family (LR for
+    binary, Poisson for counts, this for y ∈ ℝ; Hoerl & Kennard
+    1970). Solves (X'X + λI')β = X'y with the intercept unpenalized
+    (λ on every diagonal Gram cell except g₀₀).
+
+    ONE aggregation computes every key's Gram matrix and moment
+    vector (map-side combined, (k+1)(k+2)/2 + k+1 doubles per key on
+    the wire); the solve is the shared staged-Cholesky strings
+    (``forecast.ar_stages``), so thousands of per-series models cost
+    one shuffle and the oracle replays the identical expressions.
+    Returns (keys…, n, intercept, coef_<feature>…); rank-deficient
+    keys yield NaN coefficients (λ > 0 prevents that for any
+    non-degenerate data).
+    """
+    from temporal_retriever_spark.forecast import ar_stages
+
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("feature_cols must be non-empty")
+    if l2 < 0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
+    keys = list(keys or [])
+    y = F.col(label_col).cast("double")
+    zs = [F.lit(1.0)] + [
+        F.col(c).cast("double") for c in feature_cols
+    ]
+    m = k + 1
+    cond = y.isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    aggs = [F.count(F.when(cond, 1)).cast("double").alias("nn")]
+    for i in range(m):
+        for j in range(i, m):
+            aggs.append(
+                F.sum(F.when(cond, zs[i] * zs[j])).alias(f"g_{i}_{j}")
+            )
+        aggs.append(F.sum(F.when(cond, zs[i] * y)).alias(f"gy_{i}"))
+    gram = df.groupBy(*keys).agg(*aggs)
+    for i in range(1, m):
+        gram = gram.withColumn(
+            f"g_{i}_{i}", F.col(f"g_{i}_{i}") + F.lit(float(l2))
+        )
+    for name, expr in ar_stages(k):
+        gram = gram.withColumn(name, F.expr(expr))
+    return gram.select(
+        *keys,
+        F.col("nn").cast("long").alias("n"),
+        F.col("c_0").alias("intercept"),
+        *[
+            F.col(f"c_{i + 1}").alias(f"coef_{c}")
+            for i, c in enumerate(feature_cols)
+        ],
     )

@@ -142,3 +142,66 @@ class TestMutualInformation:
             mutual_information(df, [], "lab")
         with pytest.raises(ValueError, match="n_bins"):
             mutual_information(df, ["f1"], "lab", n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression (closed form)
+# ---------------------------------------------------------------------------
+
+
+class TestRidgeRegression:
+    def test_matches_numpy_closed_form(self, spark):
+        import numpy as np
+
+        from temporal_retriever_spark.features import ridge_regression
+
+        rows = [
+            (float((i * 7) % 10) / 10.0, float((i * 3) % 5) / 5.0,
+             2.0 + 1.5 * ((i * 7) % 10) / 10.0 - 0.8 * ((i * 3) % 5) / 5.0
+             + ((i * 7919) % 11 - 5) / 50.0)
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+        got = ridge_regression(df, ["x1", "x2"], "y", l2=2.0).collect()[0]
+        X = np.array([[1.0, a, b] for a, b, _ in rows])
+        Y = np.array([y for _, _, y in rows])
+        P = np.diag([0.0, 2.0, 2.0])
+        beta = np.linalg.solve(X.T @ X + P, X.T @ Y)
+        assert got["n"] == 80
+        assert got["intercept"] == pytest.approx(beta[0], rel=1e-9)
+        assert got["coef_x1"] == pytest.approx(beta[1], rel=1e-9)
+        assert got["coef_x2"] == pytest.approx(beta[2], rel=1e-9)
+
+    def test_zero_penalty_is_ols_and_shrinkage(self, spark):
+        from temporal_retriever_spark.features import ridge_regression
+
+        rows = [(float(i) / 20.0, 3.0 * i / 20.0 + 1.0) for i in range(40)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        ols = ridge_regression(df, ["x"], "y", l2=0.0).collect()[0]
+        assert ols["coef_x"] == pytest.approx(3.0, abs=1e-9)
+        assert ols["intercept"] == pytest.approx(1.0, abs=1e-9)
+        reg = ridge_regression(df, ["x"], "y", l2=50.0).collect()[0]
+        assert abs(reg["coef_x"]) < abs(ols["coef_x"])
+
+    def test_keyed_models_and_null_rows_dropped(self, spark):
+        from temporal_retriever_spark.features import ridge_regression
+
+        rows = [("a", float(i), 2.0 * i) for i in range(20)] + [
+            ("b", float(i), -1.0 * i + 5) for i in range(20)
+        ] + [("a", None, 99.0)]
+        df = spark.createDataFrame(rows, "k string, x double, y double")
+        got = {r["k"]: r for r in ridge_regression(
+            df, ["x"], "y", l2=0.0, keys=["k"]
+        ).collect()}
+        assert got["a"]["n"] == 20  # the null-feature row is dropped
+        assert got["a"]["coef_x"] == pytest.approx(2.0, abs=1e-9)
+        assert got["b"]["coef_x"] == pytest.approx(-1.0, abs=1e-9)
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.features import ridge_regression
+
+        df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+        with pytest.raises(ValueError, match="feature_cols"):
+            ridge_regression(df, [], "y")
+        with pytest.raises(ValueError, match="l2"):
+            ridge_regression(df, ["x"], "y", l2=-1.0)
