@@ -5699,6 +5699,103 @@ def _gbt_oracle(
     )
 
 
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embeddings by power iteration
+    (llm.similarity.pca_power): one moment aggregation, driver-side
+    d×d iteration (deterministic all-ones init — the sign is pinned
+    by the arithmetic, which the oracle replays verbatim), codegen'd
+    (x − μ)·v projection. Scores + explained-variance ratio match at
+    6 digits."""
+    from temporal_retriever_spark.llm.similarity import pca_power
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    got = pca_power(emb, iterations=4)
+    return got.select(
+        "vec_id",
+        _r6("pc1").alias("pc1"),
+        _r6("explained_variance_ratio").alias("evr"),
+    ).orderBy("vec_id")
+
+
+def _pca_oracle(dim: int = 64, iters: int = 4) -> str:
+    """DuckDB mirror of q_pca_embeddings: identical moments, μ, C,
+    all-ones-init power iteration unrolled (same accumulation order),
+    v'Cv / tr(C), and the same projection expression order."""
+    import math
+
+    off = repr(_ROUND_OFFSET)
+
+    def xe(i: int) -> str:
+        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
+
+    def c(i: int, j: int) -> str:
+        return f"c_{min(i, j)}_{max(i, j)}"
+
+    mom = ["CAST(COUNT(*) AS DOUBLE) AS nn"]
+    for i in range(dim):
+        mom.append(f"SUM({xe(i)}) AS s_{i}")
+        for j in range(i, dim):
+            mom.append(f"SUM({xe(i)} * {xe(j)}) AS q_{i}_{j}")
+    mu = ", ".join(f"s_{i} / nn AS mu_{i}" for i in range(dim))
+    cdefs = ", ".join(
+        f"q_{i}_{j} / nn - mu_{i} * mu_{j} AS c_{i}_{j}"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    v0 = ", ".join(
+        f"{1.0 / math.sqrt(dim)!r} AS v{i}" for i in range(dim)
+    )
+    ctes = [
+        f"a AS (SELECT {', '.join(mom)} FROM embeddings)",
+        f"m AS MATERIALIZED (SELECT *, {mu} FROM a)",
+        f"cm AS MATERIALIZED (SELECT *, {cdefs} FROM m)",
+        f"vv0 AS (SELECT {v0})",
+    ]
+    for t in range(iters):
+        u = ", ".join(
+            "(0.0 + "
+            + " + ".join(f"{c(i, j)} * v{j}" for j in range(dim))
+            + f") AS u{i}"
+            for i in range(dim)
+        )
+        ctes.append(f"u{t} AS (SELECT {u} FROM cm CROSS JOIN vv{t})")
+        norm = " + ".join(f"u{i} * u{i}" for i in range(dim))
+        ctes.append(
+            f"n{t} AS (SELECT *, sqrt(0.0 + {norm}) AS nrm FROM u{t})"
+        )
+        vv = ", ".join(f"u{i} / nrm AS v{i}" for i in range(dim))
+        ctes.append(f"vv{t + 1} AS (SELECT {vv} FROM n{t})")
+    w = ", ".join(
+        "(0.0 + "
+        + " + ".join(f"{c(i, j)} * v{j}" for j in range(dim))
+        + f") AS w{i}"
+        for i in range(dim)
+    )
+    vlist = ", ".join(f"v{i}" for i in range(dim))
+    ctes.append(
+        f"wv AS (SELECT {w}, {vlist} FROM cm CROSS JOIN vv{iters})"
+    )
+    vcv = " + ".join(f"v{i} * w{i}" for i in range(dim))
+    tr = " + ".join(c(i, i) for i in range(dim))
+    ctes.append(
+        f"ev AS (SELECT (0.0 + {vcv}) / (0.0 + {tr}) AS evr "
+        f"FROM wv CROSS JOIN cm)"
+    )
+    proj = " + ".join(
+        f"({xe(i)} - mu_{i}) * v{i}" for i in range(dim)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT e.vec_id, ROUND(0.0 + {proj} + {off}, 6) AS pc1,
+               ROUND(evr + {off}, 6) AS evr
+        FROM embeddings e CROSS JOIN m CROSS JOIN vv{iters} CROSS JOIN ev
+        ORDER BY e.vec_id
+    """
+    )
+
+
 def q_ridge_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type ridge regression of value on calendar features
     (features.ridge_regression): every key's Gram in ONE aggregation,
@@ -6595,6 +6692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_nations": q_sp_nations,
         "did_click_value": q_did_click_value,
         "ridge_value": q_ridge_value,
+        "pca_embeddings": q_pca_embeddings,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -8733,6 +8831,7 @@ def oracle_sql() -> dict[str, str]:
         "sp_nations": _SP_ORACLE,
         "did_click_value": _DID_ORACLE,
         "ridge_value": _ridge_oracle(l2=1.0),
+        "pca_embeddings": _pca_oracle(dim=64, iters=4),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -854,3 +854,81 @@ def dbscan(
             F.coalesce("_ccl", "_bcl").alias("cluster"),
         )
     )
+
+
+def pca_power(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """First principal component by power iteration — the exact-PCA
+    companion to the JL random projection (score outliers, sort a
+    corpus along its dominant axis, 1-D visualize).
+
+    ONE aggregation collects the d means and d(d+1)/2 second moments
+    (driver state is the d×d covariance — centroid-sized, the same
+    O(small) argument as k-means); the power iteration then runs on
+    the driver in plain floats (deterministic all-ones init, no RNG —
+    the sign is pinned by the arithmetic itself, which the oracle
+    replays verbatim), and scoring is a d-term codegen'd projection
+    ``(x − μ)·v`` per row. Also reports the explained-variance ratio
+    ``v'Cv / tr(C)``. No eigensolver dependency anywhere.
+    """
+    import math as _math
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if not first:
+            raise ValueError("cannot fit on an empty frame")
+        dim = first[0]["d"]
+    x = [
+        F.element_at(F.col(vec_col), i + 1).cast("double")
+        for i in range(dim)
+    ]
+    aggs = [F.count("*").cast("double").alias("nn")]
+    for i in range(dim):
+        aggs.append(F.sum(x[i]).alias(f"s_{i}"))
+        for j in range(i, dim):
+            aggs.append(F.sum(x[i] * x[j]).alias(f"q_{i}_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["nn"]
+    if not n:
+        raise ValueError("cannot fit on an empty frame")
+    mu = [row[f"s_{i}"] / n for i in range(dim)]
+    C = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            cij = row[f"q_{i}_{j}"] / n - mu[i] * mu[j]
+            C[i][j] = C[j][i] = cij
+    v = [1.0 / _math.sqrt(dim)] * dim
+    for _ in range(iterations):
+        u = [0.0] * dim
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + C[i][j] * v[j]
+            u[i] = acc
+        norm = _math.sqrt(sum(t * t for t in u)) or 1.0
+        v = [t / norm for t in u]
+    w = []
+    for i in range(dim):
+        acc = 0.0
+        for j in range(dim):
+            acc = acc + C[i][j] * v[j]
+        w.append(acc)
+    vcv = sum(v[i] * w[i] for i in range(dim))
+    tr = sum(C[i][i] for i in range(dim))
+    evr = vcv / tr if tr else 0.0
+    score = F.lit(0.0)
+    for i in range(dim):
+        score = score + (x[i] - F.lit(mu[i])) * F.lit(v[i])
+    return df.select(
+        F.col(id_col),
+        score.alias("pc1"),
+        F.lit(evr).alias("explained_variance_ratio"),
+    )

@@ -68,3 +68,65 @@ class TestDbscan:
 
         with pytest.raises(ValueError, match="min_pts"):
             dbscan(self._vectors(spark), min_pts=0)
+
+
+# ---------------------------------------------------------------------------
+# PCA top component (power iteration)
+# ---------------------------------------------------------------------------
+
+
+class TestPcaPower:
+    def test_matches_numpy_eigvector(self, spark):
+        import numpy as np
+
+        from temporal_retriever_spark.llm.similarity import pca_power
+
+        # anisotropic cloud: dominant axis along (3, 1, 0)
+        rows = []
+        for i in range(200):
+            t = ((i * 37) % 100 - 50) / 10.0
+            s = ((i * 61) % 100 - 50) / 50.0
+            rows.append((i, [3.0 * t + 0.1 * s, 1.0 * t - 0.3 * s, 0.05 * s]))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        got = pca_power(df, iterations=30).collect()
+        X = np.array([v for _, v in rows])
+        Xc = X - X.mean(axis=0)
+        C = (X.T @ X) / len(X) - np.outer(X.mean(axis=0), X.mean(axis=0))
+        evals, evecs = np.linalg.eigh(C)
+        top = evecs[:, -1]
+        scores_np = Xc @ top
+        by = {r["vec_id"]: r for r in got}
+        got_scores = np.array([by[i]["pc1"] for i, _ in rows])
+        # sign is arbitrary between the two methods: align then compare
+        if np.dot(got_scores, scores_np) < 0:
+            scores_np = -scores_np
+        assert np.allclose(got_scores, scores_np, atol=1e-6)
+        evr = by[0]["explained_variance_ratio"]
+        assert evr == pytest.approx(evals[-1] / evals.sum(), rel=1e-9)
+        assert evr > 0.95  # the cloud really is 1-dimensional-ish
+
+    def test_centered_scores_mean_zero(self, spark):
+        from temporal_retriever_spark.llm.similarity import pca_power
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(70)],
+            "vec_id long, embedding array<float>",
+        )
+        got = pca_power(df, iterations=15)
+        m = got.agg(F.avg("pc1")).collect()[0][0]
+        assert abs(m) < 1e-9
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.llm.similarity import pca_power
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="iterations"):
+            pca_power(df, iterations=0)
+        with pytest.raises(ValueError, match="empty"):
+            pca_power(df.filter("vec_id > 5"))
