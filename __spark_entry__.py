@@ -5699,6 +5699,108 @@ def _gbt_oracle(
     )
 
 
+def q_huber_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Huber robust regression of value on calendar
+    features (features.huber_regression): IRLS — ridge round 0, then
+    reweight w = min(1, δ/|r|) and re-solve, one aggregation per
+    round. The oracle chains the identical weighted Grams and stage
+    strings per round."""
+    from temporal_retriever_spark.features import huber_regression
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("date")).cast("double") / F.lit(7.0)).alias("x0"),
+        (F.hour("ts").cast("double") / F.lit(24.0)).alias("x1"),
+        F.col("value").alias("y"),
+    )
+    got = huber_regression(
+        ev, ["x0", "x1"], "y", delta=10.0, iterations=3, keys=["event_type"]
+    )
+    return got.select(
+        "event_type",
+        "n",
+        _r6("intercept").alias("intercept"),
+        _r6("coef_x0").alias("coef_x0"),
+        _r6("coef_x1").alias("coef_x1"),
+    ).orderBy("event_type")
+
+
+def _huber_oracle(delta: float = 10.0, iterations: int = 3) -> str:
+    """DuckDB mirror of q_huber_value: round-0 plain Gram solve, then
+    per round the coefficient join-back, w = min(1, δ/|r|), weighted
+    Gram, and the SAME ar_stages(2) strings."""
+    from temporal_retriever_spark.forecast import ar_stages
+
+    d = repr(float(delta))
+    zs = ["1.0", "x0", "x1"]
+
+    def gram(wexpr: str) -> str:
+        parts = ["CAST(COUNT(*) AS DOUBLE) AS nn"]
+        for i in range(3):
+            for j in range(i, 3):
+                parts.append(
+                    f"SUM({wexpr} * {zs[i]} * {zs[j]}) AS g_{i}_{j}"
+                )
+            parts.append(f"SUM({wexpr} * {zs[i]} * y) AS gy_{i}")
+        return ", ".join(parts)
+
+    def stages(prefix: str, src: str) -> tuple[list[str], str]:
+        out, prev = [], src
+        for idx, (name, expr) in enumerate(ar_stages(2)):
+            cte = f"{prefix}{idx}"
+            out.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+            prev = cte
+        return out, prev
+
+    ctes = [
+        """f AS MATERIALIZED (
+            SELECT event_type,
+                   (dayofweek(CAST(ts AS DATE)) + 1) / 7.0 AS x0,
+                   hour(ts) / 24.0 AS x1,
+                   value AS y
+            FROM events
+        )""",
+        f"a0 AS (SELECT event_type, {gram('1.0')} FROM f GROUP BY 1)",
+    ]
+    st, prev = stages("s0_", "a0")
+    ctes += st
+    ctes.append(
+        f"co0 AS (SELECT event_type, nn, c_0 AS b0, c_1 AS b1, "
+        f"c_2 AS b2 FROM {prev})"
+    )
+    for t in range(1, iterations):
+        ctes.append(
+            f"r{t} AS (SELECT f.*, "
+            f"ABS(f.y - (b0 + b1 * x0 + b2 * x1)) AS ar "
+            f"FROM f JOIN co{t - 1} USING (event_type))"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT *, CASE WHEN ar <= {d} THEN 1.0 "
+            f"ELSE {d} / ar END AS w FROM r{t})"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT event_type, {gram('w')} "
+            f"FROM w{t} GROUP BY 1)"
+        )
+        st, prev = stages(f"s{t}_", f"a{t}")
+        ctes += st
+        ctes.append(
+            f"co{t} AS (SELECT event_type, nn, c_0 AS b0, c_1 AS b1, "
+            f"c_2 AS b2 FROM {prev})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT event_type, CAST(nn AS BIGINT) AS n,
+               {_sql_r6("b0")} AS intercept,
+               {_sql_r6("b1")} AS coef_x0,
+               {_sql_r6("b2")} AS coef_x1
+        FROM co{iterations - 1} ORDER BY event_type
+    """
+    )
+
+
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First principal component of the embeddings by power iteration
     (llm.similarity.pca_power): one moment aggregation, driver-side
@@ -6693,6 +6795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_click_value": q_did_click_value,
         "ridge_value": q_ridge_value,
         "pca_embeddings": q_pca_embeddings,
+        "huber_value": q_huber_value,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -8832,6 +8935,7 @@ def oracle_sql() -> dict[str, str]:
         "did_click_value": _DID_ORACLE,
         "ridge_value": _ridge_oracle(l2=1.0),
         "pca_embeddings": _pca_oracle(dim=64, iters=4),
+        "huber_value": _huber_oracle(delta=10.0, iterations=3),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

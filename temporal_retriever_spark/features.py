@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["make_lag_features", "mutual_information", "ridge_regression", "target_encode"]
+__all__ = ["huber_regression", "make_lag_features", "mutual_information", "ridge_regression", "target_encode"]
 
 
 def make_lag_features(
@@ -263,6 +263,100 @@ def ridge_regression(
         F.col("c_0").alias("intercept"),
         *[
             F.col(f"c_{i + 1}").alias(f"coef_{c}")
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+
+
+def huber_regression(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    delta: float = 1.345,
+    iterations: int = 3,
+    l2: float = 0.0,
+    keys: Iterable[str] | None = None,
+) -> DataFrame:
+    """Huber-loss robust regression by IRLS (Huber 1964) — the
+    outlier-resistant member of the regression family: squared loss
+    inside ``delta``, absolute loss outside, so a few wild rows can't
+    drag the fit the way they drag OLS/ridge.
+
+    Round 0 is the plain (ridge) solve; each following round joins
+    the key-sized coefficient table back (broadcast), reweights rows
+    ``w = min(1, δ/|r|)``, and re-solves the WEIGHTED normal
+    equations — one aggregation per round, the shared staged-Cholesky
+    strings, per-key models in the same shuffle. Fixed ``iterations``
+    (IRLS contracts fast; 3 is the practical default), deterministic,
+    oracle-replayable. Returns (keys…, n, intercept, coef_<f>…).
+    """
+    from temporal_retriever_spark.forecast import ar_stages
+
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("feature_cols must be non-empty")
+    if delta <= 0:
+        raise ValueError(f"delta must be > 0, got {delta}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if l2 < 0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
+    keys = list(keys or [])
+    y = F.col(label_col).cast("double")
+    zs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    m = k + 1
+    cond = y.isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        *keys, y.alias("_y"),
+        *[F.col(c).cast("double").alias(f"_x{i}") for i, c in enumerate(feature_cols)],
+    )
+    xs = [F.lit(1.0)] + [F.col(f"_x{i}") for i in range(k)]
+
+    def solve(weight: Column) -> DataFrame:
+        aggs = [F.count("*").cast("double").alias("nn")]
+        for i in range(m):
+            for j in range(i, m):
+                aggs.append(
+                    F.sum(weight * xs[i] * xs[j]).alias(f"g_{i}_{j}")
+                )
+            aggs.append(F.sum(weight * xs[i] * F.col("_y")).alias(f"gy_{i}"))
+        gram = cur.groupBy(*keys) .agg(*aggs) if keys else cur.groupBy().agg(*aggs)
+        for i in range(1, m):
+            gram = gram.withColumn(
+                f"g_{i}_{i}", F.col(f"g_{i}_{i}") + F.lit(float(l2))
+            )
+        for name, expr in ar_stages(k):
+            gram = gram.withColumn(name, F.expr(expr))
+        return gram.select(
+            *keys, "nn", *[F.col(f"c_{i}").alias(f"_b{i}") for i in range(m)]
+        )
+
+    cur = base
+    coef = solve(F.lit(1.0))
+    for _ in range(iterations - 1):
+        joined = (
+            base.join(F.broadcast(coef), on=keys)
+            if keys
+            else base.crossJoin(F.broadcast(coef))
+        )
+        pred = F.col("_b0")
+        for i in range(k):
+            pred = pred + F.col(f"_b{i + 1}") * F.col(f"_x{i}")
+        r = F.abs(F.col("_y") - pred)
+        w = F.when(r <= F.lit(float(delta)), F.lit(1.0)).otherwise(
+            F.lit(float(delta)) / r
+        )
+        cur = joined.withColumn("_w", w)
+        coef = solve(F.col("_w"))
+    return coef.select(
+        *keys,
+        F.col("nn").cast("long").alias("n"),
+        F.col("_b0").alias("intercept"),
+        *[
+            F.col(f"_b{i + 1}").alias(f"coef_{c}")
             for i, c in enumerate(feature_cols)
         ],
     )

@@ -205,3 +205,62 @@ class TestRidgeRegression:
             ridge_regression(df, [], "y")
         with pytest.raises(ValueError, match="l2"):
             ridge_regression(df, ["x"], "y", l2=-1.0)
+
+
+class TestHuberRegression:
+    def _rows(self):
+        rows = [(float(i) / 20.0, 2.0 * i / 20.0 + 1.0) for i in range(40)]
+        rows += [(0.5, 500.0), (0.6, -400.0)]  # wild outliers
+        return rows
+
+    def _irls_ref(self, rows, delta, iters, l2=0.0):
+        import numpy as np
+
+        X = np.array([[1.0, x] for x, _ in rows])
+        Y = np.array([y for _, y in rows])
+        P = np.diag([0.0, l2])
+        beta = np.linalg.solve(X.T @ X + P, X.T @ Y)
+        for _ in range(iters - 1):
+            r = np.abs(Y - X @ beta)
+            w = np.where(r <= delta, 1.0, delta / r)
+            beta = np.linalg.solve(
+                (X.T * w) @ X + P, (X.T * w) @ Y
+            )
+        return beta
+
+    def test_matches_irls_reference_and_resists_outliers(self, spark):
+        from temporal_retriever_spark.features import (
+            huber_regression,
+            ridge_regression,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = huber_regression(df, ["x"], "y", delta=1.0, iterations=3).collect()[0]
+        ref = self._irls_ref(rows, delta=1.0, iters=3)
+        assert got["intercept"] == pytest.approx(ref[0], rel=1e-9)
+        assert got["coef_x"] == pytest.approx(ref[1], rel=1e-9)
+        ols = ridge_regression(df, ["x"], "y", l2=0.0).collect()[0]
+        # the outliers wreck OLS but barely move Huber
+        assert abs(ols["coef_x"] - 2.0) > 4.0
+        assert abs(got["coef_x"] - 2.0) < 2.0
+
+    def test_single_iteration_is_ols(self, spark):
+        from temporal_retriever_spark.features import (
+            huber_regression,
+            ridge_regression,
+        )
+
+        df = spark.createDataFrame(self._rows(), "x double, y double")
+        h1 = huber_regression(df, ["x"], "y", iterations=1).collect()[0]
+        ols = ridge_regression(df, ["x"], "y", l2=0.0).collect()[0]
+        assert h1["coef_x"] == pytest.approx(ols["coef_x"], rel=1e-12)
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.features import huber_regression
+
+        df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+        with pytest.raises(ValueError, match="delta"):
+            huber_regression(df, ["x"], "y", delta=0.0)
+        with pytest.raises(ValueError, match="iterations"):
+            huber_regression(df, ["x"], "y", iterations=0)
