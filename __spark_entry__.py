@@ -5699,6 +5699,75 @@ def _gbt_oracle(
     )
 
 
+def q_forecast_arima_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3i: ARIMA(2,1,1) — difference once, Hannan–Rissanen ARMA on
+    the changes, integrate back with strict NULL propagation
+    (forecast.forecast_arima). The oracle nests the differenced
+    series through the same ARMA strings and replays the masked
+    cumulative-sum integration."""
+    from temporal_retriever_spark.forecast import forecast_arima
+
+    got = forecast_arima(
+        _events_daily_all(spark, sf_dir).withColumnRenamed(
+            "event_type", "series_id"
+        ),
+        p=2,
+        d=1,
+        q=1,
+        horizon=10,
+    )
+    return got.select(
+        F.col("series_id").alias("event_type"), "ds", _r6("yhat").alias("yhat")
+    )
+
+
+def _arima_oracle(
+    series_sql: str,
+    p: int = 2,
+    q: int = 1,
+    horizon: int = 10,
+    sid: str = "event_type",
+) -> str:
+    """DuckDB mirror of forecast_arima (d=1): first-difference the
+    series, run the unrounded ARMA oracle on it as a nested WITH,
+    then integrate — last level + masked running sum of Δŷ."""
+    inner = _arma_oracle(
+        f"SELECT {sid}, ds, y FROM dif WHERE y IS NOT NULL",
+        p=p,
+        q=q,
+        horizon=horizon,
+        sid=sid,
+        rounded=False,
+    )
+    return f"""
+        WITH s0 AS ({series_sql}),
+        dif AS (
+            SELECT {sid}, ds,
+                   y - LAG(y) OVER (PARTITION BY {sid} ORDER BY ds) AS y
+            FROM (SELECT * FROM s0 WHERE y IS NOT NULL)
+        ),
+        arma AS ({inner}),
+        ly AS (SELECT {sid}, arg_max(y, ds) AS y_last
+               FROM s0 WHERE y IS NOT NULL GROUP BY 1),
+        ic AS (
+            SELECT a.{sid}, a.ds,
+                   SUM(CASE WHEN a.yhat IS NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY a.{sid} ORDER BY a.ds
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS nbad,
+                   SUM(a.yhat)
+                       OVER (PARTITION BY a.{sid} ORDER BY a.ds
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS csum
+            FROM arma a
+        )
+        SELECT ic.{sid}, ic.ds,
+               {_sql_r6("CASE WHEN nbad > 0 THEN NULL ELSE ly.y_last + csum END")}
+                   AS yhat
+        FROM ic JOIN ly USING ({sid})
+    """
+
+
 def q_huber_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Huber robust regression of value on calendar
     features (features.huber_regression): IRLS — ridge round 0, then
@@ -6796,6 +6865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ridge_value": q_ridge_value,
         "pca_embeddings": q_pca_embeddings,
         "huber_value": q_huber_value,
+        "forecast_arima_daily": q_forecast_arima_daily,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -7394,6 +7464,7 @@ def _arma_oracle(
     q: int = 1,
     horizon: int = 10,
     sid: str = "event_type",
+    rounded: bool = True,
 ) -> str:
     """SQL mirror of forecast.forecast_arma: stage-1 long-AR gram +
     ar_stages(P) strings, per-row residuals under those coefficients,
@@ -7457,9 +7528,12 @@ def _arma_oracle(
         cte = f"sb{idx}"
         stB.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev_b})")
         prev_b = cte
+    def _emit(h: int) -> str:
+        raw = f"CASE WHEN isnan(f_{h}) THEN NULL ELSE f_{h} END"
+        return _sql_r6(raw) if rounded else f"({raw})"
+
     unions = " UNION ALL ".join(
-        f"SELECT {sid}, max_ds + {h} AS ds, "
-        f"{_sql_r6(f'CASE WHEN isnan(f_{h}) THEN NULL ELSE f_{h} END')} AS yhat "
+        f"SELECT {sid}, max_ds + {h} AS ds, {_emit(h)} AS yhat "
         f"FROM {prev_b}"
         for h in range(1, horizon + 1)
     )
@@ -8936,6 +9010,9 @@ def oracle_sql() -> dict[str, str]:
         "ridge_value": _ridge_oracle(l2=1.0),
         "pca_embeddings": _pca_oracle(dim=64, iters=4),
         "huber_value": _huber_oracle(delta=10.0, iterations=3),
+        "forecast_arima_daily": _arima_oracle(
+            _EVENTS_DAILY, p=2, q=1, horizon=10
+        ),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -1574,3 +1574,80 @@ def forecast_arma(
         F.date_add(F.col("_max_ds"), F.col("_e.h")).alias(ds_col),
         F.when(~F.isnan(yhat), yhat).alias("yhat"),
     )
+
+
+def forecast_arima(
+    df: DataFrame,
+    *,
+    p: int = 2,
+    d: int = 1,
+    q: int = 1,
+    ar_order: int | None = None,
+    horizon: int = 14,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+) -> DataFrame:
+    """ARIMA(p, d, q) for d ∈ {0, 1}: difference once, fit the ARMA by
+    Hannan–Rissanen (:func:`forecast_arma`), integrate the forecasts
+    back — the complete Box–Jenkins recipe for trending series whose
+    LEVEL is non-stationary but whose changes are ARMA (d ≥ 2 is out
+    of honest scope — double integration amplifies noise and the ADF
+    test in ``diagnostics`` should decide d anyway).
+
+    Integration is one per-series ordered window: yhat_h = y_n +
+    Σ_{i≤h} Δŷ_i, with strict NULL propagation (a rank-deficient Δŷ
+    poisons every later horizon, matching the recursion's semantics —
+    Spark's SUM would silently skip the NULL otherwise). All native;
+    the oracle composes the differenced-series SQL through the same
+    ARMA strings and the same masked cumulative sum.
+    """
+    if d not in (0, 1):
+        raise ValueError(f"d must be 0 or 1, got {d}")
+    series_cols = list(series_cols)
+    if d == 0:
+        return forecast_arma(
+            df,
+            p=p,
+            q=q,
+            ar_order=ar_order,
+            horizon=horizon,
+            series_cols=series_cols,
+            ds_col=ds_col,
+            y_col=y_col,
+        )
+    y = F.col(y_col).cast("double")
+    base = df.filter(y.isNotNull())
+    ws = Window.partitionBy(*series_cols).orderBy(ds_col)
+    diffed = base.select(
+        *series_cols,
+        F.col(ds_col).alias(ds_col),
+        (y - F.lag(y, 1).over(ws)).alias(y_col),
+    )
+    fc = forecast_arma(
+        diffed,
+        p=p,
+        q=q,
+        ar_order=ar_order,
+        horizon=horizon,
+        series_cols=series_cols,
+        ds_col=ds_col,
+        y_col=y_col,
+    )
+    last = base.groupBy(*series_cols).agg(
+        F.expr(f"max_by({y_col}, {ds_col})").cast("double").alias("_y_last")
+    )
+    wcum = Window.partitionBy(*series_cols).orderBy(ds_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = fc.join(last, on=series_cols).select(
+        *series_cols,
+        ds_col,
+        F.when(
+            F.sum(F.col("yhat").isNull().cast("int")).over(wcum) > 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.col("_y_last") + F.sum("yhat").over(wcum))
+        .alias("yhat"),
+    )
+    return out

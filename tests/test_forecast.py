@@ -575,3 +575,77 @@ class TestForecastArma:
             forecast_arma(df, q=0)
         with pytest.raises(ValueError, match="ar_order"):
             forecast_arma(df, p=3, q=3, ar_order=2)
+
+
+class TestForecastArima:
+    def test_d1_matches_difference_then_integrate(self, spark):
+        from temporal_retriever_spark.forecast import (
+            forecast_arima,
+            forecast_arma,
+        )
+
+        ys = [10.0]
+        for t in range(1, 120):
+            shock = ((t * 7919) % 13 - 6) / 10.0
+            ys.append(ys[-1] + 0.8 + 0.4 * ((t % 7) - 3) / 3.0 + shock)
+        base = datetime.date(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("s", base + datetime.timedelta(days=i), v) for i, v in enumerate(ys)],
+            "series_id string, ds date, y double",
+        )
+        got = {
+            r["ds"]: r["yhat"]
+            for r in forecast_arima(df, p=2, d=1, q=1, horizon=6).collect()
+        }
+        # manual composition: diff -> arma -> cumsum + last value
+        dif = [
+            ("s", base + datetime.timedelta(days=i), ys[i] - ys[i - 1])
+            for i in range(1, len(ys))
+        ]
+        ddf = spark.createDataFrame(dif, "series_id string, ds date, y double")
+        fc = sorted(
+            forecast_arma(ddf, p=2, q=1, horizon=6).collect(),
+            key=lambda r: r["ds"],
+        )
+        acc = ys[-1]
+        for r in fc:
+            acc += r["yhat"]
+            assert got[r["ds"]] == pytest.approx(acc, rel=1e-12)
+
+    def test_trending_series_forecast_continues_trend(self, spark):
+        from temporal_retriever_spark.forecast import forecast_arima
+
+        base = datetime.date(2024, 1, 1)
+        ys = [5.0 + 2.0 * i + ((i * 31) % 7 - 3) / 10.0 for i in range(90)]
+        df = spark.createDataFrame(
+            [("s", base + datetime.timedelta(days=i), v) for i, v in enumerate(ys)],
+            "series_id string, ds date, y double",
+        )
+        rows = sorted(
+            forecast_arima(df, p=1, d=1, q=1, horizon=5).collect(),
+            key=lambda r: r["ds"],
+        )
+        assert len(rows) == 5
+        for h, r in enumerate(rows, start=1):
+            assert r["yhat"] == pytest.approx(ys[-1] + 2.0 * h, abs=1.5)
+
+    def test_d0_is_arma_and_validation(self, spark):
+        from temporal_retriever_spark.forecast import (
+            forecast_arima,
+            forecast_arma,
+        )
+
+        base = datetime.date(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("s", base + datetime.timedelta(days=i),
+                 float((i * 13) % 17))
+                for i in range(60)
+            ],
+            "series_id string, ds date, y double",
+        )
+        a = sorted(forecast_arima(df, p=2, d=0, q=1, horizon=4).collect())
+        b = sorted(forecast_arma(df, p=2, q=1, horizon=4).collect())
+        assert a == b
+        with pytest.raises(ValueError, match="d must"):
+            forecast_arima(df, d=2)
