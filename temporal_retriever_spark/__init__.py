@@ -56,6 +56,7 @@ from temporal_retriever_spark.diagnostics import (
 )
 from temporal_retriever_spark.forecast import (
     fit_changepoint_trend,
+    forecast_arima,
     forecast_arma,
     forecast_changepoint,
     forecast_exponential_smoothing,
@@ -154,6 +155,7 @@ __all__ = [
     "check_constraints",
     "chi2_independence",
     "fdr_bh",
+    "forecast_arima",
     "forecast_arma",
     "cohort_retention",
     "completeness",
