@@ -120,8 +120,11 @@ from temporal_retriever_spark.graph import (
 )
 from temporal_retriever_spark.history import scd2_history, snapshot_at
 from temporal_retriever_spark.tree import (
+    ForestModel,
     GBTModel,
     TreeModel,
+    forest_apply,
+    forest_train,
     gbt_apply,
     gbt_train,
     tree_apply,
@@ -137,9 +140,29 @@ from temporal_retriever_spark.quality import (
     uniqueness,
 )
 from temporal_retriever_spark.impute import impute
-from temporal_retriever_spark.features import make_lag_features, target_encode
+from temporal_retriever_spark.features import (
+    huber_regression,
+    make_lag_features,
+    mutual_information,
+    ridge_regression,
+    target_encode,
+)
+from temporal_retriever_spark.survival import (
+    cox_ph,
+    kaplan_meier,
+    median_survival,
+    user_lifetimes,
+)
+from temporal_retriever_spark.evaluation import (
+    calibration_bins,
+    classification_metrics,
+    forecast_accuracy,
+    isotonic_calibration,
+)
 from temporal_retriever_spark.inference import (
     chi2_independence,
+    diff_in_diff,
+    propensity_att,
     fdr_bh,
     js_divergence,
     ks_2sample,
@@ -174,8 +197,23 @@ __all__ = [
     "impute",
     "js_divergence",
     "ks_2sample",
+    "calibration_bins",
+    "classification_metrics",
+    "cox_ph",
+    "diff_in_diff",
+    "forecast_accuracy",
+    "forest_apply",
+    "forest_train",
+    "huber_regression",
+    "isotonic_calibration",
+    "kaplan_meier",
     "make_lag_features",
     "mann_whitney_u",
+    "median_survival",
+    "mutual_information",
+    "propensity_att",
+    "ridge_regression",
+    "user_lifetimes",
     "non_negative",
     "pagerank",
     "prop_ztest",
