@@ -103,6 +103,7 @@ from temporal_retriever_spark.statespace import (
     kalman_forecast,
     kalman_local_level,
 )
+from temporal_retriever_spark.basket import association_rules, frequent_itemsets
 from temporal_retriever_spark.segmentation import binseg_changepoints, segment_means
 from temporal_retriever_spark.fuzzy import fuzzy_join, qgrams_expr
 from temporal_retriever_spark.funnel import (
@@ -184,6 +185,8 @@ __all__ = [
     "completeness",
     "connected_components",
     "contained_in",
+    "association_rules",
+    "frequent_itemsets",
     "fuzzy_join",
     "funnel",
     "funnel_summary",
