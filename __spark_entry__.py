@@ -6789,6 +6789,75 @@ ORDER BY antecedent, consequent
 """
 
 
+def q_anova_value_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of value across ALL five event types per weekday
+    (inference.anova_oneway) — the parametric sibling of the
+    kw_value_event_dow rank test; groups=5 pins the exact F(4, N-5)
+    p via the even-d1 two-term finite series, mirrored closed-form in
+    the oracle."""
+    from temporal_retriever_spark.inference import anova_oneway
+
+    ev = _events_long(spark, sf_dir).select(
+        F.dayofweek("ds").alias("dow"), "event_type", "y"
+    )
+    got = anova_oneway(ev, "y", "event_type", keys=["dow"], groups=5)
+    return got.select(
+        "dow",
+        "n",
+        "k_groups",
+        _r6("f_stat").alias("f_stat"),
+        "df_num",
+        "df_den",
+        _r6("eta_sq").alias("eta_sq"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+_ANOVA_ORACLE = f"""
+WITH base AS (
+  SELECT dayofweek(ts) + 1 AS dow, event_type AS g,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+pg AS (
+  SELECT dow, g, CAST(COUNT(*) AS DOUBLE) AS ng,
+         SUM(v) AS sg, SUM(v * v) AS qg
+  FROM base GROUP BY 1, 2
+),
+ag AS (
+  SELECT dow, CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS INTEGER) AS k_groups,
+         SUM(sg) AS s, SUM(qg) AS q, SUM(sg * sg / ng) AS b
+  FROM pg GROUP BY 1
+),
+st AS (
+  SELECT dow, n, k_groups,
+         b - s * s / CAST(n AS DOUBLE) AS ssb,
+         q - b AS ssw,
+         CAST(n AS DOUBLE) AS nd, CAST(k_groups AS DOUBLE) AS kd
+  FROM ag
+),
+f AS (
+  SELECT dow, n, k_groups,
+         (ssb / (kd - 1.0)) / (ssw / (nd - kd)) AS fstat,
+         ssb / (ssb + ssw) AS eta,
+         nd - kd AS d2
+  FROM st
+),
+px AS (
+  SELECT *, d2 / (d2 + 4.0 * fstat) AS x FROM f
+)
+SELECT dow, n, k_groups,
+       {_sql_r6("fstat")} AS f_stat,
+       CAST(k_groups - 1 AS INTEGER) AS df_num,
+       CAST(n - k_groups AS BIGINT) AS df_den,
+       {_sql_r6("eta")} AS eta_sq,
+       {_sql_r6("power(x, d2 / 2.0) * (1.0 + (d2 / 2.0) * (1.0 - x))")}
+           AS p_value
+FROM px
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -6942,6 +7011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huber_value": q_huber_value,
         "forecast_arima_daily": q_forecast_arima_daily,
         "assoc_rules_brands": q_assoc_rules_brands,
+        "anova_value_event_dow": q_anova_value_event_dow,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9090,6 +9160,7 @@ def oracle_sql() -> dict[str, str]:
             _EVENTS_DAILY, p=2, q=1, horizon=10
         ),
         "assoc_rules_brands": _ASSOC_RULES_ORACLE,
+        "anova_value_event_dow": _ANOVA_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

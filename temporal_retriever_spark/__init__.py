@@ -161,6 +161,7 @@ from temporal_retriever_spark.evaluation import (
     isotonic_calibration,
 )
 from temporal_retriever_spark.inference import (
+    anova_oneway,
     chi2_independence,
     diff_in_diff,
     propensity_att,
@@ -185,6 +186,7 @@ __all__ = [
     "completeness",
     "connected_components",
     "contained_in",
+    "anova_oneway",
     "association_rules",
     "frequent_itemsets",
     "fuzzy_join",

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "anova_oneway",
     "diff_in_diff",
     "propensity_att",
     "bootstrap_ci",
@@ -733,6 +734,88 @@ def kruskal_wallis(
         )
     return out.withColumn(
         "p_value", F.when(F.col("h_stat").isNotNull(), p)
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    keys: list[str] | None = None,
+    groups: int | None = None,
+) -> DataFrame:
+    """One-way ANOVA F-test — the parametric sibling of
+    `kruskal_wallis`, TWO map-side-combined aggregations at any scale.
+
+    Stage 1 collapses to per-(key, group) moments (n, Σy, Σy²) — one
+    shuffle sized by key×group cardinality; stage 2 reduces the
+    between/within sums of squares per key:
+
+        SSB = Σ_g (Σy_g)²/n_g − G²/N        SSW = Σ_g Σy²_g − Σ_g (Σy_g)²/n_g
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    ``eta_sq = SSB/(SSB+SSW)`` is the effect size (share of variance
+    explained by the grouping). The exact F(k−1, N−k) p-value needs
+    the numerator dof at BUILD time (the same finite-series contract
+    as `diagnostics.f_sf_expr`): pass ``groups`` (the known group
+    count, asserted against the data like `kruskal_wallis`) to get it;
+    without ``groups`` the p_value column is NULL and callers read
+    ``f_stat``/dofs directly. F is NULL when k < 2, N ≤ k, or SSW = 0
+    (the statistic is undefined, not "significant").
+
+    Output per key: ``n, k_groups, f_stat, df_num, df_den, eta_sq,
+    p_value``.
+    """
+    keys = list(keys or [])
+    v = F.col(value_col).cast("double")
+    per_g = (
+        df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(*keys, F.col(group_col).alias("_g"))
+        .agg(
+            F.count("*").cast("double").alias("_ng"),
+            F.sum(v).alias("_sg"),
+            F.sum(v * v).alias("_qg"),
+        )
+    )
+    agg = per_g.groupBy(*keys).agg(
+        F.sum("_ng").cast("long").alias("n"),
+        F.count("*").cast("int").alias("k_groups"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_qg").alias("_q"),
+        F.sum(F.col("_sg") * F.col("_sg") / F.col("_ng")).alias("_b"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k_groups").cast("double")
+    ssb = F.col("_b") - F.col("_s") * F.col("_s") / n
+    ssw = F.col("_q") - F.col("_b")
+    ok = (k >= 2) & (n > k) & (ssw > 0)
+    f_stat = F.when(ok, (ssb / (k - 1.0)) / (ssw / (n - k)))
+    eta = F.when(ok, ssb / (ssb + ssw))
+    out = agg.select(
+        *keys,
+        "n",
+        "k_groups",
+        f_stat.alias("f_stat"),
+        (F.col("k_groups") - 1).cast("int").alias("df_num"),
+        (F.col("n") - F.col("k_groups")).cast("long").alias("df_den"),
+        eta.alias("eta_sq"),
+    )
+    if groups is not None:
+        from temporal_retriever_spark.diagnostics import f_sf_expr
+
+        p = F.when(
+            F.col("df_num") == int(groups) - 1,
+            f_sf_expr(F.col("f_stat"), int(groups) - 1, F.col("df_den")),
+        ).otherwise(
+            F.assert_true(F.lit(False), F.lit("group count mismatch")).cast(
+                "double"
+            )
+        )
+    else:
+        p = F.lit(None).cast("double")
+    return out.withColumn(
+        "p_value", F.when(F.col("f_stat").isNotNull(), p)
     )
 
 

@@ -862,3 +862,95 @@ class TestDiffInDiff:
         ).collect()[0]
         assert abs(r["did"]) < 3 * r["se"]
         assert r["p_value"] > 0.01
+
+
+from temporal_retriever_spark.inference import anova_oneway
+from temporal_retriever_spark.stats import f_sf
+
+
+def _naive_anova(rows):
+    """Textbook one-way ANOVA from (group, value) tuples."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, v in rows:
+        by[g].append(v)
+    N = sum(len(v) for v in by.values())
+    k = len(by)
+    grand = sum(sum(v) for v in by.values()) / N
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in by.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in by.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return f, ssb / (ssb + ssw), k, N
+
+
+class TestAnovaOneway:
+    def test_matches_textbook_computation(self, spark):
+        rng = random.Random(7)
+        rows = (
+            [("a", rng.gauss(0.0, 1.0)) for _ in range(50)]
+            + [("b", rng.gauss(0.8, 1.0)) for _ in range(40)]
+            + [("c", rng.gauss(-0.5, 1.3)) for _ in range(60)]
+        )
+        df = spark.createDataFrame(rows, "grp string, v double")
+        row = anova_oneway(df, "v", "grp", groups=3).collect()[0]
+        f_ref, eta_ref, k, n = _naive_anova(rows)
+        assert row["k_groups"] == k and row["n"] == n
+        assert row["df_num"] == k - 1 and row["df_den"] == n - k
+        assert math.isclose(row["f_stat"], f_ref, rel_tol=1e-9)
+        assert math.isclose(row["eta_sq"], eta_ref, rel_tol=1e-9)
+        assert math.isclose(
+            row["p_value"], f_sf(f_ref, k - 1, n - k), rel_tol=1e-9
+        )
+
+    def test_null_effect_high_p(self, spark):
+        rng = random.Random(13)
+        rows = [
+            (g, rng.gauss(5.0, 2.0))
+            for g in ("a", "b", "c", "d")
+            for _ in range(100)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        row = anova_oneway(df, "v", "grp", groups=4).collect()[0]
+        assert row["p_value"] > 0.01
+        assert row["eta_sq"] < 0.05
+
+    def test_planted_effect_low_p(self, spark):
+        rng = random.Random(13)
+        rows = [
+            (g, rng.gauss(mu, 1.0))
+            for g, mu in (("a", 0.0), ("b", 2.0), ("c", 4.0))
+            for _ in range(50)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        row = anova_oneway(df, "v", "grp", groups=3).collect()[0]
+        assert row["p_value"] < 1e-9
+        assert row["eta_sq"] > 0.5
+
+    def test_without_groups_p_is_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 5.0)],
+            "grp string, v double",
+        )
+        row = anova_oneway(df, "v", "grp").collect()[0]
+        assert row["f_stat"] is not None and row["p_value"] is None
+
+    def test_zero_within_variance_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0)] * 3 + [("b", 2.0)] * 3, "grp string, v double"
+        )
+        row = anova_oneway(df, "v", "grp").collect()[0]
+        assert row["f_stat"] is None and row["p_value"] is None
+
+    def test_keyed_and_mismatch(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (1, "a", 2.0), (1, "b", 4.0), (1, "b", 7.0),
+             (2, "a", 0.0), (2, "a", 1.0), (2, "b", 1.0), (2, "b", 2.0)],
+            "k int, grp string, v double",
+        )
+        rows = anova_oneway(df, "v", "grp", keys=["k"]).collect()
+        assert {r["k"] for r in rows} == {1, 2}
+        with pytest.raises(Exception, match="group count mismatch"):
+            anova_oneway(df, "v", "grp", groups=3).collect()
