@@ -6858,6 +6858,86 @@ FROM px
 """
 
 
+def q_logrank_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test: do click-activity and view-activity
+    user lifetimes share one survival curve? Same 7-day-churn
+    lifetimes as km_survival, then the hypergeometric-moments
+    statistic over the pooled distinct-duration risk sets with the
+    exact dof-1 chi-square closed form (survival.logrank_test); the
+    oracle replays the risk-set windows and the identical
+    chi2_sf_sql string."""
+    from temporal_retriever_spark.survival import logrank_test, user_lifetimes
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    lt = user_lifetimes(ev, churn_gap_days=7.0, segment_cols=["event_type"])
+    got = logrank_test(
+        lt, group_col="event_type", group_a="click", group_b="view"
+    )
+    return got.select(
+        "n_a",
+        "n_b",
+        "observed_a",
+        _r6("expected_a").alias("expected_a"),
+        _r6("chi2_stat").alias("chi2_stat"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+def _logrank_oracle() -> str:
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    return f"""
+WITH lt AS (
+    SELECT user_id, event_type, MIN(ts) AS f, MAX(ts) AS l
+    FROM events GROUP BY user_id, event_type
+),
+obs AS (SELECT MAX(ts) AS oe FROM events),
+d AS (
+    SELECT event_type,
+           date_diff('second', f, l) // 86400 AS duration_days,
+           CASE WHEN date_diff('second', l, oe) > 7 * 86400
+                THEN 1 ELSE 0 END AS ev
+    FROM lt, obs
+    WHERE event_type IN ('click', 'view')
+),
+g AS (
+    SELECT duration_days,
+           CAST(SUM(ev) AS DOUBLE) AS dd,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN ev ELSE 0 END)
+                AS DOUBLE) AS da,
+           COUNT(*) AS rr,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ra
+    FROM d GROUP BY 1
+),
+r2 AS (
+    SELECT *,
+           CAST(SUM(rr) OVER (ORDER BY duration_days DESC) AS DOUBLE) AS n,
+           CAST(SUM(ra) OVER (ORDER BY duration_days DESC) AS DOUBLE) AS na
+    FROM g
+),
+s AS (
+    SELECT CAST(SUM(ra) AS BIGINT) AS n_a,
+           CAST(SUM(rr) - SUM(ra) AS BIGINT) AS n_b,
+           CAST(SUM(da) AS BIGINT) AS observed_a,
+           SUM(dd * na / n) AS expected_a,
+           SUM(CASE WHEN n > 1
+               THEN dd * (na / n) * (1.0 - na / n) * (n - dd) / (n - 1.0)
+               ELSE 0.0 END) AS v
+    FROM r2
+),
+c AS (
+    SELECT n_a, n_b, observed_a, expected_a,
+           POWER(CAST(observed_a AS DOUBLE) - expected_a, 2) / v AS chi2_stat
+    FROM s
+)
+SELECT n_a, n_b, observed_a,
+       {_sql_r6("expected_a")} AS expected_a,
+       {_sql_r6("chi2_stat")} AS chi2_stat,
+       {_sql_r6(chi2_sf_sql("chi2_stat", 1))} AS p_value
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7012,6 +7092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_arima_daily": q_forecast_arima_daily,
         "assoc_rules_brands": q_assoc_rules_brands,
         "anova_value_event_dow": q_anova_value_event_dow,
+        "logrank_click_view": q_logrank_click_view,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9161,6 +9242,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "assoc_rules_brands": _ASSOC_RULES_ORACLE,
         "anova_value_event_dow": _ANOVA_ORACLE,
+        "logrank_click_view": _logrank_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -151,6 +151,7 @@ from temporal_retriever_spark.features import (
 from temporal_retriever_spark.survival import (
     cox_ph,
     kaplan_meier,
+    logrank_test,
     median_survival,
     user_lifetimes,
 )
@@ -212,6 +213,7 @@ __all__ = [
     "huber_regression",
     "isotonic_calibration",
     "kaplan_meier",
+    "logrank_test",
     "make_lag_features",
     "mann_whitney_u",
     "median_survival",

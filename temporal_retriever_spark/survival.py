@@ -160,6 +160,110 @@ def median_survival(
     return km.agg(med)
 
 
+def logrank_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    duration_col: str = "duration_days",
+    event_col: str = "event",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel-Cox): do groups a and b share
+    one survival curve? The standard companion to `kaplan_meier` —
+    the KM curves say WHAT differs, this says whether the difference
+    beats chance under censoring.
+
+    At each distinct event time t with d_t pooled events and n_t / n_at
+    subjects at risk (pooled / in group a):
+
+        E_a  = Σ_t d_t · n_at / n_t                     (expected)
+        V    = Σ_t d_t · (n_at/n_t)(1 − n_at/n_t)(n_t − d_t)/(n_t − 1)
+        χ²   = (O_a − E_a)² / V  ~  χ²(1)
+
+    the hypergeometric-moments form, ties handled exactly (cf. any
+    survival text; identical to lifelines' statistic).
+
+    Plan shape (the same contract as `kaplan_meier`): one aggregation
+    collapses to per-distinct-duration rows, ONE descending window
+    computes both risk-set counts, and one final aggregation reduces
+    to a row per key — every stage after the first shuffle is
+    observation-window-sized, not data-sized. The p-value is the
+    exact dof-1 chi-square closed form (`diagnostics.chi2_sf_sql`),
+    identical string on both engines.
+
+    Output per key: ``n_a, n_b, observed_a, expected_a, chi2_stat,
+    p_value`` (NULL statistic when V = 0 — no comparable risk sets —
+    rather than a fake zero).
+    """
+    kcols = list(keys or [])
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    ev = F.col(event_col).cast("long")
+    per_t = (
+        df.filter(in_a | in_b)
+        .groupBy(*kcols, duration_col)
+        .agg(
+            F.sum(ev).alias("_d"),
+            F.sum(F.when(in_a, ev).otherwise(F.lit(0))).alias("_da"),
+            F.count("*").alias("_r"),
+            F.count(F.when(in_a, F.lit(1))).alias("_ra"),
+        )
+    )
+    part = kcols if kcols else [F.lit(1)]
+    w_desc = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(duration_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.select(
+        *kcols,
+        "_d",
+        "_da",
+        "_r",
+        "_ra",
+        F.sum("_r").over(w_desc).cast("double").alias("_n"),
+        F.sum("_ra").over(w_desc).cast("double").alias("_na"),
+    )
+    d = F.col("_d").cast("double")
+    frac_a = F.col("_na") / F.col("_n")
+    e_a = d * frac_a
+    v = F.when(
+        F.col("_n") > 1,
+        d
+        * frac_a
+        * (1.0 - frac_a)
+        * (F.col("_n") - d)
+        / (F.col("_n") - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = risk.groupBy(*kcols).agg(
+        F.sum("_ra").cast("long").alias("n_a"),
+        (F.sum("_r") - F.sum("_ra")).cast("long").alias("n_b"),
+        F.sum("_da").cast("long").alias("observed_a"),
+        F.sum(e_a).alias("expected_a"),
+        F.sum(v).alias("_v"),
+    )
+    chi2 = F.when(
+        F.col("_v") > 0,
+        F.pow(F.col("observed_a").cast("double") - F.col("expected_a"), 2)
+        / F.col("_v"),
+    )
+    out = agg.select(
+        *kcols, "n_a", "n_b", "observed_a", "expected_a",
+        chi2.alias("chi2_stat"),
+    )
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    return out.withColumn(
+        "p_value",
+        F.when(
+            F.col("chi2_stat").isNotNull(),
+            F.expr(chi2_sf_sql("chi2_stat", 1)),
+        ),
+    )
+
+
 def cox_ph(
     df: DataFrame,
     covariate_cols: list[str],

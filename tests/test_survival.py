@@ -252,3 +252,95 @@ class TestCoxPH:
             cox_ph(df, ["x0"], iterations=0)
         with pytest.raises(ValueError, match="empty"):
             cox_ph(df.filter("event = 0"), ["x0"])
+
+
+from temporal_retriever_spark.survival import logrank_test
+
+
+def _naive_logrank(rows):
+    """Textbook hypergeometric-moments log-rank from
+    (group, duration, event) tuples; returns (O_a, E_a, V, chi2)."""
+    times = sorted({t for _, t, e in rows if e})
+    O = E = V = 0.0
+    for t in times:
+        n = sum(1 for _, u, _e in rows if u >= t)
+        na = sum(1 for g, u, _e in rows if u >= t and g == "a")
+        d = sum(1 for _, u, e in rows if u == t and e)
+        da = sum(1 for g, u, e in rows if u == t and e and g == "a")
+        O += da
+        E += d * na / n
+        if n > 1:
+            V += d * (na / n) * (1 - na / n) * (n - d) / (n - 1)
+    return O, E, V, (O - E) ** 2 / V
+
+
+class TestLogRank:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "grp string, duration_days int, event int"
+        )
+
+    def test_matches_textbook_with_ties_and_censoring(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            ("a", rng.randint(1, 30), int(rng.random() < 0.7))
+            for _ in range(120)
+        ] + [
+            ("b", rng.randint(5, 40), int(rng.random() < 0.6))
+            for _ in range(100)
+        ]
+        got = logrank_test(
+            self._df(spark, rows), group_col="grp", group_a="a", group_b="b"
+        ).collect()[0]
+        O, E, V, chi2 = _naive_logrank(rows)
+        assert got["n_a"] == 120 and got["n_b"] == 100
+        assert got["observed_a"] == int(O)
+        assert math.isclose(got["expected_a"], E, rel_tol=1e-9)
+        assert math.isclose(got["chi2_stat"], chi2, rel_tol=1e-9)
+        # dof-1 chi2 sf reference
+        from temporal_retriever_spark.stats import chi2_sf
+
+        assert math.isclose(got["p_value"], chi2_sf(chi2, 1), abs_tol=2e-7)
+
+    def test_identical_curves_high_p(self, spark):
+        rows = [(g, t, 1) for g in ("a", "b") for t in range(1, 40)]
+        got = logrank_test(
+            self._df(spark, rows), group_col="grp", group_a="a", group_b="b"
+        ).collect()[0]
+        # perfectly matched samples: O == E exactly
+        assert math.isclose(got["chi2_stat"], 0.0, abs_tol=1e-12)
+        assert got["p_value"] > 0.999
+
+    def test_separated_curves_low_p(self, spark):
+        rows = [("a", t, 1) for t in range(1, 31)] + [
+            ("b", t + 100, 1) for t in range(1, 31)
+        ]
+        got = logrank_test(
+            self._df(spark, rows), group_col="grp", group_a="a", group_b="b"
+        ).collect()[0]
+        assert got["p_value"] < 1e-9
+
+    def test_no_events_null(self, spark):
+        rows = [("a", 5, 0), ("a", 7, 0), ("b", 6, 0), ("b", 9, 0)]
+        got = logrank_test(
+            self._df(spark, rows), group_col="grp", group_a="a", group_b="b"
+        ).collect()[0]
+        assert got["chi2_stat"] is None and got["p_value"] is None
+
+    def test_keyed(self, spark):
+        rows = [
+            (k, g, t, 1)
+            for k in (1, 2)
+            for g in ("a", "b")
+            for t in range(1, 20)
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, grp string, duration_days int, event int"
+        )
+        got = logrank_test(
+            df, group_col="grp", group_a="a", group_b="b", keys=["k"]
+        ).collect()
+        assert {r["k"] for r in got} == {1, 2}
+        assert all(math.isclose(r["chi2_stat"], 0.0, abs_tol=1e-12) for r in got)
