@@ -6938,6 +6938,110 @@ FROM c
 """
 
 
+def q_quantreg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile (pinball) regression of value on
+    calendar features at τ=0.75 (features.quantile_regression):
+    IRLS — OLS round 0, then w = (τ | 1−τ)/max(|r|, eps) reweights,
+    one aggregation per round. Four rounds here: the contract pins
+    cross-engine arithmetic identity (the oracle chains the same
+    weighted Grams and stage strings); convergence depth is the
+    operator's separately-tested default."""
+    from temporal_retriever_spark.features import quantile_regression
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("date")).cast("double") / F.lit(7.0)).alias("x0"),
+        (F.hour("ts").cast("double") / F.lit(24.0)).alias("x1"),
+        F.col("value").alias("y"),
+    )
+    got = quantile_regression(
+        ev, ["x0", "x1"], "y", tau=0.75, iterations=4, keys=["event_type"]
+    )
+    return got.select(
+        "event_type",
+        "n",
+        _r6("intercept").alias("intercept"),
+        _r6("coef_x0").alias("coef_x0"),
+        _r6("coef_x1").alias("coef_x1"),
+    ).orderBy("event_type")
+
+
+def _quantreg_oracle(
+    tau: float = 0.75, iterations: int = 4, eps: float = 1e-6
+) -> str:
+    """DuckDB mirror of q_quantreg_value: round-0 plain Gram solve,
+    then per round the coefficient join-back, the signed-residual
+    pinball weight, weighted Gram, and the SAME ar_stages(2)
+    strings (the _huber_oracle skeleton with the quantile weight)."""
+    from temporal_retriever_spark.forecast import ar_stages
+
+    t_, u_, e_ = repr(float(tau)), repr(1.0 - float(tau)), repr(float(eps))
+    zs = ["1.0", "x0", "x1"]
+
+    def gram(wexpr: str) -> str:
+        parts = ["CAST(COUNT(*) AS DOUBLE) AS nn"]
+        for i in range(3):
+            for j in range(i, 3):
+                parts.append(f"SUM({wexpr} * {zs[i]} * {zs[j]}) AS g_{i}_{j}")
+            parts.append(f"SUM({wexpr} * {zs[i]} * y) AS gy_{i}")
+        return ", ".join(parts)
+
+    def stages(prefix: str, src: str) -> tuple[list[str], str]:
+        out, prev = [], src
+        for idx, (name, expr) in enumerate(ar_stages(2)):
+            cte = f"{prefix}{idx}"
+            out.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+            prev = cte
+        return out, prev
+
+    ctes = [
+        """f AS MATERIALIZED (
+            SELECT event_type,
+                   (dayofweek(CAST(ts AS DATE)) + 1) / 7.0 AS x0,
+                   hour(ts) / 24.0 AS x1,
+                   value AS y
+            FROM events
+        )""",
+        f"a0 AS (SELECT event_type, {gram('1.0')} FROM f GROUP BY 1)",
+    ]
+    st, prev = stages("s0_", "a0")
+    ctes += st
+    ctes.append(
+        f"co0 AS (SELECT event_type, nn, c_0 AS b0, c_1 AS b1, "
+        f"c_2 AS b2 FROM {prev})"
+    )
+    for t in range(1, iterations):
+        ctes.append(
+            f"r{t} AS (SELECT f.*, "
+            f"f.y - (b0 + b1 * x0 + b2 * x1) AS sr "
+            f"FROM f JOIN co{t - 1} USING (event_type))"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT *, (CASE WHEN sr >= 0 THEN {t_} "
+            f"ELSE {u_} END) / GREATEST(ABS(sr), {e_}) AS w FROM r{t})"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT event_type, {gram('w')} FROM w{t} GROUP BY 1)"
+        )
+        st, prev = stages(f"s{t}_", f"a{t}")
+        ctes += st
+        ctes.append(
+            f"co{t} AS (SELECT event_type, nn, c_0 AS b0, c_1 AS b1, "
+            f"c_2 AS b2 FROM {prev})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT event_type, CAST(nn AS BIGINT) AS n,
+               {_sql_r6("b0")} AS intercept,
+               {_sql_r6("b1")} AS coef_x0,
+               {_sql_r6("b2")} AS coef_x1
+        FROM co{iterations - 1} ORDER BY event_type
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7093,6 +7197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules_brands": q_assoc_rules_brands,
         "anova_value_event_dow": q_anova_value_event_dow,
         "logrank_click_view": q_logrank_click_view,
+        "quantreg_value": q_quantreg_value,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9243,6 +9348,7 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules_brands": _ASSOC_RULES_ORACLE,
         "anova_value_event_dow": _ANOVA_ORACLE,
         "logrank_click_view": _logrank_oracle(),
+        "quantreg_value": _quantreg_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

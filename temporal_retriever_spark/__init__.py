@@ -143,6 +143,7 @@ from temporal_retriever_spark.quality import (
 from temporal_retriever_spark.impute import impute
 from temporal_retriever_spark.features import (
     huber_regression,
+    quantile_regression,
     make_lag_features,
     mutual_information,
     ridge_regression,
@@ -211,6 +212,7 @@ __all__ = [
     "forest_apply",
     "forest_train",
     "huber_regression",
+    "quantile_regression",
     "isotonic_calibration",
     "kaplan_meier",
     "logrank_test",

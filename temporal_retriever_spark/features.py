@@ -268,6 +268,114 @@ def ridge_regression(
     )
 
 
+def quantile_regression(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    tau: float = 0.5,
+    iterations: int = 20,
+    eps: float = 1e-6,
+    l2: float = 0.0,
+    keys: Iterable[str] | None = None,
+) -> DataFrame:
+    """Quantile (pinball-loss) regression by IRLS — fit the
+    conditional τ-quantile line instead of the conditional mean:
+    τ=0.5 is median (LAD) regression, τ=0.9 an upper envelope. The
+    distribution-aware member of the regression family (Koenker &
+    Bassett 1978); the workhorse for demand envelopes and SLA bands.
+
+    IRLS form of the pinball loss ρ_τ(r) = r·(τ − 1{r<0}): round 0 is
+    the plain (ridge) solve, each following round joins the key-sized
+    coefficient table back (broadcast) and re-solves the weighted
+    normal equations with
+
+        w = (τ if r ≥ 0 else 1−τ) / max(|r|, eps)
+
+    — the standard reweighting whose fixed point is the quantile fit
+    (eps keeps near-zero residuals finite, same literal on both
+    engines). Fixed ``iterations`` keeps the plan deterministic and
+    oracle-replayable (one aggregation per round, the shared
+    staged-Cholesky strings, per-key models in the same shuffle);
+    like `huber_regression` this is the fixed-round IRLS
+    approximation, not a simplex LP — identical across engines by
+    construction. Unlike Huber (whose IRLS contracts in ~3 rounds)
+    the pinball reweighting converges slowly: ~20 rounds for tail
+    quantiles on noisy data (the default), each round one tiny-row
+    aggregation. Returns (keys…, n, intercept, coef_<f>…).
+    """
+    from temporal_retriever_spark.forecast import ar_stages
+
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("feature_cols must be non-empty")
+    if not 0.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (0, 1), got {tau}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if l2 < 0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
+    keys = list(keys or [])
+    y = F.col(label_col).cast("double")
+    m = k + 1
+    cond = y.isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        *keys, y.alias("_y"),
+        *[F.col(c).cast("double").alias(f"_x{i}") for i, c in enumerate(feature_cols)],
+    )
+    xs = [F.lit(1.0)] + [F.col(f"_x{i}") for i in range(k)]
+
+    def solve(weight: Column) -> DataFrame:
+        aggs = [F.count("*").cast("double").alias("nn")]
+        for i in range(m):
+            for j in range(i, m):
+                aggs.append(
+                    F.sum(weight * xs[i] * xs[j]).alias(f"g_{i}_{j}")
+                )
+            aggs.append(F.sum(weight * xs[i] * F.col("_y")).alias(f"gy_{i}"))
+        gram = cur.groupBy(*keys).agg(*aggs) if keys else cur.groupBy().agg(*aggs)
+        for i in range(1, m):
+            gram = gram.withColumn(
+                f"g_{i}_{i}", F.col(f"g_{i}_{i}") + F.lit(float(l2))
+            )
+        for name, expr in ar_stages(k):
+            gram = gram.withColumn(name, F.expr(expr))
+        return gram.select(
+            *keys, "nn", *[F.col(f"c_{i}").alias(f"_b{i}") for i in range(m)]
+        )
+
+    cur = base
+    coef = solve(F.lit(1.0))
+    for _ in range(iterations - 1):
+        joined = (
+            base.join(F.broadcast(coef), on=keys)
+            if keys
+            else base.crossJoin(F.broadcast(coef))
+        )
+        pred = F.col("_b0")
+        for i in range(k):
+            pred = pred + F.col(f"_b{i + 1}") * F.col(f"_x{i}")
+        r = F.col("_y") - pred
+        w = F.when(r >= 0, F.lit(float(tau))).otherwise(
+            F.lit(1.0 - float(tau))
+        ) / F.greatest(F.abs(r), F.lit(float(eps)))
+        cur = joined.withColumn("_w", w)
+        coef = solve(F.col("_w"))
+    return coef.select(
+        *keys,
+        F.col("nn").cast("long").alias("n"),
+        F.col("_b0").alias("intercept"),
+        *[
+            F.col(f"_b{i + 1}").alias(f"coef_{c}")
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+
+
 def huber_regression(
     df: DataFrame,
     feature_cols: list[str],

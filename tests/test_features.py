@@ -264,3 +264,91 @@ class TestHuberRegression:
             huber_regression(df, ["x"], "y", delta=0.0)
         with pytest.raises(ValueError, match="iterations"):
             huber_regression(df, ["x"], "y", iterations=0)
+
+
+class TestQuantileRegression:
+    def _irls_ref(self, rows, tau, iters, eps=1e-6, l2=0.0):
+        import numpy as np
+
+        X = np.array([[1.0, x] for x, _ in rows])
+        Y = np.array([y for _, y in rows])
+        P = np.diag([0.0, l2])
+        beta = np.linalg.solve(X.T @ X + P, X.T @ Y)
+        for _ in range(iters - 1):
+            r = Y - X @ beta
+            w = np.where(r >= 0, tau, 1.0 - tau) / np.maximum(np.abs(r), eps)
+            beta = np.linalg.solve((X.T * w) @ X + P, (X.T * w) @ Y)
+        return beta
+
+    def test_matches_irls_reference(self, spark):
+        from temporal_retriever_spark.features import quantile_regression
+
+        import random
+
+        rng = random.Random(9)
+        rows = [
+            (x / 10.0, 3.0 * x / 10.0 + 2.0 + rng.gauss(0, 1.5))
+            for x in range(120)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = quantile_regression(
+            df, ["x"], "y", tau=0.75, iterations=6
+        ).collect()[0]
+        ref = self._irls_ref(rows, tau=0.75, iters=6)
+        assert got["intercept"] == pytest.approx(ref[0], rel=1e-9)
+        assert got["coef_x"] == pytest.approx(ref[1], rel=1e-9)
+        assert got["n"] == 120
+
+    def test_quantile_ordering_and_coverage(self, spark):
+        from temporal_retriever_spark.features import quantile_regression
+
+        import random
+
+        rng = random.Random(17)
+        rows = [
+            (x / 10.0, 1.0 + 0.5 * x / 10.0 + rng.gauss(0, 2.0))
+            for x in range(300)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double")
+        lines = {}
+        for tau in (0.1, 0.5, 0.9):
+            r = quantile_regression(
+                df, ["x"], "y", tau=tau, iterations=25
+            ).collect()[0]
+            lines[tau] = (r["intercept"], r["coef_x"])
+        # envelopes ordered at the data midpoint
+        mid = 15.0
+        ys = {t: a + b * mid for t, (a, b) in lines.items()}
+        assert ys[0.1] < ys[0.5] < ys[0.9]
+        # coverage: ~90% of points under the tau=0.9 line
+        a, b = lines[0.9]
+        frac = sum(1 for x, y in rows if y <= a + b * x) / len(rows)
+        assert 0.85 <= frac <= 0.95
+
+    def test_median_fit_resists_outliers(self, spark):
+        from temporal_retriever_spark.features import (
+            quantile_regression,
+            ridge_regression,
+        )
+
+        rows = [(float(i) / 20.0, 2.0 * i / 20.0 + 1.0) for i in range(40)]
+        rows += [(0.5, 500.0), (0.6, 400.0)]  # one-sided wild outliers
+        df = spark.createDataFrame(rows, "x double, y double")
+        med = quantile_regression(df, ["x"], "y", tau=0.5, iterations=8).collect()[0]
+        ols = ridge_regression(df, ["x"], "y", l2=0.0).collect()[0]
+        assert abs(ols["intercept"] - 1.0) > 5.0
+        assert abs(med["intercept"] - 1.0) < 1.0
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.features import quantile_regression
+
+        df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+        for bad in (0.0, 1.0, -0.2):
+            with pytest.raises(ValueError):
+                quantile_regression(df, ["x"], "y", tau=bad)
+        with pytest.raises(ValueError):
+            quantile_regression(df, ["x"], "y", iterations=0)
+        with pytest.raises(ValueError):
+            quantile_regression(df, ["x"], "y", eps=0.0)
+        with pytest.raises(ValueError):
+            quantile_regression(df, [], "y")
