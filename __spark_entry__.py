@@ -7042,6 +7042,79 @@ def _quantreg_oracle(
     )
 
 
+def q_lpa_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the brand co-occurrence
+    graph (graph.label_propagation on basket.frequent_itemsets
+    pairs at min_support=0.025 — the threshold sparsifies the brand
+    graph so LPA has structure to find). The oracle rebuilds the same
+    frequent-pair edges and unrolls the IDENTICAL 4 synchronous
+    rounds (self-vote, max-(count,label) tie-break) as chained
+    CTEs — every node's community must match exactly."""
+    from temporal_retriever_spark.basket import frequent_itemsets
+    from temporal_retriever_spark.graph import label_propagation
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    baskets = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        t["lineitem"].l_partkey == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    pairs = frequent_itemsets(
+        baskets, basket_col="basket", item_col="item", min_support=0.025
+    ).filter(F.col("size") == 2)
+    got = label_propagation(
+        pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
+        iterations=4,
+    )
+    return got.orderBy("node")
+
+
+def _lpa_oracle(iters: int = 4, min_support: float = 0.025) -> str:
+    """DuckDB mirror of q_lpa_brands: the same frequent-pair edge
+    construction (Apriori singleton prune included) and the same
+    synchronous rounds unrolled — self-vote UNION ALL, (count, label)
+    descending argmax per node."""
+    ms = repr(float(min_support))
+    ctes = [
+        """bi AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS b, p_brand AS i
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        )""",
+        "nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM bi)",
+        "c1 AS (SELECT i, COUNT(*) AS c FROM bi GROUP BY i)",
+        f"f1 AS (SELECT i FROM c1, nb WHERE CAST(c AS DOUBLE) >= {ms} * n)",
+        f"""p AS (
+            SELECT a.i AS ia, b.i AS ib, COUNT(*) AS c
+            FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+            JOIN f1 fa ON fa.i = a.i JOIN f1 fb ON fb.i = b.i
+            GROUP BY 1, 2
+        )""",
+        f"f2 AS (SELECT ia, ib FROM p, nb WHERE CAST(c AS DOUBLE) >= {ms} * n)",
+        "und AS MATERIALIZED (SELECT ia AS s, ib AS d FROM f2 "
+        "UNION SELECT ib, ia FROM f2)",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM und)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"v{t} AS (SELECT und.s AS node, l.label FROM und "
+            f"JOIN l{t} l ON l.node = und.d "
+            f"UNION ALL SELECT node, label FROM l{t})"
+        )
+        ctes.append(
+            f"vc{t} AS (SELECT node, label, COUNT(*) AS c FROM v{t} "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{t + 1} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label DESC) AS rn FROM vc{t}) q WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f" SELECT node, label AS community FROM l{iters} ORDER BY node"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7198,6 +7271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_value_event_dow": q_anova_value_event_dow,
         "logrank_click_view": q_logrank_click_view,
         "quantreg_value": q_quantreg_value,
+        "lpa_brands": q_lpa_brands,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9349,6 +9423,7 @@ def oracle_sql() -> dict[str, str]:
         "anova_value_event_dow": _ANOVA_ORACLE,
         "logrank_click_view": _logrank_oracle(),
         "quantreg_value": _quantreg_oracle(),
+        "lpa_brands": _lpa_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

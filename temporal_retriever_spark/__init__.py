@@ -115,6 +115,7 @@ from temporal_retriever_spark.funnel import (
 from temporal_retriever_spark.graph import (
     connected_components,
     hits,
+    label_propagation,
     pagerank,
     shortest_paths,
     triangle_count,
@@ -199,6 +200,7 @@ __all__ = [
     "gbt_apply",
     "gbt_train",
     "hits",
+    "label_propagation",
     "tree_apply",
     "tree_train",
     "impute",

@@ -50,7 +50,14 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "hits", "pagerank", "shortest_paths", "triangle_count"]
+__all__ = [
+    "connected_components",
+    "hits",
+    "label_propagation",
+    "pagerank",
+    "shortest_paths",
+    "triangle_count",
+]
 
 
 def pagerank(
@@ -277,6 +284,70 @@ def connected_components(
     return got.select(
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007) over an undirected view of the edge table.
+
+    Labels start as the node's own id; each round every node adopts
+    the most frequent label among its neighbors PLUS its own current
+    label (the self-vote — it breaks the classic two-node oscillation
+    synchronous LPA suffers on bipartite structures), ties resolved
+    to the LARGEST label (max-struct ordering — any fixed direction
+    works; this one is a single ``max(struct(count, label))``
+    aggregate, deterministic for numeric and string ids alike).
+
+    Fixed ``iterations`` (LPA converges in a handful of rounds on
+    modular graphs) keeps cost and output deterministic and the whole
+    run oracle-replayable — the same contract as `pagerank`. Per
+    round: ONE node-keyed join + ONE (node, label) count + ONE
+    node-keyed argmax — all shuffles keyed on node id; per-round
+    label tables are node-sized and ``localCheckpoint``'d so lineage
+    depth stays 1 (see the module docstring for why persist alone is
+    not enough). Returns ``(node, community)``; isolated vertices
+    carry no edge rows and don't appear.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).filter(F.col("_s") != F.col("_d"))
+    und = (
+        e.union(e.select(F.col("_d"), F.col("_s")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # after symmetrization every node appears as _s
+    labels = (
+        und.select(F.col("_s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        nbr = und.join(labels, und["_d"] == labels["node"]).select(
+            F.col("_s").alias("node"), "label"
+        )
+        votes = nbr.unionByName(labels.select("node", "label"))
+        cnt = votes.groupBy("node", "label").agg(F.count("*").alias("_c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("_c").alias("c"), F.col("label").alias("l"))
+                )["l"].alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("community"))
 
 
 def triangle_count(

@@ -247,3 +247,63 @@ class TestShortestPaths:
             shortest_paths(df, [])
         with pytest.raises(ValueError, match="max_iterations"):
             shortest_paths(df, [1], max_iterations=0)
+
+
+from temporal_retriever_spark.graph import label_propagation
+
+
+class TestLabelPropagation:
+    def test_planted_cliques_recovered(self, spark):
+        # two 5-cliques joined by one bridge edge
+        c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+        c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+        edges = spark.createDataFrame(
+            c1 + c2 + [(4, 10)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, iterations=5).collect()
+        }
+        lab1 = {got[n] for n in range(5)}
+        lab2 = {got[n] for n in range(10, 15)}
+        assert len(lab1) == 1 and len(lab2) == 1
+        assert lab1 != lab2
+
+    def test_two_node_oscillation_broken(self, spark):
+        # pure synchronous LPA flips labels forever on a single edge;
+        # the self-vote pins both to the max id immediately
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        for iters in (1, 2, 3, 4):
+            got = {
+                r["node"]: r["community"]
+                for r in label_propagation(edges, iterations=iters).collect()
+            }
+            assert got == {1: 2, 2: 2}
+
+    def test_direction_invariant(self, spark):
+        e1 = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        e2 = spark.createDataFrame(
+            [(2, 1), (3, 2), (1, 3)], "src long, dst long"
+        )
+        a = sorted(map(tuple, label_propagation(e1, iterations=3).collect()))
+        b = sorted(map(tuple, label_propagation(e2, iterations=3).collect()))
+        assert a == b
+        # a triangle collapses to its max id
+        assert a == [(1, 3), (2, 3), (3, 3)]
+
+    def test_string_ids_and_validation(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, iterations=4).collect()
+        }
+        assert set(got) == {"a", "b", "c"}
+        assert len(set(got.values())) == 1
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            label_propagation(edges, iterations=0)
