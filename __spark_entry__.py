@@ -7115,6 +7115,95 @@ def _lpa_oracle(iters: int = 4, min_support: float = 0.025) -> str:
     )
 
 
+def q_als_brand_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALS collaborative filtering over the customer×brand
+    implicit-feedback matrix (rating = total quantity ordered;
+    recommend.als_train): md5 ±0.1 init, closed-form 2×2 solves, 2
+    full alternations. The oracle replays every half-round's five
+    Gram sums and the same determinant arithmetic as chained CTEs;
+    the catalog-side factors (25 brands) must match at 6 dp — they
+    inherit every user factor transitively, so this pins both
+    sides."""
+    from temporal_retriever_spark.recommend import als_train
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "part"))
+    ratings = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            t["lineitem"].l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("p_brand").alias("item_id"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("rating"))
+    )
+    _, items = als_train(ratings, iterations=2, l2=0.1)
+    return items.select(
+        "item_id",
+        _r6("f0").alias("f0"),
+        _r6("f1").alias("f1"),
+    ).orderBy("item_id")
+
+
+def _als_oracle(iterations: int = 2, l2: float = 0.1, salt: str = "als") -> str:
+    """DuckDB mirror of q_als_brand_factors: identical ratings
+    aggregation, md5 init, and per-half-round Gram sums + 2×2
+    closed-form solves unrolled as chained CTEs."""
+    lam = repr(float(l2))
+
+    def solve(out: str, key: str, other: str, factors: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (SELECT {key}, "
+            f"(b0 * (s11 + {lam}) - b1 * s01) / "
+            f"((s00 + {lam}) * (s11 + {lam}) - s01 * s01) AS f0, "
+            f"(b1 * (s00 + {lam}) - b0 * s01) / "
+            f"((s00 + {lam}) * (s11 + {lam}) - s01 * s01) AS f1 "
+            f"FROM (SELECT r.{key}, "
+            f"SUM(f.f0 * f.f0) AS s00, SUM(f.f0 * f.f1) AS s01, "
+            f"SUM(f.f1 * f.f1) AS s11, "
+            f"SUM(r.r * f.f0) AS b0, SUM(r.r * f.f1) AS b1 "
+            f"FROM r JOIN {factors} f USING ({other}) GROUP BY 1) q)"
+        )
+
+    ctes = [
+        """r AS MATERIALIZED (
+            SELECT o.o_custkey AS u, p.p_brand AS i,
+                   SUM(CAST(l.l_quantity AS DOUBLE)) AS r
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+        )""",
+        f"""v0 AS (
+            SELECT DISTINCT i, 1.0 AS f0,
+                   CASE WHEN CAST(('0x' || substr(md5('{salt}' ||
+                        CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0 < 0.5
+                        THEN -0.1 ELSE 0.1 END AS f1
+            FROM r
+        )""",
+    ]
+    for t in range(iterations):
+        ctes.append(solve(f"u{t}", "u", "i", f"v{t}"))
+        ctes.append(solve(f"v{t + 1}", "i", "u", f"u{t}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT i AS item_id,
+               {_sql_r6("f0")} AS f0,
+               {_sql_r6("f1")} AS f1
+        FROM v{iterations} ORDER BY item_id
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7272,6 +7361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_click_view": q_logrank_click_view,
         "quantreg_value": q_quantreg_value,
         "lpa_brands": q_lpa_brands,
+        "als_brand_factors": q_als_brand_factors,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9424,6 +9514,7 @@ def oracle_sql() -> dict[str, str]:
         "logrank_click_view": _logrank_oracle(),
         "quantreg_value": _quantreg_oracle(),
         "lpa_brands": _lpa_oracle(),
+        "als_brand_factors": _als_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

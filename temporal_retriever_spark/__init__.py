@@ -104,6 +104,7 @@ from temporal_retriever_spark.statespace import (
     kalman_local_level,
 )
 from temporal_retriever_spark.basket import association_rules, frequent_itemsets
+from temporal_retriever_spark.recommend import als_recommend, als_train
 from temporal_retriever_spark.segmentation import binseg_changepoints, segment_means
 from temporal_retriever_spark.fuzzy import fuzzy_join, qgrams_expr
 from temporal_retriever_spark.funnel import (
@@ -189,6 +190,8 @@ __all__ = [
     "completeness",
     "connected_components",
     "contained_in",
+    "als_recommend",
+    "als_train",
     "anova_oneway",
     "association_rules",
     "frequent_itemsets",
