@@ -7204,6 +7204,103 @@ def _als_oracle(iterations: int = 2, l2: float = 0.1, salt: str = "als") -> str:
     )
 
 
+def q_forecast_var_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAR(2) joint forecast of the click/view daily pair
+    (forecast.forecast_var): inner time grid, ONE aggregation for the
+    shared Gram + both equations' cross-moments, single-Cholesky /
+    per-equation-substitution solve, fan-in recursion unrolled to
+    h=7. The oracle replays the identical var_stages /
+    var_forecast_stages strings as chained CTEs."""
+    from temporal_retriever_spark.forecast import forecast_var
+
+    daily = _events_daily_all(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    ).withColumnRenamed("event_type", "series_id")
+    got = forecast_var(daily, ["click", "view"], p=2, horizon=7)
+    return got.select(
+        F.col("series_id").alias("event_type"),
+        "ds",
+        _r6("yhat").alias("yhat"),
+    ).orderBy("event_type", "ds")
+
+
+def _var_oracle(p: int = 2, horizon: int = 7) -> str:
+    """DuckDB mirror of q_forecast_var_daily: the same inner-grid
+    pivot, conditional Gram/cross-moment sums, and the SAME
+    var_stages + var_forecast_stages strings as chained CTEs."""
+    from temporal_retriever_spark.forecast import (
+        var_forecast_stages,
+        var_stages,
+    )
+
+    names = ["click", "view"]
+    m = len(names)
+    k = 1 + m * p
+    zs = ["1.0"] + [
+        f"l{lag}_{j}" for lag in range(1, p + 1) for j in range(m)
+    ]
+    lag_cols = ", ".join(
+        f"LAG(y{j}, {lag}) OVER (ORDER BY ds) AS l{lag}_{j}"
+        for lag in range(1, p + 1)
+        for j in range(m)
+    )
+    fit = " AND ".join(f"l{p}_{j} IS NOT NULL" for j in range(m))
+    gram = []
+    for i in range(k):
+        for j in range(i, k):
+            gram.append(
+                f"SUM(CASE WHEN {fit} THEN {zs[i]} * {zs[j]} END) AS g_{i}_{j}"
+            )
+    for e in range(m):
+        for i in range(k):
+            gram.append(
+                f"SUM(CASE WHEN {fit} THEN {zs[i]} * y{e} END) AS gy{e}_{i}"
+            )
+    gram.append(f"SUM(CASE WHEN {fit} THEN 1.0 END) AS fit_n")
+    lv_cols = ", ".join(
+        f"MAX(CASE WHEN rn = {lag} THEN y{j} END) AS lv{j}_{lag}"
+        for lag in range(1, p + 1)
+        for j in range(m)
+    )
+    stage_ctes = []
+    prev = "j0"
+    for idx, (name, expr) in enumerate(
+        var_stages(m, p) + var_forecast_stages(m, p, horizon)
+    ):
+        cte = f"st{idx}"
+        stage_ctes.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    unions = " UNION ALL ".join(
+        f"SELECT '{name}' AS event_type, max_ds + {h} AS ds, "
+        f"{_sql_r6(f'CASE WHEN isnan(f{e}_{h}) THEN NULL ELSE f{e}_{h} END')}"
+        f" AS yhat FROM {prev}"
+        for e, name in enumerate(names)
+        for h in range(1, horizon + 1)
+    )
+    pivot = ", ".join(
+        f"MAX(CASE WHEN event_type = '{name}' THEN y END) AS y{j}"
+        for j, name in enumerate(names)
+    )
+    nonnull = " AND ".join(f"y{j} IS NOT NULL" for j in range(m))
+    return f"""
+        WITH s AS ({_EVENTS_DAILY}),
+        w AS (SELECT ds, {pivot} FROM s
+              WHERE event_type IN ('click', 'view') GROUP BY ds),
+        fw AS (SELECT * FROM w WHERE {nonnull}),
+        lg AS (SELECT ds, {', '.join(f'y{j}' for j in range(m))}, {lag_cols}
+               FROM fw),
+        a AS (SELECT {', '.join(gram)}, MAX(ds) AS max_ds FROM lg),
+        tl AS (SELECT {lv_cols} FROM (
+                 SELECT *, ROW_NUMBER() OVER (ORDER BY ds DESC) AS rn
+                 FROM fw) q WHERE rn <= {p}),
+        j0 AS (SELECT a.*, tl.* FROM a CROSS JOIN tl
+               WHERE COALESCE(a.fit_n, 0.0) > {float(k)!r}),
+        {', '.join(stage_ctes)}
+        {unions}
+        ORDER BY event_type, ds
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7362,6 +7459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantreg_value": q_quantreg_value,
         "lpa_brands": q_lpa_brands,
         "als_brand_factors": q_als_brand_factors,
+        "forecast_var_daily": q_forecast_var_daily,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9515,6 +9613,7 @@ def oracle_sql() -> dict[str, str]:
         "quantreg_value": _quantreg_oracle(),
         "lpa_brands": _lpa_oracle(),
         "als_brand_factors": _als_oracle(),
+        "forecast_var_daily": _var_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -64,6 +64,7 @@ from temporal_retriever_spark.forecast import (
     forecast_linear_seasonal,
     forecast_prophet,
     forecast_quantiles,
+    forecast_var,
     forecast_with_covariate,
 )
 from temporal_retriever_spark.pipeline import (
@@ -186,6 +187,7 @@ __all__ = [
     "fdr_bh",
     "forecast_arima",
     "forecast_arma",
+    "forecast_var",
     "cohort_retention",
     "completeness",
     "connected_components",

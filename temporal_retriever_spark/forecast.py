@@ -1409,6 +1409,208 @@ def forecast_baseline(
     )
 
 
+def var_stages(n_vars: int, p: int) -> list[tuple[str, str]]:
+    """Shared SQL stages solving the VAR(p) least-squares system.
+
+    All ``n_vars`` equations share ONE design matrix z = [1, y_0(t−1),
+    …, y_{m−1}(t−1), …, y_0(t−p), …, y_{m−1}(t−p)] (k = 1 + m·p
+    columns), so the Cholesky factorization of X'X is computed ONCE
+    and only the forward/back substitutions repeat per equation —
+    the classic multivariate-OLS economy. Inputs: Gram sums
+    ``g_{i}_{j}`` (i ≤ j) and per-equation ``gy{e}_{i}`` = Σ zᵢ·y_e;
+    emits ``r_{i}_{j}`` once, then ``w{e}_{i}`` / ``c{e}_{i}`` per
+    equation — the same staged-scalar contract as ``ar_stages``, and
+    the same strings drive the Spark plan and the DuckDB oracle.
+    """
+    k = 1 + n_vars * p
+
+    def g(i: int, j: int) -> str:
+        return f"g_{min(i, j)}_{max(i, j)}"
+
+    stages: list[tuple[str, str]] = []
+    # NULLIF guards the exactly-singular case (perfectly collinear
+    # variables make a pivot exactly 0; ANSI division would ERROR
+    # where the contract wants NULL yhat) — same literal in the oracle
+    for i in range(k):
+        acc = " - ".join([g(i, i)] + [f"r_{a}_{i} * r_{a}_{i}" for a in range(i)])
+        stages.append((f"r_{i}_{i}", f"SQRT({acc})"))
+        for j in range(i + 1, k):
+            acc = " - ".join(
+                [g(i, j)] + [f"r_{a}_{i} * r_{a}_{j}" for a in range(i)]
+            )
+            stages.append((f"r_{i}_{j}", f"({acc}) / NULLIF(r_{i}_{i}, 0.0)"))
+    for e in range(n_vars):
+        for i in range(k):
+            acc = " - ".join(
+                [f"gy{e}_{i}"] + [f"r_{a}_{i} * w{e}_{a}" for a in range(i)]
+            )
+            stages.append((f"w{e}_{i}", f"({acc}) / NULLIF(r_{i}_{i}, 0.0)"))
+        for i in range(k - 1, -1, -1):
+            acc = " - ".join(
+                [f"w{e}_{i}"]
+                + [f"r_{i}_{a} * c{e}_{a}" for a in range(i + 1, k)]
+            )
+            stages.append((f"c{e}_{i}", f"({acc}) / NULLIF(r_{i}_{i}, 0.0)"))
+    return stages
+
+
+def var_forecast_stages(
+    n_vars: int, p: int, horizon: int
+) -> list[tuple[str, str]]:
+    """Unrolled h-step VAR recursion as shared expression stages.
+
+    Inputs: coefficients ``c{e}_{i}`` (``var_stages`` layout) and last
+    observations ``lv{j}_{i}`` (lv{j}_1 = most recent value of
+    variable j). Emits ``f{e}_{h}`` — each step feeds every
+    variable's prior forecasts back into every equation, the plug-in
+    multi-step VAR forecast, closed-form because (m, p, horizon) are
+    build-time constants.
+    """
+    stages = []
+    for h in range(1, horizon + 1):
+        for e in range(n_vars):
+            terms = [f"c{e}_0"]
+            for lag in range(1, p + 1):
+                for j in range(n_vars):
+                    idx = 1 + (lag - 1) * n_vars + j
+                    src = (
+                        f"f{j}_{h - lag}"
+                        if h - lag >= 1
+                        else f"lv{j}_{lag - h + 1}"
+                    )
+                    terms.append(f"c{e}_{idx} * {src}")
+            stages.append((f"f{e}_{h}", " + ".join(terms)))
+    return stages
+
+
+def forecast_var(
+    df: DataFrame,
+    series_names: list[str],
+    *,
+    p: int = 2,
+    horizon: int = 14,
+    series_col: str = "series_id",
+    ds_col: str = "ds",
+    y_col: str = "y",
+) -> DataFrame:
+    """VAR(p) multivariate forecast: every series is regressed on the
+    lags of ALL series jointly — the model Granger causality tests
+    one restriction of, and the right forecaster when the CCF says
+    series lead each other (clicks → purchases). ``series_names``
+    pins the variable set at build time (the same contract that lets
+    `granger_causality` generate closed-form plans).
+
+    y_e(t) = c_e + Σ_{l≤p} Σ_j A_l[e,j]·y_j(t−l), each equation fit
+    by conditional least squares on the INNER time grid (timestamps
+    where every variable is observed — the same alignment rule as
+    the Granger detrend stage).
+
+    Fully native, one joint plan: a grid pivot (one aggregation), one
+    ordered window pass for all m·p lag columns, ONE aggregation for
+    the shared Gram + every equation's cross-moments, the shared
+    single-Cholesky/per-equation-substitution solve (``var_stages``),
+    and the fan-in recursion unrolled (``var_forecast_stages``). The
+    grid table is observation-window-sized, so its single-partition
+    window is safe at any input scale. Series with ≤ k = 1+m·p fit
+    rows produce no output; rank-deficient grids (perfectly collinear
+    variables) yield NULL yhat via the NULLIF'd pivots.
+
+    Daily-grain output: (series, ds, yhat) for h = 1..horizon, one
+    block per variable.
+    """
+    m = len(series_names)
+    if m < 2:
+        raise ValueError("VAR needs at least 2 series; use forecast_ar for 1")
+    if len(set(series_names)) != m:
+        raise ValueError(f"duplicate series_names: {series_names}")
+    if p < 1:
+        raise ValueError(f"p must be >= 1: {p}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    k = 1 + m * p
+    y = F.col(y_col).cast("double")
+    # inner grid: one row per ds where EVERY variable is observed
+    wide = (
+        df.filter(F.col(series_col).isin(series_names) & y.isNotNull())
+        .groupBy(ds_col)
+        .agg(
+            *[
+                F.max(F.when(F.col(series_col) == name, y)).alias(f"_y{j}")
+                for j, name in enumerate(series_names)
+            ]
+        )
+    )
+    full = None
+    for j in range(m):
+        c = F.col(f"_y{j}").isNotNull()
+        full = c if full is None else (full & c)
+    wide = wide.filter(full)
+    wg = Window.orderBy(ds_col)
+    d = wide
+    for lag in range(1, p + 1):
+        for j in range(m):
+            d = d.withColumn(f"_l{lag}_{j}", F.lag(f"_y{j}", lag).over(wg))
+    fit_cond = F.lit(True)
+    for j in range(m):
+        fit_cond = fit_cond & F.col(f"_l{p}_{j}").isNotNull()
+    zs = [F.lit(1.0)] + [
+        F.col(f"_l{lag}_{j}") for lag in range(1, p + 1) for j in range(m)
+    ]
+    aggs = [F.count("*").cast("double").alias("nn")]
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(F.when(fit_cond, zs[i] * zs[j])).alias(f"g_{i}_{j}"))
+    for e in range(m):
+        for i in range(k):
+            aggs.append(
+                F.sum(F.when(fit_cond, zs[i] * F.col(f"_y{e}"))).alias(
+                    f"gy{e}_{i}"
+                )
+            )
+    aggs.append(F.max(F.col(ds_col).cast("date")).alias("_max_ds"))
+    aggs.append(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ds_col).alias("ds"),
+                        *[F.col(f"_y{j}").alias(f"y{j}") for j in range(m)],
+                    )
+                )
+            ),
+            -p,
+            p,
+        ).alias("_tail")
+    )
+    aggs.append(F.sum(F.when(fit_cond, F.lit(1.0))).alias("_fit_n"))
+    out = d.groupBy().agg(*aggs)
+    for lag in range(1, p + 1):
+        for j in range(m):
+            out = out.withColumn(
+                f"lv{j}_{lag}", F.element_at("_tail", -lag)[f"y{j}"]
+            )
+    for name, expr in var_stages(m, p) + var_forecast_stages(m, p, horizon):
+        out = out.withColumn(name, F.expr(expr))
+    out = out.filter(F.coalesce(F.col("_fit_n"), F.lit(0.0)) > F.lit(float(k)))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("sid"),
+                F.lit(h).alias("h"),
+                F.col(f"f{e}_{h}").alias("yhat"),
+            )
+            for e, name in enumerate(series_names)
+            for h in range(1, horizon + 1)
+        ]
+    )
+    yhat = F.col("_e.yhat")
+    return out.select("_max_ds", F.explode(entries).alias("_e")).select(
+        F.col("_e.sid").alias(series_col),
+        F.date_add(F.col("_max_ds"), F.col("_e.h")).alias(ds_col),
+        F.when(~F.isnan(yhat), yhat).alias("yhat"),
+    )
+
+
 def arma_forecast_stages(p: int, q: int, horizon: int) -> list[tuple[str, str]]:
     """Unrolled h-step ARMA recursion as shared expression stages.
 

@@ -649,3 +649,130 @@ class TestForecastArima:
         assert a == b
         with pytest.raises(ValueError, match="d must"):
             forecast_arima(df, d=2)
+
+
+class TestForecastVar:
+    def _rows(self):
+        import math as _m
+        import random
+
+        rng = random.Random(21)
+        # coupled pair: y is driven almost entirely by LAGGED x, so a
+        # univariate AR on y misses the driver while VAR nails it
+        xs, ys, rows = [10.0, 8.0], [5.0, 6.0], []
+        for t in range(80):
+            nx = 0.7 * xs[-1] - 0.3 * xs[-2] + 2.0 + rng.gauss(0, 0.3)
+            ny = 0.9 * xs[-1] - 0.3 * ys[-1] + 1.0 + rng.gauss(0, 0.05)
+            xs.append(nx)
+            ys.append(ny)
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        for t, (x, y) in enumerate(zip(xs, ys)):
+            d = d0 + datetime.timedelta(days=t)
+            rows.append(("x", d, x))
+            rows.append(("y", d, y))
+        return rows
+
+    def _ref(self, rows, names, p, horizon):
+        import numpy as np
+
+        from collections import defaultdict
+
+        by_ds = defaultdict(dict)
+        for s, d, v in rows:
+            by_ds[d][s] = v
+        grid = sorted(d for d, vals in by_ds.items() if all(n in vals for n in names))
+        Y = np.array([[by_ds[d][n] for n in names] for d in grid])
+        n, m = Y.shape
+        X, T = [], []
+        for t in range(p, n):
+            z = [1.0]
+            for lag in range(1, p + 1):
+                z.extend(Y[t - lag])
+            X.append(z)
+            T.append(Y[t])
+        X, T = np.array(X), np.array(T)
+        C = np.linalg.solve(X.T @ X, X.T @ T)  # (k, m)
+        hist = [Y[-(p - i)] for i in range(p)]
+        preds = []
+        for _ in range(horizon):
+            z = [1.0]
+            for lag in range(1, p + 1):
+                z.extend(hist[-lag])
+            f = np.array(z) @ C
+            preds.append(f)
+            hist.append(f)
+        return preds
+
+    def test_matches_numpy_var(self, spark):
+        from temporal_retriever_spark.forecast import forecast_var
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = forecast_var(df, ["x", "y"], p=2, horizon=5).collect()
+        ref = self._ref(rows, ["x", "y"], p=2, horizon=5)
+        by = {(r["series_id"], r["ds"]): r["yhat"] for r in got}
+        assert len(by) == 10
+        import datetime
+
+        last = max(d for _, d, _ in rows)
+        for h in range(1, 6):
+            d = last + datetime.timedelta(days=h)
+            assert by[("x", d)] == pytest.approx(ref[h - 1][0], rel=1e-7)
+            assert by[("y", d)] == pytest.approx(ref[h - 1][1], rel=1e-7)
+
+    def test_cross_coupling_beats_univariate(self, spark):
+        # y depends on lagged x strongly: VAR should out-forecast AR
+        # on the held-out tail
+        from temporal_retriever_spark.forecast import forecast_ar, forecast_var
+
+        rows = self._rows()
+        split = sorted({d for _, d, _ in rows})[-6]
+        train = [(s, d, v) for s, d, v in rows if d < split]
+        test = {(s, d): v for s, d, v in rows if d >= split}
+        df = spark.createDataFrame(train, "series_id string, ds date, y double")
+        var_p = {
+            (r["series_id"], r["ds"]): r["yhat"]
+            for r in forecast_var(df, ["x", "y"], p=2, horizon=6).collect()
+        }
+        ar_p = {
+            (r["series_id"], r["ds"]): r["yhat"]
+            for r in forecast_ar(df.filter("series_id = 'y'"), p=2, horizon=6).collect()
+        }
+        var_err = sum(
+            (var_p[k] - test[k]) ** 2 for k in test if k in var_p and k[0] == "y"
+        )
+        ar_err = sum((ar_p[k] - test[k]) ** 2 for k in test if k in ar_p)
+        assert var_err < ar_err
+
+    def test_inner_grid_and_validation(self, spark):
+        from temporal_retriever_spark.forecast import forecast_var
+
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        rows = []
+        for t in range(30):
+            d = d0 + datetime.timedelta(days=t)
+            rows.append(("a", d, float(t)))
+            if t % 3 != 0:  # b missing every third day -> inner grid
+                rows.append(("b", d, float(2 * t + (t % 5))))
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = forecast_var(df, ["a", "b"], p=1, horizon=3).collect()
+        assert len(got) == 6
+        # exactly-collinear pair: NULL yhat, not an ANSI error
+        rows2 = [(s, d, v) for s, d, v in rows if s == "a"] + [
+            ("b", d, 2.0 * v) for s, d, v in rows if s == "a"
+        ]
+        df2 = spark.createDataFrame(rows2, "series_id string, ds date, y double")
+        got2 = forecast_var(df2, ["a", "b"], p=1, horizon=2).collect()
+        assert got2 and all(r["yhat"] is None for r in got2)
+        with pytest.raises(ValueError):
+            forecast_var(df, ["a"], p=1)
+        with pytest.raises(ValueError):
+            forecast_var(df, ["a", "a"], p=1)
+        with pytest.raises(ValueError):
+            forecast_var(df, ["a", "b"], p=0)
+        with pytest.raises(ValueError):
+            forecast_var(df, ["a", "b"], horizon=0)
