@@ -7301,6 +7301,58 @@ def _var_oracle(p: int = 2, horizon: int = 7) -> str:
     """
 
 
+def q_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized DFT periodogram of each event type's daily series
+    over periods 2..14 (diagnostics.periodogram): one window pass +
+    ONE aggregation of 26 conditional trig sums; energy-normalized so
+    cross-engine libm ulp drift stays far under the 6-dp grid. The
+    oracle replays identical ω literals and sums."""
+    from temporal_retriever_spark.diagnostics import periodogram
+
+    got = periodogram(
+        _events_daily_all(spark, sf_dir),
+        min_period=2,
+        max_period=14,
+        series_cols=("event_type",),
+    )
+    return got.select(
+        "event_type", "period", _r6("power").alias("power"), "n"
+    ).orderBy("event_type", "period")
+
+
+def _periodogram_oracle(min_period: int = 2, max_period: int = 14) -> str:
+    import math as _math
+
+    trig = []
+    for p in range(min_period, max_period + 1):
+        w = repr(2.0 * _math.pi / p)
+        trig.append(f"SUM(dm * cos({w} * t)) AS c{p}")
+        trig.append(f"SUM(dm * sin({w} * t)) AS s{p}")
+    unions = " UNION ALL ".join(
+        f"SELECT event_type, {p} AS period, "
+        f"{_sql_r6(f'(c{p} * c{p} + s{p} * s{p}) / NULLIF(sv, 0.0)')} AS power, n "
+        f"FROM a"
+        for p in range(min_period, max_period + 1)
+    )
+    return f"""
+        WITH s AS ({_EVENTS_DAILY}),
+        d AS (
+            SELECT event_type,
+                   y - AVG(y) OVER (PARTITION BY event_type) AS dm,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY ds) - 1 AS DOUBLE) AS t
+            FROM s WHERE y IS NOT NULL
+        ),
+        a AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(dm * dm) AS sv, {', '.join(trig)}
+            FROM d GROUP BY 1
+        )
+        {unions}
+        ORDER BY event_type, period
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7460,6 +7512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_brands": q_lpa_brands,
         "als_brand_factors": q_als_brand_factors,
         "forecast_var_daily": q_forecast_var_daily,
+        "periodogram_daily": q_periodogram_daily,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9614,6 +9667,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_brands": _lpa_oracle(),
         "als_brand_factors": _als_oracle(),
         "forecast_var_daily": _var_oracle(),
+        "periodogram_daily": _periodogram_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

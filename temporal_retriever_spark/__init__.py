@@ -53,6 +53,7 @@ from temporal_retriever_spark.diagnostics import (
     granger_lag1,
     granger_native,
     pacf,
+    periodogram,
 )
 from temporal_retriever_spark.forecast import (
     fit_changepoint_trend,
@@ -274,6 +275,7 @@ __all__ = [
     "granger_native",
     "f_sf_expr",
     "pacf",
+    "periodogram",
     "fit_changepoint_trend",
     "forecast_changepoint",
     "forecast_exponential_smoothing",

@@ -1617,6 +1617,88 @@ def series_corr_matrix(
     )
 
 
+def periodogram(
+    df: DataFrame,
+    *,
+    min_period: int = 2,
+    max_period: int = 31,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Normalized DFT periodogram over a candidate-period grid — the
+    spectral companion to the ACF-based `detect_seasonality`: where
+    the ACF measures self-similarity at a LAG, the periodogram
+    measures energy at a FREQUENCY, and a sharp seasonal line shows
+    up at the period AND its harmonics (the diagnostic the ACF
+    smears).
+
+    For each candidate period p (ω = 2π/p baked as an identical
+    double literal on both engines):
+
+        C_p = Σ_t (y_t − ȳ)·cos(ω·t)     S_p = Σ_t (y_t − ȳ)·sin(ω·t)
+        power_p = (C_p² + S_p²) / Σ_t (y_t − ȳ)²
+
+    — the squared sample amplitude NORMALIZED by the series energy,
+    so output is scale-free in [0, ~n/2] units of flat-spectrum
+    expectation ≈ 1-per-2-dof; peaks ≫ 1 mark concentration. The
+    normalization also keeps cross-engine libm cos/sin ulp drift far
+    below 6-dp rounding (raw power scales with n·σ² and would not).
+
+    One ordered window pass (time index + mean), ONE aggregation with
+    2·P conditional sums, explode to long rows — the `acf` plan shape.
+    Output: (series, period, power, n); zero-variance series emit
+    NULL power.
+    """
+    if not 2 <= min_period <= max_period:
+        raise ValueError(
+            f"need 2 <= min_period <= max_period: ({min_period}, {max_period})"
+        )
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols)
+    wo = w.orderBy(ts_col)
+    y = F.col(value_col).cast("double")
+    d = (
+        df.filter(y.isNotNull())
+        .withColumn("_t", (F.row_number().over(wo) - 1).cast("double"))
+        .withColumn("_dm", y - F.avg(y).over(w))
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("_dm") * F.col("_dm")).alias("_sv"),
+    ]
+    for p in range(min_period, max_period + 1):
+        omega = F.lit(2.0 * math.pi / p)
+        aggs.append(
+            F.sum(F.col("_dm") * F.cos(omega * F.col("_t"))).alias(f"_c{p}")
+        )
+        aggs.append(
+            F.sum(F.col("_dm") * F.sin(omega * F.col("_t"))).alias(f"_s{p}")
+        )
+    agg = d.groupBy(*series_cols).agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("period"),
+                F.try_divide(
+                    F.col(f"_c{p}") * F.col(f"_c{p}")
+                    + F.col(f"_s{p}") * F.col(f"_s{p}"),
+                    F.col("_sv"),
+                ).alias("power"),
+            )
+            for p in range(min_period, max_period + 1)
+        ]
+    )
+    return agg.select(
+        *series_cols, "n", F.explode(entries).alias("_e")
+    ).select(
+        *series_cols,
+        F.col("_e.period").alias("period"),
+        F.col("_e.power").alias("power"),
+        "n",
+    )
+
+
 def detect_seasonality(
     df: DataFrame,
     *,

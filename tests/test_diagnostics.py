@@ -803,3 +803,64 @@ def test_detect_seasonality_finds_planted_periods(spark):
     assert not out.loc["noise"].significant
     with pytest.raises(ValueError, match="min_period"):
         detect_seasonality(spark.createDataFrame(frames[0]), min_period=1)
+
+
+class TestPeriodogram:
+    def test_matches_numpy_dft(self, spark):
+        import datetime
+        import numpy as np
+
+        from temporal_retriever_spark.diagnostics import periodogram
+
+        rng = np.random.RandomState(3)
+        n = 120
+        t = np.arange(n)
+        y = 5.0 + 3.0 * np.sin(2 * np.pi * t / 7) + rng.normal(0, 0.5, n)
+        d0 = datetime.date(2024, 1, 1)
+        rows = [
+            ("s", d0 + datetime.timedelta(days=int(i)), float(v))
+            for i, v in zip(t, y)
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = {
+            r["period"]: r["power"]
+            for r in periodogram(df, min_period=2, max_period=14).collect()
+        }
+        dm = y - y.mean()
+        sv = float((dm * dm).sum())
+        for p in range(2, 15):
+            w = 2 * np.pi / p
+            c = float((dm * np.cos(w * t)).sum())
+            s = float((dm * np.sin(w * t)).sum())
+            assert got[p] == pytest.approx((c * c + s * s) / sv, rel=1e-9)
+        # the planted weekly line dominates the spectrum
+        assert max(got, key=got.get) == 7
+        assert got[7] > 10 * sorted(got.values())[-2] / 20
+
+    def test_flat_series_null_and_keys(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.diagnostics import periodogram
+
+        d0 = datetime.date(2024, 1, 1)
+        rows = [
+            ("flat", d0 + datetime.timedelta(days=i), 2.0) for i in range(30)
+        ] + [
+            ("saw", d0 + datetime.timedelta(days=i), float(i % 3))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = periodogram(df, min_period=2, max_period=6).collect()
+        flat = [r for r in got if r["series_id"] == "flat"]
+        saw = {r["period"]: r["power"] for r in got if r["series_id"] == "saw"}
+        assert all(r["power"] is None for r in flat)
+        assert max(saw, key=saw.get) == 3
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.diagnostics import periodogram
+
+        df = spark.createDataFrame([("s", 1.0)], "series_id string, y double")
+        with pytest.raises(ValueError):
+            periodogram(df, min_period=1)
+        with pytest.raises(ValueError):
+            periodogram(df, min_period=10, max_period=5)
