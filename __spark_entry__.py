@@ -7353,6 +7353,149 @@ def _periodogram_oracle(min_period: int = 2, max_period: int = 14) -> str:
     """
 
 
+def _intermittent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hourly demand series: error-event value sums above 150
+    on the complete observed-hour grid, zeros filled — ~12% of hours
+    carry demand at sf0.01 (ADI ≈ 8, properly intermittent)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    grid = ev.select(F.date_trunc("hour", "ts").alias("ds")).distinct()
+    dem = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .groupBy(F.date_trunc("hour", "ts").alias("ds"))
+        .agg(F.sum("value").alias("_y"))
+    )
+    return grid.join(dem, on="ds", how="left").select(
+        F.lit("errors").alias("series_id"),
+        "ds",
+        F.coalesce(F.col("_y"), F.lit(0.0)).alias("y"),
+    )
+
+
+def q_croston_error_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast of the sparse hourly
+    error series (forecast.forecast_croston): separate truncated-SES
+    levels for demand sizes and inter-demand intervals, flat ẑ/p̂
+    forecast at hourly steps. The oracle replays the identical
+    closed-form weight expansion."""
+    from temporal_retriever_spark.forecast import forecast_croston
+
+    got = forecast_croston(
+        _intermittent_hourly(spark, sf_dir), horizon=12, alpha=0.1, grain="H"
+    )
+    return got.select(
+        "series_id", "ds", _r6("yhat").alias("yhat")
+    ).orderBy("ds")
+
+
+def q_demand_class_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand classification of the same sparse
+    hourly series plus the (dense) hourly click series — one
+    intermittent/lumpy row, one smooth/erratic row
+    (forecast.demand_classification)."""
+    from temporal_retriever_spark.forecast import demand_classification
+
+    sparse = _intermittent_hourly(spark, sf_dir)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    dense = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("ds"))
+        .agg(F.sum("value").alias("y"))
+        .select(F.lit("clicks").alias("series_id"), "ds", "y")
+    )
+    got = demand_classification(sparse.unionByName(dense))
+    return got.select(
+        "series_id",
+        "n_buckets",
+        "n_demands",
+        _r6("adi").alias("adi"),
+        _r6("cv2").alias("cv2"),
+        "category",
+    ).orderBy("series_id")
+
+
+_INTERMITTENT_SQL = """
+    SELECT 'errors' AS series_id, g.ds, COALESCE(d.y, 0.0) AS y
+    FROM (SELECT DISTINCT date_trunc('hour', ts) AS ds FROM events) g
+    LEFT JOIN (SELECT date_trunc('hour', ts) AS ds, SUM(value) AS y
+               FROM events WHERE event_type = 'error' AND value > 150
+               GROUP BY 1) d USING (ds)
+"""
+
+
+def _croston_oracle(
+    horizon: int = 12, alpha: float = 0.1, trunc_eps: float = 1e-12
+) -> str:
+    import math as _m
+
+    K = float(max(1, int(_m.ceil(_m.log(trunc_eps) / _m.log(1.0 - alpha)))))
+    a, oa = repr(float(alpha)), repr(1.0 - float(alpha))
+
+    def ses(v: str) -> str:
+        return (
+            f"COALESCE(SUM(CASE WHEN rn <= LEAST({K!r}, nd - 1) "
+            f"THEN {a} * POWER({oa}, rn - 1) * {v} END), 0.0) "
+            f"+ COALESCE(SUM(CASE WHEN rn = nd AND nd - 1 <= {K!r} "
+            f"THEN POWER({oa}, nd - 1) * {v} END), 0.0)"
+        )
+
+    unions = " UNION ALL ".join(
+        f"SELECT 'errors' AS series_id, max_ds + {h} * INTERVAL 1 HOUR AS ds, "
+        f"{_sql_r6('z / p')} AS yhat FROM lev, mx"
+        for h in range(1, horizon + 1)
+    )
+    return f"""
+        WITH s AS ({_INTERMITTENT_SQL}),
+        t AS (SELECT ds, y, CAST(ROW_NUMBER() OVER (ORDER BY ds) AS DOUBLE)
+                  AS t FROM s),
+        dem AS (
+            SELECT *,
+                   t - COALESCE(LAG(t) OVER (ORDER BY ds), 0.0) AS q,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ds DESC) AS DOUBLE) AS rn,
+                   CAST(COUNT(*) OVER () AS DOUBLE) AS nd
+            FROM t WHERE y <> 0
+        ),
+        lev AS (SELECT {ses('y')} AS z, {ses('q')} AS p FROM dem),
+        mx AS (SELECT MAX(ds) AS max_ds FROM t)
+        {unions} ORDER BY ds
+    """
+
+
+_DEMAND_CLASS_ORACLE = f"""
+    WITH s AS (
+        {_INTERMITTENT_SQL}
+        UNION ALL
+        SELECT 'clicks' AS series_id, date_trunc('hour', ts) AS ds,
+               SUM(value) AS y
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT series_id,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(COUNT(CASE WHEN y <> 0 THEN 1 END) AS BIGINT)
+                   AS n_demands,
+               AVG(CASE WHEN y <> 0 THEN y END) AS mu,
+               STDDEV_SAMP(CASE WHEN y <> 0 THEN y END) AS sd
+        FROM s WHERE y IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+        SELECT *,
+               CAST(n_buckets AS DOUBLE) / CAST(n_demands AS DOUBLE) AS adi,
+               CASE WHEN n_demands >= 2 AND mu <> 0
+                    THEN POWER(sd / mu, 2) END AS cv2
+        FROM a
+    )
+    SELECT series_id, n_buckets, n_demands,
+           {_sql_r6("adi")} AS adi,
+           {_sql_r6("cv2")} AS cv2,
+           CASE WHEN cv2 IS NULL THEN NULL
+                WHEN adi <= 1.32 AND cv2 <= 0.49 THEN 'smooth'
+                WHEN adi > 1.32 AND cv2 <= 0.49 THEN 'intermittent'
+                WHEN adi <= 1.32 AND cv2 > 0.49 THEN 'erratic'
+                ELSE 'lumpy' END AS category
+    FROM b ORDER BY series_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7513,6 +7656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_brand_factors": q_als_brand_factors,
         "forecast_var_daily": q_forecast_var_daily,
         "periodogram_daily": q_periodogram_daily,
+        "croston_error_hourly": q_croston_error_hourly,
+        "demand_class_hourly": q_demand_class_hourly,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9668,6 +9813,8 @@ def oracle_sql() -> dict[str, str]:
         "als_brand_factors": _als_oracle(),
         "forecast_var_daily": _var_oracle(),
         "periodogram_daily": _periodogram_oracle(),
+        "croston_error_hourly": _croston_oracle(),
+        "demand_class_hourly": _DEMAND_CLASS_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -64,8 +64,10 @@ from temporal_retriever_spark.forecast import (
     forecast_covariate_changepoint,
     forecast_linear_seasonal,
     forecast_prophet,
+    forecast_croston,
     forecast_quantiles,
     forecast_var,
+    demand_classification,
     forecast_with_covariate,
 )
 from temporal_retriever_spark.pipeline import (
@@ -186,8 +188,10 @@ __all__ = [
     "check_constraints",
     "chi2_independence",
     "fdr_bh",
+    "demand_classification",
     "forecast_arima",
     "forecast_arma",
+    "forecast_croston",
     "forecast_var",
     "cohort_retention",
     "completeness",

@@ -1113,6 +1113,167 @@ def forecast_theta(
     )
 
 
+def forecast_croston(
+    df: DataFrame,
+    *,
+    horizon: int = 14,
+    alpha: float = 0.1,
+    sba: bool = False,
+    grain: str = "D",
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+    trunc_eps: float = 1e-12,
+) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972) — the
+    standard forecaster when most buckets are ZERO (spare parts, rare
+    error bursts, long-tail SKUs): plain SES smears demand across the
+    gaps, Croston smooths the demand SIZES and the inter-demand
+    INTERVALS separately and forecasts their ratio
+
+        ŷ = z_hat / p_hat        (× (1 − α/2) for ``sba=True``,
+                                  the Syntetos-Boylan bias correction)
+
+    flat over the horizon (the method's defined forecast function).
+
+    Input contract: one row per bucket per series, zeros INCLUDED
+    (interval lengths are positions in the bucket grid, so gaps must
+    be physically present — the output of `bucket_aggregate` over a
+    zero-filled grid). Both SES levels use the same truncated
+    closed-form weight expansion as `forecast_theta` (identical
+    truncation in the oracle). First demand's interval is its
+    distance from the series start (the classic init). Series with
+    zero demand points are dropped.
+
+    Plan: one ordered window pass (bucket index + demand ordering),
+    ONE aggregation per series — no Python, no recursion at runtime.
+    Output: (series, ds, yhat) for h = 1..horizon at ``grain`` steps.
+    """
+    from temporal_retriever_spark.grains import grain_interval
+
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    step = grain_interval(grain)
+    series_cols = list(series_cols)
+    K = max(1, int(math.ceil(math.log(trunc_eps) / math.log(1.0 - alpha))))
+    y = F.col(y_col).cast("double")
+    wo = Window.partitionBy(*series_cols).orderBy(ds_col)
+    base = (
+        df.filter(y.isNotNull())
+        .withColumn("_t", F.row_number().over(wo).cast("double"))
+    )
+    span = base.groupBy(*series_cols).agg(F.max(ds_col).alias("_max_ds"))
+    dem = base.filter(y != 0)
+    wd = Window.partitionBy(*series_cols).orderBy(ds_col)
+    wr = Window.partitionBy(*series_cols).orderBy(F.col(ds_col).desc())
+    dem = (
+        dem.withColumn(
+            "_q",
+            F.col("_t") - F.coalesce(F.lag("_t").over(wd), F.lit(0.0)),
+        )
+        .withColumn("_rn", F.row_number().over(wr).cast("double"))
+        .withColumn("_nd", F.count("*").over(Window.partitionBy(*series_cols)).cast("double"))
+    )
+    a = F.lit(float(alpha))
+    one_a = F.lit(1.0 - float(alpha))
+
+    def ses(col: Column) -> Column:
+        main = F.when(
+            F.col("_rn") <= F.least(F.lit(float(K)), F.col("_nd") - 1),
+            a * F.pow(one_a, F.col("_rn") - 1) * col,
+        )
+        init = F.when(
+            (F.col("_rn") == F.col("_nd"))
+            & (F.col("_nd") - 1 <= F.lit(float(K))),
+            F.pow(one_a, F.col("_nd") - 1) * col,
+        )
+        return F.coalesce(F.sum(main), F.lit(0.0)) + F.coalesce(
+            F.sum(init), F.lit(0.0)
+        )
+
+    agg = dem.groupBy(*series_cols).agg(
+        ses(y).alias("_z"),
+        ses(F.col("_q")).alias("_p"),
+        F.count("*").cast("long").alias("_ndl"),
+    )
+    corr = 1.0 - float(alpha) / 2.0 if sba else 1.0
+    joined = agg.join(span, on=series_cols)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(h).alias("h"),
+                F.expr(f"_max_ds + {h} * {step}").alias("ds"),
+            )
+            for h in range(1, horizon + 1)
+        ]
+    )
+    return joined.select(
+        *series_cols,
+        (F.lit(corr) * F.try_divide(F.col("_z"), F.col("_p"))).alias("_yhat"),
+        F.explode(entries).alias("_e"),
+    ).select(
+        *series_cols,
+        F.col("_e.ds").alias(ds_col),
+        F.col("_yhat").alias("yhat"),
+    )
+
+
+def demand_classification(
+    df: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    y_col: str = "y",
+) -> DataFrame:
+    """Syntetos-Boylan demand-pattern classification — the router in
+    front of `forecast_croston`: which series are intermittent enough
+    to need it?
+
+        ADI = buckets / demand buckets        CV² = (s/μ)² of sizes
+
+    quadrants at the standard cutoffs (ADI 1.32, CV² 0.49):
+    smooth / intermittent / erratic / lumpy. ONE aggregation per
+    series (zeros included in the bucket count, sample std over the
+    nonzero sizes). ``cv2`` and ``category`` are NULL below 2 demand
+    buckets — undefined, not "smooth".
+
+    Output: (series, n_buckets, n_demands, adi, cv2, category).
+    """
+    series_cols = list(series_cols)
+    y = F.col(y_col).cast("double")
+    dem = F.when(y != 0, y)
+    agg = df.filter(y.isNotNull()).groupBy(*series_cols).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.count(dem).cast("long").alias("n_demands"),
+        F.avg(dem).alias("_mu"),
+        F.stddev_samp(dem).alias("_sd"),
+    )
+    adi = F.try_divide(
+        F.col("n_buckets").cast("double"), F.col("n_demands").cast("double")
+    )
+    cv2 = F.when(
+        (F.col("n_demands") >= 2) & (F.col("_mu") != 0),
+        F.pow(F.col("_sd") / F.col("_mu"), 2),
+    )
+    cat = F.when(cv2.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(
+            (adi <= 1.32) & (cv2 <= 0.49), F.lit("smooth")
+        )
+        .when((adi > 1.32) & (cv2 <= 0.49), F.lit("intermittent"))
+        .when((adi <= 1.32) & (cv2 > 0.49), F.lit("erratic"))
+        .otherwise(F.lit("lumpy"))
+    )
+    return agg.select(
+        *series_cols,
+        "n_buckets",
+        "n_demands",
+        adi.alias("adi"),
+        cv2.alias("cv2"),
+        cat.alias("category"),
+    )
+
+
 def forecast_holt_winters(
     df: DataFrame,
     *,

@@ -776,3 +776,123 @@ class TestForecastVar:
             forecast_var(df, ["a", "b"], p=0)
         with pytest.raises(ValueError):
             forecast_var(df, ["a", "b"], horizon=0)
+
+
+class TestCroston:
+    def _rows(self):
+        import datetime
+
+        # demand at fixed positions with known sizes; zeros elsewhere
+        d0 = datetime.date(2024, 1, 1)
+        sizes = {3: 10.0, 7: 8.0, 8: 12.0, 15: 9.0, 22: 11.0}
+        return [
+            ("s", d0 + datetime.timedelta(days=t - 1), sizes.get(t, 0.0))
+            for t in range(1, 31)
+        ]
+
+    def _ref(self, rows, alpha):
+        # exact (untruncated) SES replay on sizes and intervals
+        dem = [(t + 1, v) for t, (_, _, v) in enumerate(rows) if v != 0]
+        ts = [t for t, _ in dem]
+        zs = [v for _, v in dem]
+        qs = [ts[0]] + [b - a for a, b in zip(ts, ts[1:])]
+
+        def ses(vals):
+            s = vals[0]
+            for v in vals[1:]:
+                s = alpha * v + (1 - alpha) * s
+            return s
+
+        return ses(zs), ses(qs)
+
+    def test_matches_ses_replay(self, spark):
+        from temporal_retriever_spark.forecast import forecast_croston
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = forecast_croston(df, horizon=3, alpha=0.2).collect()
+        z, p = self._ref(rows, 0.2)
+        assert len(got) == 3
+        for r in got:
+            assert r["yhat"] == pytest.approx(z / p, rel=1e-9)
+        # SBA variant scales by (1 - alpha/2)
+        sba = forecast_croston(df, horizon=1, alpha=0.2, sba=True).collect()[0]
+        assert sba["yhat"] == pytest.approx(0.9 * z / p, rel=1e-9)
+
+    def test_forecast_dates_follow_grain(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.forecast import forecast_croston
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = sorted(
+            forecast_croston(df, horizon=2, alpha=0.2).collect(),
+            key=lambda r: r["ds"],
+        )
+        last = max(d for _, d, _ in rows)
+        assert [r["ds"].date() if hasattr(r["ds"], "date") else r["ds"] for r in got] == [
+            last + datetime.timedelta(days=1),
+            last + datetime.timedelta(days=2),
+        ]
+
+    def test_all_zero_series_dropped_and_validation(self, spark):
+        from temporal_retriever_spark.forecast import forecast_croston
+
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        rows = [("z", d0 + datetime.timedelta(days=t), 0.0) for t in range(10)]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        assert forecast_croston(df, horizon=2).count() == 0
+        with pytest.raises(ValueError):
+            forecast_croston(df, horizon=0)
+        with pytest.raises(ValueError):
+            forecast_croston(df, alpha=1.0)
+
+
+class TestDemandClassification:
+    def test_quadrants(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.forecast import demand_classification
+
+        d0 = datetime.date(2024, 1, 1)
+        rows = []
+        # smooth: demand every bucket, constant size
+        rows += [("smooth", d0 + datetime.timedelta(days=t), 5.0) for t in range(20)]
+        # intermittent: rare demand, constant size
+        rows += [
+            ("inter", d0 + datetime.timedelta(days=t), 5.0 if t % 5 == 0 else 0.0)
+            for t in range(20)
+        ]
+        # erratic: every bucket, wildly varying size
+        rows += [
+            ("err", d0 + datetime.timedelta(days=t), [1.0, 30.0][t % 2])
+            for t in range(20)
+        ]
+        # lumpy: rare AND wildly varying
+        rows += [
+            ("lumpy", d0 + datetime.timedelta(days=t),
+             [1.0, 30.0][(t // 5) % 2] if t % 5 == 0 else 0.0)
+            for t in range(20)
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = {r["series_id"]: r for r in demand_classification(df).collect()}
+        assert got["smooth"]["category"] == "smooth"
+        assert got["inter"]["category"] == "intermittent"
+        assert got["err"]["category"] == "erratic"
+        assert got["lumpy"]["category"] == "lumpy"
+        assert got["inter"]["adi"] == pytest.approx(5.0)
+        assert got["smooth"]["cv2"] == pytest.approx(0.0)
+
+    def test_single_demand_null(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.forecast import demand_classification
+
+        d0 = datetime.date(2024, 1, 1)
+        rows = [("s", d0 + datetime.timedelta(days=t), 7.0 if t == 3 else 0.0) for t in range(10)]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        r = demand_classification(df).collect()[0]
+        assert r["n_demands"] == 1 and r["cv2"] is None and r["category"] is None
