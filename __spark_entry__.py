@@ -7496,6 +7496,68 @@ _DEMAND_CLASS_ORACLE = f"""
 """
 
 
+def q_attribution_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution of purchase conversions
+    over the other event channels (funnel.attribution): 6h lookback,
+    1h half-life; credit is conserved — Σ credit = conversion count,
+    direct conversions earn the (direct) row. The oracle replays the
+    join, the per-conversion decay normalization, and the anti-join
+    direct rows."""
+    from temporal_retriever_spark.funnel import attribution
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = attribution(
+        ev,
+        conversion="purchase",
+        channel_col="event_type",
+        model="time_decay",
+        lookback_seconds=6 * 3600,
+        halflife_seconds=3600.0,
+    )
+    return got.select(
+        "channel",
+        "conversions_touched",
+        _r6("credit").alias("credit"),
+    ).orderBy("channel")
+
+
+_ATTRIBUTION_ORACLE = f"""
+    WITH conv AS (
+        SELECT DISTINCT user_id AS u, ts AS cts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id AS u, ts AS tts, event_type AS ch FROM events
+        WHERE event_type <> 'purchase'
+    ),
+    p AS (
+        SELECT conv.u, conv.cts, t.ch,
+               epoch(conv.cts) - epoch(t.tts) AS age
+        FROM conv JOIN t ON conv.u = t.u
+        WHERE epoch(conv.cts) - epoch(t.tts) > 0
+          AND epoch(conv.cts) - epoch(t.tts) <= 21600.0
+    ),
+    s AS (
+        SELECT ch AS channel, cts, u,
+               POWER(2.0, -age / 3600.0)
+                   / SUM(POWER(2.0, -age / 3600.0))
+                     OVER (PARTITION BY u, cts) AS credit
+        FROM p
+    ),
+    d AS (
+        SELECT '(direct)' AS channel, cts, u, 1.0 AS credit
+        FROM conv
+        WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.u = conv.u
+                          AND p.cts = conv.cts)
+    ),
+    a AS (SELECT * FROM s UNION ALL SELECT * FROM d)
+    SELECT channel,
+           CAST(COUNT(DISTINCT (u, cts)) AS BIGINT) AS conversions_touched,
+           {_sql_r6("SUM(credit)")} AS credit
+    FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7658,6 +7720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram_daily": q_periodogram_daily,
         "croston_error_hourly": q_croston_error_hourly,
         "demand_class_hourly": q_demand_class_hourly,
+        "attribution_purchase": q_attribution_purchase,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9815,6 +9878,7 @@ def oracle_sql() -> dict[str, str]:
         "periodogram_daily": _periodogram_oracle(),
         "croston_error_hourly": _croston_oracle(),
         "demand_class_hourly": _DEMAND_CLASS_ORACLE,
+        "attribution_purchase": _ATTRIBUTION_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

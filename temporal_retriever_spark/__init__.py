@@ -112,6 +112,7 @@ from temporal_retriever_spark.recommend import als_recommend, als_train
 from temporal_retriever_spark.segmentation import binseg_changepoints, segment_means
 from temporal_retriever_spark.fuzzy import fuzzy_join, qgrams_expr
 from temporal_retriever_spark.funnel import (
+    attribution,
     cohort_retention,
     funnel,
     funnel_summary,
@@ -201,6 +202,7 @@ __all__ = [
     "als_train",
     "anova_oneway",
     "association_rules",
+    "attribution",
     "frequent_itemsets",
     "fuzzy_join",
     "funnel",

@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_summary", "cohort_retention", "transition_matrix"]
+__all__ = ["attribution", "funnel", "funnel_summary", "cohort_retention", "transition_matrix"]
 
 
 def funnel(
@@ -277,4 +277,110 @@ def transition_matrix(
         "to_step",
         "n",
         (F.col("n") / F.sum("n").over(wtot)).alias("p"),
+    )
+
+
+def attribution(
+    events: DataFrame,
+    *,
+    conversion: str,
+    channel_col: str,
+    model: str = "last_touch",
+    lookback_seconds: float = 7 * 86400,
+    halflife_seconds: float = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Multi-touch conversion attribution — the marketing-analytics
+    classic: each conversion distributes one unit of credit over the
+    user's touch events inside the lookback window, per ``model``:
+
+    * ``last_touch``  — all credit to the latest prior touch
+    * ``first_touch`` — all credit to the earliest touch in window
+    * ``linear``      — equal credit to every touch in window
+    * ``time_decay``  — credit ∝ 2^(−age/halflife), normalized per
+      conversion (recent touches weigh more; the standard
+      exponential-decay model)
+
+    Semantics: a touch is any event whose channel (``channel_col``)
+    differs from the conversion event type; eligible touches happen
+    STRICTLY BEFORE the conversion and within ``lookback_seconds`` of
+    it. Conversions with no eligible touch earn a ``(direct)`` row —
+    credit is conserved: Σ credit = conversion count, every model.
+    Ties at the same timestamp split deterministically by the
+    window-rank tie order (channel ascending).
+
+    Plan: conversions ⋈ touches per user with the time-range
+    predicate — ONE user-keyed shuffle join (state bounded by the
+    lookback window, the batch twin of the streaming interval join);
+    per-conversion normalization is one window over the joined pairs;
+    final credit is one aggregation per channel. No Python anywhere.
+
+    Output: (channel, conversions_touched, credit) where ``credit``
+    sums to the total conversion count across rows.
+    """
+    models = ("last_touch", "first_touch", "linear", "time_decay")
+    if model not in models:
+        raise ValueError(f"model must be one of {models}: {model!r}")
+    if lookback_seconds <= 0:
+        raise ValueError(f"lookback_seconds must be > 0: {lookback_seconds}")
+    if halflife_seconds <= 0:
+        raise ValueError(f"halflife_seconds must be > 0: {halflife_seconds}")
+    ch = F.col(channel_col)
+    conv = (
+        events.filter(ch == conversion)
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_cts"),
+        )
+        # multiple conversions at one instant collapse to one credit
+        # unit (deterministic; re-running the join can't double-count)
+        .distinct()
+    )
+    touch = events.filter(ch != conversion).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        ch.alias("_ch"),
+    )
+    # full-precision epoch seconds (unix_timestamp would truncate
+    # sub-second parts and skew the decay weights)
+    age = F.col("_cts").cast("double") - F.col("_tts").cast("double")
+    pairs = conv.join(touch, on="_u").filter(
+        (age > 0) & (age <= F.lit(float(lookback_seconds)))
+    )
+    w = Window.partitionBy("_u", "_cts")
+    rank_last = w.orderBy(F.col("_tts").desc(), F.col("_ch").asc())
+    rank_first = w.orderBy(F.col("_tts").asc(), F.col("_ch").asc())
+    if model == "last_touch":
+        credit = F.when(F.row_number().over(rank_last) == 1, F.lit(1.0))
+    elif model == "first_touch":
+        credit = F.when(F.row_number().over(rank_first) == 1, F.lit(1.0))
+    elif model == "linear":
+        credit = F.lit(1.0) / F.count("_tts").over(w)
+    else:  # time_decay
+        wgt = F.pow(
+            F.lit(2.0),
+            -age.cast("double") / F.lit(float(halflife_seconds)),
+        )
+        credit = wgt / F.sum(wgt).over(w)
+    scored = pairs.select(
+        F.col("_ch").alias("channel"),
+        F.col("_cts"),
+        F.col("_u"),
+        credit.alias("_credit"),
+    ).filter(F.col("_credit").isNotNull())
+    # conversions whose window held NO touch (including users with
+    # touches only outside the lookback) earn the (direct) row —
+    # credit is conserved exactly
+    direct = conv.join(
+        pairs.select("_u", "_cts").distinct(), on=["_u", "_cts"], how="left_anti"
+    ).select(
+        F.lit("(direct)").alias("channel"),
+        F.col("_cts"),
+        F.col("_u"),
+        F.lit(1.0).alias("_credit"),
+    )
+    return scored.unionByName(direct).groupBy("channel").agg(
+        F.count_distinct("_u", "_cts").cast("long").alias("conversions_touched"),
+        F.sum("_credit").alias("credit"),
     )

@@ -198,3 +198,84 @@ def test_transition_matrix(spark):
     assert got[("b", "b")] == (1, 0.5)
     raw = transition_matrix(df, normalize=False).columns
     assert "p" not in raw
+
+
+from temporal_retriever_spark.funnel import attribution
+
+
+class TestAttribution:
+    def _events(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+        def at(mins):
+            return t0 + datetime.timedelta(minutes=mins)
+
+        rows = [
+            # u1: email (t-120m) -> ad (t-30m) -> buy
+            ("u1", at(0), "email"), ("u1", at(90), "ad"), ("u1", at(120), "buy"),
+            # u2: ad only, inside window
+            ("u2", at(10), "ad"), ("u2", at(40), "buy"),
+            # u3: direct (no touches)
+            ("u3", at(50), "buy"),
+            # u4: touch OUTSIDE the lookback window -> direct
+            ("u4", at(0), "email"), ("u4", at(600), "buy"),
+        ]
+        return spark.createDataFrame(rows, "user_id string, ts timestamp, channel string")
+
+    def _by_channel(self, rows):
+        return {r["channel"]: r for r in rows}
+
+    def test_last_touch(self, spark):
+        got = self._by_channel(
+            attribution(
+                self._events(spark), conversion="buy", channel_col="channel",
+                model="last_touch", lookback_seconds=3 * 3600,
+            ).collect()
+        )
+        assert got["ad"]["credit"] == pytest.approx(2.0)  # u1 last + u2
+        assert "email" not in got
+        assert got["(direct)"]["credit"] == pytest.approx(2.0)  # u3 + u4
+        assert sum(r["credit"] for r in got.values()) == pytest.approx(4.0)
+
+    def test_first_touch_and_linear(self, spark):
+        ev = self._events(spark)
+        first = self._by_channel(
+            attribution(ev, conversion="buy", channel_col="channel",
+                        model="first_touch", lookback_seconds=3 * 3600).collect()
+        )
+        assert first["email"]["credit"] == pytest.approx(1.0)  # u1 first
+        assert first["ad"]["credit"] == pytest.approx(1.0)  # u2
+        lin = self._by_channel(
+            attribution(ev, conversion="buy", channel_col="channel",
+                        model="linear", lookback_seconds=3 * 3600).collect()
+        )
+        assert lin["email"]["credit"] == pytest.approx(0.5)
+        assert lin["ad"]["credit"] == pytest.approx(1.5)
+        assert sum(r["credit"] for r in lin.values()) == pytest.approx(4.0)
+
+    def test_time_decay_prefers_recent(self, spark):
+        got = self._by_channel(
+            attribution(
+                self._events(spark), conversion="buy", channel_col="channel",
+                model="time_decay", lookback_seconds=3 * 3600,
+                halflife_seconds=1800.0,
+            ).collect()
+        )
+        # u1: ad is 30min old (w=2^-1), email 120min (w=2^-4):
+        # ad share = .5/(.5+.0625) = 8/9
+        assert got["ad"]["credit"] == pytest.approx(8 / 9 + 1.0)
+        assert got["email"]["credit"] == pytest.approx(1 / 9)
+        assert sum(r["credit"] for r in got.values()) == pytest.approx(4.0)
+
+    def test_validation(self, spark):
+        ev = self._events(spark)
+        with pytest.raises(ValueError):
+            attribution(ev, conversion="buy", channel_col="channel", model="x")
+        with pytest.raises(ValueError):
+            attribution(ev, conversion="buy", channel_col="channel",
+                        lookback_seconds=0)
+        with pytest.raises(ValueError):
+            attribution(ev, conversion="buy", channel_col="channel",
+                        model="time_decay", halflife_seconds=0)
