@@ -7558,6 +7558,37 @@ _ATTRIBUTION_ORACLE = f"""
 """
 
 
+def q_path_ngrams_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step user journeys over the event log
+    (funnel.path_ngrams): one user-keyed window pass building the lag
+    chain (no collect_list, per-user state = 2 rows), one aggregation
+    per distinct path. Integer-exact oracle: identical lag SQL."""
+    from temporal_retriever_spark.funnel import path_ngrams
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = path_ngrams(ev, n=3)
+    return got.orderBy("path")
+
+
+_PATH_NGRAMS_ORACLE = """
+    WITH d AS (
+        SELECT user_id AS u, ts, CAST(event_type AS VARCHAR) AS e
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    lg AS (
+        SELECT u, e,
+               LAG(e, 2) OVER (PARTITION BY u ORDER BY ts ASC, e ASC) AS e2,
+               LAG(e, 1) OVER (PARTITION BY u ORDER BY ts ASC, e ASC) AS e1
+        FROM d
+    )
+    SELECT e2 || '>' || e1 || '>' || e AS path,
+           CAST(COUNT(*) AS BIGINT) AS occurrences,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS users
+    FROM lg WHERE e2 IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7721,6 +7752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston_error_hourly": q_croston_error_hourly,
         "demand_class_hourly": q_demand_class_hourly,
         "attribution_purchase": q_attribution_purchase,
+        "path_ngrams_events": q_path_ngrams_events,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9879,6 +9911,7 @@ def oracle_sql() -> dict[str, str]:
         "croston_error_hourly": _croston_oracle(),
         "demand_class_hourly": _DEMAND_CLASS_ORACLE,
         "attribution_purchase": _ATTRIBUTION_ORACLE,
+        "path_ngrams_events": _PATH_NGRAMS_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

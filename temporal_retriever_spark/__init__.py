@@ -114,6 +114,7 @@ from temporal_retriever_spark.fuzzy import fuzzy_join, qgrams_expr
 from temporal_retriever_spark.funnel import (
     attribution,
     cohort_retention,
+    path_ngrams,
     funnel,
     funnel_summary,
     transition_matrix,
@@ -239,6 +240,7 @@ __all__ = [
     "user_lifetimes",
     "non_negative",
     "pagerank",
+    "path_ngrams",
     "prop_ztest",
     "psi",
     "qgrams_expr",

@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["attribution", "funnel", "funnel_summary", "cohort_retention", "transition_matrix"]
+__all__ = ["attribution", "funnel", "funnel_summary", "cohort_retention", "path_ngrams", "transition_matrix"]
 
 
 def funnel(
@@ -383,4 +383,56 @@ def attribution(
     return scored.unionByName(direct).groupBy("channel").agg(
         F.count_distinct("_u", "_cts").cast("long").alias("conversions_touched"),
         F.sum("_credit").alias("credit"),
+    )
+
+
+def path_ngrams(
+    events: DataFrame,
+    *,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent user-journey n-grams: the top event SEQUENCES users
+    actually walk (the path-analysis companion to `transition_matrix`
+    — Markov pairs say where users go NEXT, n-grams say which whole
+    corridors are busy).
+
+    Each position in a user's time-ordered event stream emits the
+    n-gram ending there (windows of consecutive events; streams
+    shorter than n emit nothing). Ties at identical timestamps order
+    by event name — deterministic under any partition layout.
+
+    Plan: ONE user-keyed window pass builds the n−1 lag columns (no
+    per-user collect, no quadratic self-join), then one aggregation
+    per distinct path — output is path-vocabulary-sized. Scale note:
+    per-user state is the window frame (n−1 rows), so a mega-user
+    cannot skew memory the way a collect_list sessionizer would.
+
+    Output: (path, occurrences, users) — ``users`` = distinct users
+    who walked the path at least once.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2: {n}")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(event_col).asc()
+    )
+    ev = F.col(event_col).cast("string")
+    d = events.filter(ev.isNotNull()).select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"), ev.alias("_e")
+    )
+    w = Window.partitionBy("_u").orderBy(F.col("_ts").asc(), F.col("_e").asc())
+    cols = [F.lag("_e", n - 1 - i).over(w) for i in range(n - 1)] + [F.col("_e")]
+    d = d.withColumn("_path", F.concat_ws(sep, *cols)).withColumn(
+        "_full", cols[0].isNotNull()
+    )
+    return (
+        d.filter(F.col("_full"))
+        .groupBy(F.col("_path").alias("path"))
+        .agg(
+            F.count("*").cast("long").alias("occurrences"),
+            F.count_distinct("_u").cast("long").alias("users"),
+        )
     )

@@ -279,3 +279,62 @@ class TestAttribution:
         with pytest.raises(ValueError):
             attribution(ev, conversion="buy", channel_col="channel",
                         model="time_decay", halflife_seconds=0)
+
+
+from temporal_retriever_spark.funnel import path_ngrams
+
+
+class TestPathNgrams:
+    def test_counts_and_users(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def at(m):
+            return t0 + datetime.timedelta(minutes=m)
+
+        rows = [
+            ("u1", at(1), "a"), ("u1", at(2), "b"), ("u1", at(3), "c"),
+            ("u1", at(4), "b"), ("u1", at(5), "c"),
+            ("u2", at(1), "a"), ("u2", at(2), "b"), ("u2", at(3), "c"),
+            ("u3", at(1), "x"),  # too short for any 3-gram
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+        got = {r["path"]: r for r in path_ngrams(df, n=3).collect()}
+        assert got["a>b>c"]["occurrences"] == 2
+        assert got["a>b>c"]["users"] == 2
+        assert got["b>c>b"]["occurrences"] == 1
+        assert got["c>b>c"]["occurrences"] == 1
+        assert len(got) == 3
+
+    def test_bigrams_match_transitions(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.funnel import transition_matrix
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        import random
+
+        rng = random.Random(4)
+        for u in range(20):
+            for m in range(10):
+                rows.append((f"u{u}", t0 + datetime.timedelta(minutes=m),
+                             rng.choice("abc")))
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+        bi = {tuple(r["path"].split(">")): r["occurrences"]
+              for r in path_ngrams(df, n=2).collect()}
+        tm = {(r["from_step"], r["to_step"]): r["n"]
+              for r in transition_matrix(df).collect()}
+        assert bi == tm
+
+    def test_tie_order_deterministic_and_validation(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [("u", t0, "b"), ("u", t0, "a"), ("u", t0 + datetime.timedelta(minutes=1), "c")]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+        got = {r["path"] for r in path_ngrams(df, n=2).collect()}
+        assert got == {"a>b", "b>c"}
+        with pytest.raises(ValueError):
+            path_ngrams(df, n=1)
