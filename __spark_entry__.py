@@ -7589,6 +7589,63 @@ _PATH_NGRAMS_ORACLE = """
 """
 
 
+def q_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Hilbert index of (value, minute-of-day) per event
+    (sources.layout.with_hilbert): range-normalized 8-bit grid, the
+    runtime aggregate-HOF fold (constant plan size — the statically
+    unrolled chain OOMs analysis, see hilbert_expr). VALUE-EXACT
+    oracle: the hilbert_stages strings chained as MATERIALIZED CTEs
+    produce the identical BIGINT for every event."""
+    from temporal_retriever_spark.sources.layout import with_hilbert
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("value").cast("double").alias("x"),
+        (F.hour("ts") * 60 + F.minute("ts")).cast("double").alias("y"),
+    )
+    got = with_hilbert(ev, ["x", "y"], bits=8)
+    return got.select("event_id", "hvalue").orderBy("event_id")
+
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    from temporal_retriever_spark.sources.layout import hilbert_stages
+
+    top = (1 << bits) - 1
+    scale = repr(float(1 << bits))
+    stage_ctes = []
+    prev = "idx"
+    for i, (name, expr) in enumerate(hilbert_stages(bits)):
+        cte = f"hst{i}"
+        # MATERIALIZED: each stage references earlier columns several
+        # times; inlining the chain is exponential (same rule as the
+        # granger rounds)
+        stage_ctes.append(
+            f"{cte} AS MATERIALIZED (SELECT *, {expr} AS {name} FROM {prev})"
+        )
+        prev = cte
+    return f"""
+        WITH src AS (
+            SELECT event_id, CAST(value AS DOUBLE) AS x,
+                   CAST(hour(ts) * 60 + minute(ts) AS DOUBLE) AS y
+            FROM events
+        ),
+        rng AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx,
+                       MIN(y) AS mny, MAX(y) AS mxy FROM src),
+        idx AS (
+            SELECT event_id,
+                   GREATEST(CAST(0 AS BIGINT), LEAST(
+                       CAST(FLOOR((x - mnx) / (mxx - mnx) * {scale})
+                            AS BIGINT), CAST({top} AS BIGINT))) AS hx0,
+                   GREATEST(CAST(0 AS BIGINT), LEAST(
+                       CAST(FLOOR((y - mny) / (mxy - mny) * {scale})
+                            AS BIGINT), CAST({top} AS BIGINT))) AS hy0
+            FROM src, rng
+        ),
+        {', '.join(stage_ctes)}
+        SELECT event_id, hd{bits} AS hvalue FROM {prev} ORDER BY event_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7753,6 +7810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demand_class_hourly": q_demand_class_hourly,
         "attribution_purchase": q_attribution_purchase,
         "path_ngrams_events": q_path_ngrams_events,
+        "hilbert_events": q_hilbert_events,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9912,6 +9970,7 @@ def oracle_sql() -> dict[str, str]:
         "demand_class_hourly": _DEMAND_CLASS_ORACLE,
         "attribution_purchase": _ATTRIBUTION_ORACLE,
         "path_ngrams_events": _PATH_NGRAMS_ORACLE,
+        "hilbert_events": _hilbert_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -1,5 +1,8 @@
 from temporal_retriever_spark.sources.layout import (
     column_ranges,
+    hilbert_expr,
+    hilbert_write,
+    with_hilbert,
     zorder_write,
     zvalue_expr,
 )

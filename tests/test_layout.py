@@ -167,3 +167,105 @@ class TestPlanShapes:
         plan = agg._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
         assert "partial" in plan.lower()
+
+
+class TestHilbert:
+    @staticmethod
+    def _xy2d(order, x, y):
+        d, s = 0, (1 << order) // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def test_stage_strings_match_reference_bijection(self, spark):
+        from temporal_retriever_spark.sources.layout import hilbert_stages
+
+        bits = 4
+        n = 1 << bits
+        rows = [(x, y) for x in range(n) for y in range(n)]
+        d = spark.createDataFrame(rows, "hx0 long, hy0 long")
+        for name, expr in hilbert_stages(bits):
+            d = d.withColumn(name, F.expr(expr))
+        got = {
+            (r["hx"], r["hy"]): r[f"hd{bits}"]
+            for r in d.selectExpr("hx0 AS hx", "hy0 AS hy", f"hd{bits}").collect()
+        }
+        # matches the python reference cell-for-cell
+        assert all(got[(x, y)] == self._xy2d(bits, x, y) for x, y in rows)
+        # bijection over the full grid
+        assert sorted(got.values()) == list(range(n * n))
+        # Hilbert locality: consecutive indexes are Manhattan-adjacent
+        inv = {v: k for k, v in got.items()}
+        assert all(
+            abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+            for i in range(n * n - 1)
+        )
+        # the runtime fold (the Spark execution path) agrees with the
+        # stage strings (the oracle path) cell-for-cell
+        from temporal_retriever_spark.sources.layout import hilbert_expr
+
+        d2 = spark.createDataFrame(rows, "hx0 long, hy0 long")
+        fold = {
+            (r["hx0"], r["hy0"]): r["hv"]
+            for r in d2.withColumn(
+                "hv", hilbert_expr(F.col("hx0"), F.col("hy0"), bits=bits)
+            ).collect()
+        }
+        assert fold == got
+
+    def test_with_hilbert_and_clustering_win(self, spark, tmp_path):
+        import random
+
+        from temporal_retriever_spark.sources.layout import (
+            hilbert_write,
+            with_hilbert,
+        )
+
+        rng = random.Random(7)
+        rows = [(rng.uniform(0, 100), rng.uniform(0, 100)) for _ in range(4000)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        h = with_hilbert(df, ["a", "b"], bits=8)
+        assert set(h.columns) == {"a", "b", "hvalue"}
+        assert h.filter(F.col("hvalue").isNull()).count() == 0
+        mx = h.agg(F.max("hvalue")).collect()[0][0]
+        assert mx < (1 << 16)
+        # layout win: per-file min/max envelopes on BOTH columns are
+        # tighter than a single-column sort gives for the second col
+        out = str(tmp_path / "hil")
+        hilbert_write(df, out, hilbert_by=["a", "b"], num_files=8, bits=8)
+        back = spark.read.parquet(out)
+        import pyspark.sql.functions as sf
+
+        env = (
+            back.withColumn("_f", sf.input_file_name())
+            .groupBy("_f")
+            .agg(
+                (sf.max("a") - sf.min("a")).alias("ra"),
+                (sf.max("b") - sf.min("b")).alias("rb"),
+            )
+            .agg(sf.avg("ra").alias("ra"), sf.avg("rb").alias("rb"))
+            .collect()[0]
+        )
+        # both dimensions' envelopes shrink well below the full range
+        assert env["ra"] < 70 and env["rb"] < 70
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.sources.layout import (
+            hilbert_stages,
+            with_hilbert,
+        )
+
+        df = spark.createDataFrame([(1.0, 2.0, 3.0)], "a double, b double, c double")
+        with pytest.raises(ValueError):
+            with_hilbert(df, ["a"])
+        with pytest.raises(ValueError):
+            with_hilbert(df, ["a", "b", "c"])
+        with pytest.raises(ValueError):
+            hilbert_stages(0)
