@@ -7646,6 +7646,76 @@ def _hilbert_oracle(bits: int = 8) -> str:
     """
 
 
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order prices per priority
+    class (quality.benford_test): keys×9 digit grid, dof-8 exact
+    chi-square via the engine-neutral string. The oracle replays the
+    digit extraction, the explicit grid, and the identical expected-
+    frequency literals."""
+    from temporal_retriever_spark.quality import benford_test
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    got = benford_test(orders, "o_totalprice", keys=["o_orderpriority"])
+    return got.select(
+        "o_orderpriority",
+        "n",
+        _r6("chi2_stat").alias("chi2_stat"),
+        _r6("max_dev").alias("max_dev"),
+        _r6("p_value").alias("p_value"),
+    ).orderBy("o_orderpriority")
+
+
+def _benford_oracle() -> str:
+    import math as _m
+
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    p_case = " ".join(
+        f"WHEN {d} THEN {_m.log10(1.0 + 1.0 / d)!r}" for d in range(1, 10)
+    )
+    return f"""
+        WITH src AS (
+            SELECT o_orderpriority AS k, ABS(CAST(o_totalprice AS DOUBLE)) AS x
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+              AND ABS(CAST(o_totalprice AS DOUBLE)) > 0
+        ),
+        cnt AS (
+            SELECT k,
+                   CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS INTEGER)
+                       AS d,
+                   CAST(COUNT(*) AS DOUBLE) AS c
+            FROM src GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT DISTINCT k, UNNEST(range(1, 10)) AS d FROM cnt
+        ),
+        fl AS (
+            SELECT grid.k, grid.d, COALESCE(cnt.c, 0.0) AS c,
+                   CASE grid.d {p_case} END AS p
+            FROM grid LEFT JOIN cnt ON grid.k = cnt.k AND grid.d = cnt.d
+        ),
+        w AS (
+            SELECT *, SUM(c) OVER (PARTITION BY k) AS n,
+                   c / SUM(c) OVER (PARTITION BY k)
+                       - p AS dev
+            FROM fl
+        ),
+        a AS (
+            SELECT k AS o_orderpriority,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   MAX(n) * SUM(dev * dev / p) AS chi2_stat,
+                   MAX(ABS(dev)) AS max_dev
+            FROM w GROUP BY 1
+        )
+        SELECT o_orderpriority, n,
+               {_sql_r6("chi2_stat")} AS chi2_stat,
+               {_sql_r6("max_dev")} AS max_dev,
+               {_sql_r6(chi2_sf_sql("chi2_stat", 8))} AS p_value
+        FROM a ORDER BY o_orderpriority
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7811,6 +7881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_purchase": q_attribution_purchase,
         "path_ngrams_events": q_path_ngrams_events,
         "hilbert_events": q_hilbert_events,
+        "benford_prices": q_benford_prices,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -9971,6 +10042,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_purchase": _ATTRIBUTION_ORACLE,
         "path_ngrams_events": _PATH_NGRAMS_ORACLE,
         "hilbert_events": _hilbert_oracle(),
+        "benford_prices": _benford_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -141,6 +141,7 @@ from temporal_retriever_spark.tree import (
 )
 from temporal_retriever_spark.quality import (
     bounds,
+    benford_test,
     check_constraints,
     completeness,
     contained_in,
@@ -204,6 +205,7 @@ __all__ = [
     "anova_oneway",
     "association_rules",
     "attribution",
+    "benford_test",
     "frequent_itemsets",
     "fuzzy_join",
     "funnel",

@@ -98,3 +98,59 @@ def test_validation(df):
         bounds("v")
     with pytest.raises(ValueError, match="non-empty"):
         contained_in("cat", [])
+
+
+from temporal_retriever_spark.quality import benford_test
+
+
+class TestBenford:
+    def test_benford_sample_conforms(self, spark):
+        import math
+        import random
+
+        rng = random.Random(3)
+        # multiplicative process -> Benford-distributed magnitudes
+        rows = [(math.exp(rng.uniform(0, 20)),) for _ in range(5000)]
+        df = spark.createDataFrame(rows, "v double")
+        r = benford_test(df, "v").collect()[0]
+        assert r["n"] == 5000
+        assert r["p_value"] > 0.001
+        assert r["max_dev"] < 0.03
+
+    def test_uniform_data_flagged(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [(rng.uniform(100.0, 999.0),) for _ in range(5000)]
+        df = spark.createDataFrame(rows, "v double")
+        r = benford_test(df, "v").collect()[0]
+        assert r["p_value"] < 1e-12
+        assert r["chi2_stat"] > 100
+
+    def test_chi2_matches_hand_computation(self, spark):
+        import math
+
+        # fixed counts: digit 1 x30, digit 2 x20, digit 9 x10 (others 0)
+        rows = [(1.5,)] * 30 + [(25.0,)] * 20 + [(0.09,)] * 10
+        df = spark.createDataFrame(rows, "v double")
+        r = benford_test(df, "v").collect()[0]
+        n = 60
+        obs = {1: 30, 2: 20, 9: 10}
+        chi2 = n * sum(
+            ((obs.get(d, 0) / n) - math.log10(1 + 1 / d)) ** 2
+            / math.log10(1 + 1 / d)
+            for d in range(1, 10)
+        )
+        assert r["chi2_stat"] == pytest.approx(chi2, rel=1e-9)
+        maxdev = max(
+            abs(obs.get(d, 0) / n - math.log10(1 + 1 / d)) for d in range(1, 10)
+        )
+        assert r["max_dev"] == pytest.approx(maxdev, rel=1e-9)
+
+    def test_zeros_nulls_excluded_and_keys(self, spark):
+        rows = [("a", 123.0), ("a", 0.0), ("a", None), ("a", -250.0),
+                ("b", 0.004)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        got = {r["k"]: r for r in benford_test(df, "v", keys=["k"]).collect()}
+        assert got["a"]["n"] == 2  # 123 (d=1) and -250 (d=2)
+        assert got["b"]["n"] == 1  # 0.004 -> digit 4
