@@ -110,7 +110,7 @@ from temporal_retriever_spark.statespace import (
 from temporal_retriever_spark.basket import association_rules, frequent_itemsets
 from temporal_retriever_spark.recommend import als_recommend, als_train
 from temporal_retriever_spark.segmentation import binseg_changepoints, segment_means
-from temporal_retriever_spark.fuzzy import fuzzy_join, qgrams_expr
+from temporal_retriever_spark.fuzzy import entity_resolution, fuzzy_join, qgrams_expr
 from temporal_retriever_spark.funnel import (
     attribution,
     cohort_retention,
@@ -207,6 +207,7 @@ __all__ = [
     "attribution",
     "benford_test",
     "frequent_itemsets",
+    "entity_resolution",
     "fuzzy_join",
     "funnel",
     "funnel_summary",

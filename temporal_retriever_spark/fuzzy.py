@@ -24,10 +24,10 @@ cap, same role as ``verbatim_span_pairs``'s ``max_df``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["qgrams_expr", "fuzzy_join"]
+__all__ = ["entity_resolution","qgrams_expr", "fuzzy_join"]
 
 #: boundary pad char for positional-free q-grams (C0 control: cannot
 #: occur in normalized text, reproducible as chr(1) cross-engine)
@@ -138,5 +138,94 @@ def fuzzy_join(
                 right_col if right_col != left_col else f"{right_col}_r"
             ),
             "distance",
+        )
+    )
+
+
+def entity_resolution(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    max_distance: int = 2,
+    q: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """End-to-end entity resolution over a dirty string column: block
+    + verify (`fuzzy_join` q-gram blocking, native levenshtein),
+    cluster matches transitively (`graph.connected_components`, the
+    log-round star algorithm), and elect a deterministic GOLDEN
+    RECORD per entity — the record-linkage pipeline (Fellegi-Sunter
+    shape with an edit-distance comparator) as one composable call.
+
+    Survivorship rule (deterministic, documented): the canonical
+    value is the cluster's most frequent raw value; ties break to the
+    SHORTER string, then lexicographically — frequency is the usual
+    "majority spelling wins", shortness prefers the un-corrupted
+    form for append-style typos.
+
+    Scale shape: the pair stage inherits `fuzzy_join`'s guarantees
+    (recall exact when strings are longer than q·(max_distance−1)+1;
+    `max_gram_df` is the stop-gram skew guard); clustering runs on
+    the match PAIRS (id-keyed shuffles, values never re-shuffle);
+    survivorship is one entity-keyed count + one ordered window over
+    the entity-value table (entity-sized, not corpus-sized).
+
+    Output: (id, value, entity_id, canonical_value, cluster_size);
+    ``entity_id`` = min id in the cluster (singletons are their own
+    entity, size 1).
+    """
+    from temporal_retriever_spark.graph import connected_components
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(value_col).alias("_val")
+    ).filter(F.col("_val").isNotNull())
+    right = base.select(
+        F.col("_id").alias("_rid"), F.col("_val").alias("_rval")
+    )
+    pairs = fuzzy_join(
+        base,
+        right,
+        left_col="_val",
+        right_col="_rval",
+        left_id="_id",
+        right_id="_rid",
+        max_distance=max_distance,
+        q=q,
+        max_gram_df=max_gram_df,
+    ).filter(F.col("_id") != F.col("_rid"))
+    comp = connected_components(
+        pairs.select(F.col("_id").alias("src"), F.col("_rid").alias("dst"))
+    )
+    resolved = base.join(
+        comp, base["_id"] == comp["node"], how="left"
+    ).select(
+        "_id",
+        "_val",
+        F.coalesce(F.col("component"), F.col("_id")).alias("entity_id"),
+    )
+    vc = resolved.groupBy("entity_id", "_val").agg(
+        F.count("*").alias("_c")
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("_c").desc(), F.length("_val").asc(), F.col("_val").asc()
+    )
+    canon = (
+        vc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("entity_id", F.col("_val").alias("canonical_value"))
+    )
+    sizes = resolved.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        resolved.join(canon, on="entity_id")
+        .join(sizes, on="entity_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_val").alias(value_col),
+            "entity_id",
+            "canonical_value",
+            "cluster_size",
         )
     )

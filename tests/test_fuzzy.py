@@ -132,3 +132,59 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_join(df, df, left_col="s", right_col="s", max_distance=-1)
+
+
+from temporal_retriever_spark.fuzzy import entity_resolution
+
+
+class TestEntityResolution:
+    def test_clusters_and_golden_record(self, spark):
+        rows = [
+            (1, "acme corporation"),
+            (2, "acme corporations"),   # 1 edit from #1
+            (3, "acme corporatioon"),   # 1 edit from #1
+            (4, "zenith industries"),
+            (5, "zenith industried"),   # 1 edit from #4
+            (6, "completely different"),
+        ]
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = {
+            r["id"]: r
+            for r in entity_resolution(
+                df, id_col="id", value_col="name", max_distance=2
+            ).collect()
+        }
+        assert {got[i]["entity_id"] for i in (1, 2, 3)} == {1}
+        assert {got[i]["entity_id"] for i in (4, 5)} == {4}
+        assert got[6]["entity_id"] == 6 and got[6]["cluster_size"] == 1
+        # golden record: equal frequency -> shortest string wins
+        assert got[1]["canonical_value"] == "acme corporation"
+        assert got[2]["canonical_value"] == "acme corporation"
+        assert got[4]["canonical_value"] in ("zenith industries", "zenith industried")
+        assert got[1]["cluster_size"] == 3
+
+    def test_majority_spelling_wins(self, spark):
+        rows = [
+            (1, "acme corporation x"),
+            (2, "acme corporation x"),
+            (3, "acme corporation"),  # shorter but minority... wait
+        ]
+        # frequency beats shortness: two votes for the longer spelling
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = entity_resolution(
+            df, id_col="id", value_col="name", max_distance=2
+        ).collect()
+        assert all(r["canonical_value"] == "acme corporation x" for r in got)
+
+    def test_transitive_chain_merges(self, spark):
+        # a-b within 2, b-c within 2, a-c within 4: one entity anyway
+        rows = [
+            (1, "abcdefghij"),
+            (2, "abcdefghixx"),
+            (3, "abcdefghixxzz"),
+        ]
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = entity_resolution(
+            df, id_col="id", value_col="name", max_distance=3, q=2
+        ).collect()
+        assert {r["entity_id"] for r in got} == {1}
