@@ -7784,6 +7784,102 @@ _ENTITY_RESOLUTION_ORACLE = """
 """
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of exact cosine top-20 candidates
+    (llm.retrieval.mmr_rerank, Carbonell-Goldstein): λ=0.7, k=5 per
+    query, greedy argmax over λ·rel − (1−λ)·max-sim-to-selected in
+    ONE grouped Arrow pass over top-N-bounded candidate lists. The
+    oracle unrolls the identical greedy rounds as chained CTEs
+    (selection id-for-id, scores at 6 dp)."""
+    from temporal_retriever_spark.llm.retrieval import mmr_rerank
+    from temporal_retriever_spark.llm.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    cand = cosine_topk(emb, queries_df, k=20).select(
+        "query_id", "vec_id", F.col("cosine").alias("score")
+    ).join(emb, on="vec_id")
+    got = mmr_rerank(
+        cand, k=5, lam=0.7, id_col="vec_id", score_col="score"
+    )
+    return got.select(
+        "query_id",
+        "vec_id",
+        "mmr_rank",
+        _r6("mmr_score").alias("mmr_score"),
+    ).orderBy("query_id", "mmr_rank")
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.7, n_cand: int = 20) -> str:
+    """DuckDB mirror of q_mmr_rerank: the cosine_topk candidate CTE,
+    then each greedy round as a chained CTE — remaining = candidates
+    minus selected, penalty = max cosine to the selected set, argmax
+    by (mmr DESC, rel DESC, id ASC)."""
+    la, lb = repr(float(lam)), repr(1.0 - float(lam))
+    ctes = [
+        """q AS (SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 10)""",
+        """sc AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[])) AS rel,
+                   CAST(e.embedding AS DOUBLE[]) AS ve
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        )""",
+        f"""cand AS MATERIALIZED (
+            SELECT query_id, vec_id, rel, ve FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, vec_id) AS rn FROM sc) z
+            WHERE rn <= {n_cand}
+        )""",
+        f"""sel1 AS MATERIALIZED (
+            SELECT query_id, vec_id, rel, ve, 1 AS mmr_rank,
+                   {la} * rel AS mmr_score
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, vec_id) AS rn FROM cand) z
+            WHERE rn = 1
+        )""",
+        "acc1 AS (SELECT * FROM sel1)",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""pen{t} AS (
+                SELECT c.query_id, c.vec_id, c.rel, c.ve,
+                       MAX(list_cosine_similarity(c.ve, s.ve)) AS ms
+                FROM cand c JOIN acc{t - 1} s ON s.query_id = c.query_id
+                WHERE NOT EXISTS (SELECT 1 FROM acc{t - 1} a
+                    WHERE a.query_id = c.query_id AND a.vec_id = c.vec_id)
+                GROUP BY c.query_id, c.vec_id, c.rel, c.ve
+            )"""
+        )
+        ctes.append(
+            f"""sel{t} AS MATERIALIZED (
+                SELECT query_id, vec_id, rel, ve, {t} AS mmr_rank,
+                       {la} * rel - {lb} * ms AS mmr_score
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY {la} * rel - {lb} * ms DESC, rel DESC,
+                                   vec_id ASC) AS rn
+                      FROM pen{t}) z
+                WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"acc{t} AS (SELECT * FROM acc{t - 1} "
+            f"UNION ALL SELECT * FROM sel{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+               {_sql_r6("mmr_score")} AS mmr_score
+        FROM acc{k} ORDER BY query_id, mmr_rank
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -7951,6 +8047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_events": q_hilbert_events,
         "benford_prices": q_benford_prices,
         "entity_resolution_parts": q_entity_resolution_parts,
+        "mmr_rerank": q_mmr_rerank,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10113,6 +10210,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_events": _hilbert_oracle(),
         "benford_prices": _benford_oracle(),
         "entity_resolution_parts": _ENTITY_RESOLUTION_ORACLE,
+        "mmr_rerank": _mmr_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -29,7 +29,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_index", "bm25_topk", "rrf_fuse", "hybrid_topk"]
+__all__ = ["bm25_index", "bm25_topk", "mmr_rerank", "rrf_fuse", "hybrid_topk"]
 
 
 def _terms(text_col) -> "F.Column":
@@ -231,3 +231,90 @@ def hybrid_topk(
         query_id_col=query_id_col,
         id_col=id_col,
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass after any retriever: greedily pick
+
+        argmax_d  λ·rel(d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+
+    so near-duplicate hits can't crowd the top-k. λ=1 is pure
+    relevance, λ→0 pure diversity. First pick is the highest-scored
+    candidate; ties in any round break by (relevance DESC, ``id_col``
+    ASC) — the pre-sorted argmax order — fully deterministic,
+    oracle-replayable.
+
+    Scale shape: the greedy loop is inherently sequential PER QUERY
+    but queries are independent, so this runs as ONE grouped Arrow
+    pass (`applyInPandas`) over per-query candidate lists — the
+    documented whole-series-math exception to the no-Python rule.
+    Candidate lists are top-N-bounded by construction (the retriever
+    already truncated), so per-group memory is O(N·dim) regardless of
+    corpus size; cost O(k·N·dim) per query.
+
+    Output: (query, doc, mmr_rank 1..k, mmr_score) — mmr_score of the
+    first pick is λ·rel (no diversity term yet), matching the paper.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+
+    out_schema = (
+        f"{query_col} {dict(candidates.dtypes)[query_col]}, "
+        f"{id_col} {dict(candidates.dtypes)[id_col]}, "
+        "mmr_rank int, mmr_score double"
+    )
+    lam_f = float(lam)
+    kk = int(k)
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        max_sim = np.full(n, -np.inf)
+        for _ in range(min(kk, n)):
+            if not chosen:
+                mmr = lam_f * rel
+            else:
+                mmr = lam_f * rel - (1.0 - lam_f) * max_sim
+            mmr[chosen] = -np.inf
+            # ties: pdf is pre-sorted by (score desc, id asc) and
+            # argmax returns the FIRST max — id-ascending tie-break
+            best = int(np.argmax(mmr))
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+            sim = unit @ unit[best]
+            max_sim = np.maximum(max_sim, sim)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[chosen].to_numpy(),
+                id_col: pdf[id_col].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "mmr_score": np.array(scores),
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(walk, out_schema)

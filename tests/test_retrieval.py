@@ -153,3 +153,54 @@ def test_hybrid_self_retrieval(spark, docs, sf_dir):
             assert 1 / (60 + 5 + 1) * 0 < r["rrf"] <= 2 / 61 + 1e-12
     finally:
         got.unpersist()
+
+
+from temporal_retriever_spark.llm.retrieval import mmr_rerank
+
+
+class TestMmrRerank:
+    def _cands(self, spark):
+        # q1: docs 1,2 are near-identical high scorers; doc 3 is
+        # orthogonal with a lower score
+        rows = [
+            (1, 10, 0.95, [1.0, 0.0, 0.0]),
+            (1, 11, 0.94, [0.999, 0.01, 0.0]),
+            (1, 12, 0.70, [0.0, 1.0, 0.0]),
+            (1, 13, 0.60, [0.0, 0.0, 1.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "query_id int, doc_id int, score double, embedding array<double>"
+        )
+
+    def test_diversity_promotes_orthogonal_doc(self, spark):
+        got = sorted(
+            mmr_rerank(self._cands(spark), k=3, lam=0.5).collect(),
+            key=lambda r: r["mmr_rank"],
+        )
+        assert [r["doc_id"] for r in got] == [10, 12, 13]
+        # pure relevance keeps the near-duplicate instead
+        rel = sorted(
+            mmr_rerank(self._cands(spark), k=3, lam=1.0).collect(),
+            key=lambda r: r["mmr_rank"],
+        )
+        assert [r["doc_id"] for r in rel] == [10, 11, 12]
+
+    def test_first_score_is_lambda_rel_and_greedy_math(self, spark):
+        import math
+
+        got = {r["mmr_rank"]: r for r in mmr_rerank(
+            self._cands(spark), k=2, lam=0.5
+        ).collect()}
+        assert got[1]["doc_id"] == 10
+        assert got[1]["mmr_score"] == pytest.approx(0.5 * 0.95)
+        # second pick: doc 12, score = .5*.7 - .5*cos(12,10) = .35
+        assert got[2]["doc_id"] == 12
+        assert got[2]["mmr_score"] == pytest.approx(0.5 * 0.70 - 0.5 * 0.0)
+
+    def test_k_bounds_and_validation(self, spark):
+        c = self._cands(spark)
+        assert mmr_rerank(c, k=99).count() == 4  # capped at candidates
+        with pytest.raises(ValueError):
+            mmr_rerank(c, k=0)
+        with pytest.raises(ValueError):
+            mmr_rerank(c, lam=1.5)
