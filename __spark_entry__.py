@@ -7880,6 +7880,74 @@ def _mmr_oracle(k: int = 5, lam: float = 0.7, n_cand: int = 20) -> str:
     )
 
 
+def q_rmst_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ=14 days per activity type
+    (survival.rmst over the km_survival curves): exact step-function
+    integration via one lead window + one aggregation. The oracle
+    rebuilds the KM table and replays the identical clamped
+    integral."""
+    from temporal_retriever_spark.survival import (
+        kaplan_meier,
+        rmst,
+        user_lifetimes,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    lt = user_lifetimes(ev, churn_gap_days=7.0, segment_cols=["event_type"])
+    km = kaplan_meier(lt, keys=["event_type"])
+    got = rmst(km, tau=14.0, keys=["event_type"])
+    return got.select(
+        "event_type", "tau", _r6("rmst").alias("rmst")
+    ).orderBy("event_type")
+
+
+_RMST_ORACLE = f"""
+    WITH lt AS (
+        SELECT user_id, event_type, MIN(ts) AS f, MAX(ts) AS l
+        FROM events GROUP BY user_id, event_type
+    ),
+    obs AS (SELECT MAX(ts) AS oe FROM events),
+    d AS (
+        SELECT event_type,
+               date_diff('second', f, l) // 86400 AS duration_days,
+               CASE WHEN date_diff('second', l, oe) > 7 * 86400
+                    THEN 1 ELSE 0 END AS ev
+        FROM lt, obs
+    ),
+    g AS (
+        SELECT event_type, duration_days,
+               CAST(SUM(ev) AS BIGINT) AS d_events,
+               CAST(COUNT(*) - SUM(ev) AS BIGINT) AS censored
+        FROM d GROUP BY event_type, duration_days
+    ),
+    r AS (
+        SELECT *,
+               CAST(SUM(d_events + censored)
+                    OVER (PARTITION BY event_type
+                          ORDER BY duration_days DESC) AS BIGINT) AS n_risk
+        FROM g
+    ),
+    km AS (
+        SELECT event_type, CAST(duration_days AS DOUBLE) AS t,
+               product(1.0 - d_events / CAST(n_risk AS DOUBLE))
+                   OVER (PARTITION BY event_type
+                         ORDER BY duration_days ASC) AS survival
+        FROM r
+    ),
+    seg AS (
+        SELECT event_type,
+               survival * (LEAST(COALESCE(LEAD(t) OVER (
+                   PARTITION BY event_type ORDER BY t), 14.0), 14.0)
+                   - LEAST(t, 14.0)) AS seg,
+               MIN(t) OVER (PARTITION BY event_type) AS first_t
+        FROM km
+    )
+    SELECT event_type, 14.0 AS tau,
+           {_sql_r6("MAX(LEAST(first_t, 14.0)) + SUM(seg)")} AS rmst
+    FROM seg GROUP BY event_type ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8048,6 +8116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": q_benford_prices,
         "entity_resolution_parts": q_entity_resolution_parts,
         "mmr_rerank": q_mmr_rerank,
+        "rmst_event_types": q_rmst_event_types,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10211,6 +10280,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_prices": _benford_oracle(),
         "entity_resolution_parts": _ENTITY_RESOLUTION_ORACLE,
         "mmr_rerank": _mmr_oracle(),
+        "rmst_event_types": _RMST_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

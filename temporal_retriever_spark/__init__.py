@@ -163,6 +163,7 @@ from temporal_retriever_spark.survival import (
     kaplan_meier,
     logrank_test,
     median_survival,
+    rmst,
     user_lifetimes,
 )
 from temporal_retriever_spark.evaluation import (
@@ -234,6 +235,7 @@ __all__ = [
     "isotonic_calibration",
     "kaplan_meier",
     "logrank_test",
+    "rmst",
     "make_lag_features",
     "mann_whitney_u",
     "median_survival",

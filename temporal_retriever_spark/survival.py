@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "cox_ph",
     "kaplan_meier",
+    "logrank_test",
     "median_survival",
+    "rmst",
     "user_lifetimes",
 ]
 
@@ -379,3 +381,50 @@ def cox_ph(
             w = list(np.array(w) + np.linalg.solve(H, g))
     sub.unpersist()
     return [float(v) for v in w]
+
+
+def rmst(
+    km: DataFrame,
+    *,
+    tau: float,
+    duration_col: str = "duration_days",
+    survival_col: str = "survival",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Restricted mean survival time — the area under the
+    Kaplan-Meier curve up to horizon ``tau``: "expected survival
+    time within the first τ days", the standard effect measure when
+    median survival is undefined (heavy censoring) and the honest
+    summary when hazards aren't proportional (where a Cox hazard
+    ratio misleads).
+
+    Input is a `kaplan_meier` output table. The KM step convention:
+    S(t) = ``survival`` of the last duration ≤ t; the curve is 1 on
+    [0, first duration). RMST integrates the step function exactly:
+
+        RMST(τ) = min(t₁, τ) + Σ_i S(t_i)·(min(t_{i+1}, τ) − min(t_i, τ))
+
+    with t_{k+1} = ∞ for the last step (clamped to τ). ONE ordered
+    window (lead) over the distinct-duration table + one aggregation
+    per key — observation-window-sized, like everything in this
+    module.
+
+    Output per key: ``tau, rmst``.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0: {tau}")
+    kcols = list(keys or [])
+    part = kcols if kcols else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(duration_col)
+    t = F.col(duration_col).cast("double")
+    tl = F.lit(float(tau))
+    nxt = F.coalesce(F.lead(t).over(w), tl)
+    seg = F.col(survival_col) * (
+        F.least(nxt, tl) - F.least(t, tl)
+    )
+    first = F.least(F.min(t).over(Window.partitionBy(*part)), tl)
+    d = km.withColumn("_seg", seg).withColumn("_first", first)
+    return d.groupBy(*kcols).agg(
+        F.lit(float(tau)).alias("tau"),
+        (F.max("_first") + F.sum("_seg")).alias("rmst"),
+    )

@@ -344,3 +344,45 @@ class TestLogRank:
         ).collect()
         assert {r["k"] for r in got} == {1, 2}
         assert all(math.isclose(r["chi2_stat"], 0.0, abs_tol=1e-12) for r in got)
+
+
+from temporal_retriever_spark.survival import rmst
+
+
+class TestRmst:
+    def test_matches_hand_integration(self, spark):
+        # events at t=2 (S->0.75), t=5 (S->0.5), censor at 8
+        rows = [("s", 2, 1), ("s", 2, 0), ("s", 5, 1), ("s", 8, 0)]
+        df = spark.createDataFrame(rows, "k string, duration_days int, event int")
+        km = kaplan_meier(df, keys=["k"])
+        got = rmst(km, tau=10.0, keys=["k"]).collect()[0]
+        # S=1 on [0,2), 0.75*(1-1/4=?) hand-compute from km rows
+        km_rows = sorted(km.collect(), key=lambda r: r["duration_days"])
+        s = {r["duration_days"]: r["survival"] for r in km_rows}
+        expected = 2.0  # [0,2) at S=1
+        expected += s[2] * (5 - 2)
+        expected += s[5] * (8 - 5)
+        expected += s[8] * (10 - 8)
+        assert got["rmst"] == pytest.approx(expected, rel=1e-12)
+
+    def test_tau_clamps(self, spark):
+        rows = [("s", 2, 1), ("s", 50, 1)]
+        df = spark.createDataFrame(rows, "k string, duration_days int, event int")
+        km = kaplan_meier(df, keys=["k"])
+        got = rmst(km, tau=10.0, keys=["k"]).collect()[0]
+        # [0,2) at 1, [2,10) at 0.5; the t=50 step is beyond tau
+        assert got["rmst"] == pytest.approx(2.0 + 0.5 * 8.0)
+        # tau before the first event: curve is 1 throughout
+        got2 = rmst(km, tau=1.5, keys=["k"]).collect()[0]
+        assert got2["rmst"] == pytest.approx(1.5)
+
+    def test_no_events_full_tau_and_validation(self, spark):
+        rows = [("s", 9, 0), ("s", 12, 0)]
+        df = spark.createDataFrame(rows, "k string, duration_days int, event int")
+        km = kaplan_meier(df, keys=["k"])
+        got = rmst(km, tau=8.0, keys=["k"]).collect()[0]
+        assert got["rmst"] == pytest.approx(8.0)  # S=1 everywhere under tau
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            rmst(km, tau=0.0)
