@@ -7948,6 +7948,105 @@ _RMST_ORACLE = f"""
 """
 
 
+def q_abc_brands_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of brands by lineitem revenue
+    (aggregate.abc_classification): one brand-keyed aggregation + one
+    key-table-sized ordered window. Oracle mirrors the cumulative
+    bands exactly."""
+    from temporal_retriever_spark.aggregate import abc_classification
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        t["lineitem"].l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    got = abc_classification(rev, key_col="p_brand", value_col="rev")
+    return got.select(
+        "p_brand",
+        _r6("total").alias("total"),
+        _r6("share").alias("share"),
+        _r6("cum_share").alias("cum_share"),
+        "abc_class",
+    ).orderBy("p_brand")
+
+
+_ABC_ORACLE = f"""
+    WITH rev AS (
+        SELECT p_brand, SUM(l_extendedprice * (1.0 - l_discount)) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY total DESC, p_brand ASC) AS rnk,
+               SUM(total) OVER (ORDER BY total DESC, p_brand ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(total) OVER () AS g
+        FROM rev
+    )
+    SELECT p_brand,
+           {_sql_r6("total")} AS total,
+           {_sql_r6("total / g")} AS share,
+           {_sql_r6("cum / g")} AS cum_share,
+           CASE WHEN cum / g <= 0.8 OR rnk = 1 THEN 'A'
+                WHEN cum / g <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r ORDER BY p_brand
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive pairs
+    (llm.similarity.hard_negatives): anchors vec_id < 10 with
+    positives vec_id+1, top-5 most-similar non-positive non-self
+    corpus vectors each — over-fetched cosine_topk, anti-joined
+    positives, re-cut rank window. Oracle: quadratic cosine ranking
+    with the same exclusions."""
+    from temporal_retriever_spark.llm.similarity import hard_negatives
+
+    emb = _embeddings(spark, sf_dir)
+    pos = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("positive_id"),
+    )
+    got = hard_negatives(pos, emb, k=5)
+    return got.select(
+        "anchor_id",
+        "negative_id",
+        F.col("hn_rank").cast("long").alias("hn_rank"),
+        F.round(F.col("cosine") + F.lit(_ROUND_OFFSET), 4).alias("cosine"),
+    ).orderBy("anchor_id", "hn_rank")
+
+
+_HARD_NEGATIVES_ORACLE = f"""
+    WITH a AS (SELECT vec_id AS anchor_id, embedding AS ae
+               FROM embeddings WHERE vec_id < 10),
+    sc AS (
+        SELECT a.anchor_id, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(a.ae AS DOUBLE[])) AS c
+        FROM embeddings e, a
+        WHERE e.vec_id <> a.anchor_id
+          AND e.vec_id <> a.anchor_id + 1
+    ),
+    r AS (
+        SELECT anchor_id, vec_id AS negative_id, c,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY c DESC, vec_id ASC) AS hn_rank
+        FROM sc
+    )
+    SELECT anchor_id, negative_id, hn_rank,
+           ROUND(c + {_ROUND_OFFSET!r}, 4) AS cosine
+    FROM r WHERE hn_rank <= 5
+    ORDER BY anchor_id, hn_rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8117,6 +8216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution_parts": q_entity_resolution_parts,
         "mmr_rerank": q_mmr_rerank,
         "rmst_event_types": q_rmst_event_types,
+        "abc_brands_revenue": q_abc_brands_revenue,
+        "hard_negatives": q_hard_negatives,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10281,6 +10382,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_resolution_parts": _ENTITY_RESOLUTION_ORACLE,
         "mmr_rerank": _mmr_oracle(),
         "rmst_event_types": _RMST_ORACLE,
+        "abc_brands_revenue": _ABC_ORACLE,
+        "hard_negatives": _HARD_NEGATIVES_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -30,6 +30,7 @@ from temporal_retriever_spark.grains import (
 from temporal_retriever_spark.aggregate import (
     AGGREGATIONS,
     agg_expr,
+    abc_classification,
     bucket_aggregate,
     bucket_aggregate_multi,
     date_bounds,
@@ -186,6 +187,7 @@ from temporal_retriever_spark.inference import (
 )
 
 __all__ = [
+    "abc_classification",
     "binseg_changepoints",
     "bounds",
     "bucket_aggregate_multi",

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.grains import bucket_expr, normalize_grain
@@ -292,4 +292,60 @@ def bucket_aggregate_multi(
         grain_label.alias("grain"),
         F.coalesce(*[F.col(bcols[g]) for g in gs]).alias(ts_col),
         *[F.col(f"{value_col}_{a}") for a in normalized_aggs],
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto classification — the inventory-analytics classic:
+    rank keys by total value, take the cumulative share of the grand
+    total, and band A (top ~80% of value), B (to ~95%), C (tail).
+    The "which 20% of SKUs carry 80% of revenue" primitive that
+    drives stocking policy, and for a corpus: which sources carry the
+    token mass (the `gini_concentration` report's actionable cousin).
+
+    Band rule (standard): a key is A if the cumulative share INCLUDING
+    it is ≤ a_share, or if it is the first key (a single dominant key
+    is always A); B up to b_share; else C. Ties in total value order
+    by key ascending — deterministic cumulative sums cross-engine.
+
+    Plan: one aggregation per key, one global ordered window over the
+    KEY table (key-cardinality-sized, not data-sized — same safety
+    argument as the KM duration table), zero Python.
+
+    Output: (key, total, share, cum_share, abc_class) ordered by rank.
+    """
+    if not 0.0 < a_share < b_share <= 1.0:
+        raise ValueError(
+            f"need 0 < a_share < b_share <= 1: ({a_share}, {b_share})"
+        )
+    totals = df.groupBy(F.col(key_col)).agg(
+        F.sum(F.col(value_col).cast("double")).alias("total")
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col(key_col).asc())
+    grand = Window.partitionBy()
+    d = totals.withColumn("_rank", F.row_number().over(w)).withColumn(
+        "_cum", F.sum("total").over(
+            Window.orderBy(F.col("total").desc(), F.col(key_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    ).withColumn("_g", F.sum("total").over(grand))
+    cum_share = F.col("_cum") / F.col("_g")
+    cls = (
+        F.when((cum_share <= F.lit(float(a_share))) | (F.col("_rank") == 1), "A")
+        .when(cum_share <= F.lit(float(b_share)), "B")
+        .otherwise("C")
+    )
+    return d.select(
+        F.col(key_col),
+        "total",
+        (F.col("total") / F.col("_g")).alias("share"),
+        cum_share.alias("cum_share"),
+        cls.alias("abc_class"),
     )

@@ -932,3 +932,60 @@ def pca_power(
         score.alias("pc1"),
         F.lit(evr).alias("explained_variance_ratio"),
     )
+
+
+def hard_negatives(
+    positives: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    anchor_col: str = "anchor_id",
+    positive_col: str = "positive_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training pairs: for every
+    anchor, the top-k most-similar corpus vectors that are NOT the
+    anchor itself and NOT any of its labeled positives — the
+    "similar but wrong" examples that make embedding models actually
+    learn (random negatives are trivially separable; the standard
+    recipe behind DPR/SimCSE-style training sets).
+
+    Plan: `cosine_topk` over-fetches k + max-positives candidates per
+    anchor (broadcast queries, pre-shuffle WindowGroupLimit), the
+    positive pairs anti-join out, and a rank window re-cuts to k —
+    no Python, and the corpus shuffles once regardless of anchor
+    count. Output: (anchor, negative_id, hn_rank, cosine).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    pos = positives.select(
+        F.col(anchor_col).alias("_a"), F.col(positive_col).alias("_p")
+    ).distinct()
+    max_pos = pos.groupBy("_a").count().agg(F.max("count")).collect()[0][0]
+    if max_pos is None:
+        raise ValueError("positives is empty")
+    anchors = pos.select(F.col("_a").alias("query_id")).distinct().join(
+        corpus.select(F.col(id_col).alias("query_id"), vec_col),
+        on="query_id",
+    )
+    cand = cosine_topk(corpus, anchors, k=int(k) + int(max_pos),
+                       id_col=id_col, vec_col=vec_col)
+    filtered = cand.join(
+        pos,
+        (cand["query_id"] == pos["_a"]) & (cand[id_col] == pos["_p"]),
+        how="left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        filtered.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= int(k))
+        .select(
+            F.col("query_id").alias(anchor_col),
+            F.col(id_col).alias("negative_id"),
+            "hn_rank",
+            "cosine",
+        )
+    )

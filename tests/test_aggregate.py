@@ -128,3 +128,52 @@ def test_bucket_count(tables, duck):
         ) GROUP BY 1
     """
     assert_matches_oracle(got, duck, sql)
+
+
+class TestAbcClassification:
+    def test_bands_and_shares(self, spark):
+        from temporal_retriever_spark.aggregate import abc_classification
+
+        rows = [("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 6.0), ("e", 4.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        got = {r["k"]: r for r in abc_classification(
+            df, key_col="k", value_col="v"
+        ).collect()}
+        # cum shares: a .5, b .8, c .9, d .96, e 1.0
+        assert got["a"]["abc_class"] == "A"
+        assert got["b"]["abc_class"] == "A"  # cum exactly 0.8 <= 0.8
+        assert got["c"]["abc_class"] == "B"
+        assert got["d"]["abc_class"] == "C"
+        assert got["e"]["abc_class"] == "C"
+        import math
+        assert math.isclose(got["b"]["cum_share"], 0.8)
+        assert math.isclose(got["e"]["share"], 0.04)
+
+    def test_dominant_single_key_is_a(self, spark):
+        from temporal_retriever_spark.aggregate import abc_classification
+
+        df = spark.createDataFrame(
+            [("big", 99.0), ("tiny", 1.0)], "k string, v double"
+        )
+        got = {r["k"]: r["abc_class"] for r in abc_classification(
+            df, key_col="k", value_col="v"
+        ).collect()}
+        # cum share of 'big' is 0.99 > 0.8 but rank-1 is always A
+        assert got["big"] == "A"
+        assert got["tiny"] == "C"
+
+    def test_aggregates_duplicate_keys_and_validation(self, spark):
+        from temporal_retriever_spark.aggregate import abc_classification
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 15.0), ("b", 5.0)], "k string, v double"
+        )
+        got = {r["k"]: r for r in abc_classification(
+            df, key_col="k", value_col="v"
+        ).collect()}
+        assert got["a"]["total"] == 25.0
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            abc_classification(df, key_col="k", value_col="v", a_share=0.9,
+                               b_share=0.8)
