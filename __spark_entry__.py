@@ -8064,7 +8064,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # R5 ROTATION PLAN: once CORRECTNESS_r04 lands green rows for the
     # current window, rotate those out and promote (in order) the
     # late-round-4 additions directly below the window (hits_nations
-    # .. dbscan_embeddings — new families, zero driver rows) plus
+    # .. dbscan_embeddings — new families, zero driver rows), the
+    # continuation-session families (assoc_rules_brands,
+    # anova_value_event_dow, logrank_click_view, quantreg_value,
+    # lpa_brands, als_brand_factors, forecast_var_daily,
+    # periodogram_daily, croston_error_hourly, demand_class_hourly,
+    # attribution_purchase, path_ngrams_events, hilbert_events,
+    # benford_prices, entity_resolution_parts, mmr_rerank,
+    # rmst_event_types, abc_brands_revenue, hard_negatives), plus
     # dsir_select_src0 / corpus_sample_uniform, then the remaining
     # family variants.
     return {
