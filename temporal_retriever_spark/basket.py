@@ -92,23 +92,33 @@ def frequent_itemsets(
     """
     if not 0.0 < min_support <= 1.0:
         raise ValueError(f"min_support must be in (0, 1]: {min_support}")
-    base = _incidence(df, basket_col, item_col, max_basket_items)
-    # one-row basket count, broadcast into every support ratio
-    n = base.groupBy().agg(F.count_distinct("_b").alias("_n"))
-    c1 = base.groupBy("_i").agg(F.count("*").alias("support_count"))
-    f1 = (
-        c1.join(F.broadcast(n))
-        .filter(
-            F.col("support_count").cast("double")
-            >= F.lit(float(min_support)) * F.col("_n").cast("double")
-        )
+    # materialize the incidence ONCE: four downstream consumers (n,
+    # item counts, both pair-join sides) would otherwise re-run the
+    # dedup shuffle — and re-scan the source — per reference (44
+    # parquet scans in the un-checkpointed plan, measured)
+    base = _incidence(df, basket_col, item_col, max_basket_items).localCheckpoint(
+        eager=True
     )
+    # one driver scalar (the same O(small-state) contract as
+    # pagerank's dangling mass); oracle mirrors 0.02 * CAST(n AS
+    # DOUBLE) — the identical IEEE product
+    n = base.select(F.count_distinct("_b")).collect()[0][0]
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "size int, item_a string, item_b string, "
+            "support_count long, support double",
+        )
+    minc = F.lit(float(min_support) * float(n))
+    nd = F.lit(float(n))
+    c1 = base.groupBy("_i").agg(F.count("*").alias("support_count"))
+    f1 = c1.filter(F.col("support_count").cast("double") >= minc)
     singles = f1.select(
         F.lit(1).alias("size"),
         F.col("_i").cast("string").alias("item_a"),
         F.lit(None).cast("string").alias("item_b"),
         F.col("support_count"),
-        (F.col("support_count").cast("double") / F.col("_n")).alias("support"),
+        (F.col("support_count").cast("double") / nd).alias("support"),
     )
     # Apriori prune: support-bounded frequent-item list, broadcastable
     # at any corpus size (<= avg_basket/min_support entries)
@@ -122,19 +132,13 @@ def frequent_itemsets(
             F.col("l._i").alias("item_a"), F.col("r._i").alias("item_b")
         )
         .agg(F.count("*").alias("support_count"))
-        .join(F.broadcast(n))
-        .filter(
-            F.col("support_count").cast("double")
-            >= F.lit(float(min_support)) * F.col("_n").cast("double")
-        )
+        .filter(F.col("support_count").cast("double") >= minc)
         .select(
             F.lit(2).alias("size"),
             F.col("item_a").cast("string").alias("item_a"),
             F.col("item_b").cast("string").alias("item_b"),
             F.col("support_count"),
-            (F.col("support_count").cast("double") / F.col("_n")).alias(
-                "support"
-            ),
+            (F.col("support_count").cast("double") / nd).alias("support"),
         )
     )
     return singles.unionByName(pairs)
@@ -174,13 +178,15 @@ def association_rules(
         raise ValueError(
             f"min_confidence must be in [0, 1]: {min_confidence}"
         )
+    # itemsets are support-bounded and tiny; checkpoint so the three
+    # derivations below don't re-run the whole mining pipeline
     sets = frequent_itemsets(
         df,
         basket_col=basket_col,
         item_col=item_col,
         min_support=min_support,
         max_basket_items=max_basket_items,
-    )
+    ).localCheckpoint(eager=True)
     singles = sets.filter(F.col("size") == 1).select(
         F.col("item_a").alias("_i"),
         F.col("support_count").alias("_ic"),
