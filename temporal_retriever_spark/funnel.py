@@ -334,8 +334,11 @@ def attribution(
             F.col(ts_col).alias("_cts"),
         )
         # multiple conversions at one instant collapse to one credit
-        # unit (deterministic; re-running the join can't double-count)
+        # unit (deterministic; re-running the join can't double-count).
+        # Materialized: conv feeds the pair join AND the direct
+        # anti-join — conversion-count-sized, one source scan
         .distinct()
+        .localCheckpoint(eager=True)
     )
     touch = events.filter(ch != conversion).select(
         F.col(user_col).alias("_u"),
@@ -345,9 +348,12 @@ def attribution(
     # full-precision epoch seconds (unix_timestamp would truncate
     # sub-second parts and skew the decay weights)
     age = F.col("_cts").cast("double") - F.col("_tts").cast("double")
+    # pairs feed the credit window AND the direct anti-join: bound by
+    # conversions × in-window touches, far under the raw event table —
+    # materialize so the user-keyed join runs once
     pairs = conv.join(touch, on="_u").filter(
         (age > 0) & (age <= F.lit(float(lookback_seconds)))
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("_u", "_cts")
     rank_last = w.orderBy(F.col("_tts").desc(), F.col("_ch").asc())
     rank_first = w.orderBy(F.col("_tts").asc(), F.col("_ch").asc())

@@ -177,9 +177,16 @@ def entity_resolution(
     """
     from temporal_retriever_spark.graph import connected_components
 
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(value_col).alias("_val")
-    ).filter(F.col("_val").isNotNull())
+    # materialize once: fuzzy_join consumes base on BOTH sides (each
+    # with a gram explode), and the resolve/survivorship stages read
+    # it again — without this the source is re-scanned ~12× (measured)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"), F.col(value_col).alias("_val")
+        )
+        .filter(F.col("_val").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     right = base.select(
         F.col("_id").alias("_rid"), F.col("_val").alias("_rval")
     )

@@ -965,10 +965,12 @@ def hard_negatives(
     max_pos = pos.groupBy("_a").count().agg(F.max("count")).collect()[0][0]
     if max_pos is None:
         raise ValueError("positives is empty")
+    # anchor vectors are anchor-count-sized; materialize so the
+    # cosine_topk broadcast side doesn't re-run the corpus join
     anchors = pos.select(F.col("_a").alias("query_id")).distinct().join(
         corpus.select(F.col(id_col).alias("query_id"), vec_col),
         on="query_id",
-    )
+    ).localCheckpoint(eager=True)
     cand = cosine_topk(corpus, anchors, k=int(k) + int(max_pos),
                        id_col=id_col, vec_col=vec_col)
     filtered = cand.join(
