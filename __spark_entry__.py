@@ -8047,6 +8047,75 @@ _HARD_NEGATIVES_ORACLE = f"""
 """
 
 
+def q_tsb_error_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSB obsolescence-aware intermittent forecast of the sparse
+    hourly error series (forecast.forecast_tsb): demand-probability
+    SES over EVERY bucket × size SES at demand points, both in the
+    shared truncated closed form; flat p̂·ẑ at hourly steps. Oracle
+    replays both expansions."""
+    from temporal_retriever_spark.forecast import forecast_tsb
+
+    got = forecast_tsb(
+        _intermittent_hourly(spark, sf_dir),
+        horizon=12,
+        alpha=0.1,
+        beta=0.1,
+        grain="H",
+    )
+    return got.select(
+        "series_id", "ds", _r6("yhat").alias("yhat")
+    ).orderBy("ds")
+
+
+def _tsb_oracle(
+    horizon: int = 12,
+    alpha: float = 0.1,
+    beta: float = 0.1,
+    trunc_eps: float = 1e-12,
+) -> str:
+    import math as _m
+
+    def ses(v: str, a: float, rn: str, n: str) -> str:
+        K = float(max(1, int(_m.ceil(_m.log(trunc_eps) / _m.log(1.0 - a)))))
+        ar, oar = repr(float(a)), repr(1.0 - float(a))
+        return (
+            f"COALESCE(SUM(CASE WHEN {rn} <= LEAST({K!r}, {n} - 1) "
+            f"THEN {ar} * POWER({oar}, {rn} - 1) * {v} END), 0.0) "
+            f"+ COALESCE(SUM(CASE WHEN {rn} = {n} AND {n} - 1 <= {K!r} "
+            f"THEN POWER({oar}, {n} - 1) * {v} END), 0.0)"
+        )
+
+    unions = " UNION ALL ".join(
+        f"SELECT 'errors' AS series_id, max_ds + {h} * INTERVAL 1 HOUR AS ds, "
+        f"{_sql_r6('p * z')} AS yhat FROM lev, mx"
+        for h in range(1, horizon + 1)
+    )
+    return f"""
+        WITH s AS ({_INTERMITTENT_SQL}),
+        t AS (
+            SELECT ds, y,
+                   CASE WHEN y <> 0 THEN 1.0 ELSE 0.0 END AS occ,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ds DESC) AS DOUBLE)
+                       AS rn_all,
+                   CAST(COUNT(*) OVER () AS DOUBLE) AS n_all,
+                   CASE WHEN y <> 0 THEN CAST(ROW_NUMBER() OVER (
+                       PARTITION BY (y <> 0) ORDER BY ds DESC) AS DOUBLE)
+                   END AS rn_dem,
+                   SUM(CASE WHEN y <> 0 THEN 1.0 ELSE 0.0 END)
+                       OVER () AS n_dem
+            FROM s
+        ),
+        lev AS (
+            SELECT {ses('occ', beta, 'rn_all', 'n_all')} AS p,
+                   {ses('CASE WHEN y <> 0 THEN y END', alpha, 'rn_dem', 'n_dem')}
+                       AS z
+            FROM t
+        ),
+        mx AS (SELECT MAX(ds) AS max_ds FROM s)
+        {unions} ORDER BY ds
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8225,6 +8294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmst_event_types": q_rmst_event_types,
         "abc_brands_revenue": q_abc_brands_revenue,
         "hard_negatives": q_hard_negatives,
+        "tsb_error_hourly": q_tsb_error_hourly,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10391,6 +10461,7 @@ def oracle_sql() -> dict[str, str]:
         "rmst_event_types": _RMST_ORACLE,
         "abc_brands_revenue": _ABC_ORACLE,
         "hard_negatives": _HARD_NEGATIVES_ORACLE,
+        "tsb_error_hourly": _tsb_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -66,6 +66,7 @@ from temporal_retriever_spark.forecast import (
     forecast_linear_seasonal,
     forecast_prophet,
     forecast_croston,
+    forecast_tsb,
     forecast_quantiles,
     forecast_var,
     demand_classification,
@@ -198,6 +199,7 @@ __all__ = [
     "forecast_arima",
     "forecast_arma",
     "forecast_croston",
+    "forecast_tsb",
     "forecast_var",
     "cohort_retention",
     "completeness",

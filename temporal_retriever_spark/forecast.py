@@ -1220,6 +1220,125 @@ def forecast_croston(
     )
 
 
+def forecast_tsb(
+    df: DataFrame,
+    *,
+    horizon: int = 14,
+    alpha: float = 0.1,
+    beta: float = 0.1,
+    grain: str = "D",
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    y_col: str = "y",
+    trunc_eps: float = 1e-12,
+) -> DataFrame:
+    """TSB intermittent-demand forecast (Teunter-Syntetos-Babai
+    2011) — Croston's obsolescence-aware successor: Croston updates
+    the interval estimate only WHEN demand occurs, so a SKU that dies
+    keeps its last forecast forever; TSB instead smooths the demand
+    PROBABILITY over every bucket
+
+        p̂ = SES_β(1{y_t ≠ 0})     ẑ = SES_α(sizes at demand points)
+        ŷ = p̂ · ẑ
+
+    so long silences decay the forecast toward zero. Same truncated
+    closed-form SES expansion as `forecast_croston`/`forecast_theta`
+    (identical truncation in the oracle), same input contract (zeros
+    physically present on the bucket grid), same plan shape: one
+    ordered window pass + ONE aggregation per series. Series with no
+    demand at all still forecast (p̂ decays from the zero run) —
+    unlike Croston they are NOT dropped, matching the method's intent.
+
+    Output: (series, ds, yhat) for h = 1..horizon at ``grain`` steps.
+    """
+    from temporal_retriever_spark.grains import grain_interval
+
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    for nm, a in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < a < 1.0:
+            raise ValueError(f"{nm} must be in (0, 1): {a}")
+    step = grain_interval(grain)
+    series_cols = list(series_cols)
+    y = F.col(y_col).cast("double")
+    wo = Window.partitionBy(*series_cols).orderBy(ds_col)
+    base = (
+        df.filter(y.isNotNull())
+        .withColumn("_occ", (y != 0).cast("double"))
+        .withColumn(
+            "_rn_all",
+            F.row_number()
+            .over(Window.partitionBy(*series_cols).orderBy(F.col(ds_col).desc()))
+            .cast("double"),
+        )
+        .withColumn(
+            "_n_all",
+            F.count("*").over(Window.partitionBy(*series_cols)).cast("double"),
+        )
+        .withColumn(
+            "_rn_dem",
+            F.when(
+                y != 0,
+                F.row_number().over(
+                    Window.partitionBy(*series_cols, F.col(y_col) != 0).orderBy(
+                        F.col(ds_col).desc()
+                    )
+                ),
+            ).cast("double"),
+        )
+        .withColumn(
+            "_n_dem",
+            F.sum((y != 0).cast("double")).over(
+                Window.partitionBy(*series_cols)
+            ),
+        )
+    )
+
+    def ses(col: Column, a: float, rn: Column, n: Column) -> Column:
+        K = max(1, int(math.ceil(math.log(trunc_eps) / math.log(1.0 - a))))
+        main = F.when(
+            rn <= F.least(F.lit(float(K)), n - 1),
+            F.lit(a) * F.pow(F.lit(1.0 - a), rn - 1) * col,
+        )
+        init = F.when(
+            (rn == n) & (n - 1 <= F.lit(float(K))),
+            F.pow(F.lit(1.0 - a), n - 1) * col,
+        )
+        return F.coalesce(F.sum(main), F.lit(0.0)) + F.coalesce(
+            F.sum(init), F.lit(0.0)
+        )
+
+    agg = base.groupBy(*series_cols).agg(
+        ses(F.col("_occ"), beta, F.col("_rn_all"), F.col("_n_all")).alias("_p"),
+        ses(
+            F.when(y != 0, y), alpha, F.col("_rn_dem"), F.col("_n_dem")
+        ).alias("_z"),
+        F.max(F.col("_n_dem")).alias("_nd"),
+        F.max(ds_col).alias("_max_ds"),
+    )
+    # zero-demand series: z is undefined -> forecast 0 (p may be >0
+    # only through float noise; the method's limit is 0 anyway)
+    yhat = F.when(F.col("_nd") > 0, F.col("_p") * F.col("_z")).otherwise(
+        F.lit(0.0)
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(h).alias("h"),
+                F.expr(f"_max_ds + {h} * {step}").alias("ds"),
+            )
+            for h in range(1, horizon + 1)
+        ]
+    )
+    return agg.select(
+        *series_cols, yhat.alias("_yhat"), F.explode(entries).alias("_e")
+    ).select(
+        *series_cols,
+        F.col("_e.ds").alias(ds_col),
+        F.col("_yhat").alias("yhat"),
+    )
+
+
 def demand_classification(
     df: DataFrame,
     *,

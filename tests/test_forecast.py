@@ -896,3 +896,81 @@ class TestDemandClassification:
         df = spark.createDataFrame(rows, "series_id string, ds date, y double")
         r = demand_classification(df).collect()[0]
         assert r["n_demands"] == 1 and r["cv2"] is None and r["category"] is None
+
+
+class TestTsb:
+    def _rows(self):
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        sizes = {3: 10.0, 7: 8.0, 8: 12.0, 15: 9.0, 22: 11.0}
+        return [
+            ("s", d0 + datetime.timedelta(days=t - 1), sizes.get(t, 0.0))
+            for t in range(1, 31)
+        ]
+
+    @staticmethod
+    def _ses(vals, a):
+        s = vals[0]
+        for v in vals[1:]:
+            s = a * v + (1 - a) * s
+        return s
+
+    def test_matches_ses_replay(self, spark):
+        from temporal_retriever_spark.forecast import forecast_tsb
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = forecast_tsb(df, horizon=3, alpha=0.2, beta=0.15).collect()
+        occ = [1.0 if v != 0 else 0.0 for _, _, v in rows]
+        sizes = [v for _, _, v in rows if v != 0]
+        expected = self._ses(occ, 0.15) * self._ses(sizes, 0.2)
+        assert len(got) == 3
+        for r in got:
+            assert r["yhat"] == pytest.approx(expected, rel=1e-9)
+
+    def test_decays_after_obsolescence_unlike_croston(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.forecast import (
+            forecast_croston,
+            forecast_tsb,
+        )
+
+        d0 = datetime.date(2024, 1, 1)
+        # demand every other day for 30 days, then 60 days of silence
+        rows = [
+            ("s", d0 + datetime.timedelta(days=t),
+             5.0 if (t < 30 and t % 2 == 0) else 0.0)
+            for t in range(90)
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        tsb = forecast_tsb(df, horizon=1, alpha=0.1, beta=0.1).collect()[0]
+        cro = forecast_croston(df, horizon=1, alpha=0.1).collect()[0]
+        # croston still forecasts near 5/2; TSB has decayed toward 0
+        assert cro["yhat"] > 1.0
+        assert tsb["yhat"] < 0.05
+
+    def test_zero_demand_series_forecasts_zero(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.forecast import forecast_tsb
+
+        d0 = datetime.date(2024, 1, 1)
+        rows = [("z", d0 + datetime.timedelta(days=t), 0.0) for t in range(10)]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = forecast_tsb(df, horizon=2).collect()
+        assert len(got) == 2 and all(r["yhat"] == 0.0 for r in got)
+
+    def test_validation(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.forecast import forecast_tsb
+
+        df = spark.createDataFrame(
+            [("s", datetime.date(2024, 1, 1), 1.0)],
+            "series_id string, ds date, y double",
+        )
+        for kw in ({"alpha": 1.0}, {"beta": 0.0}, {"horizon": 0}):
+            with pytest.raises(ValueError):
+                forecast_tsb(df, **kw)
