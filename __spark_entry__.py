@@ -8116,6 +8116,80 @@ def _tsb_oracle(
     """
 
 
+def q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming contract row #4: exact dedup REPLAYED through a
+    real streaming query — documents fingerprinted (md5 of normalized
+    text), chunked into two file-source micro-batches so duplicates
+    split across batches exercise the dropDuplicatesWithinWatermark
+    STATE STORE, not batch-local dedup. Streaming keeps an arbitrary
+    first representative, so the deterministic contract is the
+    distinct FINGERPRINT SET — hash-matched against the batch
+    GROUP BY oracle (one row per fingerprint, duplicate count
+    included via a batch-side join)."""
+    import tempfile
+    import uuid
+
+    from temporal_retriever_spark.streaming import streaming_exact_dedup
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    ).withColumn(
+        # synthetic event time (deterministic from doc_id) so the
+        # watermarked dedup has an event-time column to bound state on
+        "ds",
+        (F.lit(1704067200) + F.col("doc_id").cast("long")).cast("timestamp"),
+    )
+    tmp = tempfile.mkdtemp(prefix="trs-dedup-stream-")
+    half_a, half_b = docs.randomSplit([0.5, 0.5], seed=7)
+    half_a.write.parquet(f"{tmp}/in/chunk=0")
+    half_b.write.parquet(f"{tmp}/in/chunk=1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/chunk=*")
+    )
+    deduped = streaming_exact_dedup(
+        stream, ts_col="ds", key_cols=("fingerprint",),
+        watermark="3650 days",
+    )
+    qname = f"trs_dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    survivors = spark.table(qname).select("fingerprint")
+    # duplicate counts come from the batch side: the streamed result
+    # must be exactly ONE survivor per fingerprint
+    counts = docs.groupBy("fingerprint").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        survivors.groupBy("fingerprint")
+        .agg(F.count("*").cast("long").alias("n_survivors"))
+        .join(counts, on="fingerprint")
+        .orderBy("fingerprint")
+    )
+
+
+_DEDUP_STREAMED_ORACLE = """
+    SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+           CAST(1 AS BIGINT) AS n_survivors,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8295,6 +8369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_brands_revenue": q_abc_brands_revenue,
         "hard_negatives": q_hard_negatives,
         "tsb_error_hourly": q_tsb_error_hourly,
+        "dedup_streamed": q_dedup_streamed,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10462,6 +10537,7 @@ def oracle_sql() -> dict[str, str]:
         "abc_brands_revenue": _ABC_ORACLE,
         "hard_negatives": _HARD_NEGATIVES_ORACLE,
         "tsb_error_hourly": _tsb_oracle(),
+        "dedup_streamed": _DEDUP_STREAMED_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,
