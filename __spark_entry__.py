@@ -8190,6 +8190,75 @@ _DEDUP_STREAMED_ORACLE = """
 """
 
 
+def q_kcore_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core of the brand co-occurrence graph (graph.k_core over the
+    same frequent-pair edges as lpa_brands): iterative peeling with
+    fixed-point stop; cascades bite (degrees span 1-17 at sf0.01).
+    Peeling is monotone, so the oracle unrolls 12 static rounds —
+    no-ops past convergence — and matches node-for-node."""
+    from temporal_retriever_spark.basket import frequent_itemsets
+    from temporal_retriever_spark.graph import k_core
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    baskets = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        t["lineitem"].l_partkey == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    pairs = frequent_itemsets(
+        baskets, basket_col="basket", item_col="item", min_support=0.025
+    ).filter(F.col("size") == 2)
+    got = k_core(
+        pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
+        k=5,
+    )
+    return got.orderBy("node")
+
+
+def _kcore_oracle(k: int = 5, rounds: int = 12, min_support: float = 0.025) -> str:
+    ms = repr(float(min_support))
+    ctes = [
+        """bi AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS b, p_brand AS i
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        )""",
+        "nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM bi)",
+        "c1 AS (SELECT i, COUNT(*) AS c FROM bi GROUP BY i)",
+        f"f1 AS (SELECT i FROM c1, nb WHERE CAST(c AS DOUBLE) >= {ms} * n)",
+        """p AS (
+            SELECT a.i AS ia, b.i AS ib, COUNT(*) AS c
+            FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+            JOIN f1 fa ON fa.i = a.i JOIN f1 fb ON fb.i = b.i
+            GROUP BY 1, 2
+        )""",
+        f"f2 AS (SELECT ia, ib FROM p, nb WHERE CAST(c AS DOUBLE) >= {ms} * n)",
+        "und AS MATERIALIZED (SELECT ia AS s, ib AS d FROM f2 "
+        "UNION SELECT ib, ia FROM f2)",
+        "a0 AS (SELECT DISTINCT s AS node FROM und)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+                SELECT und.s AS node
+                FROM und
+                JOIN a{t - 1} x ON x.node = und.s
+                JOIN a{t - 1} y ON y.node = und.d
+                GROUP BY 1 HAVING COUNT(*) >= {k}
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT und.s AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM und
+        JOIN a{rounds} x ON x.node = und.s
+        JOIN a{rounds} y ON y.node = und.d
+        GROUP BY 1 HAVING COUNT(*) >= {k}
+        ORDER BY node
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8370,6 +8439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "tsb_error_hourly": q_tsb_error_hourly,
         "dedup_streamed": q_dedup_streamed,
+        "kcore_brands": q_kcore_brands,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10538,6 +10608,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _HARD_NEGATIVES_ORACLE,
         "tsb_error_hourly": _tsb_oracle(),
         "dedup_streamed": _DEDUP_STREAMED_ORACLE,
+        "kcore_brands": _kcore_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

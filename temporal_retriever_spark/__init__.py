@@ -124,6 +124,7 @@ from temporal_retriever_spark.funnel import (
 from temporal_retriever_spark.graph import (
     connected_components,
     hits,
+    k_core,
     label_propagation,
     pagerank,
     shortest_paths,
@@ -221,6 +222,7 @@ __all__ = [
     "gbt_apply",
     "gbt_train",
     "hits",
+    "k_core",
     "label_propagation",
     "tree_apply",
     "tree_train",

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "connected_components",
     "hits",
+    "k_core",
     "label_propagation",
     "pagerank",
     "shortest_paths",
@@ -348,6 +349,80 @@ def label_propagation(
         )
     und.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k — the standard cohesion filter
+    (Seidman 1983) that strips hairy periphery before community or
+    influence analysis, and a robust spam screen on link graphs
+    (low-core pages are the easily-manufactured ones).
+
+    Iterative peeling as relational rounds: each round recomputes
+    degrees INSIDE the surviving set (one edge-keyed join + one
+    count) and drops nodes under k; stops at the fixed point (the
+    survivor count is the per-round one-scalar driver state — the
+    same O(small-state) contract as `pagerank`'s dangling mass).
+    Peeling is monotone, so extra rounds past convergence are no-ops
+    — the property that lets the oracle unroll a FIXED round count
+    and still agree exactly. Survivor tables are node-sized and
+    ``localCheckpoint``'d per round (lineage depth 1).
+
+    Returns ``(node, core_degree)`` — the surviving nodes with their
+    degree inside the k-core. Empty when no k-core exists.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1: {max_iter}")
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).filter(F.col("_s") != F.col("_d"))
+    und = (
+        e.union(e.select(F.col("_d"), F.col("_s")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    alive = und.select(F.col("_s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        if n_alive == 0:
+            break
+        deg = (
+            und.join(alive.withColumnRenamed("node", "_s"), on="_s")
+            .join(alive.withColumnRenamed("node", "_d"), on="_d")
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.count("*").cast("long").alias("core_degree"))
+        )
+        nxt = deg.filter(F.col("core_degree") >= int(k)).localCheckpoint(
+            eager=True
+        )
+        n_next = nxt.count()
+        alive = nxt.select("node")
+        if n_next == n_alive:
+            und.unpersist()
+            return nxt.select("node", "core_degree")
+        n_alive = n_next
+    # converged to empty, or max_iter hit with the last survivor set:
+    # recompute final degrees for the returned set
+    deg = (
+        und.join(alive.withColumnRenamed("node", "_s"), on="_s")
+        .join(alive.withColumnRenamed("node", "_d"), on="_d")
+        .groupBy(F.col("_s").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= int(k))
+    )
+    und.unpersist()
+    return deg
 
 
 def triangle_count(

@@ -307,3 +307,35 @@ class TestLabelPropagation:
 
         with _pt.raises(ValueError):
             label_propagation(edges, iterations=0)
+
+
+from temporal_retriever_spark.graph import k_core
+
+
+class TestKCore:
+    def test_peels_periphery(self, spark):
+        # 4-clique core with pendant chains hanging off
+        clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+        tails = [(0, 10), (10, 11), (1, 20)]
+        edges = spark.createDataFrame(clique + tails, "src long, dst long")
+        got = {r["node"]: r["core_degree"] for r in k_core(edges, k=3).collect()}
+        assert set(got) == {0, 1, 2, 3}
+        assert all(d == 3 for d in got.values())
+
+    def test_cascade_peeling(self, spark):
+        # a path graph has no 2-core: removing leaves cascades to empty
+        path = [(i, i + 1) for i in range(10)]
+        edges = spark.createDataFrame(path, "src long, dst long")
+        assert k_core(edges, k=2).count() == 0
+        # a cycle IS its own 2-core
+        cycle = path + [(10, 0)]
+        got = k_core(spark.createDataFrame(cycle, "src long, dst long"), k=2)
+        assert got.count() == 11
+
+    def test_k1_keeps_every_edge_touching_node(self, spark):
+        edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+        assert k_core(edges, k=1).count() == 4
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            k_core(edges, k=0)
