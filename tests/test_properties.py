@@ -150,3 +150,70 @@ def test_packing_concat_is_gapless(spark, lengths, capacity, buckets):
             end = pos + max(int(r.n_tokens) - 1, 0)
             assert r.end_seq == end // capacity
             pos += int(r.n_tokens)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.integers(min_value=2, max_value=5))
+def test_hilbert_bijective_and_adjacent_any_order(spark, bits):
+    """The Hilbert fold is a bijection on every 2^b × 2^b grid and
+    consecutive indexes are Manhattan-adjacent — at ANY bit depth,
+    not just the unit-tested one."""
+    import pyspark.sql.functions as F
+
+    from temporal_retriever_spark.sources.layout import hilbert_expr
+
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    d = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "h", hilbert_expr(F.col("x"), F.col("y"), bits=bits)
+    )
+    got = {(r["x"], r["y"]): r["h"] for r in d.collect()}
+    assert sorted(got.values()) == list(range(n * n))
+    inv = {v: k for k, v in got.items()}
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(n * n - 1)
+    )
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from("abcde")),
+        min_size=5,
+        max_size=60,
+    )
+)
+def test_association_rule_invariants(spark, rows):
+    """Apriori laws hold on arbitrary baskets: pair support ≤ either
+    member's support, confidence ∈ (0, 1], lift symmetric across the
+    two orientations of a pair, and support consistent with counts."""
+    import math
+
+    from temporal_retriever_spark.basket import (
+        association_rules,
+        frequent_itemsets,
+    )
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+    sets = frequent_itemsets(
+        df, basket_col="basket", item_col="item", min_support=0.05
+    ).collect()
+    singles = {
+        r["item_a"]: r["support"] for r in sets if r["size"] == 1
+    }
+    for r in sets:
+        if r["size"] == 2:
+            assert r["support"] <= singles[r["item_a"]] + 1e-12
+            assert r["support"] <= singles[r["item_b"]] + 1e-12
+    rules = association_rules(
+        df, basket_col="basket", item_col="item", min_support=0.05
+    ).collect()
+    lifts = {}
+    for r in rules:
+        assert 0.0 < r["confidence"] <= 1.0 + 1e-12
+        key = tuple(sorted((r["antecedent"], r["consequent"])))
+        lifts.setdefault(key, []).append(r["lift"])
+    for key, ls in lifts.items():
+        assert len(ls) == 2
+        assert math.isclose(ls[0], ls[1], rel_tol=1e-9)
