@@ -8259,6 +8259,86 @@ def _kcore_oracle(k: int = 5, rounds: int = 12, min_support: float = 0.025) -> s
     )
 
 
+def q_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming contract row #5: SpaceSaving top-10 users per
+    event type, replayed over two file-source micro-batches so the
+    sketch MERGES cross-batch state (streaming.streaming_heavy_hitters).
+    capacity=2048 ≥ the true user vocabulary, so the sketch is EXACT
+    (err 0); k=capacity makes every emission carry ALL tokens, so the
+    flat count distribution's top-10 boundary ties are cut HERE with
+    the oracle's deterministic (count DESC, user ASC) order rather
+    than inside the sketch's emission order. SpaceSaving counts are
+    monotone across emissions, so max-per-token over the update-mode
+    emissions is the final exact count."""
+    import tempfile
+    import uuid
+
+    from temporal_retriever_spark.streaming import streaming_heavy_hitters
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        F.col("event_type").alias("group_id"),
+        F.col("user_id").cast("string").alias("token"),
+        F.col("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="trs-hh-stream-")
+    half_a, half_b = ev.randomSplit([0.5, 0.5], seed=23)
+    half_a.write.parquet(f"{tmp}/in/chunk=0")
+    half_b.write.parquet(f"{tmp}/in/chunk=1")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/chunk=*")
+    )
+    hh = streaming_heavy_hitters(stream, k=2048, capacity=2048)
+    qname = f"trs_hh_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        hh.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    from pyspark.sql import Window as _W
+
+    final = (
+        spark.table(qname)
+        .groupBy("group_id", "token")
+        .agg(F.max("est_count").alias("est_count"), F.min("err").alias("err"))
+    )
+    w = _W.partitionBy("group_id").orderBy(
+        F.col("est_count").desc(), F.col("token").asc()
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "group_id", "token", "est_count", "err",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("group_id", "rank")
+    )
+
+
+_HH_STREAMED_ORACLE = """
+    WITH c AS (
+        SELECT event_type AS group_id, CAST(user_id AS VARCHAR) AS token,
+               CAST(COUNT(*) AS BIGINT) AS est_count
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY group_id
+                   ORDER BY est_count DESC, token ASC) AS rank
+        FROM c
+    )
+    SELECT group_id, token, est_count, CAST(0 AS BIGINT) AS err, rank
+    FROM r WHERE rank <= 10 ORDER BY group_id, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8440,6 +8520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsb_error_hourly": q_tsb_error_hourly,
         "dedup_streamed": q_dedup_streamed,
         "kcore_brands": q_kcore_brands,
+        "heavy_hitters_streamed": q_heavy_hitters_streamed,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10609,6 +10690,7 @@ def oracle_sql() -> dict[str, str]:
         "tsb_error_hourly": _tsb_oracle(),
         "dedup_streamed": _DEDUP_STREAMED_ORACLE,
         "kcore_brands": _kcore_oracle(),
+        "heavy_hitters_streamed": _HH_STREAMED_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,
