@@ -8339,6 +8339,122 @@ _HH_STREAMED_ORACLE = """
 """
 
 
+def q_interval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-forecast scorecard: hold out the last 14 days per
+    series, fit the native linear+seasonal forecaster on the train
+    window, and score its 5%/95% residual-quantile bands on the
+    holdout (evaluation.interval_metrics): coverage, mean width and
+    the Winkler proper score at nominal 0.9. The oracle replays the
+    train-window forecaster mirror and the identical metric
+    arithmetic."""
+    from temporal_retriever_spark.evaluation import interval_metrics
+    from temporal_retriever_spark.forecast import forecast_linear_seasonal
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    w = Window.partitionBy("series_id")
+    with_mx = daily.withColumn(
+        "_mx", F.max(F.col("ds").cast("date")).over(w)
+    )
+    train = with_mx.filter(F.col("ds") <= F.date_sub(F.col("_mx"), 14)).drop(
+        "_mx"
+    )
+    holdout = with_mx.filter(F.col("ds") > F.date_sub(F.col("_mx"), 14)).drop(
+        "_mx"
+    )
+    pred = forecast_linear_seasonal(
+        train, grain="D", horizon=14, series_cols=("series_id",)
+    )
+    got = interval_metrics(pred, holdout, nominal=0.9)
+    return got.select(
+        F.col("series_id").alias("event_type"),
+        "n",
+        _r6("coverage").alias("coverage"),
+        _r6("mean_width").alias("mean_width"),
+        _r6("winkler").alias("winkler"),
+    ).orderBy("event_type")
+
+
+_INTERVAL_SCORECARD_ORACLE = f"""
+    WITH s AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, MAX(ds) AS mxd FROM s GROUP BY 1),
+    tr AS (SELECT s.* FROM s JOIN mx USING (event_type)
+           WHERE s.ds <= mxd - 14),
+    ho AS (SELECT s.* FROM s JOIN mx USING (event_type)
+           WHERE s.ds > mxd - 14),
+    st AS (SELECT *, epoch(ds) / 86400.0 AS t FROM tr),
+    fit AS (
+        SELECT event_type,
+               CASE WHEN (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE)) = 0
+                    THEN 0.0
+                    ELSE (SUM(t * y) - SUM(t) * SUM(y) / CAST(COUNT(y) AS DOUBLE))
+                       / (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE))
+               END AS b,
+               SUM(y) / CAST(COUNT(y) AS DOUBLE) AS my,
+               SUM(t) / CAST(COUNT(y) AS DOUBLE) AS mt,
+               MAX(ds) AS max_ds
+        FROM st GROUP BY 1
+    ),
+    resid AS (
+        SELECT st.event_type, dayofweek(st.ds) + 1 AS skey,
+               st.y - (my + b * (st.t - mt)) AS r
+        FROM st JOIN fit USING (event_type)
+    ),
+    seas AS (SELECT event_type, skey,
+                    SUM(r) / CAST(COUNT(r) AS DOUBLE) AS s_mean
+             FROM resid GROUP BY 1, 2),
+    r2 AS (
+        SELECT resid.event_type, resid.r - seas.s_mean AS rr
+        FROM resid JOIN seas ON resid.event_type = seas.event_type
+        AND resid.skey = seas.skey
+    ),
+    rq AS (
+        SELECT event_type, quantile_cont(rr, 0.05) AS q05,
+               quantile_cont(rr, 0.95) AS q95
+        FROM r2 GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, max_ds + CAST(k AS INTEGER) AS ds
+        FROM fit, generate_series(1, 14) AS g(k)
+    ),
+    pred AS (
+        SELECT grid.event_type, grid.ds,
+               my + b * (epoch(grid.ds) / 86400.0 - mt)
+                 + COALESCE(s_mean, 0) + COALESCE(q05, 0) AS lo,
+               my + b * (epoch(grid.ds) / 86400.0 - mt)
+                 + COALESCE(s_mean, 0) + COALESCE(q95, 0) AS hi
+        FROM grid
+        JOIN fit ON fit.event_type = grid.event_type
+        LEFT JOIN seas ON seas.event_type = grid.event_type
+                      AND seas.skey = dayofweek(grid.ds) + 1
+        LEFT JOIN rq ON rq.event_type = grid.event_type
+    ),
+    j AS (
+        SELECT p.event_type,
+               CASE WHEN ho.y >= p.lo AND ho.y <= p.hi
+                    THEN 1.0 ELSE 0.0 END AS inside,
+               p.hi - p.lo AS width,
+               (p.hi - p.lo)
+                 + CASE WHEN ho.y < p.lo THEN 20.0 * (p.lo - ho.y)
+                        ELSE 0.0 END
+                 + CASE WHEN ho.y > p.hi THEN 20.0 * (ho.y - p.hi)
+                        ELSE 0.0 END AS wink
+        FROM pred p JOIN ho ON ho.event_type = p.event_type
+                           AND ho.ds = p.ds
+        WHERE ho.y IS NOT NULL
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {_sql_r6("AVG(inside)")} AS coverage,
+           {_sql_r6("AVG(width)")} AS mean_width,
+           {_sql_r6("AVG(wink)")} AS winkler
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8521,6 +8637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_streamed": q_dedup_streamed,
         "kcore_brands": q_kcore_brands,
         "heavy_hitters_streamed": q_heavy_hitters_streamed,
+        "interval_scorecard": q_interval_scorecard,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10691,6 +10808,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_streamed": _DEDUP_STREAMED_ORACLE,
         "kcore_brands": _kcore_oracle(),
         "heavy_hitters_streamed": _HH_STREAMED_ORACLE,
+        "interval_scorecard": _INTERVAL_SCORECARD_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

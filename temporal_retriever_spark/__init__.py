@@ -173,7 +173,9 @@ from temporal_retriever_spark.evaluation import (
     calibration_bins,
     classification_metrics,
     forecast_accuracy,
+    interval_metrics,
     isotonic_calibration,
+    quantile_loss,
 )
 from temporal_retriever_spark.inference import (
     anova_oneway,
@@ -234,6 +236,8 @@ __all__ = [
     "cox_ph",
     "diff_in_diff",
     "forecast_accuracy",
+    "interval_metrics",
+    "quantile_loss",
     "forest_apply",
     "forest_train",
     "huber_regression",

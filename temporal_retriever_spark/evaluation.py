@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "interval_metrics",
+    "quantile_loss",
     "backtest",
     "calibration_bins",
     "classification_metrics",
@@ -467,3 +469,119 @@ def isotonic_calibration(
         "frac_positive",
         F.col("_iso").alias("iso_prob"),
     ).orderBy(*keys, "bin")
+
+
+def interval_metrics(
+    pred: DataFrame,
+    actuals: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    lower_col: str = "yhat_lower",
+    upper_col: str = "yhat_upper",
+    y_col: str = "y",
+    nominal: float = 0.9,
+) -> DataFrame:
+    """Interval-forecast scorecard over the dates present in BOTH
+    frames: the point metrics in `forecast_accuracy` say nothing
+    about whether the BANDS are honest, this does —
+
+    * ``coverage``   — fraction of actuals inside [lower, upper]; an
+      honest ``nominal``-level band covers ≈ nominal.
+    * ``mean_width`` — average band width (sharpness; coverage alone
+      rewards infinitely wide bands).
+    * ``winkler``    — the mean interval (Winkler 1972) score at
+      ``nominal``: width + (2/α)·distance for each miss — the proper
+      scoring rule that trades coverage against sharpness, lower is
+      better.
+
+    One join + one aggregation per key. Output per series:
+    ``n, coverage, mean_width, winkler``.
+    """
+    if not 0.0 < nominal < 1.0:
+        raise ValueError(f"nominal must be in (0, 1): {nominal}")
+    series_cols = list(series_cols)
+    alpha = 1.0 - float(nominal)
+    p = pred.select(
+        *series_cols,
+        F.col(ds_col).alias("_ds"),
+        F.col(lower_col).cast("double").alias("_lo"),
+        F.col(upper_col).cast("double").alias("_hi"),
+    )
+    a = actuals.select(
+        *series_cols, F.col(ds_col).alias("_ds"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    j = p.join(a, on=[*series_cols, "_ds"]).filter(
+        F.col("_y").isNotNull() & F.col("_lo").isNotNull()
+        & F.col("_hi").isNotNull()
+    )
+    inside = (F.col("_y") >= F.col("_lo")) & (F.col("_y") <= F.col("_hi"))
+    width = F.col("_hi") - F.col("_lo")
+    winkler = (
+        width
+        + F.when(
+            F.col("_y") < F.col("_lo"),
+            F.lit(2.0 / alpha) * (F.col("_lo") - F.col("_y")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("_y") > F.col("_hi"),
+            F.lit(2.0 / alpha) * (F.col("_y") - F.col("_hi")),
+        ).otherwise(F.lit(0.0))
+    )
+    return j.groupBy(*series_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(inside.cast("double")).alias("coverage"),
+        F.avg(width).alias("mean_width"),
+        F.avg(winkler).alias("winkler"),
+    )
+
+
+def quantile_loss(
+    pred: DataFrame,
+    actuals: DataFrame,
+    *,
+    taus: Iterable[float] = (0.05, 0.5, 0.95),
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    quantile_col: str = "quantile",
+    yhat_col: str = "yhat",
+    y_col: str = "y",
+) -> DataFrame:
+    """Mean pinball (quantile) loss per series per τ — the proper
+    scoring rule for quantile forecasts (`forecast_quantiles`
+    produces long-format (series, ds, quantile, yhat) rows):
+
+        L_τ(y, q) = (y − q)·τ          if y ≥ q
+                    (q − y)·(1 − τ)    otherwise
+
+    minimized in expectation exactly when q is the true τ-quantile,
+    so comparing models on pinball loss is calibration-safe where
+    MAE on a quantile column is not. One join + one aggregation.
+
+    Output: (series, quantile, n, pinball).
+    """
+    taus = [float(t) for t in taus]
+    for t in taus:
+        if not 0.0 < t < 1.0:
+            raise ValueError(f"every tau must be in (0, 1): {taus}")
+    series_cols = list(series_cols)
+    p = pred.filter(F.col(quantile_col).isin(taus)).select(
+        *series_cols,
+        F.col(ds_col).alias("_ds"),
+        F.col(quantile_col).cast("double").alias("quantile"),
+        F.col(yhat_col).cast("double").alias("_q"),
+    )
+    a = actuals.select(
+        *series_cols, F.col(ds_col).alias("_ds"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    j = p.join(a, on=[*series_cols, "_ds"]).filter(F.col("_y").isNotNull())
+    loss = F.when(
+        F.col("_y") >= F.col("_q"),
+        (F.col("_y") - F.col("_q")) * F.col("quantile"),
+    ).otherwise((F.col("_q") - F.col("_y")) * (1.0 - F.col("quantile")))
+    return j.groupBy(*series_cols, "quantile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(loss).alias("pinball"),
+    )

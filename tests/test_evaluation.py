@@ -399,3 +399,88 @@ class TestIsotonicCalibration:
         df = spark.createDataFrame([(0.5, 1)], "score double, y int")
         with pytest.raises(ValueError, match="n_bins"):
             isotonic_calibration(df, "score", "y", n_bins=0)
+
+
+from temporal_retriever_spark.evaluation import interval_metrics, quantile_loss
+
+
+class TestIntervalMetrics:
+    def _frames(self, spark):
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        pred, act = [], []
+        # 10 points: bands [i-1, i+1]; actuals miss twice (above by 2,
+        # below by 1)
+        for i in range(10):
+            d = d0 + datetime.timedelta(days=i)
+            pred.append(("s", d, float(i - 1), float(i + 1)))
+            y = float(i)
+            if i == 3:
+                y = i + 3.0  # above by 2
+            if i == 7:
+                y = i - 2.0  # below by 1
+            act.append(("s", d, y))
+        return (
+            spark.createDataFrame(
+                pred, "series_id string, ds date, yhat_lower double, yhat_upper double"
+            ),
+            spark.createDataFrame(act, "series_id string, ds date, y double"),
+        )
+
+    def test_coverage_width_winkler(self, spark):
+        p, a = self._frames(spark)
+        r = interval_metrics(p, a, nominal=0.8).collect()[0]
+        assert r["n"] == 10
+        assert r["coverage"] == pytest.approx(0.8)
+        assert r["mean_width"] == pytest.approx(2.0)
+        # winkler: width 2 everywhere + (2/0.2)*2 at i=3 + (2/0.2)*1 at i=7
+        assert r["winkler"] == pytest.approx(2.0 + (10.0 * 2 + 10.0 * 1) / 10)
+
+    def test_validation(self, spark):
+        p, a = self._frames(spark)
+        with pytest.raises(ValueError):
+            interval_metrics(p, a, nominal=1.0)
+
+
+class TestQuantileLoss:
+    def test_pinball_math_and_optimality(self, spark):
+        import datetime
+        import random
+
+        rng = random.Random(11)
+        d0 = datetime.date(2024, 1, 1)
+        ys = [rng.gauss(10, 2) for _ in range(400)]
+        act = spark.createDataFrame(
+            [("s", d0 + datetime.timedelta(days=i), float(y)) for i, y in enumerate(ys)],
+            "series_id string, ds date, y double",
+        )
+        import statistics
+
+        q90 = sorted(ys)[int(0.9 * len(ys))]
+        med = statistics.median(ys)
+
+        def const_pred(val, tau):
+            return spark.createDataFrame(
+                [("s", d0 + datetime.timedelta(days=i), float(tau), float(val))
+                 for i in range(len(ys))],
+                "series_id string, ds date, quantile double, yhat double",
+            )
+
+        # hand-computed pinball for the constant median at tau=0.5
+        r = quantile_loss(const_pred(med, 0.5), act, taus=[0.5]).collect()[0]
+        hand = sum(
+            (y - med) * 0.5 if y >= med else (med - y) * 0.5 for y in ys
+        ) / len(ys)
+        assert r["pinball"] == pytest.approx(hand, rel=1e-9)
+        # the empirical 90th percentile beats the median AT tau=0.9
+        good = quantile_loss(const_pred(q90, 0.9), act, taus=[0.9]).collect()[0]
+        bad = quantile_loss(const_pred(med, 0.9), act, taus=[0.9]).collect()[0]
+        assert good["pinball"] < bad["pinball"]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(
+            [("s",)], "series_id string"
+        )
+        with pytest.raises(ValueError):
+            quantile_loss(df, df, taus=[1.5])
