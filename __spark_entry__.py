@@ -8455,6 +8455,143 @@ _INTERVAL_SCORECARD_ORACLE = f"""
 """
 
 
+def q_conformal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration end-to-end
+    (evaluation.conformalize): train ≤ mx−14, calibrate on the next
+    7 days (k = ⌈8·0.7⌉ = 6 → exact finite-sample guarantee at
+    α=0.3), score the conformal bands on the final 7 held-out days.
+    The oracle replays the train-window forecaster, the k-th-order-
+    statistic q̂ and the coverage arithmetic."""
+    from temporal_retriever_spark.evaluation import (
+        conformalize,
+        interval_metrics,
+    )
+    from temporal_retriever_spark.forecast import forecast_linear_seasonal
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    w = Window.partitionBy("series_id")
+    with_mx = daily.withColumn("_mx", F.max(F.col("ds").cast("date")).over(w))
+    train = with_mx.filter(F.col("ds") <= F.date_sub(F.col("_mx"), 14)).drop("_mx")
+    cal = with_mx.filter(
+        (F.col("ds") > F.date_sub(F.col("_mx"), 14))
+        & (F.col("ds") <= F.date_sub(F.col("_mx"), 7))
+    ).drop("_mx")
+    test = with_mx.filter(F.col("ds") > F.date_sub(F.col("_mx"), 7)).drop("_mx")
+    pred = forecast_linear_seasonal(
+        train, grain="D", horizon=14, series_cols=("series_id",)
+    )
+    conf = conformalize(pred, cal, alpha=0.3)
+    m = interval_metrics(
+        conf, test, lower_col="conformal_lower",
+        upper_col="conformal_upper", nominal=0.7,
+    )
+    q = conf.select(
+        "series_id", "q_hat", "exact_guarantee"
+    ).distinct()
+    return (
+        q.join(m, on="series_id")
+        .select(
+            F.col("series_id").alias("event_type"),
+            _r6("q_hat").alias("q_hat"),
+            "exact_guarantee",
+            "n",
+            _r6("coverage").alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CONFORMAL_ORACLE = f"""
+    WITH s AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, MAX(ds) AS mxd FROM s GROUP BY 1),
+    tr AS (SELECT s.* FROM s JOIN mx USING (event_type)
+           WHERE s.ds <= mxd - 14),
+    ca AS (SELECT s.* FROM s JOIN mx USING (event_type)
+           WHERE s.ds > mxd - 14 AND s.ds <= mxd - 7),
+    te AS (SELECT s.* FROM s JOIN mx USING (event_type)
+           WHERE s.ds > mxd - 7),
+    st AS (SELECT *, epoch(ds) / 86400.0 AS t FROM tr),
+    fit AS (
+        SELECT event_type,
+               CASE WHEN (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE)) = 0
+                    THEN 0.0
+                    ELSE (SUM(t * y) - SUM(t) * SUM(y) / CAST(COUNT(y) AS DOUBLE))
+                       / (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE))
+               END AS b,
+               SUM(y) / CAST(COUNT(y) AS DOUBLE) AS my,
+               SUM(t) / CAST(COUNT(y) AS DOUBLE) AS mt,
+               MAX(ds) AS max_ds
+        FROM st GROUP BY 1
+    ),
+    resid AS (
+        SELECT st.event_type, dayofweek(st.ds) + 1 AS skey,
+               st.y - (my + b * (st.t - mt)) AS r
+        FROM st JOIN fit USING (event_type)
+    ),
+    seas AS (SELECT event_type, skey,
+                    SUM(r) / CAST(COUNT(r) AS DOUBLE) AS s_mean
+             FROM resid GROUP BY 1, 2),
+    grid AS (
+        SELECT event_type, max_ds + CAST(k AS INTEGER) AS ds
+        FROM fit, generate_series(1, 14) AS g(k)
+    ),
+    pred AS (
+        SELECT grid.event_type, grid.ds,
+               my + b * (epoch(grid.ds) / 86400.0 - mt)
+                 + COALESCE(s_mean, 0) AS yhat
+        FROM grid
+        JOIN fit ON fit.event_type = grid.event_type
+        LEFT JOIN seas ON seas.event_type = grid.event_type
+                      AND seas.skey = dayofweek(grid.ds) + 1
+    ),
+    sc AS (
+        SELECT p.event_type, ABS(ca.y - p.yhat) AS sco, p.ds
+        FROM pred p JOIN ca ON ca.event_type = p.event_type
+                           AND ca.ds = p.ds
+        WHERE ca.y IS NOT NULL
+    ),
+    rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY sco ASC, ds ASC) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM sc
+    ),
+    q AS (
+        SELECT event_type, sco AS q_hat,
+               CEIL((n + 1) * 0.7) <= n AS exact_guarantee
+        FROM rk WHERE r = LEAST(CEIL((n + 1) * 0.7), n)
+    ),
+    j AS (
+        SELECT p.event_type,
+               CASE WHEN te.y >= p.yhat - q.q_hat
+                     AND te.y <= p.yhat + q.q_hat
+                    THEN 1.0 ELSE 0.0 END AS inside
+        FROM pred p
+        JOIN q ON q.event_type = p.event_type
+        JOIN te ON te.event_type = p.event_type AND te.ds = p.ds
+        WHERE te.y IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(inside) AS coverage
+        FROM j GROUP BY 1
+    )
+    SELECT q.event_type,
+           {_sql_r6("q.q_hat")} AS q_hat,
+           q.exact_guarantee,
+           agg.n,
+           {_sql_r6("agg.coverage")} AS coverage
+    FROM q JOIN agg USING (event_type)
+    ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8638,6 +8775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_brands": q_kcore_brands,
         "heavy_hitters_streamed": q_heavy_hitters_streamed,
         "interval_scorecard": q_interval_scorecard,
+        "conformal_daily": q_conformal_daily,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10809,6 +10947,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_brands": _kcore_oracle(),
         "heavy_hitters_streamed": _HH_STREAMED_ORACLE,
         "interval_scorecard": _INTERVAL_SCORECARD_ORACLE,
+        "conformal_daily": _CONFORMAL_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -171,6 +171,7 @@ from temporal_retriever_spark.survival import (
 )
 from temporal_retriever_spark.evaluation import (
     calibration_bins,
+    conformalize,
     classification_metrics,
     forecast_accuracy,
     interval_metrics,
@@ -236,6 +237,7 @@ __all__ = [
     "cox_ph",
     "diff_in_diff",
     "forecast_accuracy",
+    "conformalize",
     "interval_metrics",
     "quantile_loss",
     "forest_apply",

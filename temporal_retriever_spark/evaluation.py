@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "conformalize",
     "interval_metrics",
     "quantile_loss",
     "backtest",
@@ -585,3 +586,78 @@ def quantile_loss(
         F.count("*").cast("long").alias("n"),
         F.avg(loss).alias("pinball"),
     )
+
+
+def conformalize(
+    pred: DataFrame,
+    calibration: DataFrame,
+    *,
+    alpha: float = 0.1,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    yhat_col: str = "yhat",
+    y_col: str = "y",
+) -> DataFrame:
+    """Split-conformal prediction bands (Vovk et al.; the
+    Lei-Wasserman split recipe): in-sample residual quantiles
+    UNDER-cover out of sample (exactly what `interval_metrics` flags
+    on short series); the conformal fix scores a held-out CALIBRATION
+    window and widens symmetric bands by the finite-sample-valid
+    quantile of the absolute errors there:
+
+        q̂ = the k-th smallest of {|y_i − ŷ_i|},  k = ⌈(n+1)(1−α)⌉
+
+    which guarantees ≥ 1−α marginal coverage on exchangeable future
+    points — a distribution-free statement no residual-quantile band
+    makes. When k > n (calibration too small for the requested
+    level) the honest answer is an infinite band; this implementation
+    clamps to the max score and flags it (``exact_guarantee =
+    false``) rather than silently pretending.
+
+    Plan: one join (pred ⋈ calibration) → one ordered rank window
+    over the calibration-sized score table → the k-th row joins back
+    onto every pred row (broadcast, per-series one row). Output: pred
+    plus ``conformal_lower, conformal_upper, q_hat, exact_guarantee``.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    series_cols = list(series_cols)
+    p = pred.select(
+        *series_cols, F.col(ds_col).alias("_ds"),
+        F.col(yhat_col).cast("double").alias("_yhat"),
+    )
+    c = calibration.select(
+        *series_cols, F.col(ds_col).alias("_ds"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    scores = (
+        p.join(c, on=[*series_cols, "_ds"])
+        .filter(F.col("_y").isNotNull())
+        .select(
+            *series_cols,
+            F.abs(F.col("_y") - F.col("_yhat")).alias("_s"),
+            F.col("_ds"),
+        )
+    )
+    w = Window.partitionBy(*series_cols).orderBy(
+        F.col("_s").asc(), F.col("_ds").asc()
+    )
+    ranked = scores.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(*series_cols))
+    )
+    k = F.ceil((F.col("_n") + 1) * F.lit(1.0 - float(alpha)))
+    qhat = (
+        ranked.withColumn("_k", k)
+        .filter(
+            (F.col("_rk") == F.least(F.col("_k"), F.col("_n")))
+        )
+        .select(
+            *series_cols,
+            F.col("_s").alias("q_hat"),
+            (F.col("_k") <= F.col("_n")).alias("exact_guarantee"),
+        )
+    )
+    out = pred.join(F.broadcast(qhat), on=series_cols)
+    return out.withColumn(
+        "conformal_lower", F.col(yhat_col) - F.col("q_hat")
+    ).withColumn("conformal_upper", F.col(yhat_col) + F.col("q_hat"))

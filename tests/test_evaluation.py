@@ -484,3 +484,76 @@ class TestQuantileLoss:
         )
         with pytest.raises(ValueError):
             quantile_loss(df, df, taus=[1.5])
+
+
+from temporal_retriever_spark.evaluation import conformalize
+
+
+class TestConformalize:
+    def test_qhat_is_conformal_order_statistic(self, spark):
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        # predictions constant 0; calibration errors 1..9
+        pred = spark.createDataFrame(
+            [("s", d0 + datetime.timedelta(days=i), 0.0) for i in range(9)],
+            "series_id string, ds date, yhat double",
+        )
+        cal = spark.createDataFrame(
+            [("s", d0 + datetime.timedelta(days=i), float(i + 1)) for i in range(9)],
+            "series_id string, ds date, y double",
+        )
+        got = conformalize(pred, cal, alpha=0.2).collect()[0]
+        # n=9, k = ceil(10*0.8) = 8 -> 8th smallest of {1..9} = 8
+        assert got["q_hat"] == 8.0
+        assert bool(got["exact_guarantee"]) is True
+        assert got["conformal_upper"] == 8.0 and got["conformal_lower"] == -8.0
+
+    def test_small_calibration_clamps_and_flags(self, spark):
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        pred = spark.createDataFrame(
+            [("s", d0, 0.0), ("s", d0 + datetime.timedelta(days=1), 0.0)],
+            "series_id string, ds date, yhat double",
+        )
+        cal = spark.createDataFrame(
+            [("s", d0, 3.0), ("s", d0 + datetime.timedelta(days=1), 5.0)],
+            "series_id string, ds date, y double",
+        )
+        # n=2, alpha=0.1 -> k = ceil(3*0.9) = 3 > n: clamp to max, flag
+        got = conformalize(pred, cal, alpha=0.1).collect()[0]
+        assert got["q_hat"] == 5.0
+        assert bool(got["exact_guarantee"]) is False
+
+    def test_coverage_guarantee_on_fresh_data(self, spark):
+        import datetime
+        import random
+
+        rng = random.Random(3)
+        d0 = datetime.date(2024, 1, 1)
+        n_cal, n_test = 200, 400
+        # predictor is biased and noisy; conformal must still cover
+        rows_pred, rows_cal, rows_test = [], [], []
+        for i in range(n_cal + n_test):
+            d = d0 + datetime.timedelta(days=i)
+            y = 10.0 + rng.gauss(0, 3.0)
+            rows_pred.append(("s", d, 8.5))
+            (rows_cal if i < n_cal else rows_test).append(("s", d, y))
+        pred = spark.createDataFrame(rows_pred, "series_id string, ds date, yhat double")
+        cal = spark.createDataFrame(rows_cal, "series_id string, ds date, y double")
+        test = spark.createDataFrame(rows_test, "series_id string, ds date, y double")
+        conf = conformalize(pred, cal, alpha=0.1)
+        from temporal_retriever_spark.evaluation import interval_metrics
+
+        m = interval_metrics(
+            conf, test, lower_col="conformal_lower",
+            upper_col="conformal_upper", nominal=0.9,
+        ).collect()[0]
+        assert m["n"] == n_test
+        assert m["coverage"] >= 0.85  # 1 - alpha minus sampling noise
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("s",)], "series_id string")
+        with pytest.raises(ValueError):
+            conformalize(df, df, alpha=0.0)
