@@ -8592,6 +8592,97 @@ _CONFORMAL_ORACLE = f"""
 """
 
 
+def q_ratio_ttest_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric test (inference.ratio_ttest): CTR =
+    Σclicks/Σviews per user cohort (even vs odd user ids — the
+    deterministic A/B split), variance via the Deng-Knoblich-Lu
+    per-unit moments. One aggregation of twelve conditional moments;
+    the oracle mirrors the moments, the delta variance and the A&S
+    normal p exactly."""
+    from temporal_retriever_spark.inference import ratio_ttest
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("double")
+        .alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("double")
+        .alias("views"),
+    ).withColumn(
+        "cohort",
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    got = ratio_ttest(per_user, "clicks", "views", "cohort", "even", "odd")
+    return got.select(
+        "n_a",
+        "n_b",
+        _r6("ratio_a").alias("ratio_a"),
+        _r6("ratio_b").alias("ratio_b"),
+        _r6("diff").alias("diff"),
+        _r6("z_score").alias("z_score"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+_RATIO_TTEST_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS DOUBLE) AS num,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                    AS DOUBLE) AS den,
+               CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT
+            CAST(COUNT(CASE WHEN g = 'even' THEN 1 END) AS DOUBLE) AS na,
+            SUM(CASE WHEN g = 'even' THEN num END) AS sna,
+            SUM(CASE WHEN g = 'even' THEN den END) AS sda,
+            VAR_SAMP(CASE WHEN g = 'even' THEN num END) AS vna,
+            VAR_SAMP(CASE WHEN g = 'even' THEN den END) AS vda,
+            COVAR_SAMP(CASE WHEN g = 'even' THEN num END,
+                       CASE WHEN g = 'even' THEN den END) AS ca,
+            CAST(COUNT(CASE WHEN g = 'odd' THEN 1 END) AS DOUBLE) AS nb,
+            SUM(CASE WHEN g = 'odd' THEN num END) AS snb,
+            SUM(CASE WHEN g = 'odd' THEN den END) AS sdb,
+            VAR_SAMP(CASE WHEN g = 'odd' THEN num END) AS vnb,
+            VAR_SAMP(CASE WHEN g = 'odd' THEN den END) AS vdb,
+            COVAR_SAMP(CASE WHEN g = 'odd' THEN num END,
+                       CASE WHEN g = 'odd' THEN den END) AS cb
+        FROM u
+    ),
+    r AS (
+        SELECT *,
+               sna / sda AS ra, snb / sdb AS rb,
+               (vna - 2.0 * (sna / sda) * ca
+                + (sna / sda) * (sna / sda) * vda)
+                   / (na * (sda / na) * (sda / na)) AS va,
+               (vnb - 2.0 * (snb / sdb) * cb
+                + (snb / sdb) * (snb / sdb) * vdb)
+                   / (nb * (sdb / nb) * (sdb / nb)) AS vb
+        FROM m
+    ),
+    z1 AS (
+        SELECT *, (ra - rb) / SQRT(va + vb) AS z FROM r
+    ),
+    zp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM z1)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           {_sql_r6("ra")} AS ratio_a,
+           {_sql_r6("rb")} AS ratio_b,
+           {_sql_r6("ra - rb")} AS diff,
+           {_sql_r6("z")} AS z_score,
+           {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(z * z) / 2.0)
+             * 0.3989422804014327
+             * (0.319381530 * tt + -0.356563782 * tt * tt
+                + 1.781477937 * tt * tt * tt
+                + -1.821255978 * tt * tt * tt * tt
+                + 1.330274429 * tt * tt * tt * tt * tt)))''')} AS p_value
+    FROM zp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8776,6 +8867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_streamed": q_heavy_hitters_streamed,
         "interval_scorecard": q_interval_scorecard,
         "conformal_daily": q_conformal_daily,
+        "ratio_ttest_ctr": q_ratio_ttest_ctr,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -10948,6 +11040,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_streamed": _HH_STREAMED_ORACLE,
         "interval_scorecard": _INTERVAL_SCORECARD_ORACLE,
         "conformal_daily": _CONFORMAL_ORACLE,
+        "ratio_ttest_ctr": _RATIO_TTEST_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

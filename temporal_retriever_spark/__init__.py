@@ -189,6 +189,7 @@ from temporal_retriever_spark.inference import (
     mann_whitney_u,
     prop_ztest,
     psi,
+    ratio_ttest,
 )
 
 __all__ = [
@@ -260,6 +261,7 @@ __all__ = [
     "path_ngrams",
     "prop_ztest",
     "psi",
+    "ratio_ttest",
     "qgrams_expr",
     "row_count",
     "scd2_history",

@@ -49,6 +49,7 @@ __all__ = [
     "poisson_weight_expr",
     "prop_ztest",
     "psi",
+    "ratio_ttest",
     "welch_ttest",
 ]
 
@@ -816,6 +817,95 @@ def anova_oneway(
         p = F.lit(None).cast("double")
     return out.withColumn(
         "p_value", F.when(F.col("f_stat").isNotNull(), p)
+    )
+
+
+def ratio_ttest(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample test on a RATIO metric (CTR = Σclicks/Σviews,
+    revenue-per-session, …) with the delta-method variance — the
+    experimentation-platform staple (Deng-Knoblich-Lu 2018): a ratio
+    of sums is NOT a mean of per-unit ratios, so Welch on
+    ``num/den`` is wrong twice (undefined for zero-denominator
+    units, and it weights units equally instead of by exposure).
+
+    Per variant, with per-unit moments over n randomization units:
+
+        R = Σnum / Σden
+        Var(R) ≈ (s²_num − 2R·s_num,den + R²·s²_den) / (n·mean(den)²)
+
+    z = (R_a − R_b)/√(Va+Vb), two-sided normal p (the same
+    asymptotic convention as `welch_ttest`). ONE aggregation of six
+    conditional moments per population — any scale.
+
+    Output per key: ``n_a, n_b, ratio_a, ratio_b, diff, z_score,
+    p_value`` (NULL when either side has n < 2 or zero denominator
+    total or zero variance).
+    """
+    keys = list(keys or [])
+    num = F.col(num_col).cast("double")
+    den = F.col(den_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    ok_row = num.isNotNull() & den.isNotNull()
+
+    def moments(side, tag):
+        cond = side & ok_row
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("double").alias(f"_n{tag}"),
+            F.sum(F.when(cond, num)).alias(f"_sn{tag}"),
+            F.sum(F.when(cond, den)).alias(f"_sd{tag}"),
+            F.var_samp(F.when(cond, num)).alias(f"_vn{tag}"),
+            F.var_samp(F.when(cond, den)).alias(f"_vd{tag}"),
+            F.covar_samp(
+                F.when(cond, num), F.when(cond, den)
+            ).alias(f"_c{tag}"),
+        ]
+
+    agg = df.filter(in_a | in_b).groupBy(*keys).agg(
+        *moments(in_a, "a"), *moments(in_b, "b")
+    )
+
+    def ratio(tag):
+        return F.col(f"_sn{tag}") / F.col(f"_sd{tag}")
+
+    def var(tag):
+        r = ratio(tag)
+        n = F.col(f"_n{tag}")
+        dbar = F.col(f"_sd{tag}") / n
+        return (
+            F.col(f"_vn{tag}")
+            - 2.0 * r * F.col(f"_c{tag}")
+            + r * r * F.col(f"_vd{tag}")
+        ) / (n * dbar * dbar)
+
+    se2 = var("a") + var("b")
+    z = (ratio("a") - ratio("b")) / F.sqrt(se2)
+    ok = (
+        (F.col("_na") >= 2)
+        & (F.col("_nb") >= 2)
+        & (F.col("_sda") != 0)
+        & (F.col("_sdb") != 0)
+        & (se2 > 0)
+    )
+    p = F.when(ok, F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(z))))
+    return agg.select(
+        *keys,
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        ratio("a").alias("ratio_a"),
+        ratio("b").alias("ratio_b"),
+        (ratio("a") - ratio("b")).alias("diff"),
+        F.when(ok, z).alias("z_score"),
+        p.alias("p_value"),
     )
 
 

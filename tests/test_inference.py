@@ -954,3 +954,82 @@ class TestAnovaOneway:
         assert {r["k"] for r in rows} == {1, 2}
         with pytest.raises(Exception, match="group count mismatch"):
             anova_oneway(df, "v", "grp", groups=3).collect()
+
+
+from temporal_retriever_spark.inference import ratio_ttest
+
+
+def _binom(rng, n, p):
+    return float(sum(1 for _ in range(n) if rng.random() < p))
+
+
+def _naive_ratio_test(rows, a="a", b="b"):
+    import statistics
+
+    def side(g):
+        nums = [n for gg, n, d in rows if gg == g]
+        dens = [d for gg, n, d in rows if gg == g]
+        n = len(nums)
+        R = sum(nums) / sum(dens)
+        vn = statistics.variance(nums)
+        vd = statistics.variance(dens)
+        mn = sum(nums) / n
+        md = sum(dens) / n
+        cov = sum((x - mn) * (y - md) for x, y in zip(nums, dens)) / (n - 1)
+        var = (vn - 2 * R * cov + R * R * vd) / (n * md * md)
+        return R, var, n
+
+    Ra, Va, na = side(a)
+    Rb, Vb, nb = side(b)
+    z = (Ra - Rb) / math.sqrt(Va + Vb)
+    return Ra, Rb, z
+
+
+class TestRatioTtest:
+    def test_matches_delta_method_reference(self, spark):
+        rng = random.Random(5)
+        rows = []
+        for _ in range(200):
+            v = rng.randint(5, 50)
+            rows.append(("a", _binom(rng, v, 0.3), float(v)))
+        for _ in range(180):
+            v = rng.randint(5, 50)
+            rows.append(("b", _binom(rng, v, 0.35), float(v)))
+        df = spark.createDataFrame(rows, "grp string, clicks double, views double")
+        got = ratio_ttest(df, "clicks", "views", "grp", "a", "b").collect()[0]
+        Ra, Rb, z = _naive_ratio_test(rows)
+        assert got["ratio_a"] == pytest.approx(Ra, rel=1e-12)
+        assert got["ratio_b"] == pytest.approx(Rb, rel=1e-12)
+        assert got["z_score"] == pytest.approx(z, rel=1e-9)
+        assert got["n_a"] == 200 and got["n_b"] == 180
+
+    def test_null_effect_and_planted_effect(self, spark):
+        rng = random.Random(9)
+
+        def mk(g, p, n):
+            out = []
+            for _ in range(n):
+                v = rng.randint(10, 60)
+                out.append((g, _binom(rng, v, p), float(v)))
+            return out
+
+        same = spark.createDataFrame(
+            mk("a", 0.3, 400) + mk("b", 0.3, 400),
+            "grp string, num double, den double",
+        )
+        r0 = ratio_ttest(same, "num", "den", "grp", "a", "b").collect()[0]
+        assert r0["p_value"] > 0.01
+        diff = spark.createDataFrame(
+            mk("a", 0.3, 400) + mk("b", 0.45, 400),
+            "grp string, num double, den double",
+        )
+        r1 = ratio_ttest(diff, "num", "den", "grp", "a", "b").collect()[0]
+        assert r1["p_value"] < 1e-6
+        assert r1["diff"] < 0
+
+    def test_degenerate_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0, 2.0), ("b", 1.0, 2.0)], "grp string, num double, den double"
+        )
+        r = ratio_ttest(df, "num", "den", "grp", "a", "b").collect()[0]
+        assert r["z_score"] is None and r["p_value"] is None
