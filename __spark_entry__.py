@@ -8683,6 +8683,78 @@ _RATIO_TTEST_ORACLE = f"""
 """
 
 
+def q_rfm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of event users (segmentation.rfm_scores):
+    quantile-BOUNDARY scoring (one percentile aggregation broadcast
+    back — no global ntile sort), standard (R, F) segment grid. The
+    oracle mirrors the interpolated quantiles and the boundary-tie
+    rule exactly."""
+    from temporal_retriever_spark.segmentation import rfm_scores
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = rfm_scores(ev)
+    return got.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        _r6("monetary").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        "segment",
+    ).orderBy("user_id")
+
+
+_RFM_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, MAX(ts) AS last,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               COALESCE(SUM(CAST(value AS DOUBLE)), 0.0) AS monetary
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    obs AS (SELECT MAX(ts) AS oe FROM events),
+    r AS (
+        SELECT user_id,
+               CAST(FLOOR(date_diff('second', last, oe) / 86400.0)
+                    AS BIGINT) AS recency_days,
+               frequency, monetary
+        FROM u, obs
+    ),
+    b AS (
+        SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS br,
+               quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS bf,
+               quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS bm
+        FROM r
+    ),
+    s AS (
+        SELECT r.*,
+               1 + CAST(recency_days < br[1] AS INT)
+                 + CAST(recency_days < br[2] AS INT)
+                 + CAST(recency_days < br[3] AS INT)
+                 + CAST(recency_days < br[4] AS INT) AS r_score,
+               1 + CAST(frequency > bf[1] AS INT)
+                 + CAST(frequency > bf[2] AS INT)
+                 + CAST(frequency > bf[3] AS INT)
+                 + CAST(frequency > bf[4] AS INT) AS f_score,
+               1 + CAST(monetary > bm[1] AS INT)
+                 + CAST(monetary > bm[2] AS INT)
+                 + CAST(monetary > bm[3] AS INT)
+                 + CAST(monetary > bm[4] AS INT) AS m_score
+        FROM r, b
+    )
+    SELECT user_id, recency_days, frequency,
+           {_sql_r6("monetary")} AS monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score >= 2 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                WHEN r_score >= 4 THEN 'recent'
+                ELSE 'regular' END AS segment
+    FROM s ORDER BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8868,6 +8940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_scorecard": q_interval_scorecard,
         "conformal_daily": q_conformal_daily,
         "ratio_ttest_ctr": q_ratio_ttest_ctr,
+        "rfm_users": q_rfm_users,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11041,6 +11114,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_scorecard": _INTERVAL_SCORECARD_ORACLE,
         "conformal_daily": _CONFORMAL_ORACLE,
         "ratio_ttest_ctr": _RATIO_TTEST_ORACLE,
+        "rfm_users": _RFM_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -111,7 +111,7 @@ from temporal_retriever_spark.statespace import (
 )
 from temporal_retriever_spark.basket import association_rules, frequent_itemsets
 from temporal_retriever_spark.recommend import als_recommend, als_train
-from temporal_retriever_spark.segmentation import binseg_changepoints, segment_means
+from temporal_retriever_spark.segmentation import binseg_changepoints, rfm_scores, segment_means
 from temporal_retriever_spark.fuzzy import entity_resolution, fuzzy_join, qgrams_expr
 from temporal_retriever_spark.funnel import (
     attribution,
@@ -267,6 +267,7 @@ __all__ = [
     "scd2_history",
     "shortest_paths",
     "triangle_count",
+    "rfm_scores",
     "segment_means",
     "snapshot_at",
     "target_encode",

@@ -46,7 +46,8 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binseg_changepoints", "segment_means"]
+__all__ = [
+    "rfm_scores","binseg_changepoints", "segment_means"]
 
 
 def _prefix(df, series_cols, ts_col, value_col):
@@ -266,4 +267,102 @@ def segment_means(
             F.count("*").alias("n"),
             F.avg("_y").alias("mean"),
         )
+    )
+
+
+def rfm_scores(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — the retention-marketing classic:
+    Recency (days since last activity, vs the global observation
+    end), Frequency (event count) and Monetary (value sum) per user,
+    each scored 1..n_bins against the population's quantile
+    boundaries, plus the standard segment labels on the (R, F) grid.
+
+    Scale design: NO global ntile sort — the boundaries are ONE
+    percentile aggregation over the user table (4 doubles per metric)
+    broadcast back as literal comparisons, so scoring is a codegen'd
+    projection; ties at a boundary all land in the lower bin
+    (deterministic on any engine; mirrors `quantile_cont`).
+
+    Output: (user, recency_days, frequency, monetary, r_score,
+    f_score, m_score, segment).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    u = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.max(ts_col).alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.coalesce(
+                F.sum(F.col(value_col).cast("double")), F.lit(0.0)
+            ).alias("monetary"),
+        )
+    )
+    obs = events.agg(F.max(ts_col).alias("_obs_end"))
+    u = u.crossJoin(F.broadcast(obs)).withColumn(
+        "recency_days",
+        F.floor(
+            (
+                F.unix_timestamp("_obs_end") - F.unix_timestamp("_last")
+            )
+            / F.lit(86400)
+        ).cast("long"),
+    ).drop("_last", "_obs_end")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    qlit = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    bounds = u.agg(
+        F.expr(f"percentile(recency_days, {qlit})").alias("_br"),
+        F.expr(f"percentile(frequency, {qlit})").alias("_bf"),
+        F.expr(f"percentile(monetary, {qlit})").alias("_bm"),
+    )
+    d = u.crossJoin(F.broadcast(bounds))
+
+    def score(metric, bcol, reverse):
+        s = F.lit(1)
+        for i in range(1, n_bins):
+            b = F.element_at(F.col(bcol), i)
+            s = s + (
+                (metric < b) if reverse else (metric > b)
+            ).cast("int")
+        return s
+
+    rd = F.col("recency_days").cast("double")
+    d = (
+        d.withColumn("r_score", score(rd, "_br", reverse=True))
+        .withColumn(
+            "f_score", score(F.col("frequency").cast("double"), "_bf", False)
+        )
+        .withColumn("m_score", score(F.col("monetary"), "_bm", False))
+    )
+    hi = max(2, int(round(n_bins * 0.8)))
+    lo = max(1, int(round(n_bins * 0.4)))
+    seg = (
+        F.when(
+            (F.col("r_score") >= hi) & (F.col("f_score") >= hi), "champion"
+        )
+        .when(F.col("f_score") >= hi, "loyal")
+        .when(
+            (F.col("r_score") <= lo) & (F.col("f_score") >= lo), "at_risk"
+        )
+        .when(F.col("r_score") <= lo, "hibernating")
+        .when(F.col("r_score") >= hi, "recent")
+        .otherwise("regular")
+    )
+    return d.select(
+        user_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
     )

@@ -104,3 +104,56 @@ def test_validation(spark):
         binseg_changepoints(df, penalty=1.0, min_segment=0)
     with pytest.raises(ValueError, match="max_changepoints"):
         binseg_changepoints(df, penalty=1.0, max_changepoints=0)
+
+
+from temporal_retriever_spark.segmentation import rfm_scores
+
+
+class TestRfmScores:
+    def test_scores_and_segments(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def at(days):
+            return t0 + datetime.timedelta(days=days)
+
+        rows = []
+        # champion: recent + frequent + big spender
+        for i in range(20):
+            rows.append(("champ", at(80 + i % 10), 100.0))
+        # hibernating: one old event
+        rows.append(("sleeper", at(0), 5.0))
+        # regular-ish users spread out
+        import random
+
+        rng = random.Random(3)
+        for u in range(20):
+            for _ in range(rng.randint(2, 8)):
+                rows.append((f"u{u}", at(rng.randint(10, 85)), rng.uniform(1, 50)))
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+        got = {r["user_id"]: r for r in rfm_scores(df).collect()}
+        ch, sl = got["champ"], got["sleeper"]
+        assert ch["r_score"] == 5 and ch["f_score"] == 5 and ch["m_score"] == 5
+        assert ch["segment"] == "champion"
+        assert sl["r_score"] == 1 and sl["f_score"] == 1
+        assert sl["segment"] == "hibernating"
+        assert ch["recency_days"] == 0 - 0 + (89 - 89)  # most recent = 0 days
+        assert sl["frequency"] == 1 and sl["monetary"] == 5.0
+        # every score in range
+        for r in got.values():
+            assert 1 <= r["r_score"] <= 5
+            assert 1 <= r["f_score"] <= 5
+            assert 1 <= r["m_score"] <= 5
+
+    def test_validation(self, spark):
+        import datetime
+
+        df = spark.createDataFrame(
+            [("u", datetime.datetime(2024, 1, 1), 1.0)],
+            "user_id string, ts timestamp, value double",
+        )
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            rfm_scores(df, n_bins=1)
