@@ -8755,6 +8755,66 @@ _RFM_ORACLE = f"""
 """
 
 
+def q_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning LLR keywords per document source (llm.text.keyness):
+    which tokens CHARACTERIZE each corpus slice vs the rest — one
+    (source, token) count, broadcast totals, per-group pre-shuffle
+    top-k. Oracle mirrors the G² arithmetic at 6 dp."""
+    from temporal_retriever_spark.llm.text import keyness
+
+    docs = _documents(spark, sf_dir)
+    got = keyness(docs, group_col="source", k=5, min_count=3)
+    return got.select(
+        "source",
+        "token",
+        "n_in",
+        "n_out",
+        _r6("llr").alias("llr"),
+        "rank",
+    ).orderBy("source", "rank")
+
+
+_KEYNESS_ORACLE = f"""
+    WITH base AS (
+        SELECT source AS grp,
+               LOWER(UNNEST(string_split_regex(TRIM(text), '\\s+'))) AS token
+        FROM documents
+    ),
+    base2 AS (SELECT * FROM base WHERE LENGTH(token) >= 1),
+    gt AS (SELECT grp, token, CAST(COUNT(*) AS DOUBLE) AS a
+           FROM base2 GROUP BY 1, 2),
+    tt AS (SELECT token, SUM(a) AS ab FROM gt GROUP BY 1),
+    ct AS (SELECT grp, SUM(a) AS c FROM gt GROUP BY 1),
+    at2 AS (SELECT SUM(a) AS cd FROM gt),
+    d AS (
+        SELECT gt.grp, gt.token, gt.a, tt.ab - gt.a AS b, ct.c,
+               at2.cd - ct.c AS dd, tt.ab, at2.cd
+        FROM gt JOIN tt USING (token) JOIN ct USING (grp) CROSS JOIN at2
+    ),
+    s AS (
+        SELECT grp, token, a, b,
+               2.0 * (
+                 CASE WHEN a > 0
+                      THEN a * LN(a / (c * ab / cd)) ELSE 0.0 END
+               + CASE WHEN b > 0
+                      THEN b * LN(b / (dd * ab / cd)) ELSE 0.0 END
+               ) AS llr
+        FROM d
+        WHERE a >= 3.0 AND a / c > b / dd
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                  ORDER BY llr DESC, token ASC) AS rank
+        FROM s
+    )
+    SELECT grp AS source, token,
+           CAST(a AS BIGINT) AS n_in, CAST(b AS BIGINT) AS n_out,
+           {_sql_r6("llr")} AS llr, rank
+    FROM r WHERE rank <= 5
+    ORDER BY source, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -8941,6 +9001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_daily": q_conformal_daily,
         "ratio_ttest_ctr": q_ratio_ttest_ctr,
         "rfm_users": q_rfm_users,
+        "keyness_by_source": q_keyness_by_source,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11115,6 +11176,7 @@ def oracle_sql() -> dict[str, str]:
         "conformal_daily": _CONFORMAL_ORACLE,
         "ratio_ttest_ctr": _RATIO_TTEST_ORACLE,
         "rfm_users": _RFM_ORACLE,
+        "keyness_by_source": _KEYNESS_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -407,3 +407,87 @@ def readability(
         F.when(nz, F.round(fre, 6)).alias("flesch_reading_ease"),
         F.when(nz, F.round(fkgl, 6)).alias("fk_grade"),
     )
+
+
+def keyness(
+    df: DataFrame,
+    *,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus keyness: the tokens that CHARACTERIZE each slice, by
+    Dunning's log-likelihood ratio (Dunning 1993) of the token's rate
+    inside the slice vs the rest of the corpus — the standard
+    corpus-linguistics keyword statistic (raw frequency finds "the";
+    TF-IDF finds rarities; LLR finds what is genuinely
+    over-represented):
+
+        G² = 2·(a·ln(a/E_a) + b·ln(b/E_b))
+        E_a = c·(a+b)/(c+d)   E_b = d·(a+b)/(c+d)
+
+    with a/b the token's count in the slice / rest and c/d the slice
+    / rest token totals (zero-count terms contribute 0). Only
+    over-represented tokens (a/c > b/d) rank; ties break by token
+    ascending. ``min_count`` drops unstable rare tokens.
+
+    Plan: one (group, token) count aggregation off the token explode,
+    token totals by two tiny reaggregations joined back (broadcast —
+    vocabulary- and group-sized), arithmetic in the projection, and
+    the per-group top-k rank window compiles to the pre-shuffle
+    WindowGroupLimit like `token_topk`. Tokenization is the engine
+    convention (whitespace, lowercased).
+
+    Output: (group, token, n_in, n_out, llr, rank), rank 1..k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    base = df.select(F.col(group_col).alias("grp"), tok).withColumn(
+        "token", F.lower(F.col("token"))
+    ).filter(F.length("token") >= 1)
+    gt = base.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("_a")
+    )
+    tok_tot = gt.groupBy("token").agg(F.sum("_a").alias("_ab"))
+    grp_tot = gt.groupBy("grp").agg(F.sum("_a").alias("_c"))
+    all_tot = gt.agg(F.sum("_a").alias("_cd"))
+    d = (
+        gt.join(F.broadcast(tok_tot), on="token")
+        .join(F.broadcast(grp_tot), on="grp")
+        .crossJoin(F.broadcast(all_tot))
+        .withColumn("_b", F.col("_ab") - F.col("_a"))
+        .withColumn("_d", F.col("_cd") - F.col("_c"))
+    )
+    ea = F.col("_c") * F.col("_ab") / F.col("_cd")
+    eb = F.col("_d") * F.col("_ab") / F.col("_cd")
+    term_a = F.when(
+        F.col("_a") > 0, F.col("_a") * F.log(F.col("_a") / ea)
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("_b") > 0, F.col("_b") * F.log(F.col("_b") / eb)
+    ).otherwise(F.lit(0.0))
+    llr = 2.0 * (term_a + term_b)
+    over = F.col("_a") / F.col("_c") > F.col("_b") / F.col("_d")
+    scored = (
+        d.filter((F.col("_a") >= float(min_count)) & over)
+        .withColumn("llr", llr)
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("llr").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("grp").alias(group_col),
+            "token",
+            F.col("_a").cast("long").alias("n_in"),
+            F.col("_b").cast("long").alias("n_out"),
+            "llr",
+            "rank",
+        )
+    )
