@@ -8815,6 +8815,81 @@ _KEYNESS_ORACLE = f"""
 """
 
 
+def q_trend_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope + Mann-Kendall trend test per daily series
+    (diagnostics.trend_test): pairwise self-join bounded by the
+    observation window, median-of-slopes + tie-corrected S variance
+    + continuity-corrected normal p. Oracle replays the pair
+    enumeration and the identical arithmetic."""
+    from temporal_retriever_spark.diagnostics import trend_test
+
+    got = trend_test(
+        _events_daily_all(spark, sf_dir), series_cols=("event_type",)
+    )
+    return got.select(
+        "event_type",
+        "n",
+        _r6("slope").alias("slope"),
+        _r6("s_stat").alias("s_stat"),
+        _r6("z_score").alias("z_score"),
+        _r6("p_value").alias("p_value"),
+    ).orderBy("event_type")
+
+
+def _trend_test_oracle() -> str:
+    return f"""
+    WITH s AS ({{series}}),
+    d AS (SELECT event_type, epoch(ds) / 86400.0 AS t, CAST(y AS DOUBLE) AS y
+          FROM s WHERE y IS NOT NULL),
+    pr AS (
+        SELECT a.event_type,
+               (b.y - a.y) / (b.t - a.t) AS slope,
+               CASE WHEN b.y > a.y THEN 1.0
+                    WHEN b.y < a.y THEN -1.0 ELSE 0.0 END AS sgn
+        FROM d a JOIN d b ON a.event_type = b.event_type AND a.t < b.t
+    ),
+    pa AS (
+        SELECT event_type, quantile_cont(slope, 0.5) AS slope,
+               SUM(sgn) AS s_stat
+        FROM pr GROUP BY 1
+    ),
+    nn AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM d GROUP BY 1),
+    tc AS (
+        SELECT event_type,
+               SUM(k * (k - 1.0) * (2.0 * k + 5.0)) AS tcv
+        FROM (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS k
+              FROM d GROUP BY event_type, y) q
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT pa.event_type, pa.slope, pa.s_stat, nn.n,
+               (nn.n * (nn.n - 1.0) * (2.0 * nn.n + 5.0) - tc.tcv) / 18.0
+                   AS var
+        FROM pa JOIN nn USING (event_type) JOIN tc USING (event_type)
+    ),
+    z1 AS (
+        SELECT *,
+               CASE WHEN s_stat > 0 THEN s_stat - 1.0
+                    WHEN s_stat < 0 THEN s_stat + 1.0
+                    ELSE 0.0 END / SQRT(var) AS z
+        FROM j WHERE n >= 3 AND var > 0
+    ),
+    zp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM z1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {_sql_r6("slope")} AS slope,
+           {_sql_r6("s_stat")} AS s_stat,
+           {_sql_r6("z")} AS z_score,
+           {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(z * z) / 2.0)
+             * 0.3989422804014327
+             * (0.319381530 * tt + -0.356563782 * tt * tt
+                + 1.781477937 * tt * tt * tt
+                + -1.821255978 * tt * tt * tt * tt
+                + 1.330274429 * tt * tt * tt * tt * tt)))''')} AS p_value
+    FROM zp ORDER BY event_type
+    """.replace("{series}", _EVENTS_DAILY)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9002,6 +9077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_ttest_ctr": q_ratio_ttest_ctr,
         "rfm_users": q_rfm_users,
         "keyness_by_source": q_keyness_by_source,
+        "trend_test_daily": q_trend_test_daily,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11177,6 +11253,7 @@ def oracle_sql() -> dict[str, str]:
         "ratio_ttest_ctr": _RATIO_TTEST_ORACLE,
         "rfm_users": _RFM_ORACLE,
         "keyness_by_source": _KEYNESS_ORACLE,
+        "trend_test_daily": _trend_test_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -55,6 +55,7 @@ from temporal_retriever_spark.diagnostics import (
     granger_native,
     pacf,
     periodogram,
+    trend_test,
 )
 from temporal_retriever_spark.forecast import (
     fit_changepoint_trend,
@@ -304,6 +305,7 @@ __all__ = [
     "f_sf_expr",
     "pacf",
     "periodogram",
+    "trend_test",
     "fit_changepoint_trend",
     "forecast_changepoint",
     "forecast_exponential_smoothing",

@@ -1790,3 +1790,98 @@ def detect_seasonality(
         (F.abs(rho_best) > F.lit(z) * band_at).alias("significant"),
         F.col("_n").cast("long").alias("n"),
     )
+
+
+def trend_test(
+    df: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+) -> DataFrame:
+    """Theil-Sen robust slope + Mann-Kendall trend test — the
+    nonparametric trend pair (Sen 1968; Mann 1945/Kendall): the OLS
+    slope a single outlier can hijack, the median-of-pairwise-slopes
+    cannot (29.3% breakdown), and MK answers "is there ANY monotonic
+    trend" without assuming linearity or normality:
+
+        slope = median{ (y_j − y_i)/(t_j − t_i) : t_i < t_j }
+        S     = Σ_{i<j} sign(y_j − y_i)
+        Var(S)= [n(n−1)(2n+5) − Σ_t k_t(k_t−1)(2k_t+5)] / 18
+        z     = (S ∓ 1)/√Var  (continuity-corrected), two-sided p
+
+    Pairwise enumeration is a per-series SELF-JOIN — O(n²) in the
+    series LENGTH, which for bucketed series is bounded by the
+    observation window (the usual contract in this module), not the
+    raw event count; the join is series-co-partitioned so nothing
+    data-sized shuffles. Ties in y get the standard variance
+    correction; ties in t are excluded from slopes (undefined).
+
+    Output per series: ``n, slope, s_stat, z_score, p_value``
+    (NULL statistic below n = 3 or when Var = 0).
+    """
+    from temporal_retriever_spark.forecast import _time_index
+    from temporal_retriever_spark.inference import _norm_sf_expr
+
+    series_cols = list(series_cols)
+    y = F.col(value_col).cast("double")
+    d = (
+        df.filter(y.isNotNull())
+        .select(
+            *series_cols,
+            _time_index(F.col(ts_col)).alias("_t"),
+            y.alias("_y"),
+        )
+    )
+    l, r = d.alias("l"), d.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in series_cols]
+    cond.append(F.col("l._t") < F.col("r._t"))
+    pairs = l.join(r, on=cond)
+    slope = (F.col("r._y") - F.col("l._y")) / (
+        F.col("r._t") - F.col("l._t")
+    )
+    sgn = F.signum(F.col("r._y") - F.col("l._y"))
+    pa = (
+        pairs.select(
+            *[F.col(f"l.{c}").alias(c) for c in series_cols],
+            slope.alias("_slope"),
+            sgn.alias("_sgn"),
+        )
+        .groupBy(*series_cols)
+        .agg(
+            F.expr("percentile(_slope, 0.5)").alias("slope"),
+            F.sum("_sgn").cast("double").alias("s_stat"),
+        )
+    )
+    # n and the tie correction from the (series, y) counts
+    base = d.groupBy(*series_cols).agg(F.count("*").cast("double").alias("_n"))
+    ties = (
+        d.groupBy(*series_cols, "_y")
+        .agg(F.count("*").cast("double").alias("_k"))
+        .groupBy(*series_cols)
+        .agg(
+            F.sum(
+                F.col("_k") * (F.col("_k") - 1.0) * (2.0 * F.col("_k") + 5.0)
+            ).alias("_tc")
+        )
+    )
+    out = pa.join(base, on=series_cols).join(ties, on=series_cols)
+    n = F.col("_n")
+    var = (
+        n * (n - 1.0) * (2.0 * n + 5.0) - F.col("_tc")
+    ) / 18.0
+    s = F.col("s_stat")
+    zc = F.when(s > 0, s - 1.0).when(s < 0, s + 1.0).otherwise(F.lit(0.0))
+    ok = (n >= 3) & (var > 0)
+    z = F.when(ok, zc / F.sqrt(var))
+    p = F.when(
+        ok, F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(zc / F.sqrt(var))))
+    )
+    return out.select(
+        *series_cols,
+        n.cast("long").alias("n"),
+        F.when(ok, F.col("slope")).alias("slope"),
+        s.alias("s_stat"),
+        z.alias("z_score"),
+        p.alias("p_value"),
+    )

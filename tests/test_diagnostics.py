@@ -864,3 +864,88 @@ class TestPeriodogram:
             periodogram(df, min_period=1)
         with pytest.raises(ValueError):
             periodogram(df, min_period=10, max_period=5)
+
+
+class TestTrendTest:
+    def _ref(self, rows):
+        import math
+        import statistics
+
+        ts = [t for t, _ in rows]
+        ys = [y for _, y in rows]
+        n = len(rows)
+        slopes = [
+            (ys[j] - ys[i]) / (ts[j] - ts[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+            if ts[j] != ts[i]
+        ]
+        sen = statistics.median(slopes)
+        S = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tc = sum(
+            k * (k - 1) * (2 * k + 5) for k in Counter(ys).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tc) / 18.0
+        zc = S - 1 if S > 0 else (S + 1 if S < 0 else 0)
+        return sen, float(S), zc / math.sqrt(var)
+
+    def test_matches_reference_with_ties(self, spark):
+        import datetime
+        import random
+
+        rng = random.Random(7)
+        d0 = datetime.date(2024, 1, 1)
+        ys = [round(0.3 * t + rng.gauss(0, 2), 0) for t in range(40)]
+        rows = [
+            ("s", d0 + datetime.timedelta(days=t), float(v))
+            for t, v in enumerate(ys)
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        from temporal_retriever_spark.diagnostics import trend_test
+
+        got = trend_test(df).collect()[0]
+        t_idx = [float(i) for i in range(40)]
+        sen, S, z = self._ref(list(zip([
+            (d0 + datetime.timedelta(days=t) - datetime.date(1970, 1, 1)).days
+            for t in range(40)
+        ], ys)))
+        assert got["n"] == 40
+        assert got["slope"] == pytest.approx(sen, rel=1e-9)
+        assert got["s_stat"] == pytest.approx(S)
+        assert got["z_score"] == pytest.approx(z, rel=1e-9)
+        assert got["p_value"] < 0.01  # the planted trend is detected
+
+    def test_outlier_resistance_vs_ols(self, spark):
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        rows = [("s", d0 + datetime.timedelta(days=t), 2.0 * t) for t in range(30)]
+        rows[15] = ("s", d0 + datetime.timedelta(days=15), 10000.0)
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        from temporal_retriever_spark.diagnostics import trend_test
+
+        got = trend_test(df).collect()[0]
+        assert got["slope"] == pytest.approx(2.0, rel=1e-9)
+
+    def test_no_trend_high_p_and_degenerate(self, spark):
+        import datetime
+        import random
+
+        rng = random.Random(4)
+        d0 = datetime.date(2024, 1, 1)
+        rows = [
+            ("flat", d0 + datetime.timedelta(days=t), rng.gauss(0, 1))
+            for t in range(50)
+        ] + [("tiny", d0, 1.0), ("tiny", d0 + datetime.timedelta(days=1), 2.0)]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        from temporal_retriever_spark.diagnostics import trend_test
+
+        got = {r["series_id"]: r for r in trend_test(df).collect()}
+        assert got["flat"]["p_value"] > 0.05
+        assert got["tiny"]["z_score"] is None  # n < 3
