@@ -8890,6 +8890,82 @@ def _trend_test_oracle() -> str:
     """.replace("{series}", _EVENTS_DAILY)
 
 
+def q_wilcoxon_user_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Wilcoxon signed-rank (inference.wilcoxon_signed_rank):
+    each user's mean event value in the first half of the month vs
+    the second — the nonparametric paired movement test. The oracle
+    replays the |d| midranks, tie-corrected variance, continuity
+    correction and A&S p."""
+    from temporal_retriever_spark.inference import wilcoxon_signed_rank
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.avg(F.when(F.dayofmonth("ts") <= 15, F.col("value"))).alias("h1"),
+        F.avg(F.when(F.dayofmonth("ts") > 15, F.col("value"))).alias("h2"),
+    ).filter(F.col("h1").isNotNull() & F.col("h2").isNotNull())
+    got = wilcoxon_signed_rank(per_user, "h1", "h2")
+    return got.select(
+        "n",
+        _r6("w_stat").alias("w_stat"),
+        _r6("z_score").alias("z_score"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+_WILCOXON_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               AVG(CASE WHEN dayofmonth(ts) <= 15 THEN value END) AS h1,
+               AVG(CASE WHEN dayofmonth(ts) > 15 THEN value END) AS h2
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT ABS(h1 - h2) AS ad,
+               CASE WHEN h1 - h2 > 0 THEN 1.0 ELSE 0.0 END AS pos
+        FROM u
+        WHERE h1 IS NOT NULL AND h2 IS NOT NULL AND h1 - h2 <> 0
+    ),
+    c AS (
+        SELECT ad, CAST(COUNT(*) AS DOUBLE) AS dt, SUM(pos) AS np
+        FROM d GROUP BY 1
+    ),
+    r AS (
+        SELECT *,
+               COALESCE(SUM(dt) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0) AS bef
+        FROM c
+    ),
+    a AS (
+        SELECT SUM(dt) AS n,
+               SUM(np * (bef + (dt + 1.0) / 2.0)) AS w,
+               SUM(dt * dt * dt - dt) AS ties
+        FROM r
+    ),
+    z1 AS (
+        SELECT n, w,
+               (w - n * (n + 1.0) / 4.0
+                + CASE WHEN w - n * (n + 1.0) / 4.0 > 0 THEN -0.5
+                       WHEN w - n * (n + 1.0) / 4.0 < 0 THEN 0.5
+                       ELSE 0.0 END)
+               / SQRT(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - ties / 48.0)
+                   AS z
+        FROM a
+    ),
+    zp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM z1)
+    SELECT CAST(n AS BIGINT) AS n,
+           {_sql_r6("w")} AS w_stat,
+           {_sql_r6("z")} AS z_score,
+           {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(z * z) / 2.0)
+             * 0.3989422804014327
+             * (0.319381530 * tt + -0.356563782 * tt * tt
+                + 1.781477937 * tt * tt * tt
+                + -1.821255978 * tt * tt * tt * tt
+                + 1.330274429 * tt * tt * tt * tt * tt)))''')} AS p_value
+    FROM zp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9078,6 +9154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_users": q_rfm_users,
         "keyness_by_source": q_keyness_by_source,
         "trend_test_daily": q_trend_test_daily,
+        "wilcoxon_user_halves": q_wilcoxon_user_halves,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11254,6 +11331,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_users": _RFM_ORACLE,
         "keyness_by_source": _KEYNESS_ORACLE,
         "trend_test_daily": _trend_test_oracle(),
+        "wilcoxon_user_halves": _WILCOXON_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -191,6 +191,7 @@ from temporal_retriever_spark.inference import (
     prop_ztest,
     psi,
     ratio_ttest,
+    wilcoxon_signed_rank,
 )
 
 __all__ = [
@@ -263,6 +264,7 @@ __all__ = [
     "prop_ztest",
     "psi",
     "ratio_ttest",
+    "wilcoxon_signed_rank",
     "qgrams_expr",
     "row_count",
     "scd2_history",

@@ -51,6 +51,7 @@ __all__ = [
     "psi",
     "ratio_ttest",
     "welch_ttest",
+    "wilcoxon_signed_rank",
 ]
 
 #: Abramowitz & Stegun 26.2.17 coefficients for the standard normal
@@ -1337,4 +1338,87 @@ def diff_in_diff(
         se.alias("se"),
         (did / se).alias("z"),
         (F.lit(2.0) * _norm_sf_expr(z)).alias("p_value"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    keys: list[str] | None = None,
+    continuity: bool = True,
+) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED member of the
+    nonparametric family (`mann_whitney_u` is its unpaired sibling):
+    did the metric move between two measurements of the SAME unit
+    (before/after, variant-on/variant-off), without assuming
+    normality of the differences?
+
+    Standard treatment: zero differences are dropped (Wilcoxon's
+    convention), |d| midranks come from the distinct-value prefix-sum
+    machinery (one shuffle keyed on |d|, everything after is
+    value-domain-sized), W⁺ = Σ ranks of positive differences, and
+    the tie-corrected normal approximation
+
+        μ = n(n+1)/4      σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48
+
+    with the optional 0.5 continuity correction gives the two-sided
+    p (the same A&S closed form as the rest of the family). NULL
+    below n = 2 or zero variance.
+
+    Output per key: ``n, w_stat, z_score, p_value``.
+    """
+    keys = list(keys or [])
+    d = (F.col(col_a).cast("double") - F.col(col_b).cast("double")).alias("_d")
+    base = (
+        df.select(*keys, d)
+        .filter(F.col("_d").isNotNull() & (F.col("_d") != 0))
+        .select(
+            *keys,
+            F.abs(F.col("_d")).alias("_ad"),
+            (F.col("_d") > 0).cast("double").alias("_pos"),
+        )
+    )
+    cnts = base.groupBy(*keys, "_ad").agg(
+        F.count("*").cast("double").alias("_dt"),
+        F.sum("_pos").alias("_np"),
+    )
+    part = keys if keys else [F.lit(1)]
+    w_prev = (
+        Window.partitionBy(*part)
+        .orderBy("_ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cnts.withColumn(
+        "_before", F.coalesce(F.sum("_dt").over(w_prev), F.lit(0.0))
+    ).withColumn("_mid", F.col("_before") + (F.col("_dt") + 1.0) / 2.0)
+    agg = ranked.groupBy(*keys).agg(
+        F.sum("_dt").alias("_n"),
+        F.sum(F.col("_np") * F.col("_mid")).alias("w_stat"),
+        F.sum(
+            F.col("_dt") * F.col("_dt") * F.col("_dt") - F.col("_dt")
+        ).alias("_ties"),
+    )
+    n = F.col("_n")
+    mean = n * (n + 1.0) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("_ties") / 48.0
+    diff = F.col("w_stat") - mean
+    cc = (
+        F.when(diff > 0, -0.5).when(diff < 0, F.lit(0.5)).otherwise(F.lit(0.0))
+        if continuity
+        else F.lit(0.0)
+    )
+    ok = (n >= 2) & (var > 0)
+    z = F.when(ok, (diff + cc) / F.sqrt(var))
+    p = F.when(
+        ok,
+        F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs((diff + cc) / F.sqrt(var)))),
+    )
+    return agg.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.col("w_stat"),
+        z.alias("z_score"),
+        p.alias("p_value"),
     )

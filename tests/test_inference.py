@@ -1033,3 +1033,70 @@ class TestRatioTtest:
         )
         r = ratio_ttest(df, "num", "den", "grp", "a", "b").collect()[0]
         assert r["z_score"] is None and r["p_value"] is None
+
+
+from temporal_retriever_spark.inference import wilcoxon_signed_rank
+
+
+def _naive_wilcoxon(pairs):
+    ds = [a - b for a, b in pairs if a != b]
+    ads = sorted((abs(d), d > 0) for d in ds)
+    # midranks with ties
+    ranks = {}
+    i = 0
+    vals = [a for a, _ in ads]
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks.setdefault(vals[i], mid)
+        i = j
+    W = sum(ranks[abs(d)] for d in ds if d > 0)
+    n = len(ds)
+    mean = n * (n + 1) / 4.0
+    from collections import Counter
+
+    ties = sum(c**3 - c for c in Counter(abs(d) for d in ds).values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    diff = W - mean
+    cc = -0.5 if diff > 0 else (0.5 if diff < 0 else 0.0)
+    return n, W, (diff + cc) / math.sqrt(var)
+
+
+class TestWilcoxonSignedRank:
+    def test_matches_reference_with_ties_and_zeros(self, spark):
+        rng = random.Random(13)
+        pairs = [
+            (round(rng.gauss(10, 2), 1), round(rng.gauss(10, 2), 1))
+            for _ in range(120)
+        ]
+        pairs += [(5.0, 5.0)] * 10  # zero diffs dropped
+        df = spark.createDataFrame(pairs, "a double, b double")
+        got = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+        n, W, z = _naive_wilcoxon(pairs)
+        assert got["n"] == n
+        assert got["w_stat"] == pytest.approx(W, rel=1e-12)
+        assert got["z_score"] == pytest.approx(z, rel=1e-9)
+
+    def test_planted_shift_detected(self, spark):
+        rng = random.Random(5)
+        pairs = [
+            (x + 1.0 + rng.gauss(0, 0.5), x)
+            for x in (rng.uniform(0, 50) for _ in range(100))
+        ]
+        df = spark.createDataFrame(pairs, "a double, b double")
+        got = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+        assert got["p_value"] < 1e-9
+        sym = spark.createDataFrame(
+            [(x, x + rng.gauss(0, 1.0)) for x in
+             (rng.uniform(0, 50) for _ in range(300))],
+            "a double, b double",
+        )
+        r0 = wilcoxon_signed_rank(sym, "a", "b").collect()[0]
+        assert r0["p_value"] > 0.01
+
+    def test_degenerate_null(self, spark):
+        df = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "a double, b double")
+        rows = wilcoxon_signed_rank(df, "a", "b").collect()
+        assert rows == [] or rows[0]["z_score"] is None
