@@ -8966,6 +8966,104 @@ _WILCOXON_ORACLE = f"""
 """
 
 
+def q_mantel_haenszel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + CMH test
+    (inference.mantel_haenszel): does heavy first-half clicking
+    (≥7, ~the median split) associate with heavy second-half
+    purchasing, pooled across user-id cohorts
+    (the Simpson's-paradox-safe stratified analysis)? Oracle replays
+    the per-stratum cells, the MH sums and the exact dof-1
+    chi-square string."""
+    from temporal_retriever_spark.inference import mantel_haenszel
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.count(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.dayofmonth("ts") <= 15),
+                    1,
+                )
+            )
+            >= 7
+        ).alias("exp"),
+        (
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.dayofmonth("ts") > 15),
+                    1,
+                )
+            )
+            >= 7
+        ).alias("outc"),
+    ).withColumn(
+        "cohort", F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string"))
+    )
+    got = mantel_haenszel(per_user, "exp", "outc", "cohort")
+    return got.select(
+        "n",
+        "n_strata",
+        _r6("or_mh").alias("or_mh"),
+        _r6("cmh_stat").alias("cmh_stat"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+def _mh_oracle() -> str:
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' AND dayofmonth(ts) <= 15
+                          THEN 1 END) >= 7 AS exp,
+               COUNT(CASE WHEN event_type = 'purchase' AND dayofmonth(ts) > 15
+                          THEN 1 END) >= 7 AS outc,
+               'c' || CAST(user_id % 3 AS VARCHAR) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT cohort,
+               CAST(COUNT(CASE WHEN exp AND outc THEN 1 END) AS DOUBLE) AS a,
+               CAST(COUNT(CASE WHEN exp AND NOT outc THEN 1 END) AS DOUBLE) AS b,
+               CAST(COUNT(CASE WHEN NOT exp AND outc THEN 1 END) AS DOUBLE) AS c,
+               CAST(COUNT(CASE WHEN NOT exp AND NOT outc THEN 1 END) AS DOUBLE) AS d
+        FROM u GROUP BY 1
+    ),
+    t AS (
+        SELECT *, a + b + c + d AS ni, a + b AS r1, c + d AS r2,
+               a + c AS c1, b + d AS c2
+        FROM s
+    ),
+    agg AS (
+        SELECT CAST(SUM(ni) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_strata,
+               SUM(a * d / ni) AS num, SUM(b * c / ni) AS den,
+               SUM(a) AS sa, SUM(r1 * c1 / ni) AS se,
+               SUM(CASE WHEN ni > 1
+                   THEN r1 * r2 * c1 * c2 / (ni * ni * (ni - 1.0))
+                   ELSE 0.0 END) AS sv
+        FROM t
+    ),
+    f AS (
+        SELECT n, n_strata,
+               CASE WHEN den > 0 THEN num / den END AS or_mh,
+               CASE WHEN sv > 0 THEN
+                   GREATEST(ABS(sa - se) - 0.5, 0.0)
+                   * GREATEST(ABS(sa - se) - 0.5, 0.0) / sv
+               END AS cmh_stat
+        FROM agg
+    )
+    SELECT n, n_strata,
+           {_sql_r6("or_mh")} AS or_mh,
+           {_sql_r6("cmh_stat")} AS cmh_stat,
+           {_sql_r6(chi2_sf_sql("cmh_stat", 1))} AS p_value
+    FROM f
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9155,6 +9253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_by_source": q_keyness_by_source,
         "trend_test_daily": q_trend_test_daily,
         "wilcoxon_user_halves": q_wilcoxon_user_halves,
+        "mantel_haenszel_users": q_mantel_haenszel_users,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11332,6 +11431,7 @@ def oracle_sql() -> dict[str, str]:
         "keyness_by_source": _KEYNESS_ORACLE,
         "trend_test_daily": _trend_test_oracle(),
         "wilcoxon_user_halves": _WILCOXON_ORACLE,
+        "mantel_haenszel_users": _mh_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -188,6 +188,7 @@ from temporal_retriever_spark.inference import (
     js_divergence,
     ks_2sample,
     mann_whitney_u,
+    mantel_haenszel,
     prop_ztest,
     psi,
     ratio_ttest,
@@ -253,6 +254,7 @@ __all__ = [
     "rmst",
     "make_lag_features",
     "mann_whitney_u",
+    "mantel_haenszel",
     "median_survival",
     "mutual_information",
     "propensity_att",

@@ -46,6 +46,7 @@ __all__ = [
     "js_divergence",
     "ks_2sample",
     "mann_whitney_u",
+    "mantel_haenszel",
     "poisson_weight_expr",
     "prop_ztest",
     "psi",
@@ -1421,4 +1422,79 @@ def wilcoxon_signed_rank(
         F.col("w_stat"),
         z.alias("z_score"),
         p.alias("p_value"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    strata_col: str,
+    *,
+    keys: list[str] | None = None,
+    continuity: bool = True,
+) -> DataFrame:
+    """Mantel-Haenszel stratified 2×2 analysis — the confounder-safe
+    effect estimate: pooling exposure×outcome tables ACROSS strata
+    (weekday, country, cohort) dodges Simpson's paradox where the
+    marginal odds ratio lies. Per stratum i with the classic cells
+    (a=exposed-outcome, b=exposed-no, c=unexposed-outcome, d=neither):
+
+        OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)
+        CMH   = (|Σaᵢ − ΣEᵢ| − ½)² / ΣVᵢ   ~  χ²(1)
+        Eᵢ = r1ᵢ·c1ᵢ/nᵢ    Vᵢ = r1ᵢr2ᵢc1ᵢc2ᵢ / (nᵢ²(nᵢ−1))
+
+    (continuity-corrected by default). Exposure/outcome are evaluated
+    as booleans. Plan: ONE (key, stratum) aggregation of four
+    conditional counts, then a key-sized reduction — strata never
+    leave the aggregate. Exact dof-1 chi-square p via the
+    engine-neutral string. NULL when every stratum is degenerate.
+
+    Output per key: ``n, n_strata, or_mh, cmh_stat, p_value``.
+    """
+    keys = list(keys or [])
+    ex = F.col(exposure_col).cast("boolean")
+    oc = F.col(outcome_col).cast("boolean")
+    base = df.filter(ex.isNotNull() & oc.isNotNull())
+    per_s = base.groupBy(*keys, F.col(strata_col).alias("_s")).agg(
+        F.count(F.when(ex & oc, 1)).cast("double").alias("_a"),
+        F.count(F.when(ex & ~oc, 1)).cast("double").alias("_b"),
+        F.count(F.when(~ex & oc, 1)).cast("double").alias("_c"),
+        F.count(F.when(~ex & ~oc, 1)).cast("double").alias("_d"),
+    )
+    n_i = F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")
+    r1 = F.col("_a") + F.col("_b")
+    r2 = F.col("_c") + F.col("_d")
+    c1 = F.col("_a") + F.col("_c")
+    c2 = F.col("_b") + F.col("_d")
+    e_i = r1 * c1 / n_i
+    v_i = F.when(
+        n_i > 1, r1 * r2 * c1 * c2 / (n_i * n_i * (n_i - 1.0))
+    ).otherwise(F.lit(0.0))
+    agg = per_s.groupBy(*keys).agg(
+        F.sum(n_i).cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.col("_a") * F.col("_d") / n_i).alias("_num"),
+        F.sum(F.col("_b") * F.col("_c") / n_i).alias("_den"),
+        F.sum(F.col("_a")).alias("_sa"),
+        F.sum(e_i).alias("_se"),
+        F.sum(v_i).alias("_sv"),
+    )
+    or_mh = F.when(F.col("_den") > 0, F.col("_num") / F.col("_den"))
+    dev = F.abs(F.col("_sa") - F.col("_se")) - (
+        F.lit(0.5) if continuity else F.lit(0.0)
+    )
+    dev = F.greatest(dev, F.lit(0.0))
+    cmh = F.when(F.col("_sv") > 0, dev * dev / F.col("_sv"))
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    out = agg.select(
+        *keys, "n", "n_strata", or_mh.alias("or_mh"), cmh.alias("cmh_stat")
+    )
+    return out.withColumn(
+        "p_value",
+        F.when(
+            F.col("cmh_stat").isNotNull(),
+            F.expr(chi2_sf_sql("cmh_stat", 1)),
+        ),
     )

@@ -1100,3 +1100,65 @@ class TestWilcoxonSignedRank:
         df = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "a double, b double")
         rows = wilcoxon_signed_rank(df, "a", "b").collect()
         assert rows == [] or rows[0]["z_score"] is None
+
+
+from temporal_retriever_spark.inference import mantel_haenszel
+
+
+class TestMantelHaenszel:
+    def test_matches_hand_computation(self, spark):
+        # two strata with known 2x2 cells
+        rows = []
+        # stratum 1: a=30 b=10 c=20 d=40
+        rows += [("s1", True, True)] * 30 + [("s1", True, False)] * 10
+        rows += [("s1", False, True)] * 20 + [("s1", False, False)] * 40
+        # stratum 2: a=15 b=25 c=10 d=50
+        rows += [("s2", True, True)] * 15 + [("s2", True, False)] * 25
+        rows += [("s2", False, True)] * 10 + [("s2", False, False)] * 50
+        df = spark.createDataFrame(rows, "st string, exp boolean, out boolean")
+        got = mantel_haenszel(df, "exp", "out", "st").collect()[0]
+        n1, n2 = 100.0, 100.0
+        num = 30 * 40 / n1 + 15 * 50 / n2
+        den = 10 * 20 / n1 + 25 * 10 / n2
+        assert got["or_mh"] == pytest.approx(num / den, rel=1e-12)
+        e1 = 40 * 50 / n1
+        e2 = 40 * 25 / n2
+        v1 = 40 * 60 * 50 * 50 / (n1 * n1 * (n1 - 1))
+        v2 = 40 * 60 * 25 * 75 / (n2 * n2 * (n2 - 1))
+        cmh = (abs((30 + 15) - (e1 + e2)) - 0.5) ** 2 / (v1 + v2)
+        assert got["cmh_stat"] == pytest.approx(cmh, rel=1e-12)
+        assert got["n"] == 200 and got["n_strata"] == 2
+        from temporal_retriever_spark.stats import chi2_sf
+
+        assert got["p_value"] == pytest.approx(chi2_sf(cmh, 1), abs=2e-7)
+
+    def test_simpsons_paradox_resolved(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        # within every stratum exposure has NO effect, but exposure
+        # concentrates in the high-outcome stratum -> marginal OR > 1,
+        # MH OR ~ 1
+        for st, base_p, exp_frac in (("hi", 0.8, 0.9), ("lo", 0.2, 0.1)):
+            for _ in range(2000):
+                e = rng.random() < exp_frac
+                o = rng.random() < base_p
+                rows.append((st, e, o))
+        df = spark.createDataFrame(rows, "st string, exp boolean, out boolean")
+        got = mantel_haenszel(df, "exp", "out", "st").collect()[0]
+        assert 0.8 < got["or_mh"] < 1.25
+        assert got["p_value"] > 0.001
+        # the marginal (single-stratum) analysis is fooled
+        marg = mantel_haenszel(
+            df.withColumn("one", F.lit("x")), "exp", "out", "one"
+        ).collect()[0]
+        assert marg["or_mh"] > 2.0
+
+    def test_degenerate_null(self, spark):
+        df = spark.createDataFrame(
+            [("s", True, True), ("s", True, True)],
+            "st string, exp boolean, out boolean",
+        )
+        got = mantel_haenszel(df, "exp", "out", "st").collect()[0]
+        assert got["cmh_stat"] is None and got["p_value"] is None
