@@ -9064,6 +9064,157 @@ def _mh_oracle() -> str:
     """
 
 
+def q_spearman_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of document length vs whitespace
+    token count per language (inference.spearman_corr): Pearson on
+    midranks from two distinct-value prefix passes — tie-exact. The
+    oracle replays the midranks, the explicit moments and the Fisher
+    normal p."""
+    from temporal_retriever_spark.inference import spearman_corr
+
+    docs = _documents(spark, sf_dir).select(
+        "lang",
+        F.length("text").cast("double").alias("chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("toks"),
+    )
+    got = spearman_corr(docs, "chars", "toks", keys=["lang"])
+    return got.select(
+        "lang", "n", _r6("rho").alias("rho"), _r6("p_value").alias("p_value")
+    ).orderBy("lang")
+
+
+_SPEARMAN_ORACLE = f"""
+    WITH d AS (
+        SELECT lang, CAST(LENGTH(text) AS DOUBLE) AS x,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS y
+        FROM documents
+    ),
+    cx AS (SELECT lang, x, CAST(COUNT(*) AS DOUBLE) AS c FROM d GROUP BY 1, 2),
+    rx AS (
+        SELECT lang, x,
+               COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                   + (c + 1.0) / 2.0 AS rkx
+        FROM cx
+    ),
+    cy AS (SELECT lang, y, CAST(COUNT(*) AS DOUBLE) AS c FROM d GROUP BY 1, 2),
+    ry AS (
+        SELECT lang, y,
+               COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                   + (c + 1.0) / 2.0 AS rky
+        FROM cy
+    ),
+    j AS (
+        SELECT d.lang, rx.rkx, ry.rky
+        FROM d JOIN rx ON rx.lang = d.lang AND rx.x = d.x
+               JOIN ry ON ry.lang = d.lang AND ry.y = d.y
+    ),
+    a AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(rkx) AS sx, SUM(rky) AS sy,
+               SUM(rkx * rkx) AS sxx, SUM(rky * rky) AS syy,
+               SUM(rkx * rky) AS sxy
+        FROM j GROUP BY 1
+    ),
+    r AS (
+        SELECT lang, n,
+               (sxy - sx * sy / n)
+                   / NULLIF(SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                            0.0) AS rho
+        FROM a
+    ),
+    z1 AS (SELECT *, SQRT(n - 1.0) * rho AS z FROM r
+           WHERE n >= 3 AND rho IS NOT NULL),
+    zp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM z1)
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           {_sql_r6("rho")} AS rho,
+           {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(z * z) / 2.0)
+             * 0.3989422804014327
+             * (0.319381530 * tt + -0.356563782 * tt * tt
+                + 1.781477937 * tt * tt * tt
+                + -1.821255978 * tt * tt * tt * tt
+                + 1.330274429 * tt * tt * tt * tt * tt)))''')} AS p_value
+    FROM zp ORDER BY lang
+"""
+
+
+def q_mcnemar_user_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired flip test (inference.mcnemar_test): per user,
+    heavy clicking in the first half (≥7) vs the second — did the
+    binary property flip more one way than the other? Oracle mirrors
+    the discordant cells and the exact dof-1 chi-square string."""
+    from temporal_retriever_spark.inference import mcnemar_test
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.count(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.dayofmonth("ts") <= 15),
+                    1,
+                )
+            )
+            >= 7
+        ).alias("h1"),
+        (
+            F.count(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.dayofmonth("ts") > 15),
+                    1,
+                )
+            )
+            >= 7
+        ).alias("h2"),
+    )
+    got = mcnemar_test(per_user, "h1", "h2")
+    return got.select(
+        "n",
+        "b_only",
+        "c_only",
+        _r6("chi2_stat").alias("chi2_stat"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+def _mcnemar_oracle() -> str:
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' AND dayofmonth(ts) <= 15
+                          THEN 1 END) >= 7 AS h1,
+               COUNT(CASE WHEN event_type = 'click' AND dayofmonth(ts) > 15
+                          THEN 1 END) >= 7 AS h2
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN h1 AND NOT h2 THEN 1 END) AS BIGINT)
+                   AS b_only,
+               CAST(COUNT(CASE WHEN NOT h1 AND h2 THEN 1 END) AS BIGINT)
+                   AS c_only
+        FROM u
+    ),
+    f AS (
+        SELECT n, b_only, c_only,
+               CASE WHEN b_only + c_only > 0 THEN
+                   GREATEST(ABS(CAST(b_only AS DOUBLE) - c_only) - 1.0, 0.0)
+                   * GREATEST(ABS(CAST(b_only AS DOUBLE) - c_only) - 1.0, 0.0)
+                   / (CAST(b_only AS DOUBLE) + c_only)
+               END AS chi2_stat
+        FROM a
+    )
+    SELECT n, b_only, c_only,
+           {_sql_r6("chi2_stat")} AS chi2_stat,
+           {_sql_r6(chi2_sf_sql("chi2_stat", 1))} AS p_value
+    FROM f
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9254,6 +9405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_test_daily": q_trend_test_daily,
         "wilcoxon_user_halves": q_wilcoxon_user_halves,
         "mantel_haenszel_users": q_mantel_haenszel_users,
+        "spearman_docs": q_spearman_docs,
+        "mcnemar_user_halves": q_mcnemar_user_halves,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11432,6 +11585,8 @@ def oracle_sql() -> dict[str, str]:
         "trend_test_daily": _trend_test_oracle(),
         "wilcoxon_user_halves": _WILCOXON_ORACLE,
         "mantel_haenszel_users": _mh_oracle(),
+        "spearman_docs": _SPEARMAN_ORACLE,
+        "mcnemar_user_halves": _mcnemar_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

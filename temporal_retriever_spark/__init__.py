@@ -189,6 +189,8 @@ from temporal_retriever_spark.inference import (
     ks_2sample,
     mann_whitney_u,
     mantel_haenszel,
+    mcnemar_test,
+    spearman_corr,
     prop_ztest,
     psi,
     ratio_ttest,
@@ -255,6 +257,8 @@ __all__ = [
     "make_lag_features",
     "mann_whitney_u",
     "mantel_haenszel",
+    "mcnemar_test",
+    "spearman_corr",
     "median_survival",
     "mutual_information",
     "propensity_att",

@@ -47,6 +47,8 @@ __all__ = [
     "ks_2sample",
     "mann_whitney_u",
     "mantel_haenszel",
+    "spearman_corr",
+    "mcnemar_test",
     "poisson_weight_expr",
     "prop_ztest",
     "psi",
@@ -1497,4 +1499,134 @@ def mantel_haenszel(
             F.col("cmh_stat").isNotNull(),
             F.expr(chi2_sf_sql("cmh_stat", 1)),
         ),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    keys: list[str] | None = None,
+    continuity: bool = True,
+) -> DataFrame:
+    """McNemar's test — the PAIRED binary sibling of
+    `wilcoxon_signed_rank`: did a binary property flip between two
+    measurements of the same unit (model A right / model B wrong —
+    THE test for comparing two classifiers on one eval set)? Only
+    discordant pairs carry information:
+
+        χ² = (|b − c| − 1)² / (b + c)        (dof 1, corrected)
+
+    with b = A-only successes, c = B-only. ONE aggregation of two
+    conditional counts; exact dof-1 chi-square p via the
+    engine-neutral string. NULL when b + c = 0 (no discordance — the
+    test is undefined, not "no effect").
+
+    Output per key: ``n, b_only, c_only, chi2_stat, p_value``.
+    """
+    keys = list(keys or [])
+    a = F.col(col_a).cast("boolean")
+    b = F.col(col_b).cast("boolean")
+    base = df.filter(a.isNotNull() & b.isNotNull())
+    agg = base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(a & ~b, 1)).cast("long").alias("b_only"),
+        F.count(F.when(~a & b, 1)).cast("long").alias("c_only"),
+    )
+    bb = F.col("b_only").cast("double")
+    cc = F.col("c_only").cast("double")
+    dev = F.abs(bb - cc) - (F.lit(1.0) if continuity else F.lit(0.0))
+    dev = F.greatest(dev, F.lit(0.0))
+    chi2 = F.when(bb + cc > 0, dev * dev / (bb + cc))
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    out = agg.withColumn("chi2_stat", chi2)
+    return out.withColumn(
+        "p_value",
+        F.when(
+            F.col("chi2_stat").isNotNull(),
+            F.expr(chi2_sf_sql("chi2_stat", 1)),
+        ),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation — Pearson on midranks: the monotone-
+    association measure that ignores the marginal distributions
+    (`series_corr_matrix` is Pearson and a single outlier owns it).
+
+    Midranks come from TWO distinct-value prefix-sum passes (one per
+    column — the `mann_whitney_u` machinery, shuffles keyed on the
+    value domain), joined back onto the rows; the correlation is then
+    one moment aggregation. Tie-exact: midranks ARE the tie
+    correction, so this matches scipy's tie-aware Spearman. The
+    asymptotic p uses the t-approximation via the normal closed form
+    on √(n−1)·ρ (Fisher) — the same A&S convention as the family.
+
+    Output per key: ``n, rho, p_value`` (NULL below n = 3 or zero
+    rank variance).
+    """
+    keys = list(keys or [])
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *keys, x.alias("_x"), y.alias("_y")
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        cnt = base.groupBy(*keys, F.col(col)).agg(
+            F.count("*").cast("double").alias("_c")
+        )
+        part = keys if keys else [F.lit(1)]
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return cnt.select(
+            *keys,
+            F.col(col),
+            (
+                F.coalesce(F.sum("_c").over(w), F.lit(0.0))
+                + (F.col("_c") + 1.0) / 2.0
+            ).alias(out),
+        )
+    rx = midranks("_x", "_rx")
+    ry = midranks("_y", "_ry")
+    j = base.join(rx, on=[*keys, "_x"]).join(ry, on=[*keys, "_y"])
+    # explicit moments + try_divide: Spark 4's corr aggregate raises
+    # DIVIDE_BY_ZERO under ANSI when either rank column is constant;
+    # the contract here is NULL
+    agg = j.groupBy(*keys).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    _n = F.col("_n")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / _n
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / _n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / _n
+    agg = agg.withColumn(
+        "rho",
+        F.try_divide(cov, F.sqrt(vx * vy)),
+    )
+    n = F.col("_n")
+    z = F.sqrt(n - 1.0) * F.col("rho")
+    ok = (n >= 3) & F.col("rho").isNotNull()
+    p = F.when(ok, F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(z))))
+    return agg.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.when(ok, F.col("rho")).alias("rho"),
+        p.alias("p_value"),
     )

@@ -1162,3 +1162,73 @@ class TestMantelHaenszel:
         )
         got = mantel_haenszel(df, "exp", "out", "st").collect()[0]
         assert got["cmh_stat"] is None and got["p_value"] is None
+
+
+from temporal_retriever_spark.inference import mcnemar_test, spearman_corr
+
+
+class TestMcNemar:
+    def test_hand_computed(self, spark):
+        rows = (
+            [(True, True)] * 40 + [(False, False)] * 30
+            + [(True, False)] * 20 + [(False, True)] * 8
+        )
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        got = mcnemar_test(df, "a", "b").collect()[0]
+        assert got["b_only"] == 20 and got["c_only"] == 8
+        chi2 = (abs(20 - 8) - 1) ** 2 / 28
+        assert got["chi2_stat"] == pytest.approx(chi2, rel=1e-12)
+        from temporal_retriever_spark.stats import chi2_sf
+
+        assert got["p_value"] == pytest.approx(chi2_sf(chi2, 1), abs=2e-7)
+
+    def test_no_discordance_null(self, spark):
+        df = spark.createDataFrame(
+            [(True, True)] * 5 + [(False, False)] * 5, "a boolean, b boolean"
+        )
+        got = mcnemar_test(df, "a", "b").collect()[0]
+        assert got["chi2_stat"] is None and got["p_value"] is None
+
+
+class TestSpearman:
+    def test_matches_rank_pearson_with_ties(self, spark):
+        import statistics
+
+        rng = random.Random(7)
+        xs = [round(rng.uniform(0, 20), 0) for _ in range(150)]
+        ys = [round(x * 0.5 + rng.gauss(0, 3), 0) for x in xs]
+
+        def midrank(vals):
+            order = sorted(vals)
+            from collections import Counter, defaultdict
+
+            first = {}
+            c = Counter(vals)
+            pos = 0
+            out = {}
+            for v in sorted(c):
+                out[v] = pos + (c[v] + 1) / 2.0
+                pos += c[v]
+            return [out[v] for v in vals]
+
+        rx, ry = midrank(xs), midrank(ys)
+        ref = statistics.correlation(rx, ry)
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        got = spearman_corr(df, "x", "y").collect()[0]
+        assert got["n"] == 150
+        assert got["rho"] == pytest.approx(ref, rel=1e-9)
+        assert got["p_value"] < 1e-6
+
+    def test_monotone_nonlinear_is_one(self, spark):
+        xs = [float(i) for i in range(30)]
+        ys = [x**3 for x in xs]  # nonlinear but perfectly monotone
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        got = spearman_corr(df, "x", "y").collect()[0]
+        assert got["rho"] == pytest.approx(1.0)
+
+    def test_constant_column_null(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+        )
+        got = spearman_corr(df, "x", "y").collect()[0]
+        assert got["rho"] is None and got["p_value"] is None
