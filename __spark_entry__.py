@@ -9215,6 +9215,116 @@ def _mcnemar_oracle() -> str:
     """
 
 
+def q_residual_dw_jb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual diagnostics on the native forecaster's IN-SAMPLE
+    errors per daily series: Durbin-Watson lag-1 screen + Jarque-Bera
+    normality (diagnostics.durbin_watson / jarque_bera) — the "are my
+    bands trustworthy" pair behind `forecast_quantiles`. The oracle
+    replays the forecaster mirror, the lag/energy sums and the
+    moment algebra."""
+    from temporal_retriever_spark.diagnostics import durbin_watson, jarque_bera
+    from temporal_retriever_spark.forecast import forecast_linear_seasonal
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    pred = forecast_linear_seasonal(
+        daily, grain="D", horizon=1, series_cols=("series_id",)
+    ).select("series_id", "ds", "yhat")
+    resid = daily.join(pred, on=["series_id", "ds"]).select(
+        "series_id", "ds", (F.col("y") - F.col("yhat")).alias("resid")
+    )
+    dw = durbin_watson(resid)
+    jb = jarque_bera(resid, value_col="resid", keys=["series_id"])
+    return (
+        dw.join(jb.drop("n"), on="series_id")
+        .select(
+            F.col("series_id").alias("event_type"),
+            "n",
+            _r6("dw_stat").alias("dw_stat"),
+            _r6("skewness").alias("skewness"),
+            _r6("kurtosis").alias("kurtosis"),
+            _r6("jb_stat").alias("jb_stat"),
+            _r6("p_value").alias("p_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DW_JB_ORACLE = f"""
+    WITH s AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (SELECT *, epoch(ds) / 86400.0 AS t FROM s),
+    fit AS (
+        SELECT event_type,
+               CASE WHEN (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE)) = 0
+                    THEN 0.0
+                    ELSE (SUM(t * y) - SUM(t) * SUM(y) / CAST(COUNT(y) AS DOUBLE))
+                       / (SUM(t * t) - SUM(t) * SUM(t) / CAST(COUNT(y) AS DOUBLE))
+               END AS b,
+               SUM(y) / CAST(COUNT(y) AS DOUBLE) AS my,
+               SUM(t) / CAST(COUNT(y) AS DOUBLE) AS mt
+        FROM st GROUP BY 1
+    ),
+    resid AS (
+        SELECT st.event_type, st.ds, dayofweek(st.ds) + 1 AS skey,
+               st.y - (my + b * (st.t - mt)) AS r
+        FROM st JOIN fit USING (event_type)
+    ),
+    seas AS (SELECT event_type, skey,
+                    SUM(r) / CAST(COUNT(r) AS DOUBLE) AS s_mean
+             FROM resid GROUP BY 1, 2),
+    e AS (
+        SELECT resid.event_type, resid.ds,
+               resid.r - seas.s_mean AS e
+        FROM resid JOIN seas ON resid.event_type = seas.event_type
+        AND resid.skey = seas.skey
+    ),
+    lg AS (
+        SELECT event_type, e,
+               e - LAG(e) OVER (PARTITION BY event_type ORDER BY ds) AS dif
+        FROM e
+    ),
+    a AS (
+        SELECT event_type,
+               CAST(COUNT(e) AS DOUBLE) AS n,
+               SUM(dif * dif) AS num, SUM(e * e) AS den,
+               SUM(e) AS s1, SUM(e * e) AS s2,
+               SUM(e * e * e) AS s3, SUM(e * e * e * e) AS s4
+        FROM lg GROUP BY 1
+    ),
+    mom AS (
+        SELECT event_type, n, num / den AS dw,
+               s1 / n AS m,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * s2 / n
+                 + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * s3 / n
+                 + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+                 - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM a
+    ),
+    f AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n, dw,
+               m3 / POWER(m2, 1.5) AS skew,
+               m4 / (m2 * m2) - 3.0 AS kurt
+        FROM mom
+    ),
+    jbt AS (
+        SELECT *, n / 6.0 * (skew * skew + kurt * kurt / 4.0) AS jb FROM f
+    )
+    SELECT event_type, n,
+           {_sql_r6("dw")} AS dw_stat,
+           {_sql_r6("skew")} AS skewness,
+           {_sql_r6("kurt")} AS kurtosis,
+           {_sql_r6("jb")} AS jb_stat,
+           {_sql_r6("EXP(-jb / 2.0)")} AS p_value
+    FROM jbt ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9407,6 +9517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mantel_haenszel_users": q_mantel_haenszel_users,
         "spearman_docs": q_spearman_docs,
         "mcnemar_user_halves": q_mcnemar_user_halves,
+        "residual_dw_jb": q_residual_dw_jb,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11587,6 +11698,7 @@ def oracle_sql() -> dict[str, str]:
         "mantel_haenszel_users": _mh_oracle(),
         "spearman_docs": _SPEARMAN_ORACLE,
         "mcnemar_user_halves": _mcnemar_oracle(),
+        "residual_dw_jb": _DW_JB_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

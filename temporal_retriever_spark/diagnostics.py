@@ -1885,3 +1885,98 @@ def trend_test(
         z.alias("z_score"),
         p.alias("p_value"),
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "resid",
+) -> DataFrame:
+    """Durbin-Watson statistic per series — the one-number lag-1
+    autocorrelation screen for forecast RESIDUALS (the companion to
+    `ljung_box`'s multi-lag portmanteau):
+
+        DW = Σ_t (e_t − e_{t−1})² / Σ_t e_t²       ∈ [0, 4]
+
+    ≈ 2(1 − r₁): 2 means white residuals, → 0 positive
+    autocorrelation (the model missed structure), → 4 negative
+    (over-differencing). One ordered lag window + ONE aggregation;
+    NULL below 2 observations or zero energy.
+
+    Output per series: ``n, dw_stat``.
+    """
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    e = F.col(value_col).cast("double")
+    d = (
+        df.filter(e.isNotNull())
+        .withColumn("_diff", e - F.lag(e).over(w))
+        .withColumn("_e", e)
+    )
+    agg = d.groupBy(*series_cols).agg(
+        F.count("_e").cast("long").alias("n"),
+        F.sum(F.col("_diff") * F.col("_diff")).alias("_num"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_den"),
+    )
+    dw = F.when(
+        (F.col("n") >= 2) & (F.col("_den") > 0),
+        F.col("_num") / F.col("_den"),
+    )
+    return agg.select(*series_cols, "n", dw.alias("dw_stat"))
+
+
+def jarque_bera(
+    df: DataFrame,
+    *,
+    value_col: str = "y",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Jarque-Bera normality test per key — are the values (typically
+    residuals) compatible with a normal distribution? Skewness and
+    excess kurtosis from one moment pass:
+
+        JB = n/6 · (S² + K²/4)       ~  χ²(2)
+
+    with S, K the BIASED (population-moment) sample skewness and
+    excess kurtosis — the classical JB convention. χ²(2) survival is
+    exactly exp(−JB/2), shared closed-form with the oracle. ONE
+    map-side-combined aggregation of four power sums; NULL below
+    n = 4 or zero variance.
+
+    Output per key: ``n, skewness, kurtosis, jb_stat, p_value``.
+    """
+    keys = list(keys or [])
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull())
+    agg = base.groupBy(*keys).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * x).alias("_s2"),
+        F.sum(x * x * x).alias("_s3"),
+        F.sum(x * x * x * x).alias("_s4"),
+    )
+    n = F.col("_n")
+    m = F.col("_s1") / n
+    # central moments from raw power sums (identical algebra in SQL)
+    m2 = F.col("_s2") / n - m * m
+    m3 = F.col("_s3") / n - 3.0 * m * F.col("_s2") / n + 2.0 * m * m * m
+    m4 = (
+        F.col("_s4") / n
+        - 4.0 * m * F.col("_s3") / n
+        + 6.0 * m * m * F.col("_s2") / n
+        - 3.0 * m * m * m * m
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    ok = (n >= 4) & (m2 > 0)
+    return agg.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.when(ok, skew).alias("skewness"),
+        F.when(ok, kurt).alias("kurtosis"),
+        F.when(ok, jb).alias("jb_stat"),
+        F.when(ok, F.exp(-jb / 2.0)).alias("p_value"),
+    )

@@ -949,3 +949,73 @@ class TestTrendTest:
         got = {r["series_id"]: r for r in trend_test(df).collect()}
         assert got["flat"]["p_value"] > 0.05
         assert got["tiny"]["z_score"] is None  # n < 3
+
+
+class TestResidualDiagnostics:
+    def test_durbin_watson_reference(self, spark):
+        import datetime
+        import random
+
+        rng = random.Random(5)
+        d0 = datetime.date(2024, 1, 1)
+        es = [rng.gauss(0, 1) for _ in range(60)]
+        rows = [
+            ("w", d0 + datetime.timedelta(days=i), float(e))
+            for i, e in enumerate(es)
+        ]
+        # strongly positively autocorrelated series
+        ar = [0.0]
+        for _ in range(59):
+            ar.append(0.95 * ar[-1] + rng.gauss(0, 0.1))
+        rows += [
+            ("p", d0 + datetime.timedelta(days=i), float(e))
+            for i, e in enumerate(ar)
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ds date, resid double")
+        from temporal_retriever_spark.diagnostics import durbin_watson
+
+        got = {r["series_id"]: r for r in durbin_watson(df).collect()}
+        ref = sum(
+            (es[t] - es[t - 1]) ** 2 for t in range(1, 60)
+        ) / sum(e * e for e in es)
+        assert got["w"]["dw_stat"] == pytest.approx(ref, rel=1e-12)
+        assert 1.4 < got["w"]["dw_stat"] < 2.6  # white
+        assert got["p"]["dw_stat"] < 1.0  # positive autocorrelation
+
+    def test_jarque_bera_reference_and_power(self, spark):
+        import math
+        import random
+
+        rng = random.Random(11)
+        normal = [rng.gauss(0, 1) for _ in range(1500)]
+        skewed = [rng.expovariate(1.0) for _ in range(1500)]
+        rows = [("n", v) for v in normal] + [("s", v) for v in skewed]
+        df = spark.createDataFrame(rows, "k string, y double")
+        from temporal_retriever_spark.diagnostics import jarque_bera
+
+        got = {r["k"]: r for r in jarque_bera(df, keys=["k"]).collect()}
+
+        def ref_jb(vals):
+            n = len(vals)
+            m = sum(vals) / n
+            m2 = sum((v - m) ** 2 for v in vals) / n
+            m3 = sum((v - m) ** 3 for v in vals) / n
+            m4 = sum((v - m) ** 4 for v in vals) / n
+            S = m3 / m2**1.5
+            K = m4 / m2**2 - 3
+            return S, K, n / 6 * (S * S + K * K / 4)
+
+        S, K, jb = ref_jb(normal)
+        assert got["n"]["skewness"] == pytest.approx(S, rel=1e-9)
+        assert got["n"]["kurtosis"] == pytest.approx(K, rel=1e-9)
+        assert got["n"]["jb_stat"] == pytest.approx(jb, rel=1e-9)
+        assert got["n"]["p_value"] == pytest.approx(math.exp(-jb / 2), rel=1e-9)
+        assert got["n"]["p_value"] > 0.001
+        assert got["s"]["p_value"] < 1e-12  # exponential flagged
+
+    def test_degenerate(self, spark):
+        df = spark.createDataFrame([("k", 1.0)] * 5, "k string, y double")
+        from temporal_retriever_spark.diagnostics import jarque_bera
+
+        r = jarque_bera(df, keys=["k"]).collect()[0]
+        assert r["jb_stat"] is None
