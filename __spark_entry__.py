@@ -9325,6 +9325,67 @@ _DW_JB_ORACLE = f"""
 """
 
 
+def q_decomp_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fpp3 trend/seasonal strength per daily series
+    (rolling.decomposition_strength over the decompose_weekly
+    components) — the forecastability-triage numbers that route a
+    100k-series fleet. Oracle replays the decomposition CTEs and the
+    population-variance strength formulas."""
+    from temporal_retriever_spark.rolling import (
+        decompose,
+        decomposition_strength,
+    )
+
+    daily = _events_daily_all(spark, sf_dir).withColumnRenamed(
+        "event_type", "series_id"
+    )
+    dec = decompose(daily, period=7)
+    got = decomposition_strength(dec)
+    return got.select(
+        F.col("series_id").alias("event_type"),
+        "n",
+        _r6("trend_strength").alias("trend_strength"),
+        _r6("seasonal_strength").alias("seasonal_strength"),
+    ).orderBy("event_type")
+
+
+def _decomp_strength_oracle() -> str:
+    return f"""
+    WITH n AS (SELECT event_type, ds, y,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS rn
+      FROM ({_EVENTS_DAILY})),
+    tr AS (SELECT event_type, ds, y, rn % 7 AS pos,
+        CASE WHEN COUNT(y) OVER w = 7 THEN AVG(y) OVER w END AS trend
+      FROM n
+      WINDOW w AS (PARTITION BY event_type ORDER BY ds
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    sm AS (SELECT event_type, pos, AVG(y - trend) AS smean
+           FROM tr GROUP BY 1, 2),
+    cs AS (SELECT event_type, pos,
+                  smean - AVG(smean) OVER (PARTITION BY event_type) AS seasonal
+           FROM sm),
+    comp AS (
+        SELECT t.event_type, t.trend, c.seasonal,
+               t.y - t.trend - c.seasonal AS resid
+        FROM tr t JOIN cs c ON t.event_type = c.event_type AND t.pos = c.pos
+        WHERE t.trend IS NOT NULL
+    ),
+    a AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               VAR_POP(resid) AS vr,
+               VAR_POP(trend + resid) AS vtr,
+               VAR_POP(seasonal + resid) AS vsr
+        FROM comp GROUP BY 1
+    )
+    SELECT event_type, n,
+           {_sql_r6("GREATEST(0.0, 1.0 - vr / NULLIF(vtr, 0.0))")}
+               AS trend_strength,
+           {_sql_r6("GREATEST(0.0, 1.0 - vr / NULLIF(vsr, 0.0))")}
+               AS seasonal_strength
+    FROM a ORDER BY event_type
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9518,6 +9579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_docs": q_spearman_docs,
         "mcnemar_user_halves": q_mcnemar_user_halves,
         "residual_dw_jb": q_residual_dw_jb,
+        "decomp_strength": q_decomp_strength,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11699,6 +11761,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_docs": _SPEARMAN_ORACLE,
         "mcnemar_user_halves": _mcnemar_oracle(),
         "residual_dw_jb": _DW_JB_ORACLE,
+        "decomp_strength": _decomp_strength_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

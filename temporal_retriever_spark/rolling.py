@@ -821,3 +821,53 @@ def rolling_distinct(
             ).cast("long").alias("n_distinct"),
         )
     raise ValueError(f"unknown method: {method!r} (use 'sketch' or 'exact')")
+
+
+def decomposition_strength(
+    decomposed: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    resid_col: str = "resid",
+) -> DataFrame:
+    """Trend / seasonal STRENGTH per series (Hyndman & Athanasopoulos
+    fpp3 §4.3) from a `decompose` output — the forecastability-triage
+    numbers that route a 100k-series fleet: strength ≈ 0 means the
+    component explains nothing (use a cheap baseline), ≈ 1 means it
+    dominates (fit the seasonal/trend model):
+
+        F_trend    = max(0, 1 − Var(R) / Var(T + R))
+        F_seasonal = max(0, 1 − Var(R) / Var(S + R))
+
+    (population variances; rows where any component is NULL — the
+    moving-average margins — are excluded, matching the fpp3
+    treatment of the detrended window). ONE aggregation per series.
+
+    Output per series: ``n, trend_strength, seasonal_strength``.
+    """
+    series_cols = list(series_cols)
+    t = F.col(trend_col).cast("double")
+    s = F.col(seasonal_col).cast("double")
+    r = F.col(resid_col).cast("double")
+    base = decomposed.filter(
+        t.isNotNull() & s.isNotNull() & r.isNotNull()
+    )
+    agg = base.groupBy(*series_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.var_pop(r).alias("_vr"),
+        F.var_pop(t + r).alias("_vtr"),
+        F.var_pop(s + r).alias("_vsr"),
+    )
+    ft = F.greatest(
+        F.lit(0.0), 1.0 - F.try_divide(F.col("_vr"), F.col("_vtr"))
+    )
+    fs = F.greatest(
+        F.lit(0.0), 1.0 - F.try_divide(F.col("_vr"), F.col("_vsr"))
+    )
+    return agg.select(
+        *series_cols,
+        "n",
+        ft.alias("trend_strength"),
+        fs.alias("seasonal_strength"),
+    )

@@ -673,3 +673,65 @@ class TestRollingDistinct:
             rolling_distinct(df, entity_col="user_id", grain="M")
         with pytest.raises(ValueError, match="unknown method"):
             rolling_distinct(df, entity_col="user_id", method="x")
+
+
+class TestDecompositionStrength:
+    def test_strong_seasonal_vs_strong_trend(self, spark):
+        import datetime
+        import math
+        import random
+
+        from temporal_retriever_spark.rolling import (
+            decompose,
+            decomposition_strength,
+        )
+
+        rng = random.Random(3)
+        d0 = datetime.date(2024, 1, 1)
+        rows = []
+        for t in range(84):
+            d = d0 + datetime.timedelta(days=t)
+            rows.append(("seasonal", d,
+                         10.0 + 8.0 * math.sin(2 * math.pi * t / 7)
+                         + rng.gauss(0, 0.3)))
+            rows.append(("trendy", d, 2.0 * t + rng.gauss(0, 0.5)))
+            rows.append(("noise", d, rng.gauss(0, 1.0)))
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        dec = decompose(df, period=7)
+        got = {r["series_id"]: r for r in decomposition_strength(dec).collect()}
+        assert got["seasonal"]["seasonal_strength"] > 0.95
+        assert got["trendy"]["trend_strength"] > 0.95
+        assert got["noise"]["trend_strength"] < 0.5
+        assert got["noise"]["seasonal_strength"] < 0.5
+
+    def test_matches_hand_formula(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.rolling import (
+            decompose,
+            decomposition_strength,
+        )
+
+        d0 = datetime.date(2024, 1, 1)
+        rows = [("s", d0 + datetime.timedelta(days=t), float(t % 4) + 0.1 * t)
+                for t in range(24)]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        dec = decompose(df, period=4)
+        comp = [
+            (r["trend"], r["seasonal"], r["resid"])
+            for r in dec.collect()
+            if r["trend"] is not None and r["resid"] is not None
+            and r["seasonal"] is not None
+        ]
+        import statistics
+
+        vr = statistics.pvariance([r for _, _, r in comp])
+        vtr = statistics.pvariance([t + r for t, _, r in comp])
+        vsr = statistics.pvariance([s + r for _, s, r in comp])
+        got = decomposition_strength(dec).collect()[0]
+        assert got["trend_strength"] == pytest.approx(
+            max(0.0, 1 - vr / vtr), rel=1e-9
+        )
+        assert got["seasonal_strength"] == pytest.approx(
+            max(0.0, 1 - vr / vsr), rel=1e-9
+        )
