@@ -9386,6 +9386,60 @@ def _decomp_strength_oracle() -> str:
     """
 
 
+def q_reconcile_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down hierarchical reconciliation
+    (forecast.reconcile_top_down): forecast the stable TOTAL daily
+    series once (AR(3)), split to event types by historical value
+    shares — children sum to the total exactly by construction. The
+    oracle replays the AR forecast strings on the total plus the
+    share arithmetic."""
+    from temporal_retriever_spark.forecast import forecast_ar, reconcile_top_down
+
+    daily = _events_daily_all(spark, sf_dir)
+    total = daily.groupBy("ds").agg(F.sum("y").alias("y")).withColumn(
+        "series_id", F.lit("total")
+    )
+    # round the total forecast at the SAME 6-dp grid the AR oracle
+    # emits, so both engines split an identical double
+    tf = forecast_ar(total, p=3, horizon=7).select(
+        "ds", _r6("yhat").alias("yhat")
+    )
+    got = reconcile_top_down(
+        tf, daily.withColumnRenamed("event_type", "series_id")
+    )
+    return got.select(
+        F.col("series_id").alias("event_type"),
+        "ds",
+        _r6("yhat").alias("yhat"),
+        _r6("share").alias("share"),
+    ).orderBy("event_type", "ds")
+
+
+def _reconcile_oracle() -> str:
+    total_sql = (
+        "SELECT 'total' AS event_type, CAST(ts AS DATE) AS ds, "
+        "SUM(value) AS y FROM events GROUP BY 2"
+    )
+    ar = _ar_oracle(total_sql, p=3, horizon=7)
+    return f"""
+    WITH tfc AS ({ar}),
+    hist AS (
+        SELECT event_type AS series_id, SUM(y) AS sy FROM (
+            SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+            FROM events GROUP BY 1, 2
+        ) q WHERE y IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT SUM(sy) AS ty FROM hist),
+    sh AS (SELECT series_id, sy / NULLIF(ty, 0.0) AS share
+           FROM hist, tot)
+    SELECT sh.series_id AS event_type, tfc.ds,
+           {_sql_r6("tfc.yhat * sh.share")} AS yhat,
+           {_sql_r6("sh.share")} AS share
+    FROM tfc CROSS JOIN sh
+    ORDER BY event_type, ds
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9580,6 +9634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar_user_halves": q_mcnemar_user_halves,
         "residual_dw_jb": q_residual_dw_jb,
         "decomp_strength": q_decomp_strength,
+        "reconcile_topdown": q_reconcile_topdown,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11762,6 +11817,7 @@ def oracle_sql() -> dict[str, str]:
         "mcnemar_user_halves": _mcnemar_oracle(),
         "residual_dw_jb": _DW_JB_ORACLE,
         "decomp_strength": _decomp_strength_oracle(),
+        "reconcile_topdown": _reconcile_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

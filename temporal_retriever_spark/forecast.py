@@ -2133,3 +2133,67 @@ def forecast_arima(
         .alias("yhat"),
     )
     return out
+
+
+def reconcile_bottom_up(
+    forecasts: DataFrame,
+    *,
+    parent_cols: Iterable[str] = (),
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    yhat_col: str = "yhat",
+) -> DataFrame:
+    """Bottom-up hierarchical reconciliation: parent forecasts = the
+    SUM of their children's — the aggregation-consistency guarantee
+    dashboards demand (independently-fit levels never add up; cf.
+    Hyndman fpp3 ch. 11). One aggregation per level.
+
+    Output: (parent_cols…, ds, yhat) — the reconciled parent level
+    (empty ``parent_cols`` = the grand total).
+    """
+    parent_cols = list(parent_cols)
+    return forecasts.groupBy(*parent_cols, ds_col).agg(
+        F.sum(F.col(yhat_col).cast("double")).alias(yhat_col)
+    )
+
+
+def reconcile_top_down(
+    total_forecast: DataFrame,
+    history: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ds_col: str = "ds",
+    yhat_col: str = "yhat",
+    y_col: str = "y",
+) -> DataFrame:
+    """Top-down hierarchical reconciliation (average historical
+    proportions): forecast the STABLE aggregate once, split it to the
+    children by their historical value shares
+
+        share_i = Σ_hist y_i / Σ_hist y        ŷ_i(t) = share_i · ŷ(t)
+
+    — the classic fpp3 top-down; children sum to the total EXACTLY by
+    construction, and the noisy child series never get their own
+    model. One share aggregation (child-count-sized, broadcast back)
+    + one projection over the total forecast.
+
+    Output: (series_cols…, ds, yhat, share).
+    """
+    series_cols = list(series_cols)
+    y = F.col(y_col).cast("double")
+    shares = history.filter(y.isNotNull()).groupBy(*series_cols).agg(
+        F.sum(y).alias("_sy")
+    )
+    tot = shares.agg(F.sum("_sy").alias("_ty"))
+    shares = shares.crossJoin(F.broadcast(tot)).select(
+        *series_cols,
+        F.try_divide(F.col("_sy"), F.col("_ty")).alias("share"),
+    )
+    return total_forecast.select(
+        F.col(ds_col), F.col(yhat_col).cast("double").alias("_th")
+    ).crossJoin(F.broadcast(shares)).select(
+        *series_cols,
+        ds_col,
+        (F.col("_th") * F.col("share")).alias(yhat_col),
+        "share",
+    )

@@ -974,3 +974,57 @@ class TestTsb:
         for kw in ({"alpha": 1.0}, {"beta": 0.0}, {"horizon": 0}):
             with pytest.raises(ValueError):
                 forecast_tsb(df, **kw)
+
+
+class TestReconcile:
+    def test_bottom_up_sums_children(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.forecast import reconcile_bottom_up
+
+        d0 = datetime.date(2024, 2, 1)
+        rows = [
+            ("a", "x", d0, 1.0), ("a", "y", d0, 2.0),
+            ("b", "z", d0, 5.0),
+            ("a", "x", d0 + datetime.timedelta(days=1), 3.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "region string, series_id string, ds date, yhat double"
+        )
+        up = {(r["region"], r["ds"]): r["yhat"] for r in reconcile_bottom_up(
+            df, parent_cols=["region"]
+        ).collect()}
+        assert up[("a", d0)] == 3.0 and up[("b", d0)] == 5.0
+        total = reconcile_bottom_up(df).collect()
+        assert {(r["ds"], r["yhat"]) for r in total} == {
+            (d0, 8.0), (d0 + datetime.timedelta(days=1), 3.0)
+        }
+
+    def test_top_down_shares_and_exact_additivity(self, spark):
+        import datetime
+
+        from temporal_retriever_spark.forecast import reconcile_top_down
+
+        d0 = datetime.date(2024, 2, 1)
+        hist = spark.createDataFrame(
+            [("x", d0, 30.0), ("y", d0, 10.0), ("x", d0, 30.0)],
+            "series_id string, ds date, y double",
+        )
+        tf = spark.createDataFrame(
+            [(d0 + datetime.timedelta(days=5), 100.0),
+             (d0 + datetime.timedelta(days=6), 50.0)],
+            "ds date, yhat double",
+        )
+        got = reconcile_top_down(tf, hist).collect()
+        by = {(r["series_id"], r["ds"]): r for r in got}
+        d5 = d0 + datetime.timedelta(days=5)
+        assert by[("x", d5)]["share"] == pytest.approx(60 / 70)
+        assert by[("x", d5)]["yhat"] == pytest.approx(100 * 60 / 70)
+        assert by[("y", d5)]["yhat"] == pytest.approx(100 * 10 / 70)
+        # children sum to the total exactly per date
+        import collections
+
+        sums = collections.defaultdict(float)
+        for r in got:
+            sums[r["ds"]] += r["yhat"]
+        assert sums[d5] == pytest.approx(100.0)
