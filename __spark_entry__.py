@@ -9440,6 +9440,72 @@ def _reconcile_oracle() -> str:
     """
 
 
+def q_kendall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b of document length vs token count per language
+    (inference.kendall_tau) — the concordance companion to
+    spearman_docs on the same pairs. Oracle replays the pair
+    enumeration, tie counts, and the asymptotic normal p."""
+    from temporal_retriever_spark.inference import kendall_tau
+
+    docs = _documents(spark, sf_dir).select(
+        "lang",
+        F.length("text").cast("double").alias("chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("toks"),
+    )
+    got = kendall_tau(docs, "chars", "toks", keys=["lang"])
+    return got.select(
+        "lang", "n", _r6("tau_b").alias("tau_b"), _r6("p_value").alias("p_value")
+    ).orderBy("lang")
+
+
+_KENDALL_ORACLE = f"""
+    WITH d AS (
+        SELECT lang, CAST(LENGTH(text) AS DOUBLE) AS x,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS y
+        FROM documents
+    ),
+    idx AS (
+        SELECT lang, x, y,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x, y) AS i
+        FROM d
+    ),
+    pr AS (
+        SELECT a.lang,
+               SIGN(b.x - a.x) AS sx, SIGN(b.y - a.y) AS sy
+        FROM idx a JOIN idx b ON a.lang = b.lang AND a.i < b.i
+    ),
+    agg AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n0,
+               SUM(CASE WHEN sx * sy > 0 THEN 1.0 ELSE 0.0 END) AS c,
+               SUM(CASE WHEN sx * sy < 0 THEN 1.0 ELSE 0.0 END) AS dd,
+               SUM(CASE WHEN sx = 0 THEN 1.0 ELSE 0.0 END) AS tx,
+               SUM(CASE WHEN sy = 0 THEN 1.0 ELSE 0.0 END) AS ty
+        FROM pr GROUP BY 1
+    ),
+    cnt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM d GROUP BY 1),
+    t AS (
+        SELECT agg.lang, cnt.n,
+               (c - dd) / NULLIF(SQRT((n0 - tx) * (n0 - ty)), 0.0) AS tau
+        FROM agg JOIN cnt USING (lang)
+    ),
+    z1 AS (
+        SELECT *, 3.0 * tau * SQRT(n * (n - 1.0))
+                   / SQRT(2.0 * (2.0 * n + 5.0)) AS z
+        FROM t WHERE n >= 2 AND tau IS NOT NULL
+    ),
+    zp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM z1)
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           {_sql_r6("tau")} AS tau_b,
+           {_sql_r6('''LEAST(1.0, 2.0 * (EXP(-(z * z) / 2.0)
+             * 0.3989422804014327
+             * (0.319381530 * tt + -0.356563782 * tt * tt
+                + 1.781477937 * tt * tt * tt
+                + -1.821255978 * tt * tt * tt * tt
+                + 1.330274429 * tt * tt * tt * tt * tt)))''')} AS p_value
+    FROM zp ORDER BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9635,6 +9701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "residual_dw_jb": q_residual_dw_jb,
         "decomp_strength": q_decomp_strength,
         "reconcile_topdown": q_reconcile_topdown,
+        "kendall_docs": q_kendall_docs,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11818,6 +11885,7 @@ def oracle_sql() -> dict[str, str]:
         "residual_dw_jb": _DW_JB_ORACLE,
         "decomp_strength": _decomp_strength_oracle(),
         "reconcile_topdown": _reconcile_oracle(),
+        "kendall_docs": _KENDALL_ORACLE,
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -42,6 +42,7 @@ __all__ = [
     "cuped_adjust",
     "cuped_ttest",
     "fdr_bh",
+    "kendall_tau",
     "kruskal_wallis",
     "js_divergence",
     "ks_2sample",
@@ -1628,5 +1629,78 @@ def spearman_corr(
         *keys,
         n.cast("long").alias("n"),
         F.when(ok, F.col("rho")).alias("rho"),
+        p.alias("p_value"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation — the concordance view of
+    monotone association (`spearman_corr` is the midrank view; τ has
+    the cleaner probabilistic reading P(concordant) − P(discordant)
+    and degrades more gracefully under heavy ties):
+
+        τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂))
+
+    with C/D the concordant/discordant pair counts, n₀ = n(n−1)/2 and
+    n₁/n₂ the tie-pair counts in x/y. Asymptotic two-sided p via
+    z = 3τ√(n(n−1)) / √(2(2n+5)) (the no-tie variance — the standard
+    first-order approximation; read τ_b itself under extreme ties).
+
+    Pairwise self-join per key — O(n²) in the GROUP size, the same
+    bounded-group contract as `diagnostics.trend_test`; the join is
+    key-co-partitioned so nothing data-sized shuffles. Deterministic
+    pair order via a row index. NULL below n = 2 or all-tied margins.
+
+    Output per key: ``n, tau_b, p_value``.
+    """
+    keys = list(keys or [])
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    part = keys if keys else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy("_x", "_y")
+    base = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .select(*keys, x.alias("_x"), y.alias("_y"))
+        .withColumn("_i", F.row_number().over(w))
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in keys]
+    cond.append(F.col("l._i") < F.col("r._i"))
+    pairs = l.join(r, on=cond)
+    sx = F.signum(F.col("r._x") - F.col("l._x"))
+    sy = F.signum(F.col("r._y") - F.col("l._y"))
+    agg = pairs.groupBy(
+        *[F.col(f"l.{c}").alias(c) for c in keys]
+    ).agg(
+        F.count("*").cast("double").alias("_n0"),
+        F.sum(
+            F.when(sx * sy > 0, 1.0).otherwise(0.0)
+        ).alias("_c"),
+        F.sum(
+            F.when(sx * sy < 0, 1.0).otherwise(0.0)
+        ).alias("_d"),
+        F.sum(F.when(sx == 0, 1.0).otherwise(0.0)).alias("_tx"),
+        F.sum(F.when(sy == 0, 1.0).otherwise(0.0)).alias("_ty"),
+    )
+    cnt = base.groupBy(*keys).agg(F.count("*").cast("double").alias("_n"))
+    j = agg.join(cnt, on=keys) if keys else agg.crossJoin(F.broadcast(cnt))
+    den = F.sqrt(
+        (F.col("_n0") - F.col("_tx")) * (F.col("_n0") - F.col("_ty"))
+    )
+    tau = F.try_divide(F.col("_c") - F.col("_d"), den)
+    n = F.col("_n")
+    z = 3.0 * tau * F.sqrt(n * (n - 1.0)) / F.sqrt(2.0 * (2.0 * n + 5.0))
+    ok = (n >= 2) & tau.isNotNull()
+    p = F.when(ok, F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(z))))
+    return j.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.when(ok, tau).alias("tau_b"),
         p.alias("p_value"),
     )

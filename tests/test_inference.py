@@ -1232,3 +1232,56 @@ class TestSpearman:
         )
         got = spearman_corr(df, "x", "y").collect()[0]
         assert got["rho"] is None and got["p_value"] is None
+
+
+from temporal_retriever_spark.inference import kendall_tau
+
+
+def _naive_tau_b(pairs):
+    n = len(pairs)
+    C = D = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pairs[j][0] - pairs[i][0]
+            dy = pairs[j][1] - pairs[i][1]
+            s = (dx > 0) - (dx < 0)
+            t = (dy > 0) - (dy < 0)
+            if s == 0:
+                tx += 1
+            if t == 0:
+                ty += 1
+            if s * t > 0:
+                C += 1
+            elif s * t < 0:
+                D += 1
+    n0 = n * (n - 1) / 2
+    return (C - D) / math.sqrt((n0 - tx) * (n0 - ty))
+
+
+class TestKendallTau:
+    def test_matches_reference_with_ties(self, spark):
+        rng = random.Random(9)
+        pairs = [
+            (round(rng.uniform(0, 10), 0), round(rng.uniform(0, 10), 0))
+            for _ in range(80)
+        ]
+        # add monotone structure
+        pairs += [(float(i), float(i + rng.randint(-1, 1))) for i in range(40)]
+        df = spark.createDataFrame(pairs, "x double, y double")
+        got = kendall_tau(df, "x", "y").collect()[0]
+        assert got["n"] == 120
+        assert got["tau_b"] == pytest.approx(_naive_tau_b(pairs), rel=1e-9)
+
+    def test_perfect_and_reversed(self, spark):
+        xs = [float(i) for i in range(25)]
+        up = spark.createDataFrame([(x, x * 2) for x in xs], "x double, y double")
+        dn = spark.createDataFrame([(x, -x) for x in xs], "x double, y double")
+        assert kendall_tau(up, "x", "y").collect()[0]["tau_b"] == pytest.approx(1.0)
+        r = kendall_tau(dn, "x", "y").collect()[0]
+        assert r["tau_b"] == pytest.approx(-1.0)
+        assert r["p_value"] < 1e-9
+
+    def test_all_tied_null(self, spark):
+        df = spark.createDataFrame([(1.0, 2.0)] * 6, "x double, y double")
+        got = kendall_tau(df, "x", "y").collect()[0]
+        assert got["tau_b"] is None
