@@ -9506,6 +9506,62 @@ _KENDALL_ORACLE = f"""
 """
 
 
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table (evaluation.gains_table): does event
+    value rank purchase events? Quantile-boundary banding (no global
+    ntile sort), cumulative capture from the top band. Oracle mirrors
+    the interpolated boundaries and the band arithmetic."""
+    from temporal_retriever_spark.evaluation import gains_table
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    )
+    got = gains_table(ev, n_bins=10)
+    return got.select(
+        "bin",
+        "n",
+        "positives",
+        _r6("response_rate").alias("response_rate"),
+        _r6("cum_capture").alias("cum_capture"),
+        _r6("lift").alias("lift"),
+    ).orderBy("bin")
+
+
+def _gains_oracle(n_bins: int = 10) -> str:
+    qs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    above = " + ".join(
+        f"CAST(s > b[{i}] AS INT)" for i in range(1, n_bins)
+    )
+    return f"""
+    WITH d AS (
+        SELECT CAST(value AS DOUBLE) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    bd AS (SELECT quantile_cont(s, [{qs}]) AS b FROM d),
+    binned AS (
+        SELECT {n_bins} - ({above}) AS bin, y FROM d, bd
+    ),
+    per AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS pos
+        FROM binned GROUP BY 1
+    ),
+    w AS (
+        SELECT *, SUM(pos) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+               SUM(pos) OVER () AS tpos,
+               SUM(n) OVER () AS tn
+        FROM per
+    )
+    SELECT bin, n, CAST(pos AS BIGINT) AS positives,
+           {_sql_r6("pos / n")} AS response_rate,
+           {_sql_r6("cpos / NULLIF(tpos, 0.0)")} AS cum_capture,
+           {_sql_r6("(pos / n) / NULLIF(tpos / tn, 0.0)")} AS lift
+    FROM w ORDER BY bin
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE: the driver's correctness run samples the FIRST 50
     # entries, so ordering is evidence rotation, not cosmetics. Queries
@@ -9702,6 +9758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decomp_strength": q_decomp_strength,
         "reconcile_topdown": q_reconcile_topdown,
         "kendall_docs": q_kendall_docs,
+        "gains_table": q_gains_table,
         "pii_redact": q_pii_redact,
         "anomaly_seasonal_weekly": q_anomaly_seasonal_weekly,
         "cohort_retention_weekly": q_cohort_retention_weekly,
@@ -11886,6 +11943,7 @@ def oracle_sql() -> dict[str, str]:
         "decomp_strength": _decomp_strength_oracle(),
         "reconcile_topdown": _reconcile_oracle(),
         "kendall_docs": _KENDALL_ORACLE,
+        "gains_table": _gains_oracle(),
         "containment_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "gains_table",
     "conformalize",
     "interval_metrics",
     "quantile_loss",
@@ -661,3 +662,74 @@ def conformalize(
     return out.withColumn(
         "conformal_lower", F.col(yhat_col) - F.col("q_hat")
     ).withColumn("conformal_upper", F.col(yhat_col) + F.col("q_hat"))
+
+
+def gains_table(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Decile gains / lift table — the campaign-targeting view of a
+    classifier (`classification_metrics` gives AUC; this says "mail
+    the top 2 deciles, capture X% of responders"):
+
+    rows ranked into ``n_bins`` score bands via QUANTILE BOUNDARIES
+    (one percentile aggregation broadcast back — no global ntile
+    sort, the same scale-right scoring as `rfm_scores`; boundary ties
+    all land in the lower band), then per band: size, positives,
+    response rate, cumulative capture of all positives walking from
+    the TOP band down, and lift = band rate / base rate.
+
+    Output per key: (bin 1..n_bins — 1 = highest scores, n,
+    positives, response_rate, cum_capture, lift).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    keys = list(keys or [])
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("double")
+    base = scored.filter(s.isNotNull() & lab.isNotNull()).select(
+        *keys, s.alias("_s"), lab.alias("_y")
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    qlit = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    bounds = base.groupBy(*keys).agg(
+        F.expr(f"percentile(_s, {qlit})").alias("_b")
+    )
+    d = (
+        base.join(F.broadcast(bounds), on=keys)
+        if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    # bin 1 = TOP scores: count how many boundaries the score exceeds
+    above = F.lit(0)
+    for i in range(1, n_bins):
+        above = above + (F.col("_s") > F.element_at(F.col("_b"), i)).cast("int")
+    d = d.withColumn("bin", F.lit(n_bins) - above)
+    per = d.groupBy(*keys, "bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("double").alias("_pos"),
+    )
+    part = keys if keys else [F.lit(1)]
+    wcum = (
+        Window.partitionBy(*part)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*part)
+    rate = F.col("_pos") / F.col("n")
+    base_rate = F.sum("_pos").over(wtot) / F.sum("n").over(wtot)
+    return per.select(
+        *keys,
+        "bin",
+        "n",
+        F.col("_pos").cast("long").alias("positives"),
+        rate.alias("response_rate"),
+        F.try_divide(
+            F.sum("_pos").over(wcum), F.sum("_pos").over(wtot)
+        ).alias("cum_capture"),
+        F.try_divide(rate, base_rate).alias("lift"),
+    )

@@ -557,3 +557,45 @@ class TestConformalize:
         df = spark.createDataFrame([("s",)], "series_id string")
         with pytest.raises(ValueError):
             conformalize(df, df, alpha=0.0)
+
+
+from temporal_retriever_spark.evaluation import gains_table
+
+
+class TestGainsTable:
+    def test_perfect_ranker_captures_early(self, spark):
+        import random
+
+        rng = random.Random(3)
+        # score == P(label): top deciles capture most positives
+        rows = []
+        for _ in range(2000):
+            p = rng.random()
+            rows.append((p, 1.0 if rng.random() < p else 0.0))
+        df = spark.createDataFrame(rows, "score double, label double")
+        got = sorted(gains_table(df).collect(), key=lambda r: r["bin"])
+        assert len(got) == 10
+        assert sum(r["n"] for r in got) == 2000
+        # lift decreasing-ish: top decile lift > 1.5, bottom < 0.5
+        assert got[0]["lift"] > 1.5
+        assert got[-1]["lift"] < 0.5
+        # cumulative capture is monotone to 1.0
+        caps = [r["cum_capture"] for r in got]
+        assert all(a <= b + 1e-12 for a, b in zip(caps, caps[1:]))
+        assert caps[-1] == pytest.approx(1.0)
+
+    def test_hand_computed_small(self, spark):
+        # 4 bins over 8 rows with distinct scores
+        rows = [(float(i), 1.0 if i >= 6 else 0.0) for i in range(8)]
+        df = spark.createDataFrame(rows, "score double, label double")
+        got = {r["bin"]: r for r in gains_table(df, n_bins=4).collect()}
+        assert got[1]["n"] == 2 and got[1]["positives"] == 2
+        assert got[1]["response_rate"] == pytest.approx(1.0)
+        assert got[1]["cum_capture"] == pytest.approx(1.0)
+        assert got[1]["lift"] == pytest.approx(1.0 / (2 / 8))
+        assert got[4]["positives"] == 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0.5, 1.0)], "score double, label double")
+        with pytest.raises(ValueError):
+            gains_table(df, n_bins=1)
