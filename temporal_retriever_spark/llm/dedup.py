@@ -121,13 +121,18 @@ def lsh_candidate_pairs(
     Output: (id_a, id_b) distinct with id_a < id_b. The self-join runs
     on (band index, band hash) — bucket-local, sub-quadratic.
 
-    Pass ``sig_len`` (= the num_hashes used to build the signatures)
-    when known: probing it from the data costs an extra action that
-    re-executes the uncached signature plan.
+    ``sig_len`` (= the num_hashes used to build the signatures) is
+    required: signature length is a data property not present in the
+    schema, and probing it would trigger an extra Spark action that
+    re-executes the (possibly uncached) signature plan — a silent
+    full-pipeline rerun at scale.
     """
     if sig_len is None:
-        sig_len_rows = signatures.select(F.size("sig").alias("n")).limit(1).collect()
-        sig_len = sig_len_rows[0]["n"] if sig_len_rows else 0
+        raise TypeError(
+            "lsh_candidate_pairs: sig_len is required (the num_hashes used in "
+            "minhash_signatures). It cannot be inferred from the schema, and "
+            "probing the data would re-execute the signature plan."
+        )
     if sig_len == 0 or sig_len % num_bands != 0:
         raise ValueError(f"signature length {sig_len} not divisible into {num_bands} bands")
     rows_per_band = sig_len // num_bands

@@ -71,6 +71,7 @@ def binseg_changepoints(
     series_cols: Iterable[str] = ("series_id",),
     ts_col: str = "ds",
     value_col: str = "y",
+    max_series: int = 100_000,
 ) -> DataFrame:
     """Detect mean-shift changepoints per series.
 
@@ -89,6 +90,16 @@ def binseg_changepoints(
     NULL values are excluded from the index (they carry no mean
     information); ``min_segment`` keeps both children at least that
     long.
+
+    DRIVER-STATE NOTE: segment bookkeeping (which (lo, hi) ranges are
+    still open, per series) lives on the driver across rounds —
+    O(n_series × max_changepoints) tuples plus one collect of
+    per-series lengths. The per-round Spark work is fully distributed
+    (the split evaluation never shuffles the rows), but the driver
+    footprint grows linearly with series count, so ``max_series``
+    (default 100k ≈ tens of MB of driver state) raises before a
+    million-series frame silently OOMs the driver. Raise the cap
+    explicitly if you have the driver memory for it.
     """
     if not penalty > 0:
         raise ValueError(f"penalty must be > 0: {penalty}")
@@ -111,6 +122,13 @@ def binseg_changepoints(
     ).persist()
     try:
         lens = rows.groupBy(*series_cols).agg(F.max("_rn").alias("_n")).collect()
+        if len(lens) > max_series:
+            raise ValueError(
+                f"binseg_changepoints: {len(lens)} series exceeds max_series="
+                f"{max_series}; per-series segment bookkeeping lives on the "
+                f"driver (see docstring) — raise max_series explicitly if the "
+                f"driver has memory for it"
+            )
         # segments keyed by the series tuple
         segs: dict[tuple, list[tuple[int, int]]] = {
             tuple(r[c] for c in series_cols): [(1, r["_n"])] for r in lens

@@ -71,10 +71,17 @@ def test_minhash_detects_near_dups(dup_docs):
     assert not any(5 in p for p in found)
 
 
+def test_lsh_requires_sig_len(tables):
+    docs = tables["documents"].limit(10)
+    sigs = minhash_signatures(docs, num_hashes=16)
+    with pytest.raises(TypeError, match="sig_len"):
+        lsh_candidate_pairs(sigs, num_bands=8)
+
+
 def test_lsh_is_subset_of_all_pairs(tables):
     docs = tables["documents"].limit(200)
     sigs = minhash_signatures(docs, num_hashes=32)
-    pairs = lsh_candidate_pairs(sigs, num_bands=8)
+    pairs = lsh_candidate_pairs(sigs, num_bands=8, sig_len=32)
     assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
 
 

@@ -106,6 +106,22 @@ def test_validation(spark):
         binseg_changepoints(df, penalty=1.0, max_changepoints=0)
 
 
+def test_max_series_guard(spark):
+    # 6 tiny series against max_series=5: the driver-state cap raises
+    # before bookkeeping dicts are built (and before any split rounds).
+    many = spark.range(6 * 4).select(
+        F.concat(F.lit("s"), (F.col("id") / 4).cast("int").cast("string")).alias(
+            "series_id"
+        ),
+        (F.col("id") % 4).alias("ds"),
+        (F.col("id") % 4).cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="max_series"):
+        binseg_changepoints(many, penalty=1.0, max_series=5)
+    # raising the cap restores normal operation on the same frame
+    binseg_changepoints(many, penalty=1000.0, max_series=10).collect()
+
+
 from temporal_retriever_spark.segmentation import rfm_scores
 
 
