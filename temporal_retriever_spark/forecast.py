@@ -882,16 +882,36 @@ def forecast_prophet(
     growth: str = "linear",
     changepoint_prior_scale: float = 0.05,
     uncertainty_samples: int = 1000,
+    backend: str = "auto",
 ) -> DataFrame:
-    """W3/W5 with the reference's exact library (app.py:124-138).
+    """W3/W5 with the reference's model (app.py:124-138).
 
-    One Prophet (Stan subprocess) fit per series inside a grouped
-    pandas UDF — the executor-side mirror of the reference's
-    per-request fit. Requires ``prophet`` to be installed.
+    One Prophet fit per series inside a grouped pandas UDF — the
+    executor-side mirror of the reference's per-request fit.
+
+    ``backend``:
+
+    * ``"auto"`` — the real prophet library when installed, else the
+      vendored Stan-free MAP fit (``prophet_map.ProphetMAP``: identical
+      model form, priors, changepoint grid, seasonality rules, and MC
+      uncertainty scheme; deterministic seeding).
+    * ``"prophet"`` — require the real library (raises if absent).
+    * ``"map"`` — force the vendored backend (used by tests so the
+      numerics path is exercised regardless of the environment).
     """
-    if not prophet_available():
+    if backend not in ("auto", "prophet", "map"):
+        raise ValueError(f"unknown backend: {backend}")
+    if backend == "prophet" and not prophet_available():
         raise ImportError(
-            "prophet is not installed; use forecast_linear_seasonal (native backend)"
+            "prophet is not installed; use backend='map' (vendored MAP fit) "
+            "or forecast_linear_seasonal (native backend)"
+        )
+    if backend == "auto":
+        backend = "prophet" if prophet_available() else "map"
+    if backend == "map" and growth != "linear":
+        raise NotImplementedError(
+            "vendored MAP backend implements linear growth; saturating "
+            "growth has a native path (forecast_linear_seasonal saturating=True)"
         )
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -908,7 +928,10 @@ def forecast_prophet(
     )
 
     def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
-        from prophet import Prophet
+        if backend == "prophet":
+            from prophet import Prophet
+        else:
+            from temporal_retriever_spark.prophet_map import ProphetMAP as Prophet
 
         pdf = pdf.sort_values(ts_col)
         model = Prophet(

@@ -166,12 +166,23 @@ def test_forecast_matches_duckdb_oracle(tables, duck):
     assert_matches_oracle(got, duck, FORECAST_ORACLE, round_floats=5)
 
 
-@pytest.mark.skipif(not prophet_available(), reason="prophet not installed")
 def test_prophet_backend(spark):
+    """Runs in every environment: backend='auto' resolves to the real
+    prophet wheel when installed, else the vendored Stan-free MAP fit
+    (prophet_map.ProphetMAP — numerics pinned in test_prophet_map.py)."""
     df = _linear_series(spark)
     from temporal_retriever_spark.forecast import forecast_prophet
 
     pred = forecast_prophet(df, grain="D", horizon=5)
+    assert pred.count() == 35
+
+
+@pytest.mark.skipif(not prophet_available(), reason="prophet not installed")
+def test_prophet_real_library_backend(spark):
+    df = _linear_series(spark)
+    from temporal_retriever_spark.forecast import forecast_prophet
+
+    pred = forecast_prophet(df, grain="D", horizon=5, backend="prophet")
     assert pred.count() == 35
 
 

@@ -1,0 +1,237 @@
+"""Vendored Prophet MAP backend: objective correctness, KKT optimality,
+structure recovery, uncertainty behavior, Spark integration.
+
+No prophet wheel exists in this environment, so parity is pinned the
+only way that is verifiable in-container: (1) the objective function is
+hand-checked against the published Stan model's negative log posterior,
+(2) the fitted parameters are certified as the optimum of that objective
+via KKT conditions (stationarity + lasso subgradient + sigma
+stationarity) and random perturbation, (3) model structure (trend
+breaks, weekly seasonality, regressor coefficients) is recovered on
+synthetic data generated from the model family. A cross-check against
+the real library activates automatically wherever a prophet wheel IS
+present (test_matches_real_prophet)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from temporal_retriever_spark.prophet_map import (
+    ProphetMAP,
+    fourier_series,
+    regressor_coefficients,
+)
+
+
+def _daily_frame(n=120, slope=0.5, level=10.0, weekly_amp=3.0, noise=0.4,
+                 break_at=None, slope2=None, seed=7):
+    rng = np.random.default_rng(seed)
+    ds = pd.date_range("2024-01-01", periods=n, freq="D")
+    t = np.arange(n, dtype=float)
+    trend = level + slope * t
+    if break_at is not None:
+        trend = trend + np.maximum(t - break_at, 0.0) * (slope2 - slope)
+    weekly = weekly_amp * np.sin(2 * np.pi * t / 7.0)
+    y = trend + weekly + rng.normal(0, noise, n)
+    return pd.DataFrame({"ds": ds, "y": y})
+
+
+def test_objective_matches_hand_computed():
+    df = _daily_frame(n=40)
+    m = ProphetMAP(uncertainty_samples=0)
+    m.fit(df)
+    M, quad, l1_mask, lam = m._design_cache
+    theta = np.linspace(-0.3, 0.3, M.shape[1])
+    sigma = 0.7
+    y_s = (m.history["y"] / m.y_scale).to_numpy()
+    resid = y_s - M @ theta
+    expected = (
+        len(y_s) * math.log(sigma)
+        + resid @ resid / (2 * sigma**2)
+        + 2 * sigma**2
+        + (theta[0] ** 2 + theta[1] ** 2) / 50.0
+        + np.abs(theta[l1_mask]).sum() / 0.05
+        + (theta[~l1_mask][2:] ** 2 / (2 * 10.0**2)).sum()
+    )
+    assert m.neg_log_posterior(theta, sigma) == pytest.approx(expected, rel=1e-12)
+
+
+def test_kkt_optimality():
+    df = _daily_frame(n=150, break_at=75, slope2=-0.3)
+    m = ProphetMAP(uncertainty_samples=0)
+    m.fit(df)
+    M, quad, l1_mask, lam = m._design_cache
+    p = m.params
+    theta = np.concatenate([[p["k"], p["m"]], p["delta"], p["beta"]])
+    sigma = p["sigma_obs"]
+    y_s = (m.history["y"] / m.y_scale).to_numpy()
+    resid = y_s - M @ theta
+    grad_smooth = -(M.T @ resid) / sigma**2 + quad * theta
+
+    # stationarity on the smooth block (k, m, betas)
+    assert np.abs(grad_smooth[~l1_mask]).max() < 1e-6
+    # lasso subgradient on the delta block
+    for j in np.where(l1_mask)[0]:
+        if theta[j] != 0.0:
+            assert grad_smooth[j] + lam * np.sign(theta[j]) == pytest.approx(
+                0.0, abs=1e-6
+            )
+        else:
+            assert abs(grad_smooth[j]) <= lam * (1 + 1e-9) + 1e-6
+    # sigma stationarity: 4σ⁴ + nσ² − SSE = 0
+    n = len(y_s)
+    sse = float(resid @ resid)
+    assert 4 * sigma**4 + n * sigma**2 - sse == pytest.approx(0.0, abs=1e-8 * sse)
+
+    # no random perturbation of the solution improves the objective
+    base = m.neg_log_posterior()
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        d_theta = rng.normal(0, 1e-3, len(theta))
+        d_sigma = rng.normal(0, 1e-4)
+        assert m.neg_log_posterior(theta + d_theta, sigma + abs(d_sigma)) >= base - 1e-10
+
+
+def test_recovers_piecewise_trend_and_forecast_slope():
+    df = _daily_frame(n=160, slope=0.8, break_at=80, slope2=-0.4, noise=0.2)
+    m = ProphetMAP(uncertainty_samples=0)
+    m.fit(df)
+    pred = m.predict()
+    mae = float(np.abs(pred["yhat"].to_numpy() - df["y"].to_numpy()).mean())
+    assert mae < 0.5  # vs y range of ~80
+    # future extrapolates the post-break slope (-0.4/day)
+    fut = m.predict(m.make_future_dataframe(20, include_history=False))
+    slopes = np.diff(fut["trend"].to_numpy())
+    assert np.allclose(slopes, -0.4, atol=0.08)
+
+
+def test_weekly_component_recovered():
+    df = _daily_frame(n=140, weekly_amp=5.0, noise=0.2)
+    m = ProphetMAP(uncertainty_samples=0)
+    m.fit(df)
+    pred = m.predict()
+    t = np.arange(len(df), dtype=float)
+    true_weekly = 5.0 * np.sin(2 * np.pi * t / 7.0)
+    got = pred["weekly"].to_numpy()
+    corr = np.corrcoef(got, true_weekly)[0, 1]
+    assert corr > 0.99
+    assert float(np.abs(got - true_weekly).mean()) < 0.5
+
+
+def test_auto_seasonality_rules():
+    short = ProphetMAP(uncertainty_samples=0).fit(_daily_frame(n=30))
+    assert "weekly" in short.seasonalities
+    assert "yearly" not in short.seasonalities
+    assert "daily" not in short.seasonalities
+
+    long = ProphetMAP(uncertainty_samples=0).fit(_daily_frame(n=800))
+    assert "yearly" in long.seasonalities
+    assert long.seasonalities["yearly"].order == 10
+    assert long.seasonalities["weekly"].order == 3
+
+
+def test_fourier_series_shape_and_period():
+    ds = pd.Series(pd.date_range("2024-01-01", periods=21, freq="D"))
+    X = fourier_series(ds, 7, 3)
+    assert X.shape == (21, 6)
+    # weekly period: identical rows one week apart
+    assert np.allclose(X[0], X[7], atol=1e-9)
+    assert np.allclose(X[3], X[17], atol=1e-9)
+
+
+def test_regressor_coefficient_recovery():
+    rng = np.random.default_rng(3)
+    n = 120
+    ds = pd.date_range("2024-01-01", periods=n, freq="D")
+    x = rng.normal(10, 2, n)
+    y = 4.0 + 2.0 * x + rng.normal(0, 0.1, n)
+    df = pd.DataFrame({"ds": ds, "y": y, "x": x})
+    m = ProphetMAP(uncertainty_samples=0, weekly_seasonality=False)
+    m.add_regressor("x")
+    m.fit(df)
+    coefs = regressor_coefficients(m)
+    assert list(coefs["regressor"]) == ["x"]
+    assert coefs["coef"].iloc[0] == pytest.approx(2.0, rel=0.05)
+
+
+def test_uncertainty_intervals_deterministic_and_calibrated():
+    df = _daily_frame(n=120, noise=1.0)
+    m1 = ProphetMAP(uncertainty_samples=300, seed=11).fit(df)
+    m2 = ProphetMAP(uncertainty_samples=300, seed=11).fit(df)
+    p1, p2 = m1.predict(), m2.predict()
+    pd.testing.assert_frame_equal(p1, p2)
+    assert (p1["yhat_lower"] <= p1["yhat"]).all()
+    assert (p1["yhat"] <= p1["yhat_upper"]).all()
+    # ~80% nominal coverage of history — allow a generous band
+    inside = (
+        (df["y"].to_numpy() >= p1["yhat_lower"].to_numpy())
+        & (df["y"].to_numpy() <= p1["yhat_upper"].to_numpy())
+    ).mean()
+    assert 0.6 < inside <= 1.0
+    # future intervals widen with horizon when trend changes exist in
+    # history (future-changepoint uncertainty scales with mean|δ|; on a
+    # break-free series deltas ≈ 0 and widths stay flat — same as
+    # prophet). Average first/last 10 days to beat MC noise.
+    mb = ProphetMAP(uncertainty_samples=300, seed=11).fit(
+        _daily_frame(n=120, slope=1.0, break_at=60, slope2=-1.0, noise=0.3)
+    )
+    fut = mb.predict(mb.make_future_dataframe(60, include_history=False))
+    width = (fut["yhat_upper"] - fut["yhat_lower"]).to_numpy()
+    assert width[-10:].mean() > width[:10].mean()
+
+
+def test_changepoint_grid_matches_prophet_rule():
+    df = _daily_frame(n=100)
+    m = ProphetMAP(n_changepoints=25, uncertainty_samples=0).fit(df)
+    # 25 changepoints over the first 80 of 100 points
+    assert len(m.changepoints_t) == 25
+    assert m.changepoints_t.max() <= 0.8 + 1e-9
+    assert m.changepoints_t.min() > 0.0
+    few = ProphetMAP(n_changepoints=25, uncertainty_samples=0).fit(
+        _daily_frame(n=12)
+    )
+    # hist_size = 9 → capped at 8 changepoints
+    assert len(few.changepoints_t) == 8
+
+
+def test_spark_grouped_map_backend(spark):
+    from temporal_retriever_spark.forecast import forecast_prophet
+
+    pdf = pd.concat([
+        _daily_frame(n=40, slope=0.5, seed=1).assign(series_id="a"),
+        _daily_frame(n=40, slope=-0.2, seed=2).assign(series_id="b"),
+    ])
+    df = spark.createDataFrame(pdf[["series_id", "ds", "y"]])
+    out = forecast_prophet(
+        df, grain="D", horizon=5, backend="map",
+        uncertainty_samples=50,
+    )
+    rows = out.collect()
+    assert len(rows) == 2 * 45
+    assert out.columns == ["series_id", "ds", "yhat", "yhat_lower", "yhat_upper"]
+    got = {r["series_id"] for r in rows}
+    assert got == {"a", "b"}
+    assert all(
+        r["yhat_lower"] <= r["yhat"] <= r["yhat_upper"] for r in rows
+    )
+
+
+def test_matches_real_prophet_when_available():
+    prophet = pytest.importorskip("prophet")
+    df = _daily_frame(n=150, noise=0.3)
+    real = prophet.Prophet(uncertainty_samples=0)
+    real.fit(df)
+    real_pred = real.predict(real.make_future_dataframe(14))
+    ours = ProphetMAP(uncertainty_samples=0).fit(df)
+    our_pred = ours.predict(ours.make_future_dataframe(14))
+    scale = float(df["y"].abs().max())
+    diff = np.abs(
+        real_pred["yhat"].to_numpy() - our_pred["yhat"].to_numpy()
+    )
+    # both are MAP optima of the same posterior; tolerance covers the
+    # different optimizers (Stan LBFGS vs coordinate descent)
+    assert diff.max() / scale < 0.02
