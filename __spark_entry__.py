@@ -2731,7 +2731,10 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-numpy baseline JPEG codec (llm.codecs encode_jpeg →
     decode_jpeg: batched 8×8 DCT, Annex-K quantization + Huffman
     coding, byte stuffing) at quality 95 in BOTH 4:4:4 and 4:2:0 and
-    decoded back. JPEG is lossy, so the contract is tolerance gates in
+    decoded back, and additionally through the progressive (SOF2)
+    encoder whose decode must be pixel-identical to baseline (exact
+    gate: same quantized coefficients, so the multi-scan entropy layer
+    must be a perfect inverse). JPEG is lossy, so the contract is tolerance gates in
     the recall-gate style (lsh_cosine_topk precedent): dims exact,
     bounded max/mean reconstruction error per subsampling, the decoded
     blue-channel mean within ±2 (4:4:4) / ±5 (4:2:0) of doc_id % 256,
@@ -2746,7 +2749,7 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     W, H = 16, 12
     out_schema = (
         "doc_id long, width long, height long, "
-        "ok_444 boolean, ok_420 boolean, deterministic boolean"
+        "ok_444 boolean, ok_420 boolean, ok_prog boolean, deterministic boolean"
     )
 
     def run(batches):
@@ -2761,6 +2764,7 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [ramp_r, ramp_g, np.full((H, W), b)], axis=2
                 ).astype(np.uint8)
                 oks = []
+                decoded = {}
                 for sub, tol_max, tol_mean, tol_b in (
                     ("4:4:4", 6, 2.0, 2.0),
                     ("4:2:0", 24, 9.0, 5.0),
@@ -2769,6 +2773,7 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         img, quality=95, subsampling=sub
                     )
                     dec = codecs.decode_jpeg(payload)
+                    decoded[sub] = dec
                     err = np.abs(dec.astype(int) - img.astype(int))
                     oks.append(
                         dec.shape == (H, W, 3)
@@ -2776,14 +2781,34 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         and float(err.mean()) <= tol_mean
                         and abs(float(dec[:, :, 2].mean()) - b) <= tol_b
                     )
+                # progressive (SOF2) gate is EXACT: a progressive file
+                # built from the same quantized coefficients must decode
+                # pixel-identically to the baseline file in BOTH
+                # subsamplings — any defect in the multi-scan entropy
+                # layer (spectral bands, successive approximation, EOB
+                # runs, AC refinement) breaks the equality outright.
+                ok_prog = all(
+                    np.array_equal(
+                        codecs.decode_jpeg(
+                            codecs.encode_jpeg_progressive(
+                                img, quality=95, subsampling=sub
+                            )
+                        ),
+                        decoded[sub],
+                    )
+                    for sub in ("4:4:4", "4:2:0")
+                )
                 det = codecs.encode_jpeg(img, quality=95) == codecs.encode_jpeg(
                     img, quality=95
                 )
-                rows.append((int(doc_id), W, H, oks[0], oks[1], bool(det)))
+                rows.append(
+                    (int(doc_id), W, H, oks[0], oks[1], bool(ok_prog), bool(det))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "width", "height", "ok_444", "ok_420", "deterministic",
+                    "doc_id", "width", "height", "ok_444", "ok_420",
+                    "ok_prog", "deterministic",
                 ],
             )
 
@@ -2800,6 +2825,7 @@ SELECT doc_id,
        CAST(12 AS BIGINT) AS height,
        TRUE AS ok_444,
        TRUE AS ok_420,
+       TRUE AS ok_prog,
        TRUE AS deterministic
 FROM documents
 """
@@ -9922,6 +9948,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries (the driver's sample window) are all first-timers.
     green = [k for k in base if k in set(_DRIVER_GREEN_R1_R4)]
     fresh = [k for k in base if k not in set(_DRIVER_GREEN_R1_R4)]
+    # promote media_decode_jpeg — whose gate now includes the progressive
+    # (SOF2) decoder, VERDICT r4 item 6 — into the sample window in place
+    # of keyness_by_source (family sibling of r4-green collocations_pmi)
+    if "media_decode_jpeg" in fresh and "keyness_by_source" in fresh:
+        i, j = fresh.index("keyness_by_source"), fresh.index("media_decode_jpeg")
+        if i < j:
+            fresh.insert(i, fresh.pop(j))
     return {k: base[k] for k in fresh + green}
 
 

@@ -442,8 +442,12 @@ def frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
 # quantization/Huffman tables, canonical Huffman coding with byte
 # stuffing, 4:4:4 or 4:2:0 chroma subsampling, DRI/RSTn restart
 # markers on decode. The most common corpus image format, so the
-# multimodal decode path is real where it matters most. Baseline only:
-# progressive (SOF2) and 12-bit raise cleanly.
+# multimodal decode path is real where it matters most. Decode covers
+# baseline sequential (SOF0/1) AND progressive DCT (SOF2, spectral
+# selection + successive approximation — the default web scan scripts);
+# 12-bit and arithmetic coding raise cleanly. encode_jpeg_progressive
+# exists primarily to round-trip-test the progressive decoder without
+# an external JPEG library.
 # --------------------------------------------------------------------------
 
 #: scan position -> row-major index of the 8x8 block (T.81 Figure A.6)
@@ -669,23 +673,10 @@ def _pad_replicate(plane: np.ndarray, mult: int) -> np.ndarray:
     return plane
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    *,
-    quality: int = 85,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w[, 3]) uint8 array -> baseline JFIF JPEG bytes.
-
-    Grayscale input emits a single-component scan; RGB converts to
-    YCbCr (BT.601 full-range, the JFIF convention). ``subsampling``
-    is ``"4:4:4"`` (every component full-resolution, one block per
-    component per MCU) or ``"4:2:0"`` (chroma averaged 2x2, 16x16
-    MCUs with four luma blocks). ``restart_interval`` > 0 emits a DRI
-    segment and RSTn markers every N MCUs (what scanners emit for
-    error resilience — exercises the decoder's restart path).
-    Deterministic: same array + knobs -> identical bytes."""
+def _jpeg_prepare(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, subsampling, DCT,
+    quantization. Returns (comp_blocks, factors, qsel, h, w, mcus_x,
+    mcus_y, qlum, qchrom)."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -731,6 +722,29 @@ def encode_jpeg(
             mode="edge",
         )
         comp_blocks.append(_plane_blocks(p, qlum if qsel[len(comp_blocks)] == 0 else qchrom))
+    return comp_blocks, factors, qsel, h, w, mcus_x, mcus_y, qlum, qchrom
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, 3]) uint8 array -> baseline JFIF JPEG bytes.
+
+    Grayscale input emits a single-component scan; RGB converts to
+    YCbCr (BT.601 full-range, the JFIF convention). ``subsampling``
+    is ``"4:4:4"`` (every component full-resolution, one block per
+    component per MCU) or ``"4:2:0"`` (chroma averaged 2x2, 16x16
+    MCUs with four luma blocks). ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs (what scanners emit for
+    error resilience — exercises the decoder's restart path).
+    Deterministic: same array + knobs -> identical bytes."""
+    comp_blocks, factors, qsel, h, w, mcus_x, mcus_y, qlum, qchrom = _jpeg_prepare(
+        arr, quality, subsampling
+    )
 
     dc_lum = _huff_codes(*_HUFF_DC_LUM)
     ac_lum = _huff_codes(*_HUFF_AC_LUM)
@@ -738,7 +752,7 @@ def encode_jpeg(
     ac_chrom = _huff_codes(*_HUFF_AC_CHROM)
     scan_parts: list[bytes] = []
     bw = _JpegBitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_blocks)
     mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -748,7 +762,7 @@ def encode_jpeg(
                     bytes([0xFF, 0xD0 + ((mcu_i // restart_interval) - 1) % 8])
                 )
                 bw = _JpegBitWriter()
-                preds = [0] * len(planes)
+                preds = [0] * len(comp_blocks)
             mcu_i += 1
             for ci, (fh, fv) in enumerate(factors):
                 dt = dc_lum if qsel[ci] == 0 else dc_chrom
@@ -770,7 +784,7 @@ def encode_jpeg(
         bits, vals = spec
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
-    ncomp = len(planes)
+    ncomp = len(comp_blocks)
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
     sos_body = bytes([ncomp])
     for ci, (fh, fv) in enumerate(factors):
@@ -792,6 +806,259 @@ def encode_jpeg(
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, sos_body)
     out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: AC Huffman table for the progressive encoder: all 256 symbols, 128
+#: at 8 bits + 128 at 9 bits (Kraft sum 0.75; all-ones codes 255/511
+#: unused, as T.81 requires; per-length counts fit the DHT byte field).
+#: Progressive scans emit EOBn symbols (r<<4, r>0) that the Annex-K
+#: baseline AC tables don't define, so a full table is the simplest
+#: valid choice — file size is irrelevant for fixtures.
+_HUFF_AC_PROG = ([0] * 7 + [128, 128] + [0] * 7, list(range(256)))
+
+
+class _ProgressiveACWriter:
+    """Scan-level AC state for progressive encoding: the end-of-band run
+    and the correction bits buffered beneath it (T.81 G.1.2.2-3)."""
+
+    def __init__(self, bw: _JpegBitWriter, ac_tbl) -> None:
+        self.bw = bw
+        self.ac = ac_tbl
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.bw.write(*self.ac[nbits << 4])
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.bw.write(b, 1)
+        self.pending_bits = []
+
+
+def _encode_ac_first(pw: _ProgressiveACWriter, zz, ss: int, se: int, al: int) -> None:
+    """AC first pass for one block: point transform (truncate toward
+    zero), run/size coding, EOB runs accumulated across blocks."""
+    bw, ac = pw.bw, pw.ac
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if t == 0:
+            r += 1
+            continue
+        pw.flush_eob()
+        while r > 15:
+            bw.write(*ac[0xF0])  # ZRL
+            r -= 16
+        s = _bit_size(t)
+        bw.write(*ac[(r << 4) | s])
+        bw.write(t if t > 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eob()
+
+
+def _encode_ac_refine(pw: _ProgressiveACWriter, zz, ss: int, se: int, al: int) -> None:
+    """AC refinement for one block: correction bits for history-nonzero
+    coefficients, run/sign for newly-nonzero ones (T.81 G.1.2.3; the
+    jcphuff control flow re-derived, including ZRL-vs-EOB folding)."""
+    bw, ac = pw.bw, pw.ac
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # position of the last newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    br_bits: list[int] = []  # correction bits since the last emitted symbol
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # runs that reach past the last newly-nonzero coefficient fold
+        # into the end-of-band run instead of ZRLs
+        while r > 15 and k <= eob:
+            pw.flush_eob()
+            bw.write(*ac[0xF0])
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if t > 1:  # history coefficient: buffer its correction bit
+            br_bits.append(t & 1)
+            continue
+        # newly nonzero: emit run + sign
+        pw.flush_eob()
+        bw.write(*ac[(r << 4) | 1])
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        pw.eobrun += 1
+        pw.pending_bits.extend(br_bits)
+        if pw.eobrun == 0x7FFF or len(pw.pending_bits) > 900:
+            pw.flush_eob()
+
+
+def _std_progressive_scans(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """libjpeg's default progressive scan script (jcparam.c semantics):
+    DC first at Al=1, luma AC split into 1-5 / 6-63 bands at Al=2 with
+    two refinement passes, chroma AC whole-band at Al=1 with one."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    *,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """(h, w[, 3]) uint8 array -> progressive (SOF2) JFIF JPEG bytes.
+
+    Same color/DCT/quantization front half as ``encode_jpeg``; the
+    entropy layer is the progressive one: spectral-selection bands and
+    successive-approximation bit planes over multiple scans. ``scans``
+    is a list of ``(comp_indexes, Ss, Se, Ah, Al)`` (defaults to the
+    libjpeg-style script, which exercises DC+AC first and refinement
+    passes). Exists primarily so the progressive decoder has an
+    in-container round-trip oracle: both encoders share quantized
+    coefficients, so baseline and progressive decodes of the same image
+    must be pixel-identical."""
+    comp_blocks, factors, qsel, h, w, mcus_x, mcus_y, qlum, qchrom = _jpeg_prepare(
+        arr, quality, subsampling
+    )
+    ncomp = len(comp_blocks)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if scans is None:
+        scans = _std_progressive_scans(ncomp)
+
+    dc_lum = _huff_codes(*_HUFF_DC_LUM)
+    dc_chrom = _huff_codes(*_HUFF_DC_CHROM)
+    ac_prog = _huff_codes(*_HUFF_AC_PROG)
+
+    def comp_dims(ci: int) -> tuple[int, int]:
+        fh, fv = factors[ci]
+        cw = -(-w * fh // hmax)
+        ch = -(-h * fv // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    scan_payloads: list[bytes] = []
+    for comp_idx, ss, se, ah, al in scans:
+        bw = _JpegBitWriter()
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            preds = {ci: 0 for ci in comp_idx}
+            if len(comp_idx) > 1:
+                blocks_iter = (
+                    (ci, my * factors[ci][1] + v, mx * factors[ci][0] + u)
+                    for my in range(mcus_y)
+                    for mx in range(mcus_x)
+                    for ci in comp_idx
+                    for v in range(factors[ci][1])
+                    for u in range(factors[ci][0])
+                )
+            else:
+                ci0 = comp_idx[0]
+                bw_c, bh_c = comp_dims(ci0)
+                blocks_iter = (
+                    (ci0, by, bx) for by in range(bh_c) for bx in range(bw_c)
+                )
+            for ci, by, bx in blocks_iter:
+                dc = int(comp_blocks[ci][by, bx, 0])
+                if ah == 0:
+                    dt = dc_lum if qsel[ci] == 0 else dc_chrom
+                    val = dc >> al  # arithmetic shift (T.81 point transform)
+                    diff = val - preds[ci]
+                    preds[ci] = val
+                    s = _bit_size(diff)
+                    bw.write(*dt[s])
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                else:
+                    bw.write((dc >> al) & 1, 1)
+        else:  # AC scan: single component
+            if len(comp_idx) != 1:
+                raise ValueError("AC scan must be single-component")
+            ci = comp_idx[0]
+            bw_c, bh_c = comp_dims(ci)
+            pw = _ProgressiveACWriter(bw, ac_prog)
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    zz = comp_blocks[ci][by, bx]
+                    if ah == 0:
+                        _encode_ac_first(pw, zz, ss, se, al)
+                    else:
+                        _encode_ac_refine(pw, zz, ss, se, al)
+            pw.flush_eob()
+        scan_payloads.append(bw.flush())
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tab[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof_body += bytes([ci + 1, (fh << 4) | fv, qsel[ci]])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qlum)
+    if ncomp > 1:
+        out += dqt(1, qchrom)
+    out += seg(0xFFC2, sof_body)  # SOF2: progressive DCT
+    out += dht(0, 0, _HUFF_DC_LUM)
+    if ncomp > 1:
+        out += dht(0, 1, _HUFF_DC_CHROM)
+    out += dht(1, 0, _HUFF_AC_PROG)
+    for (comp_idx, ss, se, ah, al), payload in zip(scans, scan_payloads):
+        sos_body = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            td = (0 if qsel[ci] == 0 else 1) if ss == 0 and ah == 0 else 0
+            ta = 0 if ss > 0 else 0
+            sos_body += bytes([ci + 1, (td << 4) | ta])
+        sos_body += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos_body)
+        out += payload
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -876,13 +1143,191 @@ def _extend(v: int, size: int) -> int:
     return v
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG bytes -> (h, w, 3) uint8 RGB array.
+def _scan_sequential(br, scan_comps, mcus_x, mcus_y, restart_interval):
+    """Baseline sequential scan: interleaved MCU loop, full 0..63 band."""
+    preds = {c["id"]: 0 for c in scan_comps}
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart()
+                preds = {c["id"]: 0 for c in scan_comps}
+            mcu_i += 1
+            for c in scan_comps:
+                for v in range(c["fv"]):
+                    for u in range(c["fh"]):
+                        zz = c["zz"][my * c["fv"] + v, mx * c["fh"] + u]
+                        size = _huff_read(br, c["dc"])
+                        diff = _extend(br.read_bits(size), size)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k <= 63:
+                            sym = _huff_read(br, c["ac"])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
 
-    Handles 8-bit baseline sequential (SOF0): 1 or 3 components,
-    arbitrary 1-2 sampling factors (4:4:4, 4:2:2, 4:2:0), multiple
-    DQT/DHT segments, DRI restart intervals, APPn/COM skip.
-    Progressive (SOF2) and arithmetic coding raise ValueError.
+
+def _comp_block_dims(c, w, h, hmax, vmax):
+    """Non-interleaved block grid of one component (T.81 A.1.1): the
+    component's own sample dims, NOT the padded MCU grid."""
+    cw = -(-w * c["fh"] // hmax)
+    ch = -(-h * c["fv"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _scan_dc_progressive(br, scan_comps, mcus_x, mcus_y, w, h, hmax, vmax,
+                         restart_interval, ah, al):
+    """Progressive DC scan: first pass (Ah=0) is DPCM like baseline but
+    stores diff<<Al; refinement (Ah>0) appends one raw bit per block."""
+    preds = {c["id"]: 0 for c in scan_comps}
+    unit = 0
+
+    def one_block(c, zz):
+        if ah == 0:
+            size = _huff_read(br, c["dc"])
+            diff = _extend(br.read_bits(size), size)
+            preds[c["id"]] += diff
+            zz[0] = preds[c["id"]] << al
+        elif br.read_bit():
+            zz[0] |= 1 << al
+
+    if len(scan_comps) > 1:  # interleaved over the MCU grid
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart()
+                    preds = {c["id"]: 0 for c in scan_comps}
+                unit += 1
+                for c in scan_comps:
+                    for v in range(c["fv"]):
+                        for u in range(c["fh"]):
+                            one_block(c, c["zz"][my * c["fv"] + v, mx * c["fh"] + u])
+    else:  # non-interleaved: the component's own block grid
+        c = scan_comps[0]
+        bw_c, bh_c = _comp_block_dims(c, w, h, hmax, vmax)
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart()
+                    preds = {c["id"]: 0 for c in scan_comps}
+                unit += 1
+                one_block(c, c["zz"][by, bx])
+
+
+def _ac_first_block(br, ac, zz, ss, se, al, eobrun):
+    """Progressive AC first pass (Ah=0): run/size coding of the band
+    with EOBn end-of-band runs, values scaled by <<Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_read(br, ac)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run overflow")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16  # ZRL
+    return eobrun
+
+
+def _ac_refine_block(br, ac, zz, ss, se, al, eobrun):
+    """Progressive AC refinement (Ah=Al+1): one correction bit per
+    already-nonzero coefficient, run/sign coding for newly-nonzero ones
+    (T.81 G.2; the jdphuff control flow re-derived)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k):
+        if br.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if int(zz[k]) >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_read(br, ac)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break  # remaining coefficients handled in the EOB tail
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if br.read_bit() else m1
+            # advance: correction bits for nonzero history; count down r
+            # zero-history positions; then place val (if any)
+            while k <= se:
+                if int(zz[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if int(zz[k]) != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_ac_progressive(br, c, w, h, hmax, vmax, restart_interval, ss, se, ah, al):
+    """Progressive AC scan: always single-component, non-interleaved."""
+    bw_c, bh_c = _comp_block_dims(c, w, h, hmax, vmax)
+    eobrun = 0
+    unit = 0
+    for by in range(bh_c):
+        for bx in range(bw_c):
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            unit += 1
+            zz = c["zz"][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, c["ac"], zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, c["ac"], zz, ss, se, al, eobrun)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JFIF JPEG bytes -> (h, w, 3) uint8 RGB array.
+
+    Handles 8-bit baseline sequential (SOF0/SOF1) AND progressive DCT
+    (SOF2) with spectral selection + successive approximation — the
+    libjpeg default web scan scripts decode end-to-end: 1 or 3
+    components, arbitrary 1-2 sampling factors (4:4:4, 4:2:2, 4:2:0),
+    multiple DQT/DHT segments, DRI restart intervals, APPn/COM skip.
+    Arithmetic coding and lossless/hierarchical modes raise ValueError.
     Grayscale broadcasts to RGB so every image feeds the same
     feature/resize kernels."""
     if payload[:3] != b"\xff\xd8\xff":
@@ -892,9 +1337,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
     h = w = 0
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
     restart_interval = 0
-    scan_pos = -1
-    scan_comps: list[dict] = []
+    progressive = False
+    decoded_any = False
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -929,7 +1376,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[bpos + 17 : bpos + 17 + nval])
                 htabs[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_map(bits, vals)
                 bpos += 17 + nval
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported (precision={prec})")
@@ -939,70 +1387,66 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "fh": hv >> 4, "fv": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0/SOF1) supported")
+            hmax = max(c["fh"] for c in comps)
+            vmax = max(c["fv"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["zz"] = np.zeros((mcus_y * c["fv"], mcus_x * c["fh"], 64), np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if not comps or h == 0:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
                 cid, tsel = body[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cid)
-                comp["dc"] = htabs[(0, tsel >> 4)]
-                comp["ac"] = htabs[(1, tsel & 0x0F)]
+                comp["dc"] = htabs.get((0, tsel >> 4))
+                comp["ac"] = htabs.get((1, tsel & 0x0F))
                 scan_comps.append(comp)
-            scan_pos = pos
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            br = _JpegBitReader(payload, pos)
+            try:
+                if not progressive:
+                    _scan_sequential(br, scan_comps, mcus_x, mcus_y, restart_interval)
+                elif ss == 0:
+                    if se != 0:
+                        raise ValueError("progressive DC scan must have Se=0")
+                    _scan_dc_progressive(
+                        br, scan_comps, mcus_x, mcus_y, w, h, hmax, vmax,
+                        restart_interval, ah, al,
+                    )
+                else:
+                    if ns != 1:
+                        raise ValueError("progressive AC scan must be single-component")
+                    _scan_ac_progressive(
+                        br, scan_comps[0], w, h, hmax, vmax,
+                        restart_interval, ss, se, ah, al,
+                    )
+            except _MarkerHit as hit:
+                # padded tail before the next marker is normal; EOI means a
+                # truncated-but-renderable stream (tolerated like baseline)
+                if hit.marker == 0xFFD9:
+                    pos = hit.pos
+                    decoded_any = True
+                    break
+                raise ValueError(f"unexpected marker 0x{hit.marker:04x} mid-scan")
+            pos = br.pos
+            decoded_any = True
+            if not progressive:
+                break
         # APPn / COM / others: skipped via seglen
 
-    if scan_pos < 0 or not comps or h == 0:
+    if not decoded_any or not comps or h == 0:
         raise ValueError("JPEG missing SOF/SOS segments")
-
-    hmax = max(c["fh"] for c in comps)
-    vmax = max(c["fv"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        c["zz"] = np.zeros((mcus_y * c["fv"], mcus_x * c["fh"], 64), np.int32)
-
-    br = _JpegBitReader(payload, scan_pos)
-    preds = {c["id"]: 0 for c in comps}
-    mcu_i = 0
-    try:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                    br.restart()
-                    preds = {c["id"]: 0 for c in comps}
-                mcu_i += 1
-                for c in scan_comps:
-                    for v in range(c["fv"]):
-                        for u in range(c["fh"]):
-                            zz = c["zz"][my * c["fv"] + v, mx * c["fh"] + u]
-                            size = _huff_read(br, c["dc"])
-                            diff = _extend(br.read_bits(size), size)
-                            preds[c["id"]] += diff
-                            zz[0] = preds[c["id"]]
-                            k = 1
-                            while k <= 63:
-                                sym = _huff_read(br, c["ac"])
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, size = sym >> 4, sym & 0x0F
-                                if size == 0:
-                                    if run != 15:
-                                        raise ValueError("bad AC symbol")
-                                    k += 16  # ZRL
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError("AC run overflow")
-                                zz[k] = _extend(br.read_bits(size), size)
-                                k += 1
-    except _MarkerHit as hit:  # truncated-but-padded tail is tolerable
-        if hit.marker not in (0xFFD9,):
-            raise ValueError(f"unexpected marker 0x{hit.marker:04x} mid-scan")
 
     out_planes = []
     for c in comps:

@@ -270,17 +270,100 @@ def test_jpeg_sniff_and_dispatch():
 def test_jpeg_rejects_malformed():
     with pytest.raises(ValueError, match="SOI"):
         codecs.decode_jpeg(b"not a jpeg")
-    with pytest.raises(ValueError, match="baseline"):
-        # minimal stream with a progressive SOF2 marker
+    with pytest.raises(ValueError, match="SOF2"):
+        # minimal stream with a lossless SOF3 marker (still unsupported)
         import struct as _s
 
         codecs.decode_jpeg(
-            b"\xff\xd8\xff\xc2" + _s.pack(">H", 11) + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+            b"\xff\xd8\xff\xc3" + _s.pack(">H", 11) + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
         )
     with pytest.raises(ValueError):
         codecs.encode_jpeg(np.zeros((0, 4, 3), np.uint8))
     with pytest.raises(ValueError, match="subsampling"):
         codecs.encode_jpeg(np.zeros((4, 4, 3), np.uint8), subsampling="4:1:1")
+
+
+# -- progressive (SOF2) ----------------------------------------------------
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("quality", [50, 90])
+def test_progressive_decodes_identical_to_baseline(subsampling, quality):
+    """Baseline and progressive files built from the same quantized
+    coefficients must decode to the SAME pixels: the progressive
+    entropy layer (spectral selection + successive approximation,
+    including the AC refinement passes in the default script) is an
+    exact inverse or this fails byte-for-byte."""
+    img = _gradient_rgb(40, 56)
+    base = codecs.decode_jpeg(
+        codecs.encode_jpeg(img, quality=quality, subsampling=subsampling)
+    )
+    prog = codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(img, quality=quality, subsampling=subsampling)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_noise_and_odd_dims():
+    rng = np.random.default_rng(13)
+    for shape in ((16, 16, 3), (37, 29, 3), (19, 23)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        subs = ("4:4:4", "4:2:0") if len(shape) == 3 else ("4:4:4",)
+        for sub in subs:
+            base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=85, subsampling=sub))
+            prog = codecs.decode_jpeg(
+                codecs.encode_jpeg_progressive(img, quality=85, subsampling=sub)
+            )
+            assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_eob_run_heavy():
+    """A large flat image makes every AC band empty: end-of-band runs
+    span many blocks (EOBn symbols with run-length bits) in both first
+    and refinement scans."""
+    img = np.full((128, 128, 3), 90, np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=85))
+    prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(img, quality=85))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_custom_scan_script():
+    """Finer spectral bands + a deeper successive-approximation ladder
+    than the default script."""
+    img = _gradient_rgb(24, 24)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 2),
+        ([0], 1, 2, 0, 3),
+        ([0], 3, 63, 0, 3),
+        ([1], 1, 63, 0, 3),
+        ([2], 1, 63, 0, 3),
+        ([0], 1, 63, 3, 2),
+        ([1], 1, 63, 3, 2),
+        ([2], 1, 63, 3, 2),
+        ([0, 1, 2], 0, 0, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 2, 1),
+        ([1], 1, 63, 2, 1),
+        ([2], 1, 63, 2, 1),
+        ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+    ]
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    prog = codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(img, quality=90, scans=scans)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_deterministic_and_sniffable():
+    img = _gradient_rgb(16, 16)
+    p1 = codecs.encode_jpeg_progressive(img, quality=85)
+    assert p1 == codecs.encode_jpeg_progressive(img, quality=85)
+    assert codecs.sniff_format(p1) == "jpeg"
+    # the generic feature path accepts progressive payloads too
+    feats = codecs.decode_features(p1, "image")
+    assert len(feats) > 0
 
 
 def test_audio_spectrum_features_pure_tone():
