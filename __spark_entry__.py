@@ -9588,6 +9588,62 @@ def _gains_oracle(n_bins: int = 10) -> str:
     """
 
 
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress row for salted_aggregate (aggregate.py): events are
+    rekeyed so ~90% of rows collapse onto ONE hot key (event_id % 10 <
+    9 -> 'hot') — the single-key aggregation skew AQE cannot split —
+    then run through the two-phase salted path for sum, mean, and an
+    exact count, hash-matched against the plain GROUP BY oracle:
+    salting must be algebraically invisible. The plan-shape assertion
+    (phase-1 HashAggregate grouping on (key, _salt), so the hot key
+    spreads over salt_buckets reducers) lives in
+    tests/test_aggregate.py::test_salted_aggregate_plan_splits_hot_key.
+    Sum is rounded at 2 decimals (a 90k-row double sum reaches ~1e7
+    where 6-decimal cross-engine float determinism is not honest);
+    mean at the standard 6."""
+    from temporal_retriever_spark.aggregate import salted_aggregate
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        F.when(F.col("event_id") % 10 < 9, F.lit("hot"))
+        .otherwise(
+            F.concat(F.lit("cold_"), (F.col("event_id") % 97).cast("string"))
+        )
+        .alias("skey"),
+        F.col("value").alias("y"),
+    )
+    s = salted_aggregate(ev, keys=("skey",), agg="sum", salt_buckets=16)
+    m = salted_aggregate(ev, keys=("skey",), agg="mean", salt_buckets=16)
+    n = ev.groupBy("skey").agg(F.count("y").alias("n_values"))
+    return (
+        s.withColumnRenamed("y", "_sum")
+        .join(m.withColumnRenamed("y", "_mean"), "skey")
+        .join(n, "skey")
+        .select(
+            "skey",
+            F.round(F.col("_sum") + F.lit(_ROUND_OFFSET), 2).alias("y_sum"),
+            F.round(F.col("_mean") + F.lit(_ROUND_OFFSET), 6).alias("y_mean"),
+            "n_values",
+        )
+        .orderBy("skey")
+    )
+
+
+_SKEW_SALTED_AGG_ORACLE = f"""
+WITH k AS (
+    SELECT CASE WHEN event_id % 10 < 9 THEN 'hot'
+                ELSE 'cold_' || CAST(event_id % 97 AS VARCHAR) END AS skey,
+           value AS y
+    FROM events
+)
+SELECT skey,
+       ROUND(SUM(y) + {_ROUND_OFFSET!r}, 2) AS y_sum,
+       ROUND(AVG(y) + {_ROUND_OFFSET!r}, 6) AS y_mean,
+       CAST(COUNT(y) AS BIGINT) AS n_values
+FROM k GROUP BY skey ORDER BY skey
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -9943,6 +9999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": q_json_extract_props,
         "split_historical": q_split_historical,
         "split_future": q_split_future,
+        "skew_salted_agg": q_skew_salted_agg,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -13393,4 +13450,5 @@ def oracle_sql() -> dict[str, str]:
                 {' UNION ALL '.join(f'SELECT {k} AS lag, s{k} / sqrt(sxx * syy) AS c FROM a' for k in range(1, 6))}
             )
         """,
+        "skew_salted_agg": _SKEW_SALTED_AGG_ORACLE,
     }

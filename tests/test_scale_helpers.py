@@ -179,3 +179,33 @@ def test_new_diagnostics_parallelize_across_series(spark):
     solo = kpss(one, nlags=8).toPandas().iloc[0]
     inwide = kp[kp.series_id == "s03"].iloc[0]
     assert solo.kpss_stat == inwide.kpss_stat
+
+
+def test_salted_aggregate_plan_splits_hot_key(spark):
+    """The salting must be visible in the PLAN: phase 1 aggregates on
+    (key, _salt) — so one pathologically hot key spreads over
+    salt_buckets reducers — and phase 2 combines partials on the key
+    alone. A refactor that silently collapses the two phases would pass
+    value tests (salting is algebraically invisible) but reintroduce
+    the single-reducer hot spot; this pins the shape."""
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("k"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    out = salted_aggregate(df, keys=("k",), value_col="y", agg="sum",
+                           salt_buckets=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan, plan
+    assert plan.count("Aggregate") >= 2, plan
+    # the phase-1 grouping carries the salt; phase-2 does not
+    first_agg = plan[plan.rindex("Aggregate"):]  # innermost = phase 1
+    assert "_salt" in first_agg
+    # and values equal the plain aggregation exactly
+    got = {r["k"]: r["y"] for r in out.collect()}
+    want = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("y").alias("s")).collect()
+    }
+    assert got == want
