@@ -1525,6 +1525,9 @@ def decode_features(payload: bytes, media_type: str) -> list[float]:
     if kind == "avi":
         fps, frames = decode_avi(payload)
         return image_features(frames[0]) + [float(len(frames)), float(fps)]
+    if kind == "mp4":
+        fps, frames = decode_mp4_video(payload)
+        return image_features(frames[0]) + [float(len(frames)), float(fps)]
     raise ValueError(f"unknown media payload for {media_type!r}")
 
 
@@ -1544,10 +1547,14 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
 
 
 def sample_frame(payload: bytes, ts_ms: int) -> bytes:
-    """Real frame sampling: the AVI frame at ts_ms re-encoded as BMP."""
-    if sniff_format(payload) != "avi":
-        raise ValueError("frame sampling supports AVI payloads")
-    return encode_bmp(frame_at(payload, ts_ms))
+    """Real frame sampling: the AVI or MP4 frame at ts_ms re-encoded
+    as BMP (MP4 via the full sample-table walk, 'raw ' codec)."""
+    kind = sniff_format(payload)
+    if kind == "avi":
+        return encode_bmp(frame_at(payload, ts_ms))
+    if kind == "mp4":
+        return encode_bmp(mp4_frame_at(payload, ts_ms))
+    raise ValueError("frame sampling supports AVI and MP4 payloads")
 
 
 # --------------------------------------------------------------------------
@@ -1647,6 +1654,257 @@ def probe_mp4(payload: bytes) -> dict:
         "height": height,
         "brand": brand,
     }
+
+
+def _mp4_full_box(btype: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _mp4_box(btype, struct.pack(">B", version) + flags.to_bytes(3, "big") + body)
+
+
+def encode_mp4_video(
+    frames: list[np.ndarray], *, fps: int = 10, samples_per_chunk: int = 2
+) -> bytes:
+    """Frames -> a REAL ISO BMFF video track with uncompressed RGB24
+    samples ('raw ' sample entry) and full sample tables (stsd, stts,
+    stsc, stsz, stco). Samples are grouped ``samples_per_chunk`` per
+    chunk so stsc/stco resolution is actually exercised — a single-chunk
+    file would let a broken chunk walk pass. H.264/HEVC *encoding* is
+    out of scope by design (see module note); this writer exists so the
+    sample-table reader has an in-container round-trip oracle."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must be (h, w, 3) and equally sized")
+    timescale = 1000
+    n = len(frames)
+    sample_size = h * w * 3
+    duration = n * timescale // fps
+
+    payloads = [np.ascontiguousarray(f, dtype=np.uint8).tobytes() for f in frames]
+    mdat_body = b"".join(payloads)
+
+    # chunks: fixed samples_per_chunk, remainder in the last chunk
+    chunk_sizes = []
+    left = n
+    while left > 0:
+        take = min(samples_per_chunk, left)
+        chunk_sizes.append(take)
+        left -= take
+
+    stsd_entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = _mp4_full_box(
+        b"stsd", struct.pack(">I", 1) + _mp4_box(b"raw ", stsd_entry)
+    )
+    stts = _mp4_full_box(
+        b"stts", struct.pack(">III", 1, n, timescale // fps)
+    )
+    # stsc: one entry per run of equal samples-per-chunk
+    stsc_body = b""
+    runs = []
+    for idx, size in enumerate(chunk_sizes):
+        if not runs or runs[-1][1] != size:
+            runs.append((idx + 1, size))
+    for first_chunk, size in runs:
+        stsc_body += struct.pack(">III", first_chunk, size, 1)
+    stsc = _mp4_full_box(b"stsc", struct.pack(">I", len(runs)) + stsc_body)
+    stsz = _mp4_full_box(b"stsz", struct.pack(">II", sample_size, n))
+
+    # stco offsets need the final mdat position: moov precedes mdat, so
+    # build moov with placeholder offsets, measure, then rebuild.
+    def build(offsets: list[int]) -> bytes:
+        stco = _mp4_full_box(
+            b"stco",
+            struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _mp4_full_box(b"vmhd", struct.pack(">Hhhh", 0, 0, 0, 0), flags=1)
+        dref = _mp4_full_box(
+            b"dref", struct.pack(">I", 1) + _mp4_full_box(b"url ", b"", flags=1)
+        )
+        dinf = _mp4_box(b"dinf", dref)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdhd = _mp4_full_box(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _mp4_full_box(
+            b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"video\x00"
+        )
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _mp4_full_box(
+            b"tkhd",
+            struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+            flags=7,
+        )
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        mvhd = (
+            struct.pack(">B3x", 0)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">i", 0x00010000)
+            + struct.pack(">h", 0x0100)
+            + b"\x00" * 10
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2)
+        )
+        moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+        ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        return ftyp + moov + struct.pack(">I", len(mdat_body) + 8) + b"mdat" + mdat_body
+
+    placeholder = build([0] * len(chunk_sizes))
+    mdat_payload_start = len(placeholder) - len(mdat_body)
+    offsets = []
+    off = mdat_payload_start
+    for size in chunk_sizes:
+        offsets.append(off)
+        off += size * sample_size
+    return build(offsets)
+
+
+def _mp4_find(payload: bytes, path: list[bytes], pos: int = 0, end: int | None = None):
+    """First box at the given path; returns (body_start, body_end) or None."""
+    if end is None:
+        end = len(payload)
+    head, rest = path[0], path[1:]
+    for btype, b0, b1 in _iter_boxes(payload, pos, end):
+        if btype == head:
+            if not rest:
+                return b0, b1
+            return _mp4_find(payload, rest, b0, b1)
+    return None
+
+
+def decode_mp4_video(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """ISO BMFF -> (fps, frames) for an uncompressed-RGB24 ('raw ')
+    video track by resolving the REAL sample tables: stsd (dims +
+    codec), stts (timing), stsc (samples-per-chunk runs), stco (chunk
+    offsets), stsz (sizes). Compressed codecs (avc1/hvc1/...) raise —
+    register an external decoder via multimodal.set_decoder for those;
+    the container walk is identical either way."""
+    if sniff_format(payload) != "mp4":
+        raise ValueError("not an MP4 payload (missing ftyp)")
+    # locate the video track: trak whose hdlr handler_type is 'vide'
+    moov = _mp4_find(payload, [b"moov"])
+    if moov is None:
+        raise ValueError("MP4 payload has no moov")
+    stbl = None
+    for btype, t0, t1 in _iter_boxes(payload, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _mp4_find(payload, [b"mdia"], t0, t1)
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(payload, [b"hdlr"], *mdia)
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_find(payload, [b"mdhd"], *mdia)
+        stbl = _mp4_find(payload, [b"minf", b"stbl"], *mdia)
+        break
+    if stbl is None:
+        raise ValueError("MP4 payload has no video track sample table")
+
+    def full_box(name: bytes):
+        loc = _mp4_find(payload, [name], *stbl)
+        if loc is None:
+            raise ValueError(f"MP4 video track missing {name.decode()}")
+        return loc[0] + 4  # skip version+flags
+
+    # stsd: codec + dims
+    p = full_box(b"stsd")
+    (n_entries,) = struct.unpack_from(">I", payload, p)
+    entry_size, fourcc = struct.unpack_from(">I4s", payload, p + 4)
+    if fourcc != b"raw ":
+        raise ValueError(
+            f"MP4 codec {fourcc.decode('latin-1')!r} requires an external "
+            "decoder (multimodal.set_decoder); built-in decode covers 'raw '"
+        )
+    w, h = struct.unpack_from(">HH", payload, p + 4 + 8 + 8 + 16)
+    depth = struct.unpack_from(">H", payload, p + 4 + 8 + 8 + 16 + 4 + 8 + 4 + 2 + 32)[0]
+    if depth != 24:
+        raise ValueError(f"only 24-bit RGB supported, got depth={depth}")
+
+    # mdhd timescale -> fps from stts delta
+    version = payload[mdhd[0]]
+    if version == 1:
+        (timescale,) = struct.unpack_from(">I", payload, mdhd[0] + 4 + 16)
+    else:
+        (timescale,) = struct.unpack_from(">I", payload, mdhd[0] + 4 + 8)
+    p = full_box(b"stts")
+    (n_stts,) = struct.unpack_from(">I", payload, p)
+    deltas: list[int] = []
+    for i in range(n_stts):
+        cnt, delta = struct.unpack_from(">II", payload, p + 4 + 8 * i)
+        deltas += [delta] * cnt
+    fps = int(round(timescale / deltas[0])) if deltas and deltas[0] else 0
+
+    # stsz sizes
+    p = full_box(b"stsz")
+    fixed, n_samples = struct.unpack_from(">II", payload, p)
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", payload, p + 8))
+
+    # stsc runs -> samples per chunk
+    p = full_box(b"stsc")
+    (n_stsc,) = struct.unpack_from(">I", payload, p)
+    runs = [struct.unpack_from(">III", payload, p + 4 + 12 * i) for i in range(n_stsc)]
+
+    # stco chunk offsets
+    p = full_box(b"stco")
+    (n_chunks,) = struct.unpack_from(">I", payload, p)
+    offsets = list(struct.unpack_from(f">{n_chunks}I", payload, p + 4))
+
+    frames: list[np.ndarray] = []
+    si = 0
+    for ci in range(n_chunks):
+        spc = 0
+        for ri, (first_chunk, samples, _sdi) in enumerate(runs):
+            if ci + 1 >= first_chunk:
+                spc = samples
+        off = offsets[ci]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            raw = payload[off : off + sizes[si]]
+            if len(raw) != h * w * 3:
+                raise ValueError("MP4 sample size does not match stsd dims")
+            frames.append(
+                np.frombuffer(raw, np.uint8).reshape(h, w, 3).copy()
+            )
+            off += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError("MP4 chunk walk did not cover all samples")
+    return fps, frames
+
+
+def mp4_frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
+    """The video frame covering ``ts_ms`` (stts timing; clamped to the
+    last frame like the AVI path)."""
+    fps, frames = decode_mp4_video(payload)
+    if not frames:
+        raise ValueError("MP4 has no video samples")
+    idx = min(int(ts_ms * fps // 1000), len(frames) - 1) if fps else 0
+    return frames[max(idx, 0)]
 
 
 #: MPEG-1 Layer III bitrate (kbps) and sample-rate tables (index 1..14)

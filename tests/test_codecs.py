@@ -407,6 +407,54 @@ def test_mp4_probe_round_trip():
         codecs.probe_mp4(b"not an mp4 file")
 
 
+def test_mp4_video_sample_table_round_trip():
+    """encode_mp4_video writes full stsd/stts/stsc/stsz/stco tables;
+    decode_mp4_video must resolve them back to identical frames —
+    including a multi-run stsc (odd frame count over fixed-size
+    chunks)."""
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (12, 16, 3), dtype=np.uint8) for _ in range(7)]
+    for spc in (1, 2, 3, 7):
+        payload = codecs.encode_mp4_video(frames, fps=5, samples_per_chunk=spc)
+        fps, dec = codecs.decode_mp4_video(payload)
+        assert fps == 5
+        assert len(dec) == 7
+        assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    # the metadata probe agrees with the real track
+    got = codecs.probe_mp4(payload)
+    assert got["width"] == 16 and got["height"] == 12
+    assert got["duration_ms"] == 1400
+
+
+def test_mp4_frame_sampling_and_features():
+    rng = np.random.default_rng(22)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(5)]
+    payload = codecs.encode_mp4_video(frames, fps=10)
+    # 250 ms at 10 fps -> frame 2; far beyond the end clamps to last
+    assert np.array_equal(codecs.mp4_frame_at(payload, 250), frames[2])
+    assert np.array_equal(codecs.mp4_frame_at(payload, 99_999), frames[-1])
+    bmp = codecs.sample_frame(payload, 250)
+    assert np.array_equal(codecs.decode_bmp(bmp), frames[2])
+    feats = codecs.decode_features(payload, "video")
+    assert feats[-2:] == [5.0, 10.0]
+
+
+def test_mp4_video_rejects_compressed_and_malformed():
+    with pytest.raises(ValueError, match="ftyp"):
+        codecs.decode_mp4_video(b"junk")
+    # a metadata-only skeleton has no video sample table
+    with pytest.raises(ValueError, match="sample table"):
+        codecs.decode_mp4_video(codecs.encode_mp4_skeleton(1000, width=4, height=4))
+    # rewrite the codec fourcc to avc1: must raise with guidance
+    frames = [np.zeros((8, 8, 3), np.uint8)]
+    payload = codecs.encode_mp4_video(frames, fps=1)
+    hacked = payload.replace(b"raw ", b"avc1", 1)
+    with pytest.raises(ValueError, match="set_decoder"):
+        codecs.decode_mp4_video(hacked)
+    with pytest.raises(ValueError):
+        codecs.encode_mp4_video([])
+
+
 def test_mp3_probe_frames_and_id3():
     m = codecs.encode_mp3_frames(38, bitrate_kbps=160, samplerate=44100)
     got = codecs.probe_mp3(m)
