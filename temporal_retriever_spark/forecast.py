@@ -880,21 +880,28 @@ def forecast_prophet(
     ts_col: str = "ds",
     value_col: str = "y",
     growth: str = "linear",
+    cap: float | None = None,
+    floor: float | None = None,
     changepoint_prior_scale: float = 0.05,
     uncertainty_samples: int = 1000,
     backend: str = "auto",
 ) -> DataFrame:
-    """W3/W5 with the reference's model (app.py:124-138).
+    """W3/W5 with the reference's model (app.py:124-138, saturating
+    app.py:442-487).
 
     One Prophet fit per series inside a grouped pandas UDF — the
     executor-side mirror of the reference's per-request fit.
+    ``growth="logistic"`` requires ``cap`` (and optionally ``floor``),
+    injected as the per-row columns Prophet expects — exactly how the
+    reference sets ``data["cap"]/data["floor"]`` from request knobs
+    (app.py:445-447).
 
     ``backend``:
 
     * ``"auto"`` — the real prophet library when installed, else the
       vendored Stan-free MAP fit (``prophet_map.ProphetMAP``: identical
       model form, priors, changepoint grid, seasonality rules, and MC
-      uncertainty scheme; deterministic seeding).
+      uncertainty scheme — both growth modes; deterministic seeding).
     * ``"prophet"`` — require the real library (raises if absent).
     * ``"map"`` — force the vendored backend (used by tests so the
       numerics path is exercised regardless of the environment).
@@ -908,11 +915,8 @@ def forecast_prophet(
         )
     if backend == "auto":
         backend = "prophet" if prophet_available() else "map"
-    if backend == "map" and growth != "linear":
-        raise NotImplementedError(
-            "vendored MAP backend implements linear growth; saturating "
-            "growth has a native path (forecast_linear_seasonal saturating=True)"
-        )
+    if growth == "logistic" and cap is None:
+        raise ValueError("growth='logistic' requires cap (app.py:445-447)")
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     series_cols = list(series_cols)
@@ -940,9 +944,24 @@ def forecast_prophet(
             uncertainty_samples=uncertainty_samples,
         )
         frame = pdf.rename(columns={ts_col: "ds", value_col: "y"})[["ds", "y"]]
+        if growth == "logistic":
+            frame["cap"] = cap
+            if floor is not None:
+                frame["floor"] = floor
         model.fit(frame)
         future = model.make_future_dataframe(periods=horizon, freq=freq)
-        out = model.predict(future)[["ds", "yhat", "yhat_lower", "yhat_upper"]]
+        if growth == "logistic":
+            future["cap"] = cap
+            if floor is not None:
+                future["floor"] = floor
+        out = model.predict(future)
+        if "yhat_lower" not in out.columns:
+            # uncertainty_samples=0: Prophet (and the MAP backend) omit
+            # the band columns; the stable output schema keeps them as
+            # degenerate bands at yhat
+            out["yhat_lower"] = out["yhat"]
+            out["yhat_upper"] = out["yhat"]
+        out = out[["ds", "yhat", "yhat_lower", "yhat_upper"]]
         out = out.rename(columns={"ds": ts_col})
         for c in series_cols:
             out[c] = pdf[c].iloc[0]

@@ -220,6 +220,119 @@ def test_spark_grouped_map_backend(spark):
     )
 
 
+# -- logistic (saturating) growth ------------------------------------------
+
+
+def _logistic_frame(n=120, cap=100.0, rate=6.0, mid=0.4, floor=0.0,
+                    weekly_amp=3.0, noise=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    ds = pd.date_range("2024-01-01", periods=n, freq="D")
+    t = np.arange(n) / (n - 1)
+    trend = floor + (cap - floor) / (1 + np.exp(-rate * (t - mid)))
+    y = trend + weekly_amp * np.sin(2 * np.pi * np.arange(n) / 7)
+    y = y + rng.normal(0, noise, n)
+    out = pd.DataFrame({"ds": ds, "y": y, "cap": cap})
+    if floor:
+        out["floor"] = floor
+    return out
+
+
+def test_logistic_gradient_matches_finite_differences():
+    df = _logistic_frame(n=80)
+    m = ProphetMAP(growth="logistic", uncertainty_samples=0).fit(df)
+    fg = m._logistic_fg(m.params["sigma_obs"])
+    rng = np.random.default_rng(5)
+    p = m.params
+    theta = np.concatenate([[p["k"], p["m"]], p["delta"], p["beta"]])
+    # evaluate away from |δ| kinks so the FD of the full objective is smooth
+    th = theta + rng.normal(0, 0.05, len(theta)) + 0.01
+    _, g = fg(th)
+    eps = 1e-6
+    for j in range(len(th)):
+        e = np.zeros_like(th)
+        e[j] = eps
+        fp, _ = fg(th + e)
+        fm, _ = fg(th - e)
+        fd = (fp - fm) / (2 * eps)
+        assert g[j] == pytest.approx(fd, rel=1e-4, abs=1e-5), j
+
+
+def test_logistic_kkt_near_optimality():
+    df = _logistic_frame(n=120)
+    m = ProphetMAP(growth="logistic", uncertainty_samples=0).fit(df)
+    fg = m._logistic_fg(m.params["sigma_obs"])
+    p = m.params
+    theta = np.concatenate([[p["k"], p["m"]], p["delta"], p["beta"]])
+    _, g = fg(theta)
+    lam = 1.0 / 0.05
+    S = len(p["delta"])
+    # smooth coordinates stationary (tolerance covers the projected
+    # quasi-Newton stop, not coordinate-exact like the linear branch)
+    assert np.abs(g[:2]).max() < 1e-1
+    assert np.abs(g[2 + S:]).max() < 1e-1
+    for j in range(S):
+        d, gj = theta[2 + j], g[2 + j]
+        if d != 0.0:
+            assert abs(gj) < 1e-1, j  # g includes the λ·sign term
+        else:
+            assert abs(gj) <= lam + 1e-1, j  # |smooth| ≤ λ at zero
+    # most changepoints inactive on a single smooth S-curve
+    assert int((theta[2:2 + S] == 0.0).sum()) >= S - 5
+
+
+def test_logistic_recovers_curve_and_saturates():
+    cap = 100.0
+    df = _logistic_frame(n=140, cap=cap, noise=0.3)
+    m = ProphetMAP(growth="logistic", uncertainty_samples=0).fit(df)
+    pred = m.predict()
+    mae = float(np.abs(pred["yhat"].to_numpy() - df["y"].to_numpy()).mean())
+    assert mae < 1.0  # vs a 0→100 S-curve
+    fut = m.make_future_dataframe(90, include_history=False)
+    fut["cap"] = cap
+    fp = m.predict(fut)
+    trend = fp["trend"].to_numpy()
+    assert trend[-1] <= cap + 1e-6
+    assert trend[-1] > 0.97 * cap  # approaches the ceiling
+    assert np.all(np.diff(trend) > -1e-6)  # monotone approach
+
+
+def test_logistic_floor_shifts_the_curve():
+    df = _logistic_frame(n=120, cap=120.0, floor=20.0, noise=0.3)
+    m = ProphetMAP(growth="logistic", uncertainty_samples=0,
+                   weekly_seasonality=False).fit(df)
+    pred = m.predict()
+    assert pred["trend"].min() >= 20.0 - 1e-6
+    assert pred["trend"].max() <= 120.0 + 1e-6
+    mae = float(np.abs(pred["yhat"].to_numpy() - df["y"].to_numpy()).mean())
+    assert mae < 3.5  # weekly component left unmodeled on purpose
+
+
+def test_logistic_requires_cap():
+    df = _logistic_frame(n=30).drop(columns=["cap"])
+    with pytest.raises(ValueError, match="cap"):
+        ProphetMAP(growth="logistic", uncertainty_samples=0).fit(df)
+
+
+def test_spark_logistic_map_backend(spark):
+    from temporal_retriever_spark.forecast import forecast_prophet
+
+    pdf = pd.concat([
+        _logistic_frame(n=50, seed=1)[["ds", "y"]].assign(series_id="a"),
+        _logistic_frame(n=50, seed=2)[["ds", "y"]].assign(series_id="b"),
+    ])
+    df = spark.createDataFrame(pdf[["series_id", "ds", "y"]])
+    out = forecast_prophet(
+        df, grain="D", horizon=5, backend="map", growth="logistic",
+        cap=100.0, floor=0.0, uncertainty_samples=50,
+    )
+    rows = out.collect()
+    assert len(rows) == 2 * 55
+    assert all(r["yhat"] <= 100.0 + 5.0 for r in rows)  # bands can wobble
+    with pytest.raises(ValueError, match="cap"):
+        forecast_prophet(df, grain="D", horizon=5, backend="map",
+                         growth="logistic")
+
+
 def test_matches_real_prophet_when_available():
     prophet = pytest.importorskip("prophet")
     df = _daily_frame(n=150, noise=0.3)
