@@ -1543,7 +1543,12 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
     if kind == "avi":
         fps, frames = decode_avi(payload)
         return encode_avi([resize_nearest(f, width, height) for f in frames], fps=fps)
-    raise ValueError("resize supports BMP, PNG, JPEG and AVI payloads")
+    if kind == "mp4":
+        fps, frames = decode_mp4_video(payload)
+        return encode_mp4_video(
+            [resize_nearest(f, width, height) for f in frames], fps=fps
+        )
+    raise ValueError("resize supports BMP, PNG, JPEG, AVI and MP4 payloads")
 
 
 def sample_frame(payload: bytes, ts_ms: int) -> bytes:

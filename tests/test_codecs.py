@@ -583,3 +583,14 @@ def test_png_crc_verification():
     corrupted[idat_at + 8] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         codecs.decode_png(bytes(corrupted), verify_crc=True)
+
+
+def test_mp4_resize_payload():
+    rng = np.random.default_rng(23)
+    frames = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)]
+    payload = codecs.encode_mp4_video(frames, fps=4)
+    resized = codecs.resize_payload(payload, 8, 8)
+    fps, dec = codecs.decode_mp4_video(resized)
+    assert fps == 4 and len(dec) == 3
+    assert dec[0].shape == (8, 8, 3)
+    assert np.array_equal(dec[1], codecs.resize_nearest(frames[1], 8, 8))
