@@ -13249,16 +13249,25 @@ def oracle_sql() -> dict[str, str]:
         "sessions_2h": f"""
             WITH e AS (SELECT event_type, ts AS ds, value AS y FROM events
                        WHERE event_type IN ('click', 'view')),
-            m AS (SELECT event_type, ds, y,
+            -- sessionize the DISTINCT timestamp stream: with duplicate
+            -- timestamps at a session boundary, lag() and the cumulative
+            -- SUM may otherwise pick DIFFERENT tie orders across their
+            -- two window sorts and leak a spurious session_seq=0 group
+            -- (observed on the replicated sf1 dataset); distinct ds per
+            -- partition makes both windows fully determined
+            dd AS (SELECT DISTINCT event_type, ds FROM e),
+            m AS (SELECT event_type, ds,
                 CASE WHEN lag(ds) OVER w IS NULL
                        OR ds >= lag(ds) OVER w + INTERVAL 2 HOUR
                      THEN 1 ELSE 0 END AS nw
-              FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
-            s AS (SELECT event_type, ds, y,
+              FROM dd WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+            sd AS (SELECT event_type, ds,
                 SUM(nw) OVER (PARTITION BY event_type ORDER BY ds
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS session_seq
-              FROM m)
+              FROM m),
+            s AS (SELECT e.event_type, e.ds, e.y, sd.session_seq
+              FROM e JOIN sd ON e.event_type = sd.event_type AND e.ds = sd.ds)
             SELECT event_type, CAST(session_seq AS BIGINT) AS session_seq,
                    MIN(ds) AS session_start,
                    MAX(ds) AS session_end,
@@ -13269,16 +13278,25 @@ def oracle_sql() -> dict[str, str]:
         "sessions_2h_streamed": f"""
             WITH e AS (SELECT event_type, ts AS ds, value AS y FROM events
                        WHERE event_type IN ('click', 'view')),
-            m AS (SELECT event_type, ds, y,
+            -- sessionize the DISTINCT timestamp stream: with duplicate
+            -- timestamps at a session boundary, lag() and the cumulative
+            -- SUM may otherwise pick DIFFERENT tie orders across their
+            -- two window sorts and leak a spurious session_seq=0 group
+            -- (observed on the replicated sf1 dataset); distinct ds per
+            -- partition makes both windows fully determined
+            dd AS (SELECT DISTINCT event_type, ds FROM e),
+            m AS (SELECT event_type, ds,
                 CASE WHEN lag(ds) OVER w IS NULL
                        OR ds >= lag(ds) OVER w + INTERVAL 2 HOUR
                      THEN 1 ELSE 0 END AS nw
-              FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
-            s AS (SELECT event_type, ds, y,
+              FROM dd WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+            sd AS (SELECT event_type, ds,
                 SUM(nw) OVER (PARTITION BY event_type ORDER BY ds
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS session_seq
-              FROM m)
+              FROM m),
+            s AS (SELECT e.event_type, e.ds, e.y, sd.session_seq
+              FROM e JOIN sd ON e.event_type = sd.event_type AND e.ds = sd.ds)
             SELECT event_type,
                    MIN(ds) AS session_start,
                    MAX(ds) AS session_end,
