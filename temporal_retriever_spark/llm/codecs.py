@@ -943,6 +943,7 @@ def encode_jpeg_progressive(
     quality: int = 85,
     subsampling: str = "4:4:4",
     scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w[, 3]) uint8 array -> progressive (SOF2) JFIF JPEG bytes.
 
@@ -954,7 +955,10 @@ def encode_jpeg_progressive(
     passes). Exists primarily so the progressive decoder has an
     in-container round-trip oracle: both encoders share quantized
     coefficients, so baseline and progressive decodes of the same image
-    must be pixel-identical."""
+    must be pixel-identical. ``restart_interval`` emits DRI + RSTn
+    markers (per MCU in interleaved DC scans, per block in
+    non-interleaved scans; EOB runs never span a restart) — exercising
+    the decoder's progressive restart path."""
     comp_blocks, factors, qsel, h, w, mcus_x, mcus_y, qlum, qchrom = _jpeg_prepare(
         arr, quality, subsampling
     )
@@ -976,54 +980,80 @@ def encode_jpeg_progressive(
 
     scan_payloads: list[bytes] = []
     for comp_idx, ss, se, ah, al in scans:
+        parts: list[bytes] = []
         bw = _JpegBitWriter()
+        rst_i = 0
+
+        def emit_restart():
+            # byte-align, emit RSTn (cycling 0-7), start a fresh writer
+            nonlocal bw, rst_i
+            parts.append(bw.flush())
+            parts.append(bytes([0xFF, 0xD0 + rst_i % 8]))
+            rst_i += 1
+            bw = _JpegBitWriter()
+
         if ss == 0:  # DC scan
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
             preds = {ci: 0 for ci in comp_idx}
             if len(comp_idx) > 1:
-                blocks_iter = (
-                    (ci, my * factors[ci][1] + v, mx * factors[ci][0] + u)
-                    for my in range(mcus_y)
-                    for mx in range(mcus_x)
-                    for ci in comp_idx
-                    for v in range(factors[ci][1])
-                    for u in range(factors[ci][0])
-                )
+                # interleaved: restart interval counts MCUs
+                mcus = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+                units = [
+                    [
+                        (ci, my * factors[ci][1] + v, mx * factors[ci][0] + u)
+                        for ci in comp_idx
+                        for v in range(factors[ci][1])
+                        for u in range(factors[ci][0])
+                    ]
+                    for my, mx in mcus
+                ]
             else:
+                # non-interleaved: restart interval counts blocks
                 ci0 = comp_idx[0]
                 bw_c, bh_c = comp_dims(ci0)
-                blocks_iter = (
-                    (ci0, by, bx) for by in range(bh_c) for bx in range(bw_c)
-                )
-            for ci, by, bx in blocks_iter:
-                dc = int(comp_blocks[ci][by, bx, 0])
-                if ah == 0:
-                    dt = dc_lum if qsel[ci] == 0 else dc_chrom
-                    val = dc >> al  # arithmetic shift (T.81 point transform)
-                    diff = val - preds[ci]
-                    preds[ci] = val
-                    s = _bit_size(diff)
-                    bw.write(*dt[s])
-                    if s:
-                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-                else:
-                    bw.write((dc >> al) & 1, 1)
-        else:  # AC scan: single component
+                units = [
+                    [(ci0, by, bx)] for by in range(bh_c) for bx in range(bw_c)
+                ]
+            for ui, unit in enumerate(units):
+                if restart_interval and ui and ui % restart_interval == 0:
+                    emit_restart()
+                    preds = {ci: 0 for ci in comp_idx}
+                for ci, by, bx in unit:
+                    dc = int(comp_blocks[ci][by, bx, 0])
+                    if ah == 0:
+                        dt = dc_lum if qsel[ci] == 0 else dc_chrom
+                        val = dc >> al  # arithmetic shift (T.81 point transform)
+                        diff = val - preds[ci]
+                        preds[ci] = val
+                        s = _bit_size(diff)
+                        bw.write(*dt[s])
+                        if s:
+                            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    else:
+                        bw.write((dc >> al) & 1, 1)
+        else:  # AC scan: single component, restart interval counts blocks
             if len(comp_idx) != 1:
                 raise ValueError("AC scan must be single-component")
             ci = comp_idx[0]
             bw_c, bh_c = comp_dims(ci)
             pw = _ProgressiveACWriter(bw, ac_prog)
+            ui = 0
             for by in range(bh_c):
                 for bx in range(bw_c):
+                    if restart_interval and ui and ui % restart_interval == 0:
+                        pw.flush_eob()  # EOB runs cannot span a restart
+                        emit_restart()
+                        pw = _ProgressiveACWriter(bw, ac_prog)
+                    ui += 1
                     zz = comp_blocks[ci][by, bx]
                     if ah == 0:
                         _encode_ac_first(pw, zz, ss, se, al)
                     else:
                         _encode_ac_refine(pw, zz, ss, se, al)
             pw.flush_eob()
-        scan_payloads.append(bw.flush())
+        parts.append(bw.flush())
+        scan_payloads.append(b"".join(parts))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -1046,6 +1076,8 @@ def encode_jpeg_progressive(
     if ncomp > 1:
         out += dqt(1, qchrom)
     out += seg(0xFFC2, sof_body)  # SOF2: progressive DCT
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += dht(0, 0, _HUFF_DC_LUM)
     if ncomp > 1:
         out += dht(0, 1, _HUFF_DC_CHROM)

@@ -594,3 +594,24 @@ def test_mp4_resize_payload():
     assert fps == 4 and len(dec) == 3
     assert dec[0].shape == (8, 8, 3)
     assert np.array_equal(dec[1], codecs.resize_nearest(frames[1], 8, 8))
+
+
+def test_progressive_restart_markers():
+    """DRI + RSTn inside progressive scans: per-MCU in interleaved DC
+    scans, per-block in non-interleaved AC scans, EOB runs flushed at
+    each boundary, predictors/EOBRUN reset — decode must still be
+    pixel-identical to baseline."""
+    rng = np.random.default_rng(31)
+    for shape, sub in (((37, 29, 3), "4:4:4"), ((37, 29, 3), "4:2:0"),
+                       ((24, 24), "4:4:4")):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=88, subsampling=sub)
+        )
+        for ri in (1, 3, 7):
+            prog = codecs.decode_jpeg(
+                codecs.encode_jpeg_progressive(
+                    img, quality=88, subsampling=sub, restart_interval=ri
+                )
+            )
+            assert np.array_equal(base, prog), (shape, sub, ri)
