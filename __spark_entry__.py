@@ -9589,6 +9589,67 @@ def _gains_oracle(n_bins: int = 10) -> str:
 
 
 
+
+def q_prophet_map_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendored Prophet-MAP backend (prophet_map.ProphetMAP) through the
+    grouped-UDF path, pinned by STRUCTURAL invariants the oracle can
+    compute relationally: per series the output must contain exactly the
+    history days plus `horizon` future days ending horizon days after the
+    last history day, and the MC bands must bracket yhat everywhere
+    (zero violations — deterministic under the backend's seeded RNG).
+    The fit numerics themselves are pinned by the KKT/objective tests in
+    tests/test_prophet_map.py (an iterative MAP optimizer has no honest
+    SQL mirror); this row makes the backend driver-checkable end-to-end.
+    Reference: app.py:124-138 (per-correlation Prophet fit)."""
+    from temporal_retriever_spark.forecast import forecast_prophet
+
+    ev = _events_long(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    daily = bucket_aggregate(
+        ev, grain="D", agg="sum", series_cols=("event_type",)
+    )
+    out = forecast_prophet(
+        daily, grain="D", horizon=7, series_cols=("event_type",),
+        backend="map", uncertainty_samples=100,
+    )
+    hist_max = daily.groupBy("event_type").agg(F.max("ds").alias("_hmax"))
+    return (
+        out.join(hist_max, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("ds") > F.col("_hmax"), 1).otherwise(0)).alias(
+                "n_future"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("yhat_lower") > F.col("yhat"))
+                    | (F.col("yhat") > F.col("yhat_upper")),
+                    1,
+                ).otherwise(0)
+            ).alias("band_violations"),
+            F.max("ds").alias("max_ds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROPHET_MAP_FORECAST_ORACLE = """
+WITH d AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) + 7 AS BIGINT) AS n_rows,
+       CAST(7 AS BIGINT) AS n_future,
+       CAST(0 AS BIGINT) AS band_violations,
+       CAST(MAX(day) + INTERVAL 7 DAY AS DATE) AS max_ds
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-stress row for salted_aggregate (aggregate.py): events are
     rekeyed so ~90% of rows collapse onto ONE hot key (event_id % 10 <
@@ -10000,6 +10061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_historical": q_split_historical,
         "split_future": q_split_future,
         "skew_salted_agg": q_skew_salted_agg,
+        "prophet_map_forecast": q_prophet_map_forecast,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -13469,4 +13531,5 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "skew_salted_agg": _SKEW_SALTED_AGG_ORACLE,
+        "prophet_map_forecast": _PROPHET_MAP_FORECAST_ORACLE,
     }
