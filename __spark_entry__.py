@@ -10065,8 +10065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
-    green = [k for k in base if k in set(_DRIVER_GREEN_R1_R4)]
-    fresh = [k for k in base if k not in set(_DRIVER_GREEN_R1_R4)]
+    green_set = set(_DRIVER_GREEN_R1_R4)
+    green = [k for k in base if k in green_set]
+    fresh = [k for k in base if k not in green_set]
     # promote media_decode_jpeg — whose gate now includes the progressive
     # (SOF2) decoder, VERDICT r4 item 6 — into the sample window in place
     # of keyness_by_source (family sibling of r4-green collocations_pmi)

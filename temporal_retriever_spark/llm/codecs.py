@@ -725,6 +725,19 @@ def _jpeg_prepare(arr: np.ndarray, quality: int, subsampling: str):
     return comp_blocks, factors, qsel, h, w, mcus_x, mcus_y, qlum, qchrom
 
 
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_dqt(tid: int, tab: np.ndarray) -> bytes:
+    return _jpeg_seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tab[_ZIGZAG]))
+
+
+def _jpeg_dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = spec
+    return _jpeg_seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
 def encode_jpeg(
     arr: np.ndarray,
     *,
@@ -774,16 +787,6 @@ def encode_jpeg(
     scan_parts.append(bw.flush())
     scan = b"".join(scan_parts)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dqt(tid: int, tab: np.ndarray) -> bytes:
-        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tab[_ZIGZAG]))
-
-    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
-        bits, vals = spec
-        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-
     ncomp = len(comp_blocks)
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
     sos_body = bytes([ncomp])
@@ -794,17 +797,17 @@ def encode_jpeg(
     sos_body += bytes([0, 63, 0])
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += dqt(0, qlum)
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_dqt(0, qlum)
     if ncomp > 1:
-        out += dqt(1, qchrom)
-    out += seg(0xFFC0, sof_body)
-    out += dht(0, 0, _HUFF_DC_LUM) + dht(1, 0, _HUFF_AC_LUM)
+        out += _jpeg_dqt(1, qchrom)
+    out += _jpeg_seg(0xFFC0, sof_body)
+    out += _jpeg_dht(0, 0, _HUFF_DC_LUM) + _jpeg_dht(1, 0, _HUFF_AC_LUM)
     if ncomp > 1:
-        out += dht(0, 1, _HUFF_DC_CHROM) + dht(1, 1, _HUFF_AC_CHROM)
+        out += _jpeg_dht(0, 1, _HUFF_DC_CHROM) + _jpeg_dht(1, 1, _HUFF_AC_CHROM)
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    out += seg(0xFFDA, sos_body)
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _jpeg_seg(0xFFDA, sos_body)
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -1055,41 +1058,31 @@ def encode_jpeg_progressive(
         parts.append(bw.flush())
         scan_payloads.append(b"".join(parts))
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dqt(tid: int, tab: np.ndarray) -> bytes:
-        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tab[_ZIGZAG]))
-
-    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
-        bits, vals = spec
-        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         fh, fv = factors[ci]
         sof_body += bytes([ci + 1, (fh << 4) | fv, qsel[ci]])
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += dqt(0, qlum)
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_dqt(0, qlum)
     if ncomp > 1:
-        out += dqt(1, qchrom)
-    out += seg(0xFFC2, sof_body)  # SOF2: progressive DCT
+        out += _jpeg_dqt(1, qchrom)
+    out += _jpeg_seg(0xFFC2, sof_body)  # SOF2: progressive DCT
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    out += dht(0, 0, _HUFF_DC_LUM)
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _jpeg_dht(0, 0, _HUFF_DC_LUM)
     if ncomp > 1:
-        out += dht(0, 1, _HUFF_DC_CHROM)
-    out += dht(1, 0, _HUFF_AC_PROG)
+        out += _jpeg_dht(0, 1, _HUFF_DC_CHROM)
+    out += _jpeg_dht(1, 0, _HUFF_AC_PROG)
     for (comp_idx, ss, se, ah, al), payload in zip(scans, scan_payloads):
         sos_body = bytes([len(comp_idx)])
         for ci in comp_idx:
             td = (0 if qsel[ci] == 0 else 1) if ss == 0 and ah == 0 else 0
-            ta = 0 if ss > 0 else 0
+            ta = 0  # every AC scan uses the shared progressive table 0
             sos_body += bytes([ci + 1, (td << 4) | ta])
         sos_body += bytes([ss, se, (ah << 4) | al])
-        out += seg(0xFFDA, sos_body)
+        out += _jpeg_seg(0xFFDA, sos_body)
         out += payload
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -1855,7 +1848,7 @@ def decode_mp4_video(payload: bytes) -> tuple[int, list[np.ndarray]]:
         mdhd = _mp4_find(payload, [b"mdhd"], *mdia)
         stbl = _mp4_find(payload, [b"minf", b"stbl"], *mdia)
         break
-    if stbl is None:
+    if stbl is None or mdhd is None:
         raise ValueError("MP4 payload has no video track sample table")
 
     def full_box(name: bytes):
@@ -1912,11 +1905,14 @@ def decode_mp4_video(payload: bytes) -> tuple[int, list[np.ndarray]]:
 
     frames: list[np.ndarray] = []
     si = 0
+    run_i = 0
+    spc = runs[0][1] if runs else 0
     for ci in range(n_chunks):
-        spc = 0
-        for ri, (first_chunk, samples, _sdi) in enumerate(runs):
-            if ci + 1 >= first_chunk:
-                spc = samples
+        # runs are sorted by first_chunk (spec); advance a cursor instead
+        # of rescanning all runs per chunk
+        while run_i + 1 < len(runs) and ci + 1 >= runs[run_i + 1][0]:
+            run_i += 1
+            spc = runs[run_i][1]
         off = offsets[ci]
         for _ in range(spc):
             if si >= n_samples:

@@ -659,12 +659,15 @@ class ProphetMAP:
                           sigma: float | None = None) -> float:
         """The MAP objective L (up to additive constants) — exposed so
         tests can pin optimality without a Stan binary."""
-        M, quad, l1_mask, lam = self._design_cache
         if theta is None:
             p = self.params
             theta = np.concatenate([[p["k"], p["m"]], p["delta"], p["beta"]])
         if sigma is None:
             sigma = self.params["sigma_obs"]
+        if self._design_cache is None:  # logistic branch: reuse the fit closure
+            f, _ = self._logistic_fg(sigma)(np.asarray(theta, dtype=float))
+            return float(f)
+        M, quad, l1_mask, lam = self._design_cache
         y_s = (self.history["y"] / self.y_scale).to_numpy(dtype=float)
         resid = y_s - M @ theta
         n = len(y_s)

@@ -348,3 +348,14 @@ def test_matches_real_prophet_when_available():
     # both are MAP optima of the same posterior; tolerance covers the
     # different optimizers (Stan LBFGS vs coordinate descent)
     assert diff.max() / scale < 0.02
+
+
+def test_logistic_neg_log_posterior_exposed():
+    df = _logistic_frame(n=40)
+    m = ProphetMAP(growth="logistic", uncertainty_samples=0).fit(df)
+    f = m.neg_log_posterior()
+    assert isinstance(f, float) and np.isfinite(f)
+    # perturbing the solution does not decrease the objective
+    p = m.params
+    theta = np.concatenate([[p["k"], p["m"]], p["delta"], p["beta"]])
+    assert m.neg_log_posterior(theta + 1e-3) >= f - 1e-6

@@ -95,8 +95,13 @@ def scale_lineitem(spark, factor):
 def scale_documents(spark, factor):
     d = read_table(spark, f"{SRC}/documents.parquet")
     rep = F.col("rep")
-    tag = F.concat(F.lit("zq"), rep.cast("string"), F.lit("x"),
-                   (F.col("doc_id") % 97).cast("string"))
+    # tag depends ONLY on the replica: both members of a planted
+    # near-dup pair get the SAME splice inside a replica (pair survives,
+    # so candidates scale ~linearly with the factor), while different
+    # replicas share no shingles (no replica cliques). A per-doc tag
+    # component would destroy in-replica pairs and dilute the near-dup
+    # workload instead of scaling it.
+    tag = F.concat(F.lit("zq"), rep.cast("string"), F.lit("z"))
     words = F.split(F.col("text"), " ")
     # splice the replica tag before every 2nd word: every 3-shingle of a
     # replica then contains a tag token, so replicas share no shingles
