@@ -1,0 +1,160 @@
+"""Count-Min / Bloom sketches: exact mirror vs a Python reference
+(same md5 hash family), CM guarantee, mergeability, no false
+negatives."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_retriever_spark.llm.sketch import (
+    bloom_build,
+    bloom_contains,
+    bloom_merge,
+    cms_build,
+    cms_merge,
+    cms_query,
+)
+
+
+def _h(value, seed: int, modulus: int) -> int:
+    return (
+        int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:8], 16) % modulus
+    )
+
+
+def _py_cms(values, depth, width, weights=None):
+    sketch = Counter()
+    weights = weights or [1.0] * len(values)
+    for v, w in zip(values, weights):
+        for i in range(depth):
+            sketch[(i, _h(v, i, width))] += w
+    return sketch
+
+
+def _py_cms_est(sketch, value, depth, width):
+    return min(sketch.get((i, _h(value, i, width)), 0.0) for i in range(depth))
+
+
+WORDS = ["apple", "pear", "apple", "plum", "apple", "pear", "kiwi", "fig"]
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    return spark.createDataFrame([(w,) for w in WORDS], ["word"])
+
+
+def test_cms_exact_mirror_of_python_reference(spark, words_df):
+    depth, width = 3, 16  # narrow on purpose: collisions must match too
+    sk = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in cms_build(words_df, "word", depth=depth, width=width).collect()
+    }
+    assert sk == dict(_py_cms(WORDS, depth, width))
+
+
+def test_cms_query_guarantee_and_exactness(spark, words_df):
+    depth, width = 4, 2048
+    sk = cms_build(words_df, "word", depth=depth, width=width)
+    probes = spark.createDataFrame(
+        [("apple",), ("pear",), ("plum",), ("kiwi",), ("fig",), ("durian",)],
+        ["word"],
+    )
+    got = {
+        r.word: r.cms_est
+        for r in cms_query(sk, probes, "word", depth=depth, width=width).collect()
+    }
+    true = Counter(WORDS)
+    for w, est in got.items():
+        assert est >= true[w]  # CM never underestimates
+    # width 2048 over 5 distinct items: no collisions -> exact
+    assert got == {w: float(true[w]) for w in got}
+    assert got["durian"] == 0.0  # unseen item
+
+
+def test_cms_merge_equals_whole(spark):
+    depth, width = 3, 32
+    a = spark.createDataFrame([(w,) for w in WORDS[:4]], ["word"])
+    b = spark.createDataFrame([(w,) for w in WORDS[4:]], ["word"])
+    whole = spark.createDataFrame([(w,) for w in WORDS], ["word"])
+    merged = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in cms_merge(
+            cms_build(a, "word", depth=depth, width=width),
+            cms_build(b, "word", depth=depth, width=width),
+        ).collect()
+    }
+    full = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in cms_build(whole, "word", depth=depth, width=width).collect()
+    }
+    assert merged == full
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 3.0), ("b", 1.5)], ["word", "w"]
+    )
+    sk = cms_build(df, "word", depth=2, width=64, weight_col="w")
+    probes = spark.createDataFrame([("a",), ("b",)], ["word"])
+    got = {
+        r.word: r.cms_est
+        for r in cms_query(sk, probes, "word", depth=2, width=64).collect()
+    }
+    assert got == {"a": 5.0, "b": 1.5}
+
+
+def test_bloom_no_false_negatives_and_mirror(spark, words_df):
+    m, k = 256, 3
+    bf = bloom_build(words_df, "word", num_bits=m, num_hashes=k)
+    bits = {r.bit for r in bf.collect()}
+    py_bits = {_h(w, i, m) for w in WORDS for i in range(k)}
+    assert bits == py_bits
+    probes = spark.createDataFrame(
+        [(w,) for w in ["apple", "pear", "plum", "kiwi", "fig", "durian", "mango"]],
+        ["word"],
+    )
+    got = {
+        r.word: r.maybe_present
+        for r in bloom_contains(bf, probes, "word", num_bits=m, num_hashes=k).collect()
+    }
+    for w in set(WORDS):
+        assert got[w] is True  # no false negatives
+    for w in ("durian", "mango"):  # mirror: verdict == python bloom verdict
+        assert got[w] == all(_h(w, i, m) in py_bits for i in range(k))
+
+
+def test_bloom_merge_is_union(spark):
+    m, k = 128, 4
+    a = spark.createDataFrame([("x",), ("y",)], ["v"])
+    b = spark.createDataFrame([("z",)], ["v"])
+    merged = {
+        r.bit
+        for r in bloom_merge(
+            bloom_build(a, "v", num_bits=m, num_hashes=k),
+            bloom_build(b, "v", num_bits=m, num_hashes=k),
+        ).collect()
+    }
+    whole = {
+        r.bit
+        for r in bloom_build(
+            spark.createDataFrame([("x",), ("y",), ("z",)], ["v"]),
+            "v",
+            num_bits=m,
+            num_hashes=k,
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_bloom_null_and_bad_geometry(spark):
+    df = spark.createDataFrame([("x",), (None,)], "v: string")
+    bf = bloom_build(df, "v", num_bits=64, num_hashes=2)
+    assert bf.count() <= 2  # only "x" contributes
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", num_bits=0)
+    with pytest.raises(ValueError):
+        cms_build(df, "v", depth=0)
