@@ -9819,6 +9819,71 @@ ORDER BY v.c_custkey
 """
 
 
+def q_haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar DWT pyramid (wavelet.py) of the daily value-sum series per
+    event_type, 4 levels: one row per (series, level, k) with the
+    approximation (pairwise-mean) and detail (half-difference)
+    coefficients. The oracle unrolls the identical pyramid as chained
+    CTEs; both sides truncate each series to its largest power-of-two
+    prefix with the same epsilon-guarded floor(log2(n)). Rounded at 3
+    decimals with the shared offset (daily sums reach ~1e4 where
+    summation order leaves ulp drift)."""
+    from temporal_retriever_spark.wavelet import haar_dwt
+
+    got = haar_dwt(
+        _events_daily_all(spark, sf_dir),
+        series_cols=("event_type",),
+        order_col="ds",
+        value_col="y",
+        levels=4,
+    )
+    return got.select(
+        "event_type",
+        "level",
+        "k",
+        F.round(F.col("approx") + F.lit(_ROUND_OFFSET), 3).alias("approx"),
+        F.round(F.col("detail") + F.lit(_ROUND_OFFSET), 3).alias("detail"),
+    ).orderBy("event_type", "level", "k")
+
+
+def _haar_daily_oracle() -> str:
+    head = """
+WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+    FROM events GROUP BY 1, 2
+),
+ix AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS idx,
+           y,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM s
+),
+lvl0 AS (
+    SELECT event_type, idx, y, 0.0 AS d
+    FROM ix WHERE idx < POWER(2, FLOOR(LOG2(n) + 1e-9))
+)"""
+    lvls = "".join(
+        f""",
+lvl{l} AS (
+    SELECT event_type, idx // 2 AS idx,
+           (MAX(CASE WHEN idx % 2 = 0 THEN y END)
+            + MAX(CASE WHEN idx % 2 = 1 THEN y END)) / 2 AS y,
+           (MAX(CASE WHEN idx % 2 = 0 THEN y END)
+            - MAX(CASE WHEN idx % 2 = 1 THEN y END)) / 2 AS d
+    FROM lvl{l - 1} GROUP BY 1, 2 HAVING COUNT(*) = 2
+)"""
+        for l in range(1, 5)
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT event_type, {l} AS level, idx AS k,"
+        f" ROUND(y + {_ROUND_OFFSET!r}, 3) AS approx,"
+        f" ROUND(d + {_ROUND_OFFSET!r}, 3) AS detail FROM lvl{l}"
+        for l in range(1, 5)
+    )
+    return f"{head}{lvls}\n{sel}\nORDER BY event_type, level, k"
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -10178,6 +10243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prophet_map_forecast": q_prophet_map_forecast,
         "cms_user_counts": q_cms_user_counts,
         "bloom_probe_customers": q_bloom_probe_customers,
+        "haar_daily": q_haar_daily,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -13651,4 +13717,5 @@ def oracle_sql() -> dict[str, str]:
         "prophet_map_forecast": _PROPHET_MAP_FORECAST_ORACLE,
         "cms_user_counts": _CMS_USER_COUNTS_ORACLE,
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
+        "haar_daily": _haar_daily_oracle(),
     }
