@@ -155,17 +155,24 @@ def asof_join(
         from temporal_retriever_spark.rolling import warn_keyless
 
         warn_keyless("asof_join")
-    wbase = (
-        Window.partitionBy(*on) if on else Window.partitionBy(F.lit(1))
-    ).orderBy(ts_col, _SIDE)
+    part = Window.partitionBy(*on) if on else Window.partitionBy(F.lit(1))
+    wbase = part.orderBy(ts_col, _SIDE)
     w_bwd = wbase.rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = wbase.rowsBetween(0, Window.unboundedFollowing)
+    # forward lookup = backward lookup under the REVERSED sort: Spark
+    # rescans unboundedFollowing frames per row (O(n^2) per key
+    # partition); the reversed growing frame is incremental. At equal
+    # ts the desc side order puts rights AFTER the left row, so the
+    # forward frame still sees strictly-later rights only — same
+    # semantics as the ascending [current, following) frame.
+    w_fwd = part.orderBy(F.desc(ts_col), F.desc(_SIDE)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     carried = unioned.withColumn(
         _MB, F.last(_PAY, ignorenulls=True).over(w_bwd)
     )
     if direction != "backward":
         carried = carried.withColumn(
-            _MF, F.first(_PAY, ignorenulls=True).over(w_fwd)
+            _MF, F.last(_PAY, ignorenulls=True).over(w_fwd)
         )
     lts = F.col(ts_col).cast("timestamp")
     if direction == "backward":

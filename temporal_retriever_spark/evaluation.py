@@ -453,10 +453,13 @@ def isotonic_calibration(
         .orderBy("_i")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # suffix-min as a reversed growing frame (_j is unique per (_i,key)
+    # so row order is total): unboundedFollowing frames are rescanned
+    # per row by Spark — O(n^2) in the partition.
     runmin = (
         Window.partitionBy(*kcols, "_i")
-        .orderBy("_j")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("_j"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fitted = (
         pairs.withColumn("_a", F.max("_avg").over(runmax))

@@ -363,7 +363,16 @@ def fill_gaps(
     else:
         w = _series_window(series_cols, ts_col)
         prev_w = w.rowsBetween(Window.unboundedPreceding, 0)
-        next_w = w.rowsBetween(0, Window.unboundedFollowing)
+        # next-observation lookup via the reversed growing frame (grid
+        # ts is unique per series, so reversal is exact): a frame
+        # ending at unboundedFollowing is rescanned per row by Spark —
+        # O(n^2) in the series length.
+        cols = list(series_cols)
+        next_w = (
+            (Window.partitionBy(*cols) if cols else Window.partitionBy(F.lit(1)))
+            .orderBy(F.desc(ts_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         obs = F.when(
             F.col(value_col).isNotNull(),
             F.struct(
@@ -378,7 +387,7 @@ def fill_gaps(
             filled = F.coalesce(F.col(value_col), F.col("_prev.v"))
         else:
             dense = dense.withColumn(
-                "_next", F.first(obs, ignorenulls=True).over(next_w)
+                "_next", F.last(obs, ignorenulls=True).over(next_w)
             )
             t = F.col(ts_col).cast("timestamp")
             p_t, p_v = F.col("_prev.t"), F.col("_prev.v")
