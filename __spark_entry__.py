@@ -9884,6 +9884,80 @@ lvl{l} AS (
     return f"{head}{lvls}\n{sel}\nORDER BY event_type, level, k"
 
 
+def q_seq_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSP-style sequential pattern supports (funnel.sequential_patterns)
+    over the events stream, lengths 1-3, min_support 0.1: a user
+    supports a>b>c iff events of those types occur at strictly
+    increasing timestamps (non-contiguous — contrast path_ngrams). The
+    oracle replays the identical greedy reduction (earliest-a <
+    some-b < latest-c) on the per-user (item, min_ts, max_ts) profile.
+    max_items=50 is inert at the events vocabulary (5 types), so the
+    oracle omits the frequent-item cap."""
+    from temporal_retriever_spark.funnel import sequential_patterns
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = sequential_patterns(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        item_col="event_type",
+        max_len=3,
+        min_support=0.1,
+    )
+    return got.select(
+        "pattern",
+        "length",
+        "support_count",
+        F.round(F.col("support_frac") + F.lit(_ROUND_OFFSET), 6).alias(
+            "support_frac"
+        ),
+    ).orderBy("pattern")
+
+
+_SEQ_PATTERNS_EVENTS_ORACLE = f"""
+WITH ui AS (
+    SELECT user_id, event_type AS item, MIN(ts) AS mn, MAX(ts) AS mx
+    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+l1 AS (
+    SELECT item AS pattern, 1 AS length,
+           CAST(COUNT(*) AS BIGINT) AS support_count
+    FROM ui GROUP BY 1
+),
+l2 AS (
+    SELECT a.item || '>' || b.item AS pattern, 2 AS length,
+           CAST(COUNT(*) AS BIGINT) AS support_count
+    FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.mn < b.mx
+    GROUP BY 1
+),
+l3u AS (
+    SELECT DISTINCT g.user_id, g.ai, e.event_type AS bi, g.ci
+    FROM (
+        SELECT a.user_id, a.item AS ai, c.item AS ci, a.mn, c.mx
+        FROM ui a JOIN ui c ON a.user_id = c.user_id AND a.mn < c.mx
+    ) g
+    JOIN events e
+      ON e.user_id = g.user_id AND e.ts > g.mn AND e.ts < g.mx
+),
+l3 AS (
+    SELECT ai || '>' || bi || '>' || ci AS pattern, 3 AS length,
+           CAST(COUNT(*) AS BIGINT) AS support_count
+    FROM l3u GROUP BY 1
+),
+u AS (
+    SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+)
+SELECT pattern, length, support_count,
+       ROUND(support_count / n + {_ROUND_OFFSET!r}, 6) AS support_frac
+FROM u, tot
+WHERE support_count >= CEIL(0.1 * n - 1e-9)
+ORDER BY pattern
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -10244,6 +10318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
+        "seq_patterns_events": q_seq_patterns_events,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -13718,4 +13793,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts": _CMS_USER_COUNTS_ORACLE,
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
+        "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,
     }

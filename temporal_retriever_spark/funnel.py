@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["attribution", "funnel", "funnel_summary", "cohort_retention", "path_ngrams", "transition_matrix"]
+__all__ = ["attribution", "funnel", "funnel_summary", "cohort_retention", "path_ngrams", "sequential_patterns", "transition_matrix"]
 
 
 def funnel(
@@ -440,5 +440,144 @@ def path_ngrams(
         .agg(
             F.count("*").cast("long").alias("occurrences"),
             F.count_distinct("_u").cast("long").alias("users"),
+        )
+    )
+
+
+def sequential_patterns(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    max_len: int = 3,
+    min_support: float = 0.0,
+    max_items: int = 50,
+    sep: str = ">",
+) -> DataFrame:
+    """GSP/PrefixSpan-style sequential pattern mining, lengths 1-3.
+
+    A user *supports* the pattern a{sep}b{sep}c when their stream
+    contains events of those types at STRICTLY increasing timestamps
+    t1 < t2 < t3 — the subsequence need not be contiguous (contrast
+    ``path_ngrams``, which counts contiguous runs). Support is the
+    number of distinct supporting users (Agrawal & Srikant 1995's
+    definition).
+
+    The existence test is exact via the greedy reduction: a<b<c exists
+    iff some b-event falls strictly between the user's EARLIEST a and
+    LATEST c — so the whole mine runs on the (user, item, min_ts,
+    max_ts) profile table, never on raw event pairs:
+
+    * profile = ONE groupBy(user, item) pass (≤ users × vocabulary
+      rows).
+    * length 2 = profile self-join per user: vocabulary²-bounded row
+      amplification, shuffled once on user.
+    * length 3 = the (a, c) grid joined back to the events of the
+      middle item — amplification ≤ vocabulary² per event, pruned by
+      the a.min_ts < ts < c.max_ts range and the ``max_items``
+      frequent-item cap (top items by user support; at 100 TB mine a
+      capped vocabulary, which is also what makes results readable).
+    * ``min_support`` (fraction of all users) filters with
+      ``count >= ceil(min_support · n_users − 1e-9)`` — the
+      epsilon-guarded form both engines compute identically.
+
+    Output: (pattern, length, support_count, support_frac), one row
+    per surviving pattern.
+    """
+    if not 1 <= max_len <= 3:
+        raise ValueError(f"max_len must be 1, 2 or 3, got {max_len}")
+    if max_items < 1:
+        raise ValueError(f"max_items must be >= 1, got {max_items}")
+    u, it, ts = F.col(user_col), F.col(item_col).cast("string"), F.col(ts_col)
+    base = events.filter(u.isNotNull() & it.isNotNull()).select(
+        u.alias("_u"), it.alias("_i"), ts.alias("_ts")
+    )
+    profile = base.groupBy("_u", "_i").agg(
+        F.min("_ts").alias("_mn"), F.max("_ts").alias("_mx")
+    )
+    freq = (
+        profile.groupBy("_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("_users"))
+        .orderBy(F.desc("_users"), F.asc("_i"))
+        .limit(max_items)
+    )
+    profile = profile.join(F.broadcast(freq.select("_i")), "_i")
+    totals = base.select(
+        F.count_distinct("_u").cast("double").alias("_n")
+    )
+    levels = [
+        profile.groupBy("_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_count"))
+        .select(
+            F.col("_i").alias("pattern"),
+            F.lit(1).alias("length"),
+            "support_count",
+        )
+    ]
+    if max_len >= 2:
+        a = profile.select(
+            F.col("_u"), F.col("_i").alias("_ai"), F.col("_mn").alias("_amn")
+        )
+        b = profile.select(
+            F.col("_u"), F.col("_i").alias("_bi"), F.col("_mx").alias("_bmx")
+        )
+        levels.append(
+            a.join(b, "_u")
+            .filter(F.col("_amn") < F.col("_bmx"))
+            .groupBy("_ai", "_bi")
+            .agg(F.count(F.lit(1)).cast("long").alias("support_count"))
+            .select(
+                F.concat_ws(sep, "_ai", "_bi").alias("pattern"),
+                F.lit(2).alias("length"),
+                "support_count",
+            )
+        )
+    if max_len >= 3:
+        grid = (
+            profile.select(
+                F.col("_u"), F.col("_i").alias("_ai"), F.col("_mn").alias("_amn")
+            )
+            .join(
+                profile.select(
+                    F.col("_u"),
+                    F.col("_i").alias("_ci"),
+                    F.col("_mx").alias("_cmx"),
+                ),
+                "_u",
+            )
+            .filter(F.col("_amn") < F.col("_cmx"))
+        )
+        mid = base.join(F.broadcast(freq.select(F.col("_i"))), "_i").select(
+            F.col("_u"), F.col("_i").alias("_bi"), F.col("_ts").alias("_bts")
+        )
+        levels.append(
+            grid.join(mid, "_u")
+            .filter(
+                (F.col("_bts") > F.col("_amn")) & (F.col("_bts") < F.col("_cmx"))
+            )
+            .select("_u", "_ai", "_bi", "_ci")
+            .distinct()
+            .groupBy("_ai", "_bi", "_ci")
+            .agg(F.count(F.lit(1)).cast("long").alias("support_count"))
+            .select(
+                F.concat_ws(sep, "_ai", "_bi", "_ci").alias("pattern"),
+                F.lit(3).alias("length"),
+                "support_count",
+            )
+        )
+    from functools import reduce
+
+    out = reduce(lambda x, y: x.unionByName(y), levels).crossJoin(
+        F.broadcast(totals)
+    )
+    thresh = F.ceil(F.lit(float(min_support)) * F.col("_n") - F.lit(1e-9))
+    return (
+        out.filter(F.col("support_count") >= thresh)
+        .select(
+            "pattern",
+            "length",
+            "support_count",
+            (F.col("support_count") / F.col("_n")).alias("support_frac"),
         )
     )
