@@ -9958,6 +9958,292 @@ ORDER BY pattern
 """
 
 
+def q_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words (word_len=8, alphabet=4) of every event_type's
+    daily-sum series — tsfeatures.sax_words: z-normalize (population
+    std), floor-assignment PAA, strict-below Gaussian breakpoints.
+    The oracle replays the identical pipeline with the identical
+    breakpoint literals, so the words must match letter-for-letter."""
+    from temporal_retriever_spark.tsfeatures import sax_words
+
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    return sax_words(daily, word_len=8, alphabet=4).orderBy("event_type")
+
+
+def q_ts_features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series shape battery (tsfeatures.ts_features) over the
+    daily series: acf1 / trend R² / tiled stability & lumpiness /
+    median crossings / flat spots. Tile variances use centered
+    moments (the uncentered shortcut's cancellation error exceeds
+    6 dp at daily-sum magnitudes — documented in the module)."""
+    from temporal_retriever_spark.tsfeatures import ts_features
+
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = ts_features(daily, tile_width=7, flat_bins=10)
+    return out.select(
+        "event_type",
+        "n",
+        *[
+            _r6(c).alias(c)
+            for c in ("mean", "std", "cv", "acf1", "trend_r2", "stability", "lumpiness")
+        ],
+        "crossing_points",
+        "flat_spots",
+    ).orderBy("event_type")
+
+
+def q_hurst_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range Hurst exponent (tsfeatures.hurst_rs) of each
+    event_type's hourly-sum series at block sizes 16/32/64 — the
+    long-memory triage scalar. The oracle unrolls the identical
+    block/cumulative-deviation arithmetic."""
+    from temporal_retriever_spark.tsfeatures import hurst_rs
+
+    hourly = _q_bucket_events("H", "sum")(spark, sf_dir)
+    out = hurst_rs(hourly, block_sizes=(16, 32, 64))
+    return out.select(
+        "event_type", "n_sizes", _r6("hurst").alias("hurst")
+    ).orderBy("event_type")
+
+
+def q_boxcox_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-Cox λ-grid profile log-likelihood per event_type over raw
+    event values (features.boxcox_lambda) — ONE aggregation for the
+    whole grid, argmax tie-broken toward the simpler transform. The
+    oracle mirrors the moment arithmetic per λ."""
+    from temporal_retriever_spark.features import boxcox_lambda
+
+    ev = _events_long(spark, sf_dir).select(
+        "event_type", F.col("y")
+    )
+    out = boxcox_lambda(ev, key_cols=("event_type",))
+    return out.select(
+        "event_type",
+        "lam",
+        "n",
+        _r6("loglik").alias("loglik"),
+        "is_best",
+    ).orderBy("event_type", "lam")
+
+
+_SAX_BPS = (-0.6744897502234225, 0.0, 0.6744897502234225)  # sax_breakpoints(4)
+
+_SAX_DAILY_ORACLE = f"""
+WITH d AS ({{daily}}),
+z AS (
+    SELECT event_type, CAST(y AS DOUBLE) AS y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS i,
+           COUNT(*) OVER (PARTITION BY event_type) AS n,
+           AVG(y) OVER (PARTITION BY event_type) AS mu,
+           AVG(y*y) OVER (PARTITION BY event_type)
+             - AVG(y) OVER (PARTITION BY event_type)
+               * AVG(y) OVER (PARTITION BY event_type) AS v
+    FROM d
+),
+seg AS (
+    SELECT event_type, MAX(n) AS n, CAST(FLOOR(i * 8.0 / n) AS BIGINT) AS s,
+           AVG(CASE WHEN v > 0 THEN (y - mu) / SQRT(v) ELSE 0.0 END) AS pz
+    FROM z GROUP BY event_type, CAST(FLOOR(i * 8.0 / n) AS BIGINT)
+),
+sym AS (
+    SELECT event_type, n, s,
+           CHR(97 + CASE WHEN pz < {_SAX_BPS[0]!r} THEN 0
+                         WHEN pz < {_SAX_BPS[1]!r} THEN 1
+                         WHEN pz < {_SAX_BPS[2]!r} THEN 2
+                         ELSE 3 END) AS c
+    FROM seg
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       STRING_AGG(c, '' ORDER BY s) AS sax_word
+FROM sym GROUP BY event_type ORDER BY event_type
+"""
+
+_TS_FEATURES_ORACLE_TMPL = """
+WITH d AS ({daily}),
+q AS (
+    SELECT event_type, ds, CAST(y AS DOUBLE) AS y,
+           quantile_cont(y, 0.5) OVER (PARTITION BY event_type) AS med,
+           MIN(y) OVER (PARTITION BY event_type) AS mn,
+           MAX(y) OVER (PARTITION BY event_type) AS mx
+    FROM d
+),
+w1 AS (
+    SELECT event_type, y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS i,
+           LAG(y) OVER (PARTITION BY event_type ORDER BY ds) AS ylag,
+           CASE WHEN y > med THEN 1 ELSE 0 END AS abv,
+           CASE WHEN mx - mn > 0
+                THEN LEAST(CAST(FLOOR((y - mn) * 10.0 / (mx - mn)) AS BIGINT), 9)
+                ELSE 0 END AS bin
+    FROM q
+),
+w2 AS (
+    SELECT *,
+           LAG(abv) OVER (PARTITION BY event_type ORDER BY i) AS abv_lag,
+           i - ROW_NUMBER() OVER (PARTITION BY event_type, bin ORDER BY i) AS run
+    FROM w1
+),
+per AS (
+    SELECT event_type, COUNT(*) AS n, AVG(y) AS mean, STDDEV_SAMP(y) AS std,
+           SUM(y) AS sy, SUM(y*y) AS syy,
+           SUM(CAST(i AS DOUBLE)) AS si,
+           SUM(CAST(i AS DOUBLE) * CAST(i AS DOUBLE)) AS sii,
+           SUM(CAST(i AS DOUBLE) * y) AS siy,
+           SUM(y * ylag) AS slxy,
+           SUM(CASE WHEN ylag IS NOT NULL THEN y END) AS sy1,
+           SUM(ylag) AS sylag,
+           SUM(CASE WHEN abv <> abv_lag THEN 1 ELSE 0 END) AS crossing_points
+    FROM w2 GROUP BY 1
+),
+runs AS (
+    SELECT event_type, MAX(rl) AS flat_spots FROM (
+        SELECT event_type, bin, run, COUNT(*) AS rl FROM w2 GROUP BY 1, 2, 3
+    ) GROUP BY 1
+),
+t0 AS (
+    SELECT event_type, y, i,
+           AVG(y) OVER (PARTITION BY event_type) AS smu,
+           STDDEV_SAMP(y) OVER (PARTITION BY event_type) AS ssd
+    FROM w2
+),
+t1 AS (
+    SELECT event_type,
+           CASE WHEN ssd > 0 THEN (y - smu) / ssd ELSE 0.0 END AS z,
+           CAST(FLOOR(i / 7.0) AS BIGINT) AS tile
+    FROM t0
+),
+t2 AS (
+    SELECT *, AVG(z) OVER (PARTITION BY event_type, tile) AS tmu,
+           COUNT(*) OVER (PARTITION BY event_type, tile) AS tn
+    FROM t1
+),
+t3 AS (
+    SELECT event_type, tile, AVG((z - tmu) * (z - tmu)) AS tvar,
+           MAX(tmu) AS tmean
+    FROM t2 WHERE tn = 7 GROUP BY 1, 2
+),
+t4 AS (
+    SELECT *, AVG(tmean) OVER (PARTITION BY event_type) AS gm,
+           AVG(tvar) OVER (PARTITION BY event_type) AS gv
+    FROM t3
+),
+tiles AS (
+    SELECT event_type, COUNT(*) AS ntiles,
+           AVG((tmean - gm) * (tmean - gm)) AS stab,
+           AVG((tvar - gv) * (tvar - gv)) AS lump
+    FROM t4 GROUP BY 1
+),
+fin AS (
+    SELECT p.event_type, p.n, p.mean, p.std, p.crossing_points,
+           r.flat_spots, t.ntiles, t.stab, t.lump,
+           p.syy - p.sy * p.sy / p.n AS dev_den,
+           p.slxy - p.mean * (p.sy1 + p.sylag)
+             + (p.n - 1) * p.mean * p.mean AS acf_num,
+           p.sii - p.si * p.si / p.n AS sxx,
+           p.siy - p.si * p.sy / p.n AS sxy
+    FROM per p JOIN runs r USING (event_type)
+    LEFT JOIN tiles t USING (event_type)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       {r6_mean} AS mean, {r6_std} AS std,
+       {r6_cv} AS cv, {r6_acf1} AS acf1, {r6_r2} AS trend_r2,
+       {r6_stab} AS stability, {r6_lump} AS lumpiness,
+       CAST(crossing_points AS BIGINT) AS crossing_points,
+       CAST(flat_spots AS BIGINT) AS flat_spots
+FROM fin ORDER BY event_type
+"""
+
+_HURST_ORACLE_TMPL = """
+WITH d AS ({hourly}),
+ix AS (
+    SELECT event_type, CAST(y AS DOUBLE) AS y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS i
+    FROM d
+),
+s AS (SELECT ix.*, m FROM ix CROSS JOIN (VALUES (16), (32), (64)) AS mm(m)),
+b AS (
+    SELECT event_type, m, y, i, CAST(FLOOR(i * 1.0 / m) AS BIGINT) AS blk
+    FROM s
+),
+w1 AS (
+    SELECT *, AVG(y) OVER (PARTITION BY event_type, m, blk) AS mu,
+           COUNT(*) OVER (PARTITION BY event_type, m, blk) AS bn
+    FROM b
+),
+w2 AS (
+    SELECT *, SUM(y - mu) OVER (
+        PARTITION BY event_type, m, blk ORDER BY i
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+    FROM w1 WHERE bn = m
+),
+pb AS (
+    SELECT event_type, m, blk, MAX(w) - MIN(w) AS r,
+           SQRT(GREATEST(AVG((y - mu) * (y - mu)), 0.0)) AS sd
+    FROM w2 GROUP BY 1, 2, 3
+),
+ps AS (
+    SELECT event_type, m, AVG(r / sd) AS rs
+    FROM pb WHERE sd > 0 GROUP BY 1, 2
+    HAVING AVG(r / sd) > 0
+),
+pts AS (
+    SELECT event_type, LN(CAST(m AS DOUBLE)) AS lx, LN(rs) AS ly FROM ps
+),
+fin AS (
+    SELECT event_type, COUNT(*) AS k,
+           (COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+             / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)) AS slope
+    FROM pts GROUP BY 1
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_sizes,
+       {r6_h} AS hurst
+FROM fin ORDER BY event_type
+"""
+
+
+def _boxcox_oracle(lambdas=(-1.0, -0.5, 0.0, 0.5, 1.0, 2.0)) -> str:
+    sums = []
+    arms = []
+    for i, lam in enumerate(lambdas):
+        if lam == 0.0:
+            t = "LN(y)"
+        else:
+            t = f"(POW(y, {lam!r}) - 1) / {lam!r}"
+        sums.append(f"SUM({t}) AS s{i}, SUM(({t}) * ({t})) AS q{i}")
+        arms.append(
+            f"SELECT event_type, CAST({lam!r} AS DOUBLE) AS lam, n, slog,"
+            f" s{i} AS s, q{i} AS q FROM g"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH v AS (
+    SELECT event_type, CAST(value AS DOUBLE) AS y FROM events WHERE value > 0
+),
+g AS (
+    SELECT event_type, COUNT(*) AS n, SUM(LN(y)) AS slog, {", ".join(sums)}
+    FROM v GROUP BY 1
+),
+l AS ({union}),
+ll AS (
+    SELECT event_type, lam, n,
+           CASE WHEN n >= 2 AND q / n - (s / n) * (s / n) > 0
+                THEN -n / 2.0 * LN(q / n - (s / n) * (s / n))
+                     + (lam - 1) * slog END AS loglik
+    FROM l
+),
+rk AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type
+        ORDER BY loglik DESC NULLS LAST, lam ASC) AS rn
+    FROM ll
+)
+SELECT event_type, lam, CAST(n AS BIGINT) AS n,
+       {_sql_r6("loglik")} AS loglik,
+       (rn = 1 AND loglik IS NOT NULL) AS is_best
+FROM rk ORDER BY event_type, lam
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -10319,6 +10605,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
         "seq_patterns_events": q_seq_patterns_events,
+        # -- round-5 continuation: series-characterization battery
+        # (tsfeatures.py) + Box-Cox grid. Literal order puts these
+        # after the 50-entry r5 window: they queue for the r6
+        # rotation with the other post-window first-timers. --
+        "sax_daily": q_sax_daily,
+        "ts_features_daily": q_ts_features_daily,
+        "hurst_hourly": q_hurst_hourly,
+        "boxcox_value": q_boxcox_value,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -13794,4 +14088,26 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
         "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,
+        "sax_daily": _SAX_DAILY_ORACLE.format(daily=_EVENTS_DAILY),
+        "ts_features_daily": _TS_FEATURES_ORACLE_TMPL.format(
+            daily=_EVENTS_DAILY,
+            r6_mean=_sql_r6("mean"),
+            r6_std=_sql_r6("std"),
+            r6_cv=_sql_r6("CASE WHEN ABS(mean) > 0 THEN std / ABS(mean) END"),
+            r6_acf1=_sql_r6("CASE WHEN dev_den > 0 THEN acf_num / dev_den END"),
+            r6_r2=_sql_r6(
+                "CASE WHEN sxx > 0 AND dev_den > 0"
+                " THEN sxy * sxy / (sxx * dev_den) END"
+            ),
+            r6_stab=_sql_r6("CASE WHEN ntiles >= 2 THEN stab END"),
+            r6_lump=_sql_r6("CASE WHEN ntiles >= 2 THEN lump END"),
+        ),
+        "hurst_hourly": _HURST_ORACLE_TMPL.format(
+            hourly=(
+                "SELECT event_type, date_trunc('hour', ts) AS ds,"
+                " SUM(value) AS y FROM events GROUP BY 1, 2"
+            ),
+            r6_h=f"CASE WHEN k >= 2 THEN {_sql_r6('slope')} END",
+        ),
+        "boxcox_value": _boxcox_oracle(),
     }

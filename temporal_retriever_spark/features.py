@@ -28,7 +28,123 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["huber_regression", "make_lag_features", "mutual_information", "ridge_regression", "target_encode"]
+__all__ = [
+    "boxcox_lambda",
+    "boxcox_transform",
+    "huber_regression",
+    "make_lag_features",
+    "mutual_information",
+    "ridge_regression",
+    "target_encode",
+]
+
+
+def boxcox_lambda(
+    df: DataFrame,
+    *,
+    value_col: str = "y",
+    key_cols: Iterable[str] = (),
+    lambdas: Iterable[float] = (-1.0, -0.5, 0.0, 0.5, 1.0, 2.0),
+) -> DataFrame:
+    """Profile log-likelihood over a λ grid for the Box-Cox power
+    transform (Box & Cox 1964) — the variance-stabilization step that
+    decides whether a series should be modelled on the raw, sqrt or
+    log scale before forecasting.
+
+    For each key and each candidate λ the transformed values are
+    t = (y^λ − 1)/λ (λ≠0) or ln y (λ=0), and the profile
+    log-likelihood is LL(λ) = −n/2·ln(σ̂²_λ) + (λ−1)·Σ ln y with σ̂²
+    the population variance of t. Rows with y ≤ 0 are excluded (the
+    transform's domain), and keys left with < 2 valid rows or a
+    degenerate (constant) transform yield NULL loglik for that λ.
+
+    Returns one row per (key, λ): ``(*key_cols, lam, n, loglik,
+    is_best)`` — ``is_best`` marks the grid argmax (ties broken
+    toward the smaller λ, so the simpler transform wins).
+
+    Scale design: the whole grid is ONE aggregation — per key it emits
+    3·|λ| + 2 conditional sums, so 100k keys × any row count shuffle
+    |λ|-bounded moment rows only; the argmax is a key-sized window.
+    """
+    key_cols = list(key_cols)
+    lams = [float(l) for l in lambdas]
+    if len(lams) != len(set(lams)) or not lams:
+        raise ValueError(f"lambdas must be a non-empty set: {lambdas}")
+    y = F.col(value_col).cast("double")
+    valid = df.filter(y > 0)
+
+    def t_expr(lam: float):
+        if lam == 0.0:
+            return F.log(y)
+        return (F.pow(y, F.lit(lam)) - 1) / F.lit(lam)
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.log(y)).alias("_slog"),
+    ]
+    for i, lam in enumerate(lams):
+        t = t_expr(lam)
+        aggs.append(F.sum(t).alias(f"_s{i}"))
+        aggs.append(F.sum(t * t).alias(f"_q{i}"))
+    g = valid.groupBy(*key_cols).agg(*aggs) if key_cols else valid.agg(*aggs)
+
+    rows = []
+    for i, lam in enumerate(lams):
+        nn = F.col("_n").cast("double")
+        var = F.col(f"_q{i}") / nn - (F.col(f"_s{i}") / nn) * (
+            F.col(f"_s{i}") / nn
+        )
+        ll = F.when(
+            (F.col("_n") >= 2) & (var > 0),
+            -nn / 2 * F.log(var) + (F.lit(lam) - 1) * F.col("_slog"),
+        )
+        rows.append(
+            F.struct(
+                F.lit(lam).alias("lam"),
+                ll.alias("loglik"),
+            )
+        )
+    long = g.select(
+        *key_cols,
+        F.col("_n").alias("n"),
+        F.explode(F.array(*rows)).alias("_e"),
+    ).select(
+        *key_cols,
+        F.col("_e.lam").alias("lam"),
+        "n",
+        F.col("_e.loglik").alias("loglik"),
+    )
+    w = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
+    best = F.max(
+        F.when(
+            F.col("loglik").isNotNull(),
+            F.struct(F.col("loglik").alias("ll"), (-F.col("lam")).alias("nl")),
+        )
+    ).over(w)
+    return long.select(
+        *key_cols,
+        "lam",
+        "n",
+        "loglik",
+        (
+            F.col("loglik").isNotNull()
+            & (F.col("loglik") == best["ll"])
+            & (F.col("lam") == -best["nl"])
+        ).alias("is_best"),
+    )
+
+
+def boxcox_transform(
+    df: DataFrame, lam: float, *, value_col: str = "y", out_col: str = "y_bc"
+) -> DataFrame:
+    """Apply the Box-Cox transform at a fixed λ (rows with y ≤ 0 get
+    NULL — out of the transform's domain, never silently clamped)."""
+    y = F.col(value_col).cast("double")
+    if float(lam) == 0.0:
+        t = F.log(y)
+    else:
+        t = (F.pow(y, F.lit(float(lam))) - 1) / F.lit(float(lam))
+    return df.withColumn(out_col, F.when(y > 0, t))
 
 
 def make_lag_features(

@@ -352,3 +352,86 @@ class TestQuantileRegression:
             quantile_regression(df, ["x"], "y", eps=0.0)
         with pytest.raises(ValueError):
             quantile_regression(df, [], "y")
+
+
+class TestBoxCox:
+    def _ll(self, y, lam):
+        import numpy as np
+
+        y = np.asarray(y, float)
+        t = np.log(y) if lam == 0 else (y**lam - 1) / lam
+        v = t.var()
+        return -len(y) / 2 * np.log(v) + (lam - 1) * np.log(y).sum()
+
+    def test_loglik_matches_reference(self, spark):
+        import numpy as np
+
+        from temporal_retriever_spark.features import boxcox_lambda
+
+        rng = np.random.default_rng(2)
+        y = np.exp(rng.normal(size=200))  # lognormal: λ=0 should win
+        df = spark.createDataFrame([(float(v),) for v in y], "y double")
+        rows = boxcox_lambda(df).collect()
+        got = {r["lam"]: r for r in rows}
+        for lam in (-1.0, 0.0, 1.0, 2.0):
+            assert got[lam]["loglik"] == pytest.approx(
+                self._ll(y, lam), rel=1e-9
+            )
+        best = [r["lam"] for r in rows if r["is_best"]]
+        assert best == [0.0]
+
+    def test_recovers_planted_lambda(self, spark):
+        import numpy as np
+
+        from temporal_retriever_spark.features import boxcox_lambda
+
+        rng = np.random.default_rng(4)
+        z = rng.normal(3, 0.8, size=300)
+        y = (1 + 0.5 * z) ** 2  # exact inverse transform at λ=0.5
+        df = spark.createDataFrame([(float(v),) for v in y], "y double")
+        best = [
+            r["lam"] for r in boxcox_lambda(df).collect() if r["is_best"]
+        ]
+        assert best == [0.5]
+
+    def test_nonpositive_excluded_and_keyed(self, spark):
+        from temporal_retriever_spark.features import boxcox_lambda
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", -5.0), ("a", 2.0), ("a", 4.0), ("b", 3.0)],
+            "k string, y double",
+        )
+        rows = boxcox_lambda(df, key_cols=("k",)).collect()
+        a = [r for r in rows if r["k"] == "a"]
+        b = [r for r in rows if r["k"] == "b"]
+        assert all(r["n"] == 3 for r in a)  # the -5 row is out of domain
+        assert all(r["loglik"] is None for r in b)  # single row: no variance
+        assert not any(r["is_best"] for r in b)
+
+    def test_transform_and_validation(self, spark):
+        import math
+
+        from temporal_retriever_spark.features import (
+            boxcox_lambda,
+            boxcox_transform,
+        )
+
+        df = spark.createDataFrame(
+            [(4.0,), (9.0,), (-1.0,)], "y double"
+        )
+        got = {
+            r["y"]: r["y_bc"]
+            for r in boxcox_transform(df, 0.5).collect()
+        }
+        assert got[4.0] == pytest.approx(2.0)  # (2-1)/0.5
+        assert got[9.0] == pytest.approx(4.0)
+        assert got[-1.0] is None
+        log = {
+            r["y"]: r["y_bc"]
+            for r in boxcox_transform(df, 0.0).collect()
+        }
+        assert log[4.0] == pytest.approx(math.log(4.0))
+        with pytest.raises(ValueError):
+            boxcox_lambda(df, lambdas=())
+        with pytest.raises(ValueError):
+            boxcox_lambda(df, lambdas=(1.0, 1.0))
