@@ -10244,6 +10244,151 @@ FROM rk ORDER BY event_type, lam
 """
 
 
+def q_dtw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between every pair of z-normalized daily series
+    (tsdist.dtw_pairs, full alignment). The oracle replays the DP via
+    the SAME prefix-min closed form — cur = S + prefixmin(m − S₋₁) —
+    as a recursive CTE carrying the DP row as a list, so the values
+    (not just shapes) must match at 6 dp."""
+    from temporal_retriever_spark.tsdist import dtw_pairs
+
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    out = dtw_pairs(daily, znorm=True)
+    return out.select(
+        "id_a", "id_b", "n_a", "n_b", _r6("dtw").alias("dtw")
+    ).orderBy("id_a", "id_b")
+
+
+def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (m=8, exclusion 4) of each daily series —
+    tsdist.matrix_profile: per window start, the 6-dp-rounded
+    z-normalized Euclidean distance to its nearest non-trivial match
+    and that match's index (ties → smallest index; rounding BEFORE
+    argmin is part of the operator contract so the tie-break is
+    engine-stable). Oracle: the quadratic window-pair join with the
+    identical Gram-based distance."""
+    from temporal_retriever_spark.tsdist import matrix_profile
+
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    return matrix_profile(daily, m=8).orderBy("event_type", "i")
+
+
+def _dtw_oracle() -> str:
+    # the DP row recurrence as pure list expressions (no sequential
+    # dependency): C = row costs, S = prefix sums, G = min(prev[t],
+    # prev[t-1]) - S[t-1], cur = S + prefix-min(G)
+    C = "list_transform(range(1, m + 1), u -> POW(va[i + 2] - vb[u], 2))"
+    S = (
+        "list_transform(range(1, m + 1),"
+        f" t2 -> list_sum(list_slice({C}, 1, t2)))"
+    )
+    G = (
+        "list_transform(range(1, m + 1), t3 ->"
+        " (CASE WHEN t3 = 1 THEN row[1]"
+        "       ELSE LEAST(row[t3], row[t3 - 1]) END)"
+        f" - (CASE WHEN t3 = 1 THEN 0.0 ELSE ({S})[t3 - 1] END))"
+    )
+    CUR = (
+        "list_transform(range(1, m + 1),"
+        f" t -> ({S})[t] + list_min(list_slice({G}, 1, t)))"
+    )
+    return f"""
+WITH RECURSIVE d AS ({_EVENTS_DAILY}),
+z AS (
+    SELECT event_type, ds, CAST(y AS DOUBLE) AS y,
+           AVG(y) OVER (PARTITION BY event_type) AS mu,
+           SQRT(GREATEST(
+               AVG(y * y) OVER (PARTITION BY event_type)
+               - AVG(y) OVER (PARTITION BY event_type)
+                 * AVG(y) OVER (PARTITION BY event_type), 0.0)) AS sd
+    FROM d
+),
+arr AS (
+    SELECT event_type AS sid,
+           LIST(CASE WHEN sd > 0 THEN (y - mu) / sd ELSE 0.0 END
+                ORDER BY ds) AS v
+    FROM z GROUP BY 1
+),
+pairs AS (
+    SELECT a.sid AS id_a, b.sid AS id_b, a.v AS va, b.v AS vb,
+           len(a.v) AS n, len(b.v) AS m
+    FROM arr a JOIN arr b ON a.sid < b.sid
+),
+rec AS (
+    SELECT id_a, id_b, va, vb, n, m, 0 AS i,
+           list_transform(range(1, m + 1),
+               t -> list_sum(list_transform(list_slice(vb, 1, t),
+                    u -> POW(va[1] - u, 2)))) AS row
+    FROM pairs
+    UNION ALL
+    SELECT id_a, id_b, va, vb, n, m, i + 1, {CUR} AS row
+    FROM rec WHERE i + 1 < n
+)
+SELECT id_a, id_b, CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       {_sql_r6("row[m]")} AS dtw
+FROM rec WHERE i = n - 1
+ORDER BY id_a, id_b
+"""
+
+
+def _matrix_profile_oracle() -> str:
+    return f"""
+WITH d AS ({_EVENTS_DAILY}),
+ix AS (
+    SELECT event_type, CAST(y AS DOUBLE) AS y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) - 1 AS i
+    FROM d
+),
+st AS (
+    SELECT event_type, i,
+           SUM(y) OVER fr AS s, SUM(y * y) OVER fr AS ss,
+           COUNT(*) OVER fr AS c
+    FROM ix
+    WINDOW fr AS (PARTITION BY event_type ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+),
+win AS (
+    SELECT event_type, i, s / 8.0 AS mu,
+           SQRT(GREATEST(ss / 8.0 - (s / 8.0) * (s / 8.0), 0.0)) AS sd
+    FROM st WHERE c = 8
+),
+dots AS (
+    SELECT w1.event_type, w1.i AS i, w2.i AS j, SUM(xa.y * xb.y) AS dot
+    FROM win w1
+    JOIN win w2 ON w1.event_type = w2.event_type
+               AND ABS(w1.i - w2.i) >= 4
+    JOIN ix xa ON xa.event_type = w1.event_type
+              AND xa.i BETWEEN w1.i AND w1.i + 7
+    JOIN ix xb ON xb.event_type = w1.event_type
+              AND xb.i = xa.i - w1.i + w2.i
+    WHERE w1.sd > 0 AND w2.sd > 0
+    GROUP BY 1, 2, 3
+),
+dist AS (
+    SELECT dd.event_type, dd.i, dd.j,
+           ROUND(SQRT(GREATEST(16.0 * (1.0
+               - (dd.dot - 8.0 * wa.mu * wb.mu)
+                 / (8.0 * wa.sd * wb.sd)), 0.0)) + {_ROUND_OFFSET!r}, 6)
+             AS dv
+    FROM dots dd
+    JOIN win wa ON wa.event_type = dd.event_type AND wa.i = dd.i
+    JOIN win wb ON wb.event_type = dd.event_type AND wb.i = dd.j
+),
+best AS (
+    SELECT event_type, i, dv, j,
+           ROW_NUMBER() OVER (PARTITION BY event_type, i
+                              ORDER BY dv, j) AS rn
+    FROM dist
+)
+SELECT w.event_type, CAST(w.i AS BIGINT) AS i,
+       b.dv AS mp_dist,
+       CAST(COALESCE(b.j, -1) AS BIGINT) AS mp_index
+FROM win w
+LEFT JOIN best b ON b.event_type = w.event_type AND b.i = w.i AND b.rn = 1
+ORDER BY w.event_type, w.i
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -10613,6 +10758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_features_daily": q_ts_features_daily,
         "hurst_hourly": q_hurst_hourly,
         "boxcox_value": q_boxcox_value,
+        "dtw_daily": q_dtw_daily,
+        "matrix_profile_daily": q_matrix_profile_daily,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -14110,4 +14257,6 @@ def oracle_sql() -> dict[str, str]:
             r6_h=f"CASE WHEN k >= 2 THEN {_sql_r6('slope')} END",
         ),
         "boxcox_value": _boxcox_oracle(),
+        "dtw_daily": _dtw_oracle(),
+        "matrix_profile_daily": _matrix_profile_oracle(),
     }
