@@ -10389,6 +10389,106 @@ ORDER BY w.event_type, w.i
 """
 
 
+def q_gmm_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-component GMM per event_type over raw event values
+    (mixture.gmm_em, 6 EM rounds, deterministic quantile init). The
+    oracle unrolls all six E/M rounds as chained CTEs with the
+    identical pairwise-stable responsibility arithmetic, so weights,
+    means, variances AND the final log-likelihood must match at
+    6 dp."""
+    from temporal_retriever_spark.mixture import gmm_em
+
+    ev = _events_long(spark, sf_dir).select("event_type", "y")
+    out = gmm_em(ev, key_cols=("event_type",), k=2, rounds=6)
+    return out.select(
+        "event_type",
+        "comp",
+        _r6("weight").alias("weight"),
+        _r6("mu").alias("mu"),
+        _r6("var").alias("var"),
+        "n",
+        _r6("loglik").alias("loglik"),
+    ).orderBy("event_type", "comp")
+
+
+def _gmm_oracle(rounds: int = 6, floor: float = 1e-6) -> str:
+    import math as _math
+
+    def lexpr(c: int) -> str:
+        return (
+            f"LN(w{c}) - POW(y - mu{c}, 2) / (2 * v{c}) - 0.5 * LN(v{c})"
+        )
+
+    ctes = [
+        "v AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS y"
+        " FROM events WHERE value IS NOT NULL)",
+        f"""p0 AS (
+    SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
+           quantile_cont(y, 0.25) AS mu0, quantile_cont(y, 0.75) AS mu1,
+           GREATEST(var_pop(y), {floor!r}) AS v0,
+           GREATEST(var_pop(y), {floor!r}) AS v1,
+           0.5 AS w0, 0.5 AS w1
+    FROM v GROUP BY 1
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""e{r} AS (
+    SELECT v.k AS k, y, n, {lexpr(0)} AS l0, {lexpr(1)} AS l1
+    FROM v JOIN p{r - 1} p ON v.k = p.k
+)"""
+        )
+        ctes.append(
+            f"""p{r} AS (
+    SELECT k, MAX(n) AS n,
+           SUM(r0 * y) / SUM(r0) AS mu0,
+           SUM(r1 * y) / SUM(r1) AS mu1,
+           GREATEST(SUM(r0 * y * y) / SUM(r0)
+             - POW(SUM(r0 * y) / SUM(r0), 2), {floor!r}) AS v0,
+           GREATEST(SUM(r1 * y * y) / SUM(r1)
+             - POW(SUM(r1 * y) / SUM(r1), 2), {floor!r}) AS v1,
+           SUM(r0) / CAST(COUNT(*) AS DOUBLE) AS w0,
+           SUM(r1) / CAST(COUNT(*) AS DOUBLE) AS w1
+    FROM (
+        SELECT k, y, n,
+               1.0 / (EXP(l0 - l0) + EXP(l1 - l0)) AS r0,
+               1.0 / (EXP(l0 - l1) + EXP(l1 - l1)) AS r1
+        FROM e{r}
+    ) GROUP BY 1
+)"""
+        )
+    const = -0.5 * _math.log(2.0 * _math.pi)
+    ctes.append(
+        f"""lf AS (
+    SELECT v.k AS k, {lexpr(0)} AS l0, {lexpr(1)} AS l1
+    FROM v JOIN p{rounds} p ON v.k = p.k
+),
+ll AS (
+    SELECT k, SUM(GREATEST(l0, l1)
+        + LN(EXP(l0 - GREATEST(l0, l1)) + EXP(l1 - GREATEST(l0, l1)))
+        + {const!r}) AS loglik
+    FROM lf GROUP BY 1
+),
+outp AS (
+    SELECT k, 0 AS comp, w0 AS weight, mu0 AS mu, v0 AS var, n FROM p{rounds}
+    UNION ALL
+    SELECT k, 1, w1, mu1, v1, n FROM p{rounds}
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT o.k AS event_type, o.comp,
+       {_sql_r6("o.weight")} AS weight,
+       {_sql_r6("o.mu")} AS mu,
+       {_sql_r6("o.var")} AS var,
+       CAST(o.n AS BIGINT) AS n,
+       {_sql_r6("l.loglik")} AS loglik
+FROM outp o JOIN ll l ON o.k = l.k
+ORDER BY o.k, o.comp
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -10760,6 +10860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxcox_value": q_boxcox_value,
         "dtw_daily": q_dtw_daily,
         "matrix_profile_daily": q_matrix_profile_daily,
+        "gmm_value": q_gmm_value,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -14259,4 +14360,5 @@ def oracle_sql() -> dict[str, str]:
         "boxcox_value": _boxcox_oracle(),
         "dtw_daily": _dtw_oracle(),
         "matrix_profile_daily": _matrix_profile_oracle(),
+        "gmm_value": _gmm_oracle(),
     }
