@@ -10489,6 +10489,122 @@ ORDER BY o.k, o.comp
 """
 
 
+_HMM_STATES = ("low", "high")
+_HMM_INIT = {"low": 0.5, "high": 0.5}
+_HMM_TRANS = {
+    ("low", "low"): 0.8,
+    ("low", "high"): 0.2,
+    ("high", "low"): 0.2,
+    ("high", "high"): 0.8,
+}
+_HMM_EMIT = {
+    ("low", "L"): 0.75,
+    ("low", "H"): 0.25,
+    ("high", "L"): 0.25,
+    ("high", "H"): 0.75,
+}
+
+
+def q_hmm_regimes_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi regime decoding (hmm.viterbi_decode) of each daily
+    series discretized at its median: a sticky 2-state HMM labels
+    persistent high/low regimes where per-point thresholding
+    flickers. Every score is a sum of the identical Python-computed
+    log literals in the identical order on both engines, so the
+    decoded path (argmax chain and all) matches EXACTLY — the oracle
+    replays the forward pass and the backtrack as recursive CTEs."""
+    from temporal_retriever_spark.hmm import viterbi_decode
+
+    daily = _q_bucket_events("D", "sum")(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    obs = daily.select(
+        "event_type",
+        "ds",
+        F.when(
+            F.col("y") > F.expr("percentile(y, 0.5)").over(w), "H"
+        ).otherwise("L").alias("obs"),
+    )
+    out = viterbi_decode(
+        obs,
+        states=_HMM_STATES,
+        init=_HMM_INIT,
+        trans=_HMM_TRANS,
+        emit=_HMM_EMIT,
+    )
+    return out.orderBy("event_type", "ds")
+
+
+def _hmm_oracle() -> str:
+    import math as _m
+
+    def d(x: float) -> str:
+        # DuckDB parses bare numeric literals as DECIMAL; the anchor adds
+        # literal+literal, and decimal-exact addition rounds differently
+        # than IEEE double addition (measured: 1-ulp drift that flips
+        # score ties). CAST every literal so both engines do double math.
+        return f"CAST({x!r} AS DOUBLE)"
+
+    li0 = d(_m.log(_HMM_INIT["low"]))
+    li1 = d(_m.log(_HMM_INIT["high"]))
+    a00 = d(_m.log(_HMM_TRANS[("low", "low")]))
+    a01 = d(_m.log(_HMM_TRANS[("low", "high")]))
+    a10 = d(_m.log(_HMM_TRANS[("high", "low")]))
+    a11 = d(_m.log(_HMM_TRANS[("high", "high")]))
+    leH0 = d(_m.log(_HMM_EMIT[("low", "H")]))
+    leL0 = d(_m.log(_HMM_EMIT[("low", "L")]))
+    leH1 = d(_m.log(_HMM_EMIT[("high", "H")]))
+    leL1 = d(_m.log(_HMM_EMIT[("high", "L")]))
+    e0 = f"CASE WHEN o.o = 'H' THEN {leH0} ELSE {leL0} END"
+    e1 = f"CASE WHEN o.o = 'H' THEN {leH1} ELSE {leL1} END"
+    to0 = f"CASE WHEN f.v0 + {a00} >= f.v1 + {a10}"
+    to1 = f"CASE WHEN f.v0 + {a01} >= f.v1 + {a11}"
+    return f"""
+WITH RECURSIVE d AS ({_EVENTS_DAILY}),
+m AS (
+    SELECT event_type, ds, CAST(y AS DOUBLE) AS y,
+           quantile_cont(y, 0.5) OVER (PARTITION BY event_type) AS med
+    FROM d
+),
+obs AS (
+    SELECT event_type, ds,
+           CASE WHEN y > med THEN 'H' ELSE 'L' END AS o,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM m
+),
+fwd AS (
+    SELECT o.event_type, o.rn, o.n,
+           {li0} + {e0} AS v0,
+           {li1} + {e1} AS v1,
+           CAST([] AS INTEGER[]) AS c0,
+           CAST([] AS INTEGER[]) AS c1
+    FROM obs o WHERE o.rn = 1
+    UNION ALL
+    SELECT o.event_type, o.rn, o.n,
+           ({to0} THEN f.v0 + {a00} ELSE f.v1 + {a10} END) + {e0} AS v0,
+           ({to1} THEN f.v0 + {a01} ELSE f.v1 + {a11} END) + {e1} AS v1,
+           list_append(f.c0, {to0} THEN 0 ELSE 1 END),
+           list_append(f.c1, {to1} THEN 0 ELSE 1 END)
+    FROM fwd f JOIN obs o
+      ON o.event_type = f.event_type AND o.rn = f.rn + 1
+),
+bt AS (
+    SELECT event_type, rn,
+           CASE WHEN v0 >= v1 THEN 0 ELSE 1 END AS s, c0, c1
+    FROM fwd WHERE rn = n
+    UNION ALL
+    SELECT b.event_type, b.rn - 1,
+           CASE WHEN b.s = 0 THEN b.c0[b.rn - 1] ELSE b.c1[b.rn - 1] END,
+           b.c0, b.c1
+    FROM bt b WHERE b.rn > 1
+)
+SELECT o.event_type, o.ds, o.o AS obs,
+       CASE WHEN b.s = 0 THEN 'low' ELSE 'high' END AS state
+FROM bt b JOIN obs o ON o.event_type = b.event_type AND o.rn = b.rn
+ORDER BY o.event_type, o.ds
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -10861,6 +10977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_daily": q_dtw_daily,
         "matrix_profile_daily": q_matrix_profile_daily,
         "gmm_value": q_gmm_value,
+        "hmm_regimes_daily": q_hmm_regimes_daily,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -14361,4 +14478,5 @@ def oracle_sql() -> dict[str, str]:
         "dtw_daily": _dtw_oracle(),
         "matrix_profile_daily": _matrix_profile_oracle(),
         "gmm_value": _gmm_oracle(),
+        "hmm_regimes_daily": _hmm_oracle(),
     }
