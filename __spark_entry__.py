@@ -9,6 +9,8 @@ documents embeddings).
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -10605,6 +10607,230 @@ ORDER BY o.event_type, o.ds
 """
 
 
+def q_woe_iv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value of event_type against
+    the high-value outcome (value > 50) — inference.woe_iv with the
+    classic half-count smoothing. Oracle mirrors the smoothed-share
+    arithmetic cell for cell."""
+    from temporal_retriever_spark.inference import woe_iv
+
+    ev = _events_long(spark, sf_dir).filter(F.col("y").isNotNull())
+    out = woe_iv(
+        ev.select(
+            "event_type", (F.col("y") > 50.0).cast("int").alias("hi")
+        ),
+        "event_type",
+        "hi",
+    )
+    return out.select(
+        "category",
+        "n",
+        "n_events",
+        _r6("woe").alias("woe"),
+        _r6("iv_term").alias("iv_term"),
+        _r6("iv").alias("iv"),
+    ).orderBy("category")
+
+
+def q_friedman_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the five event types rank consistently
+    across users? Blocks = users (complete blocks only), treatments =
+    event_type, cell = mean value — inference.friedman_test with the
+    exact dof-4 chi-square (groups pinned). Oracle replays the
+    midranks and Conover's tie-corrected Q."""
+    from temporal_retriever_spark.inference import friedman_test
+
+    ev = _events_long(spark, sf_dir).filter(F.col("y").isNotNull())
+    out = friedman_test(
+        ev.select("user_id", "event_type", "y"),
+        "user_id",
+        "event_type",
+        "y",
+        groups=5,
+    )
+    return out.select(
+        "n_blocks",
+        "k_groups",
+        _r6("q_stat").alias("q_stat"),
+        "dof",
+        _r6("p_value").alias("p_value"),
+    )
+
+
+def q_fisher_exact_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test on the 2×2 (click vs view) × (value > 200)
+    table — inference.fisher_exact: hypergeometric enumeration with
+    log-factorials built as ONE cumulative window both engines sum in
+    the identical ascending order. Oracle mirrors the enumeration."""
+    from temporal_retriever_spark.inference import fisher_exact
+
+    ev = (
+        _events_long(spark, sf_dir)
+        .filter(F.col("y").isNotNull())
+        .filter(F.col("event_type").isin("click", "view"))
+    )
+    out = fisher_exact(
+        ev.select(
+            (F.col("event_type") == "click").cast("int").alias("g"),
+            (F.col("y") > 200.0).cast("int").alias("o"),
+        ),
+        "g",
+        "o",
+    )
+    return out.select(
+        "n", "a", "b", "c", "d",
+        _r6("odds_ratio").alias("odds_ratio"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+_WOE_IV_ORACLE = f"""
+WITH base AS (
+    SELECT event_type AS category,
+           CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS t
+    FROM events WHERE value IS NOT NULL
+),
+cells AS (
+    SELECT category, CAST(COUNT(*) AS BIGINT) AS n, SUM(t) AS e
+    FROM base GROUP BY 1
+),
+tot AS (
+    SELECT SUM(e) AS te, SUM(n - e) AS tn,
+           CAST(COUNT(*) AS DOUBLE) AS k
+    FROM cells
+),
+j AS (
+    SELECT category, n, e,
+           (e + 0.5) / (te + 0.5 * k) AS ge,
+           (n - e + 0.5) / (tn + 0.5 * k) AS gn
+    FROM cells, tot
+),
+w AS (
+    SELECT category, n, CAST(e AS BIGINT) AS n_events,
+           LN(ge / gn) AS woe, (ge - gn) * LN(ge / gn) AS iv_term
+    FROM j
+),
+iv AS (SELECT SUM(iv_term) AS iv FROM w)
+SELECT category, n, n_events,
+       {_sql_r6("woe")} AS woe,
+       {_sql_r6("iv_term")} AS iv_term,
+       {_sql_r6("iv.iv")} AS iv
+FROM w, iv ORDER BY category
+"""
+
+
+def _friedman_oracle() -> str:
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    return f"""
+WITH cell AS (
+    SELECT user_id AS b, event_type AS g, AVG(value) AS v
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+kobs AS (SELECT CAST(COUNT(DISTINCT g) AS DOUBLE) AS k FROM cell),
+per_block AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS bk FROM cell GROUP BY 1),
+complete AS (
+    SELECT c.b, c.g, c.v, k.k
+    FROM cell c JOIN per_block p ON c.b = p.b, kobs k
+    WHERE p.bk = k.k
+),
+rnk AS (
+    SELECT b, g, k,
+           RANK() OVER (PARTITION BY b ORDER BY v) - 1.0
+           + (COUNT(*) OVER (PARTITION BY b ORDER BY v
+                RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1.0) / 2.0
+             AS r
+    FROM complete
+),
+per_group AS (
+    SELECT g, SUM(r) AS rj, SUM(r * r) AS rsq,
+           CAST(COUNT(*) AS DOUBLE) AS n, MAX(k) AS k
+    FROM rnk GROUP BY 1
+),
+agg AS (
+    SELECT MAX(n) AS n, MAX(k) AS k,
+           SUM(rj * rj) AS sumrj2, SUM(rsq) AS a
+    FROM per_group
+),
+fin AS (
+    SELECT n, k, a,
+           n * k * (k + 1) * (k + 1) / 4.0 AS c,
+           sumrj2 / n AS b
+    FROM agg
+),
+q AS (
+    SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_groups,
+           CASE WHEN n >= 2 AND a - c > 0
+                THEN n * (k - 1) * (b - c) / (a - c) END AS q_stat,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM fin
+)
+SELECT n_blocks, k_groups, {_sql_r6("q_stat")} AS q_stat, dof,
+       {_sql_r6(f"CASE WHEN q_stat IS NOT NULL THEN {chi2_sf_sql('q_stat', 4)} END")} AS p_value
+FROM q
+"""
+
+
+_FISHER_ORACLE = f"""
+WITH base AS (
+    SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+           CASE WHEN value > 200.0 THEN 1 ELSE 0 END AS o
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+),
+cells AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(g * o) AS BIGINT) AS a,
+           CAST(SUM(g * (1 - o)) AS BIGINT) AS b,
+           CAST(SUM((1 - g) * o) AS BIGINT) AS c,
+           CAST(SUM((1 - g) * (1 - o)) AS BIGINT) AS d
+    FROM base
+),
+lftab AS (
+    SELECT j,
+           SUM(CASE WHEN j >= 1 THEN LN(CAST(j AS DOUBLE)) ELSE 0.0 END)
+             OVER (ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS lf
+    FROM (SELECT UNNEST(generate_series(0, (SELECT CAST(n AS INTEGER) FROM cells))) AS j)
+),
+lfs AS (SELECT LIST(lf ORDER BY j) AS lfs FROM lftab),
+t0 AS (
+    SELECT cells.*, lfs.lfs,
+           a + b AS r1, c + d AS r2, a + c AS c1, b + d AS c2
+    FROM cells, lfs
+),
+t1 AS (
+    SELECT *,
+           lfs[r1 + 1] + lfs[r2 + 1] + lfs[c1 + 1] + lfs[c2 + 1]
+           - lfs[n + 1] - lfs[a + 1] - lfs[r1 - a + 1]
+           - lfs[c1 - a + 1] - lfs[r2 - c1 + a + 1] AS lp_obs
+    FROM t0
+),
+tables AS (
+    SELECT t1.*, UNNEST(generate_series(GREATEST(0, c1 - r2),
+                                        LEAST(r1, c1))) AS k
+    FROM t1
+),
+contrib AS (
+    SELECT n, a, b, c, d,
+           CASE WHEN lfs[r1 + 1] + lfs[r2 + 1] + lfs[c1 + 1] + lfs[c2 + 1]
+                     - lfs[n + 1] - lfs[k + 1] - lfs[r1 - k + 1]
+                     - lfs[c1 - k + 1] - lfs[r2 - c1 + k + 1]
+                  <= lp_obs + {math.log1p(1e-7)!r}
+                THEN EXP(lfs[r1 + 1] + lfs[r2 + 1] + lfs[c1 + 1]
+                     + lfs[c2 + 1] - lfs[n + 1] - lfs[k + 1]
+                     - lfs[r1 - k + 1] - lfs[c1 - k + 1]
+                     - lfs[r2 - c1 + k + 1])
+                ELSE 0.0 END AS pc
+    FROM tables
+)
+SELECT n, a, b, c, d,
+       {_sql_r6("CASE WHEN b > 0 AND c > 0 THEN CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) END")} AS odds_ratio,
+       {_sql_r6("LEAST(SUM(pc), 1.0)")} AS p_value
+FROM contrib GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -10978,6 +11204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile_daily": q_matrix_profile_daily,
         "gmm_value": q_gmm_value,
         "hmm_regimes_daily": q_hmm_regimes_daily,
+        "woe_iv_events": q_woe_iv_events,
+        "friedman_user_event": q_friedman_user_event,
+        "fisher_exact_clicks": q_fisher_exact_clicks,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -14479,4 +14708,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_profile_daily": _matrix_profile_oracle(),
         "gmm_value": _gmm_oracle(),
         "hmm_regimes_daily": _hmm_oracle(),
+        "woe_iv_events": _WOE_IV_ORACLE,
+        "friedman_user_event": _friedman_oracle(),
+        "fisher_exact_clicks": _FISHER_ORACLE,
     }

@@ -29,6 +29,8 @@ checks a training-data pipeline runs between corpus snapshots.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,8 @@ __all__ = [
     "cuped_adjust",
     "cuped_ttest",
     "fdr_bh",
+    "fisher_exact",
+    "friedman_test",
     "kendall_tau",
     "kruskal_wallis",
     "js_divergence",
@@ -56,6 +60,7 @@ __all__ = [
     "ratio_ttest",
     "welch_ttest",
     "wilcoxon_signed_rank",
+    "woe_iv",
 ]
 
 #: Abramowitz & Stegun 26.2.17 coefficients for the standard normal
@@ -1716,4 +1721,305 @@ def kendall_tau(
         n.cast("long").alias("n"),
         F.when(ok, tau).alias("tau_b"),
         p.alias("p_value"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    *,
+    keys: list[str] | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight of Evidence / Information Value of a categorical feature
+    against a binary target — THE credit-scoring feature screen
+    (Siddiqi 2006): WOE_c = ln(P(c|y=1)/P(c|y=0)) per category, and
+    IV = Σ_c (P(c|1) − P(c|0))·WOE_c grades the whole feature
+    (<0.02 useless, 0.1-0.3 medium, >0.5 suspicious).
+
+    ``smoothing`` (default the classic half-count adjustment) is
+    added to every events/non-events cell so empty cells get finite
+    WOE instead of ±inf — the shares are computed against the
+    smoothed totals, so they still sum to 1 per class.
+
+    Output per (key, category): ``category, n, n_events, woe,
+    iv_term, iv`` — ``iv`` is the feature-level total repeated on
+    each of its category rows. One row-count-proportional aggregation
+    (groupBy key+category), then category-cardinality-sized joins
+    with broadcast per-key totals.
+    """
+    keys = list(keys or [])
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    t = F.col(target_col).cast("double")
+    base = df.filter(t.isNotNull()).select(
+        *keys,
+        F.col(category_col).alias("category"),
+        F.when(t != 0, 1.0).otherwise(0.0).alias("_t"),
+    )
+    cells = base.groupBy(*keys, "category").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_t").alias("_e"),
+    )
+    tot = cells.groupBy(*keys).agg(
+        F.sum("_e").alias("_te"),
+        F.sum(F.col("n") - F.col("_e")).alias("_tn"),
+        F.count("*").cast("double").alias("_k"),
+    )
+    j = (
+        cells.join(tot, keys)
+        if keys
+        else cells.crossJoin(F.broadcast(tot))
+    )
+    s = F.lit(float(smoothing))
+    ge = (F.col("_e") + s) / (F.col("_te") + s * F.col("_k"))
+    gn = (F.col("n") - F.col("_e") + s) / (F.col("_tn") + s * F.col("_k"))
+    woe = F.log(ge / gn)
+    term = (ge - gn) * woe
+    withw = j.select(
+        *keys,
+        "category",
+        "n",
+        F.col("_e").cast("long").alias("n_events"),
+        woe.alias("woe"),
+        term.alias("iv_term"),
+    )
+    iv = withw.groupBy(*keys).agg(F.sum("iv_term").alias("iv"))
+    return (
+        withw.join(iv, keys)
+        if keys
+        else withw.crossJoin(F.broadcast(iv))
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    group_col: str,
+    value_col: str,
+    *,
+    keys: list[str] | None = None,
+    groups: int | None = None,
+) -> DataFrame:
+    """Friedman rank test for k related samples (Friedman 1937) — the
+    repeated-measures sibling of `kruskal_wallis`: blocks (users,
+    days) each rank the same k treatments, removing between-block
+    level differences that would swamp a pooled rank test.
+
+    Cells with multiple observations are averaged first (documented
+    determinism choice); blocks missing any treatment are dropped
+    (the test requires complete blocks). Ranks within a block are
+    midranks. The tie-corrected statistic (Conover's form) is
+    Q = n(k−1)(B − C)/(A − C) with A = Σr², B = ΣR_j²/n,
+    C = nk(k+1)²/4; p is chi-squared with k−1 dof — exact finite
+    series when ``groups`` is pinned at build time, else the
+    Wilson-Hilferty approximation (`chi2_independence` convention).
+
+    Scale: one (key, block, group) aggregation, one per-block rank
+    window (k-sized partitions), one key reduction. Nothing is
+    global; the block window is the only sort and it is k rows wide.
+
+    Output per key: ``n_blocks, k_groups, q_stat, dof, p_value``.
+    """
+    from temporal_retriever_spark.diagnostics import chi2_sf_sql
+
+    keys = list(keys or [])
+    v = F.col(value_col)
+    cell = df.filter(v.isNotNull()).groupBy(
+        *keys, F.col(block_col).alias("_b"), F.col(group_col).alias("_g")
+    ).agg(F.avg(v).alias("_v"))
+    kobs = cell.groupBy(*keys).agg(
+        F.countDistinct("_g").cast("double").alias("_k")
+    )
+    per_block = cell.groupBy(*keys, "_b").agg(
+        F.count("*").cast("double").alias("_bk")
+    )
+    complete = (
+        cell.join(per_block, [*keys, "_b"])
+        .join(kobs, keys)
+        if keys
+        else cell.join(per_block, ["_b"]).crossJoin(F.broadcast(kobs))
+    ).filter(F.col("_bk") == F.col("_k"))
+    w_blk = Window.partitionBy(*keys, "_b")
+    rnk = complete.select(
+        *keys,
+        "_b",
+        "_g",
+        "_k",
+        # midrank within the block: (min rank of the tie group - 1)
+        # + (ties + 1)/2; RANGE 0..0 counts the equal-value peers
+        (
+            F.rank().over(w_blk.orderBy("_v"))
+            - 1.0
+            + (
+                F.count("*").over(
+                    w_blk.orderBy("_v").rangeBetween(0, 0)
+                )
+                + 1.0
+            )
+            / 2.0
+        ).alias("_r"),
+    )
+    per_group = rnk.groupBy(*keys, "_g").agg(
+        F.sum("_r").alias("_rj"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_rsq"),
+        F.count("*").cast("double").alias("_n"),
+        F.max("_k").alias("_k"),
+    )
+    agg = per_group.groupBy(*keys).agg(
+        F.max("_n").alias("_n"),
+        F.max("_k").alias("_k"),
+        F.sum(F.col("_rj") * F.col("_rj")).alias("_sumrj2"),
+        F.sum("_rsq").alias("_a"),
+    )
+    n, k = F.col("_n"), F.col("_k")
+    c = n * k * (k + 1) * (k + 1) / 4.0
+    b = F.col("_sumrj2") / n
+    q = F.when(
+        (n >= 2) & (F.col("_a") - c > 0),
+        n * (k - 1) * (b - c) / (F.col("_a") - c),
+    )
+    out = agg.select(
+        *keys,
+        n.cast("long").alias("n_blocks"),
+        k.cast("long").alias("k_groups"),
+        q.alias("q_stat"),
+        (k - 1).cast("long").alias("dof"),
+    )
+    if groups is not None:
+        p = F.when(
+            F.col("q_stat").isNotNull(),
+            F.expr(chi2_sf_sql("q_stat", groups - 1)),
+        )
+    else:
+        # Wilson-Hilferty cube-root normal approximation
+        d = (F.col("k_groups") - 1).cast("double")
+        zz = (
+            F.pow(F.col("q_stat") / d, F.lit(1.0 / 3.0))
+            - (1.0 - 2.0 / (9.0 * d))
+        ) / F.sqrt(2.0 / (9.0 * d))
+        p = F.when(F.col("q_stat").isNotNull(), _norm_sf_expr(zz))
+    return out.withColumn("p_value", p)
+
+
+def fisher_exact(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    *,
+    keys: list[str] | None = None,
+    rel_eps: float = 1e-7,
+) -> DataFrame:
+    """Fisher's exact test on a 2×2 table — the small-cell replacement
+    for `chi2_independence` / `prop_ztest` when expected counts are
+    tiny and the chi-square approximation lies.
+
+    ``group_col`` and ``outcome_col`` are boolean-ish (non-zero =
+    true). Two-sided p sums the hypergeometric probabilities of every
+    table (same margins) no more likely than the observed one, with
+    R's relative tolerance (tables within ``1+rel_eps`` of the
+    observed probability count as ties — the standard guard against
+    float equality).
+
+    Fully relational: log-factorials are ONE cumulative window over a
+    0..n integer range (both engines sum the identical logs in the
+    identical ascending order), the candidate tables are an exploded
+    k-range joined (broadcast) against that table, and p is one
+    conditional sum of exps. Scale: the k-range is ≤ min(row margin,
+    column margin) rows per key — bounded by the rarer class, not the
+    data.
+
+    Output per key: ``n, a, b, c, d, odds_ratio, p_value`` (cells:
+    a = group∧outcome, b = group∧¬outcome, c = ¬group∧outcome,
+    d = rest; odds ratio NULL when any of b·c is zero).
+    """
+    keys = list(keys or [])
+    g = F.col(group_col).cast("double")
+    o = F.col(outcome_col).cast("double")
+    base = df.filter(g.isNotNull() & o.isNotNull()).select(
+        *keys,
+        (g != 0).cast("int").alias("_g"),
+        (o != 0).cast("int").alias("_o"),
+    )
+    cells = base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col("_g") * F.col("_o")).cast("long").alias("_a"),
+        F.sum(F.col("_g") * (1 - F.col("_o"))).cast("long").alias("_b"),
+        F.sum((1 - F.col("_g")) * F.col("_o")).cast("long").alias("_c"),
+        F.sum((1 - F.col("_g")) * (1 - F.col("_o"))).cast("long").alias("_d"),
+    )
+    # log-factorial table 0..max(n): lf(j) = sum_{i<=j} ln(i), lf(0)=0
+    spark = df.sparkSession
+    nmax = cells.agg(F.max("_n")).collect()[0][0] or 1
+    rng = spark.range(0, int(nmax) + 1).select(F.col("id").alias("_j"))
+    w_lf = Window.orderBy("_j").rowsBetween(Window.unboundedPreceding, 0)
+    lf = rng.select(
+        "_j",
+        F.sum(
+            F.when(F.col("_j") >= 1, F.log(F.col("_j").cast("double")))
+            .otherwise(F.lit(0.0))
+        ).over(w_lf).alias("_lf"),
+    )
+
+    def lfj(col: Column) -> Column:
+        return F.element_at(F.col("_lfs"), col.cast("int") + 1)
+
+    lfs = lf.agg(F.array_sort(F.collect_list(F.struct("_j", "_lf"))).alias("_s")) \
+        .select(F.transform(F.col("_s"), lambda s: s["_lf"]).alias("_lfs"))
+    withlf = cells.crossJoin(F.broadcast(lfs))
+    r1 = F.col("_a") + F.col("_b")
+    r2 = F.col("_c") + F.col("_d")
+    c1 = F.col("_a") + F.col("_c")
+    c2 = F.col("_b") + F.col("_d")
+    nn = F.col("_n")
+
+    def logp(kc: Column) -> Column:
+        return (
+            lfj(r1)
+            + lfj(r2)
+            + lfj(c1)
+            + lfj(c2)
+            - lfj(nn)
+            - lfj(kc)
+            - lfj(r1 - kc)
+            - lfj(c1 - kc)
+            - lfj(r2 - c1 + kc)
+        )
+
+    klo = F.greatest(F.lit(0).cast("long"), c1 - r2)
+    khi = F.least(r1, c1)
+    tables = withlf.select(
+        *keys,
+        "_n",
+        "_a",
+        "_b",
+        "_c",
+        "_d",
+        "_lfs",
+        logp(F.col("_a")).alias("_lp_obs"),
+        F.explode(F.sequence(klo, khi)).alias("_k"),
+    )
+    eps = float(math.log1p(rel_eps))
+    contrib = F.when(
+        logp(F.col("_k")) <= F.col("_lp_obs") + F.lit(eps),
+        F.exp(logp(F.col("_k"))),
+    ).otherwise(F.lit(0.0))
+    res = tables.groupBy(*keys, "_n", "_a", "_b", "_c", "_d").agg(
+        F.least(F.sum(contrib), F.lit(1.0)).alias("p_value")
+    )
+    orat = F.when(
+        (F.col("_b") > 0) & (F.col("_c") > 0),
+        (F.col("_a").cast("double") * F.col("_d"))
+        / (F.col("_b").cast("double") * F.col("_c")),
+    )
+    return res.select(
+        *keys,
+        F.col("_n").alias("n"),
+        F.col("_a").alias("a"),
+        F.col("_b").alias("b"),
+        F.col("_c").alias("c"),
+        F.col("_d").alias("d"),
+        orat.alias("odds_ratio"),
+        "p_value",
     )
