@@ -10831,6 +10831,71 @@ FROM contrib GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def q_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (k=10, exact pairs) over the embeddings
+    table — llm.similarity.lof. The oracle replays the full
+    kdist / tie-inclusive neighborhood / reachability / lrd chain
+    quadratically. At corpus scale the same operator takes a
+    bucket-join candidates frame (docstring contract)."""
+    from temporal_retriever_spark.llm.similarity import lof
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    out = lof(emb, k=10)
+    return out.select(
+        "vec_id",
+        _r6("kdist").alias("kdist"),
+        _r6("lrd").alias("lrd"),
+        _r6("lof").alias("lof"),
+        "n_nb",
+    ).orderBy("vec_id")
+
+
+_LOF_ORACLE = f"""
+WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+d AS (
+    SELECT a.id AS i, b.id AS j,
+           SQRT(list_sum(list_transform(range(1, len(a.e) + 1),
+                t -> POW(CAST(a.e[t] AS DOUBLE)
+                         - CAST(b.e[t] AS DOUBLE), 2)))) AS d
+    FROM v a JOIN v b ON a.id <> b.id
+),
+r AS (
+    SELECT i, j, d, ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rn,
+           COUNT(*) OVER (PARTITION BY i) AS nn
+    FROM d
+),
+kd AS (SELECT i, d AS kdist FROM r WHERE rn = LEAST(10, nn)),
+nb AS (
+    SELECT r.i, r.j, r.d FROM r JOIN kd ON kd.i = r.i
+    WHERE r.d <= kd.kdist
+),
+rd AS (
+    SELECT nb.i, GREATEST(k2.kdist, nb.d) AS reach
+    FROM nb JOIN kd k2 ON k2.i = nb.j
+),
+lrd AS (
+    SELECT i, COUNT(*) / SUM(reach) AS lrd FROM rd
+    GROUP BY 1 HAVING SUM(reach) > 0
+),
+lj AS (
+    SELECT nb.i, AVG(l2.lrd) AS mlj, CAST(COUNT(*) AS BIGINT) AS n_nb
+    FROM nb JOIN lrd l2 ON l2.i = nb.j GROUP BY 1
+),
+fin AS (
+    SELECT kd.i, kd.kdist, l.lrd, lj.mlj / l.lrd AS lof, lj.n_nb
+    FROM kd
+    LEFT JOIN lrd l ON l.i = kd.i
+    LEFT JOIN lj ON lj.i = kd.i
+)
+SELECT i AS vec_id,
+       {_sql_r6("kdist")} AS kdist,
+       {_sql_r6("lrd")} AS lrd,
+       {_sql_r6("lof")} AS lof,
+       n_nb
+FROM fin ORDER BY vec_id
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -11207,6 +11272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv_events": q_woe_iv_events,
         "friedman_user_event": q_friedman_user_event,
         "fisher_exact_clicks": q_fisher_exact_clicks,
+        "lof_embeddings": q_lof_embeddings,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -14711,4 +14777,5 @@ def oracle_sql() -> dict[str, str]:
         "woe_iv_events": _WOE_IV_ORACLE,
         "friedman_user_event": _friedman_oracle(),
         "fisher_exact_clicks": _FISHER_ORACLE,
+        "lof_embeddings": _LOF_ORACLE,
     }

@@ -991,3 +991,113 @@ def hard_negatives(
             "cosine",
         )
     )
+
+
+def lof(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over an embedding
+    column — density-RELATIVE outlier scores: LOF ≈ 1 for points whose
+    local density matches their neighbors', ≫ 1 for points alone in a
+    sparse pocket next to a dense region — the regime where a global
+    distance/centroid rule (``embedding_group_outliers``) misfires.
+
+    Definitions follow the paper with deterministic choices: Euclidean
+    distances; the k-distance neighborhood INCLUDES distance ties;
+    points with fewer than k others use their farthest neighbor;
+    neighbor rank ties break by id. reach-dist(p←o) = max(kdist(o),
+    d(p,o)); lrd = |N|/Σreach (NULL when Σreach = 0, i.e. ≥k exact
+    duplicates — the paper's ∞ case, surfaced as NULL not hidden);
+    LOF = mean(lrd of neighbors)/lrd.
+
+    Scale: the default pair source is the exact self-join — O(n²),
+    correct for ≤10⁴ vectors per run. At corpus scale pass
+    ``candidates`` (an (id_a, id_b) frame from the IVF/LSH bucket
+    machinery, e.g. ``ivf_cosine_topk``'s cell pairs or
+    ``embedding_near_dup_pairs(method='lsh')``): every downstream
+    stage is neighbor-bounded (n·k rows), and the rank window is
+    per-point. Output: ``(id, kdist, lrd, lof, n_nb)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("_ea"))
+    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("_eb"))
+    if candidates is None:
+        pairs = a.crossJoin(b).filter(F.col("i") != F.col("j"))
+    else:
+        sym = candidates.select(
+            F.col(candidates.columns[0]).alias("i"),
+            F.col(candidates.columns[1]).alias("j"),
+        )
+        sym = sym.union(
+            sym.select(F.col("j").alias("i"), F.col("i").alias("j"))
+        ).filter(F.col("i") != F.col("j")).distinct()
+        pairs = sym.join(a, "i").join(b, "j")
+    d = pairs.select(
+        "i",
+        "j",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_ea"),
+                    F.col("_eb"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("d"),
+    )
+    w = Window.partitionBy("i").orderBy("d", "j")
+    r = d.select(
+        "i",
+        "j",
+        "d",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("i")).alias("_nn"),
+    )
+    kd = r.filter(
+        F.col("_rn") == F.least(F.lit(k), F.col("_nn"))
+    ).select("i", F.col("d").alias("kdist"))
+    nb = r.join(kd, "i").filter(F.col("d") <= F.col("kdist"))
+    rd = (
+        nb.select("i", "j", "d")
+        .join(
+            kd.select(F.col("i").alias("j"), F.col("kdist").alias("_kdj")),
+            "j",
+        )
+        .select("i", "j", F.greatest(F.col("_kdj"), F.col("d")).alias("_reach"))
+    )
+    lrd = (
+        rd.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_reach").alias("_sr"))
+        .filter(F.col("_sr") > 0)
+        .select("i", (F.col("_cnt") / F.col("_sr")).alias("lrd"))
+    )
+    lof_df = (
+        nb.select("i", "j")
+        .join(lrd.select(F.col("i").alias("j"), F.col("lrd").alias("_lj")), "j")
+        .join(lrd, "i")
+        .groupBy("i", "lrd")
+        .agg(
+            (F.avg("_lj") / F.first("lrd")).alias("lof"),
+            F.count(F.lit(1)).cast("long").alias("n_nb"),
+        )
+    )
+    return (
+        kd.join(lrd, "i", "left")
+        .join(lof_df.select("i", "lof", "n_nb"), "i", "left")
+        .select(
+            F.col("i").alias(id_col),
+            "kdist",
+            "lrd",
+            "lof",
+            "n_nb",
+        )
+    )

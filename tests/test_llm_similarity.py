@@ -250,3 +250,96 @@ def test_pool_embeddings_modes_and_normalize(spark):
     )
     with pytest.raises(ValueError, match="mode"):
         pool_embeddings(df, mode="sum")
+
+
+class TestLof:
+    @staticmethod
+    def _ref(X, k):
+        import numpy as np
+
+        n = len(X)
+        D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+        res = {}
+        kdist, neigh = {}, {}
+        for i in range(n):
+            order = sorted((D[i, j], j) for j in range(n) if j != i)
+            kd = order[min(k, n - 1) - 1][0]
+            kdist[i] = kd
+            neigh[i] = [j for (dd, j) in order if dd <= kd]
+        lrd = {}
+        for i in range(n):
+            reach = [max(kdist[j], D[i, j]) for j in neigh[i]]
+            s = sum(reach)
+            lrd[i] = len(reach) / s if s > 0 else None
+        for i in range(n):
+            ljs = [lrd[j] for j in neigh[i] if lrd[j] is not None]
+            res[i] = dict(
+                kdist=kdist[i],
+                lrd=lrd[i],
+                lof=(sum(ljs) / len(ljs)) / lrd[i]
+                if ljs and lrd[i] is not None
+                else None,
+                n_nb=len(ljs),
+            )
+        return res
+
+    def _df(self, spark, X):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_matches_reference(self, spark):
+        import numpy as np
+
+        from temporal_retriever_spark.llm.similarity import lof
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(40, 8))
+        got = {r["vec_id"]: r for r in lof(self._df(spark, X), k=5).collect()}
+        ref = self._ref(X, 5)
+        assert set(got) == set(ref)
+        for i in ref:
+            assert got[i]["kdist"] == pytest.approx(ref[i]["kdist"], rel=1e-9)
+            assert got[i]["lrd"] == pytest.approx(ref[i]["lrd"], rel=1e-9)
+            assert got[i]["lof"] == pytest.approx(ref[i]["lof"], rel=1e-9)
+            assert got[i]["n_nb"] == ref[i]["n_nb"]
+
+    def test_planted_outlier_scores_high(self, spark):
+        import numpy as np
+
+        from temporal_retriever_spark.llm.similarity import lof
+
+        rng = np.random.default_rng(6)
+        cluster = rng.normal(0, 0.3, size=(60, 6))
+        outlier = np.full((1, 6), 4.0)
+        X = np.vstack([cluster, outlier])
+        got = {r["vec_id"]: r["lof"] for r in lof(self._df(spark, X), k=5).collect()}
+        inliers = [got[i] for i in range(60)]
+        assert got[60] > 3.0
+        assert max(inliers) < 2.0
+        assert sum(inliers) / len(inliers) == pytest.approx(1.0, abs=0.15)
+
+    def test_candidates_path_matches_exact_when_complete(self, spark):
+        import numpy as np
+
+        from temporal_retriever_spark.llm.similarity import lof
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(20, 4))
+        df = self._df(spark, X)
+        cand = spark.createDataFrame(
+            [(i, j) for i in range(20) for j in range(i + 1, 20)],
+            "id_a long, id_b long",
+        )
+        exact = {r["vec_id"]: r for r in lof(df, k=4).collect()}
+        blocked = {r["vec_id"]: r for r in lof(df, k=4, candidates=cand).collect()}
+        for i in exact:
+            assert blocked[i]["lof"] == pytest.approx(exact[i]["lof"], rel=1e-9)
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.llm.similarity import lof
+
+        df = self._df(spark, [[0.0, 0.0]])
+        with pytest.raises(ValueError):
+            lof(df, k=0)
