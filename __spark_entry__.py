@@ -10896,6 +10896,100 @@ FROM fin ORDER BY vec_id
 """
 
 
+def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal REAL decode, GIF path: the md5-digest 10×6 RGB
+    bitmap (same derivation as ``media_decode_png``) round-trips
+    through the real GIF89a codec (llm.codecs encode_gif/decode_gif:
+    palette build, variable-width LZW with the one-code-behind width
+    bump, sub-block framing) as a 2-frame animation — frame 2 is the
+    row-reversed bitmap — in BOTH plain and interlaced row order. GIF
+    is lossless at ≤256 colors, so the contract is exact: frame-1
+    channel sums must equal the oracle's straight-from-md5 sums,
+    interlaced decode must equal plain, and the animation must come
+    back 2 frames with its delays."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    W, H = 10, 6
+    n_raw = W * H * 3
+    out_schema = (
+        "doc_id long, width long, height long, sum_r long, sum_g long,"
+        " sum_b long, n_frames long, ok_interlace boolean, ok_anim boolean"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                raw = (digest * (n_raw // len(digest) + 1))[:n_raw]
+                arr = np.frombuffer(raw, np.uint8).reshape(H, W, 3)
+                anim = [arr, arr[::-1].copy()]
+                delays, frames = codecs.decode_gif(
+                    codecs.encode_gif(anim, delays_ms=[40, 80])
+                )
+                _, inter = codecs.decode_gif(
+                    codecs.encode_gif(arr, interlace=True)
+                )
+                sums = frames[0].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        frames[0].shape[1],
+                        frames[0].shape[0],
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        len(frames),
+                        bool(np.array_equal(inter[0], arr)),
+                        bool(
+                            np.array_equal(frames[1], arr[::-1])
+                            and delays == [40, 80]
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                    "n_frames", "ok_interlace", "ok_anim",
+                ],
+            )
+
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(run, out_schema)
+    )
+
+
+_MEDIA_DECODE_GIF_ORACLE = """
+WITH k AS (SELECT unnest(generate_series(0, 179)) AS k),
+b AS (
+    SELECT d.doc_id, k.k,
+           (strpos('0123456789abcdef',
+                   substr(md5(d.text), ((k.k % 16) * 2) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(d.text), ((k.k % 16) * 2) + 2, 1)) - 1) AS v
+    FROM documents d CROSS JOIN k
+)
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(2 AS BIGINT) AS n_frames,
+       TRUE AS ok_interlace,
+       TRUE AS ok_anim
+FROM b GROUP BY 1
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -11273,6 +11367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_user_event": q_friedman_user_event,
         "fisher_exact_clicks": q_fisher_exact_clicks,
         "lof_embeddings": q_lof_embeddings,
+        "media_decode_gif": q_media_decode_gif,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -14778,4 +14873,5 @@ def oracle_sql() -> dict[str, str]:
         "friedman_user_event": _friedman_oracle(),
         "fisher_exact_clicks": _FISHER_ORACLE,
         "lof_embeddings": _LOF_ORACLE,
+        "media_decode_gif": _MEDIA_DECODE_GIF_ORACLE,
     }

@@ -1505,7 +1505,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | None from the magic."""
+    """'gif' | 'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | ... | None from the magic."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
@@ -1553,6 +1555,11 @@ def decode_features(payload: bytes, media_type: str) -> list[float]:
     if kind == "mp4":
         fps, frames = decode_mp4_video(payload)
         return image_features(frames[0]) + [float(len(frames)), float(fps)]
+    if kind == "gif":
+        delays, frames = decode_gif(payload)
+        total = sum(d if d > 0 else 100 for d in delays)
+        fps = 1000.0 * len(frames) / total if total else 0.0
+        return image_features(frames[0]) + [float(len(frames)), fps]
     raise ValueError(f"unknown media payload for {media_type!r}")
 
 
@@ -1573,7 +1580,13 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
         return encode_mp4_video(
             [resize_nearest(f, width, height) for f in frames], fps=fps
         )
-    raise ValueError("resize supports BMP, PNG, JPEG, AVI and MP4 payloads")
+    if kind == "gif":
+        delays, frames = decode_gif(payload)
+        return encode_gif(
+            [resize_nearest(f, width, height) for f in frames],
+            delays_ms=delays,
+        )
+    raise ValueError("resize supports BMP, PNG, JPEG, GIF, AVI and MP4 payloads")
 
 
 def sample_frame(payload: bytes, ts_ms: int) -> bytes:
@@ -1584,7 +1597,9 @@ def sample_frame(payload: bytes, ts_ms: int) -> bytes:
         return encode_bmp(frame_at(payload, ts_ms))
     if kind == "mp4":
         return encode_bmp(mp4_frame_at(payload, ts_ms))
-    raise ValueError("frame sampling supports AVI and MP4 payloads")
+    if kind == "gif":
+        return encode_bmp(gif_frame_at(payload, ts_ms))
+    raise ValueError("frame sampling supports AVI, MP4 and GIF payloads")
 
 
 # --------------------------------------------------------------------------
@@ -2112,3 +2127,289 @@ def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
     if k:
         arr = np.rot90(arr, k)
     return np.ascontiguousarray(arr)
+
+
+# --------------------------------------------------------------------------
+# GIF (GIF87a/89a) — full decode (variable-width LZW with clear/EOI,
+# deferred-clear tolerance, the KwKwK case, interlacing, local color
+# tables, transparency + disposal compositing for animations) and a
+# palette-exact encoder (global table built from the frames' unique
+# colors, reset-on-full LZW, optional interlace). GIF is pure
+# algorithm — no tabulated constants — so unlike MP3 the decoder can
+# be built AND verified honestly in-container: hand-assembled
+# spec-example bitstreams pin the decoder independently of the
+# encoder's round trip.
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """GIF LZW: LSB-first bit packing, code width mcs+1..12, CLEAR
+    resets, EOI terminates, dictionary capped at 4096 (deferred-clear
+    streams simply stop growing until the next CLEAR)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [(i,) for i in range(1 << mcs)] + [(), ()]
+    table = list(base)
+    width = mcs + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + (prev[0],)  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        prev = entry
+        # the decoder learns each entry one code AFTER the encoder
+        # registered it, so its width bump fires at table length
+        # (1<<width) - 1 — exactly when the encoder (which bumped at
+        # next_code == 1<<width) starts emitting wider codes
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(1 << mcs)}
+
+    width = mcs + 1
+    table = fresh()
+    next_code = eoi + 1
+    emit(clear, width)
+    w: tuple[int, ...] = ()
+    for px in indices:
+        wk = w + (int(px),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = mcs + 1
+        w = (int(px),)
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def _interlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+    return rows[order]
+
+
+def decode_gif(payload: bytes) -> tuple[list[int], list[np.ndarray]]:
+    """Decode GIF87a/89a → (delays_ms, frames) with each frame the
+    fully composited H×W×3 uint8 canvas. Disposal 2 restores the
+    background color; transparency keeps the canvas pixel."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.tile(bg_rgb, (h, w, 1)).astype(np.uint8)
+    delays: list[int] = []
+    frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
+    delay_cs = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = payload[pos]
+                gflags, delay_cs, tr = struct.unpack_from(
+                    "<BHB", payload, pos + 1
+                )
+                disposal = (gflags >> 2) & 0x07
+                transparent = tr if gflags & 0x01 else None
+                pos += 1 + size
+                if payload[pos] != 0:
+                    raise ValueError("unterminated graphic control block")
+                pos += 1
+            else:  # comment/app/plain-text: skip sub-blocks
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        il, it, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(
+                payload[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            n = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + n])
+            pos += 1 + n
+        pos += 1
+        idx = np.array(
+            _gif_lzw_decode(b"".join(chunks), mcs), np.int32
+        )[: iw * ih].reshape(ih, iw)
+        if iflags & 0x40:
+            idx = _deinterlace(idx)
+        region = canvas[it : it + ih, il : il + iw]
+        px = table[np.clip(idx, 0, len(table) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, px, region)
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10)
+        if disposal == 2:
+            canvas[it : it + ih, il : il + iw] = bg_rgb
+        transparent = None
+        disposal = 0
+        delay_cs = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return delays, frames
+
+
+def encode_gif(
+    frames: list[np.ndarray] | np.ndarray,
+    *,
+    delays_ms: list[int] | None = None,
+    interlace: bool = False,
+    disposal: int = 1,
+) -> bytes:
+    """Palette-exact GIF89a writer: the global color table is the
+    sorted unique colors across all frames (≤256 required — this is
+    the lossless fixture/round-trip writer, not a quantizer)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w) or f.shape[2] != 3:
+            raise ValueError("all frames must be HxWx3 with equal dims")
+    allpx = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors = np.unique(allpx, axis=0)
+    if len(colors) > 256:
+        raise ValueError(
+            f"{len(colors)} unique colors; the lossless writer caps at 256"
+        )
+    bits = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    tsize = 1 << bits
+    table = np.zeros((tsize, 3), np.uint8)
+    table[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    if delays_ms is None:
+        delays_ms = [100] * len(frames)
+    mcs = max(2, bits)
+    for f, dms in zip(frames, delays_ms):
+        out += b"\x21\xf9\x04"
+        out += struct.pack("<BHB", (disposal & 0x07) << 2, dms // 10, 0)
+        out += b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0x00
+        )
+        idx = np.array(
+            [lut[tuple(px)] for px in f.reshape(-1, 3)], np.int32
+        ).reshape(h, w)
+        if interlace:
+            idx = _interlace(idx)
+        out.append(mcs)
+        data = _gif_lzw_encode(idx.reshape(-1), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
+    """The composited GIF frame covering ``ts_ms`` (cumulative delays;
+    clamped to the last frame; zero-delay GIFs treat every frame as
+    100 ms, the common browser fallback)."""
+    delays, frames = decode_gif(payload)
+    t = 0
+    for d, f in zip(delays, frames):
+        t += d if d > 0 else 100
+        if ts_ms < t:
+            return f
+    return frames[-1]

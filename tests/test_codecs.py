@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 from struct import error as struct_error
@@ -615,3 +617,156 @@ def test_progressive_restart_markers():
                 )
             )
             assert np.array_equal(base, prog), (shape, sub, ri)
+
+
+class TestGif:
+    def test_hand_assembled_bitstream_decodes(self):
+        """Decoder anchor independent of our encoder: LZW codes derived
+        by hand from the GIF89a spec rules (clear, width bump at
+        next_code == 1<<width, EOI) for pixels [0,1,1,0], packed
+        LSB-first by hand into 0x44 0x02 0x0A."""
+        from temporal_retriever_spark.llm.codecs import decode_gif
+
+        gct = bytes([0, 0, 0, 255, 255, 255, 1, 2, 3, 4, 5, 6])
+        payload = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+            + gct
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+            + bytes([2])              # LZW min code size
+            + bytes([3, 0x44, 0x02, 0x0A])  # one 3-byte sub-block
+            + b"\x00\x3b"
+        )
+        delays, frames = decode_gif(payload)
+        assert len(frames) == 1
+        np.testing.assert_array_equal(
+            frames[0],
+            np.array(
+                [[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]],
+                np.uint8,
+            ),
+        )
+
+    def test_round_trip_exact(self):
+        from temporal_retriever_spark.llm.codecs import decode_gif, encode_gif
+
+        rng = np.random.default_rng(1)
+        palette = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+        img = palette[rng.integers(0, 17, size=(23, 31))]
+        delays, frames = decode_gif(encode_gif(img))
+        assert len(frames) == 1
+        np.testing.assert_array_equal(frames[0], img)
+
+    def test_interlaced_round_trip(self):
+        from temporal_retriever_spark.llm.codecs import decode_gif, encode_gif
+
+        rng = np.random.default_rng(2)
+        palette = rng.integers(0, 256, size=(9, 3), dtype=np.uint8)
+        img = palette[rng.integers(0, 9, size=(19, 7))]
+        _, plain = decode_gif(encode_gif(img, interlace=False))
+        _, inter = decode_gif(encode_gif(img, interlace=True))
+        np.testing.assert_array_equal(plain[0], inter[0])
+
+    def test_lzw_dictionary_overflow_reset(self):
+        # 256 colors x noise big enough to blow past 4096 dict entries:
+        # exercises width growth to 12 bits and the reset-on-full path
+        from temporal_retriever_spark.llm.codecs import decode_gif, encode_gif
+
+        rng = np.random.default_rng(3)
+        palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        palette = np.unique(palette, axis=0)
+        img = palette[rng.integers(0, len(palette), size=(120, 120))]
+        _, frames = decode_gif(encode_gif(img))
+        np.testing.assert_array_equal(frames[0], img)
+
+    def test_animation_delays_and_frame_at(self):
+        from temporal_retriever_spark.llm.codecs import (
+            decode_gif,
+            encode_gif,
+            gif_frame_at,
+        )
+
+        f0 = np.full((4, 4, 3), [255, 0, 0], np.uint8)
+        f1 = np.full((4, 4, 3), [0, 255, 0], np.uint8)
+        f2 = np.full((4, 4, 3), [0, 0, 255], np.uint8)
+        payload = encode_gif([f0, f1, f2], delays_ms=[50, 100, 150])
+        delays, frames = decode_gif(payload)
+        assert delays == [50, 100, 150]
+        assert len(frames) == 3
+        np.testing.assert_array_equal(frames[1], f1)
+        np.testing.assert_array_equal(gif_frame_at(payload, 0), f0)
+        np.testing.assert_array_equal(gif_frame_at(payload, 60), f1)
+        np.testing.assert_array_equal(gif_frame_at(payload, 10_000), f2)
+
+    def test_transparency_keeps_canvas(self):
+        """Second frame marks palette index 1 transparent over a
+        partial region: the canvas must keep frame 1's pixels there."""
+        from temporal_retriever_spark.llm.codecs import (
+            _gif_lzw_encode,
+            decode_gif,
+        )
+
+        gct = bytes([200, 0, 0, 0, 0, 200])  # idx0 red, idx1 blue
+        def img_block(indices, w, h, left=0, top=0):
+            data = _gif_lzw_encode(indices, 2)
+            blocks = bytes([len(data)]) + data + b"\x00"
+            return (
+                b"\x2c"
+                + struct.pack("<HHHHB", left, top, w, h, 0)
+                + bytes([2])
+                + blocks
+            )
+
+        gce_transparent = b"\x21\xf9\x04" + struct.pack("<BHB", 0x01 | (1 << 2), 5, 0) + b"\x00"
+        payload = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+            + gct
+            + img_block([0, 0, 0, 0], 2, 2)          # frame 1: all red
+            + gce_transparent
+            + img_block([1, 0, 0, 0], 2, 2)          # frame 2: idx0 transparent
+            + b"\x3b"
+        )
+        # flags 0x80 with size bits 0 -> table of 2 entries (6 bytes) OK
+        delays, frames = decode_gif(payload)
+        assert len(frames) == 2
+        red, blue = [200, 0, 0], [0, 0, 200]
+        np.testing.assert_array_equal(frames[0], np.full((2, 2, 3), red, np.uint8))
+        expect = np.full((2, 2, 3), red, np.uint8)
+        expect[0, 0] = blue  # the sole non-transparent pixel painted blue
+        np.testing.assert_array_equal(frames[1], expect)
+
+    def test_pipeline_integration(self):
+        from temporal_retriever_spark.llm.codecs import (
+            decode_features,
+            decode_gif,
+            resize_payload,
+            sample_frame,
+            sniff_format,
+            decode_bmp,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(4)
+        palette = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+        img = palette[rng.integers(0, 5, size=(10, 8))]
+        payload = encode_gif([img, img], delays_ms=[100, 100])
+        assert sniff_format(payload) == "gif"
+        feats = decode_features(payload, "image")
+        assert feats[-2] == 2.0 and feats[-1] == pytest.approx(10.0)
+        _, resized = decode_gif(resize_payload(payload, 4, 5))
+        assert resized[0].shape == (5, 4, 3)
+        bmp = sample_frame(payload, 0)
+        np.testing.assert_array_equal(decode_bmp(bmp), img)
+
+    def test_errors(self):
+        from temporal_retriever_spark.llm.codecs import decode_gif, encode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"NOTGIF" + bytes(20))
+        with pytest.raises(ValueError):
+            encode_gif([])
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        with pytest.raises(ValueError):
+            encode_gif(img)  # ~1600 unique colors > 256
