@@ -10990,6 +10990,88 @@ FROM b GROUP BY 1
 """
 
 
+def q_media_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal REAL decode, FLAC path: a deterministic 60-
+    sample 16-bit PCM signal (md5(text) bytes re-centered, ×100) is
+    encoded with the real FLAC writer (llm.codecs encode_flac: fixed
+    predictors, Rice partitions, CRC-8/16, STREAMINFO MD5) at block
+    size 32 — TWO frames, so the UTF-8 frame numbering and inter-frame
+    state are exercised — decoded back with full verification, and the
+    same signal round-trips a mid/side stereo pair. FLAC is lossless,
+    so the contract is exact: sample sums straight from the md5 hex."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    N = 60
+    out_schema = (
+        "doc_id long, n_samples long, sample_rate long, sum_pcm long,"
+        " ok_ms boolean"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                raw = (digest * (N // len(digest) + 1))[:N]
+                x = (np.frombuffer(raw, np.uint8).astype(np.int64) - 128) * 100
+                rate, dec = codecs.decode_flac(
+                    codecs.encode_flac(x, sample_rate=8000, block_size=32)
+                )
+                stereo = np.stack([x, x[::-1]], axis=1)
+                _, dec2 = codecs.decode_flac(
+                    codecs.encode_flac(stereo, block_size=32, stereo="ms")
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        dec.shape[0],
+                        rate,
+                        int(dec[:, 0].sum()),
+                        bool(
+                            np.array_equal(dec[:, 0], x)
+                            and np.array_equal(dec2, stereo)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "sum_pcm", "ok_ms",
+                ],
+            )
+
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(run, out_schema)
+    )
+
+
+_MEDIA_DECODE_FLAC_ORACLE = """
+WITH k AS (SELECT unnest(generate_series(0, 59)) AS k),
+b AS (
+    SELECT d.doc_id,
+           ((strpos('0123456789abcdef',
+                    substr(md5(d.text), ((k.k % 16) * 2) + 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substr(md5(d.text), ((k.k % 16) * 2) + 2, 1)) - 1)
+          - 128) * 100 AS v
+    FROM documents d CROSS JOIN k
+)
+SELECT doc_id,
+       CAST(60 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(SUM(v) AS BIGINT) AS sum_pcm,
+       TRUE AS ok_ms
+FROM b GROUP BY 1
+"""
+
+
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
 # match in CORRECTNESS_r01..r04. queries() demotes these to the back of
 # the dict so the driver's first-50 sample window is composed entirely of
@@ -11368,6 +11450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_exact_clicks": q_fisher_exact_clicks,
         "lof_embeddings": q_lof_embeddings,
         "media_decode_gif": q_media_decode_gif,
+        "media_decode_flac": q_media_decode_flac,
     }
     # R5 rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
@@ -14874,4 +14957,5 @@ def oracle_sql() -> dict[str, str]:
         "fisher_exact_clicks": _FISHER_ORACLE,
         "lof_embeddings": _LOF_ORACLE,
         "media_decode_gif": _MEDIA_DECODE_GIF_ORACLE,
+        "media_decode_flac": _MEDIA_DECODE_FLAC_ORACLE,
     }

@@ -770,3 +770,210 @@ class TestGif:
         img = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
         with pytest.raises(ValueError):
             encode_gif(img)  # ~1600 unique colors > 256
+
+
+class TestFlac:
+    @staticmethod
+    def _crc8_ref(data):
+        """Independent table-driven CRC-8 (poly 0x07) for fixtures."""
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            table.append(c)
+        crc = 0
+        for b in data:
+            crc = table[crc ^ b]
+        return crc
+
+    @staticmethod
+    def _crc16_ref(data):
+        table = []
+        for i in range(256):
+            c = i << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+            table.append(c)
+        crc = 0
+        for b in data:
+            crc = ((crc << 8) & 0xFFFF) ^ table[((crc >> 8) ^ b) & 0xFF]
+        return crc
+
+    def test_hand_assembled_constant_frame(self):
+        """Spec-derived fixture: mono 16-bit, one frame of 4 constant
+        samples (value 100), constant subframe, CRCs via independent
+        table-driven implementations."""
+        import hashlib
+
+        from temporal_retriever_spark.llm.codecs import decode_flac
+
+        pcm = b"".join(int(100).to_bytes(2, "little", signed=True) for _ in range(4))
+        md5 = hashlib.md5(pcm).digest()
+        # STREAMINFO: bs 4/4, fs 0/0, rate 8000, 1ch, 16bit, 4 samples
+        si_bits = (
+            format(4, "016b") * 2 + format(0, "024b") * 2
+            + format(8000, "020b") + format(0, "03b") + format(15, "05b")
+            + format(4, "036b")
+        )
+        si = int(si_bits, 2).to_bytes(len(si_bits) // 8, "big") + md5
+        header = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+        # frame header: sync 11111111111110, res 0, strategy 0,
+        # bs code 7 (16-bit follows), sr code 0, ch code 0, ss code 0,
+        # res 0, frame number 0 (1 byte), blocksize-1 as 16 bits
+        fh_bits = (
+            "11111111111110" + "0" + "0"
+            + format(7, "04b") + format(0, "04b")
+            + format(0, "04b") + format(0, "03b") + "0"
+            + format(0, "08b") + format(3, "016b")
+        )
+        fh = int(fh_bits, 2).to_bytes(len(fh_bits) // 8, "big")
+        fh += bytes([self._crc8_ref(fh)])
+        # subframe: pad 0, type 000000 (constant), wasted 0, value 100
+        # @16b -> exactly 24 bits, already byte-aligned
+        sub_bits = "0" + "000000" + "0" + format(100, "016b")
+        frame = fh + int(sub_bits, 2).to_bytes(len(sub_bits) // 8, "big")
+        frame += self._crc16_ref(frame).to_bytes(2, "big")
+        rate, out = decode_flac(header + frame)
+        assert rate == 8000
+        np.testing.assert_array_equal(out[:, 0], [100, 100, 100, 100])
+
+    def test_round_trip_mono(self):
+        from temporal_retriever_spark.llm.codecs import decode_flac, encode_flac
+
+        rng = np.random.default_rng(1)
+        t = np.arange(5000)
+        x = (
+            3000 * np.sin(2 * np.pi * 440 * t / 8000)
+            + rng.normal(0, 120, size=len(t))
+        ).astype(np.int32)
+        rate, out = decode_flac(encode_flac(x, sample_rate=8000, block_size=1024))
+        assert rate == 8000
+        np.testing.assert_array_equal(out[:, 0], x)
+
+    @pytest.mark.parametrize("mode", ["indep", "ls", "rs", "ms"])
+    def test_round_trip_stereo_all_modes(self, mode):
+        from temporal_retriever_spark.llm.codecs import decode_flac, encode_flac
+
+        rng = np.random.default_rng(2)
+        n = 3000
+        left = (2000 * np.sin(2 * np.pi * 220 * np.arange(n) / 8000)).astype(int)
+        right = (left * 0.8 + rng.normal(0, 90, n)).astype(int)
+        pcm = np.stack([left, right], axis=1)
+        payload = encode_flac(pcm, sample_rate=8000, block_size=512, stereo=mode)
+        rate, out = decode_flac(payload)
+        np.testing.assert_array_equal(out, pcm)
+
+    def test_odd_mid_side_parity(self):
+        # mid/side with odd l+r exercises the mid<<1 | side&1 trick
+        from temporal_retriever_spark.llm.codecs import decode_flac, encode_flac
+
+        pcm = np.array([[3, 0], [5, 2], [-7, 4], [1, 1], [0, -9]] * 40)
+        rate, out = decode_flac(encode_flac(pcm, block_size=64, stereo="ms"))
+        np.testing.assert_array_equal(out, pcm)
+
+    def test_crc_verification_catches_corruption(self):
+        from temporal_retriever_spark.llm.codecs import decode_flac, encode_flac
+
+        x = np.arange(500, dtype=np.int32) % 97
+        payload = bytearray(encode_flac(x, block_size=256))
+        payload[-3] ^= 0xFF  # flip a byte inside the last frame
+        with pytest.raises(ValueError):
+            decode_flac(bytes(payload))
+        decode_flac(bytes(payload), verify=False)  # lenient path survives
+
+    def test_probe_and_features(self):
+        from temporal_retriever_spark.llm.codecs import (
+            decode_features,
+            encode_flac,
+            probe_flac,
+            sniff_format,
+        )
+
+        x = (1000 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(int)
+        payload = encode_flac(x, sample_rate=8000)
+        assert sniff_format(payload) == "flac"
+        info = probe_flac(payload)
+        assert info == {
+            "sample_rate": 8000,
+            "channels": 1,
+            "bits": 16,
+            "n_samples": 8000,
+            "duration_ms": 1000,
+        }
+        feats = decode_features(payload, "audio")
+        assert feats[0] == pytest.approx(1000.0)  # duration_ms
+        assert feats[3] == pytest.approx(440.0, abs=1.0)  # dominant freq
+
+    def test_errors(self):
+        from temporal_retriever_spark.llm.codecs import decode_flac, encode_flac
+
+        with pytest.raises(ValueError):
+            decode_flac(b"nope")
+        with pytest.raises(ValueError):
+            encode_flac(np.zeros((10, 3), int))
+        with pytest.raises(ValueError):
+            encode_flac(np.array([40000]), bps=16)
+        with pytest.raises(ValueError):
+            encode_flac(np.zeros(5, int), stereo="ms")
+
+    def test_hand_built_lpc_and_rice_escape(self):
+        """Decoder-only branches: an order-2 LPC subframe (precision 4,
+        shift 1, coefs [3,-1]) whose residuals ride an ESCAPED Rice
+        partition (raw 5-bit). Expected samples replayed by the spec
+        recurrence in the test."""
+        import hashlib
+
+        from temporal_retriever_spark.llm.codecs import (
+            _BitWriter,
+            _crc8,
+            _crc16,
+            decode_flac,
+        )
+
+        warm = [10, 13]
+        resid = [2, -3, 1, 0, -1, 4]
+        n = len(warm) + len(resid)
+        samples = list(warm)
+        for r in resid:
+            pred = (3 * samples[-1] - samples[-2]) >> 1
+            samples.append(r + pred)
+
+        pcm = b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+        md5 = hashlib.md5(pcm).digest()
+        si = _BitWriter()
+        si.write(n, 16); si.write(n, 16); si.write(0, 24); si.write(0, 24)
+        si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(n, 36)
+        body = si.bytes() + md5
+        out = bytearray(b"fLaC")
+        out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+        bw = _BitWriter()
+        bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+        bw.write(7, 4); bw.write(0, 4); bw.write(0, 4); bw.write(0, 3)
+        bw.write(0, 1); bw.write(0, 8); bw.write(n - 1, 16)
+        bw.align()
+        hdr = bw.bytes()
+        hdr += bytes([_crc8(hdr)])
+
+        bw = _BitWriter()
+        bw.write(0, 1)
+        bw.write(32 + (2 - 1), 6)   # LPC subframe, order 2
+        bw.write(0, 1)              # no wasted bits
+        for w in warm:
+            bw.write(w, 16)
+        bw.write(4 - 1, 4)          # coefficient precision 4
+        bw.write(1, 5)              # shift 1 (signed 5-bit)
+        bw.write(3 & 0xF, 4)        # coef 3
+        bw.write(-1 & 0xF, 4)       # coef -1
+        bw.write(0, 2)              # residual method 0 (4-bit params)
+        bw.write(0, 4)              # partition order 0
+        bw.write(0xF, 4)            # ESCAPE
+        bw.write(5, 5)              # raw 5-bit residuals
+        for r in resid:
+            bw.write(r & 0x1F, 5)
+        bw.align()
+        frame = hdr + bw.bytes()
+        frame += _crc16(frame).to_bytes(2, "big")
+        rate, got = decode_flac(bytes(out) + frame)
+        np.testing.assert_array_equal(got[:, 0], samples)
