@@ -28,7 +28,8 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["attribution", "funnel", "funnel_summary", "cohort_retention", "path_ngrams", "sequential_patterns", "transition_matrix"]
+__all__ = ["attribution", "funnel", "funnel_summary", "cohort_retention", "path_ngrams", "sequential_patterns", "transition_matrix"    "markov_stationary",
+]
 
 
 def funnel(
@@ -579,5 +580,74 @@ def sequential_patterns(
             "length",
             "support_count",
             (F.col("support_count") / F.col("_n")).alias("support_frac"),
+        )
+    )
+
+
+def markov_stationary(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    rounds: int = 20,
+) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — the
+    long-run share of attention each step captures, the summary
+    number `transition_matrix` rows don't directly give.
+
+    Fixed-round power iteration π' = πP from the uniform start, with
+    the deterministic dangling-state rule: a step with no outgoing
+    transitions keeps its mass (self-loop) — mirrored in the oracle.
+    A fixed round count keeps the plan static (the GMM/IRLS
+    convention); at the default 20 rounds a 5-state chain is
+    converged far past 6 dp.
+
+    Scale: the chain is STEP-cardinality-sized — after the one
+    row-count-proportional pass inside `transition_matrix`, every
+    round is a join+aggregate over k² rows. Output per state:
+    ``(state, pi, n_out)``.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    # materialize the k²-row chain once: every round references it, and
+    # without the checkpoint Catalyst would inline the full event-scan
+    # window subplan `rounds` times (the LPA/ALS localCheckpoint rule)
+    tm = (
+        transition_matrix(
+            df, user_col=user_col, ts_col=ts_col, step_col=step_col
+        )
+        .select("from_step", "to_step", "p")
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        df.select(F.col(step_col).alias("state"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    k = F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    pi = states.select("state", k.alias("pi"))
+    outdeg = tm.groupBy(F.col("from_step").alias("state")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_out")
+    )
+    dangling = states.join(outdeg, "state", "left").filter(
+        F.col("n_out").isNull()
+    ).select("state")
+    for _ in range(rounds):
+        flowed = (
+            pi.join(tm, pi["state"] == tm["from_step"])
+            .groupBy(F.col("to_step").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+        kept = pi.join(dangling, "state").select("state", "pi")
+        pi = (
+            flowed.unionByName(kept)
+            .groupBy("state")
+            .agg(F.sum("pi").alias("pi"))
+        )
+    return (
+        pi.join(outdeg, "state", "left")
+        .select(
+            "state", "pi", F.coalesce("n_out", F.lit(0)).alias("n_out")
         )
     )

@@ -61,6 +61,7 @@ __all__ = [
     "welch_ttest",
     "wilcoxon_signed_rank",
     "woe_iv",
+    "iv_2sls",
 ]
 
 #: Abramowitz & Stegun 26.2.17 coefficients for the standard normal
@@ -2022,4 +2023,85 @@ def fisher_exact(
         F.col("_d").alias("d"),
         orat.alias("odds_ratio"),
         "p_value",
+    )
+
+
+def iv_2sls(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    z_col: str,
+    *,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Instrumental-variables estimate (single endogenous regressor,
+    single instrument — the just-identified Wald/2SLS case): when x is
+    endogenous (reverse causation, confounding), OLS of y on x is
+    biased; with an instrument z (relevant, exogenous), β_IV =
+    cov(z,y)/cov(z,x) recovers the causal slope.
+
+    Reported per key: ``n, beta, intercept, se, t_stat, p_value,
+    first_stage_f`` — the homoskedastic 2SLS standard error
+    (σ̂²·S_zz/S_zx², residual dof n−2) and the first-stage F
+    (=(n−2)·r²_zx/(1−r²_zx)), the standard weak-instrument screen
+    (rule of thumb: F < 10 means don't trust the estimate; reported,
+    never silently ignored).
+
+    ONE aggregation of 9 moments; everything after is key-sized
+    arithmetic. NULL estimate when cov(z,x) is zero (irrelevant
+    instrument) or n < 3.
+    """
+    keys = list(keys or [])
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    z = F.col(z_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & x.isNotNull() & z.isNotNull()
+    ).select(*keys, y.alias("_y"), x.alias("_x"), z.alias("_z"))
+    g = base.groupBy(*keys) if keys else base.groupBy()
+    m = g.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_z").alias("_sz"),
+        F.sum(F.col("_z") * F.col("_y")).alias("_szy"),
+        F.sum(F.col("_z") * F.col("_x")).alias("_szx"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_szz"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("_n")
+    szy = F.col("_szy") - F.col("_sz") * F.col("_sy") / n
+    szx = F.col("_szx") - F.col("_sz") * F.col("_sx") / n
+    szz = F.col("_szz") - F.col("_sz") * F.col("_sz") / n
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    ok = (n >= 3) & (F.abs(szx) > 0) & (szz > 0)
+    beta = F.when(ok, szy / szx)
+    alpha = (F.col("_sy") - beta * F.col("_sx")) / n
+    # residual SS of y - alpha - beta*x expanded in moments
+    rss = syy - 2 * beta * sxy + beta * beta * sxx
+    sigma2 = F.when(rss > 0, rss / (n - 2)).otherwise(F.lit(0.0))
+    var_beta = sigma2 * szz / (szx * szx)
+    se = F.when(ok & (var_beta > 0), F.sqrt(var_beta))
+    t = F.when(se.isNotNull(), beta / se)
+    p = F.when(
+        t.isNotNull(),
+        F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(t))),
+    )
+    r2zx = F.when((szz > 0) & (sxx > 0), szx * szx / (szz * sxx))
+    fstat = F.when(
+        r2zx.isNotNull() & (r2zx < 1.0), (n - 2) * r2zx / (1.0 - r2zx)
+    )
+    return m.select(
+        *keys,
+        n.cast("long").alias("n"),
+        beta.alias("beta"),
+        F.when(ok, alpha).alias("intercept"),
+        se.alias("se"),
+        t.alias("t_stat"),
+        p.alias("p_value"),
+        fstat.alias("first_stage_f"),
     )

@@ -491,3 +491,55 @@ def keyness(
             "rank",
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_n: int = 200,
+    lowercase: bool = True,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(count) on
+    ln(rank) for the ``top_n`` most frequent tokens. Natural corpora
+    fit slope ≈ −1 with high R²; machine-generated or
+    template-heavy text bends the curve — a one-number corpus-quality
+    screen that complements the per-document `text_stats`.
+
+    Same tokenization/tie conventions as `token_topk` (whitespace,
+    lowercase, count-desc / token-asc ranks). One (token) count
+    aggregation, one top-n rank window (pre-shuffle group-limited),
+    one moment reduction. Output (one row): ``n_tokens, slope,
+    intercept, r2`` — ``n_tokens`` = min(top_n, vocabulary)."""
+    ranked = token_topk(
+        df,
+        k=top_n,
+        group_col=None,
+        text_col=text_col,
+        lowercase=lowercase,
+        min_token_len=min_token_len,
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("_x"),
+        F.log(F.col("cnt").cast("double")).alias("_y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("_x"), F.sum("_y")
+    sxx = F.sum(F.col("_x") * F.col("_x"))
+    syy = F.sum(F.col("_y") * F.col("_y"))
+    sxy = F.sum(F.col("_x") * F.col("_y"))
+    agg = ranked.agg(
+        n.alias("_n"), sx.alias("_sx"), sy.alias("_sy"),
+        sxx.alias("_sxx"), syy.alias("_syy"), sxy.alias("_sxy"),
+    )
+    nn = F.col("_n")
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nn
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / nn
+    cxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nn
+    slope = F.when(vx > 0, cxy / vx)
+    return agg.select(
+        nn.cast("long").alias("n_tokens"),
+        slope.alias("slope"),
+        ((F.col("_sy") - slope * F.col("_sx")) / nn).alias("intercept"),
+        F.when((vx > 0) & (vy > 0), cxy * cxy / (vx * vy)).alias("r2"),
+    )
