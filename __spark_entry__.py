@@ -2076,6 +2076,63 @@ FROM c
 """
 
 
+def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain
+    (funnel.markov_stationary): 20 fixed power-iteration rounds
+    π' = πP over the k²-row transition matrix, dangling states
+    self-loop, one pi reference per round (linear plan growth).
+    Oracle: the identical 20 rounds unrolled as chained CTEs."""
+    from temporal_retriever_spark.funnel import markov_stationary
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = markov_stationary(ev, rounds=20)
+    return got.select("state", _r6("pi").alias("pi"), "n_out")
+
+
+def _markov_stationary_oracle(rounds: int = 20) -> str:
+    ctes = [
+        """pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_type) AS from_step,
+         event_type AS to_step
+  FROM events
+)""",
+        """tc AS (
+  SELECT from_step, to_step, COUNT(*) AS n
+  FROM pairs WHERE from_step IS NOT NULL GROUP BY 1, 2
+)""",
+        """tm AS (
+  SELECT from_step, to_step,
+         n * 1.0 / SUM(n) OVER (PARTITION BY from_step) AS p
+  FROM tc
+)""",
+        "st AS (SELECT DISTINCT event_type AS state FROM events)",
+        """outdeg AS (
+  SELECT from_step AS state, CAST(COUNT(*) AS BIGINT) AS n_out
+  FROM tm GROUP BY 1
+)""",
+        "p0 AS (SELECT state, 1.0 / (SELECT COUNT(*) FROM st) AS pi FROM st)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT COALESCE(t.to_step, p.state) AS state,
+         SUM(p.pi * COALESCE(t.p, 1.0)) AS pi
+  FROM p{r - 1} p LEFT JOIN tm t ON p.state = t.from_step
+  GROUP BY 1
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT s.state, {_sql_r6('COALESCE(p.pi, 0.0)')} AS pi,
+       COALESCE(o.n_out, 0) AS n_out
+FROM st s
+LEFT JOIN p{rounds} p ON s.state = p.state
+LEFT JOIN outdeg o ON s.state = o.state
+"""
+
+
 def q_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD history (history.scd2_history, the Kimball
     dimension-versioning classic): each customer's order-status
@@ -11234,6 +11291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "impute_event_values": q_impute_event_values,
         "event_transitions": q_event_transitions,
+        "markov_stationary_events": q_markov_stationary_events,
         "multi_grain_rollup": q_multi_grain_rollup,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
         "target_encode_source": q_target_encode_source,
@@ -13727,6 +13785,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_weekly": _COHORT_ORACLE,
         "scd2_order_status": _SCD2_ORACLE,
         "event_transitions": _TRANSITIONS_ORACLE,
+        "markov_stationary_events": _markov_stationary_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "dq_checks_lineitem": _DQ_ORACLE,
         "impute_event_values": _IMPUTE_ORACLE,

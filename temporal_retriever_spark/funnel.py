@@ -28,7 +28,15 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["attribution", "funnel", "funnel_summary", "cohort_retention", "path_ngrams", "sequential_patterns", "transition_matrix"    "markov_stationary",
+__all__ = [
+    "attribution",
+    "funnel",
+    "funnel_summary",
+    "cohort_retention",
+    "path_ngrams",
+    "sequential_patterns",
+    "transition_matrix",
+    "markov_stationary",
 ]
 
 
@@ -603,9 +611,17 @@ def markov_stationary(
     convention); at the default 20 rounds a 5-state chain is
     converged far past 6 dp.
 
+    Plan discipline: π is referenced exactly ONCE per round — the
+    dangling self-loop is folded into the single left join (a null
+    ``to_step`` routes the mass back to ``state`` with weight 1), so
+    the lazy plan grows LINEARLY in ``rounds``; π is additionally
+    ``localCheckpoint``ed every 5 rounds (the LPA/ALS rule) so
+    analysis cost stays flat at any round count.
+
     Scale: the chain is STEP-cardinality-sized — after the one
     row-count-proportional pass inside `transition_matrix`, every
-    round is a join+aggregate over k² rows. Output per state:
+    round is a join+aggregate over k² rows. Output is one row per
+    distinct state (unreachable states report π = 0):
     ``(state, pi, n_out)``.
     """
     if rounds < 1:
@@ -617,7 +633,11 @@ def markov_stationary(
         transition_matrix(
             df, user_col=user_col, ts_col=ts_col, step_col=step_col
         )
-        .select("from_step", "to_step", "p")
+        .select(
+            F.col("from_step").alias("_mk_from"),
+            F.col("to_step").alias("_mk_to"),
+            F.col("p").alias("_mk_p"),
+        )
         .localCheckpoint(eager=True)
     )
     states = (
@@ -627,27 +647,35 @@ def markov_stationary(
     )
     k = F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
     pi = states.select("state", k.alias("pi"))
-    outdeg = tm.groupBy(F.col("from_step").alias("state")).agg(
+    outdeg = tm.groupBy(F.col("_mk_from").alias("state")).agg(
         F.count(F.lit(1)).cast("long").alias("n_out")
     )
-    dangling = states.join(outdeg, "state", "left").filter(
-        F.col("n_out").isNull()
-    ).select("state")
-    for _ in range(rounds):
-        flowed = (
-            pi.join(tm, pi["state"] == tm["from_step"])
-            .groupBy(F.col("to_step").alias("state"))
-            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
-        )
-        kept = pi.join(dangling, "state").select("state", "pi")
+    for r in range(rounds):
+        # ONE reference to pi per round: dangling states (no tm row)
+        # survive the left join with _mk_to null → mass routed back
+        # to themselves with weight 1 (the self-loop rule). Disjoint
+        # plain column names keep the repeated tm join unambiguous.
         pi = (
-            flowed.unionByName(kept)
+            pi.join(tm, F.col("state") == F.col("_mk_from"), "left")
+            .select(
+                F.coalesce("_mk_to", "state").alias("state"),
+                (
+                    F.col("pi") * F.coalesce("_mk_p", F.lit(1.0))
+                ).alias("pi"),
+            )
             .groupBy("state")
             .agg(F.sum("pi").alias("pi"))
         )
+        if (r + 1) % 5 == 0 and r + 1 < rounds:
+            pi = pi.localCheckpoint(eager=False)
+    # unreachable non-dangling states leave pi once their inflow hits
+    # zero — restore them so the output is one row per state
     return (
-        pi.join(outdeg, "state", "left")
+        states.join(pi, "state", "left")
+        .join(outdeg, "state", "left")
         .select(
-            "state", "pi", F.coalesce("n_out", F.lit(0)).alias("n_out")
+            "state",
+            F.coalesce("pi", F.lit(0.0)).alias("pi"),
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
         )
     )

@@ -85,7 +85,17 @@ def gmm_em(
     def log_dens(c: int) -> Column:
         mu, v, w = F.col(f"_mu{c}"), F.col(f"_v{c}"), F.col(f"_w{c}")
         d = F.col("_y") - mu
-        return F.log(w) - d * d / (2 * v) - F.lit(0.5) * F.log(v)
+        # weight floor pairs with the _nc collapse guard below: a dead
+        # component has w=0 and F.log(0) is NULL in Spark, which would
+        # null the whole responsibility row; log(1e-300) ≈ -691 keeps
+        # it finite and the component's responsibility ≈ 0. Any live
+        # weight is >> 1e-300, so non-degenerate arithmetic (and the
+        # oracle match) is bit-identical.
+        return (
+            F.log(F.greatest(w, F.lit(1e-300)))
+            - d * d / (2 * v)
+            - F.lit(0.5) * F.log(v)
+        )
 
     def joined(p: DataFrame) -> DataFrame:
         if key_cols:
@@ -113,13 +123,22 @@ def gmm_em(
         jg = j.groupBy(*key_cols) if key_cols else j.groupBy()
         m = jg.agg(*aggs)
         sel = [*key_cols, "_n"]
+        # collapse guard: if a component's responsibility mass hits
+        # exactly 0 (every row's E-step underflows), an unguarded
+        # _sc/_nc is 0/0 = NaN and poisons all remaining rounds. The
+        # floor only changes the degenerate case (any live component
+        # has _nc >= one row's responsibility >> 1e-300): a dead
+        # component deterministically parks at (mu=0, v=var_floor,
+        # w=0) instead of NaN.
         for c in range(k):
-            mu_new = F.col(f"_sc{c}") / F.col(f"_nc{c}")
+            nc = F.greatest(F.col(f"_nc{c}"), F.lit(1e-300))
+            mu_new = F.col(f"_sc{c}") / nc
             sel.append(mu_new.alias(f"_mu{c}"))
         for c in range(k):
-            mu_new = F.col(f"_sc{c}") / F.col(f"_nc{c}")
+            nc = F.greatest(F.col(f"_nc{c}"), F.lit(1e-300))
+            mu_new = F.col(f"_sc{c}") / nc
             v_new = F.greatest(
-                F.col(f"_qc{c}") / F.col(f"_nc{c}") - mu_new * mu_new,
+                F.col(f"_qc{c}") / nc - mu_new * mu_new,
                 F.lit(float(var_floor)),
             )
             sel.append(v_new.alias(f"_v{c}"))

@@ -124,3 +124,27 @@ class TestGmmEm:
             gmm_em(df, rounds=0)
         with pytest.raises(ValueError):
             gmm_em(df, var_floor=0.0)
+
+    def test_component_collapse_guard(self, spark):
+        # k=3 over 2 clusters separated by 1e12: the middle component's
+        # responsibility mass underflows to EXACTLY 0 by ~round 25
+        # (verified against an unguarded scalar replay). Without the
+        # _nc/weight floors this is 0/0 = NaN poisoning every later
+        # round; with them the dead component parks at weight 0 and the
+        # two live components stay exact.
+        y = [0.0] * 10 + [1e12] * 10
+        rows = sorted(
+            gmm_em(_df(spark, y), k=3, rounds=30).collect(),
+            key=lambda r: r["mu"],
+        )
+        assert len(rows) == 3
+        for r in rows:
+            for f in ("weight", "mu", "var", "loglik"):
+                assert r[f] is not None and not math.isnan(r[f]), (f, r)
+        ws = sorted(r["weight"] for r in rows)
+        assert ws[0] == pytest.approx(0.0, abs=1e-12)
+        assert ws[1] == pytest.approx(0.5, rel=1e-9)
+        assert ws[2] == pytest.approx(0.5, rel=1e-9)
+        mus = sorted(r["mu"] for r in rows)
+        assert mus[0] == pytest.approx(0.0, abs=1e-3)
+        assert mus[2] == pytest.approx(1e12, rel=1e-9)
