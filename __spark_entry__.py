@@ -10935,11 +10935,17 @@ lrd AS (
     GROUP BY 1 HAVING SUM(reach) > 0
 ),
 lj AS (
-    SELECT nb.i, AVG(l2.lrd) AS mlj, CAST(COUNT(*) AS BIGINT) AS n_nb
-    FROM nb JOIN lrd l2 ON l2.i = nb.j GROUP BY 1
+    SELECT nb.i, AVG(l2.lrd) AS mlj,
+           SUM(CASE WHEN l2.lrd IS NULL THEN 1 ELSE 0 END) AS n_inf,
+           CAST(COUNT(*) AS BIGINT) AS n_nb
+    FROM nb LEFT JOIN lrd l2 ON l2.i = nb.j GROUP BY 1
 ),
 fin AS (
-    SELECT kd.i, kd.kdist, l.lrd, lj.mlj / l.lrd AS lof, lj.n_nb
+    SELECT kd.i, kd.kdist, l.lrd,
+           CASE WHEN l.lrd IS NULL THEN 1.0
+                WHEN lj.n_inf > 0 THEN CAST('infinity' AS DOUBLE)
+                ELSE lj.mlj / l.lrd END AS lof,
+           lj.n_nb
     FROM kd
     LEFT JOIN lrd l ON l.i = kd.i
     LEFT JOIN lj ON lj.i = kd.i

@@ -166,14 +166,15 @@ def run_analyze_bench(spark):
         return None
     body = _json.load(open(fixture))
     req = parse_analyze_request(body)
-    # median of RUNS like every other query: a single cold run measures
-    # JVM/JIT warmup and CPU-steal noise, not the engine
+    # one untimed warm-up (Python-worker spin-up + plan compile dominate
+    # the cold run), then median of RUNS like every other query
+    analyze(spark, req, lags=10)
     samples = []
     for _ in range(RUNS):
         t0 = time.time()
         analyze(spark, req, lags=10)
         samples.append(time.time() - t0)
-    return statistics.median(samples)
+    return statistics.median(samples), samples
 
 
 def materialize(df):
@@ -188,6 +189,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = build_queries(spark)
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, build in queries.items():
         samples = []
         for _ in range(RUNS):
@@ -195,22 +197,30 @@ def main() -> None:
             materialize(build())
             samples.append(time.time() - t0)
         times[name] = round(statistics.median(samples), 3)
+        runs[name] = [round(s, 3) for s in samples]
         print(f"# {name}: {times[name]}s (runs: {[round(s,2) for s in samples]})",
               file=sys.stderr)
     b7 = run_analyze_bench(spark)
     if b7 is not None:
-        times["B7_analyze_e2e"] = round(b7, 3)
-        print(f"# B7_analyze_e2e: {times['B7_analyze_e2e']}s", file=sys.stderr)
+        med, samples = b7
+        times["B7_analyze_e2e"] = round(med, 3)
+        runs["B7_analyze_e2e"] = [round(s, 3) for s in samples]
+        print(f"# B7_analyze_e2e: {times['B7_analyze_e2e']}s "
+              f"(runs: {[round(s,2) for s in samples]})", file=sys.stderr)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = SF_DIR
+    # "queries" stays name->median-seconds (the driver contract);
+    # "runs" carries every sample so a noisy host is self-evident in
+    # the artifact itself, not just the stderr tail
     result = {
         "metric": "bench_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "runs": runs,
         "sf": sf_val,
     }
     print(json.dumps(result))

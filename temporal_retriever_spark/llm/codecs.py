@@ -2331,6 +2331,13 @@ def decode_gif(payload: bytes) -> tuple[list[int], list[np.ndarray]]:
         )[: iw * ih].reshape(ih, iw)
         if iflags & 0x40:
             idx = _deinterlace(idx)
+        # disposal 3 (restore-to-previous): snapshot the region the
+        # frame is about to overwrite, put it back after compositing
+        prev_region = (
+            canvas[it : it + ih, il : il + iw].copy()
+            if disposal == 3
+            else None
+        )
         region = canvas[it : it + ih, il : il + iw]
         px = table[np.clip(idx, 0, len(table) - 1)]
         if transparent is not None:
@@ -2342,6 +2349,8 @@ def decode_gif(payload: bytes) -> tuple[list[int], list[np.ndarray]]:
         delays.append(delay_cs * 10)
         if disposal == 2:
             canvas[it : it + ih, il : il + iw] = bg_rgb
+        elif disposal == 3:
+            canvas[it : it + ih, il : il + iw] = prev_region
         transparent = None
         disposal = 0
         delay_cs = 0

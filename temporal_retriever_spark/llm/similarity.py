@@ -1013,7 +1013,14 @@ def lof(
     neighbor rank ties break by id. reach-dist(p←o) = max(kdist(o),
     d(p,o)); lrd = |N|/Σreach (NULL when Σreach = 0, i.e. ≥k exact
     duplicates — the paper's ∞ case, surfaced as NULL not hidden);
-    LOF = mean(lrd of neighbors)/lrd.
+    LOF = mean(lrd of neighbors)/lrd. The infinite-lrd case is
+    handled explicitly, not dropped: a point whose own lrd is NULL
+    sits in a mutual-duplicate cluster (kdist = 0, so its neighbors
+    are exactly its duplicates) and gets lof = 1.0 — the paper's
+    ∞/∞ convention; a finite-lrd point with any infinite-lrd
+    neighbor gets lof = +Infinity (its neighborhood contains an
+    infinitely denser pocket). ``n_nb`` counts ALL neighbors,
+    including infinite-lrd ones.
 
     Scale: the default pair source is the exact self-join — O(n²),
     correct for ≤10⁴ vectors per run. At corpus scale pass
@@ -1082,12 +1089,27 @@ def lof(
     )
     lof_df = (
         nb.select("i", "j")
-        .join(lrd.select(F.col("i").alias("j"), F.col("lrd").alias("_lj")), "j")
-        .join(lrd, "i")
+        .join(
+            lrd.select(F.col("i").alias("j"), F.col("lrd").alias("_lj")),
+            "j",
+            "left",
+        )
+        .join(lrd, "i", "left")
         .groupBy("i", "lrd")
         .agg(
-            (F.avg("_lj") / F.first("lrd")).alias("lof"),
+            F.avg("_lj").alias("_mlj"),
+            F.sum(
+                F.when(F.col("_lj").isNull(), 1).otherwise(0)
+            ).alias("_ninf"),
             F.count(F.lit(1)).cast("long").alias("n_nb"),
+        )
+        .select(
+            "i",
+            F.when(F.col("lrd").isNull(), F.lit(1.0))
+            .when(F.col("_ninf") > 0, F.lit(float("inf")))
+            .otherwise(F.col("_mlj") / F.col("lrd"))
+            .alias("lof"),
+            "n_nb",
         )
     )
     return (

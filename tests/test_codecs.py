@@ -736,6 +736,62 @@ class TestGif:
         expect[0, 0] = blue  # the sole non-transparent pixel painted blue
         np.testing.assert_array_equal(frames[1], expect)
 
+    def test_disposal_restore_to_previous(self):
+        """Disposal 3 (restore-to-previous): frame 2 paints a 1x1 blue
+        patch with disposal 3, so before frame 3 composites, the canvas
+        must revert to frame 1's red there — frame 3's transparent
+        pixels then show RED at (0,0), not frame 2's blue."""
+        from temporal_retriever_spark.llm.codecs import (
+            _gif_lzw_encode,
+            decode_gif,
+        )
+
+        # idx0 red, idx1 blue, idx2 green, idx3 transparent key
+        gct = bytes([200, 0, 0, 0, 0, 200, 0, 200, 0, 0, 0, 0])
+        def img_block(indices, w, h, left=0, top=0):
+            data = _gif_lzw_encode(indices, 2)
+            blocks = bytes([len(data)]) + data + b"\x00"
+            return (
+                b"\x2c"
+                + struct.pack("<HHHHB", left, top, w, h, 0)
+                + bytes([2])
+                + blocks
+            )
+
+        def gce(disposal, transparent=None):
+            gflags = (disposal & 7) << 2
+            if transparent is not None:
+                gflags |= 0x01
+            return (
+                b"\x21\xf9\x04"
+                + struct.pack("<BHB", gflags, 5, transparent or 0)
+                + b"\x00"
+            )
+
+        payload = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)
+            + gct
+            + img_block([0, 0, 0, 0], 2, 2)      # f1: all red
+            + gce(3)
+            + img_block([1], 1, 1)               # f2: blue patch @ (0,0), restore after
+            + gce(0, transparent=3)
+            + img_block([3, 3, 3, 2], 2, 2)      # f3: green @ (1,1), rest transparent
+            + b"\x3b"
+        )
+        delays, frames = decode_gif(payload)
+        assert len(frames) == 3
+        red, blue, green = [200, 0, 0], [0, 0, 200], [0, 200, 0]
+        np.testing.assert_array_equal(
+            frames[0], np.full((2, 2, 3), red, np.uint8)
+        )
+        f2 = np.full((2, 2, 3), red, np.uint8)
+        f2[0, 0] = blue
+        np.testing.assert_array_equal(frames[1], f2)
+        f3 = np.full((2, 2, 3), red, np.uint8)  # blue patch RESTORED to red
+        f3[1, 1] = green
+        np.testing.assert_array_equal(frames[2], f3)
+
     def test_pipeline_integration(self):
         from temporal_retriever_spark.llm.codecs import (
             decode_features,

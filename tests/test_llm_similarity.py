@@ -272,14 +272,19 @@ class TestLof:
             s = sum(reach)
             lrd[i] = len(reach) / s if s > 0 else None
         for i in range(n):
-            ljs = [lrd[j] for j in neigh[i] if lrd[j] is not None]
+            all_lrds = [lrd[j] for j in neigh[i]]
+            finite = [x for x in all_lrds if x is not None]
+            if lrd[i] is None:
+                lf = 1.0  # mutual-duplicate cluster: paper's inf/inf = 1
+            elif len(finite) < len(all_lrds):
+                lf = float("inf")  # infinitely denser neighbor pocket
+            else:
+                lf = (sum(finite) / len(finite)) / lrd[i]
             res[i] = dict(
                 kdist=kdist[i],
                 lrd=lrd[i],
-                lof=(sum(ljs) / len(ljs)) / lrd[i]
-                if ljs and lrd[i] is not None
-                else None,
-                n_nb=len(ljs),
+                lof=lf,
+                n_nb=len(all_lrds),
             )
         return res
 
@@ -336,6 +341,45 @@ class TestLof:
         blocked = {r["vec_id"]: r for r in lof(df, k=4, candidates=cand).collect()}
         for i in exact:
             assert blocked[i]["lof"] == pytest.approx(exact[i]["lof"], rel=1e-9)
+
+    def test_duplicate_cluster_infinite_lrd(self, spark):
+        # 8 exact duplicates at the origin (k=5 → kdist 0, lrd NULL =
+        # the paper's infinite density) plus a loose ring nearby whose
+        # neighborhoods include duplicates. Explicit semantics:
+        # duplicates get lof = 1.0 (inf/inf convention); finite-lrd
+        # points with an infinite-lrd neighbor get lof = +inf; n_nb
+        # counts ALL neighbors including infinite-lrd ones.
+        import math
+
+        import numpy as np
+
+        from temporal_retriever_spark.llm.similarity import lof
+
+        dup = np.zeros((8, 3))
+        ring = np.array(
+            [[0.5 + 0.01 * i, 0.0, 0.0] for i in range(4)]
+        )
+        X = np.vstack([dup, ring])
+        got = {r["vec_id"]: r for r in lof(self._df(spark, X), k=5).collect()}
+        ref = self._ref(X, 5)
+        assert set(got) == set(ref)
+        for i in range(8):
+            assert got[i]["kdist"] == 0.0
+            assert got[i]["lrd"] is None
+            assert got[i]["lof"] == 1.0
+            assert got[i]["n_nb"] == ref[i]["n_nb"] >= 5
+        saw_inf = False
+        for i in range(8, 12):
+            assert got[i]["lrd"] is not None
+            if math.isinf(ref[i]["lof"]):
+                assert math.isinf(got[i]["lof"])
+                saw_inf = True
+            else:
+                assert got[i]["lof"] == pytest.approx(
+                    ref[i]["lof"], rel=1e-9
+                )
+            assert got[i]["n_nb"] == ref[i]["n_nb"]
+        assert saw_inf
 
     def test_validation(self, spark):
         from temporal_retriever_spark.llm.similarity import lof
