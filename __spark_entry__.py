@@ -2089,6 +2089,87 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("state", _r6("pi").alias("pi"), "n_out")
 
 
+def q_markov_absorption_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain analysis (funnel.markov_absorption) with
+    'purchase' absorbing: per transient state, the eventual absorption
+    probability (truncated Neumann series V = Σ_{t<30} Qᵗ, B = V·R)
+    and expected steps before absorption (V·1). Oracle: the identical
+    29 V' = I + V·Q recurrence rounds unrolled as chained CTEs."""
+    from temporal_retriever_spark.funnel import markov_absorption
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    got = markov_absorption(ev, ["purchase"], rounds=30)
+    return got.select(
+        "state",
+        "absorb_state",
+        _r6("p_absorb").alias("p_absorb"),
+        _r6("expected_steps").alias("expected_steps"),
+    )
+
+
+def _markov_absorption_oracle(rounds: int = 30) -> str:
+    ctes = [
+        """pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_type) AS from_step,
+         event_type AS to_step
+  FROM events
+)""",
+        """tc AS (
+  SELECT from_step, to_step, COUNT(*) AS n
+  FROM pairs WHERE from_step IS NOT NULL GROUP BY 1, 2
+)""",
+        """tm AS (
+  SELECT from_step, to_step,
+         n * 1.0 / SUM(n) OVER (PARTITION BY from_step) AS p
+  FROM tc
+)""",
+        """qm AS (
+  SELECT from_step, to_step, p FROM tm
+  WHERE from_step <> 'purchase' AND to_step <> 'purchase'
+)""",
+        """rm AS (
+  SELECT from_step, to_step, p FROM tm
+  WHERE from_step <> 'purchase' AND to_step = 'purchase'
+)""",
+        """tr AS (
+  SELECT DISTINCT event_type AS state FROM events
+  WHERE event_type <> 'purchase'
+)""",
+        "v0 AS (SELECT state AS i, state AS j, 1.0 AS v FROM tr)",
+    ]
+    # AS MATERIALIZED is load-bearing: DuckDB's default CTE inlining
+    # re-expands the chain superlinearly (30 plain rounds plan for
+    # >5 min; materialized, 0.24s)
+    for r in range(1, rounds):
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT i, j, SUM(v) AS v FROM (
+    SELECT p.i, q.to_step AS j, p.v * q.p AS v
+    FROM v{r - 1} p JOIN qm q ON p.j = q.from_step
+    UNION ALL
+    SELECT state AS i, state AS j, 1.0 AS v FROM tr
+  ) GROUP BY 1, 2
+)"""
+        )
+    last = f"v{rounds - 1}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+steps AS (SELECT i, SUM(v) AS expected_steps FROM {last} GROUP BY 1),
+babs AS (
+  SELECT p.i, r.to_step AS absorb_state, SUM(p.v * r.p) AS p_absorb
+  FROM {last} p JOIN rm r ON p.j = r.from_step GROUP BY 1, 2
+)
+SELECT tr.state, 'purchase' AS absorb_state,
+       {_sql_r6('COALESCE(babs.p_absorb, 0.0)')} AS p_absorb,
+       {_sql_r6('COALESCE(steps.expected_steps, 1.0)')} AS expected_steps
+FROM tr
+LEFT JOIN babs ON babs.i = tr.state AND babs.absorb_state = 'purchase'
+LEFT JOIN steps ON steps.i = tr.state
+"""
+
+
 def _markov_stationary_oracle(rounds: int = 20) -> str:
     ctes = [
         """pairs AS (
@@ -2113,9 +2194,11 @@ def _markov_stationary_oracle(rounds: int = 20) -> str:
 )""",
         "p0 AS (SELECT state, 1.0 / (SELECT COUNT(*) FROM st) AS pi FROM st)",
     ]
+    # AS MATERIALIZED: see _markov_absorption_oracle — plain chained
+    # CTEs re-inline superlinearly in DuckDB
     for r in range(1, rounds + 1):
         ctes.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
   SELECT COALESCE(t.to_step, p.state) AS state,
          SUM(p.pi * COALESCE(t.p, 1.0)) AS pi
   FROM p{r - 1} p LEFT JOIN tm t ON p.state = t.from_step
@@ -11298,6 +11381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_event_values": q_impute_event_values,
         "event_transitions": q_event_transitions,
         "markov_stationary_events": q_markov_stationary_events,
+        "markov_absorption_events": q_markov_absorption_events,
         "multi_grain_rollup": q_multi_grain_rollup,
         "forecast_accuracy_daily": q_forecast_accuracy_daily,
         "target_encode_source": q_target_encode_source,
@@ -13792,6 +13876,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_order_status": _SCD2_ORACLE,
         "event_transitions": _TRANSITIONS_ORACLE,
         "markov_stationary_events": _markov_stationary_oracle(),
+        "markov_absorption_events": _markov_absorption_oracle(),
         "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
         "dq_checks_lineitem": _DQ_ORACLE,
         "impute_event_values": _IMPUTE_ORACLE,

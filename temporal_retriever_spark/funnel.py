@@ -37,6 +37,7 @@ __all__ = [
     "sequential_patterns",
     "transition_matrix",
     "markov_stationary",
+    "markov_absorption",
 ]
 
 
@@ -677,5 +678,121 @@ def markov_stationary(
             "state",
             F.coalesce("pi", F.lit(0.0)).alias("pi"),
             F.coalesce("n_out", F.lit(0)).alias("n_out"),
+        )
+    )
+
+
+def markov_absorption(
+    df: DataFrame,
+    absorb_states: Iterable[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    rounds: int = 30,
+) -> DataFrame:
+    """Absorbing-chain analysis of the user-journey Markov chain:
+    for each transient state, the probability of eventually being
+    absorbed into each ``absorb_states`` member and the expected
+    number of steps taken before absorption — the funnel question
+    "starting from a view, how likely is a purchase, and how long
+    does the journey run?" asked of the whole chain at once.
+
+    Standard absorbing-chain decomposition (P → Q transient→transient,
+    R transient→absorbing): the fundamental matrix N = (I − Q)⁻¹ is
+    computed as the truncated Neumann series Σ_{t<rounds} Qᵗ via the
+    fixed-round recurrence V' = I + V·Q (V referenced ONCE per round
+    — linear plan growth, localCheckpoint every 5 rounds), then
+    ``p_absorb = V·R`` and ``expected_steps = Σ_j V[i,j]``. The
+    truncation converges geometrically in Q's spectral radius; 30
+    rounds pins a typical funnel chain far past 6 dp. Mass that
+    escapes to transient dead-ends (states with no outgoing
+    transitions that are NOT declared absorbing) is simply mass that
+    never absorbs — p_absorb rows can sum below 1, by construction.
+
+    Scale: everything after the one ``transition_matrix`` pass is
+    k²-row arithmetic (k = step cardinality). Output: one row per
+    (transient state, absorbing state):
+    ``(state, absorb_state, p_absorb, expected_steps)``.
+    """
+    absorb = sorted(set(absorb_states))
+    if not absorb:
+        raise ValueError("absorb_states must be non-empty")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    tm = (
+        transition_matrix(
+            df, user_col=user_col, ts_col=ts_col, step_col=step_col
+        )
+        .select(
+            F.col("from_step").alias("_ab_from"),
+            F.col("to_step").alias("_ab_to"),
+            F.col("p").alias("_ab_p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    is_abs_from = F.col("_ab_from").isin(absorb)
+    is_abs_to = F.col("_ab_to").isin(absorb)
+    q = tm.filter(~is_abs_from & ~is_abs_to).localCheckpoint(eager=True)
+    rmat = tm.filter(~is_abs_from & is_abs_to).localCheckpoint(eager=True)
+    transient = (
+        df.select(F.col(step_col).alias("state"))
+        .distinct()
+        .filter(~F.col("state").isin(absorb))
+        .localCheckpoint(eager=True)
+    )
+    ident = transient.select(
+        F.col("state").alias("i"),
+        F.col("state").alias("j"),
+        F.lit(1.0).alias("v"),
+    )
+    visits = ident
+    for r in range(rounds - 1):
+        # V' = I + V·Q, one reference to V per round (the
+        # markov_stationary plan-growth discipline)
+        visits = (
+            visits.join(q, F.col("j") == F.col("_ab_from"))
+            .select(
+                "i",
+                F.col("_ab_to").alias("j"),
+                (F.col("v") * F.col("_ab_p")).alias("v"),
+            )
+            .unionByName(ident)
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+        )
+        if (r + 1) % 5 == 0 and r + 2 < rounds:
+            visits = visits.localCheckpoint(eager=False)
+    steps = visits.groupBy("i").agg(F.sum("v").alias("expected_steps"))
+    babs = (
+        visits.join(rmat, F.col("j") == F.col("_ab_from"))
+        .groupBy("i", F.col("_ab_to").alias("absorb_state"))
+        .agg(F.sum(F.col("v") * F.col("_ab_p")).alias("p_absorb"))
+    )
+    grid = transient.crossJoin(
+        F.broadcast(
+            transient.sparkSession.createDataFrame(
+                [(a,) for a in absorb], "absorb_state string"
+            )
+        )
+    )
+    return (
+        grid.join(
+            babs,
+            (grid["state"] == babs["i"])
+            & (grid["absorb_state"] == babs["absorb_state"]),
+            "left",
+        )
+        .select(
+            grid["state"],
+            grid["absorb_state"],
+            F.coalesce("p_absorb", F.lit(0.0)).alias("p_absorb"),
+        )
+        .join(steps.select(F.col("i").alias("state"), "expected_steps"), "state", "left")
+        .select(
+            "state",
+            "absorb_state",
+            "p_absorb",
+            F.coalesce("expected_steps", F.lit(1.0)).alias("expected_steps"),
         )
     )

@@ -70,6 +70,84 @@ class TestMarkovStationary:
             markov_stationary(df, rounds=0)
 
 
+class TestMarkovAbsorption:
+    _df = TestMarkovStationary._df
+
+    def test_matches_numpy_fundamental_matrix(self, spark):
+        from temporal_retriever_spark.funnel import markov_absorption
+
+        paths = [
+            list("ABABD"), list("ABCD"), list("ACCD"), list("BACD"),
+            list("AABBA"), list("BCD"), list("CABD"),
+        ]
+        absorb = ["D"]
+        got = {
+            (r["state"], r["absorb_state"]): r
+            for r in markov_absorption(
+                self._df(spark, paths), absorb, rounds=60
+            ).collect()
+        }
+        # numpy replay: P from pair counts, Q/R split, truncated
+        # Neumann series V = sum_{t<rounds} Q^t, B = V R, t = V 1
+        from collections import Counter
+
+        cnt = Counter()
+        states = sorted({s for p in paths for s in p})
+        for p in paths:
+            for a, b in zip(p, p[1:]):
+                cnt[(a, b)] += 1
+        k = len(states)
+        P = np.zeros((k, k))
+        for (a, b), c in cnt.items():
+            P[states.index(a), states.index(b)] = c
+        rows = P.sum(axis=1)
+        for i in range(k):
+            if rows[i] > 0:
+                P[i] /= rows[i]
+        tr = [i for i, s in enumerate(states) if s not in absorb]
+        ab = [i for i, s in enumerate(states) if s in absorb]
+        Q = P[np.ix_(tr, tr)]
+        R = P[np.ix_(tr, ab)]
+        N = np.linalg.inv(np.eye(len(tr)) - Q)
+        B = N @ R
+        t = N.sum(axis=1)
+        assert set(got) == {
+            (states[i], states[a]) for i in tr for a in ab
+        }
+        for ii, i in enumerate(tr):
+            for aa, a in enumerate(ab):
+                g = got[(states[i], states[a])]
+                assert g["p_absorb"] == pytest.approx(B[ii, aa], rel=1e-6)
+                assert g["expected_steps"] == pytest.approx(
+                    t[ii], rel=1e-6
+                )
+
+    def test_dead_end_transient_leaks_mass(self, spark):
+        from temporal_retriever_spark.funnel import markov_absorption
+
+        # Z is a dead-end NOT declared absorbing: journeys that hit Z
+        # never absorb, so A's p_absorb sums below 1
+        paths = [list("AD"), list("AZ")]
+        got = {
+            r["state"]: r
+            for r in markov_absorption(
+                self._df(spark, paths), ["D"], rounds=30
+            ).collect()
+        }
+        assert got["A"]["p_absorb"] == pytest.approx(0.5, rel=1e-9)
+        assert got["Z"]["p_absorb"] == 0.0
+        assert got["Z"]["expected_steps"] == pytest.approx(1.0)
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.funnel import markov_absorption
+
+        df = self._df(spark, [list("AB")])
+        with pytest.raises(ValueError):
+            markov_absorption(df, [])
+        with pytest.raises(ValueError):
+            markov_absorption(df, ["B"], rounds=0)
+
+
 class TestZipfFit:
     def test_zipfian_corpus_slope_near_minus_one(self, spark):
         rng = np.random.default_rng(3)
