@@ -1,13 +1,16 @@
-"""Mergeable frequency/membership sketches: Count-Min and Bloom.
+"""Mergeable frequency/membership/cardinality sketches: Count-Min,
+Bloom, and HyperLogLog.
 
 The published recipes are Cormode & Muthukrishnan 2005 ("An improved
-data stream summary: the count-min sketch and its applications") and
-Bloom 1970. Both are the workhorse *mergeable* summaries of a 100-TB
-profiling pass: each data shard builds its own tiny sketch with one
-aggregation, sketches add/union across shards, and the merged summary
-answers point-frequency ("how often does this token appear?") or
-membership ("did we ever see this id?") queries without a second scan
-of the data.
+data stream summary: the count-min sketch and its applications"),
+Bloom 1970, and Flajolet et al. 2007 ("HyperLogLog: the analysis of a
+near-optimal cardinality estimation algorithm"). All three are the
+workhorse *mergeable* summaries of a 100-TB profiling pass: each data
+shard builds its own tiny sketch with one aggregation, sketches
+add/union/max across shards, and the merged summary answers
+point-frequency ("how often does this token appear?"), membership
+("did we ever see this id?"), or cardinality ("how many distinct
+users?") queries without a second scan of the data.
 
 Representation choice — a sketch IS a DataFrame here, not a driver-side
 bitmap:
@@ -62,6 +65,9 @@ __all__ = [
     "bloom_build",
     "bloom_merge",
     "bloom_contains",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 
@@ -234,3 +240,125 @@ def bloom_contains(
     return probes.join(F.broadcast(verdict), on=col, how="left").withColumn(
         flag_col, F.coalesce(F.col(flag_col), F.lit(False))
     )
+
+
+# --- HyperLogLog (Flajolet et al. 2007, with the HLL small-range
+# correction) — the mergeable DISTINCT-COUNT sketch completing the
+# family: CMS answers frequency, Bloom membership, HLL cardinality. ---
+
+
+def _hll_rank_expr(value: Column) -> Column:
+    """Leading-zero rank of a 60-bit md5 draw, 1..61, computed
+    NIBBLE-WISE on the hex string so both engines agree bit-exactly
+    (no float log2 at power-of-two boundaries): strip leading '0'
+    nibbles, then the first non-zero hex digit fixes the remaining
+    zero count via its bit length."""
+    s = F.substring(
+        F.md5(F.concat(F.lit("1:"), value.cast("string"))), 1, 15
+    )
+    rest = F.regexp_replace(s, "^0+", "")
+    z = F.lit(15) - F.length(rest)  # whole-zero nibbles
+    first = F.substring(rest, 1, 1)
+    bl = (
+        F.when(first == "1", 1)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 3)
+        .otherwise(4)  # 8..f
+    )
+    return (
+        F.when(F.length(rest) == 0, F.lit(61))
+        .otherwise(z * 4 + (F.lit(4) - bl) + F.lit(1))
+        .cast("int")
+    )
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame,
+    col: str,
+    *,
+    p: int = 12,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HyperLogLog sketch of ``df[col]`` (optionally per key) as
+    ``(*key_cols, register, max_rank)`` — at most ``2**p`` rows per
+    key regardless of input size.
+
+    Register = independent md5 draw mod ``2**p`` (seed 0 of
+    ``sketch_hash_expr``); rank = leading-zero count of a second
+    60-bit md5 draw + 1 (nibble-exact, see ``_hll_rank_expr``). One
+    bounded-cardinality aggregation: map-side partial ``max`` collapses
+    each input partition to ≤ m rows before the shuffle — raw values
+    never shuffle. Standard error ≈ 1.04/√(2**p). NULLs are ignored.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    keys = list(key_cols)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *keys,
+            sketch_hash_expr(F.col(col), 0, m).alias("register"),
+            _hll_rank_expr(F.col(col)).alias("_rank"),
+        )
+        .groupBy(*keys, "register")
+        .agg(F.max("_rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL sketches built with identical geometry: register-wise
+    max — exactly the sketch of the unioned inputs."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    keys = [c for c in out.columns if c not in ("register", "max_rank")]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys, "register").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    *,
+    p: int = 12,
+    est_col: str = "hll_est",
+) -> DataFrame:
+    """Cardinality estimate from an HLL sketch: one row per key
+    (``(*key_cols, hll_est)``), or a single global row for unkeyed
+    sketches.
+
+    Raw estimator αₘ·m²/Σ2^(−Mⱼ) (absent registers contribute 2⁰),
+    with the standard small-range linear-counting correction
+    E ≤ 2.5m ∧ V>0 → m·ln(m/V). The 32-bit large-range correction is
+    unnecessary: the rank draw has 60 bits of headroom.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    keys = [c for c in sketch.columns if c not in ("register", "max_rank")]
+    g = sketch.groupBy(*keys) if keys else sketch.groupBy()
+    agg = g.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("_sp"),
+        F.count(F.lit(1)).cast("double").alias("_used"),
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.col("_sp") + (F.lit(float(m)) - F.col("_used"))
+    )
+    v = F.lit(float(m)) - F.col("_used")  # zero registers
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((raw <= 2.5 * m) & (v > 0), small).otherwise(raw)
+    return agg.select(*keys, est.alias(est_col))

