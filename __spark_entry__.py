@@ -9961,6 +9961,102 @@ ORDER BY v.c_custkey
 """
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (llm/sketch.py) distinct-user cardinality per
+    event_type at p=9 (m=512 registers, se≈4.6%) vs the exact
+    COUNT(DISTINCT). The oracle replays the identical md5 register
+    draw and nibble-exact leading-zero rank, then the same αₘ/
+    linear-counting estimator, so the ESTIMATE must hash-match to
+    6dp — collision noise and correction-regime choice included, not
+    just the error bound. The register sum Σ2^(−Mⱼ) is
+    order-independent here (all observed ranks ≤ 44 keep the dyadic
+    sum exactly representable in a double)."""
+    from temporal_retriever_spark.llm.sketch import hll_build, hll_estimate
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sk = hll_build(ev, "user_id", p=9, key_cols=("event_type",))
+    est = hll_estimate(sk, p=9)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", _r6("hll_est").alias("hll_est"), "exact_distinct")
+        .orderBy("event_type")
+    )
+
+
+def _hll_distinct_users_oracle(p: int = 9) -> str:
+    m = 1 << p
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH v AS (
+    SELECT event_type, CAST(user_id AS VARCHAR) AS uv FROM events
+    WHERE user_id IS NOT NULL
+),
+drawn AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5('0:' || uv), 1, 8)) AS UBIGINT) % {m} AS register,
+           substr(md5('1:' || uv), 1, 15) AS s
+    FROM v
+),
+ranked AS (
+    SELECT event_type, register,
+           regexp_replace(s, '^0+', '') AS rest
+    FROM drawn
+),
+r2 AS (
+    SELECT event_type, register,
+           CASE WHEN length(rest) = 0 THEN 61
+                ELSE 4 * (15 - length(rest))
+                     + (4 - CASE substr(rest, 1, 1)
+                              WHEN '1' THEN 1
+                              WHEN '2' THEN 2 WHEN '3' THEN 2
+                              WHEN '4' THEN 3 WHEN '5' THEN 3
+                              WHEN '6' THEN 3 WHEN '7' THEN 3
+                              ELSE 4 END)
+                     + 1
+           END AS rank
+    FROM ranked
+),
+sk AS (
+    SELECT event_type, register, MAX(rank) AS max_rank
+    FROM r2 GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type,
+           SUM(POW(2.0, -max_rank)) AS sp,
+           CAST(COUNT(*) AS DOUBLE) AS used
+    FROM sk GROUP BY 1
+),
+est AS (
+    -- explicit DOUBLE casts: DuckDB parses the long alpha literal as
+    -- DECIMAL and overflows the m*m multiplication otherwise
+    SELECT event_type,
+           CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m * m} / (sp + ({m} - used))) <= {2.5 * m}
+                     AND ({m} - used) > 0
+                THEN {m} * LN({m} / ({m} - used))
+                ELSE CAST({alpha!r} AS DOUBLE) * {m * m} / (sp + ({m} - used))
+           END AS hll_est
+    FROM agg
+),
+ex AS (
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT est.event_type, {_sql_r6('est.hll_est')} AS hll_est, ex.exact_distinct
+FROM est JOIN ex ON est.event_type = ex.event_type
+ORDER BY est.event_type
+"""
+
+
 def q_haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haar DWT pyramid (wavelet.py) of the daily value-sum series per
     event_type, 4 levels: one row per (series, level, k) with the
@@ -11578,6 +11674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "prophet_map_forecast": q_prophet_map_forecast,
         "cms_user_counts": q_cms_user_counts,
+        "hll_distinct_users": q_hll_distinct_users,
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
         "seq_patterns_events": q_seq_patterns_events,
@@ -15073,6 +15170,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": _SKEW_SALTED_AGG_ORACLE,
         "prophet_map_forecast": _PROPHET_MAP_FORECAST_ORACLE,
         "cms_user_counts": _CMS_USER_COUNTS_ORACLE,
+        "hll_distinct_users": _hll_distinct_users_oracle(),
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
         "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,
