@@ -10057,6 +10057,64 @@ ORDER BY est.event_type
 """
 
 
+def q_hist_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch (llm/sketch.py
+    hist_build/hist_quantiles): order totals per order-priority,
+    128 bins over [0, 600000), quantiles 0.25/0.5/0.75/0.95 by
+    within-bin uniform interpolation. The oracle replays the
+    identical bin clamp, cumulative scan, first-qualifying-bin pick
+    and interpolation, so estimates hash-match to 6dp — the sketch
+    IS the algorithm, not an error bound."""
+    from temporal_retriever_spark.llm.sketch import hist_build, hist_quantiles
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    sk = hist_build(
+        orders,
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        bins=128,
+        key_cols=("o_orderpriority",),
+    )
+    got = hist_quantiles(
+        sk, (0.25, 0.5, 0.75, 0.95), lo=0.0, hi=600000.0, bins=128
+    )
+    return got.select(
+        "o_orderpriority", "q", _r6("q_est").alias("q_est")
+    ).orderBy("o_orderpriority", "q")
+
+
+_HIST_QUANTILES_PRICES_ORACLE = f"""
+WITH b AS (
+    SELECT o_orderpriority,
+           CAST(LEAST(GREATEST(FLOOR(CAST(o_totalprice AS DOUBLE) / {600000.0 / 128!r}), 0), 127) AS INTEGER) AS bin
+    FROM orders WHERE o_totalprice IS NOT NULL
+),
+sk AS (
+    SELECT o_orderpriority, bin, CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM b GROUP BY 1, 2
+),
+cum AS (
+    SELECT o_orderpriority, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS c,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+    FROM sk
+),
+qs AS (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                      CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q),
+hit AS (
+    SELECT o_orderpriority, q, bin, cnt, c, q * n AS target,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority, q ORDER BY bin) AS rn
+    FROM cum CROSS JOIN qs
+    WHERE c >= q * n
+)
+SELECT o_orderpriority, q,
+       {_sql_r6(f'(bin + (target - (c - cnt)) / cnt) * {600000.0 / 128!r}')} AS q_est
+FROM hit WHERE rn = 1
+ORDER BY o_orderpriority, q
+"""
+
+
 def q_haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haar DWT pyramid (wavelet.py) of the daily value-sum series per
     event_type, 4 levels: one row per (series, level, k) with the
@@ -11675,6 +11733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prophet_map_forecast": q_prophet_map_forecast,
         "cms_user_counts": q_cms_user_counts,
         "hll_distinct_users": q_hll_distinct_users,
+        "hist_quantiles_prices": q_hist_quantiles_prices,
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
         "seq_patterns_events": q_seq_patterns_events,
@@ -15171,6 +15230,7 @@ def oracle_sql() -> dict[str, str]:
         "prophet_map_forecast": _PROPHET_MAP_FORECAST_ORACLE,
         "cms_user_counts": _CMS_USER_COUNTS_ORACLE,
         "hll_distinct_users": _hll_distinct_users_oracle(),
+        "hist_quantiles_prices": _HIST_QUANTILES_PRICES_ORACLE,
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
         "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,

@@ -54,7 +54,7 @@ corpus bookkeeping.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -68,6 +68,9 @@ __all__ = [
     "hll_build",
     "hll_merge",
     "hll_estimate",
+    "hist_build",
+    "hist_merge",
+    "hist_quantiles",
 ]
 
 
@@ -362,3 +365,136 @@ def hll_estimate(
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     est = F.when((raw <= 2.5 * m) & (v > 0), small).otherwise(raw)
     return agg.select(*keys, est.alias(est_col))
+
+
+# --- Fixed-bin histogram quantile sketch -------------------------------
+# The fourth mergeable summary: CMS frequency, Bloom membership, HLL
+# cardinality, histogram QUANTILES. Fixed equi-width bins over a
+# declared [lo, hi) domain: deterministic (no sampling), exactly
+# mergeable across shards/days (counters add), and bounded at `bins`
+# rows per key — unlike Spark's `percentile_approx`, whose KLL-ish
+# state is an opaque driver-side blob you can't persist as a table,
+# union tomorrow, or read from another engine. Accuracy is the usual
+# histogram bound: a quantile is off by at most one bin width.
+
+
+def hist_build(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Equi-width histogram sketch of ``df[col]`` as
+    ``(*key_cols, bin, cnt)`` — at most ``bins`` rows per key.
+
+    Values are CLAMPED into [lo, hi): below-range rows land in bin 0,
+    above-range in bin ``bins-1`` (documented edge semantics — the
+    sketch never drops mass, it saturates). NULLs are ignored. One
+    bounded-cardinality aggregation; raw values never shuffle.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    keys = list(key_cols)
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit((hi - lo) / bins))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches built with identical geometry:
+    counters add."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    keys = [c for c in out.columns if c not in ("bin", "cnt")]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: tuple[float, ...],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    est_col: str = "q_est",
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: one row per
+    (key, q) — ``(*key_cols, q, q_est)``.
+
+    For each q, the target rank ``q·N`` is located in the cumulative
+    bin counts (ONE window pass ordered by bin) and interpolated
+    uniformly within the owning bin:
+    ``est = lo + (bin + (target − cum_below)/cnt) · bin_width``.
+    Deterministic; error ≤ one bin width. Empty sketches yield no
+    rows (there is no quantile of nothing).
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    keys = [c for c in sketch.columns if c not in ("bin", "cnt")]
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin") if keys else Window.partitionBy(F.lit(1)).orderBy("bin")
+    wk = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy(F.lit(1))
+    cum = sketch.select(
+        *keys,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wk).alias("_n"),
+    )
+    qdf = F.broadcast(
+        sketch.sparkSession.createDataFrame(
+            [(float(q),) for q in qs], "q double"
+        )
+    )
+    # owning bin: the FIRST bin whose cumulative count reaches the
+    # target rank (min over qualifying bins — a pre-aggregated
+    # min_by keeps it one exchange after the window)
+    hit = (
+        cum.crossJoin(qdf)
+        .withColumn("_target", F.col("q") * F.col("_n"))
+        .filter(F.col("_cum") >= F.col("_target"))
+        .groupBy(*keys, "q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "cnt", "_cum", "_target"), F.col("bin")
+            ).alias("_hit")
+        )
+        .select(
+            *keys,
+            "q",
+            (
+                F.lit(float(lo))
+                + (
+                    F.col("_hit.bin")
+                    + (
+                        F.col("_hit._target")
+                        - (F.col("_hit._cum") - F.col("_hit.cnt"))
+                    )
+                    / F.col("_hit.cnt")
+                )
+                * F.lit(width)
+            ).alias(est_col),
+        )
+    )
+    return hit

@@ -253,3 +253,91 @@ def test_hll_validation_and_nulls(spark):
         hll_build(df, "v", p=3)
     with pytest.raises(ValueError):
         hll_estimate(hll_build(df, "v", p=4), p=17)
+
+
+# --- histogram quantile sketch ---------------------------------------
+
+from temporal_retriever_spark.llm.sketch import (  # noqa: E402
+    hist_build,
+    hist_merge,
+    hist_quantiles,
+)
+
+
+def test_hist_build_counts_and_clamp(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 1.0, 2.5, 9.9, 10.0, 50.0, None]],
+        "v: double",
+    )
+    got = {r.bin: r.cnt for r in hist_build(df, "v", lo=0.0, hi=10.0, bins=10).collect()}
+    # -5 clamps to bin 0; 10.0 and 50.0 clamp to bin 9; NULL dropped
+    assert got == {0: 2.0, 1: 1.0, 2: 1.0, 9: 3.0}
+
+
+def test_hist_merge_equals_whole(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(50)], "v: double")
+    b = spark.createDataFrame([(float(i),) for i in range(30, 100)], "v: double")
+    whole = spark.createDataFrame(
+        [(float(i),) for i in list(range(50)) + list(range(30, 100))],
+        "v: double",
+    )
+    kw = dict(lo=0.0, hi=100.0, bins=20)
+    merged = {
+        r.bin: r.cnt
+        for r in hist_merge(
+            hist_build(a, "v", **kw), hist_build(b, "v", **kw)
+        ).collect()
+    }
+    full = {r.bin: r.cnt for r in hist_build(whole, "v", **kw).collect()}
+    assert merged == full
+
+
+def test_hist_quantiles_uniform_within_bin_width(spark):
+    import numpy as np
+
+    n, bins = 5000, 100
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0, 1000, n)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v: double")
+    sk = hist_build(df, "v", lo=0.0, hi=1000.0, bins=bins)
+    got = {
+        r.q: r.q_est
+        for r in hist_quantiles(
+            sk, (0.1, 0.5, 0.9), lo=0.0, hi=1000.0, bins=bins
+        ).collect()
+    }
+    width = 1000.0 / bins
+    for q in (0.1, 0.5, 0.9):
+        true = float(np.quantile(vals, q))
+        assert abs(got[q] - true) <= width + 1e-9, (q, got[q], true)
+
+
+def test_hist_quantiles_keyed_and_extremes(spark):
+    rows = [("a", float(i)) for i in range(100)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "k string, v double")
+    sk = hist_build(df, "v", lo=0.0, hi=100.0, bins=50, key_cols=("k",))
+    got = {
+        (r.k, r.q): r.q_est
+        for r in hist_quantiles(
+            sk, (0.0, 0.5, 1.0), lo=0.0, hi=100.0, bins=50
+        ).collect()
+    }
+    # q=1.0 of key a: last value 99 sits in bin 49 -> est <= 100
+    assert 98.0 <= got[("a", 1.0)] <= 100.0
+    assert 48.0 <= got[("a", 0.5)] <= 52.0
+    # all of b's mass is one bin: every quantile inside [4, 6]
+    for q in (0.0, 0.5, 1.0):
+        assert 4.0 <= got[("b", q)] <= 6.0
+
+
+def test_hist_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "v: double")
+    with pytest.raises(ValueError):
+        hist_build(df, "v", lo=0.0, hi=0.0)
+    with pytest.raises(ValueError):
+        hist_build(df, "v", lo=0.0, hi=1.0, bins=0)
+    sk = hist_build(df, "v", lo=0.0, hi=1.0, bins=4)
+    with pytest.raises(ValueError):
+        hist_quantiles(sk, (), lo=0.0, hi=1.0, bins=4)
+    with pytest.raises(ValueError):
+        hist_quantiles(sk, (1.5,), lo=0.0, hi=1.0, bins=4)
