@@ -10115,6 +10115,67 @@ ORDER BY o_orderpriority, q
 """
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column census (quality.profile_table) of the orders
+    table: per column the row/null/exact-distinct counts, numeric
+    min/max/mean, and string min/max (timestamps via canonical string
+    cast). The whole profile is ONE df.agg (multi-distinct via Spark's
+    Expand). Mean rounded at 2dp: the 15k-term double sum is
+    order-sensitive in the last ulps across engines."""
+    from temporal_retriever_spark.quality import profile_table
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    got = profile_table(orders)
+    return got.select(
+        F.col("column").alias("col_name"),
+        "dtype",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        _r6("min_num").alias("min_num"),
+        _r6("max_num").alias("max_num"),
+        F.round(F.col("mean") + F.lit(_ROUND_OFFSET), 2).alias("mean"),
+        "min_str",
+        "max_str",
+    ).orderBy("col_name")
+
+
+def _profile_orders_oracle() -> str:
+    num_cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_totalprice", "double"),
+    ]
+    str_cols = [
+        ("o_orderstatus", "string"),
+        ("o_orderpriority", "string"),
+        ("o_orderdate", "timestamp"),
+    ]
+    parts = []
+    for c, t in num_cols:
+        parts.append(f"""
+SELECT '{c}' AS col_name, '{t}' AS dtype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {_sql_r6(f'MIN(CAST({c} AS DOUBLE))')} AS min_num,
+       {_sql_r6(f'MAX(CAST({c} AS DOUBLE))')} AS max_num,
+       ROUND(AVG(CAST({c} AS DOUBLE)) + {_ROUND_OFFSET!r}, 2) AS mean,
+       CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str
+FROM orders""")
+    for c, t in str_cols:
+        parts.append(f"""
+SELECT '{c}', '{t}',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT {c}) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(CAST({c} AS VARCHAR)), MAX(CAST({c} AS VARCHAR))
+FROM orders""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 def q_haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haar DWT pyramid (wavelet.py) of the daily value-sum series per
     event_type, 4 levels: one row per (series, level, k) with the
@@ -11734,6 +11795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "hll_distinct_users": q_hll_distinct_users,
         "hist_quantiles_prices": q_hist_quantiles_prices,
+        "profile_orders": q_profile_orders,
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
         "seq_patterns_events": q_seq_patterns_events,
@@ -15231,6 +15293,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts": _CMS_USER_COUNTS_ORACLE,
         "hll_distinct_users": _hll_distinct_users_oracle(),
         "hist_quantiles_prices": _HIST_QUANTILES_PRICES_ORACLE,
+        "profile_orders": _profile_orders_oracle(),
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
         "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,

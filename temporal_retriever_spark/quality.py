@@ -39,6 +39,7 @@ __all__ = [
     "non_negative",
     "check_constraints",
     "key_skew_report",
+    "profile_table",
 ]
 
 
@@ -282,3 +283,67 @@ def benford_test(
             F.expr(chi2_sf_sql("chi2_stat", 8)),
         ),
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | tuple[str, ...] | None = None,
+) -> DataFrame:
+    """One-pass column profile — the data-quality census a corpus
+    intake runs before anything else: per column
+    ``(column, dtype, n_rows, n_null, n_distinct, min_num, max_num,
+    mean, min_str, max_str)``.
+
+    Numeric columns report min/max/mean as doubles; everything else
+    reports min/max as strings (dates/timestamps via their canonical
+    string cast) with the numeric slots NULL. ``n_distinct`` is the
+    EXACT count of distinct non-null values.
+
+    Scale: every statistic for every column rides ONE ``df.agg``
+    (single scan; the multi-column count-distincts compile to Spark's
+    Expand strategy — one shuffle carrying #cols × rows expanded
+    records, the standard cost of exact multi-distinct; swap in the
+    md5-HLL sketch from ``llm.sketch`` when approximate is fine at
+    100 TB). The wide one-row result is unpivoted to per-column rows
+    with a pure projection.
+    """
+    numeric = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+    fields = [
+        f
+        for f in df.schema.fields
+        if columns is None or f.name in set(columns)
+    ]
+    if not fields:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, f in enumerate(fields):
+        c = F.col(f.name)
+        is_num = f.dataType.simpleString().split("(")[0] in numeric
+        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"_null{i}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"_dist{i}"))
+        if is_num:
+            aggs.append(F.min(c).cast("double").alias(f"_min{i}"))
+            aggs.append(F.max(c).cast("double").alias(f"_max{i}"))
+            aggs.append(F.avg(c.cast("double")).alias(f"_mean{i}"))
+        else:
+            aggs.append(F.min(c.cast("string")).alias(f"_smin{i}"))
+            aggs.append(F.max(c.cast("string")).alias(f"_smax{i}"))
+    row = df.agg(*aggs)
+    parts = []
+    for i, f in enumerate(fields):
+        is_num = f.dataType.simpleString().split("(")[0] in numeric
+        parts.append(
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null{i}").alias("n_null"),
+                F.col(f"_dist{i}").alias("n_distinct"),
+                (F.col(f"_min{i}") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"_max{i}") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"_mean{i}") if is_num else F.lit(None).cast("double")).alias("mean"),
+                (F.lit(None).cast("string") if is_num else F.col(f"_smin{i}")).alias("min_str"),
+                (F.lit(None).cast("string") if is_num else F.col(f"_smax{i}")).alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")

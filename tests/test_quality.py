@@ -154,3 +154,41 @@ class TestBenford:
         got = {r["k"]: r for r in benford_test(df, "v", keys=["k"]).collect()}
         assert got["a"]["n"] == 2  # 123 (d=1) and -250 (d=2)
         assert got["b"]["n"] == 1  # 0.004 -> digit 4
+
+
+class TestProfileTable:
+    def test_profiles_mixed_types(self, spark):
+        from temporal_retriever_spark.quality import profile_table
+
+        df = spark.createDataFrame(
+            [
+                (1, 2.5, "x"),
+                (2, None, "y"),
+                (3, 7.5, None),
+                (3, 0.0, "y"),
+            ],
+            "a int, b double, c string",
+        )
+        got = {r["column"]: r for r in profile_table(df).collect()}
+        assert set(got) == {"a", "b", "c"}
+        a = got["a"]
+        assert (a["n_rows"], a["n_null"], a["n_distinct"]) == (4, 0, 3)
+        assert (a["min_num"], a["max_num"], a["mean"]) == (1.0, 3.0, 2.25)
+        assert a["min_str"] is None and a["max_str"] is None
+        b = got["b"]
+        assert (b["n_null"], b["n_distinct"]) == (1, 3)
+        assert b["mean"] == pytest.approx(10.0 / 3)
+        c = got["c"]
+        assert (c["n_null"], c["n_distinct"]) == (1, 2)
+        assert (c["min_str"], c["max_str"]) == ("x", "y")
+        assert c["min_num"] is None and c["mean"] is None
+        assert c["dtype"] == "string" and a["dtype"] == "int"
+
+    def test_column_subset_and_validation(self, spark):
+        from temporal_retriever_spark.quality import profile_table
+
+        df = spark.createDataFrame([(1, "x")], "a int, c string")
+        rows = profile_table(df, columns=["c"]).collect()
+        assert [r["column"] for r in rows] == ["c"]
+        with pytest.raises(ValueError):
+            profile_table(df, columns=["nope"])
