@@ -10176,6 +10176,72 @@ FROM orders""")
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature block (features.calendar_features) over the
+    distinct event days: ISO dow/week, day/month/quarter fields,
+    weekend/month-boundary flags, and order-2 weekly + order-1 yearly
+    Fourier terms (sin/cos of 2πk·days-since-epoch/period — the
+    Prophet seasonality basis). Pure projections; oracle replays the
+    identical date arithmetic."""
+    from temporal_retriever_spark.features import calendar_features
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    days = ev.select(F.col("ts").cast("date").alias("ds")).distinct()
+    got = calendar_features(
+        days, ts_col="ds", fourier_weekly=(1, 2), fourier_yearly=(1,)
+    )
+    return got.select(
+        "ds",
+        "dow",
+        "dom",
+        "doy",
+        "month",
+        "quarter",
+        "weekofyear",
+        "is_weekend",
+        "is_month_start",
+        "is_month_end",
+        *[
+            _r6(c).alias(c)
+            for c in (
+                "weekly_sin_1",
+                "weekly_cos_1",
+                "weekly_sin_2",
+                "weekly_cos_2",
+                "yearly_sin_1",
+                "yearly_cos_1",
+            )
+        ],
+    ).orderBy("ds")
+
+
+_CALENDAR_FEATURES_ORACLE = f"""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS ds FROM events),
+t AS (
+    SELECT ds,
+           CAST(date_diff('day', DATE '1970-01-01', ds) AS DOUBLE) AS td
+    FROM days
+)
+SELECT ds,
+       CAST(isodow(ds) AS INTEGER) AS dow,
+       CAST(dayofmonth(ds) AS INTEGER) AS dom,
+       CAST(dayofyear(ds) AS INTEGER) AS doy,
+       CAST(month(ds) AS INTEGER) AS month,
+       CAST(quarter(ds) AS INTEGER) AS quarter,
+       CAST(weekofyear(ds) AS INTEGER) AS weekofyear,
+       isodow(ds) >= 6 AS is_weekend,
+       dayofmonth(ds) = 1 AS is_month_start,
+       ds = last_day(ds) AS is_month_end,
+       {_sql_r6("SIN(td * 2 * PI() * 1 / 7.0)")} AS weekly_sin_1,
+       {_sql_r6("COS(td * 2 * PI() * 1 / 7.0)")} AS weekly_cos_1,
+       {_sql_r6("SIN(td * 2 * PI() * 2 / 7.0)")} AS weekly_sin_2,
+       {_sql_r6("COS(td * 2 * PI() * 2 / 7.0)")} AS weekly_cos_2,
+       {_sql_r6("SIN(td * 2 * PI() * 1 / 365.25)")} AS yearly_sin_1,
+       {_sql_r6("COS(td * 2 * PI() * 1 / 365.25)")} AS yearly_cos_1
+FROM t ORDER BY ds
+"""
+
+
 def q_haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haar DWT pyramid (wavelet.py) of the daily value-sum series per
     event_type, 4 levels: one row per (series, level, k) with the
@@ -11796,6 +11862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "hist_quantiles_prices": q_hist_quantiles_prices,
         "profile_orders": q_profile_orders,
+        "calendar_features_days": q_calendar_features,
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
         "seq_patterns_events": q_seq_patterns_events,
@@ -15294,6 +15361,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": _hll_distinct_users_oracle(),
         "hist_quantiles_prices": _HIST_QUANTILES_PRICES_ORACLE,
         "profile_orders": _profile_orders_oracle(),
+        "calendar_features_days": _CALENDAR_FEATURES_ORACLE,
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
         "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,

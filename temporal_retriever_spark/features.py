@@ -31,12 +31,68 @@ from pyspark.sql import functions as F
 __all__ = [
     "boxcox_lambda",
     "boxcox_transform",
+    "calendar_features",
     "huber_regression",
     "make_lag_features",
     "mutual_information",
     "ridge_regression",
     "target_encode",
 ]
+
+
+def calendar_features(
+    df: DataFrame,
+    *,
+    ts_col: str = "ds",
+    fourier_weekly: Iterable[int] = (),
+    fourier_yearly: Iterable[int] = (),
+) -> DataFrame:
+    """Append the standard calendar feature block for a timestamp
+    column — pure projections, no shuffle, no Python.
+
+    Base features: ``dow`` (ISO, 1=Mon..7=Sun), ``dom``, ``doy``,
+    ``month``, ``quarter``, ``weekofyear`` (ISO), ``is_weekend``,
+    ``is_month_start``, ``is_month_end``.
+
+    Fourier terms (the Prophet seasonality basis, prophet_map.py uses
+    the same construction inside the fit): for each order k in
+    ``fourier_weekly`` / ``fourier_yearly``, columns
+    ``weekly_sin_k / weekly_cos_k`` (period 7 days) and
+    ``yearly_sin_k / yearly_cos_k`` (period 365.25 days) of
+    sin/cos(2πk·t/period) with t = days since 1970-01-01 — giving a
+    linear model smooth periodic regressors instead of one-hot spikes.
+    """
+    import math
+
+    c = F.col(ts_col)
+    d = c.cast("date")
+    t = F.datediff(d, F.lit("1970-01-01")).cast("double")
+    out = (
+        df.withColumn("dow", F.weekday(c) + F.lit(1))
+        .withColumn("dom", F.dayofmonth(c))
+        .withColumn("doy", F.dayofyear(c))
+        .withColumn("month", F.month(c))
+        .withColumn("quarter", F.quarter(c))
+        .withColumn("weekofyear", F.weekofyear(c))
+        .withColumn("is_weekend", F.weekday(c) >= F.lit(5))
+        .withColumn("is_month_start", F.dayofmonth(c) == F.lit(1))
+        .withColumn("is_month_end", d == F.last_day(c))
+    )
+    for k in sorted(set(int(k) for k in fourier_weekly)):
+        if k < 1:
+            raise ValueError(f"fourier orders must be >= 1, got {k}")
+        ang = t * F.lit(2.0 * math.pi * k / 7.0)
+        out = out.withColumn(f"weekly_sin_{k}", F.sin(ang)).withColumn(
+            f"weekly_cos_{k}", F.cos(ang)
+        )
+    for k in sorted(set(int(k) for k in fourier_yearly)):
+        if k < 1:
+            raise ValueError(f"fourier orders must be >= 1, got {k}")
+        ang = t * F.lit(2.0 * math.pi * k / 365.25)
+        out = out.withColumn(f"yearly_sin_{k}", F.sin(ang)).withColumn(
+            f"yearly_cos_{k}", F.cos(ang)
+        )
+    return out
 
 
 def boxcox_lambda(

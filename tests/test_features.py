@@ -435,3 +435,44 @@ class TestBoxCox:
             boxcox_lambda(df, lambdas=())
         with pytest.raises(ValueError):
             boxcox_lambda(df, lambdas=(1.0, 1.0))
+
+
+class TestCalendarFeatures:
+    def test_fields_and_fourier(self, spark):
+        import math
+
+        from temporal_retriever_spark.features import calendar_features
+
+        df = spark.createDataFrame(
+            [("2024-01-01",), ("2024-02-29",), ("2024-06-15",), ("2024-12-31",)],
+            "ds: string",
+        ).select(F.col("ds").cast("date").alias("ds"))
+        got = {
+            str(r["ds"]): r
+            for r in calendar_features(
+                df, ts_col="ds", fourier_weekly=(1,), fourier_yearly=(2,)
+            ).collect()
+        }
+        jan1 = got["2024-01-01"]  # a Monday
+        assert jan1["dow"] == 1 and jan1["is_weekend"] is False
+        assert jan1["is_month_start"] is True and jan1["doy"] == 1
+        feb29 = got["2024-02-29"]
+        assert feb29["is_month_end"] is True and feb29["month"] == 2
+        jun15 = got["2024-06-15"]  # a Saturday
+        assert jun15["dow"] == 6 and jun15["is_weekend"] is True
+        # fourier replay
+        td = (__import__("datetime").date(2024, 6, 15)
+              - __import__("datetime").date(1970, 1, 1)).days
+        assert jun15["weekly_sin_1"] == pytest.approx(
+            math.sin(td * 2 * math.pi / 7.0), rel=1e-12
+        )
+        assert jun15["yearly_cos_2"] == pytest.approx(
+            math.cos(td * 2 * math.pi * 2 / 365.25), rel=1e-12
+        )
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.features import calendar_features
+
+        df = spark.createDataFrame([("2024-01-01",)], "ds: string")
+        with pytest.raises(ValueError):
+            calendar_features(df, ts_col="ds", fourier_weekly=(0,))
