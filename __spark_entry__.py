@@ -10176,6 +10176,103 @@ FROM orders""")
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+def q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope (diagnostics.mann_kendall)
+    over the per-event_type daily value-sum series: S statistic,
+    tie-corrected variance, continuity-corrected z, two-sided A&S
+    normal p, interpolated-median pairwise slope, and the alpha=0.05
+    trend verdict. Oracle replays the identical pair grid, tie
+    correction, and closed-form normal tail."""
+    from temporal_retriever_spark.diagnostics import mann_kendall
+
+    got = mann_kendall(
+        _events_daily_all(spark, sf_dir), series_cols=("event_type",)
+    )
+    return got.select(
+        "event_type",
+        "n",
+        _r6("s_stat").alias("s_stat"),
+        _r6("var_s").alias("var_s"),
+        _r6("z").alias("z"),
+        _r6("p_value").alias("p_value"),
+        _r6("sen_slope").alias("sen_slope"),
+        "trend",
+    ).orderBy("event_type")
+
+
+_MANN_KENDALL_DAILY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) AS i,
+         y
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type, a.i AS i, b.i AS j, a.y AS yi, b.y AS yj
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i < b.i
+),
+s AS (
+  SELECT event_type,
+         SUM(SIGN(yj - yi)) AS s_stat,
+         quantile_cont((yj - yi) / (j - i), 0.5) AS sen
+  FROM pairs GROUP BY 1
+),
+nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM idx GROUP BY 1
+),
+ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie
+  FROM (
+    SELECT event_type, y, CAST(COUNT(*) AS DOUBLE) AS t
+    FROM idx GROUP BY 1, 2
+  ) GROUP BY 1
+),
+v AS (
+  SELECT nn.event_type, nn.n, s.s_stat, s.sen,
+         (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5) - ties.tie)
+            / 18.0 AS var_s
+  FROM nn
+  JOIN s ON s.event_type = nn.event_type
+  JOIN ties ON ties.event_type = nn.event_type
+),
+z1 AS (
+  SELECT *,
+         CASE WHEN var_s > 0 AND s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+              WHEN var_s > 0 AND s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+              ELSE 0.0 END AS z
+  FROM v
+),
+zt AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM z1),
+zp AS (
+  -- repeated multiplication (not POW) to mirror _norm_sf_expr's
+  -- expression tree bit-for-bit
+  SELECT *,
+         LEAST(1.0, 2.0 * (EXP(-(z * z) / 2.0) * 0.3989422804014327
+           * (0.319381530 * tt
+              + -0.356563782 * tt * tt
+              + 1.781477937 * tt * tt * tt
+              + -1.821255978 * tt * tt * tt * tt
+              + 1.330274429 * tt * tt * tt * tt * tt))) AS p
+  FROM zt
+)
+SELECT event_type, n,
+       {_sql_r6('s_stat')} AS s_stat,
+       {_sql_r6('var_s')} AS var_s,
+       {_sql_r6('z')} AS z,
+       {_sql_r6('p')} AS p_value,
+       {_sql_r6('sen')} AS sen_slope,
+       CASE WHEN p < 0.05 AND s_stat > 0 THEN 'increasing'
+            WHEN p < 0.05 AND s_stat < 0 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM zp ORDER BY event_type
+"""
+
+
 def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar feature block (features.calendar_features) over the
     distinct event days: ISO dow/week, day/month/quarter fields,
@@ -11863,6 +11960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_prices": q_hist_quantiles_prices,
         "profile_orders": q_profile_orders,
         "calendar_features_days": q_calendar_features,
+        "mann_kendall_daily": q_mann_kendall_daily,
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
         "seq_patterns_events": q_seq_patterns_events,
@@ -15362,6 +15460,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles_prices": _HIST_QUANTILES_PRICES_ORACLE,
         "profile_orders": _profile_orders_oracle(),
         "calendar_features_days": _CALENDAR_FEATURES_ORACLE,
+        "mann_kendall_daily": _MANN_KENDALL_DAILY_ORACLE,
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
         "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,

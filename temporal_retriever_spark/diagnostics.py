@@ -1980,3 +1980,110 @@ def jarque_bera(
         F.when(ok, jb).alias("jb_stat"),
         F.when(ok, F.exp(-jb / 2.0)).alias("p_value"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per series (Mann 1945,
+    Kendall 1975, Sen 1968 — the standard nonparametric "is this
+    series trending" answer, robust to outliers and needing no
+    distributional assumption).
+
+    Per series: ``S = Σ_{i<j} sign(y_j − y_i)``; variance with the
+    tie correction ``Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18``
+    over groups of tied y values; the continuity-corrected
+    ``z = (S∓1)/√Var(S)`` (0 when S = 0); two-sided p via the shared
+    A&S 26.2.17 normal tail (`_norm_sf_expr` — same closed form in
+    the DuckDB oracle). ``sen_slope`` is the median of the pairwise
+    slopes ``(y_j − y_i)/(j − i)`` on the ORDER INDEX (interpolated
+    median; for evenly spaced series this is Sen's estimator in
+    per-step units). ``trend`` is 'increasing'/'decreasing' when
+    p < alpha, else 'no trend'.
+
+    Scale: pairs come from ONE per-series self-join on the rank
+    index — O(n²) rows per series, shuffled once on the series keys.
+    Intended for BUCKETED series (the repo's daily/hourly rollups:
+    n in the hundreds-to-thousands), the same per-series quadratic
+    contract as the exact DTW/matrix-profile operators; it is not an
+    events-table operator. Output:
+    ``(*series_cols, n, s_stat, var_s, z, p_value, sen_slope, trend)``.
+    """
+    from temporal_retriever_spark.inference import _norm_sf_expr
+
+    keys = list(series_cols)
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ts_col)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.row_number().over(w).alias("_idx"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    a = base.select(
+        *keys, F.col("_idx").alias("_i"), F.col("_y").alias("_yi")
+    )
+    b = base.select(
+        *keys, F.col("_idx").alias("_j"), F.col("_y").alias("_yj")
+    )
+    pairs = a.join(b, keys).filter(F.col("_i") < F.col("_j"))
+    agg = pairs.groupBy(*keys).agg(
+        F.sum(F.signum(F.col("_yj") - F.col("_yi")))
+        .cast("double")
+        .alias("s_stat"),
+        F.expr(
+            "percentile((_yj - _yi) / (_j - _i), 0.5)"
+        ).alias("sen_slope"),
+    )
+    n_df = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        base.groupBy(*keys, "_y")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    nn = F.col("n").cast("double")
+    var_s = (
+        nn * (nn - 1) * (2 * nn + 5) - F.col("_tie_term")
+    ) / F.lit(18.0)
+    out = (
+        n_df.join(agg, keys)
+        .join(ties, keys)
+        .withColumn("var_s", var_s)
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_s"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    out = out.withColumn(
+        "z", F.when(F.col("var_s") > 0, z).otherwise(F.lit(0.0))
+    )
+    p = F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(F.col("z"))))
+    out = out.withColumn("p_value", p)
+    trend = (
+        F.when(
+            (F.col("p_value") < F.lit(alpha)) & (F.col("s_stat") > 0),
+            F.lit("increasing"),
+        )
+        .when(
+            (F.col("p_value") < F.lit(alpha)) & (F.col("s_stat") < 0),
+            F.lit("decreasing"),
+        )
+        .otherwise(F.lit("no trend"))
+    )
+    return out.select(
+        *keys, "n", "s_stat", "var_s", "z", "p_value", "sen_slope",
+        trend.alias("trend"),
+    )

@@ -1019,3 +1019,79 @@ class TestResidualDiagnostics:
 
         r = jarque_bera(df, keys=["k"]).collect()[0]
         assert r["jb_stat"] is None
+
+
+class TestMannKendall:
+    @staticmethod
+    def _ref(y, alpha=0.05):
+        import math
+
+        import numpy as np
+
+        y = np.asarray(y, float)
+        n = len(y)
+        s = 0.0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += np.sign(y[j] - y[i])
+                slopes.append((y[j] - y[i]) / (j - i))
+        _, counts = np.unique(y, return_counts=True)
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in counts)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        if var > 0 and s > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif var > 0 and s < 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        # A&S 26.2.17, matching _norm_sf_expr
+        t_ = 1.0 / (1.0 + 0.2316419 * abs(z))
+        poly = (
+            0.319381530 * t_
+            - 0.356563782 * t_**2
+            + 1.781477937 * t_**3
+            - 1.821255978 * t_**4
+            + 1.330274429 * t_**5
+        )
+        p = min(1.0, 2.0 * math.exp(-z * z / 2) * 0.3989422804014327 * poly)
+        sen = float(np.percentile(slopes, 50, method="linear"))
+        return s, var, z, p, sen
+
+    def _df(self, spark, y):
+        import datetime as dt
+
+        rows = [
+            ("s", dt.date(2024, 1, 1) + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(y)
+        ]
+        return spark.createDataFrame(rows, "series_id string, ds date, y double")
+
+    def test_matches_reference_with_ties(self, spark):
+        from temporal_retriever_spark.diagnostics import mann_kendall
+
+        y = [3.0, 5.0, 5.0, 2.0, 8.0, 8.0, 8.0, 11.0, 7.0, 13.0]
+        r = mann_kendall(self._df(spark, y)).collect()[0]
+        s, var, z, p, sen = self._ref(y)
+        assert r["n"] == 10
+        assert r["s_stat"] == s
+        assert r["var_s"] == pytest.approx(var, rel=1e-12)
+        assert r["z"] == pytest.approx(z, rel=1e-12)
+        assert r["p_value"] == pytest.approx(p, rel=1e-9)
+        assert r["sen_slope"] == pytest.approx(sen, rel=1e-12)
+
+    def test_monotone_and_flat(self, spark):
+        from temporal_retriever_spark.diagnostics import mann_kendall
+
+        up = mann_kendall(self._df(spark, list(range(20)))).collect()[0]
+        assert up["trend"] == "increasing" and up["sen_slope"] == 1.0
+        assert up["p_value"] < 1e-4
+        flat = mann_kendall(self._df(spark, [4.0] * 12)).collect()[0]
+        assert flat["trend"] == "no trend"
+        assert flat["s_stat"] == 0.0 and flat["z"] == 0.0
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.diagnostics import mann_kendall
+
+        with pytest.raises(ValueError):
+            mann_kendall(self._df(spark, [1.0, 2.0]), alpha=1.5)
