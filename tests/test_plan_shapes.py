@@ -417,3 +417,68 @@ def test_b11_star_join_plan(bench_queries):
     assert "CartesianProduct" not in plan
     assert _exchanges(plan) == 1
     assert "Python" not in plan
+
+
+# --- round-6 operators ------------------------------------------------
+
+
+def test_hll_build_single_exchange(spark, docs):
+    from temporal_retriever_spark.llm.sketch import hll_build
+
+    plan = _plan(hll_build(docs, "doc_id", p=8, key_cols=("source",)))
+    # ONE bounded-cardinality aggregation: map-side partials collapse
+    # each input partition to <= 2^p rows before the shuffle
+    assert _exchanges(plan) == 1
+    assert "Python" not in plan
+
+
+def test_hist_sketch_single_exchange_and_quantiles_sketch_only(spark, docs):
+    from temporal_retriever_spark.llm.sketch import hist_build, hist_quantiles
+
+    sk = hist_build(
+        docs.withColumn("v", F.length("text").cast("double")),
+        "v",
+        lo=0.0,
+        hi=1000.0,
+        bins=32,
+    )
+    assert _exchanges(_plan(sk)) == 1
+    q = hist_quantiles(sk, (0.5, 0.9), lo=0.0, hi=1000.0, bins=32)
+    plan = _plan(q)
+    # quantiles touch only the <=bins-row sketch: window + min_by agg
+    assert _exchanges(plan) <= 3
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_table_one_agg_with_expand(spark, docs):
+    from temporal_retriever_spark.quality import profile_table
+
+    plan = _plan(profile_table(docs))
+    # the whole census is ONE aggregation; exact multi-distinct
+    # compiles to the Expand strategy (documented cost)
+    assert _exchanges(plan) == 1
+    assert "Expand" in plan
+    assert "Python" not in plan
+
+
+def test_calendar_features_shuffle_free(spark, daily):
+    from temporal_retriever_spark.features import calendar_features
+
+    plan = _plan(
+        calendar_features(
+            daily, ts_col="ds", fourier_weekly=(1, 2), fourier_yearly=(1,)
+        )
+    )
+    assert _exchanges(plan) == 0
+    assert "Python" not in plan
+
+
+def test_mann_kendall_no_python_no_cartesian(spark, daily):
+    from temporal_retriever_spark.diagnostics import mann_kendall
+
+    plan = _plan(mann_kendall(daily, series_cols=("series_id",)))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # per-series pair grid + three keyed joins: bounded exchange count
+    assert _exchanges(plan) <= 9
