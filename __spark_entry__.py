@@ -2867,6 +2867,93 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal REAL decode, TIFF path: the same md5-derived
+    10×6 RGB bitmap as the PNG row round-trips through the real TIFF
+    6.0 codec (llm.codecs encode_tiff/decode_tiff: IFD layout, strip
+    organization, PackBits, TIFF-LZW with MSB-first EarlyChange bit
+    packing, horizontal-differencing predictor) under FOUR encodings —
+    uncompressed, PackBits, LZW, LZW+predictor — at rows_per_strip=2
+    (multi-strip on every payload). TIFF is lossless at 8 bits, so the
+    contract is exact: all four decodes must agree and their channel
+    sums must equal the oracle's straight-from-md5 sums."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from temporal_retriever_spark.llm import codecs
+
+    W, H = 10, 6
+    n_raw = W * H * 3
+    out_schema = (
+        "doc_id long, width long, height long, "
+        "sum_r long, sum_g long, sum_b long, all_encodings_agree boolean"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                raw = (digest * (n_raw // len(digest) + 1))[:n_raw]
+                arr = np.frombuffer(raw, np.uint8).reshape(H, W, 3)
+                variants = [
+                    codecs.decode_tiff(
+                        codecs.encode_tiff(
+                            arr, compression=c, predictor=p, rows_per_strip=2
+                        )
+                    )
+                    for c, p in (
+                        ("none", False),
+                        ("packbits", False),
+                        ("lzw", False),
+                        ("lzw", True),
+                    )
+                ]
+                agree = all((v == variants[0]).all() for v in variants[1:])
+                dec = variants[0]
+                sums = dec.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (int(doc_id), dec.shape[1], dec.shape[0],
+                     int(sums[0]), int(sums[1]), int(sums[2]), bool(agree))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "all_encodings_agree",
+                ],
+            )
+
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(run, out_schema)
+    )
+
+
+_MEDIA_DECODE_TIFF_ORACLE = """
+WITH k AS (SELECT unnest(generate_series(0, 179)) AS k),
+b AS (
+    SELECT d.doc_id, k.k,
+           (strpos('0123456789abcdef',
+                   substr(md5(d.text), ((k.k % 16) * 2) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(d.text), ((k.k % 16) * 2) + 2, 1)) - 1) AS v
+    FROM documents d CROSS JOIN k
+)
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       TRUE AS all_encodings_agree
+FROM b GROUP BY 1
+"""
+
+
 def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 multimodal REAL decode, JPEG path: a deterministic 16×12
     RGB gradient (R/G ramps, B = doc_id % 256) is run through the real
@@ -11750,6 +11837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions --
         # (inserted here so they get driver rows on their first round)
         "media_decode_png": q_media_decode_png,
+        "media_decode_tiff": q_media_decode_tiff,
         "garch_vol_daily": q_garch_vol_daily,
         "fuzzy_source_pairs": q_fuzzy_source_pairs,
         "packed_sequences": q_packed_sequences,
@@ -14277,6 +14365,7 @@ def oracle_sql() -> dict[str, str]:
         "verbatim_spans": _VERBATIM_SPANS_ORACLE,
         "anomaly_seasonal_weekly": _ANOMALY_SEASONAL_ORACLE,
         "media_decode_png": _MEDIA_DECODE_PNG_ORACLE,
+        "media_decode_tiff": _MEDIA_DECODE_TIFF_ORACLE,
         "media_decode_jpeg": _MEDIA_DECODE_JPEG_ORACLE,
         "media_exif": """
             SELECT doc_id,

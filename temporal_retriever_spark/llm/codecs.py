@@ -1512,6 +1512,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "flac"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -1541,6 +1543,8 @@ def decode_features(payload: bytes, media_type: str) -> list[float]:
         return image_features(decode_bmp(payload)) + [0.0, 0.0]
     if kind == "png":
         return image_features(decode_png(payload)) + [0.0, 0.0]
+    if kind == "tiff":
+        return image_features(decode_tiff(payload)) + [0.0, 0.0]
     if kind == "jpeg":
         # normalize EXIF orientation first: a sideways phone photo's
         # height/width/luma stats must describe the DISPLAYED image
@@ -1576,6 +1580,8 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
         return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
     if kind == "png":
         return encode_png(resize_nearest(decode_png(payload), width, height))
+    if kind == "tiff":
+        return encode_tiff(resize_nearest(decode_tiff(payload), width, height))
     if kind == "jpeg":
         return encode_jpeg(resize_nearest(decode_jpeg(payload), width, height))
     if kind == "avi":
@@ -1592,7 +1598,9 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
             [resize_nearest(f, width, height) for f in frames],
             delays_ms=delays,
         )
-    raise ValueError("resize supports BMP, PNG, JPEG, GIF, AVI and MP4 payloads")
+    raise ValueError(
+        "resize supports BMP, PNG, JPEG, TIFF, GIF, AVI and MP4 payloads"
+    )
 
 
 def sample_frame(payload: bytes, ts_ms: int) -> bytes:
@@ -2926,3 +2934,364 @@ def probe_flac(payload: bytes) -> dict:
         if hdr[0] >> 7:
             break
     raise ValueError("FLAC stream missing STREAMINFO")
+
+
+# --------------------------------------------------------------------------
+# TIFF (TIFF 6.0 baseline: 8-bit grayscale/RGB, chunky planar, strips;
+# compressions: none (1), TIFF-LZW (5, MSB-first with EarlyChange and
+# the optional horizontal-differencing predictor), PackBits (32773).
+# Both byte orders decode; the writer emits little-endian ("II").
+# Note TIFF LZW is NOT GIF LZW: bits pack MSB-first and the code width
+# bumps one code EARLY (when the next code would need the top slot).
+# --------------------------------------------------------------------------
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j + 1
+        else:
+            # literal stretch until the next >=3 run (2-runs aren't
+            # worth breaking a literal for) or 128 bytes
+            k = i
+            while (
+                k + 1 < n
+                and k - i < 127
+                and not (
+                    k + 2 < n
+                    and data[k + 1] == data[k + 2]
+                    and (k + 3 >= n or data[k + 3] == data[k + 1])
+                )
+            ):
+                k += 1
+            out.append(k - i)
+            out += data[i : k + 1]
+            i = k + 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # 128 = noop
+    if len(out) < expected:
+        raise ValueError("PackBits strip shorter than expected")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        # EarlyChange: width bumps when the NEXT code to be assigned
+        # would not fit, one code before the GIF convention
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt >= 4094:  # table full -> clear
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    while len(out) < expected:
+        code = read()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt TIFF LZW code {code}")
+        out += entry
+        prev = entry
+        # EarlyChange, decoder side: the decoder's table is ONE entry
+        # behind the encoder's next-code counter (the first code after
+        # a clear appends nothing), so it must widen at 2^w - 2 where
+        # the encoder widens at next == 2^w - 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF LZW strip shorter than expected")
+    return bytes(out[:expected])
+
+
+def _hdiff_encode(rows: np.ndarray) -> np.ndarray:
+    """Horizontal-differencing predictor (tag 317 = 2), per sample lane."""
+    d = rows.astype(np.int16)
+    d[:, 1:, :] -= d[:, :-1, :]
+    return (d & 0xFF).astype(np.uint8)
+
+
+def _hdiff_decode(rows: np.ndarray) -> np.ndarray:
+    return np.cumsum(rows.astype(np.int64), axis=1).astype(np.uint8)
+
+
+_TIFF_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    *,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Baseline TIFF writer: 8-bit grayscale (HxW) or RGB (HxWx3),
+    chunky, strip-organized, little-endian. ``predictor`` applies
+    horizontal differencing (only meaningful with LZW, per spec)."""
+    if compression not in _TIFF_COMPRESSIONS:
+        raise ValueError(f"compression must be one of {sorted(_TIFF_COMPRESSIONS)}")
+    if predictor and compression != "lzw":
+        raise ValueError("predictor=True requires compression='lzw'")
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError(f"need HxW or HxWx{{1,3}} uint8, got {arr.shape}")
+    h, w, spp = arr.shape
+    rps = rows_per_strip or max(1, min(h, 8))
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = arr[y0 : y0 + rps]
+        if predictor:
+            rows = _hdiff_encode(rows)
+        raw = rows.tobytes()
+        if compression == "none":
+            strips.append(raw)
+        elif compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(_tiff_lzw_encode(raw))
+    n_strips = len(strips)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    # layout: header(8) + IFD + [bps array if rgb] + offset/count arrays + strips
+    n_entries = 11  # 10 base tags + XResolution-free minimal set incl. 283
+    if predictor:
+        n_entries += 1
+    ifd_size = 2 + n_entries * 12 + 4
+    pos = 8 + ifd_size
+    bps_off = 0
+    if spp == 3:
+        bps_off = pos
+        pos += 6  # three SHORTs
+    so_off, sc_off = 0, 0
+    if n_strips > 1:
+        so_off = pos
+        pos += 4 * n_strips
+        sc_off = pos
+        pos += 4 * n_strips
+    data_off = pos
+    offsets = []
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    entries = [
+        entry(256, 3, 1, w),
+        entry(257, 3, 1, h),
+        entry(258, 3, spp, bps_off if spp == 3 else 8),
+        entry(259, 3, 1, _TIFF_COMPRESSIONS[compression]),
+        entry(262, 3, 1, 2 if spp == 3 else 1),
+        entry(273, 4, n_strips, so_off if n_strips > 1 else offsets[0]),
+        entry(277, 3, 1, spp),
+        entry(278, 3, 1, rps),
+        entry(279, 4, n_strips, sc_off if n_strips > 1 else len(strips[0])),
+        entry(284, 3, 1, 1),
+    ]
+    if spp == 3:
+        entries.insert(9, entry(283, 3, 1, 1))  # keep tags ascending-ish
+    else:
+        entries.append(entry(283, 3, 1, 1))
+    if predictor:
+        entries.append(entry(317, 3, 1, 2))
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # next IFD
+    if spp == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    if n_strips > 1:
+        for o in offsets:
+            out += struct.pack("<I", o)
+        for s in strips:
+            out += struct.pack("<I", len(s))
+    assert len(out) == data_off, (len(out), data_off)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF decoder → HxWx3 uint8 (grayscale replicated).
+
+    Supports both byte orders, chunky 8-bit gray/RGB, multi-strip,
+    compressions none/LZW(+horizontal predictor)/PackBits."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    (n,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n):
+        tag, typ, cnt, val = struct.unpack_from(
+            e + "HHII", payload, ifd_off + 2 + i * 12
+        )
+        if typ == 3 and cnt == 1:  # SHORT packs in the high-order slot
+            (val,) = struct.unpack_from(e + "H", payload, ifd_off + 2 + i * 12 + 8)
+        tags[tag] = (typ, cnt, val)
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, cnt, val = tags[tag]
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"unsupported TIFF type {typ} for tag {tag}")
+        fmt = e + ("H" if typ == 3 else "I")
+        if cnt * size <= 4:
+            # inline: re-read from the value slot
+            base = None
+            for i in range(n):
+                t2 = struct.unpack_from(e + "H", payload, ifd_off + 2 + i * 12)[0]
+                if t2 == tag:
+                    base = ifd_off + 2 + i * 12 + 8
+                    break
+            return [
+                struct.unpack_from(fmt, payload, base + k * size)[0]
+                for k in range(cnt)
+            ]
+        return [
+            struct.unpack_from(fmt, payload, val + k * size)[0]
+            for k in range(cnt)
+        ]
+
+    w = values(256)[0]
+    h = values(257)[0]
+    spp = values(277, [1])[0]
+    bps = values(258, [8] * spp)
+    if any(b != 8 for b in bps) or spp not in (1, 3):
+        raise ValueError(f"only 8-bit gray/RGB supported, got bps={bps} spp={spp}")
+    comp = values(259, [1])[0]
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if values(284, [1])[0] != 1:
+        raise ValueError("only chunky planar configuration supported")
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    rps = values(278, [h])[0]
+    offs = values(273)
+    cnts = values(279)
+    if len(offs) != len(cnts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    rows_out = []
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        nrows = min(rps, h - si * rps)
+        expected = nrows * w * spp
+        raw = payload[o : o + c]
+        if comp == 1:
+            if len(raw) < expected:
+                raise ValueError("uncompressed strip shorter than expected")
+            data = raw[:expected]
+        elif comp == 32773:
+            data = _packbits_decode(raw, expected)
+        else:
+            data = _tiff_lzw_decode(raw, expected)
+        rows = np.frombuffer(data, np.uint8).reshape(nrows, w, spp)
+        if predictor == 2:
+            rows = _hdiff_decode(rows)
+        rows_out.append(rows)
+    img = np.concatenate(rows_out, axis=0)
+    if spp == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img

@@ -1033,3 +1033,146 @@ class TestFlac:
         frame += _crc16(frame).to_bytes(2, "big")
         rate, got = decode_flac(bytes(out) + frame)
         np.testing.assert_array_equal(got[:, 0], samples)
+
+
+class TestTiff:
+    @staticmethod
+    def _img(h=10, w=7, seed=3):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    @pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+    def test_round_trip_rgb(self, compression):
+        from temporal_retriever_spark.llm.codecs import decode_tiff, encode_tiff
+
+        img = self._img()
+        got = decode_tiff(encode_tiff(img, compression=compression))
+        np.testing.assert_array_equal(got, img)
+
+    def test_round_trip_lzw_predictor(self):
+        from temporal_retriever_spark.llm.codecs import decode_tiff, encode_tiff
+
+        # smooth gradients are the predictor's target material
+        img = np.tile(
+            np.arange(64, dtype=np.uint8)[None, :, None], (16, 1, 3)
+        )
+        payload = encode_tiff(img, compression="lzw", predictor=True)
+        np.testing.assert_array_equal(decode_tiff(payload), img)
+        plain = encode_tiff(img, compression="lzw", predictor=False)
+        assert len(payload) < len(plain)  # differencing must actually help
+
+    def test_round_trip_gray_and_multistrip(self):
+        from temporal_retriever_spark.llm.codecs import decode_tiff, encode_tiff
+
+        gray = np.arange(0, 250, dtype=np.uint8).reshape(25, 10)
+        got = decode_tiff(encode_tiff(gray, rows_per_strip=4))
+        assert got.shape == (25, 10, 3)
+        np.testing.assert_array_equal(got[:, :, 0], gray)
+        np.testing.assert_array_equal(got[:, :, 1], gray)
+
+    def test_packbits_codec_exact(self):
+        from temporal_retriever_spark.llm.codecs import (
+            _packbits_decode,
+            _packbits_encode,
+        )
+
+        for data in (
+            b"",
+            b"\x01",
+            b"aaaa",
+            b"abcdef",
+            b"aaabccccd" * 40,
+            bytes(range(256)) * 3,
+            b"\x00" * 500,
+        ):
+            enc = _packbits_encode(data)
+            assert _packbits_decode(enc, len(data)) == data
+
+    def test_tiff_lzw_codec_exact_with_table_overflow(self):
+        from temporal_retriever_spark.llm.codecs import (
+            _tiff_lzw_decode,
+            _tiff_lzw_encode,
+        )
+
+        rng = np.random.default_rng(9)
+        # enough entropy to overflow the 12-bit table and force a CLEAR
+        data = bytes(rng.integers(0, 256, size=40000, dtype=np.uint8))
+        enc = _tiff_lzw_encode(data)
+        assert _tiff_lzw_decode(enc, len(data)) == data
+
+    def test_big_endian_decodes(self):
+        from temporal_retriever_spark.llm.codecs import decode_tiff
+
+        # hand-assembled 2x2 RGB big-endian uncompressed TIFF
+        px = bytes(
+            [255, 0, 0, 0, 255, 0,
+             0, 0, 255, 9, 8, 7]
+        )
+        n_entries = 8
+        ifd_off = 8
+        data_off = ifd_off + 2 + n_entries * 12 + 4 + 6  # + bps array
+
+        def entry(tag, typ, cnt, val, short=False):
+            import struct as st
+
+            e = st.pack(">HHI", tag, typ, cnt)
+            if short:
+                e += st.pack(">HH", val, 0)
+            else:
+                e += st.pack(">I", val)
+            return e
+
+        import struct as st
+
+        bps_off = ifd_off + 2 + n_entries * 12 + 4
+        payload = st.pack(">2sHI", b"MM", 42, ifd_off)
+        payload += st.pack(">H", n_entries)
+        payload += entry(256, 3, 1, 2, short=True)
+        payload += entry(257, 3, 1, 2, short=True)
+        payload += entry(258, 3, 3, bps_off)
+        payload += entry(259, 3, 1, 1, short=True)
+        payload += entry(262, 3, 1, 2, short=True)
+        payload += entry(273, 4, 1, data_off)
+        payload += entry(277, 3, 1, 3, short=True)
+        payload += entry(279, 4, 1, len(px))
+        payload += st.pack(">I", 0)
+        payload += st.pack(">HHH", 8, 8, 8)
+        payload += px
+        got = decode_tiff(payload)
+        assert got.shape == (2, 2, 3)
+        np.testing.assert_array_equal(got[0, 0], [255, 0, 0])
+        np.testing.assert_array_equal(got[1, 1], [9, 8, 7])
+
+    def test_sniff_and_pipeline_dispatch(self):
+        from temporal_retriever_spark.llm.codecs import (
+            decode_features,
+            decode_tiff,
+            encode_tiff,
+            image_features,
+            resize_payload,
+            sniff_format,
+        )
+
+        img = self._img(8, 6)
+        payload = encode_tiff(img, compression="packbits")
+        assert sniff_format(payload) == "tiff"
+        assert decode_features(payload, "image") == image_features(img) + [0.0, 0.0]
+        resized = resize_payload(payload, 3, 4)
+        out = decode_tiff(resized)
+        assert out.shape == (4, 3, 3)
+
+    def test_errors(self):
+        from temporal_retriever_spark.llm.codecs import decode_tiff, encode_tiff
+
+        with pytest.raises(ValueError):
+            decode_tiff(b"notatiff")
+        with pytest.raises(ValueError):
+            encode_tiff(np.zeros((2, 2, 4), np.uint8))
+        with pytest.raises(ValueError):
+            encode_tiff(np.zeros((2, 2), np.uint8), compression="zip")
+        with pytest.raises(ValueError):
+            encode_tiff(
+                np.zeros((2, 2), np.uint8),
+                compression="packbits",
+                predictor=True,
+            )
