@@ -10360,6 +10360,116 @@ FROM zp ORDER BY event_type
 """
 
 
+def q_seasonal_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack — diagnostics.
+    seasonal_mann_kendall) over the per-event_type daily series with
+    ISO-weekday seasons: only same-weekday pairs compare, S/Var sum
+    across the 7 seasons (each with its own tie correction), pooled
+    Sen slope. Oracle replays the per-season pair grid exactly."""
+    from temporal_retriever_spark.diagnostics import seasonal_mann_kendall
+
+    got = seasonal_mann_kendall(
+        _events_daily_all(spark, sf_dir),
+        series_cols=("event_type",),
+        season="dow",
+    )
+    return got.select(
+        "event_type",
+        "n",
+        "n_seasons",
+        _r6("s_stat").alias("s_stat"),
+        _r6("var_s").alias("var_s"),
+        _r6("z").alias("z"),
+        _r6("p_value").alias("p_value"),
+        _r6("sen_slope").alias("sen_slope"),
+        "trend",
+    ).orderBy("event_type")
+
+
+_SEASONAL_MK_DAILY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, isodow(ds) AS season,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type, isodow(ds) ORDER BY ds
+         ) AS i,
+         y
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type, a.season, a.i AS i, b.i AS j, a.y AS yi, b.y AS yj
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.season = b.season AND a.i < b.i
+),
+sg AS (
+  SELECT event_type, season, SUM(SIGN(yj - yi)) AS s_g
+  FROM pairs GROUP BY 1, 2
+),
+ng AS (
+  SELECT event_type, season, CAST(COUNT(*) AS DOUBLE) AS n_g
+  FROM idx GROUP BY 1, 2
+),
+tg AS (
+  SELECT event_type, season, SUM(t * (t - 1) * (2 * t + 5)) AS tie_g
+  FROM (
+    SELECT event_type, season, y, CAST(COUNT(*) AS DOUBLE) AS t
+    FROM idx GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+per AS (
+  SELECT ng.event_type, ng.season, ng.n_g,
+         COALESCE(sg.s_g, 0.0) AS s_g,
+         (ng.n_g * (ng.n_g - 1) * (2 * ng.n_g + 5) - tg.tie_g) / 18.0 AS var_g
+  FROM ng
+  LEFT JOIN sg ON sg.event_type = ng.event_type AND sg.season = ng.season
+  JOIN tg ON tg.event_type = ng.event_type AND tg.season = ng.season
+),
+comb AS (
+  SELECT event_type,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         SUM(s_g) AS s_stat,
+         SUM(var_g) AS var_s,
+         CAST(COUNT(*) AS BIGINT) AS n_seasons
+  FROM per GROUP BY 1
+),
+slope AS (
+  SELECT event_type, quantile_cont((yj - yi) / (j - i), 0.5) AS sen
+  FROM pairs GROUP BY 1
+),
+z1 AS (
+  SELECT comb.*, slope.sen,
+         CASE WHEN var_s > 0 AND s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+              WHEN var_s > 0 AND s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+              ELSE 0.0 END AS z
+  FROM comb LEFT JOIN slope ON slope.event_type = comb.event_type
+),
+zt AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM z1),
+zp AS (
+  SELECT *,
+         LEAST(1.0, 2.0 * (EXP(-(z * z) / 2.0) * 0.3989422804014327
+           * (0.319381530 * tt
+              + -0.356563782 * tt * tt
+              + 1.781477937 * tt * tt * tt
+              + -1.821255978 * tt * tt * tt * tt
+              + 1.330274429 * tt * tt * tt * tt * tt))) AS p
+  FROM zt
+)
+SELECT event_type, n, n_seasons,
+       {_sql_r6('s_stat')} AS s_stat,
+       {_sql_r6('var_s')} AS var_s,
+       {_sql_r6('z')} AS z,
+       {_sql_r6('p')} AS p_value,
+       {_sql_r6('sen')} AS sen_slope,
+       CASE WHEN p < 0.05 AND s_stat > 0 THEN 'increasing'
+            WHEN p < 0.05 AND s_stat < 0 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM zp ORDER BY event_type
+"""
+
+
 def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar feature block (features.calendar_features) over the
     distinct event days: ISO dow/week, day/month/quarter fields,
@@ -12049,6 +12159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "calendar_features_days": q_calendar_features,
         "mann_kendall_daily": q_mann_kendall_daily,
+        "seasonal_mann_kendall_daily": q_seasonal_mann_kendall_daily,
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
         "seq_patterns_events": q_seq_patterns_events,
@@ -15550,6 +15661,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": _profile_orders_oracle(),
         "calendar_features_days": _CALENDAR_FEATURES_ORACLE,
         "mann_kendall_daily": _MANN_KENDALL_DAILY_ORACLE,
+        "seasonal_mann_kendall_daily": _SEASONAL_MK_DAILY_ORACLE,
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
         "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,

@@ -2087,3 +2087,133 @@ def mann_kendall(
         *keys, "n", "s_stat", "var_s", "z", "p_value", "sen_slope",
         trend.alias("trend"),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    *,
+    series_cols: Iterable[str] = ("series_id",),
+    ts_col: str = "ds",
+    value_col: str = "y",
+    season: str = "dow",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack 1982): the MK test
+    computed WITHIN each season and combined — ``S = Σ_g S_g``,
+    ``Var(S) = Σ_g Var(S_g)`` (independent-season form, each with its
+    own tie correction) — so a strong weekly/annual cycle cannot
+    masquerade as (or mask) a monotone trend: only same-season pairs
+    are ever compared.
+
+    ``season``: 'dow' (ISO weekday — compares same weekdays across
+    weeks; the right grain for daily series) or 'month' (compares the
+    same month across years — the classic hydrology form for monthly
+    series). ``sen_slope`` is the interpolated median of the pooled
+    within-season pairwise slopes on each season's rank index (Sen in
+    per-season-step units). Same z/p/trend conventions and the same
+    per-BUCKETED-series quadratic contract as :func:`mann_kendall`;
+    extra output column ``n_seasons``.
+    """
+    from temporal_retriever_spark.inference import _norm_sf_expr
+
+    keys = list(series_cols)
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if season == "dow":
+        sea = F.weekday(F.col(ts_col)) + F.lit(1)
+    elif season == "month":
+        sea = F.month(F.col(ts_col))
+    else:
+        raise ValueError(f"season must be 'dow' or 'month', got {season!r}")
+    gkeys = keys + ["_season"]
+    w = Window.partitionBy(*[F.col(k) for k in gkeys]).orderBy("_ts")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        sea.alias("_season"),
+        F.col(value_col).cast("double").alias("_y"),
+        F.col(ts_col).alias("_ts"),
+    ).select(
+        *gkeys,
+        F.row_number().over(w).alias("_idx"),
+        F.col("_y"),
+    )
+    a = base.select(
+        *gkeys, F.col("_idx").alias("_i"), F.col("_y").alias("_yi")
+    )
+    b = base.select(
+        *gkeys, F.col("_idx").alias("_j"), F.col("_y").alias("_yj")
+    )
+    pairs = a.join(b, gkeys).filter(F.col("_i") < F.col("_j"))
+    per_season_s = pairs.groupBy(*gkeys).agg(
+        F.sum(F.signum(F.col("_yj") - F.col("_yi")))
+        .cast("double")
+        .alias("_sg")
+    )
+    per_season_n = base.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("double").alias("_ng")
+    )
+    per_season_tie = (
+        base.groupBy(*gkeys, "_y")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy(*gkeys)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tieg")
+        )
+    )
+    per_season = (
+        per_season_n.join(per_season_s, gkeys, "left")
+        .join(per_season_tie, gkeys)
+        .select(
+            *gkeys,
+            "_ng",
+            F.coalesce("_sg", F.lit(0.0)).alias("_sg"),
+            (
+                (
+                    F.col("_ng")
+                    * (F.col("_ng") - 1)
+                    * (2 * F.col("_ng") + 5)
+                    - F.col("_tieg")
+                )
+                / F.lit(18.0)
+            ).alias("_varg"),
+        )
+    )
+    combined = per_season.groupBy(*keys).agg(
+        F.sum("_ng").cast("long").alias("n"),
+        F.sum("_sg").alias("s_stat"),
+        F.sum("_varg").alias("var_s"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+    )
+    slope = pairs.groupBy(*keys).agg(
+        F.expr("percentile((_yj - _yi) / (_j - _i), 0.5)").alias("sen_slope")
+    )
+    out = combined.join(slope, keys, "left")
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_s"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    out = out.withColumn(
+        "z", F.when(F.col("var_s") > 0, z).otherwise(F.lit(0.0))
+    )
+    out = out.withColumn(
+        "p_value",
+        F.least(F.lit(1.0), 2.0 * _norm_sf_expr(F.abs(F.col("z")))),
+    )
+    trend = (
+        F.when(
+            (F.col("p_value") < F.lit(alpha)) & (F.col("s_stat") > 0),
+            F.lit("increasing"),
+        )
+        .when(
+            (F.col("p_value") < F.lit(alpha)) & (F.col("s_stat") < 0),
+            F.lit("decreasing"),
+        )
+        .otherwise(F.lit("no trend"))
+    )
+    return out.select(
+        *keys, "n", "n_seasons", "s_stat", "var_s", "z", "p_value",
+        "sen_slope", trend.alias("trend"),
+    )

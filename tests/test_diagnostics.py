@@ -1095,3 +1095,101 @@ class TestMannKendall:
 
         with pytest.raises(ValueError):
             mann_kendall(self._df(spark, [1.0, 2.0]), alpha=1.5)
+
+
+class TestSeasonalMannKendall:
+    @staticmethod
+    def _ref(rows, alpha=0.05):
+        """rows: list of (season, y) in time order within season."""
+        import math
+        from collections import defaultdict
+
+        import numpy as np
+
+        by_season = defaultdict(list)
+        for sea, y in rows:
+            by_season[sea].append(float(y))
+        S = 0.0
+        var = 0.0
+        slopes = []
+        n_total = 0
+        for ys in by_season.values():
+            m = len(ys)
+            n_total += m
+            for i in range(m):
+                for j in range(i + 1, m):
+                    S += np.sign(ys[j] - ys[i])
+                    slopes.append((ys[j] - ys[i]) / (j - i))
+            _, counts = np.unique(ys, return_counts=True)
+            tie = sum(t * (t - 1) * (2 * t + 5) for t in counts)
+            var += (m * (m - 1) * (2 * m + 5) - tie) / 18.0
+        if var > 0 and S > 0:
+            z = (S - 1) / math.sqrt(var)
+        elif var > 0 and S < 0:
+            z = (S + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        t_ = 1.0 / (1.0 + 0.2316419 * abs(z))
+        poly = (
+            0.319381530 * t_ - 0.356563782 * t_**2 + 1.781477937 * t_**3
+            - 1.821255978 * t_**4 + 1.330274429 * t_**5
+        )
+        p = min(1.0, 2.0 * math.exp(-z * z / 2) * 0.3989422804014327 * poly)
+        sen = float(np.percentile(slopes, 50, method="linear"))
+        return S, var, z, p, sen, n_total, len(by_season)
+
+    def test_matches_reference_dow(self, spark):
+        import datetime as dt
+
+        import numpy as np
+
+        from temporal_retriever_spark.diagnostics import seasonal_mann_kendall
+
+        rng = np.random.default_rng(4)
+        start = dt.date(2024, 1, 1)  # a Monday
+        rows = []
+        ref_rows = []
+        for i in range(42):  # 6 full weeks of daily data
+            d = start + dt.timedelta(days=i)
+            y = float(i * 0.3 + round(float(rng.normal(0, 1)), 3))
+            rows.append(("s", d, y))
+            ref_rows.append((d.isoweekday(), y))
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = seasonal_mann_kendall(df, season="dow").collect()[0]
+        S, var, z, p, sen, n, k = self._ref(ref_rows)
+        assert got["n"] == n and got["n_seasons"] == k == 7
+        assert got["s_stat"] == S
+        assert got["var_s"] == pytest.approx(var, rel=1e-12)
+        assert got["z"] == pytest.approx(z, rel=1e-12)
+        assert got["p_value"] == pytest.approx(p, rel=1e-9)
+        assert got["sen_slope"] == pytest.approx(sen, rel=1e-12)
+        assert got["trend"] == "increasing"
+
+    def test_pure_seasonal_cycle_is_no_trend(self, spark):
+        import datetime as dt
+
+        from temporal_retriever_spark.diagnostics import seasonal_mann_kendall
+
+        start = dt.date(2024, 1, 1)
+        # weekday-periodic, zero drift: classic MK would see huge swings;
+        # seasonal MK compares only same-weekday values -> all ties
+        rows = [
+            ("s", start + dt.timedelta(days=i), float((i % 7) * 10))
+            for i in range(56)
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ds date, y double")
+        got = seasonal_mann_kendall(df, season="dow").collect()[0]
+        assert got["s_stat"] == 0.0
+        assert got["trend"] == "no trend"
+        assert got["sen_slope"] == 0.0
+
+    def test_validation(self, spark):
+        from temporal_retriever_spark.diagnostics import seasonal_mann_kendall
+
+        df = spark.createDataFrame(
+            [("s", "2024-01-01", 1.0)], "series_id string, ds string, y double"
+        )
+        with pytest.raises(ValueError):
+            seasonal_mann_kendall(df, season="hour")
+        with pytest.raises(ValueError):
+            seasonal_mann_kendall(df, alpha=0.0)
