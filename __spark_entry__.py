@@ -10360,6 +10360,48 @@ FROM zp ORDER BY event_type
 """
 
 
+def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (llm.text.normalize_text, native
+    passes: control-char strip, curly-quote/dash/NBSP folding,
+    whitespace collapse, lowercase) over documents — the pre-dedup
+    cleanup stage. The oracle replays the identical regexp/translate
+    chain in SQL and both sides emit md5(normalized), so a one-byte
+    divergence anywhere in the fold breaks the hash match."""
+    from temporal_retriever_spark.llm.text import normalize_text
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    got = normalize_text(docs, "text", lowercase=True, out_col="clean")
+    return got.select(
+        "doc_id",
+        F.length("clean").cast("long").alias("n_chars"),
+        F.md5(F.col("clean")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+_NORMALIZE_DOCS_ORACLE = """
+WITH n AS (
+    SELECT doc_id,
+           LOWER(TRIM(regexp_replace(
+               replace(
+                   translate(
+                       regexp_replace(text,
+                           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                       '‘’‚“”„–—' || chr(160),
+                       repeat(chr(39), 3) || repeat(chr(34), 3) || '--' || ' '
+                   ),
+                   '…', '...'
+               ),
+               '\\s+', ' ', 'g'
+           ))) AS clean
+    FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(clean) AS BIGINT) AS n_chars,
+       md5(clean) AS text_md5
+FROM n ORDER BY doc_id
+"""
+
+
 def q_seasonal_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal Mann-Kendall (Hirsch-Slack — diagnostics.
     seasonal_mann_kendall) over the per-event_type daily series with
@@ -12160,6 +12202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_features_days": q_calendar_features,
         "mann_kendall_daily": q_mann_kendall_daily,
         "seasonal_mann_kendall_daily": q_seasonal_mann_kendall_daily,
+        "normalize_docs": q_normalize_docs,
         "bloom_probe_customers": q_bloom_probe_customers,
         "haar_daily": q_haar_daily,
         "seq_patterns_events": q_seq_patterns_events,
@@ -15662,6 +15705,7 @@ def oracle_sql() -> dict[str, str]:
         "calendar_features_days": _CALENDAR_FEATURES_ORACLE,
         "mann_kendall_daily": _MANN_KENDALL_DAILY_ORACLE,
         "seasonal_mann_kendall_daily": _SEASONAL_MK_DAILY_ORACLE,
+        "normalize_docs": _NORMALIZE_DOCS_ORACLE,
         "bloom_probe_customers": _BLOOM_PROBE_CUSTOMERS_ORACLE,
         "haar_daily": _haar_daily_oracle(),
         "seq_patterns_events": _SEQ_PATTERNS_EVENTS_ORACLE,

@@ -543,3 +543,81 @@ def zipf_fit(
         ((F.col("_sy") - slope * F.col("_sx")) / nn).alias("intercept"),
         F.when((vx > 0) & (vy > 0), cxy * cxy / (vx * vy)).alias("r2"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    quotes_dashes: bool = True,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    lowercase: bool = False,
+    nfkc: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Canonical text cleanup — the step that runs BEFORE dedup,
+    fingerprinting, and tokenization so that cosmetically-different
+    bytes don't defeat exact/near matching.
+
+    Native (JVM-expression) passes, applied in this order:
+
+    * ``strip_control`` — drop C0/C1 control characters (keeping
+      \\t \\n \\r for the whitespace pass to fold).
+    * ``quotes_dashes`` — fold curly quotes/apostrophes to ASCII
+      ``"``/``'``, en/em dashes to ``-``, ellipsis to ``...``,
+      NBSP to space (the high-frequency Unicode cosmetics in web
+      text; full compatibility folding is what ``nfkc`` is for).
+    * ``collapse_whitespace`` — any whitespace run → one space, then
+      trim.
+    * ``lowercase`` — casefold via ``lower``.
+
+    ``nfkc=True`` additionally applies true Unicode NFKC via an
+    Arrow-batched ``mapInPandas`` (``unicodedata.normalize`` — ICU
+    isn't in Spark's builtin surface); it runs FIRST so the native
+    passes see compatibility-folded text. The native passes are
+    SQL-mirrorable (the contract-row oracle replays them); the NFKC
+    pass is pytest-verified against CPython's unicodedata.
+
+    Output: ``out_col`` (default: ``text_col`` replaced in place).
+    """
+    out = out_col or text_col
+    cur = df
+    col = F.col(text_col)
+    if nfkc:
+        import pandas as pd  # noqa: F401
+
+        src_cols = cur.columns
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in cur.schema.fields
+        )
+
+        def run(batches):
+            import unicodedata
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[text_col] = [
+                    unicodedata.normalize("NFKC", t) if t is not None else None
+                    for t in pdf[text_col]
+                ]
+                yield pdf
+
+        cur = cur.mapInPandas(run, schema).select(*src_cols)
+        col = F.col(text_col)
+    if strip_control:
+        col = F.regexp_replace(
+            col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""
+        )
+    if quotes_dashes:
+        col = F.translate(
+            col,
+            "‘’‚“”„–— ",
+            "'''\"\"\"-- ",
+        )
+        col = F.regexp_replace(col, "…", "...")
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, "\\s+", " "))
+    if lowercase:
+        col = F.lower(col)
+    return cur.withColumn(out, col)

@@ -165,3 +165,60 @@ def test_tfidf_topk_plan_has_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan and "Python" not in plan
+
+
+class TestNormalizeText:
+    def test_native_passes(self, spark):
+        from temporal_retriever_spark.llm.text import normalize_text
+
+        rows = [
+            (0, "Hello’s “world” — fine…"),
+            (1, "tabs\tand\n\nnewlines  \r\n collapse"),
+            (2, "ctrl\x00\x07chars\x1fgone"),
+            (3, "nbsp here"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.text
+            for r in normalize_text(df, "text", lowercase=True).collect()
+        }
+        assert got[0] == "hello's \"world\" - fine..."
+        assert got[1] == "tabs and newlines collapse"
+        assert got[2] == "ctrlchars gone".replace(" ", "") or got[2] == "ctrlcharsgone"
+        assert got[3] == "nbsp here"
+        assert got[4] is None
+
+    def test_nfkc_pass_matches_unicodedata(self, spark):
+        import unicodedata
+
+        from temporal_retriever_spark.llm.text import normalize_text
+
+        rows = [
+            (0, "ﬁve ﬂoors №5"),      # ligatures + numero sign
+            (1, "Ｈｅｌｌｏ １２３"),   # fullwidth forms
+            (2, "x² + y³"),  # superscripts
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.text
+            for r in normalize_text(
+                df, "text", nfkc=True, quotes_dashes=False
+            ).collect()
+        }
+        for i, t in rows:
+            want = unicodedata.normalize("NFKC", t)
+            want = " ".join(want.split())
+            assert got[i] == want, (i, got[i], want)
+
+    def test_out_col_and_idempotent(self, spark):
+        from temporal_retriever_spark.llm.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(0, "a  b")], "doc_id long, text string"
+        )
+        once = normalize_text(df, "text", out_col="clean")
+        row = once.collect()[0]
+        assert row["text"] == "a  b" and row["clean"] == "a b"
+        twice = normalize_text(once, "clean").collect()[0]
+        assert twice["clean"] == "a b"
