@@ -78,6 +78,13 @@ class TestIterativePlanGrowth:
 
         assert_linear(lambda r: markov_stationary(events, rounds=r))
 
+    def test_markov_absorption(self, events):
+        from temporal_retriever_spark.funnel import markov_absorption
+
+        assert_linear(
+            lambda r: markov_absorption(events, ["purchase"], rounds=r)
+        )
+
     def test_gmm_em(self, events):
         from temporal_retriever_spark.mixture import gmm_em
 
