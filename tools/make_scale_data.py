@@ -126,14 +126,18 @@ def scale_documents(spark, factor):
 
 def scale_embeddings(spark, factor):
     e = read_table(spark, f"{SRC}/embeddings.parquet")
-    rep = F.col("rep")
     emb = F.col("embedding")
     dim = F.size(emb)
+    # shift by rep MOD dim: factors above the embedding dimension must
+    # wrap, not feed slice() a negative length
+    rep = F.col("rep") % dim
     shifted = F.when(rep == 0, emb).otherwise(
         F.concat(F.slice(emb, rep + 1, dim - rep), F.slice(emb, 1, rep))
     )
     return e.crossJoin(F.broadcast(_reps(spark, factor))).select(
-        (F.col("vec_id") + rep.cast("long") * KEY_OFFSET).alias("vec_id"),
+        (F.col("vec_id") + F.col("rep").cast("long") * KEY_OFFSET).alias(
+            "vec_id"
+        ),
         shifted.alias("embedding"),
         "label",
     )
