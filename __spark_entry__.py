@@ -3592,11 +3592,15 @@ def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=("sum", "mean", "median"),
         series_cols=("event_type",),
     )
+    # y_sum rounds at 2dp, not 6: month-grain sums reach 1e8 at the
+    # sf10 sweep volume, where engine summation-order drift (~5e-5)
+    # exceeds a 6dp grid — values are 2-decimal to begin with, so 2dp
+    # is the semantically exact contract at every SF
     return got.select(
         "event_type",
         "grain",
         "ds",
-        _r6("y_sum").alias("y_sum"),
+        F.round(F.col("y_sum") + F.lit(_ROUND_OFFSET), 2).alias("y_sum"),
         _r6("y_mean").alias("y_mean"),
         _r6("y_median").alias("y_median"),
     )
@@ -3618,7 +3622,7 @@ WITH g AS (
   FROM events GROUP BY 1, 3
 )
 SELECT event_type, grain, ds,
-       {_sql_r6('s')} AS y_sum, {_sql_r6('m')} AS y_mean,
+       ROUND(s + {_ROUND_OFFSET!r}, 2) AS y_sum, {_sql_r6('m')} AS y_mean,
        {_sql_r6('md')} AS y_median
 FROM g
 """
