@@ -40,7 +40,14 @@ def _fresh_duck(sf_dir: str):
     con = duckdb.connect()
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark-written tables are directories of part files (the
+            # .scale/sf1+ sweep datasets) — DuckDB needs the glob form
+            con.execute(
+                f"CREATE VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
