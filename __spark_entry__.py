@@ -8225,9 +8225,15 @@ def q_abc_brands_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     got = abc_classification(rev, key_col="p_brand", value_col="rev")
+    # total reported in MILLIONS at 3dp: the raw sum reaches 1e10+ at
+    # the sf1/sf10 sweeps, where engine summation-order drift exceeds
+    # a 6dp grid (the multi_grain_rollup lesson) — shares/bands stay
+    # at 6dp (scale-free ratios)
     return got.select(
         "p_brand",
-        _r6("total").alias("total"),
+        F.round(F.col("total") / 1e6 + F.lit(_ROUND_OFFSET), 3).alias(
+            "total_m"
+        ),
         _r6("share").alias("share"),
         _r6("cum_share").alias("cum_share"),
         "abc_class",
@@ -8249,7 +8255,7 @@ _ABC_ORACLE = f"""
         FROM rev
     )
     SELECT p_brand,
-           {_sql_r6("total")} AS total,
+           ROUND(total / 1e6 + {_ROUND_OFFSET!r}, 3) AS total_m,
            {_sql_r6("total / g")} AS share,
            {_sql_r6("cum / g")} AS cum_share,
            CASE WHEN cum / g <= 0.8 OR rnk = 1 THEN 'A'
