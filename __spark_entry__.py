@@ -3402,6 +3402,27 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney char-trigram perplexity (the smoothing
+    KenLM — and therefore the real CCNet pipeline — uses), trained on
+    src0, scored over all documents. Training is one corpus pass (all
+    orders emitted by one nested HOF projection, one count shuffle);
+    scoring joins only model-sized tables (continuation counts,
+    context totals, count-of-count discounts all derive from the raw
+    count table) and ends in one groupBy(doc_id)."""
+    from temporal_retriever_spark.llm.lm import score_kn_lm, train_kn_lm
+
+    docs = _documents(spark, sf_dir)
+    model = train_kn_lm(docs.filter(F.col("source") == "src0"), n=3)
+    got = score_kn_lm(docs, model, n=3)
+    return got.select(
+        "doc_id",
+        "n_grams",
+        _r6("logprob_per_token").alias("logprob_per_token"),
+        _r6("perplexity").alias("perplexity"),
+    )
+
+
 def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source CCNet head cut: keep the lowest-perplexity 40% of
     each source. The cut here ranks the ROUNDED score (ties broken by
@@ -4444,6 +4465,82 @@ scored AS (
          sum(occ * ln(p)) / sum(occ) AS lp
   FROM j GROUP BY 1
 )
+"""
+
+_LM_KN_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         repeat(chr(2), 2)
+         || regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')
+         || chr(3) AS p
+  FROM documents
+),
+r3 AS (SELECT substr(p, i, 3) AS g, count(*) AS cnt
+       FROM norm, LATERAL unnest(generate_series(1, length(p) - 2)) AS t(i)
+       WHERE source = 'src0' GROUP BY 1),
+r2 AS (SELECT substr(p, i, 2) AS g, count(*) AS cnt
+       FROM norm, LATERAL unnest(generate_series(1, length(p) - 1)) AS t(i)
+       WHERE source = 'src0' GROUP BY 1),
+-- KN "used" tables: raw counts at the top order, continuation counts
+-- (distinct left extensions, derived from the order above) below
+u3 AS (SELECT g, cnt FROM r3),
+u2 AS (SELECT substr(g, 2, 2) AS g, count(*) AS cnt FROM r3 GROUP BY 1),
+u1 AS (SELECT substr(g, 2, 1) AS g, count(*) AS cnt FROM r2 GROUP BY 1),
+c3 AS (SELECT substr(g, 1, 2) AS ctx, sum(cnt) AS tot, count(*) AS types
+       FROM u3 GROUP BY 1),
+c2 AS (SELECT substr(g, 1, 1) AS ctx, sum(cnt) AS tot, count(*) AS types
+       FROM u2 GROUP BY 1),
+d3 AS (SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d
+       FROM (SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 END), 0) AS n1,
+                    coalesce(sum(CASE WHEN cnt = 2 THEN 1 END), 0) AS n2 FROM u3)),
+d2 AS (SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d
+       FROM (SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 END), 0) AS n1,
+                    coalesce(sum(CASE WHEN cnt = 2 THEN 1 END), 0) AS n2 FROM u2)),
+d1 AS (SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d
+       FROM (SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 END), 0) AS n1,
+                    coalesce(sum(CASE WHEN cnt = 2 THEN 1 END), 0) AS n2 FROM u1)),
+uni AS (SELECT sum(cnt) AS tot1 FROM u1),
+dg AS (SELECT doc_id, substr(p, i, 3) AS ngram
+       FROM norm, LATERAL unnest(generate_series(1, length(p) - 2)) AS t(i)),
+occ AS (SELECT doc_id, ngram, count(*) AS occ FROM dg GROUP BY 1, 2),
+j1 AS (
+  SELECT o.doc_id, o.occ, o.ngram,
+         (greatest(coalesce(k1.cnt, 0) - d1.d, 0) + d1.d) / uni.tot1 AS p1
+  FROM occ o
+  LEFT JOIN u1 k1 ON substr(o.ngram, 3, 1) = k1.g
+  CROSS JOIN d1 CROSS JOIN uni
+),
+j2 AS (
+  SELECT j1.doc_id, j1.occ, j1.ngram,
+         CASE WHEN c2.tot IS NOT NULL
+              THEN (greatest(coalesce(k2.cnt, 0) - d2.d, 0)
+                    + d2.d * c2.types * j1.p1) / c2.tot
+              ELSE j1.p1 END AS p2
+  FROM j1
+  LEFT JOIN u2 k2 ON substr(j1.ngram, 2, 2) = k2.g
+  LEFT JOIN c2 ON substr(j1.ngram, 2, 1) = c2.ctx
+  CROSS JOIN d2
+),
+j3 AS (
+  SELECT j2.doc_id, j2.occ,
+         CASE WHEN c3.tot IS NOT NULL
+              THEN (greatest(coalesce(k3.cnt, 0) - d3.d, 0)
+                    + d3.d * c3.types * j2.p2) / c3.tot
+              ELSE j2.p2 END AS p3
+  FROM j2
+  LEFT JOIN u3 k3 ON j2.ngram = k3.g
+  LEFT JOIN c3 ON substr(j2.ngram, 1, 2) = c3.ctx
+  CROSS JOIN d3
+),
+scored AS (
+  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+         sum(occ * ln(p3)) / sum(occ) AS lp
+  FROM j3 GROUP BY 1
+)
+SELECT doc_id, n_grams,
+       ROUND((lp) + 1.234567e-07, 6) AS logprob_per_token,
+       ROUND((exp(-lp)) + 1.234567e-07, 6) AS perplexity
+FROM scored
 """
 
 _LM_PERPLEXITY_ORACLE = (
@@ -11990,6 +12087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (take the two in-window slots of the r2-green pair below,
         # which already hold historical driver rows from round 2)
         "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_kn": q_lm_perplexity_kn,
         "pq_cosine_topk": q_pq_cosine_topk,
         "semantic_dedup_gate": q_semantic_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
@@ -14496,6 +14594,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "lm_perplexity_kn": _LM_KN_ORACLE,
         "nb_classify_lang": _NB_CLASSIFY_ORACLE,
         "dsir_select_src0": _DSIR_ORACLE,
         "multi_grain_rollup": _MULTI_GRAIN_ORACLE,

@@ -31,12 +31,16 @@ Scale design (the part that matters at 100 TB):
   collected. Compose with ``corpus.quality_prune`` / ``sample_corpus``
   downstream — the perplexity column is an ordinary column.
 
-Smoothing: add-k (Lidstone) over the observed character/word
-vocabulary ``V``: ``p(c|ctx) = (cnt + k) / (ctx_cnt + k·V)``.
-Unseen context ⇒ uniform ``1/V`` (the standard backstop). Add-k keeps
-the whole model a pure count table — mergeable across corpus shards
-by summing counts, which is what incremental re-training at scale
-needs (Kneser-Ney's discount bookkeeping is not shard-mergeable).
+Two smoothers, both pure count tables (shard-mergeable by summing):
+
+* add-k (Lidstone): ``p(c|ctx) = (cnt + k) / (ctx_cnt + k·V)``,
+  unseen context ⇒ uniform ``1/V`` — the simple, fully mergeable
+  baseline (:func:`train_ngram_lm` / :func:`score_ngram_lm`).
+* interpolated Kneser-Ney (:func:`train_kn_lm` / :func:`score_kn_lm`)
+  — what KenLM, and therefore the actual CCNet pipeline, uses. The
+  model artifact stays raw counts (mergeable); the KN continuation
+  counts and discounts are re-derived from the merged table at scoring
+  time with model-sized aggregations.
 """
 
 from __future__ import annotations
@@ -50,6 +54,8 @@ __all__ = [
     "train_ngram_lm",
     "score_ngram_lm",
     "perplexity_prune",
+    "train_kn_lm",
+    "score_kn_lm",
 ]
 
 #: boundary markers, chosen from C0 controls so they cannot occur in
@@ -297,3 +303,260 @@ def perplexity_prune(
     w = part.orderBy(F.col("perplexity").asc(), F.col(id_col).asc())
     ranked = keyed.withColumn("_pr", F.percent_rank().over(w))
     return ranked.filter(F.col("_pr") <= F.lit(float(keep_frac))).drop("_pr")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney — the smoothing KenLM uses, i.e. what the actual
+# CCNet pipeline (Wenzek et al. 2020) scores with. Kept separate from the
+# add-k path above because its count bookkeeping is different in kind:
+# lower orders use CONTINUATION counts (distinct left extensions), not raw
+# occurrence counts.
+# ---------------------------------------------------------------------------
+
+
+def _stream_kgrams(text_col: str, n: int, k: int, unit: str) -> Column:
+    """All ``k``-grams of the ONE (n-1)-BOS-padded stream.
+
+    KN needs every order counted over the *same* padded token stream
+    (so a lower-order gram's left extensions are well-defined even at
+    document start); this differs from ``char_ngrams_expr(text, k)``,
+    which pads with ``k-1`` BOS for a standalone order-k model.
+    """
+    col = F.col(text_col)
+    if unit == "char":
+        padded = F.concat(F.lit(BOS * (n - 1)), _normalize(col), F.lit(EOS))
+        return F.transform(
+            F.sequence(F.lit(1), F.length(padded) - F.lit(k - 1)),
+            lambda i: F.substring(padded, i, k),
+        )
+    norm = _normalize(col)
+    toks = F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    padded = F.concat(
+        F.array(*[F.lit(BOS) for _ in range(n - 1)]), toks, F.array(F.lit(EOS))
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.size(padded) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(padded, i, k), " "),
+    )
+
+
+def _gram_suffix(gram: Column, k: int, j: int, unit: str) -> Column:
+    """Last ``j`` tokens of a ``k``-token gram."""
+    if unit == "char":
+        return F.substring(gram, k - j + 1, j)
+    return F.array_join(F.slice(F.split(gram, " "), k - j + 1, j), " ")
+
+
+def _gram_prefix(gram: Column, j: int, unit: str) -> Column:
+    """First ``j`` tokens of a gram."""
+    if unit == "char":
+        return F.substring(gram, 1, j)
+    return F.array_join(F.slice(F.split(gram, " "), 1, j), " ")
+
+
+def train_kn_lm(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    unit: str = "char",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the count tables for an interpolated Kneser-Ney n-gram LM.
+
+    Returns ``(order, gram, cnt)`` — RAW occurrence counts of every
+    k-gram for ``k = 2..n`` over the shared (n-1)-BOS-padded stream.
+    The KN-specific quantities (continuation counts, context totals,
+    count-of-count discounts) all derive from this table inside
+    :func:`score_kn_lm` with model-sized aggregations — never a second
+    corpus pass.
+
+    Storing raw counts keeps the model **shard-mergeable** (train per
+    corpus shard, ``groupBy(order, gram).sum(cnt)`` to combine) even
+    though adjusted counts themselves are distinct-based and would not
+    merge: the distincts are re-derived from the merged raw table.
+
+    ONE corpus pass, ONE shuffle: a nested ``transform`` HOF emits
+    (order, gram) pairs for all orders of a document in a single
+    projection (JVM, codegen), then one groupBy counts them. Shuffle
+    volume is bounded by the per-partition distinct gram count
+    (map-side combine), not corpus size.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2 for a conditional model: {n}")
+    def _tag(k: int):
+        # single-parameter lambda: a two-parameter one would be bound
+        # by Spark as transform's (element, index) form and the index
+        # would silently overwrite the order tag
+        return lambda g: F.struct(F.lit(k).alias("order"), g.alias("gram"))
+
+    per_order = [
+        F.transform(_stream_kgrams(text_col, n, k, unit), _tag(k))
+        for k in range(2, n + 1)
+    ]
+    grams = docs.select(
+        F.explode(F.concat(*per_order) if len(per_order) > 1 else per_order[0]).alias(
+            "_og"
+        )
+    )
+    return (
+        grams.select(F.col("_og.order").alias("order"), F.col("_og.gram").alias("gram"))
+        .groupBy("order", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _kn_used_tables(model: DataFrame, n: int, unit: str) -> dict[int, DataFrame]:
+    """Per-order (gram, cnt) tables the KN formula actually uses:
+    raw counts at the highest order, continuation counts (distinct
+    left-extension counts, derived from the raw order-(k+1) table)
+    below. All model-sized aggregations."""
+    raw = {}
+    for k in range(2, n + 1):
+        tbl = model.filter(F.col("order") == k).select("gram", "cnt")
+        # guard against a model trained with a different n/unit: a row
+        # whose gram length disagrees with its order tag is dropped
+        if unit == "char":
+            tbl = tbl.filter(F.length("gram") == k)
+        else:
+            tbl = tbl.filter(F.size(F.split("gram", " ")) == k)
+        raw[k] = tbl
+    used = {n: raw[n]}
+    for k in range(1, n):
+        used[k] = (
+            raw[k + 1]
+            .select(_gram_suffix(F.col("gram"), k + 1, k, unit).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    return used
+
+
+def score_kn_lm(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    n: int = 3,
+    unit: str = "char",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney per-document perplexity.
+
+    Returns ``(id_col, n_grams, logprob_per_token, perplexity)`` with
+    the same shape as :func:`score_ngram_lm` so the two smoothers are
+    drop-in comparable.
+
+    Model (Chen & Goodman 1998, interpolated form; single discount per
+    order estimated as ``d_k = n1/(n1 + 2·n2)`` from the order's
+    count-of-counts, the Ney-Essen-Kneser estimate, floored to 0.5
+    when the order has no singletons/doubletons):
+
+    * order k ≥ 2, context seen::
+
+          p_k = (max(c_k − d_k, 0) + d_k · types_k(ctx) · p_{k−1}) / tot_k(ctx)
+
+      where for the highest order ``c`` is the raw count and below it
+      the continuation count N1+(·, gram); ``types_k(ctx)`` /
+      ``tot_k(ctx)`` are the distinct-extension count / count total of
+      the context in the same table (so each level normalizes exactly
+      over the seen vocabulary). Context unseen ⇒ p_k = p_{k−1}.
+    * unigram: ``p_1 = (max(c_1 − d_1, 0) + d_1) / tot_1`` — the
+      ``d_1·V·(1/V)`` uniform-interpolation term collapses to ``d_1``,
+      and an unseen token scores ``d_1 / tot_1``.
+
+    Plan shape: documents pre-aggregate to (id, ngram, occ); every
+    lookup table is model-sized (AQE broadcasts them), joined once per
+    order on the gram suffix; one groupBy(id) of scalar sums ends the
+    plan. Documents' text never shuffles.
+    """
+    used = _kn_used_tables(model, n, unit)
+
+    # --- per-order scalar discounts (count-of-counts; tiny aggs) -----
+    disc_cols = []
+    for k in range(1, n + 1):
+        disc_cols.append(
+            used[k]
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("cnt") == 1, 1)), F.lit(0)
+                ).alias("_n1"),
+                F.coalesce(
+                    F.sum(F.when(F.col("cnt") == 2, 1)), F.lit(0)
+                ).alias("_n2"),
+            )
+            .select(
+                F.when(
+                    (F.col("_n1") + 2 * F.col("_n2")) > 0,
+                    F.col("_n1") / (F.col("_n1") + 2 * F.col("_n2")),
+                )
+                .otherwise(F.lit(0.5))
+                .alias(f"d_{k}")
+            )
+        )
+    uni = used[1].agg(F.sum("cnt").alias("tot_1"))
+    scalars = uni
+    for dc in disc_cols:
+        scalars = scalars.crossJoin(dc)
+
+    # --- context aggregates per order ≥ 2 ----------------------------
+    ctxagg = {
+        k: (
+            used[k]
+            .groupBy(_gram_prefix(F.col("gram"), k - 1, unit).alias(f"ctx_{k}"))
+            .agg(
+                F.sum("cnt").alias(f"tot_{k}"),
+                F.count(F.lit(1)).alias(f"types_{k}"),
+            )
+        )
+        for k in range(2, n + 1)
+    }
+
+    occ = (
+        docs.select(
+            F.col(id_col), F.explode(_stream_kgrams(text_col, n, n, unit)).alias("ngram")
+        )
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    joined = occ
+    for k in range(1, n + 1):
+        joined = joined.join(
+            used[k].select(
+                F.col("gram").alias(f"_g_{k}"), F.col("cnt").alias(f"cnt_{k}")
+            ),
+            _gram_suffix(F.col("ngram"), n, k, unit) == F.col(f"_g_{k}"),
+            "left",
+        ).drop(f"_g_{k}")
+    for k in range(2, n + 1):
+        joined = joined.join(
+            ctxagg[k],
+            _gram_prefix(_gram_suffix(F.col("ngram"), n, k, unit), k - 1, unit)
+            == F.col(f"ctx_{k}"),
+            "left",
+        ).drop(f"ctx_{k}")
+    joined = joined.crossJoin(F.broadcast(scalars))
+
+    p = (
+        F.greatest(F.coalesce(F.col("cnt_1"), F.lit(0)) - F.col("d_1"), F.lit(0.0))
+        + F.col("d_1")
+    ) / F.col("tot_1")
+    for k in range(2, n + 1):
+        p = F.when(
+            F.col(f"tot_{k}").isNotNull(),
+            (
+                F.greatest(
+                    F.coalesce(F.col(f"cnt_{k}"), F.lit(0)) - F.col(f"d_{k}"),
+                    F.lit(0.0),
+                )
+                + F.col(f"d_{k}") * F.col(f"types_{k}") * p
+            )
+            / F.col(f"tot_{k}"),
+        ).otherwise(p)
+
+    scored = joined.groupBy(id_col).agg(
+        F.sum("occ").alias("n_grams"),
+        (F.sum(F.col("occ") * F.log(p)) / F.sum("occ")).alias("logprob_per_token"),
+    )
+    return scored.withColumn("perplexity", F.exp(-F.col("logprob_per_token")))
