@@ -142,6 +142,27 @@ def test_lm_scoring_stays_jvm_side(spark, docs):
     assert "BroadcastExchange" in plan or "Exchange hashpartitioning" in plan
 
 
+def test_kn_training_is_one_corpus_pass(spark, docs):
+    from temporal_retriever_spark.llm.lm import train_kn_lm
+
+    plan = _plan(train_kn_lm(docs, n=3))
+    # all orders ride ONE projection over ONE scan of the docs; the
+    # only exchange is the (order, gram) count aggregation
+    assert _exchanges(plan) == 1
+    assert "Python" not in plan
+    assert "Generate" in plan
+
+
+def test_kn_scoring_stays_jvm_side(spark, docs):
+    from temporal_retriever_spark.llm.lm import score_kn_lm, train_kn_lm
+
+    model = train_kn_lm(docs, n=3)
+    plan = _plan(score_kn_lm(docs, model, n=3))
+    # greatest/ln/exp and every per-order lookup join are native
+    assert "Python" not in plan
+    assert "Generate" in plan  # the one narrow doc explode
+
+
 def test_bpe_encode_is_single_arrow_pass_no_shuffle(spark, docs):
     from temporal_retriever_spark.llm.bpe import bpe_encode
 

@@ -66,6 +66,37 @@ def _run_oracle(sf_dir: str, sql: str, timeout: float):
     return status, payload
 
 
+def _run_spark_with_timeout(spark, fn, sf_dir: str, name: str, timeout: float):
+    """Run a contract query with a wall-clock cap: the collect runs in
+    a worker thread under a job group; on timeout the group's jobs are
+    cancelled so the long query cannot wedge the whole sweep. (Some
+    queries are legitimately expensive at sf1+ — all-pairs families —
+    and a sweep exists to keep moving, not to wait on them.)"""
+    import threading
+
+    box: dict = {}
+
+    def _work():
+        try:
+            spark.sparkContext.setJobGroup(name, name, interruptOnCancel=True)
+            box["df"] = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001 — surfaced to caller
+            box["exc"] = exc
+        finally:
+            spark.sparkContext.clearJobGroup()
+
+    th = threading.Thread(target=_work, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(name)
+        th.join(15)
+        raise TimeoutError(name)
+    if "exc" in box:
+        raise box["exc"]
+    return box["df"]
+
+
 def _compare(got_pd, want_pd, round_floats: int = 6) -> dict:
     import math
 
@@ -151,8 +182,17 @@ def main() -> None:
             rec = {"name": name, "sf_dir": sf_dir}
             t0 = time.time()
             try:
-                got_pd = queries[name](spark, sf_dir).toPandas()
+                got_pd = _run_spark_with_timeout(
+                    spark, queries[name], sf_dir, name, args.timeout
+                )
                 rec["spark_s"] = round(time.time() - t0, 2)
+            except TimeoutError:
+                rec["status"] = "spark_timeout"
+                rec["spark_s"] = round(time.time() - t0, 2)
+                fh.write(json.dumps(rec) + "\n")
+                fh.flush()
+                print(f"[{i+1}/{len(names)}] {name}: SPARK TIMEOUT", flush=True)
+                continue
             except Exception:  # noqa: BLE001 — record, keep sweeping
                 rec["status"] = "spark_error"
                 rec["err"] = traceback.format_exc(limit=4)[-2000:]
