@@ -751,9 +751,16 @@ def allpairs_jaccard(
 
     Plan shape: shingle explode → token-frequency aggregation →
     per-doc rank sort (one window keyed by doc) → prefix explode →
-    token-keyed candidate self-join (with the |B| ≥ τ·|A| length
-    filter riding the join) → exact-intersection verify. Shuffles
-    carry (id, token) pairs and candidate ids only.
+    token-keyed candidate self-join (the |B| ≥ τ·|A| length filter and
+    the PPJoin positional bound ride the join) → hashed-array rough
+    verify → exact string re-verify of the survivors. The rough verify
+    attaches ONE compact xxhash64 array per candidate side and
+    intersects in the JVM instead of re-exploding candidates onto
+    (id, shingle) rows — the exploded verify was measured superlinear
+    at a 10× corpus (36.7M candidates × ~75 shingles ⇒ billions of
+    shuffled rows); hash collisions can only inflate an intersection,
+    so the rough pass keeps a superset and exactness comes from the
+    output-sized string re-verification.
 
     Use this when the threshold is high (τ ≥ ~0.5 keeps prefixes
     short) and recall must be exact — dataset-card dedup claims,
@@ -780,13 +787,32 @@ def allpairs_jaccard(
     # prefix length m - ceil(tau*m) + 1
     plen = F.col("_m") - F.ceil(F.col("_m") * F.lit(threshold)) + 1
     prefix = sized.filter(F.col("_pos") <= plen).select(
-        F.col(id_col), "shingle", F.col("_m")
+        F.col(id_col), "shingle", "_pos", F.col("_m")
     )
+    # positional filter (Xiao/Wang/Lin/Yu 2008, PPJoin): a matching
+    # prefix token at positions (pa, pb) bounds the overlap by
+    # 1 + min(|A|-pa, |B|-pb); if even the LOOSEST such bound over all
+    # matching tokens is below the required overlap
+    # alpha = ceil(tau/(1+tau)*(|A|+|B|)), the pair cannot reach tau.
+    # Sound: a true pair's first common token yields a bound >= its
+    # real overlap >= alpha. Rides the pair-dedup aggregation for free.
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("_m").alias("n_a")
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("_pos").alias("_pa"),
+        F.col("_m").alias("n_a"),
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("_m").alias("n_b")
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("_pos").alias("_pb"),
+        F.col("_m").alias("n_b"),
+    )
+    ubound = 1 + F.least(
+        F.col("n_a") - F.col("_pa"), F.col("n_b") - F.col("_pb")
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
     )
     cands = (
         a.join(b, on="shingle")
@@ -796,26 +822,58 @@ def allpairs_jaccard(
             (F.col("n_b") >= F.col("n_a") * F.lit(threshold))
             & (F.col("n_a") >= F.col("n_b") * F.lit(threshold))
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(ubound - alpha).alias("_slack"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .filter(F.col("_slack") >= 0)
+        .select("id_a", "id_b", "n_a", "n_b")
+    )
+    # Verify WITHOUT exploding candidates back onto (id, shingle) rows:
+    # the exploded join shuffles |cands| x |doc| rows — the measured
+    # scale-killer (36.7M candidates x ~75 shingles = billions of rows
+    # at a 10x corpus). Instead attach one compact 64-bit-hash array
+    # per side and intersect in the JVM. Hash collisions can only
+    # INFLATE an intersection (never shrink it), so thresholding the
+    # hashed Jaccard keeps a SUPERSET of the true pairs — completeness
+    # preserved — and the handful of survivors are then re-verified
+    # EXACTLY on the real shingle strings (output-sized work).
+    harr = toks.groupBy(id_col).agg(
+        F.collect_list(F.xxhash64("shingle")).alias("_h")
+    )
+    inter_h = F.size(
+        F.array_intersect(F.col("_ha"), F.col("_hb"))
+    ).cast("double")
+    jac_h = inter_h / (F.col("n_a") + F.col("n_b") - inter_h)
+    rough = (
+        cands.join(
+            harr.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha")),
+            on="id_a",
+        )
+        .join(
+            harr.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb")),
+            on="id_b",
+        )
+        .filter(jac_h >= threshold)
+        .select("id_a", "id_b", "n_a", "n_b")
     )
     ta = toks.select(F.col(id_col).alias("id_a"), "shingle")
     tb = toks.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        cands.join(ta, on="id_a")
+        rough.join(ta, on="id_a")
         .join(tb, on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("_m"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_m").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_m").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
-    return (
-        inter.join(sa, on="id_a")
-        .join(sb, on="id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
