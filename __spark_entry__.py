@@ -3423,6 +3423,54 @@ def q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming contract row: LM perplexity scoring as a
+    STREAM-STATIC join — the char-trigram model is trained batch-side
+    on src0, then all documents are replayed through a real streaming
+    query in two file-source micro-batches and scored against the
+    static model tables (streaming.streaming_lm_score). The one
+    stateful aggregation is the per-document sum; hash-matched against
+    the identical batch oracle as ``lm_perplexity``."""
+    import tempfile
+    import uuid
+
+    from temporal_retriever_spark.llm.lm import train_ngram_lm
+    from temporal_retriever_spark.streaming import streaming_lm_score
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    model = train_ngram_lm(
+        _documents(spark, sf_dir).filter(F.col("source") == "src0"), n=3
+    )
+    tmp = tempfile.mkdtemp(prefix="trs-lm-stream-")
+    half_a, half_b = docs.randomSplit([0.5, 0.5], seed=23)
+    half_a.write.parquet(f"{tmp}/in/chunk=0")
+    half_b.write.parquet(f"{tmp}/in/chunk=1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/chunk=*")
+    )
+    scored = streaming_lm_score(stream, model, n=3, k=0.5)
+    qname = f"trs_lm_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(qname).select(
+        "doc_id",
+        "n_grams",
+        _r6("logprob_per_token").alias("logprob_per_token"),
+        _r6("perplexity").alias("perplexity"),
+    )
+
+
 def q_lm_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source CCNet head cut: keep the lowest-perplexity 40% of
     each source. The cut here ranks the ROUNDED score (ties broken by
@@ -12088,6 +12136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which already hold historical driver rows from round 2)
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_kn": q_lm_perplexity_kn,
+        "lm_perplexity_streamed": q_lm_perplexity_streamed,
         "pq_cosine_topk": q_pq_cosine_topk,
         "semantic_dedup_gate": q_semantic_dedup,
         "bpe_roundtrip": q_bpe_roundtrip,
@@ -14595,6 +14644,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_roundtrip": _MEDIA_DECODE_ROUNDTRIP_ORACLE,
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "lm_perplexity_kn": _LM_KN_ORACLE,
+        "lm_perplexity_streamed": _LM_PERPLEXITY_ORACLE,
         "nb_classify_lang": _NB_CLASSIFY_ORACLE,
         "dsir_select_src0": _DSIR_ORACLE,
         "multi_grain_rollup": _MULTI_GRAIN_ORACLE,

@@ -845,3 +845,70 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_lm_score(
+    stream_docs: DataFrame,
+    model: DataFrame,
+    *,
+    n: int = 3,
+    unit: str = "char",
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a STREAM of documents against a batch-trained n-gram LM —
+    the stream-static shape of ``llm.lm.score_ngram_lm``: the model
+    (and its derived context/vocabulary tables) is a static DataFrame
+    joined into the stream, so a reference LM trained offline scores
+    arriving crawl shards continuously.
+
+    Identical math to the batch scorer (add-k smoothing, unseen-context
+    uniform backstop), restructured for streaming's single-stateful-
+    aggregation rule: the per-doc (ngram, occurrences) pre-aggregation
+    batch uses is itself an aggregation, so here every exploded n-gram
+    row joins the model directly (stream-static joins are stateless)
+    and the ONE stateful aggregation is the final per-document sum.
+    Batch == stream equality is pinned in tests/test_streaming_lm.py
+    and at driver level by the ``lm_perplexity_streamed`` contract row
+    (same DuckDB oracle as the batch ``lm_perplexity`` row).
+
+    At scale: the model tables are model-sized (broadcast), stream
+    state is one scalar pair per in-flight document.
+    """
+    from temporal_retriever_spark.llm.lm import (
+        _context,
+        _last_token,
+        _ngrams,
+    )
+
+    if not k > 0:
+        raise ValueError(f"smoothing k must be > 0: {k}")
+    if unit == "char":
+        model = model.filter(F.length("ngram") == n)
+    else:
+        model = model.filter(F.size(F.split("ngram", " ")) == n)
+    ctx_counts = model.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    vocab = model.select(
+        _last_token(F.col("ngram"), n, unit).alias("_tok")
+    ).agg(F.count_distinct("_tok").alias("v"))
+
+    grams = stream_docs.select(
+        F.col(id_col), F.explode(_ngrams(text_col, n, unit)).alias("ngram")
+    ).withColumn("ctx", _context(F.col("ngram"), n, unit))
+    joined = (
+        grams.join(model.select("ngram", "cnt"), "ngram", "left")
+        .join(ctx_counts, "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    kv = F.lit(float(k))
+    p = F.when(
+        F.col("ctx_cnt").isNotNull(),
+        (F.coalesce(F.col("cnt"), F.lit(0)) + kv)
+        / (F.col("ctx_cnt") + kv * F.col("v")),
+    ).otherwise(F.lit(1.0) / F.col("v"))
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        (F.sum(F.log(p)) / F.count(F.lit(1))).alias("logprob_per_token"),
+    )
+    return scored.withColumn("perplexity", F.exp(-F.col("logprob_per_token")))
