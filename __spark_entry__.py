@@ -506,27 +506,42 @@ def _sql_round(expr: str) -> str:
     return f"ROUND(({expr}) + {_ROUND_OFFSET!r}, {_ROUND_DIGITS})"
 
 
-def q_forecast_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _round_stable(
-        forecast_linear_seasonal(
-            _events_daily_all(spark, sf_dir),
-            grain="D",
-            horizon=7,
-            series_cols=("event_type",),
-        )
+def _scale_free_forecast(spark, sf_dir: str, *, saturating: bool) -> DataFrame:
+    """Scale-free contract for the level-scale forecast rows: yhat and
+    its band are reported PER UNIT OF THE SERIES MEAN |y| (4 dp). At a
+    fixed absolute grid the contract stops being scale-robust — the sf1
+    sweep measured cross-engine drift of 5.0e-4 on yhat_lower values of
+    ~3.5e5, exactly the old 3-dp boundary, so a 10x corpus could flip a
+    rounded digit by summation order alone (the multi_grain_rollup /
+    abc_brands_revenue precedent). Dividing by the per-series mean
+    keeps the compared quantity O(1), where engine drift is ~1e-9
+    against a 5e-5 grid margin at every SF."""
+    daily = _events_daily_all(spark, sf_dir)
+    got = forecast_linear_seasonal(
+        daily,
+        grain="D",
+        horizon=7,
+        series_cols=("event_type",),
+        saturating=saturating,
     )
+    scale = daily.groupBy("event_type").agg(F.avg(F.abs("y")).alias("_sc"))
+    offset = F.lit(_ROUND_OFFSET)
+    return got.join(scale, "event_type").select(
+        "event_type",
+        "ds",
+        *[
+            F.round(F.col(c) / F.col("_sc") + offset, 4).alias(c)
+            for c in ("yhat", "yhat_lower", "yhat_upper")
+        ],
+    )
+
+
+def q_forecast_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scale_free_forecast(spark, sf_dir, saturating=False)
 
 
 def q_forecast_saturating_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _round_stable(
-        forecast_linear_seasonal(
-            _events_daily_all(spark, sf_dir),
-            grain="D",
-            horizon=7,
-            series_cols=("event_type",),
-            saturating=True,
-        )
-    )
+    return _scale_free_forecast(spark, sf_dir, saturating=True)
 
 
 def q_forecast_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13202,20 +13217,29 @@ def _forecast_oracle(saturating: bool) -> str:
         SELECT event_type, max_ds + CAST(k AS INTEGER)
         FROM fit, generate_series(1, 7) AS g(k)
     ),
+    sc AS (
+        SELECT event_type, SUM(ABS(y)) / CAST(COUNT(y) AS DOUBLE) AS _sc
+        FROM s GROUP BY 1
+    ),
     pred AS (
         SELECT grid.event_type, grid.ds,
                my + b * (epoch(grid.ds) / 86400.0 - mt)
                  + COALESCE(s_mean, 0) AS base,
-               q05, q95{', fc.floor AS fl, fc.cap AS cp' if saturating else ''}
+               q05, q95, sc._sc AS _sc{', fc.floor AS fl, fc.cap AS cp' if saturating else ''}
         FROM grid
         JOIN fit ON fit.event_type = grid.event_type{caps_join}
+        JOIN sc ON sc.event_type = grid.event_type
         LEFT JOIN seas ON seas.event_type = grid.event_type
                       AND seas.skey = dayofweek(grid.ds) + 1
         LEFT JOIN rq ON rq.event_type = grid.event_type
     )
-    SELECT event_type, ds, {_sql_round(clamp('base'))} AS yhat,
-           {_sql_round(clamp('base + COALESCE(q05, 0)'))} AS yhat_lower,
-           {_sql_round(clamp('base + COALESCE(q95, 0)'))} AS yhat_upper
+    -- scale-free contract: values per unit of the series mean |y|
+    -- (4 dp) so the rounded grid stays ~5e4x above engine drift at
+    -- every SF (see q_forecast_linear_daily's docstring)
+    SELECT event_type, ds,
+           ROUND(({clamp('base')}) / _sc + {_ROUND_OFFSET!r}, 4) AS yhat,
+           ROUND(({clamp('base + COALESCE(q05, 0)')}) / _sc + {_ROUND_OFFSET!r}, 4) AS yhat_lower,
+           ROUND(({clamp('base + COALESCE(q95, 0)')}) / _sc + {_ROUND_OFFSET!r}, 4) AS yhat_upper
     FROM pred
     """
 
