@@ -8688,13 +8688,18 @@ def q_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming contract row #5: SpaceSaving top-10 users per
     event type, replayed over two file-source micro-batches so the
     sketch MERGES cross-batch state (streaming.streaming_heavy_hitters).
-    capacity=2048 ≥ the true user vocabulary, so the sketch is EXACT
-    (err 0); k=capacity makes every emission carry ALL tokens, so the
-    flat count distribution's top-10 boundary ties are cut HERE with
-    the oracle's deterministic (count DESC, user ASC) order rather
-    than inside the sketch's emission order. SpaceSaving counts are
+    capacity is set to the (batch-counted) user vocabulary, floored at
+    2048, so the sketch is EXACT (err 0) at EVERY scale factor — the
+    sf1 sweep caught the old fixed capacity=2048 going approximate at
+    15k users (err > 0, hash mismatch vs the exact-count oracle);
+    k=capacity makes every emission carry ALL tokens, so the flat
+    count distribution's top-10 boundary ties are cut HERE with the
+    oracle's deterministic (count DESC, user ASC) order rather than
+    inside the sketch's emission order. SpaceSaving counts are
     monotone across emissions, so max-per-token over the update-mode
-    emissions is the final exact count."""
+    emissions is the final exact count. (The OPERATOR stays a true
+    bounded-memory sketch; pinning capacity ≥ vocab is what makes the
+    replay oracle-exact.)"""
     import tempfile
     import uuid
 
@@ -8714,7 +8719,8 @@ def q_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{tmp}/in/chunk=*")
     )
-    hh = streaming_heavy_hitters(stream, k=2048, capacity=2048)
+    cap = max(2048, ev.agg(F.count_distinct("token")).collect()[0][0])
+    hh = streaming_heavy_hitters(stream, k=cap, capacity=cap)
     qname = f"trs_hh_stream_{uuid.uuid4().hex[:8]}"
     q = (
         hh.writeStream.outputMode("update")
