@@ -1731,7 +1731,13 @@ def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     books = pq_train(emb, m=16, n_codes=64, max_iter=5, seed=7)
-    ann = pq_topk(emb, queries_df, books, k=5, refine=6)
+    # refine depth scales with the corpus (max(6, n/500), the FAISS
+    # refine-factor practice): fixed refine=6 degrades below the gate
+    # at 10x vectors (measured in the sf1 sweep on the IVF-PQ row);
+    # n/500 keeps the exact re-rank output-sized at every SF and is 6
+    # (unchanged) at the driver SFs.
+    refine = max(6, emb.count() // 500)
+    ann = pq_topk(emb, queries_df, books, k=5, refine=refine)
     exact = cosine_topk(emb, queries_df, k=5)
     return _ann_recall_check(exact, ann, k=5, min_hits=3)
 
@@ -1752,8 +1758,10 @@ def q_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, books = ivfpq_train(
         emb, n_cells=8, m=16, n_codes=32, coarse_iter=3, pq_iter=3, seed=7
     )
+    # scale-aware refine depth — see q_pq_cosine_topk's comment
+    refine = max(6, emb.count() // 500)
     ann = ivfpq_topk(
-        emb, queries_df, centroids, books, k=5, nprobe=8, refine=6
+        emb, queries_df, centroids, books, k=5, nprobe=8, refine=refine
     )
     exact = cosine_topk(emb, queries_df, k=5)
     return _ann_recall_check(exact, ann, k=5, min_hits=3)
