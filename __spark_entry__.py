@@ -14429,12 +14429,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, LENGTH(text) AS n_chars, "
             "len(string_split_regex(TRIM(text), '\\s+')) AS n_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens, "
-            "ROUND(CASE WHEN LENGTH(text) > 0 THEN "
+            "ROUND((CASE WHEN LENGTH(text) > 0 THEN "
             "  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) "
-            "  ELSE 0 END, 6) AS digit_ratio, "
-            "ROUND(CASE WHEN len(string_split_regex(TRIM(text), '\\s+')) > 0 THEN "
+            "  ELSE 0 END) + 1.234567e-07, 6) AS digit_ratio, "
+            "ROUND((CASE WHEN len(string_split_regex(TRIM(text), '\\s+')) > 0 THEN "
             f"  CAST(len(regexp_extract_all(text, '(?i)\\b({'|'.join(_STOPWORDS)})\\b')) AS DOUBLE) "
-            "  / len(string_split_regex(TRIM(text), '\\s+')) ELSE 0 END, 6) AS stopword_ratio "
+            "  / len(string_split_regex(TRIM(text), '\\s+')) ELSE 0 END) + 1.234567e-07, 6) AS stopword_ratio "
             "FROM documents"
         ),
         "text_quality_by_source": (

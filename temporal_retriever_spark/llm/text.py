@@ -100,10 +100,17 @@ def text_stats(
     stopword rate score high — the usual pre-training filter features.
     """
     exprs = quality_exprs(text_col)
+    # boundary-guard offset (same value as the contract layer): the
+    # ratios are small-denominator rationals that can land EXACTLY on a
+    # rounding half-point (e.g. 41/640 = 0.0640625), where Spark's
+    # HALF_UP and an oracle engine's half-even legitimately disagree —
+    # the sf1 sweep caught 9 such documents. The nudge moves every
+    # half-point off the boundary identically on both sides.
+    guard = F.lit(1.234567e-07)
     return df.select(
         *id_cols,
         *[
-            (F.round(e, 6) if name in _ROUNDED_METRICS else e).alias(name)
+            (F.round(e + guard, 6) if name in _ROUNDED_METRICS else e).alias(name)
             for name, e in exprs.items()
         ],
     )
