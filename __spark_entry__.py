@@ -6416,18 +6416,14 @@ def q_ridge_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = ridge_regression(
         ev, ["x0", "x1"], "y", l2=1.0, keys=["event_type"]
     )
-    # 4 dp, not 6: IRLS reweighting divides by eps-floored residuals,
-    # which amplifies cross-engine summation drift to ~1e-8 after four
-    # rounds — the sf1 sweep caught one-ulp flips at the 6 dp grid.
-    # 4 dp keeps a ~5000x margin while still failing on any real
-    # arithmetic divergence.
-    r4 = lambda c: F.round(F.col(c) + F.lit(_ROUND_OFFSET), 4)
+    # ridge is a single closed-form solve (no IRLS reweighting), so the
+    # 6 dp grid holds at every measured SF — unlike huber/quantreg
     return got.select(
         "event_type",
         "n",
-        r4("intercept").alias("intercept"),
-        r4("coef_x0").alias("coef_x0"),
-        r4("coef_x1").alias("coef_x1"),
+        _r6("intercept").alias("intercept"),
+        _r6("coef_x0").alias("coef_x0"),
+        _r6("coef_x1").alias("coef_x1"),
     ).orderBy("event_type")
 
 
