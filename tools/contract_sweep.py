@@ -83,7 +83,8 @@ def _run_spark_with_timeout(spark, fn, sf_dir: str, name: str, timeout: float):
         except Exception as exc:  # noqa: BLE001 — surfaced to caller
             box["exc"] = exc
         finally:
-            spark.sparkContext.clearJobGroup()
+            # PySpark has no clearJobGroup; reset the thread-local group id
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
 
     th = threading.Thread(target=_work, daemon=True)
     th.start()
