@@ -1176,9 +1176,16 @@ def q_interval_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returning False means the replay is STILL
+    # RUNNING — reading the sink then would silently return a
+    # half-complete table (caught by the sf1 sweep: 25,112/50,000 docs
+    # at a 300 s cap). Wait long, then fail loud if incomplete.
+    finished = q.awaitTermination(1800)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming replay did not complete within 1800s")
     return spark.table(qname).select(
         "user_id",
         F.col("ds").alias("click_ts"),
@@ -1253,9 +1260,16 @@ def q_sessions_2h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returning False means the replay is STILL
+    # RUNNING — reading the sink then would silently return a
+    # half-complete table (caught by the sf1 sweep: 25,112/50,000 docs
+    # at a 300 s cap). Wait long, then fail loud if incomplete.
+    finished = q.awaitTermination(1800)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming replay did not complete within 1800s")
     return spark.table(qname).select(
         "event_type", "session_start", "session_end",
         _r6("duration_sec").alias("duration_sec"), "n_events",
@@ -1306,9 +1320,16 @@ def q_bucket_hour_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returning False means the replay is STILL
+    # RUNNING — reading the sink then would silently return a
+    # half-complete table (caught by the sf1 sweep: 25,112/50,000 docs
+    # at a 300 s cap). Wait long, then fail loud if incomplete.
+    finished = q.awaitTermination(1800)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming replay did not complete within 1800s")
     return spark.table(qname).select("event_type", "ds", _r6("y").alias("y"))
 
 
@@ -3483,9 +3504,16 @@ def q_lm_perplexity_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returning False means the replay is STILL
+    # RUNNING — reading the sink then would silently return a
+    # half-complete table (caught by the sf1 sweep: 25,112/50,000 docs
+    # at a 300 s cap). Wait long, then fail loud if incomplete.
+    finished = q.awaitTermination(1800)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming replay did not complete within 1800s")
     return spark.table(qname).select(
         "doc_id",
         "n_grams",
@@ -8611,9 +8639,16 @@ def q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returning False means the replay is STILL
+    # RUNNING — reading the sink then would silently return a
+    # half-complete table (caught by the sf1 sweep: 25,112/50,000 docs
+    # at a 300 s cap). Wait long, then fail loud if incomplete.
+    finished = q.awaitTermination(1800)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming replay did not complete within 1800s")
     survivors = spark.table(qname).select("fingerprint")
     # duplicate counts come from the batch side: the streamed result
     # must be exactly ONE survivor per fingerprint
@@ -8752,9 +8787,16 @@ def q_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returning False means the replay is STILL
+    # RUNNING — reading the sink then would silently return a
+    # half-complete table (caught by the sf1 sweep: 25,112/50,000 docs
+    # at a 300 s cap). Wait long, then fail loud if incomplete.
+    finished = q.awaitTermination(1800)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming replay did not complete within 1800s")
     from pyspark.sql import Window as _W
 
     final = (
