@@ -12076,10 +12076,13 @@ FROM b GROUP BY 1
 
 
 # Driver-green evidence ledger: every key below earned a rows+schema+hash
-# match in CORRECTNESS_r01..r04. queries() demotes these to the back of
-# the dict so the driver's first-50 sample window is composed entirely of
-# never-driver-checked entries (the R5 rotation plan, VERDICT.md r4 item 1).
-_DRIVER_GREEN_R1_R4 = (
+# match in some CORRECTNESS_r0N.json (cumulative r1..r6 union, 157 names).
+# queries() demotes these to the back of the dict so the driver's first-50
+# sample window is composed entirely of never-driver-checked entries.
+# MAINTENANCE RULE (enforced by tests/test_rotation.py): after each round,
+# append that round's newly-green names here — r6 lost 45 of its 50 window
+# slots to re-verification because the r5 names were never appended.
+_DRIVER_GREEN = (
     "ks_dow_fdr", "jsd_tokens_src", "collocations_pmi", "pii_scan",
     "km_survival", "rp_project", "html_extract", "domain_cap_docs",
     "bootstrap_ci_value", "snapshot_diff_docs", "allpairs_jaccard_05",
@@ -12114,6 +12117,26 @@ _DRIVER_GREEN_R1_R4 = (
     "align_covariate_inner", "coalesce_actuals", "future_grid_day",
     "future_grid_month", "json_extract_props", "split_historical",
     "split_future",
+    # -- r5-green window (CORRECTNESS_r05) --
+    "hits_nations", "zorder_events", "isotonic_lang", "triangles_nations",
+    "forecast_arma_daily", "poisson_rate_daily", "stump_events",
+    "gbt_stumps_events", "forest_stumps_events", "huber_value",
+    "ridge_value", "mi_features_lang", "ratio_ttest_ctr", "did_click_value",
+    "psm_att_click", "interval_scorecard", "conformal_daily", "cox_churn",
+    "rfm_users", "kcore_brands", "sp_nations", "readability_docs",
+    "tsb_error_hourly", "pca_embeddings", "dbscan_embeddings",
+    "forecast_arima_daily", "assoc_rules_brands", "anova_value_event_dow",
+    "logrank_click_view", "quantreg_value", "lpa_brands",
+    "als_brand_factors", "forecast_var_daily", "periodogram_daily",
+    "croston_error_hourly", "demand_class_hourly", "attribution_purchase",
+    "path_ngrams_events", "hilbert_events", "benford_prices",
+    "entity_resolution_parts", "mmr_rerank", "rmst_event_types",
+    "abc_brands_revenue", "hard_negatives", "dsir_select_src0",
+    "corpus_sample_uniform", "media_decode_jpeg", "dedup_streamed",
+    "heavy_hitters_streamed",
+    # -- r6-green window (CORRECTNESS_r06) --
+    "lm_perplexity_kn", "lm_perplexity_streamed", "media_decode_tiff",
+    "markov_stationary_events", "markov_absorption_events",
 )
 
 
@@ -12467,19 +12490,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_gif": q_media_decode_gif,
         "media_decode_flac": q_media_decode_flac,
     }
-    # R5 rotation: demote keys that already hold driver-green rows so the
+    # Rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
-    green_set = set(_DRIVER_GREEN_R1_R4)
+    green_set = set(_DRIVER_GREEN)
     green = [k for k in base if k in green_set]
     fresh = [k for k in base if k not in green_set]
-    # promote media_decode_jpeg — whose gate now includes the progressive
-    # (SOF2) decoder, VERDICT r4 item 6 — into the sample window in place
-    # of keyness_by_source (family sibling of r4-green collocations_pmi)
-    if "media_decode_jpeg" in fresh and "keyness_by_source" in fresh:
-        i, j = fresh.index("keyness_by_source"), fresh.index("media_decode_jpeg")
-        if i < j:
-            fresh.insert(i, fresh.pop(j))
-    return {k: base[k] for k in fresh + green}
+    # r7 priority promotion (VERDICT r6 item 1): whole families with zero
+    # driver evidence — sketches, profiling, trend tests, prophet MAP,
+    # skew salting, DTW/matrix profile, GMM/HMM, wavelets/SAX, LOF,
+    # GIF/FLAC codecs — jump the queue ahead of family siblings of
+    # already-green rows.
+    priority = [k for k in (
+        "cms_user_counts", "bloom_probe_customers", "hll_distinct_users",
+        "hist_quantiles_prices", "profile_orders", "calendar_features_days",
+        "mann_kendall_daily", "seasonal_mann_kendall_daily",
+        "normalize_docs", "prophet_map_forecast", "skew_salted_agg",
+        "media_decode_gif", "media_decode_flac", "dtw_daily",
+        "matrix_profile_daily", "gmm_value", "hmm_regimes_daily",
+        "haar_daily", "sax_daily", "lof_embeddings", "friedman_user_event",
+        "fisher_exact_clicks",
+    ) if k in fresh]
+    rest = [k for k in fresh if k not in set(priority)]
+    return {k: base[k] for k in priority + rest + green}
 
 
 _QUANTILE_FORECAST_ORACLE = f"""
