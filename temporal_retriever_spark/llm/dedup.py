@@ -286,6 +286,48 @@ def jaccard_verify(
     )
 
 
+def anchored_exact_pairs(
+    df: DataFrame,
+    anchor_ids: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs touching a fixed anchor set — the
+    sampled ground-truth baseline for recall-gated approximate dedup.
+
+    ``anchor_ids`` is a single-column DataFrame of document ids (any
+    column name; the first column is used). Output: every (id_a, id_b,
+    jaccard ≥ threshold) pair with id_a < id_b where AT LEAST ONE
+    endpoint is an anchor — computed exactly via the shingle join, but
+    with the left side restricted to anchor documents, so the cost is
+    |anchor shingles| × per-shingle doc frequency: LINEAR in corpus
+    size for a fixed anchor count, at any scale factor. This is what
+    makes a recall contract scale-honest: the full exact pair set is
+    quadratic, the anchored sample is not, and recall measured on the
+    anchored sample is an unbiased estimate of overall recall.
+    """
+    aid = anchor_ids.columns[0]
+    anchors = anchor_ids.select(F.col(aid).alias(id_col)).distinct()
+    shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    anch_sh = shingled.join(F.broadcast(anchors), on=id_col, how="left_semi")
+    cand = (
+        anch_sh.select(F.col(id_col).alias("_aid"), "shingle")
+        .join(shingled.select(F.col(id_col).alias("_oid"), "shingle"), on="shingle")
+        .filter(F.col("_aid") != F.col("_oid"))
+        .select(
+            F.least("_aid", "_oid").alias("id_a"),
+            F.greatest("_aid", "_oid").alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_verify(
+        df, cand, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+
+
 def near_dup_pairs_verified(
     df: DataFrame,
     *,
@@ -835,11 +877,14 @@ def allpairs_jaccard(
     # the exploded join shuffles |cands| x |doc| rows — the measured
     # scale-killer (36.7M candidates x ~75 shingles = billions of rows
     # at a 10x corpus). Instead attach one compact 64-bit-hash array
-    # per side and intersect in the JVM. Hash collisions can only
-    # INFLATE an intersection (never shrink it), so thresholding the
-    # hashed Jaccard keeps a SUPERSET of the true pairs — completeness
-    # preserved — and the handful of survivors are then re-verified
-    # EXACTLY on the real shingle strings (output-sized work).
+    # per side and intersect in the JVM. Cross-document collisions only
+    # INFLATE the intersection, but a WITHIN-document collision between
+    # two shingles that are both shared with the other side DEFLATES it
+    # (array_intersect dedups the colliding value) — probability
+    # ~m²/2⁶⁴ per doc, but nonzero, so the rough pass compares against
+    # a slightly relaxed threshold and lets the exact string re-verify
+    # (output-sized work) make the final call. The relaxation keeps the
+    # completeness guarantee deterministic instead of probabilistic.
     harr = toks.groupBy(id_col).agg(
         F.collect_list(F.xxhash64("shingle")).alias("_h")
     )
@@ -856,7 +901,7 @@ def allpairs_jaccard(
             harr.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb")),
             on="id_b",
         )
-        .filter(jac_h >= threshold)
+        .filter(jac_h >= threshold - 0.02)
         .select("id_a", "id_b", "n_a", "n_b")
     )
     ta = toks.select(F.col(id_col).alias("id_a"), "shingle")

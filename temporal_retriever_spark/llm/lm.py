@@ -498,8 +498,13 @@ def score_kn_lm(
                 ).alias("_n2"),
             )
             .select(
+                # Fallback whenever n1 == 0, not just when n1 + 2·n2 == 0:
+                # with no singletons but some doubletons the ratio is 0, a
+                # zero discount gives unseen tokens p = 0, and F.log(0) is
+                # NULL in Spark — silently dropped from the perplexity sum
+                # while the DuckDB oracle's ln(0) errors (ADVICE r6).
                 F.when(
-                    (F.col("_n1") + 2 * F.col("_n2")) > 0,
+                    F.col("_n1") > 0,
                     F.col("_n1") / (F.col("_n1") + 2 * F.col("_n2")),
                 )
                 .otherwise(F.lit(0.5))

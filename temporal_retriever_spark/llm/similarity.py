@@ -335,8 +335,19 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    probe_ids: DataFrame | None = None,
 ) -> DataFrame:
     """§2.10 embedding-cosine near-duplicate pairs.
+
+    ``probe_ids`` (optional, single-column DataFrame of ids) restricts
+    the output to pairs where at least one endpoint is in the probe
+    set, and — critically — restricts the CANDIDATE GENERATION itself
+    (probe cells × all cells for LSH, probe vectors × all for exact),
+    so a fixed-size probe set makes either method linear in corpus
+    size. This is the sampled-baseline path used by the recall-gate
+    contracts: exact-vs-probes is the ground truth, lsh-vs-probes is
+    the measured side, and the measured recall on probe pairs is an
+    unbiased estimate of overall recall at any scale factor.
 
     Output: (left_id, right_id, cosine) with left_id < right_id and
     cosine ≥ threshold — the embedding-space sibling of the MinHash /
@@ -360,14 +371,46 @@ def embedding_near_dup_pairs(
     re-attached (two id-keyed shuffle joins), keeping the wide rows off
     the distinct.
     """
+    probe = None
+    if probe_ids is not None:
+        pcol = probe_ids.columns[0]
+        probe = probe_ids.select(F.col(pcol).alias(id_col)).distinct()
     if method == "exact":
-        left = df.select(
-            F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")
-        )
-        right = df.select(
-            F.col(id_col).alias("right_id"), F.col(vec_col).alias("_rv")
-        )
-        pairs = left.join(right, on=F.col("left_id") < F.col("right_id"))
+        if probe is not None:
+            # probe vectors × all vectors: one broadcast of the fixed-size
+            # probe side, one linear scan of the corpus — no self-join.
+            pv = df.join(F.broadcast(probe), on=id_col, how="left_semi")
+            raw = (
+                df.select(F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov"))
+                .crossJoin(
+                    F.broadcast(
+                        pv.select(
+                            F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
+                        )
+                    )
+                )
+                .filter(F.col("_pid") != F.col("_oid"))
+            )
+            # cosine(x, y) is bit-identical in either orientation (per-dim
+            # products commute, the reduction order is the dim order), so
+            # normalizing ids then distinct-ing keeps one row per pair.
+            pairs = (
+                raw.select(
+                    F.least("_pid", "_oid").alias("left_id"),
+                    F.greatest("_pid", "_oid").alias("right_id"),
+                    F.col("_pv").alias("_lv"),
+                    F.col("_ov").alias("_rv"),
+                )
+                .dropDuplicates(["left_id", "right_id"])
+            )
+        else:
+            left = df.select(
+                F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")
+            )
+            right = df.select(
+                F.col(id_col).alias("right_id"), F.col(vec_col).alias("_rv")
+            )
+            pairs = left.join(right, on=F.col("left_id") < F.col("right_id"))
     elif method == "lsh":
         if dim is None:
             first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
@@ -392,20 +435,39 @@ def embedding_near_dup_pairs(
             F.col("_b.table").alias("_table"),
             F.col("_b.bucket").alias("_bucket"),
         )
-        cand = (
-            cells.select(
-                F.col(id_col).alias("left_id"), "_table", "_bucket"
+        if probe is not None:
+            # probe cells × all cells: the bucket self-join (the part
+            # that can go quadratic when buckets are shallow or skewed)
+            # shrinks to |probe|·tables bucket lookups.
+            pcells = cells.join(F.broadcast(probe), on=id_col, how="left_semi")
+            cand = (
+                pcells.select(F.col(id_col).alias("_pid"), "_table", "_bucket")
+                .join(
+                    cells.select(F.col(id_col).alias("_oid"), "_table", "_bucket"),
+                    on=["_table", "_bucket"],
+                )
+                .filter(F.col("_pid") != F.col("_oid"))
+                .select(
+                    F.least("_pid", "_oid").alias("left_id"),
+                    F.greatest("_pid", "_oid").alias("right_id"),
+                )
+                .distinct()
             )
-            .join(
+        else:
+            cand = (
                 cells.select(
-                    F.col(id_col).alias("right_id"), "_table", "_bucket"
-                ),
-                on=["_table", "_bucket"],
+                    F.col(id_col).alias("left_id"), "_table", "_bucket"
+                )
+                .join(
+                    cells.select(
+                        F.col(id_col).alias("right_id"), "_table", "_bucket"
+                    ),
+                    on=["_table", "_bucket"],
+                )
+                .filter(F.col("left_id") < F.col("right_id"))
+                .select("left_id", "right_id")
+                .distinct()
             )
-            .filter(F.col("left_id") < F.col("right_id"))
-            .select("left_id", "right_id")
-            .distinct()
-        )
         pairs = cand.join(
             df.select(
                 F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")

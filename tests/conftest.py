@@ -1,6 +1,5 @@
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -105,15 +104,13 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, round_floats: int = 6):
     for col in got.columns:
         g, w = got[col], want[col]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            # Exact equality on the canonicalized 6-dp values — mirrors
+            # the driver's value-hash. A tolerance here hides the exact
+            # grid flips the offset-guarded rounding is designed to
+            # prevent (ADVICE r6: isclose(abs_tol=1e-6) accepted
+            # adjacent grid values).
             ok = [
-                (a == b)
-                or (pd.isna(a) and pd.isna(b))
-                or (
-                    not pd.isna(a)
-                    and not pd.isna(b)
-                    and math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-6)
-                )
-                for a, b in zip(g, w)
+                (a == b) or (pd.isna(a) and pd.isna(b)) for a, b in zip(g, w)
             ]
             assert all(ok), f"value mismatch in {col}: {[(a, b) for (a, b), o in zip(zip(g, w), ok) if not o][:5]}"
         else:

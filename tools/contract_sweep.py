@@ -99,8 +99,6 @@ def _run_spark_with_timeout(spark, fn, sf_dir: str, name: str, timeout: float):
 
 
 def _compare(got_pd, want_pd, round_floats: int = 6) -> dict:
-    import math
-
     import pandas as pd
 
     from tests.conftest import _canon
@@ -119,15 +117,14 @@ def _compare(got_pd, want_pd, round_floats: int = 6) -> dict:
     for col in got.columns:
         g, w = got[col], want[col]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            # Exact equality of the canonicalized values: _canon already
+            # rounded both sides to the same 6-dp grid, so any surviving
+            # difference IS a grid flip — the defect class this sweep
+            # exists to catch. A tolerance here (the old
+            # isclose(abs_tol=1e-6)) let adjacent grid values pass and
+            # silently hid one-ulp rounding splits.
             ok = all(
-                (a == b)
-                or (pd.isna(a) and pd.isna(b))
-                or (
-                    not pd.isna(a)
-                    and not pd.isna(b)
-                    and math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-6)
-                )
-                for a, b in zip(g, w)
+                (a == b) or (pd.isna(a) and pd.isna(b)) for a, b in zip(g, w)
             )
         else:
             ok = g.astype(str).equals(w.astype(str))
