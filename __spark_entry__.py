@@ -1757,13 +1757,88 @@ def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-blocked candidates verified by exact Jaccard.
+    """SimHash near-dup: anchored soundness + exact-capture gate.
 
-    Pigeonhole blocking GUARANTEES capture within max_hamming=10; the
-    fixture's true pairs sit at hamming ≤ 9, so output = exact pairs.
+    r7 conversion (VERDICT r6 "what's wrong" #2). The old contract
+    demanded simhash-blocked output == the FULL exact-Jaccard pair set,
+    which conflated two different guarantees: pigeonhole blocking
+    guarantees capture WITHIN THE HAMMING RADIUS (exact, corpus-
+    independent), while "all Jaccard≥0.2 pairs sit within hamming 10"
+    is a fixture accident — measured at sf1, healthy shingle-feature
+    signatures put true 0.2-Jaccard pairs as far as hamming 15, and the
+    unigram signatures that DID satisfy it were degenerate (2,305-doc
+    identical-sig groups → 112M radius-10 pairs → the 600 s timeout).
+
+    The scale-honest row therefore gates on what SimHash actually
+    promises, checked exactly on the md5-anchor sample:
+
+    * n_sample_pairs / avg_jaccard_sample — anchored exact-Jaccard
+      baseline (oracle value-matched, same CTEs as the MinHash gate);
+    * capture_pass — EVERY sampled true pair whose shingle-feature
+      signatures are within max_hamming=10 appears in the emitted
+      output (the pigeonhole guarantee; exact, not probabilistic);
+    * n_unsound_sample — emitted anchor-touching pairs absent from the
+      complete anchored baseline (false positives; must be 0).
+
+    The operator itself runs over the FULL corpus with shingle
+    features + distinct-signature blocking + two-level bucket split
+    (llm.dedup.simhash_pairs), the configuration that survives
+    replica-heavy corpora.
     """
-    return simhash_near_dups(
-        _documents(spark, sf_dir), n=3, max_hamming=10, threshold=0.2
+    from temporal_retriever_spark.llm.dedup import (
+        anchored_exact_pairs,
+        simhash_signatures,
+    )
+
+    docs = _documents(spark, sf_dir)
+    anchors = _md5_anchors(docs, "doc_id")
+    emitted = simhash_near_dups(
+        docs, n=3, max_hamming=10, threshold=0.2, feature="shingle"
+    ).select("id_a", "id_b")
+    sample = anchored_exact_pairs(docs, anchors, n=3, threshold=0.2)
+    sigs = simhash_signatures(docs, feature="shingle", n=3)
+    in_radius = (
+        sample.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")),
+            on="id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")),
+            on="id_b",
+        )
+        .filter(F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 10)
+        .select("id_a", "id_b")
+    )
+    missed = in_radius.join(emitted, on=["id_a", "id_b"], how="left_anti")
+    emitted_anchored = emitted.join(
+        F.broadcast(anchors.select(F.col("doc_id"))),
+        on=(F.col("id_a") == F.col("doc_id")) | (F.col("id_b") == F.col("doc_id")),
+        how="left_semi",
+    )
+    unsound = emitted_anchored.join(
+        sample.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
+    )
+    return (
+        anchors.agg(F.count("*").alias("n_anchors"))
+        .crossJoin(
+            sample.agg(
+                F.count("*").alias("n_sample_pairs"),
+                F.round(F.avg("jaccard") + F.lit(_ROUND_OFFSET), 4).alias(
+                    "avg_jaccard_sample"
+                ),
+            )
+        )
+        .crossJoin(missed.agg(F.count("*").alias("_n_missed")))
+        .crossJoin(unsound.agg(F.count("*").alias("n_unsound_sample")))
+        .select(
+            F.lit(10).cast("integer").alias("max_hamming"),
+            F.lit(0.2).alias("threshold"),
+            "n_anchors",
+            "n_sample_pairs",
+            "avg_jaccard_sample",
+            "n_unsound_sample",
+            (F.col("_n_missed") == 0).alias("capture_pass"),
+        )
     )
 
 
@@ -13663,6 +13738,18 @@ SELECT CAST(0.2 AS DOUBLE) AS threshold,
        TRUE AS root_is_min
 """
 
+_SIMHASH_GATE_ORACLE = f"""
+WITH {_ANCHORED_JACCARD_CTES}
+SELECT CAST(10 AS INTEGER) AS max_hamming,
+       CAST(0.2 AS DOUBLE) AS threshold,
+       (SELECT COUNT(*) FROM anchors) AS n_anchors,
+       (SELECT COUNT(*) FROM sample_pairs) AS n_sample_pairs,
+       (SELECT ROUND(AVG(jaccard) + {_ROUND_OFFSET!r}, 4) FROM sample_pairs)
+           AS avg_jaccard_sample,
+       CAST(0 AS BIGINT) AS n_unsound_sample,
+       TRUE AS capture_pass
+"""
+
 
 # Connected components over the exact pairs via recursive CTE — ground
 # truth for the exact (dup_clusters) cluster query.
@@ -14958,7 +15045,7 @@ def oracle_sql() -> dict[str, str]:
         # pair set on the fixture (full candidate recall, see the query
         # docstrings) — the oracle IS the quadratic exact path.
         "minhash_near_dups": _MINHASH_GATE_ORACLE,
-        "simhash_pairs": _EXACT_JACCARD_SQL,
+        "simhash_pairs": _SIMHASH_GATE_ORACLE,
         "dup_clusters_lsh": _DUP_CLUSTERS_LSH_GATE_ORACLE,
         "pacf_daily": _pacf_oracle(_EVENTS_DAILY, lags=5),
         "granger_lag1": _granger_lag1_oracle(),

@@ -366,15 +366,20 @@ def simhash_near_dups(
     n: int = 3,
     max_hamming: int = 10,
     threshold: float = 0.2,
+    feature: str = "token",
 ) -> DataFrame:
     """SimHash-blocked candidates verified with exact n-gram Jaccard.
 
     The pigeonhole blocking in ``simhash_pairs`` GUARANTEES every pair
     within ``max_hamming`` is a candidate (not probabilistic), so the
     output equals the exact pairs whose signatures are ≤ max_hamming
-    apart and whose Jaccard ≥ threshold.
+    apart and whose Jaccard ≥ threshold. Use ``feature="shingle"`` on
+    short/template-heavy corpora — see ``simhash_signatures`` for the
+    measured unigram degeneracy.
     """
-    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    sigs = simhash_signatures(
+        df, text_col=text_col, id_col=id_col, feature=feature, n=n
+    )
     candidates = simhash_pairs(sigs, id_col=id_col, max_hamming=max_hamming)
     return jaccard_verify(
         df, candidates, text_col=text_col, id_col=id_col, n=n, threshold=threshold
@@ -542,17 +547,41 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    feature: str = "token",
+    n: int = 3,
 ) -> DataFrame:
     """64-bit SimHash per document: (id, simhash bigint).
 
-    Classic Charikar construction: each token votes ±1 on every bit of
-    its 64-bit hash; signature bit j is the sign of the total. Built as
-    ``bits`` conditional sums in one aggregation — native, one shuffle.
+    Classic Charikar construction: each feature votes ±1 on every bit
+    of its 64-bit hash; signature bit j is the sign of the total. Built
+    as ``bits`` conditional sums in one aggregation — native, one
+    shuffle.
+
+    ``feature`` picks the voting features: ``"token"`` (unigrams, the
+    classic construction) or ``"shingle"`` (distinct word ``n``-grams,
+    the same feature space the exact-Jaccard verifier uses). Unigram
+    SimHash DEGENERATES on short template-heavy corpora — documents
+    sharing the same frequent vocabulary converge to identical
+    signatures regardless of content (measured on the 50k-doc sf1
+    replica fixture: 12,129 distinct signatures, one group of 2,305
+    docs with the SAME signature, 112M doc pairs within hamming 10 —
+    which makes any hamming-radius blocking vacuous). Shingle features
+    restore discrimination (49,782/50,000 distinct on the same corpus)
+    and make hamming distance track shingle-set cosine, so prefer
+    ``feature="shingle"`` when the downstream verifier is n-gram
+    Jaccard.
     """
-    tokens = F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("token")
-    hashed = df.select(F.col(id_col), tokens).select(
-        F.col(id_col), F.xxhash64("token").alias("_h")
-    )
+    if feature == "token":
+        feats = F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("_f")
+        hashed = df.select(F.col(id_col), feats).select(
+            F.col(id_col), F.xxhash64("_f").alias("_h")
+        )
+    elif feature == "shingle":
+        hashed = word_shingles(df, text_col=text_col, id_col=id_col, n=n).select(
+            F.col(id_col), F.xxhash64("shingle").alias("_h")
+        )
+    else:
+        raise ValueError(f"unknown simhash feature: {feature!r}")
     votes = [
         F.sum(
             F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -575,49 +604,152 @@ def simhash_pairs(
     *,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+    """Near-dup pairs by SimHash hamming distance — EXACT recall within
+    the radius, sub-quadratic on replica-heavy corpora.
 
-    Blocking on ``max_hamming + 1`` signature chunks (pigeonhole: two
-    signatures within hamming d must agree on at least one of d+1
-    chunks — a guarantee, not a probabilistic recall) keeps the join
-    sub-quadratic; hamming via ``bit_count(a XOR b)``.
+    Three structural defenses against the r6-measured degeneracy
+    (pigeonhole blocking went Σcnt² = 513M candidate rows on a
+    replica-concentrated corpus):
+
+    1. **Distinct-signature blocking.** The join runs over DISTINCT
+       signatures, not documents: exact replicas (identical sigs —
+       thousands per group on crawl-like corpora) collapse to one
+       blocking row each. Identical-signature doc pairs are emitted
+       directly at hamming 0; cross-signature pairs expand back to doc
+       pairs only AFTER the hamming filter.
+    2. **d+2 chunks.** Blocking uses ``max_hamming + 2`` chunks, so two
+       signatures within hamming d agree on at least TWO chunks
+       (pigeonhole: d differing bits can dirty at most d chunks).
+    3. **Two-level split of oversized buckets.** First-level buckets
+       with ≤ ``bucket_cap`` signatures self-join directly (guaranteed
+       by agreement chunk #1). Oversized buckets sub-block their
+       members on every OTHER chunk: a within-d pair in a big bucket
+       shares a second agreeing chunk, so it meets in exactly that
+       sub-bucket — recall stays EXACT (this is why d+2 chunks, not
+       d+1), while a hot template bucket's Σcnt² drops by the spread
+       of the second chunk.
+
+    Hamming via ``bit_count(a XOR b)``. Scale note: the chunk key
+    width is ``64 // (d+2)`` bits, so small radii (d ≤ 4 → ≥ 10-bit
+    keys) block selectively at any corpus size; d ≈ 10 (5-bit keys) is
+    an analysis-tier radius whose candidate rate is bounded by
+    ~C(d+2,2)/2^(2·bits) of all pairs even in the uniform-signature
+    worst case.
     """
-    n_chunks = max_hamming + 1
+    n_chunks = max_hamming + 2
     chunk_bits = 64 // n_chunks
+
+    sig_groups = signatures.select("simhash").distinct()
+
+    def _key(c: int):
+        return (
+            F.shiftright("simhash", c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        )
+
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright("simhash", c * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("key"),
-            )
+            F.struct(F.lit(c).alias("chunk"), _key(c).alias("key"))
             for c in range(n_chunks)
         ]
     )
-    exploded = signatures.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
-    ).select(
-        F.col(id_col),
+    exploded = sig_groups.select(
+        "simhash", F.explode(chunks).alias("c")
+    ).select("simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+
+    bucket_sizes = exploded.groupBy("chunk", "key").agg(
+        F.count("*").alias("_bsz")
+    )
+    sized = exploded.join(bucket_sizes, on=["chunk", "key"])
+    small = sized.filter(F.col("_bsz") <= bucket_cap).select(
+        "chunk", "key", "simhash"
+    )
+    big = sized.filter(F.col("_bsz") > bucket_cap).select(
+        "chunk", "key", "simhash"
+    )
+
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    cand_small = (
+        small.select("chunk", "key", F.col("simhash").alias("_sa"))
+        .join(
+            small.select("chunk", "key", F.col("simhash").alias("_sb")),
+            on=["chunk", "key"],
+        )
+        .filter(F.col("_sa") < F.col("_sb"))
+        .select("_sa", "_sb")
+    )
+    # second-level: members of an oversized bucket carry every OTHER
+    # chunk's key; a within-d pair agrees on >= 2 chunks, so it shares
+    # at least one (first-level, second-level) cell.
+    sub = big.select(
+        "chunk",
+        "key",
         "simhash",
-        F.col("c.chunk").alias("chunk"),
-        F.col("c.key").alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c2).alias("chunk2"), _key(c2).alias("key2"))
+                    for c2 in range(n_chunks)
+                ]
+            )
+        ).alias("c2"),
+    ).filter(F.col("c2.chunk2") != F.col("chunk")).select(
+        "chunk",
+        "key",
+        F.col("c2.chunk2").alias("chunk2"),
+        F.col("c2.key2").alias("key2"),
+        "simhash",
     )
-    left = exploded.select(
-        "chunk", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha")
+    cand_big = (
+        sub.select("chunk", "key", "chunk2", "key2", F.col("simhash").alias("_sa"))
+        .join(
+            sub.select(
+                "chunk", "key", "chunk2", "key2", F.col("simhash").alias("_sb")
+            ),
+            on=["chunk", "key", "chunk2", "key2"],
+        )
+        .filter(F.col("_sa") < F.col("_sb"))
+        .select("_sa", "_sb")
     )
-    right = exploded.select(
-        "chunk", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb")
-    )
-    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (
-        left.join(right, on=["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    # hamming filter BEFORE the dedup shuffle: bit_count is codegen-cheap
+    # and runs streaming on the join output, so only radius survivors
+    # (output-scale) reach the distinct.
+    sig_pairs = (
+        cand_small.unionByName(cand_big)
+        .filter(hamming <= max_hamming)
         .distinct()
+        .select("_sa", "_sb", hamming.alias("hamming"))
     )
+
+    # expand cross-signature pairs back to doc pairs
+    docs_a = signatures.select(
+        F.col("simhash").alias("_sa"), F.col(id_col).alias("id_a")
+    )
+    docs_b = signatures.select(
+        F.col("simhash").alias("_sb"), F.col(id_col).alias("id_b")
+    )
+    cross = (
+        sig_pairs.join(docs_a, on="_sa")
+        .join(docs_b, on="_sb")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    # identical-signature groups: every within-group doc pair, hamming 0
+    same_sig = (
+        signatures.select(F.col("simhash"), F.col(id_col).alias("id_a"))
+        .join(
+            signatures.select(F.col("simhash"), F.col(id_col).alias("id_b")),
+            on="simhash",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("integer").alias("hamming"))
+    )
+    return cross.unionByName(same_sig).distinct()
 
 
 def ngram_containment_pairs(

@@ -143,6 +143,164 @@ def test_simhash_near_dups(dup_docs):
     assert (1, 5) not in pairs
 
 
+def test_anchored_exact_pairs_equals_restricted_full(spark):
+    """anchored_exact_pairs == ngram_jaccard_pairs restricted to pairs
+    touching the anchor set — same ids, same exact jaccard values."""
+    from temporal_retriever_spark.llm.dedup import anchored_exact_pairs
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(12):
+        toks = words[: 6 + (i % 4)] + [f"tail{i % 3}", f"x{i % 5}"]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    anchors = spark.createDataFrame([(0,), (3,), (7,)], "doc_id long")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in anchored_exact_pairs(docs, anchors, n=3, threshold=0.2).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+        if r["id_a"] in (0, 3, 7) or r["id_b"] in (0, 3, 7)
+    }
+    assert got == full and got  # non-empty on this fixture
+
+
+def test_embedding_probe_restriction_matches_full(spark):
+    """probe_ids-restricted exact pairs == full exact pairs touching
+    the probe set; probe-restricted LSH is the same subset of full LSH
+    (identical hyperplanes, candidate join merely narrowed)."""
+    from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for b in range(6):
+        base = rng.standard_normal(16)
+        rows.append((2 * b, [float(x) for x in base]))
+        rows.append(
+            (2 * b + 1, [float(x) for x in base + 0.01 * rng.standard_normal(16)])
+        )
+    for i in range(12, 30):
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = spark.createDataFrame([(0,), (5,), (13,)], "vec_id long")
+    probe_set = {0, 5, 13}
+
+    full_exact = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.95, method="exact").collect()
+    }
+    got_exact = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.95, method="exact", probe_ids=probe
+        ).collect()
+    }
+    assert got_exact == {
+        p for p in full_exact if p[0] in probe_set or p[1] in probe_set
+    }
+
+    full_lsh = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.95, method="lsh", n_planes=4, n_tables=8, dim=16
+        ).collect()
+    }
+    got_lsh = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(
+            emb,
+            threshold=0.95,
+            method="lsh",
+            n_planes=4,
+            n_tables=8,
+            dim=16,
+            probe_ids=probe,
+        ).collect()
+    }
+    assert got_lsh == {
+        p for p in full_lsh if p[0] in probe_set or p[1] in probe_set
+    }
+
+
+def test_simhash_pairs_exact_recall_vs_bruteforce(spark):
+    """Blocked pairs == brute-force hamming pairs — the pigeonhole
+    guarantee is exact, including through the d+2-chunk two-level
+    split (bucket_cap forced to 1 so EVERY bucket takes the
+    second-level path)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    base = rng.getrandbits(63)
+    rows = []
+    for i in range(40):
+        sig = base
+        for _ in range(rng.randint(0, 12)):
+            sig ^= 1 << rng.randrange(63)
+        rows.append((i, sig))
+    for i in range(40, 80):
+        rows.append((i, rng.getrandbits(63)))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    brute = {
+        (a, b)
+        for (a, sa) in rows
+        for (b, sb) in rows
+        if a < b and bin(sa ^ sb).count("1") <= 6
+    }
+    for cap in (2000, 1):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(sigs, max_hamming=6, bucket_cap=cap).collect()
+        }
+        assert got == brute, f"bucket_cap={cap}"
+
+
+def test_simhash_pairs_replica_concentrated_fixture(spark):
+    """The r6 degeneracy case: one huge identical-signature group plus
+    satellites within the radius. Recall must be exact and the
+    identical-sig pairs must all surface at hamming 0."""
+    rows = [(i, 0x5A5A5A5A5A5A5A5) for i in range(50)]  # replicas
+    rows += [(100 + j, 0x5A5A5A5A5A5A5A5 ^ (1 << j)) for j in range(5)]
+    rows += [(200, 0x123456789ABCDEF)]  # far away
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(sigs, max_hamming=3, bucket_cap=4).collect()
+    }
+    brute = {
+        (a, b): bin(sa ^ sb).count("1")
+        for (a, sa) in rows
+        for (b, sb) in rows
+        if a < b and bin(sa ^ sb).count("1") <= 3
+    }
+    assert got == brute
+    assert sum(1 for h in got.values() if h == 0) == 50 * 49 // 2
+
+
+def test_simhash_shingle_features_discriminate_templates(spark):
+    """Unigram SimHash collapses docs that share vocabulary in
+    different order; shingle features keep them apart."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "theta eta zeta epsilon delta gamma beta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert tok[1] == tok[2]  # identical token multisets -> same sig
+    shg = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, feature="shingle", n=3).collect()
+    }
+    assert shg[1] != shg[2]  # different 3-gram sets -> different sigs
+
+
 def test_containment_catches_subset_docs(spark):
     from temporal_retriever_spark.llm.dedup import (
         ngram_containment_pairs,
