@@ -2711,21 +2711,72 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same gates, near-dedup path: MinHash-LSH candidates → exact
-    Jaccard verify → connected components → keep min-id per cluster.
-    Sub-quadratic end to end; the oracle recomputes the survivors with
-    the exact quadratic pairs + a recursive-CTE component closure."""
-    from temporal_retriever_spark.llm.corpus import prepare_corpus
+    """Corpus prep, near-dedup path: filters → MinHash-LSH candidates →
+    exact-Jaccard verify → connected components → keep min-id per
+    cluster — gated on the anchored sample (r7 conversion).
 
-    out = prepare_corpus(
-        _documents(spark, sf_dir).select("doc_id", "text"),
+    The old contract listed the surviving doc ids and recomputed them
+    in DuckDB with the full quadratic pairs + recursive component
+    closure: both recall-bound (one LSH-missed pair changes the keeper
+    set) and oracle-quadratic (604 s oracle timeout at sf1). The
+    scale-honest row keeps the FILTER stage exact (n_filtered is the
+    oracle-valued listing-strength check; the exact-dedup variant
+    `corpus_prep` still value-checks the full survivor listing) and
+    gates the near-dedup stage on the md5-anchor baseline over the
+    filtered docs:
+
+    * co_kept_pass — ≤10% of sampled true pairs survive with BOTH
+      endpoints kept (the dedup property, sampled);
+    * n_false_drop_anchor — dropped anchors with NO verified partner
+      in the complete anchored baseline (must be 0: every loser has an
+      exact-verified duplicate witness by construction).
+    """
+    from temporal_retriever_spark.llm.corpus import prepare_corpus
+    from temporal_retriever_spark.llm.dedup import anchored_exact_pairs
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    common = dict(
         min_chars=100,
         max_digit_ratio=0.3,
         langs=("en", "de", "es", "fr"),
-        dedup="near",
         jaccard_threshold=0.2,
     )
-    return out.select("doc_id", "lang_pred")
+    filtered = prepare_corpus(docs, dedup=None, **common).select("doc_id", "text")
+    kept = prepare_corpus(docs, dedup="near", **common).select("doc_id")
+    anchors = _md5_anchors(filtered, "doc_id")
+    sample = anchored_exact_pairs(filtered, anchors, n=3, threshold=0.2)
+    kept_a = kept.select(F.col("doc_id").alias("id_a"))
+    kept_b = kept.select(F.col("doc_id").alias("id_b"))
+    co_kept = sample.join(kept_a, on="id_a", how="left_semi").join(
+        kept_b, on="id_b", how="left_semi"
+    )
+    dropped_anchors = (
+        anchors.join(kept, on="doc_id", how="left_anti")
+        .select(F.col("doc_id"))
+    )
+    sampled_dup_ids = (
+        sample.select(F.col("id_a").alias("doc_id"))
+        .unionByName(sample.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    false_drops = dropped_anchors.join(sampled_dup_ids, on="doc_id", how="left_anti")
+    return (
+        filtered.agg(F.count("*").alias("n_filtered"))
+        .crossJoin(anchors.agg(F.count("*").alias("n_anchors")))
+        .crossJoin(sample.agg(F.count("*").alias("n_sample_pairs")))
+        .crossJoin(co_kept.agg(F.count("*").alias("_n_co")))
+        .crossJoin(false_drops.agg(F.count("*").alias("n_false_drop_anchor")))
+        .select(
+            "n_filtered",
+            "n_anchors",
+            "n_sample_pairs",
+            (
+                F.col("_n_co").cast("double")
+                <= F.lit(0.1) * F.col("n_sample_pairs").cast("double")
+            ).alias("co_kept_pass"),
+            "n_false_drop_anchor",
+        )
+    )
 
 
 _CORPUS_FILTER_CTES = """
@@ -2948,9 +2999,16 @@ def _corpus_prep_oracle() -> str:
 
 
 def _corpus_prep_near_oracle() -> str:
+    # Anchored gate mirror (r7): exact filter count + anchored true-pair
+    # sample over the FILTERED docs — linear at any SF (the old oracle's
+    # quadratic pairs + recursive closure hit the 600 s cap at sf1).
     ctes = _CORPUS_FILTER_CTES.format(lang_sql=_lang_id_oracle())
     return f"""
-    WITH RECURSIVE {ctes},
+    WITH {ctes},
+    anchors AS (
+        SELECT doc_id FROM f
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_ANCHOR_K}
+    ),
     toks AS (
         SELECT doc_id,
                string_split_regex(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS tokens
@@ -2966,31 +3024,25 @@ def _corpus_prep_near_oracle() -> str:
         FROM idx
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    ash AS (SELECT sh.* FROM sh JOIN anchors USING (doc_id)),
     inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+               GREATEST(a.doc_id, b.doc_id) AS id_b,
+               COUNT(DISTINCT a.shingle) AS n_inter
+        FROM ash a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
         GROUP BY 1, 2
     ),
-    pairs AS (
+    sample_pairs AS (
         SELECT id_a, id_b FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach(id, root) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
-    ),
-    clusters AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY 1)
-    SELECT f.doc_id, f.lang_pred
-    FROM f LEFT JOIN clusters c ON f.doc_id = c.id
-    WHERE c.id IS NULL OR f.doc_id = c.cluster_id
+    )
+    SELECT (SELECT COUNT(*) FROM f) AS n_filtered,
+           (SELECT COUNT(*) FROM anchors) AS n_anchors,
+           (SELECT COUNT(*) FROM sample_pairs) AS n_sample_pairs,
+           TRUE AS co_kept_pass,
+           CAST(0 AS BIGINT) AS n_false_drop_anchor
     """
 
 
