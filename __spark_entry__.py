@@ -1850,7 +1850,12 @@ _NEARDUP_COS_T = 0.35  # the synthetic embeddings have no true near-dups
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 embedding-cosine near-dup pairs, exact path (the oracle
-    mirror is a DuckDB list_cosine_similarity self-join)."""
+    mirror is a DuckDB list_cosine_similarity self-join).
+
+    O(n²)-BY-CONTRACT: this row deliberately pins the exact all-pairs
+    verifier (it times out at sf1 in the sweep ledger, by design). The
+    scale path is the LSH-blocked sibling, whose scale-honest anchored
+    gate is `embedding_near_dups_lsh`."""
     out = embedding_near_dup_pairs(
         _embeddings(spark, sf_dir), threshold=_NEARDUP_COS_T, method="exact"
     )
@@ -7062,7 +7067,11 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     core-core connected components (min-id labels), deterministic
     min-cluster border assignment. The oracle rebuilds the exact
     neighbor graph and replays the same rules with a recursive-CTE
-    component search."""
+    component search.
+
+    O(n²)-BY-CONTRACT: pins dbscan(method="exact") — the sf1 sweep
+    records its timeout by design. At corpus scale the same operator
+    runs with the k-means cell-blocked candidates frame."""
     from temporal_retriever_spark.llm.similarity import dbscan
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -12179,7 +12188,10 @@ def q_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — llm.similarity.lof. The oracle replays the full
     kdist / tie-inclusive neighborhood / reachability / lrd chain
     quadratically. At corpus scale the same operator takes a
-    bucket-join candidates frame (docstring contract)."""
+    bucket-join candidates frame (docstring contract).
+
+    O(n²)-BY-CONTRACT: pins the exact-pairs LOF; the sf1 sweep records
+    its timeout by design."""
     from temporal_retriever_spark.llm.similarity import lof
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
