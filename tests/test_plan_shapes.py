@@ -503,3 +503,41 @@ def test_mann_kendall_no_python_no_cartesian(spark, daily):
     assert "CartesianProduct" not in plan
     # per-series pair grid + three keyed joins: bounded exchange count
     assert _exchanges(plan) <= 9
+
+
+def test_anchored_exact_pairs_plan(spark, docs):
+    """The sampled-recall baseline (r7 gate contracts): anchor set is
+    broadcast into the shingle restriction, no CartesianProduct, no
+    Python — the whole baseline must stay a broadcast-semi + keyed
+    joins so it is linear in corpus size at any SF."""
+    from temporal_retriever_spark.llm.dedup import anchored_exact_pairs
+
+    anchors = docs.select("doc_id").limit(5)
+    plan = _plan(anchored_exact_pairs(docs, anchors, n=3, threshold=0.2))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_probe_exact_is_broadcast_not_cartesian(spark):
+    """probe-restricted exact pairs: the fixed-size probe side must be
+    the broadcast side of a nested-loop join (linear scan of the
+    corpus), never a CartesianProduct shuffle."""
+    import numpy as np
+
+    from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    probe = emb.select("vec_id").limit(4)
+    plan = _plan(
+        embedding_near_dup_pairs(
+            emb, threshold=0.5, method="exact", probe_ids=probe
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
