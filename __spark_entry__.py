@@ -1775,8 +1775,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     * n_sample_pairs / avg_jaccard_sample — anchored exact-Jaccard
       baseline (oracle value-matched, same CTEs as the MinHash gate);
     * capture_pass — EVERY sampled true pair whose shingle-feature
-      signatures are within max_hamming=10 appears in the emitted
-      output (the pigeonhole guarantee; exact, not probabilistic);
+      signatures are within max_hamming=6 appears in the emitted
+      output (the pigeonhole guarantee; exact, not probabilistic).
+      Radius 6 is the scale-sane configuration: 8 chunks of 8 bits →
+      16-bit composite sub-keys, so the blocking stays selective at
+      any corpus size, where radius 10's 5-bit chunks bound the
+      candidate rate at ~6% of ALL pairs (quadratic constant);
     * n_unsound_sample — emitted anchor-touching pairs absent from the
       complete anchored baseline (false positives; must be 0).
 
@@ -1793,7 +1797,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     anchors = _md5_anchors(docs, "doc_id")
     emitted = simhash_near_dups(
-        docs, n=3, max_hamming=10, threshold=0.2, feature="shingle"
+        docs, n=3, max_hamming=6, threshold=0.2, feature="shingle"
     ).select("id_a", "id_b")
     sample = anchored_exact_pairs(docs, anchors, n=3, threshold=0.2)
     sigs = simhash_signatures(docs, feature="shingle", n=3)
@@ -1806,7 +1810,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")),
             on="id_b",
         )
-        .filter(F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 10)
+        .filter(F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 6)
         .select("id_a", "id_b")
     )
     missed = in_radius.join(emitted, on=["id_a", "id_b"], how="left_anti")
@@ -1831,7 +1835,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(missed.agg(F.count("*").alias("_n_missed")))
         .crossJoin(unsound.agg(F.count("*").alias("n_unsound_sample")))
         .select(
-            F.lit(10).cast("integer").alias("max_hamming"),
+            F.lit(6).cast("integer").alias("max_hamming"),
             F.lit(0.2).alias("threshold"),
             "n_anchors",
             "n_sample_pairs",
@@ -4787,7 +4791,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _NEARDUP_COS_T
     emb = _embeddings(spark, sf_dir)
     anchors = _md5_anchors(emb, "vec_id")
-    sd = semantic_dedup(emb, threshold=t, n_clusters=8, max_iter=3, seed=42)
+    # cluster count scales with the corpus: fixed n_clusters makes the
+    # within-cluster pair generation quadratic (n/k)² per cluster — a
+    # scale trap at 100×. n/2500 keeps ~2.5k-vector cells; identical to
+    # the old constant 8 at both driver SFs and at sf1 (500/20k vecs).
+    n_vecs = emb.count()
+    sd = semantic_dedup(
+        emb,
+        threshold=t,
+        n_clusters=max(8, n_vecs // 2500),
+        max_iter=3,
+        seed=42,
+    )
     exact_anch = embedding_near_dup_pairs(
         emb, threshold=t, method="exact", probe_ids=anchors
     )
@@ -13804,7 +13819,7 @@ SELECT CAST(0.2 AS DOUBLE) AS threshold,
 
 _SIMHASH_GATE_ORACLE = f"""
 WITH {_ANCHORED_JACCARD_CTES}
-SELECT CAST(10 AS INTEGER) AS max_hamming,
+SELECT CAST(6 AS INTEGER) AS max_hamming,
        CAST(0.2 AS DOUBLE) AS threshold,
        (SELECT COUNT(*) FROM anchors) AS n_anchors,
        (SELECT COUNT(*) FROM sample_pairs) AS n_sample_pairs,

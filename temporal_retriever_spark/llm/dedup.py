@@ -604,7 +604,7 @@ def simhash_pairs(
     *,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bucket_cap: int = 2000,
+    bucket_cap: int = 128,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance — EXACT recall within
     the radius, sub-quadratic on replica-heavy corpora.
@@ -628,8 +628,11 @@ def simhash_pairs(
        members on every OTHER chunk: a within-d pair in a big bucket
        shares a second agreeing chunk, so it meets in exactly that
        sub-bucket — recall stays EXACT (this is why d+2 chunks, not
-       d+1), while a hot template bucket's Σcnt² drops by the spread
-       of the second chunk.
+       d+1), while a hot bucket's Σcnt² drops by the spread of the
+       second chunk. Break-even: for a bucket of m members, level-1
+       costs m² joined rows vs level-2's (n_chunks−1)·m²/2^chunk_bits
+       + (n_chunks−1)·m explode rows, so level-2 wins for any m beyond
+       a few × n_chunks — hence the small default cap.
 
     Hamming via ``bit_count(a XOR b)``. Scale note: the chunk key
     width is ``64 // (d+2)`` bits, so small radii (d ≤ 4 → ≥ 10-bit
