@@ -1141,11 +1141,33 @@ def _stream_tmp(prefix: str) -> str:
     * stale ``trs-*`` dirs left by earlier crashed/killed runs are
       swept eagerly — only when older than 2 hours, so a concurrently
       running sweep/pytest in another process is never touched.
+
+    ADVICE r7: the staleness test uses the NEWEST mtime from a shallow
+    walk of the dir, not the top-level mtime — checkpoint subdirectory
+    writes do not bump the parent dir's mtime, so a long-running
+    streamed query in another process looked "stale" while actively
+    writing micro-batches.
     """
     import atexit
     import shutil
     import tempfile
     import time as _time
+
+    def _newest_mtime(d: str) -> float:
+        newest = os.path.getmtime(d)
+        for sub_root, dirs, files in os.walk(d):
+            for name in dirs + files:
+                try:
+                    m = os.path.getmtime(os.path.join(sub_root, name))
+                except OSError:
+                    continue
+                if m > newest:
+                    newest = m
+            # shallow-ish: two levels is enough to see checkpoint
+            # offsets/commits activity without walking parquet parts
+            if sub_root.count(os.sep) - d.count(os.sep) >= 1:
+                dirs[:] = []
+        return newest
 
     root = tempfile.gettempdir()
     cutoff = _time.time() - 2 * 3600
@@ -1154,7 +1176,7 @@ def _stream_tmp(prefix: str) -> str:
             continue
         path = os.path.join(root, entry)
         try:
-            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+            if os.path.isdir(path) and _newest_mtime(path) < cutoff:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass
@@ -2734,8 +2756,9 @@ def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates the near-dedup stage on the md5-anchor baseline over the
     filtered docs:
 
-    * co_kept_pass — ≤10% of sampled true pairs survive with BOTH
-      endpoints kept (the dedup property, sampled);
+    * co_kept_pass — ≤(1 − _RECALL_BOUND) of sampled true pairs survive
+      with BOTH endpoints kept (the dedup property, sampled; same bound
+      the recall gates use so the thresholds move together);
     * n_false_drop_anchor — dropped anchors with NO verified partner
       in the complete anchored baseline (must be 0: every loser has an
       exact-verified duplicate witness by construction).
@@ -2781,7 +2804,8 @@ def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sample_pairs",
             (
                 F.col("_n_co").cast("double")
-                <= F.lit(0.1) * F.col("n_sample_pairs").cast("double")
+                <= F.lit(1.0 - _RECALL_BOUND)
+                * F.col("n_sample_pairs").cast("double")
             ).alias("co_kept_pass"),
             "n_false_drop_anchor",
         )
@@ -3015,8 +3039,7 @@ def _corpus_prep_near_oracle() -> str:
     return f"""
     WITH {ctes},
     anchors AS (
-        SELECT doc_id FROM f
-        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_ANCHOR_K}
+        {_sql_anchors("f", "doc_id")}
     ),
     toks AS (
         SELECT doc_id,
@@ -4870,8 +4893,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_ORACLE = f"""
 WITH anchors AS (
-    SELECT vec_id FROM embeddings
-    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_ANCHOR_K}
+    {_sql_anchors("embeddings", "vec_id")}
 )
 SELECT CAST({_NEARDUP_COS_T!r} AS DOUBLE) AS threshold,
        (SELECT count(*) FROM embeddings) AS n_total,
@@ -12510,6 +12532,36 @@ _DRIVER_GREEN = (
     # -- r6-green window (CORRECTNESS_r06) --
     "lm_perplexity_kn", "lm_perplexity_streamed", "media_decode_tiff",
     "markov_stationary_events", "markov_absorption_events",
+    # -- r7-green window (CORRECTNESS_r07) --
+    "cms_user_counts", "bloom_probe_customers", "hll_distinct_users",
+    "hist_quantiles_prices", "profile_orders", "calendar_features_days",
+    "mann_kendall_daily", "seasonal_mann_kendall_daily", "normalize_docs",
+    "prophet_map_forecast", "skew_salted_agg", "media_decode_gif",
+    "media_decode_flac", "dtw_daily", "matrix_profile_daily", "gmm_value",
+    "hmm_regimes_daily", "haar_daily", "sax_daily", "lof_embeddings",
+    "friedman_user_event", "fisher_exact_clicks", "keyness_by_source",
+    "trend_test_daily", "wilcoxon_user_halves", "mantel_haenszel_users",
+    "spearman_docs", "mcnemar_user_halves", "residual_dw_jb",
+    "decomp_strength", "reconcile_topdown", "kendall_docs", "gains_table",
+    "pii_redact", "anomaly_seasonal_weekly", "cohort_retention_weekly",
+    "lag_features_daily", "rolling_distinct_users", "contamination_5gram",
+    "forecast_theta_daily", "sq8_codes", "media_probe",
+    "ks_click_view_dow", "mwu_chars_en_de", "chi2_event_dow",
+    "prop_ztest_dow", "psi_value_purchase_error", "welch_click_view_dow",
+    "kw_value_event_dow", "cuped_user_halves",
+)
+
+# Names whose engine contract AND oracle were rewritten in r7 (anchored
+# soundness+recall gate forms) after their driver-green rows were recorded
+# against the old contracts (ADVICE r7 item 1).  They stay in
+# _DRIVER_GREEN — the rotation-guard invariant is "every recorded-green
+# name is in the ledger" — but queries() sorts them FIRST within the green
+# section, so the moment the fresh pool is exhausted (expected r9, after
+# CORRECTNESS_r08 lands the final 50 first-timers) the driver window
+# re-verifies the rewritten gate forms before any other green row.
+_REVERIFY_PRIORITY = (
+    "minhash_near_dups", "simhash_pairs", "dup_clusters_lsh",
+    "embedding_near_dups_lsh", "corpus_prep_near", "semantic_dedup_gate",
 )
 
 
@@ -12866,7 +12918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation: demote keys that already hold driver-green rows so the
     # first 50 entries (the driver's sample window) are all first-timers.
     green_set = set(_DRIVER_GREEN)
-    green = [k for k in base if k in green_set]
+    # Contract-rewritten gates lead the green section so they re-earn
+    # driver evidence first once the fresh pool is exhausted (ADVICE r7).
+    reverify = [k for k in _REVERIFY_PRIORITY if k in base and k in green_set]
+    green = reverify + [
+        k for k in base if k in green_set and k not in set(reverify)
+    ]
     fresh = [k for k in base if k not in green_set]
     # r7 priority promotion (VERDICT r6 item 1): whole families with zero
     # driver evidence — sketches, profiling, trend tests, prophet MAP,
@@ -13761,8 +13818,7 @@ _EXACT_JACCARD_SQL = """
 # would otherwise double its intersection.
 _ANCHORED_JACCARD_CTES = f"""
     anchors AS (
-        SELECT doc_id FROM documents
-        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_ANCHOR_K}
+        {_sql_anchors("documents", "doc_id")}
     ),
     toks AS (
         SELECT doc_id,
@@ -15176,8 +15232,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups_lsh": f"""
             WITH anchors AS (
-                SELECT vec_id FROM embeddings
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_ANCHOR_K}
+                {_sql_anchors("embeddings", "vec_id")}
             ),
             av AS (SELECT e.* FROM embeddings e JOIN anchors USING (vec_id)),
             p AS (

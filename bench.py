@@ -181,25 +181,65 @@ def materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+# A busy host inflates medians 1.3-2x (VERDICT r7: the 16.46s artifact
+# needed BASELINE.md forensics to dismiss as load, not plans). The
+# artifact should be judgeable alone: record loadavg, and if the box is
+# busy at start, wait once for it to drain before timing anything.
+LOAD1_QUIET = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_QUIET", "4"))
+LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120"))
+
+
+def _wait_for_quiet_box() -> dict:
+    """If load1 > LOAD1_QUIET at start, poll up to LOAD_WAIT_SEC for it
+    to drain (one retry window, then proceed regardless — the artifact
+    records the load either way so the reader can tell)."""
+    start = _load1()
+    info = {"load1_start": start, "waited_sec": 0, "load1_after_wait": start}
+    if start <= LOAD1_QUIET or start < 0:
+        return info
+    print(f"# load1={start} > {LOAD1_QUIET}: waiting up to "
+          f"{LOAD_WAIT_SEC}s for a quiet box", file=sys.stderr)
+    t0 = time.time()
+    while time.time() - t0 < LOAD_WAIT_SEC:
+        time.sleep(10)
+        if _load1() <= LOAD1_QUIET:
+            break
+    info["waited_sec"] = round(time.time() - t0, 1)
+    info["load1_after_wait"] = _load1()
+    return info
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
     from temporal_retriever_spark.session import get_spark
 
+    load_info = _wait_for_quiet_box()
     spark = get_spark("trs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = build_queries(spark)
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
     for name, build in queries.items():
         samples = []
+        sample_loads = []
         for _ in range(RUNS):
+            sample_loads.append(_load1())
             t0 = time.time()
             materialize(build())
             samples.append(time.time() - t0)
         times[name] = round(statistics.median(samples), 3)
         runs[name] = [round(s, 3) for s in samples]
-        print(f"# {name}: {times[name]}s (runs: {[round(s,2) for s in samples]})",
-              file=sys.stderr)
+        loads[name] = sample_loads
+        print(f"# {name}: {times[name]}s (runs: {[round(s,2) for s in samples]}, "
+              f"load1: {sample_loads})", file=sys.stderr)
     b7 = run_analyze_bench(spark)
     if b7 is not None:
         med, samples = b7
@@ -221,6 +261,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "runs": runs,
+        "loads": loads,
+        "loadavg": {**load_info, "load1_end": _load1()},
         "sf": sf_val,
     }
     print(json.dumps(result))

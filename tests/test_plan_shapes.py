@@ -541,3 +541,89 @@ def test_embedding_probe_exact_is_broadcast_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Python" not in plan
+
+
+def test_cdc_flatten_pre_shuffle_window_group_limit(spark, user_events):
+    from temporal_retriever_spark.history import apply_cdc
+
+    changelog = user_events.select(
+        "user_id",
+        "ts",
+        F.monotonically_increasing_id().alias("event_id"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.lit(1.0).alias("value"),
+    )
+    plan = _plan(apply_cdc(changelog, keys=["user_id"], ts_col="ts",
+                           seq_col="event_id"))
+    # last-writer-wins = rank-1 per key: partial (map-side) + final
+    # WindowGroupLimit so only ~|keys| rows cross the single exchange —
+    # the property that keeps a 100 TB changelog flatten shuffle-light
+    assert plan.count("WindowGroupLimit") == 2
+    assert _exchanges(plan) == 1
+    assert "Python" not in plan
+
+
+def test_streaming_bucket_aggregate_stateful_replay_parity(spark):
+    """Replay-parity pin for the bucket_hour_streamed contract row: the
+    chunked replay must run a StateStoreSave stateful aggregation (state
+    merges buckets straddling micro-batch boundaries), terminate inside
+    the cap (fail-loud, never a partial sink), and hash-match batch."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from temporal_retriever_spark.aggregate import bucket_aggregate
+    from temporal_retriever_spark.streaming import streaming_bucket_aggregate
+
+    d = tempfile.mkdtemp(prefix="trs-bstream-pin-")
+    try:
+        rows = [
+            ("click", f"2024-01-01 0{h}:{m:02d}:00", float(h * 60 + m))
+            for h in range(4)
+            for m in (1, 31, 59)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_type string, ds string, y double"
+        ).select("event_type", F.col("ds").cast("timestamp").alias("ds"), "y")
+        a, b = ev.randomSplit([0.5, 0.5], seed=7)
+        a.write.parquet(f"{d}/in/chunk=0")
+        b.write.parquet(f"{d}/in/chunk=1")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in/chunk=*")
+        )
+        agged = streaming_bucket_aggregate(
+            stream, grain="H", agg="sum", series_cols=("event_type",),
+            watermark="3650 days",
+        )
+        qname = f"pin_bstream_{uuid.uuid4().hex[:8]}"
+        q = (
+            agged.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        assert q.exception() is None
+        assert finished, "replay did not terminate: partial sink"
+        progress = q.lastProgress
+        ops = [s["operatorName"] for s in progress["stateOperators"]]
+        assert "stateStoreSave" in ops, ops
+        got = {
+            (r["event_type"], str(r["ds"])): r["y"]
+            for r in spark.table(qname).collect()
+        }
+        want = {
+            (r["event_type"], str(r["ds"])): r["y"]
+            for r in bucket_aggregate(
+                ev, grain="H", agg="sum", series_cols=("event_type",)
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,91 @@
+"""Guard for the streamed-row temp-dir lifecycle (`_stream_tmp`):
+queries() execution must leave /tmp clean — this process's `trs-*` dirs
+are atexit-reaped, stale dirs from dead runs are swept, and (ADVICE r7)
+a dir whose CHECKPOINT SUBDIRS are still being written is never treated
+as stale just because its top-level mtime is old."""
+
+from __future__ import annotations
+
+import atexit
+import importlib.util
+import os
+import shutil
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_streamtmp_test", os.path.join(_REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _age(path: str, hours: float) -> None:
+    old = time.time() - hours * 3600
+    os.utime(path, (old, old))
+
+
+def test_stream_tmp_sweeps_stale_keeps_active_and_registers_atexit():
+    mod = _entry_module()
+    root = tempfile.gettempdir()
+
+    stale = tempfile.mkdtemp(prefix="trs-guardtest-stale-")
+    os.makedirs(os.path.join(stale, "ckpt"))
+    _age(os.path.join(stale, "ckpt"), 3)
+    _age(stale, 3)
+
+    # ADVICE r7 case: top-level mtime old, but a checkpoint subdir file
+    # written seconds ago — an uncapped streamed query in ANOTHER process
+    # is mid-run; the sweep must not delete its checkpoint.
+    active = tempfile.mkdtemp(prefix="trs-guardtest-active-")
+    ckpt = os.path.join(active, "ckpt")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "offsets"), "w") as fh:
+        fh.write("0")
+    _age(active, 3)  # parent mtime does NOT update on subdir writes
+
+    fresh = tempfile.mkdtemp(prefix="trs-guardtest-fresh-")
+
+    try:
+        made = mod._stream_tmp("trs-guardtest-new-")
+        assert os.path.isdir(made)
+        assert not os.path.exists(stale), "stale trs-* dir not swept"
+        assert os.path.exists(active), (
+            "dir with recent checkpoint-subdir writes was swept (top-level "
+            "mtime is not the staleness signal)"
+        )
+        assert os.path.exists(fresh), "fresh trs-* dir swept"
+        # the new dir must be registered for atexit removal so the
+        # process exits with /tmp clean (the 'queries() leaves /tmp
+        # clean' contract — removal mid-function would race the lazy
+        # memory sink, so exit-time is the correct reap point)
+        reg = [
+            (fn, args)
+            for fn, args, _ in getattr(atexit, "_exithandlers", [])
+            if args and args[0] == made
+        ]
+        if hasattr(atexit, "_exithandlers"):
+            assert reg and reg[0][0] is shutil.rmtree
+        else:  # CPython>=3.13 hides the handler list: reap manually
+            shutil.rmtree(made, ignore_errors=True)
+    finally:
+        for d in (stale, active, fresh):
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(made, ignore_errors=True)
+
+
+def test_stream_tmp_prefixes_cover_every_streamed_row():
+    """Every _stream_tmp call site uses a trs- prefix (the sweep and the
+    atexit reaper only see trs-*), so no streamed row can leak under a
+    different name."""
+    with open(os.path.join(_REPO, "__spark_entry__.py")) as fh:
+        src = fh.read()
+    import re
+
+    for m in re.finditer(r"_stream_tmp\(\s*\"([^\"]+)\"", src):
+        assert m.group(1).startswith("trs-"), m.group(1)
