@@ -375,10 +375,20 @@ def embedding_near_dup_pairs(
     if probe_ids is not None:
         pcol = probe_ids.columns[0]
         probe = probe_ids.select(F.col(pcol).alias(id_col)).distinct()
+    cos_floor = F.lit(float(threshold))
     if method == "exact":
         if probe is not None:
             # probe vectors × all vectors: one broadcast of the fixed-size
             # probe side, one linear scan of the corpus — no self-join.
+            # Cosine + the threshold filter run INSIDE the broadcast-join
+            # stage, so the only rows that ever reach an exchange are the
+            # few survivors. (The earlier form pair-deduped the full
+            # |probe|×n stream WITH both vectors attached — a wide
+            # shuffle that grows |probe|·n·vec_bytes: ~110 GB at the
+            # sf10 gate run, measured as a disk-full abort. cosine(x, y)
+            # is bit-identical in either orientation — per-dim products
+            # commute, the reduction order is the dim order — so
+            # dedup-after-score keeps the exact same pair set.)
             pv = df.join(F.broadcast(probe), on=id_col, how="left_semi")
             raw = (
                 df.select(F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov"))
@@ -391,18 +401,12 @@ def embedding_near_dup_pairs(
                 )
                 .filter(F.col("_pid") != F.col("_oid"))
             )
-            # cosine(x, y) is bit-identical in either orientation (per-dim
-            # products commute, the reduction order is the dim order), so
-            # normalizing ids then distinct-ing keeps one row per pair.
-            pairs = (
-                raw.select(
-                    F.least("_pid", "_oid").alias("left_id"),
-                    F.greatest("_pid", "_oid").alias("right_id"),
-                    F.col("_pv").alias("_lv"),
-                    F.col("_ov").alias("_rv"),
-                )
-                .dropDuplicates(["left_id", "right_id"])
-            )
+            scored = raw.select(
+                F.least("_pid", "_oid").alias("left_id"),
+                F.greatest("_pid", "_oid").alias("right_id"),
+                cosine_similarity_expr("_pv", "_ov").alias("cosine"),
+            ).filter(F.col("cosine") >= cos_floor)
+            return scored.dropDuplicates(["left_id", "right_id"])
         else:
             left = df.select(
                 F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")
@@ -438,7 +442,16 @@ def embedding_near_dup_pairs(
         if probe is not None:
             # probe cells × all cells: the bucket self-join (the part
             # that can go quadratic when buckets are shallow or skewed)
-            # shrinks to |probe|·tables bucket lookups.
+            # shrinks to |probe|·tables bucket lookups. The candidate
+            # stream stays THIN (two ids) through every exchange: the
+            # corpus vector attaches in the reduce stage of the _oid
+            # join, the probe vector attaches from a broadcast of the
+            # fixed-size probe set (never a shuffle), and cosine + the
+            # threshold filter run in that same stage — the wide rows
+            # never reach an exchange. (The earlier two-row-preserving-
+            # join attach shuffled candidate×vec_bytes — with shallow
+            # gate buckets, ~|probe|·n wide rows: the other half of the
+            # sf10 disk-full abort.)
             pcells = cells.join(F.broadcast(probe), on=id_col, how="left_semi")
             cand = (
                 pcells.select(F.col(id_col).alias("_pid"), "_table", "_bucket")
@@ -447,12 +460,33 @@ def embedding_near_dup_pairs(
                     on=["_table", "_bucket"],
                 )
                 .filter(F.col("_pid") != F.col("_oid"))
+                .select("_pid", "_oid")
+                .distinct()
+            )
+            pv = df.join(F.broadcast(probe), on=id_col, how="left_semi")
+            scored = (
+                cand.join(
+                    df.select(
+                        F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov")
+                    ),
+                    on="_oid",
+                )
+                .join(
+                    F.broadcast(
+                        pv.select(
+                            F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
+                        )
+                    ),
+                    on="_pid",
+                )
                 .select(
                     F.least("_pid", "_oid").alias("left_id"),
                     F.greatest("_pid", "_oid").alias("right_id"),
+                    cosine_similarity_expr("_pv", "_ov").alias("cosine"),
                 )
-                .distinct()
+                .filter(F.col("cosine") >= cos_floor)
             )
+            return scored.dropDuplicates(["left_id", "right_id"])
         else:
             cand = (
                 cells.select(

@@ -627,3 +627,50 @@ def test_streaming_bucket_aggregate_stateful_replay_parity(spark):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _formatted_exchanges(df) -> list[str]:
+    """Formatted-explain Exchange blocks (each lists its Input columns)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    s = df._jdf.queryExecution().explainString(mode)
+    return [
+        b for b in s.split("\n\n")
+        if b.strip().startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+
+
+def test_embedding_probe_paths_never_shuffle_wide_pairs(spark):
+    """The r8 sf10 disk-full root cause, pinned: in both probe-anchored
+    paths of embedding_near_dup_pairs, no exchange may carry PAIR rows
+    with vector payloads — candidates shuffle as two thin ids, the
+    corpus vector attaches in the reduce stage, the probe vector comes
+    from a broadcast, and cosine+threshold filter before the dedup. The
+    only exchange allowed to contain a vector column is the linear
+    corpus-side attach (one id + one vector)."""
+    import random
+
+    from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs
+
+    random.seed(1)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = df.select("vec_id").limit(8)
+    for method, kwargs in (
+        ("lsh", dict(n_planes=2, n_tables=4, dim=8)),
+        ("exact", {}),
+    ):
+        out = embedding_near_dup_pairs(
+            df, threshold=0.3, method=method, probe_ids=probe, **kwargs
+        )
+        for block in _formatted_exchanges(out):
+            header, input_line = block.splitlines()[0], block.splitlines()[1]
+            vec_cols = [
+                c for c in ("_ov", "_pv", "_lv", "_rv", "embedding")
+                if c in input_line
+            ]
+            n_inputs = int(input_line.split("[")[1].split("]")[0])
+            assert not (vec_cols and n_inputs > 2), (
+                f"{method}: wide pair shuffle — exchange carries "
+                f"{vec_cols} with {n_inputs} columns:\n{block}"
+            )
