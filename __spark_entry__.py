@@ -1607,10 +1607,13 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     anchors = _md5_anchors(docs, "doc_id")
+    # persist: both thin pair sets feed 2-3 consumers each, and their
+    # expensive verify stages sit above the last shuffle boundary (so
+    # ReuseExchange alone would re-verify per consumer).
     lsh = near_dup_pairs_verified(
         docs, n=3, num_hashes=32, num_bands=8, threshold=0.2
-    ).select("id_a", "id_b")
-    sample = anchored_exact_pairs(docs, anchors, n=3, threshold=0.2)
+    ).select("id_a", "id_b").persist()
+    sample = anchored_exact_pairs(docs, anchors, n=3, threshold=0.2).persist()
     lsh_anchored = lsh.join(
         F.broadcast(anchors.select(F.col("doc_id"))),
         on=(F.col("id_a") == F.col("doc_id")) | (F.col("id_b") == F.col("doc_id")),
@@ -1742,7 +1745,8 @@ def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, num_hashes=32, num_bands=8, threshold=0.2
     )
     clusters = duplicate_clusters(pairs, method="star")
-    sample = anchored_exact_pairs(docs, anchors, n=3, threshold=0.2)
+    # persist: two consumers above a shuffle-free verify tail
+    sample = anchored_exact_pairs(docs, anchors, n=3, threshold=0.2).persist()
     ca = clusters.select(
         F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_c_a")
     )
@@ -1818,11 +1822,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     anchors = _md5_anchors(docs, "doc_id")
+    # persist: emitted (3 consumers), sample (2) and sigs (2) are thin
+    # id/pair/signature frames whose producing stages sit above the
+    # last exchange and would re-run per consumer.
     emitted = simhash_near_dups(
         docs, n=3, max_hamming=6, threshold=0.2, feature="shingle"
-    ).select("id_a", "id_b")
-    sample = anchored_exact_pairs(docs, anchors, n=3, threshold=0.2)
-    sigs = simhash_signatures(docs, feature="shingle", n=3)
+    ).select("id_a", "id_b").persist()
+    sample = anchored_exact_pairs(docs, anchors, n=3, threshold=0.2).persist()
+    sigs = simhash_signatures(docs, feature="shingle", n=3).persist()
     in_radius = (
         sample.join(
             sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")),
@@ -1917,9 +1924,13 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays linear even where full LSH at this weak threshold (θ≈69°,
     # shallow 2-plane buckets) would go quadratic. Recall measured on
     # anchor pairs is an unbiased estimate of overall recall.
+    # persist: the exact baseline has no shuffle boundary above the
+    # broadcast cosine scan, so its three consumers below (count, hits,
+    # unsound) would each recompute the full |probe|×n pass; the
+    # survivor set itself is a few hundred thin rows.
     exact = embedding_near_dup_pairs(
         emb, threshold=_NEARDUP_COS_T, method="exact", probe_ids=anchors
-    ).select("left_id", "right_id")
+    ).select("left_id", "right_id").persist()
     lsh = embedding_near_dup_pairs(
         emb,
         threshold=_NEARDUP_COS_T,
@@ -2774,9 +2785,13 @@ def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.2,
     )
     filtered = prepare_corpus(docs, dedup=None, **common).select("doc_id", "text")
-    kept = prepare_corpus(docs, dedup="near", **common).select("doc_id")
+    # persist: kept (3 consumers) and sample (3) are id/pair frames
+    # whose near-dedup / exact-verify stages would re-run per consumer.
+    kept = prepare_corpus(docs, dedup="near", **common).select("doc_id").persist()
     anchors = _md5_anchors(filtered, "doc_id")
-    sample = anchored_exact_pairs(filtered, anchors, n=3, threshold=0.2)
+    sample = anchored_exact_pairs(
+        filtered, anchors, n=3, threshold=0.2
+    ).persist()
     kept_a = kept.select(F.col("doc_id").alias("id_a"))
     kept_b = kept.select(F.col("doc_id").alias("id_b"))
     co_kept = sample.join(kept_a, on="id_a", how="left_semi").join(
@@ -4829,6 +4844,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_anch = embedding_near_dup_pairs(
         emb, threshold=t, method="exact", probe_ids=anchors
     )
+    # persist: two consumers (count + the drop left_semi) sit above the
+    # shuffle-free broadcast cosine scan; the anchor-id set is ≤512 rows.
     droppable_anchor = (
         exact_anch.join(
             F.broadcast(anchors.select(F.col("vec_id").alias("right_id"))),
@@ -4837,6 +4854,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("right_id").alias("vec_id"))
         .distinct()
+        .persist()
     )
     drops = sd.filter(~F.col("keep"))
     drops_anch = drops.join(F.broadcast(anchors), on="vec_id", how="left_semi")

@@ -390,9 +390,21 @@ def embedding_near_dup_pairs(
             # commute, the reduction order is the dim order — so
             # dedup-after-score keeps the exact same pair set.)
             pv = df.join(F.broadcast(probe), on=id_col, how="left_semi")
+            # The |probe|×n cosine pass is compute-bound and pipelined
+            # (no shuffle above it), so its parallelism is the SOURCE
+            # scan's — and a single ~100 MB parquet file is one
+            # partition, serializing the whole pass (measured at the
+            # sf10 gate: two-task stages pegged for 15+ min). Spread a
+            # low-partition corpus first; the exchange moves only
+            # (id, vector) rows, linear and tiny next to the scan work.
+            corpus = df.select(
+                F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov")
+            )
+            want = df.sparkSession.sparkContext.defaultParallelism
+            if corpus.rdd.getNumPartitions() < want:
+                corpus = corpus.repartition(want)
             raw = (
-                df.select(F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov"))
-                .crossJoin(
+                corpus.crossJoin(
                     F.broadcast(
                         pv.select(
                             F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
