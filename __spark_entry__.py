@@ -4828,6 +4828,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _NEARDUP_COS_T
     emb = _embeddings(spark, sf_dir)
+    # Spread a low-partition source before the compute-bound passes
+    # (Lloyd iterations, within-cluster cosine legs, witness joins all
+    # inherit the scan's parallelism — one ~100 MB parquet file means
+    # ONE task; measured serial at the sf10 gate run).
+    want = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < want:
+        emb = emb.repartition(want)
     anchors = _md5_anchors(emb, "vec_id")
     # cluster count scales with the corpus: fixed n_clusters makes the
     # within-cluster pair generation quadratic (n/k)² per cluster — a
