@@ -12574,6 +12574,27 @@ _DRIVER_GREEN = (
     "ks_click_view_dow", "mwu_chars_en_de", "chi2_event_dow",
     "prop_ztest_dow", "psi_value_purchase_error", "welch_click_view_dow",
     "kw_value_event_dow", "cuped_user_halves",
+    # -- r8-green window (CORRECTNESS_r08) — the final 50 first-timers;
+    # the fresh pool is now exhausted, so the r9 window re-verifies the
+    # _REVERIFY_PRIORITY gates first, then other green rows in order --
+    "acf_bartlett_daily", "adf_daily", "anomaly_robust_daily",
+    "asof_join_forward", "backtest_daily", "boxcox_value",
+    "bucket_hour_streamed", "c4_clean", "cdc_user_state",
+    "classifier_eval", "containment_pairs", "corpus_sample_k",
+    "corpus_sample_stratified", "corpus_split",
+    "detect_seasonality_daily", "doc_chunks", "embedding_outliers",
+    "forecast_ar_daily", "forecast_baselines_daily",
+    "forecast_ensemble_daily", "forecast_hw_daily",
+    "garch_forecast_daily", "gini_concentration", "gopher_filter",
+    "gopher_repetition", "hurst_hourly", "hybrid_rrf_topk",
+    "interval_join_hours", "ivfpq_cosine_topk", "kalman_forecast_daily",
+    "kappa_lang_raters", "key_skew_events", "kpss_daily",
+    "lm_perplexity_prune", "media_audio_spectrum", "media_exif",
+    "mixture_apply", "pii_scrub", "pool_embeddings", "quality_prune",
+    "residual_whiteness", "rolling_origin_daily",
+    "rolling_quantile_daily", "rolling_time_window",
+    "seq_patterns_events", "series_corr_daily", "tfidf_topk",
+    "ts_features_daily", "winsorize_daily", "woe_iv_events",
 )
 
 # Names whose engine contract AND oracle were rewritten in r7 (anchored
