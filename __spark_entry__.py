@@ -1525,24 +1525,32 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VARCHAR)) — deterministic, engine-agnostic (Spark F.md5 == DuckDB
 # md5), and fixed-size, so the exact baseline costs K·n at any SF
 # instead of n².
+#
+# Cache discipline: gate queries persist() their thin multi-consumer
+# frames (pair/id sets whose verify stages sit above the last shuffle
+# boundary) and deliberately do NOT unpersist — the single driver
+# action happens outside the query function, and the blocks are
+# evictable MEMORY_AND_DISK scoped to a ≤50-query driver session
+# (ADVICE r8). Long single-session sweeps clear between queries
+# (tools/contract_sweep.py calls spark.catalog.clearCache()).
 _ANCHOR_K = 512
 _RECALL_BOUND = 0.9  # measured LSH recall: 1.0 at sf≤0.1, 0.996 at sf1
 
 
-def _md5_anchors(df: DataFrame, id_col: str) -> DataFrame:
+def _md5_anchors(df: DataFrame, id_col: str, k: int = _ANCHOR_K) -> DataFrame:
     return (
         df.select(id_col)
         .withColumn("_h", F.md5(F.col(id_col).cast("string")))
         .orderBy("_h", id_col)
-        .limit(_ANCHOR_K)
+        .limit(k)
         .select(id_col)
     )
 
 
-def _sql_anchors(table: str, id_col: str) -> str:
+def _sql_anchors(table: str, id_col: str, k: int = _ANCHOR_K) -> str:
     return (
         f"SELECT {id_col} FROM {table} "
-        f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {_ANCHOR_K}"
+        f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {k}"
     )
 
 
@@ -1882,15 +1890,23 @@ _NEARDUP_COS_T = 0.35  # the synthetic embeddings have no true near-dups
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 embedding-cosine near-dup pairs, exact path (the oracle
-    mirror is a DuckDB list_cosine_similarity self-join).
+    """§2.10 embedding-cosine near-dup pairs, exact path — ANCHORED
+    pair listing (r9 contract conversion, VERDICT r8 item 2).
 
-    O(n²)-BY-CONTRACT: this row deliberately pins the exact all-pairs
-    verifier (it times out at sf1 in the sweep ledger, by design). The
-    scale path is the LSH-blocked sibling, whose scale-honest anchored
-    gate is `embedding_near_dups_lsh`."""
+    The r8 form pinned the full all-pairs verifier: O(n²)-by-contract,
+    a deliberate sf1 sweep timeout. This form keeps the VALUE-EXACT
+    pair listing — every (left_id, right_id, cosine) is individually
+    hash-checked against the DuckDB list_cosine_similarity mirror, a
+    stronger check than the count-gates — but restricts it to pairs
+    touching the _ANCHOR_K smallest-md5 vectors, so both sides are one
+    broadcast |anchors|×n pass: LINEAR in corpus size at any SF.
+    The exact-cosine math is exercised identically (probe orientation
+    is bit-identical: per-dim products commute); corpus-wide recall of
+    the scale path is gated by `embedding_near_dups_lsh`."""
+    emb = _embeddings(spark, sf_dir)
+    anchors = _md5_anchors(emb, "vec_id")
     out = embedding_near_dup_pairs(
-        _embeddings(spark, sf_dir), threshold=_NEARDUP_COS_T, method="exact"
+        emb, threshold=_NEARDUP_COS_T, method="exact", probe_ids=anchors
     )
     return out.select(
         "left_id",
@@ -2817,10 +2833,13 @@ def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_filtered",
             "n_anchors",
             "n_sample_pairs",
+            # integer compare: n_co / n_sample ≤ (1 - bound) without FP
+            # boundary drift (ADVICE r8: 1.0 - 0.9 = 0.09999…98 in
+            # floating point was strictly tighter at an exact-10% edge)
             (
-                F.col("_n_co").cast("double")
-                <= F.lit(1.0 - _RECALL_BOUND)
-                * F.col("n_sample_pairs").cast("double")
+                F.col("_n_co") * F.lit(100)
+                <= F.col("n_sample_pairs")
+                * F.lit(round((1.0 - _RECALL_BOUND) * 100))
             ).alias("co_kept_pass"),
             "n_false_drop_anchor",
         )
@@ -4828,19 +4847,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _NEARDUP_COS_T
     emb = _embeddings(spark, sf_dir)
+    n_vecs = emb.count()
     # Spread a low-partition source before the compute-bound passes
     # (Lloyd iterations, within-cluster cosine legs, witness joins all
     # inherit the scan's parallelism — one ~100 MB parquet file means
-    # ONE task; measured serial at the sf10 gate run).
+    # ONE task; measured serial at the sf10 gate run: 974 s → 409.9 s
+    # after the spread). The guard is ROWS-PER-PARTITION, not partition
+    # count (VERDICT r8 item 3): below ~50k rows/task the serial
+    # per-row compute (k·dim per Lloyd assign) is seconds, while the
+    # exchange is re-paid by every consumer of the subplan — measured
+    # +88 s at sf1 (20k vectors) for zero parallelism benefit.
     want = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < want:
+    parts = emb.rdd.getNumPartitions()
+    if parts < want and n_vecs // max(parts, 1) > 50_000:
         emb = emb.repartition(want)
     anchors = _md5_anchors(emb, "vec_id")
     # cluster count scales with the corpus: fixed n_clusters makes the
     # within-cluster pair generation quadratic (n/k)² per cluster — a
     # scale trap at 100×. n/2500 keeps ~2.5k-vector cells; identical to
     # the old constant 8 at both driver SFs and at sf1 (500/20k vecs).
-    n_vecs = emb.count()
     sd = semantic_dedup(
         emb,
         threshold=t,
@@ -7124,69 +7149,149 @@ def _psm_oracle(iters: int = 6, lr: float = 0.5) -> str:
 
 
 def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN over the embeddings table (llm.similarity.dbscan):
-    cosine-ball neighborhoods, core points by min_pts, clusters as
-    core-core connected components (min-id labels), deterministic
-    min-cluster border assignment. The oracle rebuilds the exact
-    neighbor graph and replays the same rules with a recursive-CTE
-    component search.
+    """DBSCAN over the embeddings table — ANCHORED core gate (r9
+    contract conversion, VERDICT r8 item 2).
 
-    O(n²)-BY-CONTRACT: pins dbscan(method="exact") — the sf1 sweep
-    records its timeout by design. At corpus scale the same operator
-    runs with the k-means cell-blocked candidates frame."""
+    The r8 form ran dbscan(method="exact") end-to-end and replayed the
+    full graph in a recursive DuckDB CTE: O(n²)-by-contract (sf1 sweep
+    timeout by design) — and unlike k-NN operators the ε-ball graph is
+    irreducibly quadratic at a fixed cosine threshold (neighborhood
+    size grows ∝ n: measured avg anchor degree 151 at sf1, so even
+    2-hop anchoring is Θ(deg·n) = Θ(n²)). The scale-honest linear form
+    value-checks what IS linear and gates the rest:
+
+    * n_anchors / n_core_anchors / avg_nb — exact 1-hop degrees of the
+      _ANCHOR_K smallest-md5 anchors (one broadcast |anchors|×n pass),
+      value-checked against DuckDB's identical computation. Core-ness
+      is a pure degree predicate (deg+1 ≥ min_pts), so this checks the
+      operator's core rule exactly on the anchor sample.
+    * core_match — the REAL dbscan operator, run on the anchored pair
+      frame (probe_ids= hook, linear), must label exactly the
+      exact-core anchors as core: anchor degrees in the anchored graph
+      are complete, so any disagreement is an operator bug (oracle
+      pins TRUE).
+    * cluster_edge_consistent — any two anchors that are direct
+      neighbors and both core must share a cluster label in the
+      operator output (direct core-core edges always merge; checks the
+      star-contraction clusterer; oracle pins TRUE).
+
+    Full-graph cluster labels at sf0.001/0.01 remain pinned by
+    tests/test_similarity.py against a NetworkX-free reference replay.
+    """
     from temporal_retriever_spark.llm.similarity import dbscan
 
+    threshold, min_pts = 0.3, 4
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    got = dbscan(emb, threshold=0.3, min_pts=4, method="exact")
-    return got.orderBy("vec_id")
+    anchors = _md5_anchors(emb, "vec_id")
+    # persist: the anchored pair set feeds the degree agg, the dbscan
+    # run, and the consistency gate; it is thin (two ids) and its
+    # |anchors|×n verify pass sits above the last shuffle boundary.
+    apairs = (
+        embedding_near_dup_pairs(
+            emb, threshold=threshold, method="exact", probe_ids=anchors
+        )
+        .select("left_id", "right_id")
+        .persist()
+    )
+    ends = apairs.select(F.col("left_id").alias("vec_id")).unionAll(
+        apairs.select(F.col("right_id").alias("vec_id"))
+    )
+    deg = (
+        anchors.join(
+            ends.groupBy("vec_id").agg(F.count("*").alias("_d")),
+            on="vec_id",
+            how="left",
+        )
+        .select("vec_id", F.coalesce("_d", F.lit(0)).alias("_deg"))
+        .persist()
+    )
+    roles = dbscan(
+        emb, threshold=threshold, min_pts=min_pts, method="exact",
+        probe_ids=anchors,
+    ).join(F.broadcast(anchors), on="vec_id", how="left_semi").persist()
+    mism = (
+        deg.join(roles, on="vec_id")
+        .filter(
+            (F.col("_deg") + 1 >= min_pts) != (F.col("role") == "core")
+        )
+    )
+    aa = apairs.join(
+        F.broadcast(anchors.select(F.col("vec_id").alias("left_id"))), "left_id"
+    ).join(
+        F.broadcast(anchors.select(F.col("vec_id").alias("right_id"))),
+        "right_id",
+    )
+    incons = (
+        aa.join(
+            roles.select(
+                F.col("vec_id").alias("left_id"),
+                F.col("role").alias("_rl"),
+                F.col("cluster").alias("_cl"),
+            ),
+            "left_id",
+        )
+        .join(
+            roles.select(
+                F.col("vec_id").alias("right_id"),
+                F.col("role").alias("_rr"),
+                F.col("cluster").alias("_cr"),
+            ),
+            "right_id",
+        )
+        .filter(
+            (F.col("_rl") == "core")
+            & (F.col("_rr") == "core")
+            & (F.col("_cl") != F.col("_cr"))
+        )
+    )
+    return (
+        deg.agg(
+            F.count("*").alias("n_anchors"),
+            F.sum(
+                F.when(F.col("_deg") + 1 >= min_pts, 1).otherwise(0)
+            ).cast("long").alias("n_core_anchors"),
+            F.round(F.avg("_deg") + F.lit(_ROUND_OFFSET), 4).alias("avg_nb"),
+        )
+        .crossJoin(mism.agg(F.count("*").alias("_n_mism")))
+        .crossJoin(incons.agg(F.count("*").alias("_n_incons")))
+        .select(
+            F.lit(float(threshold)).alias("threshold"),
+            F.lit(min_pts).alias("min_pts"),
+            "n_anchors",
+            "n_core_anchors",
+            "avg_nb",
+            (F.col("_n_mism") == 0).alias("core_match"),
+            (F.col("_n_incons") == 0).alias("cluster_edge_consistent"),
+        )
+    )
 
 
-_DBSCAN_ORACLE = """
-    WITH RECURSIVE p AS MATERIALIZED (
-        SELECT a.vec_id AS l, b.vec_id AS r
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
+_DBSCAN_ORACLE = f"""
+    WITH anchors AS (
+        {_sql_anchors("embeddings", "vec_id")}
     ),
-    sym AS MATERIALIZED (
-        SELECT l AS a, r AS b FROM p UNION ALL SELECT r, l FROM p
+    av AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e
+        FROM embeddings e JOIN anchors USING (vec_id)
     ),
-    deg AS (SELECT a, COUNT(*) AS n FROM sym GROUP BY 1),
-    cores AS MATERIALIZED (SELECT a AS id FROM deg WHERE n + 1 >= 4),
-    ce AS MATERIALIZED (
-        SELECT s.a, s.b FROM sym s
-        JOIN cores c1 ON c1.id = s.a
-        JOIN cores c2 ON c2.id = s.b
-        WHERE s.a < s.b
-    ),
-    edges2 AS MATERIALIZED (
-        SELECT a AS src, b AS dst FROM ce UNION SELECT b, a FROM ce
-    ),
-    reach(id, root) AS (
-        SELECT id, id FROM cores
-        UNION
-        SELECT e.dst, r.root FROM reach r JOIN edges2 e ON e.src = r.id
-    ),
-    core_lab AS MATERIALIZED (
-        SELECT id, MIN(root) AS cluster FROM reach GROUP BY 1
-    ),
-    border AS (
-        SELECT s.a AS id, MIN(cl.cluster) AS cluster
-        FROM sym s
-        JOIN cores c ON c.id = s.b
-        JOIN core_lab cl ON cl.id = s.b
-        WHERE s.a NOT IN (SELECT id FROM cores)
+    deg AS (
+        SELECT av.vec_id,
+               SUM(CASE WHEN v.vec_id <> av.vec_id
+                         AND list_cosine_similarity(
+                                 av.e, CAST(v.embedding AS DOUBLE[])) >= 0.3
+                        THEN 1 ELSE 0 END) AS d
+        FROM av CROSS JOIN embeddings v
         GROUP BY 1
     )
-    SELECT i.vec_id,
-           CASE WHEN cl.id IS NOT NULL THEN 'core'
-                WHEN bo.id IS NOT NULL THEN 'border'
-                ELSE 'noise' END AS role,
-           COALESCE(cl.cluster, bo.cluster) AS cluster
-    FROM embeddings i
-    LEFT JOIN core_lab cl ON cl.id = i.vec_id
-    LEFT JOIN border bo ON bo.id = i.vec_id
-    ORDER BY i.vec_id
+    SELECT CAST(0.3 AS DOUBLE) AS threshold,
+           CAST(4 AS INT) AS min_pts,
+           COUNT(*) AS n_anchors,
+           CAST(SUM(CASE WHEN d + 1 >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_core_anchors,
+           ROUND(AVG(d) + {_ROUND_OFFSET!r}, 4) AS avg_nb,
+           CAST(TRUE AS BOOLEAN) AS core_match,
+           CAST(TRUE AS BOOLEAN) AS cluster_edge_consistent
+    FROM deg
 """
 
 
@@ -12245,19 +12350,32 @@ FROM contrib GROUP BY 1, 2, 3, 4, 5
 """
 
 
-def q_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local Outlier Factor (k=10, exact pairs) over the embeddings
-    table — llm.similarity.lof. The oracle replays the full
-    kdist / tie-inclusive neighborhood / reachability / lrd chain
-    quadratically. At corpus scale the same operator takes a
-    bucket-join candidates frame (docstring contract).
+_LOF_ANCHOR_K = 8  # 3-hop cone ≈ K·k² probes; 8·121 keeps both engines linear
 
-    O(n²)-BY-CONTRACT: pins the exact-pairs LOF; the sf1 sweep records
-    its timeout by design."""
+
+def q_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (k=10) over the embeddings table — ANCHORED
+    EXACT values (r9 contract conversion, VERDICT r8 item 2).
+
+    The r8 form ran the full O(n²) pair LOF (sf1 sweep timeout by
+    design). Unlike the ε-ball operators, LOF is k-NN-bounded —
+    neighborhoods never grow with corpus size — so the conversion
+    keeps VALUE-EXACT semantics instead of degrading to a count gate:
+    ``lof(probe_ids=anchors)`` expands the _LOF_ANCHOR_K smallest-md5
+    anchors through a 3-hop k-NN cone (anchors → N(A) → N(N(A)),
+    ≈ K·k² ids regardless of SF) and every distance pass is one
+    broadcast |cone|×n scan — linear at any SF, and bit-identical to
+    the full run on the anchor rows (tests/test_llm_similarity.py::
+    test_probe_ids_path_matches_full_exact). The oracle replays the
+    identical 3-hop expansion + kdist / tie-inclusive neighborhood /
+    reachability / lrd / lof chain in DuckDB, also linear. At corpus
+    scale the operator takes a bucket-join candidates frame
+    (docstring contract)."""
     from temporal_retriever_spark.llm.similarity import lof
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    out = lof(emb, k=10)
+    anchors = _md5_anchors(emb, "vec_id", k=_LOF_ANCHOR_K)
+    out = lof(emb, k=10, probe_ids=anchors)
     return out.select(
         "vec_id",
         _r6("kdist").alias("kdist"),
@@ -12269,12 +12387,52 @@ def q_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LOF_ORACLE = f"""
 WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+a0 AS (
+    SELECT vec_id AS id FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_LOF_ANCHOR_K}
+),
+d0 AS (
+    SELECT p.id AS i, o.id AS j,
+           SQRT(list_sum(list_transform(range(1, len(p.e) + 1),
+                t -> POW(CAST(p.e[t] AS DOUBLE)
+                         - CAST(o.e[t] AS DOUBLE), 2)))) AS d
+    FROM v p JOIN a0 USING (id) CROSS JOIN v o WHERE o.id <> p.id
+),
+r0 AS (
+    SELECT i, j, d, ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rn,
+           COUNT(*) OVER (PARTITION BY i) AS nn
+    FROM d0
+),
+kd0 AS (SELECT i, d AS kdist FROM r0 WHERE rn = LEAST(10, nn)),
+p1 AS (
+    SELECT DISTINCT r0.j AS id FROM r0 JOIN kd0 ON kd0.i = r0.i
+    WHERE r0.d <= kd0.kdist
+    UNION SELECT id FROM a0
+),
+d1 AS (
+    SELECT p.id AS i, o.id AS j,
+           SQRT(list_sum(list_transform(range(1, len(p.e) + 1),
+                t -> POW(CAST(p.e[t] AS DOUBLE)
+                         - CAST(o.e[t] AS DOUBLE), 2)))) AS d
+    FROM v p JOIN p1 USING (id) CROSS JOIN v o WHERE o.id <> p.id
+),
+r1 AS (
+    SELECT i, j, d, ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rn,
+           COUNT(*) OVER (PARTITION BY i) AS nn
+    FROM d1
+),
+kd1 AS (SELECT i, d AS kdist FROM r1 WHERE rn = LEAST(10, nn)),
+cone AS (
+    SELECT DISTINCT r1.j AS id FROM r1 JOIN kd1 ON kd1.i = r1.i
+    WHERE r1.d <= kd1.kdist
+    UNION SELECT id FROM p1
+),
 d AS (
-    SELECT a.id AS i, b.id AS j,
-           SQRT(list_sum(list_transform(range(1, len(a.e) + 1),
-                t -> POW(CAST(a.e[t] AS DOUBLE)
-                         - CAST(b.e[t] AS DOUBLE), 2)))) AS d
-    FROM v a JOIN v b ON a.id <> b.id
+    SELECT p.id AS i, o.id AS j,
+           SQRT(list_sum(list_transform(range(1, len(p.e) + 1),
+                t -> POW(CAST(p.e[t] AS DOUBLE)
+                         - CAST(o.e[t] AS DOUBLE), 2)))) AS d
+    FROM v p JOIN cone USING (id) CROSS JOIN v o WHERE o.id <> p.id
 ),
 r AS (
     SELECT i, j, d, ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rn,
@@ -12315,7 +12473,7 @@ SELECT i AS vec_id,
        {_sql_r6("lrd")} AS lrd,
        {_sql_r6("lof")} AS lof,
        n_nb
-FROM fin ORDER BY vec_id
+FROM fin JOIN a0 ON a0.id = fin.i ORDER BY vec_id
 """
 
 
@@ -12608,6 +12766,9 @@ _DRIVER_GREEN = (
 _REVERIFY_PRIORITY = (
     "minhash_near_dups", "simhash_pairs", "dup_clusters_lsh",
     "embedding_near_dups_lsh", "corpus_prep_near", "semantic_dedup_gate",
+    # r9 contract conversions (VERDICT r8 item 2): the three
+    # O(n²)-by-contract rows rewritten as anchored linear forms.
+    "embedding_near_dups", "dbscan_embeddings", "lof_embeddings",
 )
 
 
@@ -15266,15 +15427,21 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "embedding_near_dups": f"""
-            WITH p AS (
-                SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            WITH anchors AS (
+                {_sql_anchors("embeddings", "vec_id")}
+            ),
+            av AS (SELECT e.* FROM embeddings e JOIN anchors USING (vec_id)),
+            p AS (
+                SELECT LEAST(av.vec_id, b.vec_id) AS left_id,
+                       GREATEST(av.vec_id, b.vec_id) AS right_id,
+                       list_cosine_similarity(CAST(av.embedding AS DOUBLE[]),
                                               CAST(b.embedding AS DOUBLE[])) AS c
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                FROM av JOIN embeddings b ON av.vec_id <> b.vec_id
             )
             SELECT left_id, right_id,
-                   ROUND(c + {_ROUND_OFFSET!r}, 4) AS cosine
+                   ROUND(MAX(c) + {_ROUND_OFFSET!r}, 4) AS cosine
             FROM p WHERE c >= {_NEARDUP_COS_T!r}
+            GROUP BY 1, 2
         """,
         "embedding_near_dups_lsh": f"""
             WITH anchors AS (

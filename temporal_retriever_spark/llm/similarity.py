@@ -48,6 +48,79 @@ def cosine_similarity_expr(a: str | Column, b: str | Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def _euclid_expr(a: str | Column, b: str | Column) -> Column:
+    """Euclidean distance as a native column expression (double)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _probe_distances(
+    df: DataFrame, probe: DataFrame, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """Directed exact-distance rows (i ∈ probe, j ∈ corpus, d).
+
+    One broadcast |probe|×n pass — linear in corpus size; the wide
+    vector rows live only inside the broadcast-join stage, so the only
+    rows that can reach an exchange are thin (i, j, d) triples. The
+    corpus side is spread to ``defaultParallelism`` first when the
+    source scan is under-partitioned (a single ~100 MB parquet file is
+    one partition and would serialize the whole compute-bound pass)."""
+    pv = df.join(F.broadcast(probe), on=id_col, how="left_semi")
+    corpus = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("_eb"))
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < want:
+        corpus = corpus.repartition(want)
+    return (
+        corpus.crossJoin(
+            F.broadcast(
+                pv.select(F.col(id_col).alias("i"), F.col(vec_col).alias("_ea"))
+            )
+        )
+        .filter(F.col("i") != F.col("j"))
+        .select("i", "j", _euclid_expr("_ea", "_eb").alias("d"))
+    )
+
+
+def _knn_neighbor_ids(
+    df: DataFrame, probe: DataFrame, *, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Tie-inclusive exact k-NN neighbor ids of a probe set (the LOF
+    k-distance neighborhood: everything at distance ≤ kdist, where
+    kdist is the k-th smallest distance, ties by id). Linear: one
+    ``_probe_distances`` pass + a per-probe rank window over thin
+    rows. Returns a single-``id_col`` DataFrame of neighbor ids."""
+    d = _probe_distances(df, probe, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("i").orderBy("d", "j")
+    r = d.select(
+        "i",
+        "j",
+        "d",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("i")).alias("_nn"),
+    )
+    kd = r.filter(F.col("_rn") == F.least(F.lit(k), F.col("_nn"))).select(
+        "i", F.col("d").alias("_kd")
+    )
+    return (
+        r.join(kd, "i")
+        .filter(F.col("d") <= F.col("_kd"))
+        .select(F.col("j").alias(id_col))
+        .distinct()
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1108,6 +1181,7 @@ def lof(
     vec_col: str = "embedding",
     k: int = 10,
     candidates: DataFrame | None = None,
+    probe_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Local Outlier Factor (Breunig et al. 2000) over an embedding
     column — density-RELATIVE outlier scores: LOF ≈ 1 for points whose
@@ -1137,38 +1211,49 @@ def lof(
     ``embedding_near_dup_pairs(method='lsh')``): every downstream
     stage is neighbor-bounded (n·k rows), and the rank window is
     per-point. Output: ``(id, kdist, lrd, lof, n_nb)``.
+
+    ``probe_ids`` (single-column DataFrame): EXACT LOF for just the
+    probe set, linear in corpus size at any SF. LOF(p) depends on a
+    3-hop k-NN cone — lrd(p) needs kdist of p's neighbors, lof(p)
+    needs lrd of p's neighbors, hence kdist of their neighbors — and
+    k-NN neighborhoods are k-bounded (they do NOT grow with corpus
+    size, unlike ε-ball neighborhoods), so expanding probes → N(P) →
+    N(N(P)) gives a fixed-size probe cone |P|·O(k²) whose distance
+    passes are each |cone|×n broadcast scans. The returned kdist /
+    lrd / lof values for probe ids are bit-identical to the full
+    O(n²) run (pinned by tests/test_llm_similarity.py). Mutually
+    exclusive with ``candidates``.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("_ea"))
-    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("_eb"))
-    if candidates is None:
-        pairs = a.crossJoin(b).filter(F.col("i") != F.col("j"))
+    if probe_ids is not None and candidates is not None:
+        raise ValueError("probe_ids and candidates are mutually exclusive")
+    probe = None
+    if probe_ids is not None:
+        pcol = probe_ids.columns[0]
+        probe = probe_ids.select(F.col(pcol).alias(id_col)).distinct()
+        hop1 = probe.unionByName(
+            _knn_neighbor_ids(df, probe, id_col=id_col, vec_col=vec_col, k=k)
+        ).distinct()
+        cone = hop1.unionByName(
+            _knn_neighbor_ids(df, hop1, id_col=id_col, vec_col=vec_col, k=k)
+        ).distinct()
+        d = _probe_distances(df, cone, id_col=id_col, vec_col=vec_col)
     else:
-        sym = candidates.select(
-            F.col(candidates.columns[0]).alias("i"),
-            F.col(candidates.columns[1]).alias("j"),
-        )
-        sym = sym.union(
-            sym.select(F.col("j").alias("i"), F.col("i").alias("j"))
-        ).filter(F.col("i") != F.col("j")).distinct()
-        pairs = sym.join(a, "i").join(b, "j")
-    d = pairs.select(
-        "i",
-        "j",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("_ea"),
-                    F.col("_eb"),
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+        a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("_ea"))
+        b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("_eb"))
+        if candidates is None:
+            pairs = a.crossJoin(b).filter(F.col("i") != F.col("j"))
+        else:
+            sym = candidates.select(
+                F.col(candidates.columns[0]).alias("i"),
+                F.col(candidates.columns[1]).alias("j"),
             )
-        ).alias("d"),
-    )
+            sym = sym.union(
+                sym.select(F.col("j").alias("i"), F.col("i").alias("j"))
+            ).filter(F.col("i") != F.col("j")).distinct()
+            pairs = sym.join(a, "i").join(b, "j")
+        d = pairs.select("i", "j", _euclid_expr("_ea", "_eb").alias("d"))
     w = Window.partitionBy("i").orderBy("d", "j")
     r = d.select(
         "i",
@@ -1220,7 +1305,7 @@ def lof(
             "n_nb",
         )
     )
-    return (
+    out = (
         kd.join(lrd, "i", "left")
         .join(lof_df.select("i", "lof", "n_nb"), "i", "left")
         .select(
@@ -1231,3 +1316,8 @@ def lof(
             "n_nb",
         )
     )
+    if probe is not None:
+        # kdist is exact for the whole cone, lrd for probes∪N(P), lof
+        # only for probes — emit only the rows whose full chain is exact.
+        out = out.join(F.broadcast(probe), on=id_col, how="left_semi")
+    return out

@@ -342,6 +342,40 @@ class TestLof:
         for i in exact:
             assert blocked[i]["lof"] == pytest.approx(exact[i]["lof"], rel=1e-9)
 
+    def test_probe_ids_path_matches_full_exact(self, spark):
+        # The anchored 3-hop cone (probes → N(P) → N(N(P)), each hop a
+        # broadcast |cone|×n pass) must reproduce the full O(n²) run
+        # bit-for-bit on the probe rows — this is the linearity claim
+        # the anchored lof_embeddings contract rests on.
+        import numpy as np
+
+        from temporal_retriever_spark.llm.similarity import lof
+
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(60, 6))
+        df = self._df(spark, X)
+        probes = spark.createDataFrame(
+            [(3,), (17,), (42,), (59,)], "vec_id long"
+        )
+        full = {r["vec_id"]: r for r in lof(df, k=5).collect()}
+        anch = {r["vec_id"]: r for r in lof(df, k=5, probe_ids=probes).collect()}
+        assert set(anch) == {3, 17, 42, 59}
+        for i in anch:
+            assert anch[i]["kdist"] == full[i]["kdist"]
+            assert anch[i]["lrd"] == pytest.approx(full[i]["lrd"], rel=1e-12)
+            assert anch[i]["lof"] == pytest.approx(full[i]["lof"], rel=1e-12)
+            assert anch[i]["n_nb"] == full[i]["n_nb"]
+
+    def test_probe_ids_and_candidates_mutually_exclusive(self, spark):
+        import numpy as np
+
+        from temporal_retriever_spark.llm.similarity import lof
+
+        df = self._df(spark, np.zeros((3, 2)))
+        probes = spark.createDataFrame([(0,)], "vec_id long")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            lof(df, k=2, candidates=probes, probe_ids=probes)
+
     def test_duplicate_cluster_infinite_lrd(self, spark):
         # 8 exact duplicates at the origin (k=5 → kdist 0, lrd NULL =
         # the paper's infinite density) plus a loose ring nearby whose

@@ -51,6 +51,24 @@ def test_stream_tmp_sweeps_stale_keeps_active_and_registers_atexit():
 
     fresh = tempfile.mkdtemp(prefix="trs-guardtest-fresh-")
 
+    # the new dir must be registered for atexit removal so the process
+    # exits with /tmp clean (the 'queries() leaves /tmp clean' contract
+    # — removal mid-function would race the lazy memory sink, so
+    # exit-time is the correct reap point). atexit's C implementation
+    # exposes no handler list on any CPython 3 (ADVICE r8: the old
+    # _exithandlers probe was dead code), so intercept registration
+    # directly: _stream_tmp resolves `atexit.register` at call time.
+    registered: list[tuple] = []
+    real_register = atexit.register
+
+    def spy_register(fn, *args, **kwargs):
+        registered.append((fn, args, kwargs))
+        return real_register(fn, *args, **kwargs)
+
+    made = None
+    mod_atexit = mod.atexit if hasattr(mod, "atexit") else atexit
+    orig = mod_atexit.register
+    mod_atexit.register = spy_register
     try:
         made = mod._stream_tmp("trs-guardtest-new-")
         assert os.path.isdir(made)
@@ -60,23 +78,19 @@ def test_stream_tmp_sweeps_stale_keeps_active_and_registers_atexit():
             "mtime is not the staleness signal)"
         )
         assert os.path.exists(fresh), "fresh trs-* dir swept"
-        # the new dir must be registered for atexit removal so the
-        # process exits with /tmp clean (the 'queries() leaves /tmp
-        # clean' contract — removal mid-function would race the lazy
-        # memory sink, so exit-time is the correct reap point)
         reg = [
             (fn, args)
-            for fn, args, _ in getattr(atexit, "_exithandlers", [])
+            for fn, args, _ in registered
             if args and args[0] == made
         ]
-        if hasattr(atexit, "_exithandlers"):
-            assert reg and reg[0][0] is shutil.rmtree
-        else:  # CPython>=3.13 hides the handler list: reap manually
-            shutil.rmtree(made, ignore_errors=True)
+        assert reg, "new trs-* dir not atexit-registered for removal"
+        assert reg[0][0] is shutil.rmtree
     finally:
+        mod_atexit.register = orig
         for d in (stale, active, fresh):
             shutil.rmtree(d, ignore_errors=True)
-        shutil.rmtree(made, ignore_errors=True)
+        if made:
+            shutil.rmtree(made, ignore_errors=True)
 
 
 def test_stream_tmp_prefixes_cover_every_streamed_row():

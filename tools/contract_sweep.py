@@ -215,6 +215,13 @@ def main() -> None:
             n_bad += rec["status"] == "MISMATCH"
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
+            # Gate queries persist() thin frames for their multi-consumer
+            # verify stages and intentionally leave the blocks to
+            # session-end (the driver runs ≤50 queries per session); a
+            # 257-query sweep in ONE session would accumulate them
+            # (evictable, but at sf10 q_corpus_prep_near's kept set is
+            # O(n) ids — ADVICE r8), so drop them between queries here.
+            spark.catalog.clearCache()
             print(
                 f"[{i+1}/{len(names)}] {name}: {rec['status']} "
                 f"(spark {rec.get('spark_s')}s, oracle {rec.get('oracle_s')}s)",
