@@ -227,14 +227,40 @@ def main() -> None:
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
+    retries: dict[str, dict] = {}
+
+    def _timed(build):
+        pre = _load1()
+        t0 = time.time()
+        materialize(build())
+        return time.time() - t0, pre
+
     for name, build in queries.items():
         samples = []
         sample_loads = []
         for _ in range(RUNS):
-            sample_loads.append(_load1())
-            t0 = time.time()
-            materialize(build())
-            samples.append(time.time() - t0)
+            s, pre = _timed(build)
+            samples.append(s)
+            sample_loads.append(pre)
+        # Contention gate (VERDICT r8 item 5): the start-of-bench wait
+        # cannot protect a mid-run query from a load spike (r8: one
+        # 18.4s B9 run vs 2.4-5.7s siblings dragged the median). Any
+        # run >3x the query median gets ONE retry; the discarded run
+        # stays in the artifact so the outlier is auditable, but the
+        # median is computed from runs the box actually allowed.
+        mx = max(samples)
+        med0 = statistics.median(samples)
+        if RUNS >= 3 and mx > 3 * med0:
+            i = samples.index(mx)
+            s2, pre2 = _timed(build)
+            retries[name] = {
+                "discarded_sec": round(mx, 3),
+                "discarded_load1": sample_loads[i],
+                "retry_sec": round(s2, 3),
+                "retry_load1": pre2,
+            }
+            samples[i] = s2
+            sample_loads[i] = pre2
         times[name] = round(statistics.median(samples), 3)
         runs[name] = [round(s, 3) for s in samples]
         loads[name] = sample_loads
@@ -262,6 +288,7 @@ def main() -> None:
         "queries": times,
         "runs": runs,
         "loads": loads,
+        "outlier_retries": retries,
         "loadavg": {**load_info, "load1_end": _load1()},
         "sf": sf_val,
     }

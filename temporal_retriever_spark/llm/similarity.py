@@ -525,45 +525,55 @@ def embedding_near_dup_pairs(
             F.col("_b.bucket").alias("_bucket"),
         )
         if probe is not None:
-            # probe cells × all cells: the bucket self-join (the part
-            # that can go quadratic when buckets are shallow or skewed)
-            # shrinks to |probe|·tables bucket lookups. The candidate
-            # stream stays THIN (two ids) through every exchange: the
-            # corpus vector attaches in the reduce stage of the _oid
-            # join, the probe vector attaches from a broadcast of the
-            # fixed-size probe set (never a shuffle), and cosine + the
-            # threshold filter run in that same stage — the wide rows
-            # never reach an exchange. (The earlier two-row-preserving-
-            # join attach shuffled candidate×vec_bytes — with shallow
-            # gate buckets, ~|probe|·n wide rows: the other half of the
-            # sf10 disk-full abort.)
-            pcells = cells.join(F.broadcast(probe), on=id_col, how="left_semi")
-            cand = (
-                pcells.select(F.col(id_col).alias("_pid"), "_table", "_bucket")
-                .join(
-                    cells.select(F.col(id_col).alias("_oid"), "_table", "_bucket"),
-                    on=["_table", "_bucket"],
-                )
-                .filter(F.col("_pid") != F.col("_oid"))
-                .select("_pid", "_oid")
-                .distinct()
-            )
+            # Packed-signature probe path (r9, VERDICT r8 item 4). The
+            # r8 form joined probe cells × all cells per table and
+            # deduped the exploded candidate stream: |probe|·T·E[cell]
+            # thin rows through a distinct shuffle — ~300M rows at the
+            # sf10 gate (shallow 2-plane buckets barely prune at the
+            # gate's weak θ≈69° threshold), 1162.7 s measured wall.
+            # With a FIXED probe set the per-table bucket ids pack into
+            # one T-length array per vector, so "shares any bucket" is
+            # a zip_with/exists over two tiny arrays evaluated INSIDE
+            # the broadcast-nested-loop stage — the same |probe|×n scan
+            # shape as the exact path, zero candidate shuffle, and a
+            # provably IDENTICAL pair set (candidate ⇔ ∃ table with
+            # equal bucket ⇔ signature arrays match at some index;
+            # cosine-verify unchanged, so soundness/recall are
+            # untouched). The full-corpus branch below keeps the bucket
+            # self-join: with deep buckets at real near-dup thresholds
+            # it is sub-quadratic, which no broadcast variant is.
             pv = df.join(F.broadcast(probe), on=id_col, how="left_semi")
+            corpus = df.select(
+                F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov")
+            )
+            want = df.sparkSession.sparkContext.defaultParallelism
+            if corpus.rdd.getNumPartitions() < want:
+                corpus = corpus.repartition(want)
+            # signature computed AFTER the spread: the exchange carries
+            # only (id, vector); the T·n_planes dot products run in the
+            # already-parallel scan stage.
+            corpus = corpus.withColumn(
+                "_osig",
+                F.array(*[lsh_bucket_expr("_ov", planes) for planes in tables]),
+            )
+            psig = F.array(
+                *[lsh_bucket_expr("_pv", planes) for planes in tables]
+            )
+            collide = F.exists(
+                F.zip_with("_psig", "_osig", lambda a, b: a == b),
+                lambda x: x,
+            )
             scored = (
-                cand.join(
-                    df.select(
-                        F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov")
-                    ),
-                    on="_oid",
-                )
-                .join(
+                corpus.crossJoin(
                     F.broadcast(
                         pv.select(
-                            F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
-                        )
-                    ),
-                    on="_pid",
+                            F.col(id_col).alias("_pid"),
+                            F.col(vec_col).alias("_pv"),
+                        ).withColumn("_psig", psig)
+                    )
                 )
+                .filter(F.col("_pid") != F.col("_oid"))
+                .filter(collide)
                 .select(
                     F.least("_pid", "_oid").alias("left_id"),
                     F.greatest("_pid", "_oid").alias("right_id"),

@@ -165,6 +165,33 @@ def test_embedding_near_dups_lsh_matches_exact_on_planted(spark):
     assert lsh == exact
 
 
+def test_embedding_near_dups_lsh_probe_path_equals_full_lsh(spark):
+    # The r9 packed-signature probe path ("shares any bucket" evaluated
+    # as zip_with/exists inside the broadcast stage, no candidate
+    # shuffle) must emit EXACTLY the pairs the per-table bucket
+    # self-join emits, restricted to pairs touching the probe set —
+    # same tables, planes, seed, so identical candidate predicate.
+    # Threshold is LOW so candidates that collide in only some tables
+    # (partial signature matches) are exercised, not just near-1 pairs.
+    from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs
+
+    df = _planted_neardups(spark)
+    kw = dict(threshold=0.2, method="lsh", n_planes=3, n_tables=5, dim=16)
+    probes = spark.createDataFrame([(1,), (6,), (11,)], "vec_id long")
+    pids = {1, 6, 11}
+    full = {
+        (r["left_id"], r["right_id"], round(r["cosine"], 9))
+        for r in embedding_near_dup_pairs(df, **kw).collect()
+        if r["left_id"] in pids or r["right_id"] in pids
+    }
+    probe = {
+        (r["left_id"], r["right_id"], round(r["cosine"], 9))
+        for r in embedding_near_dup_pairs(df, probe_ids=probes, **kw).collect()
+    }
+    assert probe == full
+    assert probe, "degenerate test: no pairs touched the probe set"
+
+
 def test_embedding_near_dups_feeds_duplicate_clusters(spark):
     from temporal_retriever_spark.llm.dedup import duplicate_clusters
     from temporal_retriever_spark.llm.similarity import embedding_near_dup_pairs

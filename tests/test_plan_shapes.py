@@ -665,6 +665,12 @@ def test_embedding_probe_paths_never_shuffle_wide_pairs(spark):
         )
         for block in _formatted_exchanges(out):
             header, input_line = block.splitlines()[0], block.splitlines()[1]
+            if "BroadcastExchange" in header:
+                # a broadcast of the FIXED-SIZE probe side (vectors +
+                # packed LSH signatures) is the intended attach path,
+                # not a pair shuffle — it is bounded by |probe|, never
+                # by the corpus or the candidate count.
+                continue
             vec_cols = [
                 c for c in ("_ov", "_pv", "_lv", "_rv", "embedding")
                 if c in input_line
