@@ -313,9 +313,18 @@ def anchored_exact_pairs(
     anchors = anchor_ids.select(F.col(aid).alias(id_col)).distinct()
     shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
     anch_sh = shingled.join(F.broadcast(anchors), on=id_col, how="left_semi")
+    # The anchor shingle side is bounded (|anchors|·shingles/doc) at any
+    # SF — broadcast it EXPLICITLY so the corpus shingle stream never
+    # shuffles on the shingle key. AQE picks broadcast at small SF on
+    # its own, but the exploded subplan has no reliable size estimate,
+    # and a silent SMJ flip at 100× would shuffle ~10⁸ (id, shingle)
+    # rows.
     cand = (
-        anch_sh.select(F.col(id_col).alias("_aid"), "shingle")
-        .join(shingled.select(F.col(id_col).alias("_oid"), "shingle"), on="shingle")
+        shingled.select(F.col(id_col).alias("_oid"), "shingle")
+        .join(
+            F.broadcast(anch_sh.select(F.col(id_col).alias("_aid"), "shingle")),
+            on="shingle",
+        )
         .filter(F.col("_aid") != F.col("_oid"))
         .select(
             F.least("_aid", "_oid").alias("id_a"),
