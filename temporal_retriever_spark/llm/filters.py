@@ -16,12 +16,20 @@ dedup signatures. The only shuffling operator is ``contamination``,
 which shuffles 64-bit n-gram hashes (never text) and broadcasts the
 benchmark side when it is small (the common case: benchmarks are
 thousands of documents, the corpus is billions).
+
+Because the cost is per-row expression work, an under-partitioned
+scan serializes it (one ~100 MB parquet file = one task); every
+materializing entry point therefore spreads its input via
+``spread_scan`` — a guarded no-op at real partition counts (r9,
+measured 10× on ``repetition_stats`` at sf0.1).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..spread import spread_scan
 
 __all__ = [
     "repetition_exprs",
@@ -127,16 +135,60 @@ def repetition_exprs(text_col: str = "text") -> dict[str, Column]:
     return out
 
 
+def _dup_frac(arr: Column) -> Column:
+    """Surplus-duplicate fraction of an array: (n − n_distinct) / n."""
+    n = F.size(arr)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(arr))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def _mode_frac_from_struct(m: Column, n_chars: Column) -> Column:
+    """top-n-gram char fraction from a materialized mode struct column."""
+    return F.when(
+        (n_chars > 0) & (m["cnt"] > 0),
+        m["cnt"] * F.length(m["value"]) / n_chars,
+    ).otherwise(F.lit(0.0))
+
+
 def repetition_stats(
     df: DataFrame, *, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
 ) -> DataFrame:
-    """Materialized :func:`repetition_exprs` per document."""
-    exprs = repetition_exprs(text_col)
-    return df.select(
+    """Materialized :func:`repetition_exprs` per document.
+
+    Staged in two projections so each mode fold — the expensive
+    interpreted ``aggregate`` HOF — is evaluated ONCE per (row, n):
+    referencing ``mode["cnt"]`` / ``mode["value"]`` / the ``cnt > 0``
+    guard from one inlined expression tree re-evaluates the whole fold
+    per reference (3× per metric, 9 folds/row, visible as three copies
+    of ``aggregate(array_sort(...))`` per output column in the r9
+    before-plan). CollapseProject keeps the stage boundary because the
+    struct columns are non-cheap and multiply-referenced.
+    """
+    df = spread_scan(df)
+    t = F.col(text_col)
+    toks = _tokens(t)
+    staged = df.select(
         *id_cols,
+        F.length(t).cast("double").alias("_nc"),
+        F.size(F.split(t, r"\n")).alias("n_lines"),
+        _dup_frac(F.split(t, r"\n")).alias("_dup_line"),
+        _dup_frac(F.split(t, r"\n{2,}")).alias("_dup_para"),
         *[
-            (F.round(e, 6) if name != "n_lines" else e).alias(name)
-            for name, e in exprs.items()
+            _mode_struct(F.array_sort(_word_ngrams(toks, n))).alias(f"_m{n}")
+            for n in (1, 2, 3)
+        ],
+    )
+    return staged.select(
+        *id_cols,
+        "n_lines",
+        F.round("_dup_line", 6).alias("dup_line_frac"),
+        F.round("_dup_para", 6).alias("dup_para_frac"),
+        *[
+            F.round(
+                _mode_frac_from_struct(F.col(f"_m{n}"), F.col("_nc")), 6
+            ).alias(f"top_{n}gram_char_frac")
+            for n in (1, 2, 3)
         ],
     )
 
@@ -234,16 +286,100 @@ def gopher_filter(
     *,
     text_col: str = "text",
     id_cols: tuple[str, ...] = ("doc_id",),
-    **thresholds,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_top_2gram_char_frac: float = 0.2,
 ) -> DataFrame:
     """Per-document rule booleans + overall ``keep`` flag.
 
-    One narrow projection — compose with ``corpus.prepare_corpus`` by
-    filtering on ``keep`` before signatures are computed, so rejected
-    documents never reach the dedup shuffle.
+    Identical rule semantics to :func:`gopher_rules`, staged in three
+    projections so the expensive per-row metrics (array-HOF folds and
+    filters, the 2-gram mode fold) are computed ONCE each: the
+    single-projection form re-evaluates every rule expression inside
+    the ``keep`` conjunction (2× per rule) and every struct-field
+    reference re-inlines its whole fold (r9 before-plan: the 2-gram
+    ``aggregate(array_sort(...))`` appears 6×). Compose with
+    ``corpus.prepare_corpus`` by filtering on ``keep`` before
+    signatures are computed, so rejected documents never reach the
+    dedup shuffle.
     """
-    rules = gopher_rules(text_col, **thresholds)
-    return df.select(*id_cols, *[e.alias(name) for name, e in rules.items()])
+    df = spread_scan(df)
+    t = F.col(text_col)
+    toks = _tokens(t)
+    lines = F.split(t, r"\n")
+    metrics = df.select(
+        *id_cols,
+        F.size(toks).cast("double").alias("_nw"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double").alias("_ncw"),
+        (
+            F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+        ).cast("double").alias("_nsym"),
+        F.size(lines).cast("double").alias("_nlines"),
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•]|\d+[.)])\s"))
+        ).cast("double").alias("_nbullet"),
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+        ).cast("double").alias("_nellipsis"),
+        F.size(F.filter(toks, lambda w: w.rlike(r"[a-z]"))).cast("double").alias(
+            "_nalpha"
+        ),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+            )
+        ).alias("_stop"),
+        _dup_frac(lines).alias("_dup_line"),
+        _mode_struct(F.array_sort(_word_ngrams(toks, 2))).alias("_m2"),
+        F.length(t).cast("double").alias("_nc"),
+    )
+    nw = F.col("_nw")
+    mean_word_len = F.when(nw > 0, F.col("_ncw") / nw).otherwise(0.0)
+    symbol_ratio = F.when(nw > 0, F.col("_nsym") / nw).otherwise(0.0)
+    nlines = F.col("_nlines")
+    alpha_frac = F.when(nw > 0, F.col("_nalpha") / nw).otherwise(0.0)
+    top2 = _mode_frac_from_struct(F.col("_m2"), F.col("_nc"))
+    ruled = metrics.select(
+        *id_cols,
+        (
+            (nw >= min_words) & (nw <= max_words)
+        ).alias("r_word_count"),
+        (
+            (mean_word_len >= min_mean_word_len)
+            & (mean_word_len <= max_mean_word_len)
+        ).alias("r_mean_word_len"),
+        (symbol_ratio <= max_symbol_word_ratio).alias("r_symbol_ratio"),
+        F.when(
+            nlines > 0, F.col("_nbullet") / nlines <= max_bullet_line_frac
+        ).otherwise(F.lit(True)).alias("r_bullet_lines"),
+        F.when(
+            nlines > 0, F.col("_nellipsis") / nlines <= max_ellipsis_line_frac
+        ).otherwise(F.lit(True)).alias("r_ellipsis_lines"),
+        (alpha_frac >= min_alpha_word_frac).alias("r_alpha_words"),
+        (F.col("_stop") >= min_stopword_hits).alias("r_stopwords"),
+        (F.col("_dup_line") <= max_dup_line_frac).alias("r_dup_lines"),
+        (top2 <= max_top_2gram_char_frac).alias("r_top_2gram"),
+    )
+    rule_names = (
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords", "r_dup_lines", "r_top_2gram",
+    )
+    keep = None
+    for name in rule_names:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return ruled.select(*id_cols, *rule_names, keep.alias("keep"))
 
 
 #: scrub category -> (pattern, replacement token). Conservative RE2-safe
@@ -277,6 +413,7 @@ def scrub_text(
     unknown = set(categories) - set(_SCRUB_PATTERNS)
     if unknown:
         raise ValueError(f"unknown scrub categories: {sorted(unknown)}")
+    df = spread_scan(df)
     scrubbed = F.col(text_col)
     counts = []
     for cat in categories:
@@ -313,6 +450,7 @@ def contamination(
     0.0 fraction (nothing to leak).
     """
     bench_text_col = bench_text_col or text_col
+    docs = spread_scan(docs)
     grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
     # NULL grams (doc shorter than n words, kept by explode_outer so the
     # doc still reports a row) must hash to NULL: xxhash64(NULL) is the
@@ -387,6 +525,7 @@ def c4_clean(
     diagnostics: (ids…, out_col, n_lines, n_lines_kept, n_sentences,
     rule booleans, keep).
     """
+    df = spread_scan(df)
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(t, r"\n")
 

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..spread import spread_scan
+
 __all__ = [
     "char_ngrams_expr",
     "word_ngrams_expr",
@@ -167,6 +169,9 @@ def train_ngram_lm(
     """
     if n < 2:
         raise ValueError(f"n must be >= 2 for a conditional model: {n}")
+    # the n-gram HOF is per-row expression work: spread an
+    # under-partitioned corpus scan or it serializes on one task
+    docs = spread_scan(docs.select(text_col))
     grams = docs.select(F.explode(_ngrams(text_col, n, unit)).alias("ngram"))
     model = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
     return model.select(
@@ -225,7 +230,8 @@ def score_ngram_lm(
     ).agg(F.count_distinct("_tok").alias("v"))
 
     occ = (
-        docs.select(
+        spread_scan(docs.select(id_col, text_col))
+        .select(
             F.col(id_col), F.explode(_ngrams(text_col, n, unit)).alias("ngram")
         )
         .groupBy(id_col, "ngram")
@@ -406,6 +412,7 @@ def train_kn_lm(
         F.transform(_stream_kgrams(text_col, n, k, unit), _tag(k))
         for k in range(2, n + 1)
     ]
+    docs = spread_scan(docs.select(text_col))
     grams = docs.select(
         F.explode(F.concat(*per_order) if len(per_order) > 1 else per_order[0]).alias(
             "_og"
@@ -530,7 +537,8 @@ def score_kn_lm(
     }
 
     occ = (
-        docs.select(
+        spread_scan(docs.select(id_col, text_col))
+        .select(
             F.col(id_col), F.explode(_stream_kgrams(text_col, n, n, unit)).alias("ngram")
         )
         .groupBy(id_col, "ngram")
