@@ -91,6 +91,7 @@ from temporal_retriever_spark.rolling import (
     rolling_aggregate,
 )
 from temporal_retriever_spark.sources import load_tables
+from temporal_retriever_spark.spread import spread_scan
 from temporal_retriever_spark.stats import norm_ppf
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -3252,11 +3253,9 @@ def q_media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return (
-        _documents(spark, sf_dir)
-        .select("doc_id", "text")
-        .mapInPandas(run, out_schema)
-    )
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id", "text")
+    ).mapInPandas(run, out_schema)
 
 
 def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3301,11 +3300,9 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
             )
 
-    return (
-        _documents(spark, sf_dir)
-        .select("doc_id", "text")
-        .mapInPandas(run, out_schema)
-    )
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id", "text")
+    ).mapInPandas(run, out_schema)
 
 
 def q_media_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3367,11 +3364,9 @@ def q_media_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return (
-        _documents(spark, sf_dir)
-        .select("doc_id", "text")
-        .mapInPandas(run, out_schema)
-    )
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id", "text")
+    ).mapInPandas(run, out_schema)
 
 
 _MEDIA_DECODE_TIFF_ORACLE = """
@@ -3482,11 +3477,9 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return (
-        _documents(spark, sf_dir)
-        .select("doc_id")
-        .mapInPandas(run, out_schema)
-    )
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id")
+    ).mapInPandas(run, out_schema)
 
 
 _MEDIA_DECODE_JPEG_ORACLE = """
@@ -3594,7 +3587,9 @@ def q_media_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "dominant_hz", "centroid_ok", "rms_ok"]
             )
 
-    return _documents(spark, sf_dir).select("doc_id").mapInPandas(run, out_schema)
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id")
+    ).mapInPandas(run, out_schema)
 
 
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3645,7 +3640,9 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return _documents(spark, sf_dir).select("doc_id").mapInPandas(run, out_schema)
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id")
+    ).mapInPandas(run, out_schema)
 
 
 def q_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3705,7 +3702,9 @@ def q_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return _documents(spark, sf_dir).select("doc_id").mapInPandas(run, out_schema)
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id")
+    ).mapInPandas(run, out_schema)
 
 
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12559,11 +12558,9 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return (
-        _documents(spark, sf_dir)
-        .select("doc_id", "text")
-        .mapInPandas(run, out_schema)
-    )
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id", "text")
+    ).mapInPandas(run, out_schema)
 
 
 _MEDIA_DECODE_GIF_ORACLE = """
@@ -12644,11 +12641,9 @@ def q_media_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return (
-        _documents(spark, sf_dir)
-        .select("doc_id", "text")
-        .mapInPandas(run, out_schema)
-    )
+    return spread_scan(
+        _documents(spark, sf_dir).select("doc_id", "text")
+    ).mapInPandas(run, out_schema)
 
 
 _MEDIA_DECODE_FLAC_ORACLE = """

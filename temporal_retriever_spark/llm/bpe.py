@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..spread import spread_scan
+
 __all__ = [
     "word_freq_table",
     "bpe_train",
@@ -67,6 +69,7 @@ def word_freq_table(
     """(word, cnt) vocabulary of the normalized corpus — the ONE
     corpus-sized pass of BPE training (map-side combined count)."""
     norm = _normalize(F.col(text_col))
+    docs = spread_scan(docs.select(text_col))
     words = docs.select(
         F.explode(
             F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
@@ -279,7 +282,7 @@ def bpe_encode(
             res[f"n_{out_col}"] = toks.map(len).astype("int32")
             yield res
 
-    return docs.mapInPandas(run, schema=out_schema)
+    return spread_scan(docs).mapInPandas(run, schema=out_schema)
 
 
 def bpe_decode_expr(tokens_col: Column | str) -> Column:

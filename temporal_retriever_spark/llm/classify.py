@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.llm.lm import char_ngrams_expr, word_ngrams_expr
+from temporal_retriever_spark.spread import spread_scan
 
 __all__ = ["NBModel", "nb_train", "nb_score", "nb_classify", "logreg_train", "logreg_score", "poisson_train", "poisson_score"]
 
@@ -85,7 +86,9 @@ def nb_train(
     aggregation plus a rollup of the token table (model-sized — the
     corpus is not re-scanned for totals). NULL labels are excluded.
     """
-    labeled = df.filter(F.col(label_col).isNotNull())
+    labeled = spread_scan(
+        df.select(label_col, text_col).filter(F.col(label_col).isNotNull())
+    )
     token_counts = (
         labeled.select(
             F.col(label_col).alias("label"),
@@ -139,7 +142,8 @@ def nb_score(
         )
     )
     occ = (
-        df.select(
+        spread_scan(df.select(id_col, text_col))
+        .select(
             F.col(id_col), F.explode(_tokens(text_col, n, unit)).alias("token")
         )
         .groupBy(id_col, "token")

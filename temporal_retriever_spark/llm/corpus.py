@@ -30,6 +30,7 @@ from temporal_retriever_spark.llm.dedup import (
     near_dup_pairs_verified,
 )
 from temporal_retriever_spark.llm.text import language_expr, quality_exprs
+from temporal_retriever_spark.spread import spread_scan
 
 #: metric columns prepare_corpus appends to surviving rows
 CORPUS_METRICS = ("n_chars", "n_tokens", "digit_ratio", "quality_score")
@@ -69,6 +70,7 @@ def prepare_corpus(
     runs and engines — the property the driver oracle checks.
     """
     metrics = quality_exprs(text_col)
+    df = spread_scan(df)
     enriched = df.withColumns(
         {name: metrics[name] for name in CORPUS_METRICS}
     ).withColumn("lang_pred", language_expr(text_col))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..spread import spread_scan
+
 
 def _norm_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
@@ -78,8 +80,12 @@ def word_shingles(
         f"transform(sequence(1, greatest(size(_tokens) - {n - 1}, 1)), "
         f"i -> concat_ws(' ', slice(_tokens, i, {n})))"
     )
+    # shingling + the min-hash / vote aggregations that consume it are
+    # per-row compute: spread an under-partitioned scan or the whole
+    # family (minhash/simhash/jaccard/containment) serializes on one task
     return (
-        df.select(F.col(id_col), tokens.alias("_tokens"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens.alias("_tokens"))
         .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 
@@ -582,8 +588,10 @@ def simhash_signatures(
     """
     if feature == "token":
         feats = F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("_f")
-        hashed = df.select(F.col(id_col), feats).select(
-            F.col(id_col), F.xxhash64("_f").alias("_h")
+        hashed = (
+            spread_scan(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), feats)
+            .select(F.col(id_col), F.xxhash64("_f").alias("_h"))
         )
     elif feature == "shingle":
         hashed = word_shingles(df, text_col=text_col, id_col=id_col, n=n).select(

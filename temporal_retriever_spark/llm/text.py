@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..spread import spread_scan
+
 #: BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
 #: a practical token-count proxy when no real tokenizer is shipped.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -107,6 +109,7 @@ def text_stats(
     # the sf1 sweep caught 9 such documents. The nudge moves every
     # half-point off the boundary identically on both sides.
     guard = F.lit(1.234567e-07)
+    df = spread_scan(df)
     return df.select(
         *id_cols,
         *[
@@ -170,7 +173,9 @@ def language_id(
     no langid/fasttext; swap in a real classifier via mapInPandas when
     available).
     """
-    return df.select(*id_cols, language_expr(text_col).alias("lang_pred"))
+    return spread_scan(df).select(
+        *id_cols, language_expr(text_col).alias("lang_pred")
+    )
 
 
 def text_fingerprint(
@@ -589,7 +594,7 @@ def normalize_text(
     Output: ``out_col`` (default: ``text_col`` replaced in place).
     """
     out = out_col or text_col
-    cur = df
+    cur = spread_scan(df)
     col = F.col(text_col)
     if nfkc:
         import pandas as pd  # noqa: F401

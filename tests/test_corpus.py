@@ -79,11 +79,18 @@ def test_near_dedup_removes_cluster_losers(spark, docs):
 
 
 def test_gate_pass_is_narrow(spark, docs):
-    # the quality+language gates must not introduce a shuffle or join
+    # the quality+language gates must not introduce a KEYED shuffle or
+    # a join. The one allowed exchange is the guarded round-robin
+    # spread_scan (r9): it fires only on under-partitioned scans (as
+    # here, a tiny test frame) and is a no-op at real partition counts.
     out = prepare_corpus(docs, dedup=None)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
     assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    n_exchanges = plan.count("Exchange")
+    n_roundrobin = plan.count("RoundRobinPartitioning")
+    assert n_exchanges == n_roundrobin <= 1, plan
 
 
 def test_uniform_sample_deterministic_and_stable(spark, docs):
