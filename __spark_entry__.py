@@ -2099,8 +2099,13 @@ def q_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, books = ivfpq_train(
         emb, n_cells=8, m=16, n_codes=32, coarse_iter=3, pq_iter=3, seed=7
     )
-    # scale-aware refine depth — see q_pq_cosine_topk's comment
-    refine = max(6, emb.count() // 500)
+    # scale-aware refine depth — see q_pq_cosine_topk's comment. The
+    # IVF-PQ floor is deeper than flat PQ's (12 vs 6): residual coding
+    # at n_codes=32 is coarser, and the r9 sf0.1 sweep measured a
+    # query missing the 3-hit gate at refine=6 with 2k vectors
+    # (refine=12 restores 10/10; deeper pools only improve the exact
+    # re-rank, so the driver-checked SFs are unaffected).
+    refine = max(12, emb.count() // 100)
     ann = ivfpq_topk(
         emb, queries_df, centroids, books, k=5, nprobe=8, refine=refine
     )

@@ -42,6 +42,7 @@ from temporal_retriever_spark.llm.similarity import (
     cosine_similarity_expr,
     cosine_topk,
 )
+from temporal_retriever_spark.spread import spread_scan
 
 Codebooks = list[list[list[float]]]  # [sub][code] -> centroid (dim/m floats)
 
@@ -140,7 +141,13 @@ def pq_train(
         ]
         for s in range(m)
     ]
-    rows = _subvector_rows(base, id_col, vec_col, m, sub_dim)
+    # spread an under-partitioned scan (the explode/assign work below is
+    # per-row compute) and persist: every Lloyd iteration re-consumes
+    # the same subvector rows, and without the persist each iteration
+    # re-reads + re-normalizes + re-explodes the corpus from scratch
+    rows = _subvector_rows(
+        spread_scan(base), id_col, vec_col, m, sub_dim
+    ).persist()
     for _ in range(max_iter):
         cb = _codebook_frame(spark, codebooks)
         assigned = (
@@ -176,6 +183,7 @@ def pq_train(
         if updated == codebooks:
             break
         codebooks = updated
+    rows.unpersist()
     return codebooks
 
 
@@ -207,7 +215,7 @@ def pq_encode(
     base = corpus.select(F.col(id_col), F.col(vec_col))
     if normalize:
         base = base.withColumn(vec_col, _unit_expr(vec_col))
-    rows = _subvector_rows(base, id_col, vec_col, m, sub_dim)
+    rows = _subvector_rows(spread_scan(base), id_col, vec_col, m, sub_dim)
     cb = _codebook_frame(spark, codebooks)
     assigned = (
         rows.join(F.broadcast(cb), on="sub")

@@ -20,6 +20,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..spread import spread_scan
+
 
 def _dot(a: str | Column, b: str | Column) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -78,10 +80,9 @@ def _probe_distances(
     source scan is under-partitioned (a single ~100 MB parquet file is
     one partition and would serialize the whole compute-bound pass)."""
     pv = df.join(F.broadcast(probe), on=id_col, how="left_semi")
-    corpus = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("_eb"))
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < want:
-        corpus = corpus.repartition(want)
+    corpus = spread_scan(
+        df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("_eb"))
+    )
     return (
         corpus.crossJoin(
             F.broadcast(
@@ -197,15 +198,20 @@ def kmeans_fit(
     Init: the k vectors with the smallest ``xxhash64(seed, id)`` — a
     deterministic pseudo-random sample.
     """
-    init = (
+    # spread an under-partitioned scan (assignment is per-row compute)
+    # and persist: every Lloyd iteration re-consumes the same narrow
+    # (id, vec) frame, and the init sample reads it too
+    base = spread_scan(
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+    ).persist()
+    init = (
+        base.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
         .limit(k)
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     for _ in range(max_iter):
-        assigned = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        assigned = assign_clusters(base, centroids, id_col=id_col, vec_col=vec_col)
         new_rows = (
             assigned.select(
                 "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
@@ -227,6 +233,7 @@ def kmeans_fit(
         if updated == centroids:
             break
         centroids = updated
+    base.unpersist()
     return centroids
 
 
@@ -470,12 +477,11 @@ def embedding_near_dup_pairs(
             # sf10 gate: two-task stages pegged for 15+ min). Spread a
             # low-partition corpus first; the exchange moves only
             # (id, vector) rows, linear and tiny next to the scan work.
-            corpus = df.select(
-                F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov")
+            corpus = spread_scan(
+                df.select(
+                    F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov")
+                )
             )
-            want = df.sparkSession.sparkContext.defaultParallelism
-            if corpus.rdd.getNumPartitions() < want:
-                corpus = corpus.repartition(want)
             raw = (
                 corpus.crossJoin(
                     F.broadcast(
@@ -543,12 +549,11 @@ def embedding_near_dup_pairs(
             # self-join: with deep buckets at real near-dup thresholds
             # it is sub-quadratic, which no broadcast variant is.
             pv = df.join(F.broadcast(probe), on=id_col, how="left_semi")
-            corpus = df.select(
-                F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov")
+            corpus = spread_scan(
+                df.select(
+                    F.col(id_col).alias("_oid"), F.col(vec_col).alias("_ov")
+                )
             )
-            want = df.sparkSession.sparkContext.defaultParallelism
-            if corpus.rdd.getNumPartitions() < want:
-                corpus = corpus.repartition(want)
             # signature computed AFTER the spread: the exchange carries
             # only (id, vector); the T·n_planes dot products run in the
             # already-parallel scan stage.
