@@ -3888,11 +3888,17 @@ def q_lm_perplexity_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = _stream_tmp("trs-lm-stream-")
     half_a, half_b = docs.randomSplit([0.5, 0.5], seed=23)
-    half_a.write.parquet(f"{tmp}/in/chunk=0")
-    half_b.write.parquet(f"{tmp}/in/chunk=1")
+    # each half lands as 8 files and the trigger takes 8 files, so the
+    # replay is STILL two micro-batches but each batch's scan (and the
+    # n-gram explode + model join riding it) runs 8-wide instead of
+    # serializing on a single file. Scoring is a complete-mode stateful
+    # sum with no watermark, so batch composition cannot change the
+    # result (same rows, same final state).
+    half_a.repartition(8).write.parquet(f"{tmp}/in/chunk=0")
+    half_b.repartition(8).write.parquet(f"{tmp}/in/chunk=1")
     stream = (
         spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 8)
         .parquet(f"{tmp}/in/chunk=*")
     )
     scored = streaming_lm_score(stream, model, n=3, k=0.5)

@@ -34,6 +34,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from temporal_retriever_spark.spread import spread_scan
+
 __all__ = [
     "anova_oneway",
     "diff_in_diff",
@@ -998,6 +1000,11 @@ def bootstrap_ci(
         v.alias("_x"),
         F.col(id_col).cast("string").alias("_id"),
     )
+    # the ×n_boot explode and the md5 weight draws below are per-row
+    # compute: spread an under-partitioned scan before multiplying it
+    # (weights are keyed on (salt, id, replicate), so the result is
+    # partitioning-independent)
+    rows = spread_scan(rows)
     exploded = rows.select(
         *keys,
         "_x",

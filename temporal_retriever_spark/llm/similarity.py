@@ -1082,25 +1082,58 @@ def pca_power(
         if not first:
             raise ValueError("cannot fit on an empty frame")
         dim = first[0]["d"]
+    # Moments via a vectorized Arrow pass: the relational form (one agg
+    # with 1 + d + d(d+1)/2 SUM columns — 2,145 at d=64) spends ~18 s in
+    # Catalyst planning/codegen alone at any data size (measured r9).
+    # Each task reduces its batches to (n, Σx, XᵀX) with BLAS; the
+    # per-partition partials (a handful of rows) are summed on the
+    # driver. Same moments, same downstream arithmetic; only the
+    # float-summation grouping changes (as any partial aggregation
+    # already does).
+    import numpy as np
+    import pandas as pd
+
+    d = dim
+
+    def _partials(batches):
+        n_loc = 0
+        s_loc = np.zeros(d)
+        q_loc = np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            n_loc += X.shape[0]
+            s_loc += X.sum(axis=0)
+            q_loc += X.T @ X
+        yield pd.DataFrame(
+            {
+                "n": [float(n_loc)],
+                "s": [s_loc.tolist()],
+                "q": [q_loc[np.triu_indices(d)].tolist()],
+            }
+        )
+
+    parts = (
+        spread_scan(df.select(vec_col))
+        .mapInPandas(_partials, "n double, s array<double>, q array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    if not n:
+        raise ValueError("cannot fit on an empty frame")
+    s_tot = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    q_tot = np.sum([np.asarray(r["q"]) for r in parts], axis=0)
     x = [
         F.element_at(F.col(vec_col), i + 1).cast("double")
         for i in range(dim)
     ]
-    aggs = [F.count("*").cast("double").alias("nn")]
-    for i in range(dim):
-        aggs.append(F.sum(x[i]).alias(f"s_{i}"))
-        for j in range(i, dim):
-            aggs.append(F.sum(x[i] * x[j]).alias(f"q_{i}_{j}"))
-    row = df.agg(*aggs).collect()[0]
-    n = row["nn"]
-    if not n:
-        raise ValueError("cannot fit on an empty frame")
-    mu = [row[f"s_{i}"] / n for i in range(dim)]
+    mu = [s_tot[i] / n for i in range(dim)]
     C = [[0.0] * dim for _ in range(dim)]
-    for i in range(dim):
-        for j in range(i, dim):
-            cij = row[f"q_{i}_{j}"] / n - mu[i] * mu[j]
-            C[i][j] = C[j][i] = cij
+    iu = list(zip(*np.triu_indices(d)))
+    for (i, j), qij in zip(iu, q_tot):
+        cij = qij / n - mu[i] * mu[j]
+        C[i][j] = C[j][i] = cij
     v = [1.0 / _math.sqrt(dim)] * dim
     for _ in range(iterations):
         u = [0.0] * dim

@@ -888,6 +888,12 @@ def streaming_lm_score(
         model = model.filter(F.length("ngram") == n)
     else:
         model = model.filter(F.size(F.split("ngram", " ")) == n)
+    # persist the static side: a stream-static join re-evaluates the
+    # static plan EVERY micro-batch, and this one is a full training
+    # aggregation consumed three times per batch (model join,
+    # ctx_counts, vocab) — 3 × n_batches trainings without the cache.
+    # Model-sized (≤ |charset|^n rows), evictable, session-scoped.
+    model = model.persist()
     ctx_counts = model.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
     vocab = model.select(
         _last_token(F.col("ngram"), n, unit).alias("_tok")
