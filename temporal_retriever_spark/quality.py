@@ -29,6 +29,8 @@ from typing import Any, NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from temporal_retriever_spark.spread import spread_scan
+
 __all__ = [
     "benford_test",
     "completeness",
@@ -328,7 +330,9 @@ def profile_table(
         else:
             aggs.append(F.min(c.cast("string")).alias(f"_smin{i}"))
             aggs.append(F.max(c.cast("string")).alias(f"_smax{i}"))
-    row = df.agg(*aggs)
+    # the multi-distinct Expand multiplies rows x#cols in the scan
+    # stage; spread an under-partitioned scan first or it runs serial
+    row = spread_scan(df.select(*[f.name for f in fields])).agg(*aggs)
     parts = []
     for i, f in enumerate(fields):
         is_num = f.dataType.simpleString().split("(")[0] in numeric
