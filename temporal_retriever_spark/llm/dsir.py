@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from temporal_retriever_spark.llm.corpus import sample_hash_expr
-from temporal_retriever_spark.llm.lm import score_ngram_lm
+from temporal_retriever_spark.llm.lm import doc_ngram_occurrences, score_ngram_lm
 
 __all__ = ["importance_weights", "gumbel_expr", "dsir_select"]
 
@@ -61,11 +61,20 @@ def importance_weights(
     Both models must share ``n``/``unit`` with this call — a
     mismatched model fails loud downstream (see ``score_ngram_lm``).
     """
+    # both scoring passes consume the SAME per-doc n-gram table (same
+    # docs, n, unit): build it once and persist, instead of re-exploding
+    # the corpus per model (the counts are identical either way; persist
+    # discipline is the repo's session-scoped gate convention)
+    occ = doc_ngram_occurrences(
+        docs, n=n, unit=unit, text_col=text_col, id_col=id_col
+    ).persist()
     t = score_ngram_lm(
-        docs, target_model, n=n, unit=unit, k=k, text_col=text_col, id_col=id_col
+        docs, target_model, n=n, unit=unit, k=k, text_col=text_col,
+        id_col=id_col, occ=occ,
     ).select(id_col, "n_grams", F.col("logprob_per_token").alias("_lp_t"))
     r = score_ngram_lm(
-        docs, raw_model, n=n, unit=unit, k=k, text_col=text_col, id_col=id_col
+        docs, raw_model, n=n, unit=unit, k=k, text_col=text_col,
+        id_col=id_col, occ=occ,
     ).select(id_col, F.col("logprob_per_token").alias("_lp_r"))
     return t.join(r, id_col).select(
         id_col,

@@ -54,6 +54,7 @@ __all__ = [
     "char_ngrams_expr",
     "word_ngrams_expr",
     "train_ngram_lm",
+    "doc_ngram_occurrences",
     "score_ngram_lm",
     "perplexity_prune",
     "train_kn_lm",
@@ -179,6 +180,32 @@ def train_ngram_lm(
     )
 
 
+def doc_ngram_occurrences(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    unit: str = "char",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram pre-aggregation: (id, ngram, occ, ctx).
+
+    The corpus-sized half of :func:`score_ngram_lm`, exposed so a
+    caller scoring the SAME documents against several models (DSIR's
+    target/raw pair) can build it once, persist it, and pass it via
+    ``occ=`` instead of re-exploding the corpus per model.
+    """
+    return (
+        spread_scan(docs.select(id_col, text_col))
+        .select(
+            F.col(id_col), F.explode(_ngrams(text_col, n, unit)).alias("ngram")
+        )
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .withColumn("ctx", _context(F.col("ngram"), n, unit))
+    )
+
+
 def score_ngram_lm(
     docs: DataFrame,
     model: DataFrame,
@@ -188,6 +215,7 @@ def score_ngram_lm(
     k: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents against a trained model: per-token average
     log-probability and perplexity.
@@ -229,15 +257,10 @@ def score_ngram_lm(
         _last_token(F.col("ngram"), n, unit).alias("_tok")
     ).agg(F.count_distinct("_tok").alias("v"))
 
-    occ = (
-        spread_scan(docs.select(id_col, text_col))
-        .select(
-            F.col(id_col), F.explode(_ngrams(text_col, n, unit)).alias("ngram")
+    if occ is None:
+        occ = doc_ngram_occurrences(
+            docs, n=n, unit=unit, text_col=text_col, id_col=id_col
         )
-        .groupBy(id_col, "ngram")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .withColumn("ctx", _context(F.col("ngram"), n, unit))
-    )
     joined = (
         occ.join(model.select("ngram", "cnt"), "ngram", "left")
         .join(ctx_counts, "ctx", "left")
