@@ -3883,9 +3883,12 @@ def q_lm_perplexity_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporal_retriever_spark.streaming import streaming_lm_score
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
+    # owner-managed static side (VERDICT r9 item 5): persist the trained
+    # model here, tell streaming_lm_score not to take its own
+    # never-released persist, and unpersist once the replay terminates.
     model = train_ngram_lm(
         _documents(spark, sf_dir).filter(F.col("source") == "src0"), n=3
-    )
+    ).persist()
     tmp = _stream_tmp("trs-lm-stream-")
     half_a, half_b = docs.randomSplit([0.5, 0.5], seed=23)
     # each half lands as 8 files and the trigger takes 8 files, so the
@@ -3901,26 +3904,29 @@ def q_lm_perplexity_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 8)
         .parquet(f"{tmp}/in/chunk=*")
     )
-    scored = streaming_lm_score(stream, model, n=3, k=0.5)
+    scored = streaming_lm_score(stream, model, n=3, k=0.5, persist_model=False)
     qname = f"trs_lm_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        scored.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination returning False means the replay is STILL
-    # RUNNING — reading the sink then would silently return a
-    # half-complete table (caught by the sf1 sweep: 25,112/50,000 docs
-    # at a 300 s cap). Wait long, then fail loud if incomplete.
-    finished = q.awaitTermination(1800)
-    if q.exception() is not None:
-        raise q.exception()
-    if not finished:
-        q.stop()
-        raise RuntimeError("streaming replay did not complete within 1800s")
+    try:
+        q = (
+            scored.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination returning False means the replay is STILL
+        # RUNNING — reading the sink then would silently return a
+        # half-complete table (caught by the sf1 sweep: 25,112/50,000 docs
+        # at a 300 s cap). Wait long, then fail loud if incomplete.
+        finished = q.awaitTermination(1800)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise RuntimeError("streaming replay did not complete within 1800s")
+    finally:
+        model.unpersist()
     return spark.table(qname).select(
         "doc_id",
         "n_grams",
@@ -4163,19 +4169,30 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the engine-portable md5 draw, so the oracle reproduces the
     selection id-for-id."""
     from temporal_retriever_spark.llm.dsir import dsir_select
-    from temporal_retriever_spark.llm.lm import train_ngram_lm
+    from temporal_retriever_spark.llm.lm import doc_ngram_occurrences, train_ngram_lm
 
     docs = _documents(spark, sf_dir)
     target = train_ngram_lm(docs.filter(F.col("source") == "src0"), n=3)
     raw = train_ngram_lm(docs, n=3)
-    got = dsir_select(docs, target, raw, n_select=100, n=3, k=0.5)
-    return got.select(
-        "doc_id",
-        "n_grams",
-        _r6("log_ratio_per_token").alias("log_ratio_per_token"),
-        _r6("log_ratio").alias("log_ratio"),
-        _r6("sort_key").alias("sort_key"),
-    )
+    # owner-managed occ (VERDICT r9 item 5): persist the corpus-sized
+    # per-doc n-gram table both scoring passes share, materialize the
+    # 100-row selection eagerly INSIDE this invocation (localCheckpoint
+    # — fresh compute per call, nothing keyed on the input path), then
+    # release the cache instead of pinning it for the session.
+    occ = doc_ngram_occurrences(docs, n=3, unit="char").persist()
+    try:
+        got = dsir_select(
+            docs, target, raw, n_select=100, n=3, k=0.5, occ=occ
+        )
+        return got.select(
+            "doc_id",
+            "n_grams",
+            _r6("log_ratio_per_token").alias("log_ratio_per_token"),
+            _r6("log_ratio").alias("log_ratio"),
+            _r6("sort_key").alias("sort_key"),
+        ).localCheckpoint(eager=True)
+    finally:
+        occ.unpersist()
 
 
 _DSIR_ORACLE = rf"""

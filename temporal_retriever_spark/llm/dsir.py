@@ -50,6 +50,7 @@ def importance_weights(
     k: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log importance weight under two n-gram LMs.
 
@@ -60,14 +61,22 @@ def importance_weights(
     per-token form is the comparable-across-lengths diagnostic).
     Both models must share ``n``/``unit`` with this call — a
     mismatched model fails loud downstream (see ``score_ngram_lm``).
+
+    Persist ownership (VERDICT r9 item 5 — the r9 form persisted the
+    corpus-sized per-doc n-gram table here and could never release it,
+    pinning it in cache for the session): both scoring passes consume
+    the SAME ``occ`` subtree, which Spark's exchange reuse computes
+    once within a single action, so the default builds it unpersisted.
+    A caller that materializes several actions over the weights (or
+    loops over corpora) should build :func:`lm.doc_ngram_occurrences`
+    itself, persist it, pass it via ``occ=``, and unpersist after its
+    action completes — the owner-managed pattern the contract entry
+    uses.
     """
-    # both scoring passes consume the SAME per-doc n-gram table (same
-    # docs, n, unit): build it once and persist, instead of re-exploding
-    # the corpus per model (the counts are identical either way; persist
-    # discipline is the repo's session-scoped gate convention)
-    occ = doc_ngram_occurrences(
-        docs, n=n, unit=unit, text_col=text_col, id_col=id_col
-    ).persist()
+    if occ is None:
+        occ = doc_ngram_occurrences(
+            docs, n=n, unit=unit, text_col=text_col, id_col=id_col
+        )
     t = score_ngram_lm(
         docs, target_model, n=n, unit=unit, k=k, text_col=text_col,
         id_col=id_col, occ=occ,
@@ -111,6 +120,7 @@ def dsir_select(
     salt: str = "",
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Select ``n_select`` documents ∝ softmax(log_ratio / temperature)
     without replacement (Gumbel-top-k).
@@ -135,6 +145,7 @@ def dsir_select(
         k=k,
         text_col=text_col,
         id_col=id_col,
+        occ=occ,
     )
     key = (
         F.col("log_ratio") / F.lit(float(temperature))

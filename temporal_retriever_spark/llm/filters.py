@@ -450,7 +450,10 @@ def contamination(
     0.0 fraction (nothing to leak).
     """
     bench_text_col = bench_text_col or text_col
-    docs = spread_scan(docs)
+    # spread the NARROW (id, text) projection, not the full frame: when
+    # the exchange fires it would otherwise round-robin (and local-sort,
+    # SPARK-23207) whole documents plus passenger columns (ADVICE r9)
+    docs = spread_scan(docs.select(id_col, text_col))
     grams = F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
     # NULL grams (doc shorter than n words, kept by explode_outer so the
     # doc still reports a row) must hash to NULL: xxhash64(NULL) is the

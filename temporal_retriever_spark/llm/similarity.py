@@ -1103,6 +1103,17 @@ def pca_power(
             if len(pdf) == 0:
                 continue
             X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            # mirror the old SQL-SUM semantics the numpy rewrite replaced
+            # (ADVICE r9): element_at past a short vector was NULL and
+            # SUM skipped it — here a ragged batch materializes as object
+            # dtype (crash on @) and a short dim= would crash on shape,
+            # so pad/slice to d explicitly and fail loud on short rows.
+            if X.ndim != 2 or X.shape[1] < d:
+                raise ValueError(
+                    f"pca_power: expected vectors of >= {d} floats, got "
+                    f"shape {X.shape} (ragged or short {vec_col} rows)"
+                )
+            X = X[:, :d]
             n_loc += X.shape[0]
             s_loc += X.sum(axis=0)
             q_loc += X.T @ X
@@ -1115,7 +1126,10 @@ def pca_power(
         )
 
     parts = (
-        spread_scan(df.select(vec_col))
+        # NULL vectors would become NaN rows in np.array and poison every
+        # moment (the old SQL SUM skipped nulls) — drop them before the
+        # Arrow pass (ADVICE r9)
+        spread_scan(df.filter(F.col(vec_col).isNotNull()).select(vec_col))
         .mapInPandas(_partials, "n double, s array<double>, q array<double>")
         .collect()
     )

@@ -856,6 +856,7 @@ def streaming_lm_score(
     k: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_model: bool = True,
 ) -> DataFrame:
     """Score a STREAM of documents against a batch-trained n-gram LM —
     the stream-static shape of ``llm.lm.score_ngram_lm``: the model
@@ -892,8 +893,15 @@ def streaming_lm_score(
     # static plan EVERY micro-batch, and this one is a full training
     # aggregation consumed three times per batch (model join,
     # ctx_counts, vocab) — 3 × n_batches trainings without the cache.
-    # Model-sized (≤ |charset|^n rows), evictable, session-scoped.
-    model = model.persist()
+    # Model-sized (≤ |charset|^n rows), evictable — but a persist taken
+    # here can never be released (the caller owns the query lifecycle),
+    # so callers that care about cache hygiene should persist the model
+    # THEMSELVES, pass persist_model=False, and unpersist after the
+    # streaming query terminates (VERDICT r9 item 5; the contract entry
+    # does exactly this). The internal persist stays the default so a
+    # bare call is never 3×n_batches slower.
+    if persist_model:
+        model = model.persist()
     ctx_counts = model.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
     vocab = model.select(
         _last_token(F.col("ngram"), n, unit).alias("_tok")

@@ -18,6 +18,27 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_gopher_filter_matches_gopher_rules(spark, sf_dir):
+    # gopher_filter duplicates the rule expressions in staged form for
+    # performance (r9); this parity pin forces the two code paths to
+    # agree so a future edit to gopher_rules (threshold, regex, stopword
+    # list) cannot silently diverge them (ADVICE r9).
+    from temporal_retriever_spark.llm.filters import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rules = gopher_rules("text")
+    via_rules = docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in rules.items()]
+    )
+    via_filter = gopher_filter(docs)
+    assert via_filter.columns == via_rules.columns
+    a = sorted(map(tuple, via_filter.collect()))
+    b = sorted(map(tuple, via_rules.collect()))
+    assert a == b
+
+
 def test_repetition_duplicate_lines_and_paras(spark):
     text = "alpha beta\ngamma\nalpha beta\n\nalpha beta\ngamma"
     # lines: [alpha beta, gamma, alpha beta, '', alpha beta, gamma] -> 6

@@ -35,3 +35,30 @@ def test_factor_multiplies_target(spark):
 def test_streaming_frame_passes_through(spark):
     stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     assert spread_scan(stream) is stream
+
+
+def test_file_scan_estimate_matches_physical_probe(spark, sf_dir):
+    # r10: the guard derives the partition count from the plan's input
+    # files instead of df.rdd (which forces physical planning per call,
+    # VERDICT r9 item 5). Pin estimate == physical on real parquet scans,
+    # wide and narrow, so a Spark split-logic change can't drift silently.
+    from temporal_retriever_spark.spread import _estimate_scan_partitions
+
+    for table in ("documents", "events", "lineitem"):
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        assert _estimate_scan_partitions(df) == df.rdd.getNumPartitions()
+        narrow = df.select(df.columns[0])
+        assert _estimate_scan_partitions(narrow) == narrow.rdd.getNumPartitions()
+
+
+def test_non_file_input_falls_back(spark):
+    # in-memory relations have no input files: the estimate abstains and
+    # the guard falls back to the physical probe (same behavior as r9)
+    from temporal_retriever_spark.spread import _estimate_scan_partitions
+
+    df = spark.range(1000).coalesce(1)
+    assert _estimate_scan_partitions(df) is None
+    assert (
+        spread_scan(df).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
