@@ -100,14 +100,48 @@ def fit_linear_seasonal(
     # arithmetic (sums -> closed form) is reproducible bit-for-bit across
     # engines and cluster re-runs, which the reference-style oracle checks
     # rely on; regr_* use engine-specific incremental update formulas.
+    # r10 (VERDICT r9 item 4): the Gram sums fold over a SORTED
+    # collected array instead of F.sum partials — partial-sum merge
+    # order follows task scheduling, and the resulting last-ulp drift
+    # flipped 6-decimal grid values on conformal_daily /
+    # interval_scorecard across runs. collect_list partials concatenate
+    # in arbitrary order too, but sort_array then fixes one (t, y)
+    # order, so the sequential fold is hash-stable at ANY partitioning.
+    # Plan shape is unchanged (one hash aggregation, same exchange);
+    # per-series arrays are bucket-sized (daily ≈ hundreds of rows).
+    # Null handling mirrors the old sums exactly: a null product/term
+    # contributes +0.0 (IEEE identity) where SUM skipped the row, and
+    # n_buckets still counts non-null y only.
     y = F.col(value_col)
-    sums = hist.groupBy(*series_cols).agg(
-        F.sum(F.col("_t") * y).alias("_sty"),
-        F.sum("_t").alias("_st"),
-        F.sum(y).alias("_sy"),
-        F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
-        F.count(value_col).alias("n_buckets"),
-        F.max(ts_col).alias("max_ds"),
+    pairs = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("_t").alias("t"), y.cast("double").alias("y"))
+        )
+    )
+
+    def _fold(term):
+        return F.aggregate(
+            F.col("_p"),
+            F.lit(0.0),
+            lambda acc, r: acc + F.coalesce(term(r), F.lit(0.0)),
+        )
+
+    sums = (
+        hist.groupBy(*series_cols)
+        .agg(
+            pairs.alias("_p"),
+            F.count(value_col).alias("n_buckets"),
+            F.max(ts_col).alias("max_ds"),
+        )
+        .select(
+            *series_cols,
+            _fold(lambda r: r["t"] * r["y"]).alias("_sty"),
+            _fold(lambda r: r["t"]).alias("_st"),
+            _fold(lambda r: r["y"]).alias("_sy"),
+            _fold(lambda r: r["t"] * r["t"]).alias("_stt"),
+            "n_buckets",
+            "max_ds",
+        )
     )
     n = F.col("n_buckets").cast("double")
     den = F.col("_stt") - F.col("_st") * F.col("_st") / n
@@ -130,8 +164,15 @@ def fit_linear_seasonal(
     # quantile subplan shares the shuffle via Catalyst ReuseExchange —
     # versus the former seasonal-agg + broadcast-join-back second pass.
     # s_mean = sum/count (not F.avg) keeps the arithmetic identical to
-    # the oracle SQL's SUM(r)/COUNT(r).
-    skey_window = Window.partitionBy(*series_cols, "_skey")
+    # the oracle SQL's SUM(r)/COUNT(r). The explicit ds-ordered
+    # unbounded frame fixes the accumulation order (same hash-stability
+    # argument as the Gram sums above; an unordered window sums in
+    # arrival order).
+    skey_window = (
+        Window.partitionBy(*series_cols, "_skey")
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     with_resid = (
         hist.join(F.broadcast(trend), on=series_cols)
         .withColumn(
@@ -1090,8 +1131,17 @@ def forecast_theta(
         raise ValueError(f"alpha must be in (0, 1): {alpha}")
     series_cols = list(series_cols)
     K = max(1, int(math.ceil(math.log(trunc_eps) / math.log(1.0 - alpha))))
-    w = Window.partitionBy(*series_cols)
-    wd = w.orderBy(F.col(ds_col).desc())
+    # ds-ordered unbounded frame: the moment sums accumulate in a fixed
+    # (sequential, ds-ascending) order instead of partition-arrival
+    # order — the r9 wobble class where last-ulp merge drift flipped
+    # 6-decimal values on forecast_theta_daily / forecast_ensemble_daily
+    # across runs (VERDICT r9 item 4). Same arithmetic, stable hashes.
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col(ds_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wd = Window.partitionBy(*series_cols).orderBy(F.col(ds_col).desc())
     t = _time_index(F.col(ds_col))
     # drop null observations FIRST: otherwise count(y) excludes them
     # while the time moments include them and the slope is biased
@@ -1125,15 +1175,24 @@ def forecast_theta(
         (F.col("_rn") == F.col("_n")) & (F.col("_n") - 1 <= F.lit(float(K))),
         F.pow(F.lit(1.0 - alpha), F.col("_n") - 1) * F.col("_z2"),
     )
-    agg = d.groupBy(*series_cols).agg(
-        F.max(F.col(ds_col).cast("date")).alias("_max_ds"),
-        F.max("_t").alias("_max_t"),
-        F.first("_mt").alias("_mt"),
-        F.first("_my").alias("_my"),
-        F.first("_b").alias("_b"),
-        (F.coalesce(F.sum(main), F.lit(0.0)) + F.coalesce(F.sum(init), F.lit(0.0))).alias(
-            "_level"
-        ),
+    # the SES level sums over the same ds-ordered unbounded frame (then
+    # groupBy takes per-series constants) so the truncated-SES fold has
+    # a fixed association order too — groupBy partial sums would
+    # reintroduce the merge-order wobble the window above removes
+    level = F.coalesce(F.sum(main).over(w), F.lit(0.0)) + F.coalesce(
+        F.sum(init).over(w), F.lit(0.0)
+    )
+    agg = (
+        d.withColumn("_level", level)
+        .groupBy(*series_cols)
+        .agg(
+            F.max(F.col(ds_col).cast("date")).alias("_max_ds"),
+            F.max("_t").alias("_max_t"),
+            F.first("_mt").alias("_mt"),
+            F.first("_my").alias("_my"),
+            F.first("_b").alias("_b"),
+            F.first("_level").alias("_level"),
+        )
     )
     grid = agg.select(
         *series_cols,
