@@ -2797,7 +2797,12 @@ def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact-verified duplicate witness by construction).
     """
     from temporal_retriever_spark.llm.corpus import prepare_corpus
-    from temporal_retriever_spark.llm.dedup import anchored_exact_pairs
+    from temporal_retriever_spark.llm.dedup import (
+        anchored_exact_pairs,
+        duplicate_clusters,
+        near_dup_pairs_verified,
+        word_shingles,
+    )
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     common = dict(
@@ -2809,7 +2814,7 @@ def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the filtered (id, text) base: the quality + language-id
     # scan over the raw corpus is the gate's hottest subtree and feeds
     # FOUR consumers (count, anchors, both shingle sides of the sample,
-    # and the near-dedup re-filter below) — unpersisted, each re-reads
+    # and the near-dedup path below) — unpersisted, each re-reads
     # parquet and re-computes the metric/lang expressions (r9; the
     # sweep clears cache between queries).
     filtered = (
@@ -2817,20 +2822,38 @@ def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .persist()
     )
-    # persist: kept (3 consumers) and sample (3) are id/pair frames
-    # whose near-dedup / exact-verify stages would re-run per consumer.
-    # Near-dedup runs ON the persisted base: the quality gates are
-    # deterministic per text, so re-filtering already-filtered rows is
-    # the identity and the kept set is unchanged (pinned by the
-    # contract hash itself).
+    # r10 (VERDICT item 1): ONE persisted shingle table feeds every
+    # shingle consumer — the MinHash signatures, BOTH sides of the LSH
+    # verify, the anchored candidate generation and the sample verify
+    # previously re-normalized + re-exploded the corpus once EACH.
+    # Values are exact integer/string ops, so sharing the table cannot
+    # change any count. The near-dedup also runs dedup directly on the
+    # persisted base instead of prepare_corpus(dedup="near"), which
+    # re-evaluated the (identity, but regex-heavy) quality/language
+    # gates over already-filtered rows; the kept set is unchanged —
+    # the near branch is gates→pairs→clusters→anti-join and the gates
+    # are deterministic per text (pinned by the contract hash).
+    shingled = word_shingles(filtered, n=3).persist()
+    pairs = near_dup_pairs_verified(
+        filtered,
+        n=3,
+        num_hashes=32,
+        num_bands=8,
+        threshold=common["jaccard_threshold"],
+        shingled=shingled,
+    )
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id")
+    )
     kept = (
-        prepare_corpus(filtered, dedup="near", **common)
+        filtered.join(losers, on="doc_id", how="left_anti")
         .select("doc_id")
         .persist()
     )
     anchors = _md5_anchors(filtered, "doc_id")
     sample = anchored_exact_pairs(
-        filtered, anchors, n=3, threshold=0.2
+        filtered, anchors, n=3, threshold=0.2, shingled=shingled
     ).persist()
     kept_a = kept.select(F.col("doc_id").alias("id_a"))
     kept_b = kept.select(F.col("doc_id").alias("id_b"))
@@ -2847,27 +2870,37 @@ def q_corpus_prep_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     false_drops = dropped_anchors.join(sampled_dup_ids, on="doc_id", how="left_anti")
-    return (
-        filtered.agg(F.count("*").alias("n_filtered"))
-        .crossJoin(anchors.agg(F.count("*").alias("n_anchors")))
-        .crossJoin(sample.agg(F.count("*").alias("n_sample_pairs")))
-        .crossJoin(co_kept.agg(F.count("*").alias("_n_co")))
-        .crossJoin(false_drops.agg(F.count("*").alias("n_false_drop_anchor")))
-        .select(
-            "n_filtered",
-            "n_anchors",
-            "n_sample_pairs",
-            # integer compare: n_co / n_sample ≤ (1 - bound) without FP
-            # boundary drift (ADVICE r8: 1.0 - 0.9 = 0.09999…98 in
-            # floating point was strictly tighter at an exact-10% edge)
-            (
-                F.col("_n_co") * F.lit(100)
-                <= F.col("n_sample_pairs")
-                * F.lit(round((1.0 - _RECALL_BOUND) * 100))
-            ).alias("co_kept_pass"),
-            "n_false_drop_anchor",
+    try:
+        # gate row materialized eagerly INSIDE this invocation (fresh
+        # compute per call) so the persists release in the finally
+        # instead of pinning corpus-sized tables for the session (r10)
+        return (
+            filtered.agg(F.count("*").alias("n_filtered"))
+            .crossJoin(anchors.agg(F.count("*").alias("n_anchors")))
+            .crossJoin(sample.agg(F.count("*").alias("n_sample_pairs")))
+            .crossJoin(co_kept.agg(F.count("*").alias("_n_co")))
+            .crossJoin(false_drops.agg(F.count("*").alias("n_false_drop_anchor")))
+            .select(
+                "n_filtered",
+                "n_anchors",
+                "n_sample_pairs",
+                # integer compare: n_co / n_sample ≤ (1 - bound) without FP
+                # boundary drift (ADVICE r8: 1.0 - 0.9 = 0.09999…98 in
+                # floating point was strictly tighter at an exact-10% edge)
+                (
+                    F.col("_n_co") * F.lit(100)
+                    <= F.col("n_sample_pairs")
+                    * F.lit(round((1.0 - _RECALL_BOUND) * 100))
+                ).alias("co_kept_pass"),
+                "n_false_drop_anchor",
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        sample.unpersist()
+        kept.unpersist()
+        shingled.unpersist()
+        filtered.unpersist()
 
 
 _CORPUS_FILTER_CTES = """
@@ -4911,13 +4944,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-cluster pair generation quadratic (n/k)² per cluster — a
     # scale trap at 100×. n/2500 keeps ~2.5k-vector cells; identical to
     # the old constant 8 at both driver SFs and at sf1 (500/20k vecs).
+    # persist sd: the within-cluster pair stage (Σ|cell|² cosines, the
+    # gate's whale) sits under FOUR consumers (drops, kept — twice — and
+    # the partition_ok count); unpersisted it recomputes per consumer.
+    # Thin rows (id, cluster, keep, keeper). Released in the finally
+    # below after the gate row materializes (r10 persist hygiene).
     sd = semantic_dedup(
         emb,
         threshold=t,
         n_clusters=max(8, n_vecs // 2500),
         max_iter=3,
         seed=42,
-    )
+    ).persist()
     exact_anch = embedding_near_dup_pairs(
         emb, threshold=t, method="exact", probe_ids=anchors
     )
@@ -4939,51 +4977,85 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding"), "vec_id"
     )
     kept_anch = kept.join(F.broadcast(anchors), on="vec_id", how="left_semi")
+    # verify legs: per-side norms attached once, cosine = dot/(‖a‖·‖b‖)
+    # — same subexpressions as cosine_similarity_expr (bit-identical),
+    # 1/3 the fold work on the anchors×cluster pair stream (r10)
+    from temporal_retriever_spark.llm.similarity import _dot, _norm
+
     kept_viol = (
         kept_anch.select(
-            F.col("vec_id").alias("l"), "cluster", F.col("embedding").alias("_lv")
+            F.col("vec_id").alias("l"),
+            "cluster",
+            F.col("embedding").alias("_lv"),
+            _norm("embedding").alias("_lnrm"),
         )
         .join(
             kept.select(
-                F.col("vec_id").alias("r"), "cluster", F.col("embedding").alias("_rv")
+                F.col("vec_id").alias("r"),
+                "cluster",
+                F.col("embedding").alias("_rv"),
+                _norm("embedding").alias("_rnrm"),
             ),
             "cluster",
         )
         .filter(F.col("l") != F.col("r"))
-        .filter(cosine_similarity_expr("_lv", "_rv") >= t)
+        .filter(
+            F.try_divide(_dot("_lv", "_rv"), F.col("_lnrm") * F.col("_rnrm")) >= t
+        )
     )
     witness_viol = (
-        drops.join(emb.select(F.col("vec_id"), F.col("embedding").alias("_dv")), "vec_id")
+        drops.join(
+            emb.select(
+                F.col("vec_id"),
+                F.col("embedding").alias("_dv"),
+                _norm("embedding").alias("_dnrm"),
+            ),
+            "vec_id",
+        )
         .join(
-            emb.select(F.col("vec_id").alias("keeper_id"), F.col("embedding").alias("_kv")),
+            emb.select(
+                F.col("vec_id").alias("keeper_id"),
+                F.col("embedding").alias("_kv"),
+                _norm("embedding").alias("_knrm"),
+            ),
             "keeper_id",
         )
-        .filter(cosine_similarity_expr("_dv", "_kv") < t)
+        .filter(
+            F.try_divide(_dot("_dv", "_kv"), F.col("_dnrm") * F.col("_knrm")) < t
+        )
     )
-    return (
-        emb.agg(F.count("*").alias("n_total"))
-        .crossJoin(anchors.agg(F.count("*").alias("n_anchors")))
-        .crossJoin(droppable_anchor.agg(F.count("*").alias("n_droppable_anchor")))
-        .crossJoin(drops_anch.agg(F.count("*").alias("_n_drop")))
-        .crossJoin(
-            drops_anch.join(droppable_anchor, "vec_id", "left_semi").agg(
-                F.count("*").alias("_n_drop_ok")
+    try:
+        # gate row materialized eagerly INSIDE this invocation (fresh
+        # compute per call) so the persisted frames can be released
+        # instead of pinned for the session (r10 persist hygiene)
+        return (
+            emb.agg(F.count("*").alias("n_total"))
+            .crossJoin(anchors.agg(F.count("*").alias("n_anchors")))
+            .crossJoin(droppable_anchor.agg(F.count("*").alias("n_droppable_anchor")))
+            .crossJoin(drops_anch.agg(F.count("*").alias("_n_drop")))
+            .crossJoin(
+                drops_anch.join(droppable_anchor, "vec_id", "left_semi").agg(
+                    F.count("*").alias("_n_drop_ok")
+                )
             )
+            .crossJoin(kept_viol.agg(F.count("*").alias("_n_kviol")))
+            .crossJoin(witness_viol.agg(F.count("*").alias("_n_wviol")))
+            .crossJoin(sd.agg(F.count("*").alias("_n_rows")))
+            .select(
+                F.lit(t).alias("threshold"),
+                "n_total",
+                "n_anchors",
+                "n_droppable_anchor",
+                (F.col("_n_drop_ok") == F.col("_n_drop")).alias("all_drops_droppable"),
+                (F.col("_n_kviol") == 0).alias("kept_tau_independent"),
+                (F.col("_n_wviol") == 0).alias("witness_valid"),
+                (F.col("_n_rows") == F.col("n_total")).alias("partition_ok"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .crossJoin(kept_viol.agg(F.count("*").alias("_n_kviol")))
-        .crossJoin(witness_viol.agg(F.count("*").alias("_n_wviol")))
-        .crossJoin(sd.agg(F.count("*").alias("_n_rows")))
-        .select(
-            F.lit(t).alias("threshold"),
-            "n_total",
-            "n_anchors",
-            "n_droppable_anchor",
-            (F.col("_n_drop_ok") == F.col("_n_drop")).alias("all_drops_droppable"),
-            (F.col("_n_kviol") == 0).alias("kept_tau_independent"),
-            (F.col("_n_wviol") == 0).alias("witness_valid"),
-            (F.col("_n_rows") == F.col("n_total")).alias("partition_ok"),
-        )
-    )
+    finally:
+        sd.unpersist()
+        droppable_anchor.unpersist()
 
 
 _SEMDEDUP_ORACLE = f"""

@@ -97,13 +97,22 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (id, sig array<bigint>).
 
     One explode + one groupBy with ``num_hashes`` min-aggregations —
     a single shuffle regardless of k.
+
+    ``shingled`` (optional): a precomputed ``word_shingles(df, ...)``
+    table — pass ONE persisted shingle table when several dedup stages
+    consume the same corpus (the r10 corpus-prep path), instead of
+    re-normalizing/re-exploding the documents per stage. The caller
+    owns its lifetime and must have built it with the same
+    ``text_col``/``id_col``/``n``.
     """
-    shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    if shingled is None:
+        shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -258,6 +267,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for the given candidate pairs.
 
@@ -267,8 +277,13 @@ def jaccard_verify(
     Jaccard — cost is bounded by |candidates|·|shingles per doc|, never
     by the corpus squared. Output: (id_a, id_b, jaccard ≥ threshold),
     identical to what ``ngram_jaccard_pairs`` would emit for those pairs.
+
+    ``shingled``: optional precomputed/persisted shingle table (see
+    :func:`minhash_signatures`), shared across dedup stages so the
+    documents are not re-normalized/re-exploded per stage (r10).
     """
-    shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    if shingled is None:
+        shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     cand = candidates.select("id_a", "id_b")
     a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
@@ -300,6 +315,7 @@ def anchored_exact_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs touching a fixed anchor set — the
     sampled ground-truth baseline for recall-gated approximate dedup.
@@ -317,7 +333,8 @@ def anchored_exact_pairs(
     """
     aid = anchor_ids.columns[0]
     anchors = anchor_ids.select(F.col(aid).alias(id_col)).distinct()
-    shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    if shingled is None:
+        shingled = word_shingles(df, text_col=text_col, id_col=id_col, n=n)
     anch_sh = shingled.join(F.broadcast(anchors), on=id_col, how="left_semi")
     # The anchor shingle side is bounded (|anchors|·shingles/doc) at any
     # SF — broadcast it EXPLICITLY so the corpus shingle stream never
@@ -339,7 +356,13 @@ def anchored_exact_pairs(
         .distinct()
     )
     return jaccard_verify(
-        df, cand, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        df,
+        cand,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=threshold,
+        shingled=shingled,
     )
 
 
@@ -352,6 +375,7 @@ def near_dup_pairs_verified(
     num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.2,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard.
 
@@ -363,13 +387,24 @@ def near_dup_pairs_verified(
     the driver oracle checks. Sub-quadratic end to end.
     """
     sigs = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        shingled=shingled,
     )
     candidates = lsh_candidate_pairs(
         sigs, id_col=id_col, num_bands=num_bands, sig_len=num_hashes
     )
     return jaccard_verify(
-        df, candidates, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        df,
+        candidates,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=threshold,
+        shingled=shingled,
     )
 
 

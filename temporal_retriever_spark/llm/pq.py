@@ -124,7 +124,7 @@ def pq_train(
     sub_dim = _check_dim(dim, m)
     base = corpus.select(F.col(id_col), F.col(vec_col))
     if normalize:
-        base = base.withColumn(vec_col, _unit_expr(vec_col))
+        base = base.withColumn(vec_col, _unit_expr(vec_col, dim))
     init = (
         base.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
         .limit(n_codes)
@@ -187,11 +187,22 @@ def pq_train(
     return codebooks
 
 
-def _unit_expr(vec_col: str):
+def _unit_expr(vec_col: str, dim: int | None = None):
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(dv, F.lit(0.0), lambda acc, v: acc + v * v)
     )
+    if dim:
+        # r10: referencing ``nrm`` inside the transform lambda re-inlines
+        # the whole O(dim) norm fold PER ELEMENT — O(dim²) per row,
+        # measured as the dominant cost of every corpus normalization
+        # pass (same trap embedding_group_outliers documents). With the
+        # dimension known, zip the vector against array_repeat(nrm, dim):
+        # ArrayRepeat evaluates the norm ONCE per row and the division is
+        # element-wise — identical values, O(dim) per row.
+        return F.zip_with(
+            dv, F.array_repeat(nrm, dim), lambda x, nn: F.try_divide(x, nn)
+        )
     return F.transform(dv, lambda x: F.try_divide(x, nrm))
 
 
@@ -214,7 +225,7 @@ def pq_encode(
     sub_dim = len(codebooks[0][0])
     base = corpus.select(F.col(id_col), F.col(vec_col))
     if normalize:
-        base = base.withColumn(vec_col, _unit_expr(vec_col))
+        base = base.withColumn(vec_col, _unit_expr(vec_col, m * sub_dim))
     rows = _subvector_rows(spread_scan(base), id_col, vec_col, m, sub_dim)
     cb = _codebook_frame(spark, codebooks)
     assigned = (
@@ -270,7 +281,7 @@ def pq_topk(
     if codes is None:
         codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     q = queries.select(
-        F.col(query_id_col), _unit_expr(vec_col).alias("_q")
+        F.col(query_id_col), _unit_expr(vec_col, m * sub_dim).alias("_q")
     )
     qrows = _subvector_rows(q, query_id_col, "_q", m, sub_dim)
     cb = _codebook_frame(spark, codebooks)
@@ -374,7 +385,7 @@ def pq_reconstruction_error(
         )
     base = corpus.select(F.col(id_col), F.col(vec_col))
     if normalize:
-        base = base.withColumn(vec_col, _unit_expr(vec_col))
+        base = base.withColumn(vec_col, _unit_expr(vec_col, dim))
     cb = _codebook_frame(spark, codebooks)
     flat = (
         cb.select(
@@ -603,7 +614,9 @@ def ivfpq_encode(
     from temporal_retriever_spark.llm.similarity import assign_clusters
 
     spark = corpus.sparkSession
-    unit = corpus.select(F.col(id_col), _unit_expr(vec_col).alias(vec_col))
+    unit = corpus.select(
+        F.col(id_col), _unit_expr(vec_col, len(centroids[0])).alias(vec_col)
+    )
     assigned = assign_clusters(unit, centroids, id_col=id_col, vec_col=vec_col)
     cf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -662,7 +675,8 @@ def ivfpq_topk(
             corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
         )
     qunit = queries.select(
-        F.col(query_id_col), _unit_expr(vec_col).alias("_q")
+        F.col(query_id_col),
+        _unit_expr(vec_col, len(centroids[0])).alias("_q"),
     )
     # probed cells + coarse dot per (query, cell)
     cf = spark.createDataFrame(

@@ -138,12 +138,19 @@ def cosine_topk(
     results are deterministic.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        _norm(vec_col).alias("_qn"),
     )
-    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    # norms attached once per side (corpus row / broadcast query row)
+    # instead of re-folding both inside every |corpus|×|queries| cosine:
+    # bit-identical values, 1/3 the per-pair fold work (r10)
+    joined = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(vec_col).alias("_cn")
+    ).crossJoin(F.broadcast(q))
     if not include_self:
         joined = joined.filter(F.col(id_col) != F.col(query_id_col))
-    sim = cosine_similarity_expr(vec_col, "_qvec")
+    sim = F.try_divide(_dot(vec_col, "_qvec"), F.col("_cn") * F.col("_qn"))
     scored = joined.select(
         F.col(query_id_col), F.col(id_col), sim.alias("cosine")
     )
@@ -483,10 +490,14 @@ def embedding_near_dup_pairs(
                 )
             )
             raw = (
-                corpus.crossJoin(
+                # per-side norms once instead of two folds per pair:
+                # bit-identical cosine, 1/3 the fold work (r10)
+                corpus.withColumn("_on", _norm("_ov")).crossJoin(
                     F.broadcast(
                         pv.select(
-                            F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
+                            F.col(id_col).alias("_pid"),
+                            F.col(vec_col).alias("_pv"),
+                            _norm(vec_col).alias("_pn"),
                         )
                     )
                 )
@@ -495,15 +506,21 @@ def embedding_near_dup_pairs(
             scored = raw.select(
                 F.least("_pid", "_oid").alias("left_id"),
                 F.greatest("_pid", "_oid").alias("right_id"),
-                cosine_similarity_expr("_pv", "_ov").alias("cosine"),
+                F.try_divide(
+                    _dot("_pv", "_ov"), F.col("_pn") * F.col("_on")
+                ).alias("cosine"),
             ).filter(F.col("cosine") >= cos_floor)
             return scored.dropDuplicates(["left_id", "right_id"])
         else:
             left = df.select(
-                F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")
+                F.col(id_col).alias("left_id"),
+                F.col(vec_col).alias("_lv"),
+                _norm(vec_col).alias("_ln"),
             )
             right = df.select(
-                F.col(id_col).alias("right_id"), F.col(vec_col).alias("_rv")
+                F.col(id_col).alias("right_id"),
+                F.col(vec_col).alias("_rv"),
+                _norm(vec_col).alias("_rn"),
             )
             pairs = left.join(right, on=F.col("left_id") < F.col("right_id"))
     elif method == "lsh":
@@ -569,11 +586,12 @@ def embedding_near_dup_pairs(
                 lambda x: x,
             )
             scored = (
-                corpus.crossJoin(
+                corpus.withColumn("_on", _norm("_ov")).crossJoin(
                     F.broadcast(
                         pv.select(
                             F.col(id_col).alias("_pid"),
                             F.col(vec_col).alias("_pv"),
+                            _norm(vec_col).alias("_pn"),
                         ).withColumn("_psig", psig)
                     )
                 )
@@ -582,7 +600,9 @@ def embedding_near_dup_pairs(
                 .select(
                     F.least("_pid", "_oid").alias("left_id"),
                     F.greatest("_pid", "_oid").alias("right_id"),
-                    cosine_similarity_expr("_pv", "_ov").alias("cosine"),
+                    F.try_divide(
+                        _dot("_pv", "_ov"), F.col("_pn") * F.col("_on")
+                    ).alias("cosine"),
                 )
                 .filter(F.col("cosine") >= cos_floor)
             )
@@ -604,18 +624,22 @@ def embedding_near_dup_pairs(
             )
         pairs = cand.join(
             df.select(
-                F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")
+                F.col(id_col).alias("left_id"),
+                F.col(vec_col).alias("_lv"),
+                _norm(vec_col).alias("_ln"),
             ),
             on="left_id",
         ).join(
             df.select(
-                F.col(id_col).alias("right_id"), F.col(vec_col).alias("_rv")
+                F.col(id_col).alias("right_id"),
+                F.col(vec_col).alias("_rv"),
+                _norm(vec_col).alias("_rn"),
             ),
             on="right_id",
         )
     else:
         raise ValueError(f"unknown method: {method!r}")
-    cos = cosine_similarity_expr("_lv", "_rv")
+    cos = F.try_divide(_dot("_lv", "_rv"), F.col("_ln") * F.col("_rn"))
     return (
         pairs.select("left_id", "right_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
@@ -700,22 +724,34 @@ def semantic_dedup(
             .withColumn("_d2", d2)
             .drop("centroid")
         )
+    # Pair scoring is the operator's whale (Σ|cell|² cosine rows). The
+    # norm folds are 2/3 of the per-pair flops and depend on ONE side
+    # each, so attach them once per vector on the join legs and divide
+    # by the product: cos = dot/(‖l‖·‖r‖) evaluates the exact same
+    # subexpressions over the same data — bit-identical to
+    # cosine_similarity_expr, measured 2.2× on the sf1 pair stage
+    # (r10, guide §1.2 step 2).
     left = assigned.select(
         F.col(id_col).alias("left_id"),
         F.col("cluster"),
         F.col(vec_col).alias("_lv"),
+        _norm(vec_col).alias("_ln"),
         *([F.col("_d2").alias("left_d2")] if keep == "far_from_centroid" else []),
     )
     right = assigned.select(
         F.col(id_col).alias("right_id"),
         F.col("cluster"),
         F.col(vec_col).alias("_rv"),
+        _norm(vec_col).alias("_rn"),
         *([F.col("_d2").alias("right_d2")] if keep == "far_from_centroid" else []),
     )
     pairs = (
         left.join(right, on="cluster")
         .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("cos", cosine_similarity_expr("_lv", "_rv"))
+        .withColumn(
+            "cos",
+            F.try_divide(_dot("_lv", "_rv"), F.col("_ln") * F.col("_rn")),
+        )
         .filter(F.col("cos") >= F.lit(float(threshold)))
     )
     if keep == "min_id":
