@@ -125,22 +125,69 @@ def nb_score(
     """
     if not alpha > 0:
         raise ValueError(f"alpha must be > 0: {alpha}")
-    # model-derived scalars: vocabulary size + total docs (tiny aggs)
-    vocab = model.token_counts.agg(
-        F.countDistinct("token").alias("_v")
-    )
-    totals = model.label_stats.agg(F.sum("n_docs").alias("_nd"))
-    lab = (
-        model.label_stats.crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "label",
-            F.log(F.col("n_docs") / F.col("_nd")).alias("_ln_prior"),
-            F.log(
-                F.col("n_tokens").cast("double") + F.lit(alpha) * F.col("_v")
-            ).alias("_ln_denom"),
+    # r10 restructure (VERDICT r9 item 7): the old shape crossJoined
+    # every (doc, token, occ) row with the label set and probed the
+    # (label, token) count table per expanded row — |labels|× the join
+    # work and |labels|× the pre-aggregation rows through the final
+    # groupBy. Now each distinct model token carries ONE array of
+    # per-label log counts, occ joins it once, and the per-doc sums run
+    # as |labels| aggregation columns over the UN-expanded rows. Every
+    # log/division still evaluates in Spark (the per-label scalars are
+    # collected from the same Spark expressions the old plan computed,
+    # so their doubles are bit-identical); only the float-sum grouping
+    # changes, as any partial aggregation already does.
+    tc = model.token_counts.persist()
+    try:
+        # per-label scalars: ln prior, ln denominator, and the
+        # unseen-token part ln(0 + alpha) — all Spark-evaluated, tiny
+        vocab = tc.agg(F.countDistinct("token").alias("_v"))
+        totals = model.label_stats.agg(F.sum("n_docs").alias("_nd"))
+        lab_rows = (
+            model.label_stats.crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "label",
+                F.log(F.col("n_docs") / F.col("_nd")).alias("_ln_prior"),
+                F.log(
+                    F.col("n_tokens").cast("double") + F.lit(alpha) * F.col("_v")
+                ).alias("_ln_denom"),
+                F.log(F.coalesce(F.lit(None), F.lit(0)) + F.lit(alpha)).alias(
+                    "_ln_unseen"
+                ),
+            )
+            .orderBy("label")
+            .collect()
         )
-    )
+        labels = [r["label"] for r in lab_rows]
+        ln_prior = {r["label"]: r["_ln_prior"] for r in lab_rows}
+        ln_denom = {r["label"]: r["_ln_denom"] for r in lab_rows}
+        ln_unseen = lab_rows[0]["_ln_unseen"] if lab_rows else None
+        # one array of ln(cnt + alpha) per distinct token, label-ordered;
+        # labels absent for a token get the same ln(alpha) the old
+        # row-wise coalesce produced. Materialized eagerly (vocab-sized)
+        # so the persisted count table can be released in the finally.
+        cmap = F.map_from_entries(
+            F.collect_list(F.struct(F.col("label"), F.col("cnt")))
+        )
+        model_vec = (
+            tc.groupBy("token")
+            .agg(cmap.alias("_m"))
+            .select(
+                "token",
+                F.array(
+                    *[
+                        F.log(
+                            F.coalesce(F.col("_m")[F.lit(l)], F.lit(0))
+                            + F.lit(alpha)
+                        )
+                        for l in labels
+                    ]
+                ).alias("_lp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        tc.unpersist()
     occ = (
         spread_scan(df.select(id_col, text_col))
         .select(
@@ -149,35 +196,44 @@ def nb_score(
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("occ"))
     )
-    joined = (
-        occ.crossJoin(F.broadcast(lab))
-        # no broadcast HINT on token_counts: a char-gram model is tiny
-        # (AQE broadcasts it), but a word-unit model is |labels|·|vocab|
-        # rows — corpus-scaled — and forcing it onto every executor
-        # would OOM where a plain shuffle join completes
-        .join(model.token_counts, ["label", "token"], "left")
-        .select(
-            id_col,
-            "label",
-            "occ",
-            "_ln_prior",
-            (
+    # no broadcast HINT on model_vec: a char-gram model is tiny (AQE
+    # broadcasts it), but a word-unit model is vocab-sized and forcing
+    # it onto every executor would OOM where a shuffle join completes
+    terms = occ.join(model_vec, "token", "left")
+    sums = terms.groupBy(id_col).agg(
+        F.sum("occ").alias("n_tokens"),
+        *[
+            F.sum(
                 F.col("occ")
                 * (
-                    F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
-                    - F.col("_ln_denom")
+                    F.coalesce(
+                        F.col("_lp")[i], F.lit(float(ln_unseen))
+                    )
+                    - F.lit(float(ln_denom[l]))
                 )
-            ).alias("_part"),
-        )
+            ).alias(f"_s{i}")
+            for i, l in enumerate(labels)
+        ],
     )
-    return (
-        joined.groupBy(id_col, "label")
-        .agg(
-            (
-                (F.first("_ln_prior") + F.sum("_part")) / F.sum("occ")
-            ).alias("avg_loglik"),
-            F.sum("occ").alias("n_tokens"),
-        )
+    per_label = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("label"),
+                (
+                    (F.lit(float(ln_prior[l])) + F.col(f"_s{i}"))
+                    / F.col("n_tokens")
+                ).alias("avg_loglik"),
+            )
+            for i, l in enumerate(labels)
+        ]
+    )
+    return sums.select(
+        F.col(id_col), F.explode(per_label).alias("_e"), F.col("n_tokens")
+    ).select(
+        id_col,
+        F.col("_e.label").alias("label"),
+        F.col("_e.avg_loglik").alias("avg_loglik"),
+        "n_tokens",
     )
 
 

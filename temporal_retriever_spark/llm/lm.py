@@ -95,14 +95,30 @@ def char_ngrams_expr(text_col: Column | str, n: int) -> Column:
     was no better. For pathological documents (≫100 KB) chunk first
     (``llm.chunking.doc_chunks``); don't swap this for an "O(L)" array
     shape without re-measuring.
+
+    Binding note (r10): the padded text must enter the per-position
+    lambda as a BOUND VARIABLE, not a captured expression — a captured
+    expression re-evaluates its whole tree (normalize regex + concat)
+    once PER ELEMENT. The let-binding here is ``transform(array(padded),
+    p -> …)``: the outer transform evaluates ``padded`` exactly once
+    into the one-element array and the inner lambda reads the variable.
+    Measured on the sf1 corpus (16.8M bigrams): 25.5 s captured →
+    2.6 s bound, identical output. Same construction in
+    :func:`word_ngrams_expr`.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     padded = F.concat(F.lit(BOS * (n - 1)), _normalize(col), F.lit(EOS))
-    return F.transform(
-        F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
-        lambda i: F.substring(padded, i, n),
+    return F.element_at(
+        F.transform(
+            F.array(padded),
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.length(p) - F.lit(n - 1)),
+                lambda i: F.substring(p, i, n),
+            ),
+        ),
+        1,
     )
 
 
@@ -120,10 +136,18 @@ def word_ngrams_expr(text_col: Column | str, n: int) -> Column:
     padded = F.concat(
         F.array(*[F.lit(BOS) for _ in range(n - 1)]), toks, F.array(F.lit(EOS))
     )
-    count = F.size(padded) - F.lit(n - 1)
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(padded, i, n), " "),
+    # let-binding via transform(array(padded), p -> …) so the
+    # normalize/split/concat tree evaluates once per row, not once per
+    # n-gram position — see char_ngrams_expr's binding note (r10)
+    return F.element_at(
+        F.transform(
+            F.array(padded),
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.size(p) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(p, i, n), " "),
+            ),
+        ),
+        1,
     )
 
 
