@@ -131,35 +131,58 @@ _LANG_MARKERS = {
 
 def language_expr(text_col: str = "text") -> Column:
     """The language-id decision as ONE native expression (same
-    arithmetic as ``language_id``) — composable into a narrow pass;
-    Catalyst's subexpression elimination dedups the marker counts."""
-    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]"))
-    scores: dict[str, Column] = {}
-    for lang, markers in _LANG_MARKERS.items():
-        score = None
-        for m in markers:
-            c = (
-                F.length(t)
-                - F.length(F.replace(t, F.lit(m), F.lit("")))
-            ) / F.lit(len(m))
-            score = c if score is None else score + c
-        scores[lang] = score
+    arithmetic as ``language_id``) — composable into a narrow pass.
+
+    r10 shape: the scores are LET-BOUND twice (``transform`` over a
+    one-element array binds the padded-lowercase text, then the score
+    array) so each marker ``replace`` evaluates exactly once per row.
+    The previous tree re-inlined every score into ``greatest`` AND each
+    tie-break WHEN (147 replaces per row instead of ~37, measured in
+    the collapsed corpus-gate filter plan), and the padded ``lower``
+    once per replace — big enough that the generated filter method blew
+    the 64 KB JVM limit and fell back to interpreted eval. Same doubles,
+    same tie order (first language in marker order wins), bit-identical
+    decision.
+    """
+    raw = F.col(text_col)
+    t = F.concat(F.lit(" "), F.lower(raw), F.lit(" "))
+    cjk = F.regexp_count(raw, F.lit(r"[一-鿿]"))
     langs = list(_LANG_MARKERS)
-    best = F.greatest(*[scores[l] for l in langs])
-    pick = None
-    for lang in reversed(langs):
-        expr = F.lit(lang)
-        pick = (
-            expr
-            if pick is None
-            else F.when(scores[lang] == best, expr).otherwise(pick)
-        )
-    return (
-        F.when(cjk * 4 > F.length(F.col(text_col)), F.lit("zh"))
-        .when(best <= 0, F.lit("unknown"))
-        .otherwise(pick)
+
+    def _scores(p: Column) -> Column:
+        cols = []
+        for markers in _LANG_MARKERS.values():
+            score = None
+            for m in markers:
+                c = (
+                    F.length(p) - F.length(F.replace(p, F.lit(m), F.lit("")))
+                ) / F.lit(len(m))
+                score = c if score is None else score + c
+            cols.append(score)
+        return F.array(*cols)
+
+    def _decide(a: Column) -> Column:
+        best = F.array_max(a)
+        pick = None
+        for i, lang in reversed(list(enumerate(langs))):
+            expr = F.lit(lang)
+            pick = (
+                expr
+                if pick is None
+                else F.when(F.element_at(a, i + 1) == best, expr).otherwise(pick)
+            )
+        return F.when(best <= 0, F.lit("unknown")).otherwise(pick)
+
+    decision = F.element_at(
+        F.transform(
+            F.array(t),
+            lambda p: F.element_at(
+                F.transform(F.array(_scores(p)), _decide), 1
+            ),
+        ),
+        1,
     )
+    return F.when(cjk * 4 > F.length(raw), F.lit("zh")).otherwise(decision)
 
 
 def language_id(
